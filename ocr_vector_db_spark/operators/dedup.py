@@ -1,0 +1,260 @@
+"""Deduplication family for training-data pipelines.
+
+Five strategies, all shuffle-aware:
+
+- exact:      md5 fingerprint groupBy — one shuffle on the 32-hex key, keeps
+              the min-id representative per group (deterministic).
+- ngram jaccard: token/shingle inverted-index join — explode to (token, doc),
+              self-join on token (co-occurrence counts), jaccard from per-doc
+              distinct counts. Shuffles on token; hot tokens are the skew
+              risk → AQE skew-join handles it, or pre-filter stop-shingles.
+- minhash:    K independent md5-derived hash slots → per-doc signature → LSH
+              banding → candidate pairs join on (band, band_hash). Only
+              same-bucket pairs are compared: the O(n²) never materializes.
+- simhash:    B-bit majority-vote signature per doc; near-dup = signature
+              hamming distance ≤ r (compared on exact bucket here; split-band
+              variant for r>0 at scale).
+- embedding:  cosine near-dup pairs, blocked by a coarse key (IVF cluster /
+              label) so the self-join is per-block, not global.
+
+Every step is built-in expressions — md5, split, explode, groupBy — no Python
+in the row path, so the whole family runs in whole-stage codegen and scales
+linearly with a single shuffle per logical step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.functions.text_analysis import fingerprint_col, tokens_col
+from ocr_vector_db_spark.functions.vector import cosine_similarity_col
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates (normalized-text md5): one row per group
+    with ≥2 members: (fingerprint, n_dups, keep_id = min id)."""
+    return (
+        df.select(fingerprint_col(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one (min-id) row per distinct normalized text."""
+    w_min = (
+        df.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+# ------------------------------------------------------------ ngram jaccard
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct n-gram (word-shingle) set per document."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    if n == 1:
+        sh = toks
+    else:
+        sh = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All document pairs (a < b) with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index join: pairs are only generated for docs sharing ≥1 shingle,
+    so complexity follows shingle co-occurrence, not n². Returns
+    (doc_a, doc_b, jaccard) with jaccard rounded to 6 dp."""
+    sh = _doc_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    co = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        co.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------- minhash
+
+
+def _hash_slot(shingle_col, slot: int):
+    """Deterministic 60-bit integer hash for MinHash slot `slot`: md5 of the
+    salted shingle, first 15 hex chars as a bigint. Engine-portable (md5 is
+    identical everywhere, unlike xxhash64 seeds)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("", F.lit(str(slot)), shingle_col)), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc, mh_0..mh_{K-1}) MinHash signature from n-token shingles."""
+    sh = _doc_shingles(df, text_col, id_col, n)
+    aggs = [F.min(_hash_slot(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding + estimated Jaccard.
+
+    Signature split into `bands` bands of num_hashes/bands rows; docs agreeing
+    on any whole band become candidates (join on (band_id, band_hash) — the
+    only shuffle that touches pairs). Estimated Jaccard = fraction of agreeing
+    signature slots. Returns (doc_a, doc_b, est_jaccard)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ])).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+    banded = sig.select("doc", *[F.col(f"mh_{i}") for i in range(num_hashes)],
+                        F.explode(band_structs).alias("band")) \
+                .select("doc", "band.band_id", "band.band_hash",
+                        *[F.col(f"mh_{i}") for i in range(num_hashes)])
+
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(y, ["band_id", "band_hash"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            *[F.col(f"x.mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
+            *[F.col(f"y.mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    agree = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return cand.withColumn(
+        "est_jaccard", F.round(agree / F.lit(float(num_hashes)), 6)
+    ).select("doc_a", "doc_b", "est_jaccard")
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash_col(text_col, bits: int = 16):
+    """B-bit SimHash of the token set: bit i set iff the majority of token
+    hashes have bit i set. Token hash = md5-derived 60-bit int (portable)."""
+    toks = tokens_col(F.lower(text_col))
+
+    def h(t):
+        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+
+    def vote_fn(i):
+        def merge(acc, t):
+            return acc + F.when(
+                F.shiftright(h(t), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    bit_votes = [F.aggregate(toks, F.lit(0), vote_fn(i)) for i in range(bits)]
+    sig = F.lit(0).cast("bigint")
+    for i, vote in enumerate(bit_votes):
+        sig = sig + F.when(vote > 0, F.lit(2 ** i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def simhash_duplicates(
+    df: DataFrame, bits: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of docs sharing an identical SimHash signature (hamming r=0
+    bucket; at scale, band the signature for r>0 in one extra explode)."""
+    sigs = df.select(F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash"))
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# --------------------------------------------------------- embedding cosine
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pairs (a < b) with cosine ≥ threshold. `block_col` (IVF cluster, label,
+    LSH bucket) restricts the self-join to within-block pairs — mandatory at
+    scale; without it this is a guarded O(n²) for small corpora only."""
+    left = df.select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    joined = left.join(right, [block_col] if block_col else []) if block_col else left.crossJoin(right)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity_col(F.col("emb_a"), F.col("emb_b")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,167 @@
+"""K-nearest-neighbor search over an embedding column.
+
+The reference serves `ORDER BY embedding <=> q LIMIT k` through a pgvector
+HNSW index (retrieval/search.py:111-113, storage/schema.py:80-85). Spark has
+no online ANN index; the scale-aware equivalents here are:
+
+- `knn_brute_force`: scan + score + TakeOrderedAndProject. Exact. On a
+  columnar parquet scan with codegen this is embarrassingly parallel and the
+  right answer up to ~10^7 vectors per executor-group; Catalyst turns the
+  orderBy+limit into a per-partition top-k + tree reduction (no global sort).
+- `build_ivf_index` / `knn_ivf`: KMeans centroids → embeddings partitioned by
+  cluster_id → query prunes to the `nprobe` nearest clusters (the DataFrame
+  analogue of `ivfflat.probes`, storage/schema.py:38-41). At 100 TB the
+  centroid table is tiny (broadcast) and cluster pruning cuts the scan by
+  num_clusters/nprobe; writing the index partitioned by cluster_id makes the
+  pruning a partition-pruned scan, not a filter.
+- `knn_batch`: many-query batch mode as a blocked broadcast join (queries
+  are broadcast; one scan of the corpus scores all queries).
+
+Scoring is pure built-in expressions (functions/vector.py) — no Python in
+the hot path. Ties broken by `id_col` so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.functions.vector import cosine_similarity_col, dot_col
+
+SIM_PRECISION = 6  # round similarities so rankings are reproducible across engines
+
+
+def with_similarity(
+    df: DataFrame,
+    query_vector: list[float],
+    emb_col: str = "embedding",
+    out_col: str = "similarity",
+    pre_normalized: bool = False,
+) -> DataFrame:
+    import math
+
+    q = F.array(*[F.lit(float(v)) for v in query_vector])
+    emb = F.col(emb_col)
+    if pre_normalized:
+        sim = dot_col(emb, q)
+    else:
+        # Hoist the query norm to the driver: Catalyst doesn't constant-fold
+        # aggregate() over a literal array, so leaving it in the expression
+        # recomputes the query norm per row.
+        q_norm = math.sqrt(sum(float(v) * float(v) for v in query_vector))
+        from ocr_vector_db_spark.functions.vector import norm_col
+
+        denom = norm_col(emb) * F.lit(q_norm)
+        sim = F.when(denom != 0.0, dot_col(emb, q) / denom)
+    return df.withColumn(out_col, F.round(sim, SIM_PRECISION))
+
+
+def knn_brute_force(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    pre_normalized: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine similarity. orderBy+limit compiles to
+    TakeOrderedAndProject: per-partition heap + driver merge, no full sort."""
+    scored = with_similarity(df, query_vector, emb_col, "similarity", pre_normalized)
+    return scored.orderBy(F.desc("similarity"), F.col(id_col)).limit(k)
+
+
+def knn_per_group(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int,
+    group_col: str,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k nearest per group (e.g. per label / per collection)."""
+    scored = with_similarity(df, query_vector, emb_col)
+    w = Window.partitionBy(group_col).orderBy(F.desc("similarity"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ----------------------------------------------------------------- IVF index
+
+
+def build_ivf_index(
+    df: DataFrame,
+    num_clusters: int,
+    emb_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """KMeans over the embedding column → (assigned DataFrame, centroids).
+
+    Returns (df + cluster_id column, list[(cluster_id, centroid)]). At scale,
+    persist the assigned table partitioned by cluster_id so query-time nprobe
+    pruning becomes partition pruning.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    ml_df = df.withColumn("__features", array_to_vector(F.col(emb_col).cast("array<double>")))
+    km = KMeans(k=num_clusters, seed=seed, maxIter=max_iter, featuresCol="__features", predictionCol="cluster_id")
+    model = km.fit(ml_df)
+    assigned = model.transform(ml_df).drop("__features")
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return assigned, centroids
+
+
+def knn_ivf(
+    indexed: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vector: list[float],
+    k: int,
+    nprobe: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score centroids driver-side (they're tiny), prune to
+    the nprobe nearest clusters, exact search inside them. `cluster_id IN (…)`
+    is partition-prunable when the index table is written partitioned by it."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(centroids, key=lambda c: (-cos(c[1], query_vector), c[0]))
+    probe_ids = [cid for cid, _ in ranked[:nprobe]]
+    pruned = indexed.filter(F.col("cluster_id").isin(probe_ids))
+    return knn_brute_force(pruned, query_vector, k, emb_col, id_col)
+
+
+# --------------------------------------------------------------- batch mode
+
+
+def knn_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_emb: str = "embedding",
+    query_emb: str = "embedding",
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Top-k corpus rows per query row. Queries are broadcast (small side) so
+    the corpus is scanned exactly once; `block_col` (e.g. an IVF cluster id
+    present on both sides) prunes the cross product to matching blocks."""
+    q = queries.select(
+        F.col(query_id), F.col(query_emb).alias("__q_emb"),
+        *([F.col(block_col).alias("__q_block")] if block_col else []),
+    )
+    if block_col:
+        joined = corpus.join(F.broadcast(q), F.col(block_col) == F.col("__q_block"))
+    else:
+        joined = corpus.crossJoin(F.broadcast(q))
+    sim = F.round(cosine_similarity_col(F.col(corpus_emb), F.col("__q_emb")), SIM_PRECISION)
+    scored = joined.withColumn("similarity", sim).drop("__q_emb", "__q_block")
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.col(corpus_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

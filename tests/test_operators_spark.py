@@ -1,0 +1,139 @@
+"""Spark-side tests: column functions agree with their pure-Python twins and
+operators behave on the driver-generated testdata."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.functions import hashing, text_analysis, validators, vector
+from ocr_vector_db_spark.operators import dedup, grouping, knn, metrics
+
+SAMPLES = [
+    "short",
+    "Copyright © 2023 Someone",
+    "   42   ",
+    "See Figure 3",
+    "그림 3 참조",
+    "코드 1-1 decorator example heading",
+    "A genuinely informative sentence about Spark.",
+    "same line\nsame line\nsame line",
+    "the quick brown fox jumps over the lazy dog",
+    "der hund ist nicht da und das ist gut",
+]
+
+
+@pytest.fixture(scope="module")
+def sample_df(spark):
+    return spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], ["id", "content"])
+
+
+def test_validator_col_matches_python(sample_df):
+    rows = sample_df.withColumn(
+        "eligible", validators.is_eligible_col(F.col("content"))
+    ).collect()
+    for r in rows:
+        assert r.eligible == validators.is_eligible(r.content), r.content
+
+
+def test_hashing_cols_match_python(sample_df):
+    df = sample_df.select(
+        "content",
+        hashing.content_hash_col(F.lit("pid"), F.lit("text"), F.lit(None), F.col("content")).alias("h"),
+        hashing.doc_id_col(F.lit("pid"), F.lit("text"), F.lit(None), F.col("content")).alias("d"),
+    )
+    for r in df.collect():
+        assert r.h == hashing.content_hash("pid", "text", None, r.content)
+        assert r.d == hashing.compute_doc_id("pid", "text", None, r.content)
+
+
+def test_text_analysis_cols_match_python(sample_df):
+    df = sample_df.select(
+        "content",
+        text_analysis.token_count_col(F.col("content")).alias("ntok"),
+        text_analysis.detect_language_col(F.col("content")).alias("lang"),
+        text_analysis.quality_score_col(F.col("content")).alias("q"),
+    )
+    for r in df.collect():
+        assert r.ntok == text_analysis.token_count(r.content), r.content
+        assert r.lang == text_analysis.detect_language(r.content), r.content
+        assert abs(r.q - text_analysis.quality_score(r.content)) < 1e-6, r.content
+
+
+def test_cosine_col_matches_python(spark):
+    a, b = vector.embed_text("aaa", 8), vector.embed_text("bbb", 8)
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    got = df.select(vector.cosine_similarity_col(F.col("a"), F.col("b")).alias("c")).head().c
+    dot = sum(x * y for x, y in zip(a, b))
+    na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+    assert abs(got - dot / (na * nb)) < 1e-12
+
+
+def test_knn_brute_force(tables):
+    emb = tables["embeddings"]
+    qv = [r for r in emb.filter(F.col("vec_id") == 0).head().embedding]
+    top = knn.knn_brute_force(emb, qv, 10).collect()
+    assert len(top) == 10
+    assert top[0].vec_id == 0 and abs(top[0].similarity - 1.0) < 1e-6
+    sims = [r.similarity for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_ivf_matches_brute_force_on_full_probe(tables):
+    emb = tables["embeddings"]
+    qv = [r for r in emb.filter(F.col("vec_id") == 1).head().embedding]
+    indexed, centroids = knn.build_ivf_index(emb, num_clusters=4)
+    exact = {r.vec_id for r in knn.knn_brute_force(emb, qv, 5).collect()}
+    # probing every cluster must reproduce the exact result
+    full = {r.vec_id for r in knn.knn_ivf(indexed, centroids, qv, 5, nprobe=4).collect()}
+    assert full == exact
+    # pruned probe returns k rows from the probed clusters
+    approx = knn.knn_ivf(indexed, centroids, qv, 5, nprobe=2).collect()
+    assert len(approx) == 5
+
+
+def test_dedup_exact_and_jaccard(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "The  quick   Brown fox"),   # exact dup after normalization
+        (3, "the quick brown foxes run"),
+        (4, "completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    groups = dedup.exact_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0].n_dups == 2 and groups[0].keep_id == 1
+    kept = {r.doc_id for r in dedup.dedup_exact(df).collect()}
+    assert kept == {1, 3, 4}
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.3, n=1).collect()
+    assert any({p.doc_a, p.doc_b} == {1, 2} for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "spark is a unified analytics engine for large scale data processing " * 3
+    rows = [
+        (1, base),
+        (2, base + " extra token"),
+        (3, "unrelated content entirely different domain words " * 4),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = dedup.minhash_lsh_candidates(df, num_hashes=16, bands=4).collect()
+    assert any({c.doc_a, c.doc_b} == {1, 2} and c.est_jaccard > 0.5 for c in cands)
+    assert not any({c.doc_a, c.doc_b} == {1, 3} for c in cands)
+
+
+def test_simhash_duplicates(spark):
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zzz yyy xxx www qqq")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    groups = dedup.simhash_duplicates(df).collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2
+
+
+def test_grouping_and_metrics(tables):
+    emb = tables["embeddings"]
+    qv = [r for r in emb.filter(F.col("vec_id") == 0).head().embedding]
+    scored = knn.with_similarity(emb, qv)
+    top2 = grouping.top_n_per_group(scored, "label", 2, id_col="vec_id")
+    counts = top2.groupBy("label").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+    dist = metrics.distribution(tables["documents"], "lang", limit=3).collect()
+    assert len(dist) == 3 and dist[0].n >= dist[1].n >= dist[2].n
