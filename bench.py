@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Broad operator coverage without the intentionally-quadratic pair queries:
+# scan+agg, pushdown, joins (broadcast/anti/semi), window top-n, KNN (brute,
+# IVF-pruned, batched), MinHash-LSH, text analysis, sessionization, JSON.
+HEADLINE = [
+    "q01_pricing_summary_agg",
+    "q02_filter_pushdown_revenue",
+    "q03_broadcast_join_star",
+    "q05_global_topk",
+    "q06_topn_per_group",
+    "q09_cascade_delete_anti_join",
+    "q14_duplicate_groups_having",
+    "q16_knn_bruteforce_cosine",
+    "q20_minhash_lsh_candidates",
+    "q22_embedding_neardup_blocked",
+    "q23_language_id",
+    "q26_document_fingerprints",
+    "q29_tumbling_window_agg",
+    "q30_sessionization",
+    "q31_json_extract_agg",
+    "q33_ivf_centroid_prune",
+    "q34_knn_batch_queries",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry
+    from ocr_vector_db_spark.session import get_spark
+
+    spark = get_spark("ocr_vector_db_spark_bench")
+    queries = entry.queries()
+
+    # JVM/codegen warmup outside the timed region: tiny action per table type
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr("count(*)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,10 +65,13 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     if n == 1:
         sh = toks
     else:
-        sh = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+        # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark,
+        # so documents shorter than n tokens get an empty shingle set instead
+        shingles = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
+        sh = F.when(F.size(toks) >= n, shingles).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
         .distinct()
@@ -113,14 +116,12 @@ def ngram_jaccard_pairs(
 
 
 def _hash_slot(shingle_col, slot: int):
-    """Deterministic 60-bit integer hash for MinHash slot `slot`: md5 of the
-    salted shingle, first 15 hex chars as a bigint. Engine-portable (md5 is
-    identical everywhere, unlike xxhash64 seeds)."""
-    return F.conv(
-        F.substring(F.md5(F.concat_ws("", F.lit(str(slot)), shingle_col)), 1, 15),
-        16,
-        10,
-    ).cast("bigint")
+    """Deterministic hash for MinHash slot `slot`: first 15 hex chars of the
+    salted md5. Kept as a STRING -- fixed-length lowercase hex compares
+    lexicographically exactly like its numeric value, and md5+string-min is
+    portable across engines (unlike xxhash64 seeds or hex-to-int conversions),
+    so the SQL oracle can reproduce signatures bit-for-bit."""
+    return F.substring(F.md5(F.concat(F.lit(str(slot)), shingle_col)), 1, 15)
 
 
 def minhash_signatures(
@@ -192,18 +193,21 @@ def minhash_lsh_candidates(
 # ----------------------------------------------------------------- simhash
 
 
+ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
 def simhash_col(text_col, bits: int = 16):
     """B-bit SimHash of the token set: bit i set iff the majority of token
-    hashes have bit i set. Token hash = md5-derived 60-bit int (portable)."""
+    hashes have bit i set. Bit i of a token = low bit of hex digit i of
+    md5(token) — engine-portable (md5 + substring only, no integer hex
+    conversion), so the SQL oracle reproduces signatures exactly."""
+    assert bits <= 32
     toks = tokens_col(F.lower(text_col))
-
-    def h(t):
-        return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
 
     def vote_fn(i):
         def merge(acc, t):
             return acc + F.when(
-                F.shiftright(h(t), i).bitwiseAND(F.lit(1)) == 1, 1
+                F.substring(F.md5(t), i + 1, 1).isin(*ODD_HEX), 1
             ).otherwise(-1)
 
         return merge

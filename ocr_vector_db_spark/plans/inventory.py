@@ -1,0 +1,1023 @@
+"""The driver-facing query inventory: every operator from SURVEY.md §2 as a
+(spark query, duckdb oracle SQL) pair over the driver-generated tables.
+
+Engine-portability rules used throughout (so Spark and DuckDB hash-match):
+- every computed column is aliased identically on both sides;
+- float aggregates go through exact decimal sums:
+  sum(round(x, 6)::decimal(28,6))::double — associativity-proof, so Spark's
+  partial aggregation order can't shift the result;
+- similarities/ratios are rounded to 6 dp on both sides, and every top-k /
+  row_number orders by (measure, unique id) so ties are deterministic;
+- hashes are md5-based (identical everywhere); MinHash slots compare as
+  fixed-length hex strings; SimHash bits come from hex-digit parity;
+- row_number()/size()/length() are cast to bigint to match DuckDB's types.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.functions import text_analysis as ta
+from ocr_vector_db_spark.functions import validators
+from ocr_vector_db_spark.functions.chunking import chunk_fixed_col
+from ocr_vector_db_spark.functions.vector import cosine_similarity_col
+from ocr_vector_db_spark.operators import dedup, grouping, knn, metrics
+from ocr_vector_db_spark.session import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dsum(c, scale: int = 6):
+    """Order-independent float sum: round per-row (identical doubles on both
+    engines), sum exactly as decimal, emit double."""
+    return F.sum(F.round(c, scale).cast(f"decimal(28,{scale})")).cast("double")
+
+
+def _sql_dsum(expr: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST(ROUND({expr},{scale}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+# =====================================================================
+# Relational core (scans, filters, joins, aggs, windows, set ops)
+# =====================================================================
+
+
+@query(
+    "q01_pricing_summary_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_dsum('l_quantity')} AS sum_qty,
+           {_sql_dsum('l_extendedprice')} AS sum_base_price,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           ROUND({_sql_dsum('l_quantity')} / COUNT(*), 6) AS avg_qty,
+           ROUND({_sql_dsum('l_extendedprice')} / COUNT(*), 6) AS avg_price,
+           ROUND({_sql_dsum('l_discount')} / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf):
+    """TPC-H-Q1-shaped pricing summary: the reference's metrics-style
+    aggregation pattern (storage/metrics.py:32-96) at scale — one scan,
+    partial+final hash agg, no shuffle beyond the 4-group agg."""
+    li = load_table(spark, sf, "lineitem")
+    f = F.col
+    return (
+        li.filter(f("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(f("l_quantity")).alias("sum_qty"),
+            dsum(f("l_extendedprice")).alias("sum_base_price"),
+            dsum(f("l_extendedprice") * (1 - f("l_discount"))).alias("sum_disc_price"),
+            dsum(f("l_extendedprice") * (1 - f("l_discount")) * (1 + f("l_tax"))).alias("sum_charge"),
+            F.round(dsum(f("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
+            F.round(dsum(f("l_extendedprice")) / F.count("*"), 6).alias("avg_price"),
+            F.round(dsum(f("l_discount")) / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_pushdown_revenue",
+    f"""
+    SELECT {_sql_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q02(spark, sf):
+    """Predicate-pushdown scan (reference filter composition,
+    retrieval/search.py:89-97): all three predicates reach the parquet scan."""
+    li = load_table(spark, sf, "lineitem")
+    f = F.col
+    return (
+        li.filter(
+            (f("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (f("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (f("l_discount") >= 0.05)
+            & (f("l_discount") <= 0.07)
+            & (f("l_quantity") < 24)
+        )
+        .agg(dsum(f("l_extendedprice") * f("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "q03_broadcast_join_star",
+    f"""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+           {_sql_dsum('c.c_acctbal')} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q03(spark, sf):
+    """Dim-join star pattern (embedding ⋈ collection analogue,
+    retrieval/search.py:108-110): both dims broadcast — zero shuffles for
+    the joins, one for the final agg."""
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q04_context_left_join",
+    """
+    WITH top_items AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 100
+    )
+    SELECT t.l_orderkey, t.l_linenumber, t.l_extendedprice,
+           o.o_orderpriority AS parent_priority, o.o_orderstatus AS parent_status
+    FROM top_items t LEFT JOIN orders o ON t.l_orderkey = o.o_orderkey
+    """,
+)
+def q04(spark, sf):
+    """Context expansion: top-k results left-joined to their parent rows
+    (ContextExpander, retrieval/context.py:52-119) — the k-row side is
+    broadcast onto the parent table."""
+    from ocr_vector_db_spark.operators.context import expand_context  # noqa: F401
+
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    top = (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+    parents = o.select(
+        F.col("o_orderkey"),
+        F.col("o_orderpriority").alias("parent_priority"),
+        F.col("o_orderstatus").alias("parent_status"),
+    )
+    return F.broadcast(top).join(
+        parents, top["l_orderkey"] == parents["o_orderkey"], "left"
+    ).drop("o_orderkey")
+
+
+@query(
+    "q05_global_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def q05(spark, sf):
+    """Global top-k (ORDER BY … LIMIT k, retrieval/search.py:111-113):
+    compiles to TakeOrderedAndProject — per-partition heaps, no full sort."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q06_topn_per_group",
+    """
+    SELECT * FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+               ) AS BIGINT) AS rank_in_group
+        FROM lineitem
+    ) WHERE rank_in_group <= 3
+    """,
+)
+def q06(spark, sf):
+    """top_n_per_group (retrieval/grouping.py:96-118) over a real key."""
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("rank_in_group", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank_in_group") <= 3)
+    )
+
+
+@query(
+    "q07_dedup_exact_fingerprint",
+    r"""
+    SELECT md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 60)) AS fingerprint,
+           COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+)
+def q07(spark, sf):
+    """Exact-dup groups by normalized-prefix fingerprint (doc_id dedupe,
+    storage/vector_store.py:71-78): hash → groupBy → HAVING."""
+    d = load_table(spark, sf, "documents")
+    fp = F.md5(
+        F.substring(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 1, 60)
+    )
+    return (
+        d.select(fp.alias("fingerprint"), F.col("doc_id"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+@query(
+    "q08_distribution_groupby",
+    "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+)
+def q08(spark, sf):
+    """Value distribution (view/lang distributions, storage/metrics.py:82-96)."""
+    d = load_table(spark, sf, "documents")
+    return metrics.distribution(d, "lang", limit=1000).select("lang", "n")
+
+
+@query(
+    "q09_cascade_delete_anti_join",
+    """
+    SELECT l_returnflag, COUNT(*) AS surviving_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice,6) AS DECIMAL(28,6))) AS DOUBLE) AS surviving_value
+    FROM lineitem l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def q09(spark, sf):
+    """Cascade delete as anti-join (storage/cascade.py:83-151): children of
+    deleted parents are removed by left_anti against the doomed key set."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    doomed = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        li.join(doomed, li["l_orderkey"] == doomed["o_orderkey"], "left_anti")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("surviving_items"),
+            dsum(F.col("l_extendedprice")).alias("surviving_value"),
+        )
+    )
+
+
+@query(
+    "q10_semi_join_exists",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def q10(spark, sf):
+    """find_by_document_id-style existence lookup as left_semi join."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q11_forward_fill_window",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events
+    """,
+)
+def q11(spark, sf):
+    """Forward-fill window (page/section running assignment,
+    app/parents.py:47-92): last non-null over an unbounded-preceding frame."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(marked, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@query(
+    "q12_running_sum_window",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+    FROM events
+    """,
+)
+def q12(spark, sf):
+    """Running sum per key (sequential-scan analogue of the unitizer's
+    accumulation, ingestion/segmentation.py:40-146)."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+@query(
+    "q13_quality_metrics_single_pass",
+    """
+    SELECT COUNT(*) AS total_docs,
+           CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+           COUNT(DISTINCT lang) AS distinct_langs,
+           COUNT(DISTINCT source) AS distinct_sources,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+    FROM documents
+    """,
+)
+def q13(spark, sf):
+    """Single-pass conditional aggregation: the reference's N separate metric
+    queries (storage/metrics.py:32-96) collapsed into one scan."""
+    d = load_table(spark, sf, "documents")
+    return d.agg(
+        F.count("*").alias("total_docs"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).cast("bigint").alias("short_docs"),
+        F.countDistinct("lang").alias("distinct_langs"),
+        F.countDistinct("source").alias("distinct_sources"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("avg_chars"),
+    )
+
+
+@query(
+    "q14_duplicate_groups_having",
+    """
+    SELECT l_orderkey, COUNT(*) AS n
+    FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+    """,
+)
+def q14(spark, sf):
+    """Duplicate-key groups (GROUP BY … HAVING COUNT>1, storage/metrics.py:60-68)."""
+    li = load_table(spark, sf, "lineitem")
+    return metrics.duplicate_groups(li, "l_orderkey")
+
+
+@query(
+    "q15_union_dedup",
+    """
+    SELECT p_partkey, p_name FROM part WHERE p_size < 10
+    UNION
+    SELECT p_partkey, p_name FROM part WHERE p_retailprice > 980
+    """,
+)
+def q15(spark, sf):
+    """Order-preserving dedup-union of two selections (glob dedup-union,
+    api/cli/ingest.py:43-51) → union + distinct."""
+    p = load_table(spark, sf, "part")
+    a = p.filter(F.col("p_size") < 10).select("p_partkey", "p_name")
+    b = p.filter(F.col("p_retailprice") > 980).select("p_partkey", "p_name")
+    return a.union(b).distinct()
+
+
+# =====================================================================
+# Vector / embedding operators
+# =====================================================================
+
+_COS = (
+    "ROUND(list_dot_product(e.embedding::DOUBLE[], q.qv)"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+)
+
+
+def _query_vec(spark, sf, vec_id: int = 0) -> list[float]:
+    row = (
+        load_table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row.embedding]
+
+
+@query(
+    "q16_knn_bruteforce_cosine",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, {_COS} AS similarity
+    FROM embeddings e, q
+    ORDER BY similarity DESC, e.vec_id LIMIT 10
+    """,
+)
+def q16(spark, sf):
+    """Exact KNN: scan + score + top-k (the pgvector `ORDER BY <=> LIMIT k`,
+    retrieval/search.py:111-113, re-expressed as TakeOrderedAndProject)."""
+    e = load_table(spark, sf, "embeddings")
+    qv = _query_vec(spark, sf, 0)
+    return knn.knn_brute_force(e, qv, 10).select("vec_id", "label", "similarity")
+
+
+@query(
+    "q17_knn_topk_per_label",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id, e.label, {_COS} AS similarity
+        FROM embeddings e, q
+    )
+    SELECT * FROM (
+        SELECT label, vec_id, similarity,
+               CAST(ROW_NUMBER() OVER (PARTITION BY label
+                    ORDER BY similarity DESC, vec_id) AS BIGINT) AS rank_in_group
+        FROM scored
+    ) WHERE rank_in_group <= 2
+    """,
+)
+def q17(spark, sf):
+    """Top-n-per-group over similarity (grouping.py:96-118 applied to KNN)."""
+    e = load_table(spark, sf, "embeddings")
+    qv = _query_vec(spark, sf, 0)
+    scored = knn.with_similarity(e, qv)
+    out = grouping.top_n_per_group(scored, "label", 2, id_col="vec_id")
+    return out.select(
+        "label", "vec_id", "similarity", F.col("rank_in_group").cast("bigint").alias("rank_in_group")
+    )
+
+
+@query(
+    "q18_ngram_jaccard_neardup",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, unnest(
+            CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)), i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                 ELSE [] END) AS shingle
+        FROM toks
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    co AS (
+        SELECT x.doc AS doc_a, y.doc AS doc_b, COUNT(*) AS common
+        FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc < y.doc
+        GROUP BY 1, 2
+    )
+    SELECT co.doc_a, co.doc_b,
+           ROUND(common / CAST(a.n_sh + b.n_sh - common AS DOUBLE), 6) AS jaccard
+    FROM co
+    JOIN sizes a ON co.doc_a = a.doc
+    JOIN sizes b ON co.doc_b = b.doc
+    WHERE ROUND(common / CAST(a.n_sh + b.n_sh - common AS DOUBLE), 6) >= 0.2
+    """,
+)
+def q18(spark, sf):
+    """N-gram Jaccard near-dup pairs via inverted-index join (never O(n²))."""
+    d = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.2, n=2, text_col="text", id_col="doc_id")
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> tuple[str, str]:
+    """(signature SQL, lsh-candidates SQL) mirroring operators/dedup.py."""
+    slots = ",\n           ".join(
+        f"MIN(substr(md5('{i}' || shingle), 1, 15)) AS mh_{i}" for i in range(num_hashes)
+    )
+    sig = rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, unnest(
+            CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)), i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                 ELSE [] END) AS shingle
+        FROM toks
+    ),
+    sig AS (
+        SELECT doc,
+           {slots}
+        FROM sh GROUP BY doc
+    )
+    """
+    rows_per_band = num_hashes // bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc, {b} AS band_id, md5(concat_ws(',', {cols})) AS band_hash, {all_cols} FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)),
+            all_cols=", ".join(f"mh_{i}" for i in range(num_hashes)),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    cand = f"""
+    , banded AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b,
+               ROUND(({agree}) / {float(num_hashes)}, 6) AS est_jaccard
+        FROM banded x JOIN banded y
+          ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc < y.doc
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM cand
+    """
+    sig_select = "SELECT doc, " + ", ".join(f"mh_{i}" for i in range(num_hashes)) + " FROM sig"
+    return sig + sig_select, sig + cand
+
+
+_MH_SIG_SQL, _MH_CAND_SQL = _minhash_sql(16, 4)
+
+
+@query("q19_minhash_signatures", _MH_SIG_SQL)
+def q19(spark, sf):
+    """MinHash signatures (16 md5-derived slots over 2-token shingles)."""
+    d = load_table(spark, sf, "documents")
+    return dedup.minhash_signatures(d, num_hashes=16, n=2, text_col="text", id_col="doc_id")
+
+
+@query("q20_minhash_lsh_candidates", _MH_CAND_SQL)
+def q20(spark, sf):
+    """MinHash-LSH banding: candidate near-dup pairs + estimated Jaccard."""
+    d = load_table(spark, sf, "documents")
+    return dedup.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id"
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    odd = "('1','3','5','7','9','b','d','f')"
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN substr(md5(tok), {i + 1}, 1) IN {odd} THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+    )
+    SELECT doc_id, ({bit_terms}) AS simhash
+    FROM toks GROUP BY doc_id
+    """
+
+
+@query("q21_simhash_signatures", _simhash_sql(16))
+def q21(spark, sf):
+    """16-bit SimHash signature per document (hex-digit-parity bits)."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", dedup.simhash_col(F.col("text"), 16).alias("simhash"))
+
+
+@query(
+    "q22_embedding_neardup_blocked",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    """,
+)
+def q22(spark, sf):
+    """Embedding-cosine near-dup pairs, blocked by label (the IVF-cluster
+    blocking pattern — the self-join never goes global)."""
+    e = load_table(spark, sf, "embeddings")
+    return dedup.embedding_near_dup_pairs(e, threshold=0.3, block_col="label")
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+
+def _lang_sql() -> str:
+    profs = {k: "[" + ",".join(f"'{w}'" for w in v) + "]" for k, v in ta.STOPWORDS.items()}
+    scores = {
+        k: f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> list_contains({v}, t)))"
+        for k, v in profs.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[k]} = best AND best > 0 THEN '{k}'" for k in ta.STOPWORDS
+    )
+    return f"""
+    WITH scored AS (SELECT doc_id, text, {best} AS best FROM documents)
+    SELECT doc_id, CASE {cases} ELSE 'unknown' END AS lang_pred
+    FROM scored
+    """
+
+
+@query("q23_language_id", _lang_sql())
+def q23(spark, sf):
+    """Heuristic language ID: per-language stopword-profile argmax."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", ta.detect_language_col(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "q24_quality_score",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> list_contains(['the','a','and','of','to','in','is','it','that','for'], t))) AS DOUBLE) AS stop,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}\-]', '', 'g')) AS DOUBLE) AS punct
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN 0.0 ELSE ROUND(
+               0.5 * least(n / 500.0, 1.0)
+             + 0.3 * (CASE WHEN ntok > 0 THEN least(stop / ntok * 5.0, 1.0) ELSE 0.0 END)
+             + 0.2 * (1.0 - least(punct / n * 10.0, 1.0)), 6) END AS quality
+    FROM t
+    """,
+)
+def q24(spark, sf):
+    """Quality scoring: length / stopword-ratio / punctuation-ratio blend."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", ta.quality_score_col(F.col("text")).alias("quality"))
+
+
+@query(
+    "q25_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_estimate,
+           length(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def q25(spark, sf):
+    """Token counting: whitespace tokens + BPE-ish estimate."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        ta.token_count_col(F.col("text")).cast("bigint").alias("n_tokens"),
+        ta.bpe_token_estimate_col(F.col("text")).alias("bpe_estimate"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "q26_document_fingerprints",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+               string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS fingerprint,
+           CASE WHEN len(toks) >= 3 THEN
+               list_aggregate(list_transform(range(1, len(toks) - 1),
+                   i -> md5(array_to_string(list_slice(toks, i, i + 2), ' '))), 'min')
+           ELSE md5(norm) END AS shingle_fingerprint
+    FROM t
+    """,
+)
+def q26(spark, sf):
+    """Document fingerprinting: exact md5 + min-shingle-hash (winnowing-style)."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        ta.fingerprint_col(F.col("text")).alias("fingerprint"),
+        ta.shingle_fingerprint_col(F.col("text"), 3).alias("shingle_fingerprint"),
+    )
+
+
+@query(
+    "q27_eligibility_filter",
+    None,  # set below — needs the validator regexes assembled
+)
+def q27(spark, sf):
+    """Embedding-eligibility flags (FRAG-LEN-001 + EMBED-BAN-*) per document."""
+    d = load_table(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        validators.is_eligible_col(F.col("text")).alias("eligible"),
+        (F.length("text") >= validators.MIN_LENGTH).alias("long_enough"),
+    )
+
+
+def _eligibility_sql() -> str:
+    pattern = "|".join(f"(?m)(?:{p})" for p in validators.ALL_BOILERPLATE)
+    pattern = pattern.replace("'", "''")
+    verbs_en = ",".join(f"'{v}'" for v in validators.REFERENCE_VERBS_EN)
+    targs_en = ",".join(f"'{v}'" for v in validators.REFERENCE_TARGETS_EN)
+    verbs_ko = ",".join(f"'{v}'" for v in validators.REFERENCE_VERBS_KO)
+    targs_ko = ",".join(f"'{v}'" for v in validators.REFERENCE_TARGETS_KO)
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text, trim(text) AS stripped, lower(trim(text)) AS low,
+               string_split(trim(text), chr(10)) AS lines
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id, text, stripped, low,
+               regexp_matches(text, '{pattern}') AS hit_pattern,
+               (len(lines) > 2 AND len(list_distinct(list_filter(
+                   list_transform(lines, x -> trim(x)), x -> x != ''))) = 1) AS identical_lines,
+               (length(stripped) < 15
+                AND ((EXISTS (SELECT 1 FROM unnest([{verbs_en}]) AS v(w) WHERE contains(low, w))
+                      AND EXISTS (SELECT 1 FROM unnest([{targs_en}]) AS v(w) WHERE contains(low, w)))
+                 OR (EXISTS (SELECT 1 FROM unnest([{verbs_ko}]) AS v(w) WHERE contains(stripped, w))
+                     AND EXISTS (SELECT 1 FROM unnest([{targs_ko}]) AS v(w) WHERE contains(stripped, w))))
+               ) AS pure_ref
+        FROM t
+    )
+    SELECT doc_id,
+           (length(text) >= 10 AND NOT hit_pattern AND NOT identical_lines AND NOT pure_ref) AS eligible,
+           length(text) >= 10 AS long_enough
+    FROM flags
+    """
+
+
+ORACLES["q27_eligibility_filter"] = _eligibility_sql()
+
+
+@query(
+    "q28_parent_synthesis",
+    """
+    SELECT lang, source,
+           substr(string_agg(text, chr(10) || chr(10) ORDER BY doc_id), 1, 300) AS parent_content,
+           COUNT(*) AS n_fragments
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q28(spark, sf):
+    """Parent-context synthesis shape (api/use_cases/ingest.py:282-318):
+    ordered collect_list → join → truncate, all JVM-side."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select("lang", "source", F.struct(F.col("doc_id"), F.col("text")).alias("s"))
+        .groupBy("lang", "source")
+        .agg(
+            F.substring(
+                F.array_join(
+                    F.transform(F.sort_array(F.collect_list("s")), lambda p: p["text"]),
+                    "\n\n",
+                ),
+                1,
+                300,
+            ).alias("parent_content"),
+            F.count("*").alias("n_fragments"),
+        )
+    )
+
+
+# =====================================================================
+# Events: windows, sessionization, JSON
+# =====================================================================
+
+
+@query(
+    "q29_tumbling_window_agg",
+    f"""
+    SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
+           COUNT(*) AS n_events, {_sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q29(spark, sf):
+    """Tumbling-window aggregation (batch twin of the Structured Streaming
+    windowed agg; same plan shape at 100 TB: partial agg → shuffle on
+    (window, type) → final)."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
+    )
+
+
+@query(
+    "q30_sessionization",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts) OVER w ::TIMESTAMP) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def q30(spark, sf):
+    """Sessionization: lag-gap detection + running sum of session starts
+    (the batch expression of session windows; gap = 30 min)."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    sess = marked.withColumn("session_seq", F.sum("is_new").over(wcum))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "q31_json_extract_agg",
+    f"""
+    SELECT CAST(props->>'$.k' AS INTEGER) AS k, COUNT(*) AS n,
+           {_sql_dsum('value')} AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q31(spark, sf):
+    """Dynamic-metadata access (cmetadata->>'key' analogue,
+    retrieval/search.py:101-107): JSON path extraction + aggregation."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), F.col("value")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
+    )
+
+
+# =====================================================================
+# Chunking / IVF / batch-KNN
+# =====================================================================
+
+
+@query(
+    "q32_chunk_fixed_stride",
+    """
+    WITH n AS (
+        SELECT doc_id, text,
+               greatest(1, CAST(ceil((length(text) - 200) / 150.0) AS BIGINT) + 1) AS n_chunks
+        FROM documents
+    ),
+    idx AS (SELECT doc_id, text, unnest(range(0, n_chunks)) AS chunk_index FROM n)
+    SELECT doc_id, chunk_index, substr(text, CAST(chunk_index * 150 + 1 AS INTEGER), 200) AS chunk
+    FROM idx
+    """,
+)
+def q32(spark, sf):
+    """Fixed-stride chunking (TextChunker's SQL-expressible sibling —
+    ingestion/chunking.py:12-62): sequence → transform → explode."""
+    d = load_table(spark, sf, "documents")
+    c = chunk_fixed_col(F.col("text"), 200, 150)
+    return d.select("doc_id", F.explode(c).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_index").cast("bigint").alias("chunk_index"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
+@query(
+    "q33_ivf_centroid_prune",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    idx AS (SELECT label, v, unnest(range(1, 65)) AS pos FROM e),
+    comp AS (SELECT label, pos, v[CAST(pos AS INTEGER)] AS val FROM idx),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(ROUND(val, 12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
+        FROM comp GROUP BY label, pos
+    ),
+    qv AS (SELECT v FROM e WHERE vec_id = 0),
+    qcomp AS (SELECT pos, v[CAST(pos AS INTEGER)] AS qval
+              FROM (SELECT v, unnest(range(1, 65)) AS pos FROM qv)),
+    score AS (
+        SELECT c.label,
+               ROUND(SUM(c.cval * q.qval)
+                     / (sqrt(SUM(c.cval * c.cval)) * sqrt(SUM(q.qval * q.qval))), 6) AS centroid_sim
+        FROM cent c JOIN qcomp q ON c.pos = q.pos
+        GROUP BY c.label
+    ),
+    probes AS (SELECT label FROM score ORDER BY centroid_sim DESC, label LIMIT 2)
+    SELECT e.vec_id, e.label, {_COS} AS similarity
+    FROM embeddings e
+    JOIN probes p ON e.label = p.label
+    CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+    ORDER BY similarity DESC, e.vec_id LIMIT 10
+    """,
+)
+def q33(spark, sf):
+    """IVF-style pruned KNN with label as the cluster id: centroid = exact
+    per-dimension mean, probe the nprobe=2 nearest clusters, exact top-k
+    inside (the `ivfflat.probes` analogue, storage/schema.py:38-41)."""
+    import math
+
+    e = load_table(spark, sf, "embeddings")
+    qv = _query_vec(spark, sf, 0)
+    v = F.col("embedding").cast("array<double>")
+    comp = e.select("label", F.posexplode(v).alias("pos", "val"))
+    cent = comp.groupBy("label", "pos").agg(
+        (F.sum(F.round(F.col("val"), 12).cast("decimal(28,12)")).cast("double") / F.count("*")).alias("cval")
+    )
+    qdf = F.broadcast(
+        e.sparkSession.createDataFrame([(i, float(x)) for i, x in enumerate(qv)], ["pos", "qval"])
+    )
+    qnorm = math.sqrt(sum(x * x for x in qv))
+    score = (
+        cent.join(qdf, "pos")
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("cval") * F.col("qval"))
+                / (F.sqrt(F.sum(F.col("cval") * F.col("cval"))) * F.lit(qnorm)),
+                6,
+            ).alias("centroid_sim")
+        )
+    )
+    probe_labels = [
+        r.label for r in score.orderBy(F.desc("centroid_sim"), "label").limit(2).collect()
+    ]
+    pruned = e.filter(F.col("label").isin(probe_labels))
+    return knn.knn_brute_force(pruned, qv, 10).select("vec_id", "label", "similarity")
+
+
+@query(
+    "q34_knn_batch_queries",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5)
+    SELECT * FROM (
+        SELECT q.query_id, e.vec_id, {_COS} AS similarity,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q.query_id
+                    ORDER BY {_COS} DESC, e.vec_id) AS BIGINT) AS rank
+        FROM embeddings e, q
+    ) WHERE rank <= 3
+    """,
+)
+def q34(spark, sf):
+    """Many-query batch KNN: broadcast the query set, scan the corpus once
+    (the genuine similarity join, SURVEY §2.3)."""
+    e = load_table(spark, sf, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = knn.knn_batch(e, queries, 3)
+    return out.select(
+        "query_id", "vec_id", "similarity", F.col("rank").cast("bigint").alias("rank")
+    )

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Local mimic of the driver's t2 duckdb-oracle correctness gate.
+
+Runs every `queries()` entry from __spark_entry__ on Spark and its
+`oracle_sql()` twin on DuckDB over the same parquet, then compares
+row count + column names + order-insensitive values. Usage:
+
+    python tools/check_correctness.py [sf0.001|sf0.01] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def normalize_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf = "sf0.001"
+    only = []
+    for a in sys.argv[1:]:
+        if a.startswith("sf"):
+            sf = a
+        else:
+            only.append(a)
+    sf_dir = f"/root/testdata/{sf}"
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from ocr_vector_db_spark.session import get_spark
+
+    spark = get_spark("correctness_check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    names = only or list(queries)
+    passed = failed = skipped = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            failed += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP  {name}: no oracle (rows-only: {len(srows)} rows) [{time.time()-t0:.1f}s]")
+            skipped += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            failed += 1
+            continue
+        sc, sr = normalize_rows(scols, srows)
+        oc, orr = normalize_rows(ocols, orows)
+        msgs = []
+        if sc != oc:
+            msgs.append(f"columns differ: spark={sc} oracle={oc}")
+        if len(sr) != len(orr):
+            msgs.append(f"row count: spark={len(sr)} oracle={len(orr)}")
+        if not msgs and sr != orr:
+            n_bad = sum(1 for a, b in zip(sr, orr) if a != b)
+            ex = next((a, b) for a, b in zip(sr, orr) if a != b)
+            msgs.append(f"{n_bad}/{len(sr)} rows differ; first: spark={ex[0]} oracle={ex[1]}")
+        if msgs:
+            print(f"FAIL  {name}: " + " | ".join(msgs))
+            failed += 1
+        else:
+            print(f"PASS  {name} ({len(sr)} rows) [{time.time()-t0:.1f}s]")
+            passed += 1
+    print(f"\n{passed} passed, {failed} failed, {skipped} rows-only, sf={sf}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
