@@ -88,8 +88,10 @@ def embed_udf(dim: int = 64):
     import pandas as pd
     from pyspark.sql.types import ArrayType, DoubleType
 
-    @F.pandas_udf(ArrayType(DoubleType()))
-    def _embed(s: pd.Series) -> pd.Series:
+    def _embed(s):
         return s.map(lambda x: embed_text(x or "", dim))
 
-    return _embed
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't resolve — attach real annotation objects instead.
+    _embed.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(ArrayType(DoubleType()))(_embed)

@@ -1021,3 +1021,116 @@ def q34(spark, sf):
     return out.select(
         "query_id", "vec_id", "similarity", F.col("rank").cast("bigint").alias("rank")
     )
+
+
+# =====================================================================
+# Non-SQL-expressible ops (driver does a rows-only check; no oracle):
+# stateful per-document automaton + recursive chunker, streaming, binary
+# decode plumbing, golden-query harness.
+# =====================================================================
+
+_FIXTURE_FILES = [
+    (
+        "/corpus/decorators.md",
+        "# Decorators\n\nPython decorators wrap functions to extend behavior "
+        "without modifying them directly.\n\n```python\ndef retry(fn):\n"
+        "    def inner(*a, **kw):\n        return fn(*a, **kw)\n    return inner\n```\n\n"
+        "```js\nconst retry = (fn) => (...a) => fn(...a);\n```\n\n"
+        "![decorator diagram](images/decorator.png)\n\n"
+        "Closing remarks about composition and reuse of behavior wrappers.\n",
+        "md",
+    ),
+    (
+        "/corpus/generators.md",
+        "Generators produce values lazily using the yield keyword in Python.\n\n"
+        "```python\ndef count(n):\n    while True:\n        yield n\n        n += 1\n```\n\n"
+        "Lazy evaluation saves memory on very large sequences of records.\n",
+        "md",
+    ),
+    (
+        "/corpus/scan.ocr",
+        "OCR OUTPUT PAGE\nthis is a short\nbroken line that\nshould merge into\n"
+        "one paragraph because each line is tiny\n코드 1-1\nfrom os,path import join\n"
+        "42\nCopyright © 2021 Publisher\n",
+        "ocr",
+    ),
+]
+
+
+@query("q35_ingest_pipeline")
+def q35(spark, sf):
+    """Full ingest lifecycle (§3.1): parse → unitize (ordered automaton via
+    applyInPandas) → concepts/fragments → eligibility filter → embeddings.
+    Stateful + recursive — not SQL-expressible; driver records rows-only."""
+    from ocr_vector_db_spark.sources.ingest import files_df, ingest
+
+    out = ingest(spark, files_df(spark, _FIXTURE_FILES), dim=16)
+    return out["fragments"].select(
+        "id", "concept_id", "document_id", "view", "language", "order", "unit_role"
+    ).orderBy("document_id", "concept_id", "order")
+
+
+@query("q36_streaming_windowed_agg")
+def q36(spark, sf):
+    """Structured Streaming tumbling-window agg driven to completion with the
+    availableNow trigger over a file source fed from the events table."""
+    import json as _json
+    import tempfile
+
+    from ocr_vector_db_spark.streaming.pipeline import (
+        read_events_stream, run_to_memory, windowed_event_counts,
+    )
+
+    events = load_table(spark, sf, "events").orderBy("event_id").limit(500).collect()
+    tmp = tempfile.mkdtemp(prefix="events_stream_")
+    with open(f"{tmp}/batch.json", "w") as fh:
+        for r in events:
+            fh.write(_json.dumps({
+                "event_id": r.event_id, "ts": r.ts.isoformat(), "user_id": r.user_id,
+                "event_type": r.event_type, "value": r.value, "props": r.props,
+            }) + "\n")
+    stream = read_events_stream(spark, tmp)
+    return run_to_memory(windowed_event_counts(stream), "q36_win_agg")
+
+
+@query("q37_multimodal_features")
+def q37(spark, sf):
+    """Multimodal binary columns: Arrow-batched decode/feature-extract over
+    opaque payloads (decode stubbed deterministically; plumbing real)."""
+    from pyspark.sql import types as T2
+
+    from ocr_vector_db_spark.sources.multimodal import ASSET_SCHEMA, extract_features
+
+    docs = load_table(spark, sf, "documents").limit(50)
+    assets = docs.select(
+        F.concat(F.lit("asset-"), F.col("doc_id").cast("string")).alias("asset_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "UTF-8").alias("data"),
+        F.create_map(F.lit("source"), F.col("source")).alias("metadata"),
+    )
+    assets = spark.createDataFrame(assets.collect(), ASSET_SCHEMA)
+    _ = T2
+    return extract_features(assets)
+
+
+@query("q38_golden_eval")
+def q38(spark, sf):
+    """Golden-query harness (api/cli/quality.py port): ingest the fixture
+    corpus, evaluate a golden JSONL set, return per-suite results."""
+    from ocr_vector_db_spark.plans.quality import evaluate
+    from ocr_vector_db_spark.sources.ingest import files_df, ingest
+
+    out = ingest(spark, files_df(spark, _FIXTURE_FILES), dim=16)
+    emb = out["embeddings"].cache()
+    frag = out["fragments"].filter(F.col("view") == "code").orderBy("id").head()
+    golden = [
+        {"query": frag.content, "top_k": 3, "expect_parent_ids": [frag.concept_id]},
+        {"query": "lazy evaluation", "top_k": 50, "expect_contains": ["yield"]},
+        {"query": "zzz", "top_k": 1, "expect_parent_ids": ["no-such-parent"]},
+    ]
+    report = evaluate(golden, emb, out["parents"], dim=16)
+    return spark.createDataFrame(
+        [(report.passed, report.total, float(report.pass_rate), len(report.failures))],
+        "passed int, total int, pass_rate double, n_failures int",
+    )

@@ -1,0 +1,96 @@
+"""Streaming ingest + event analytics.
+
+Two streaming shapes:
+
+1. `windowed_event_counts`: readStream → watermark → tumbling window agg.
+   The batch twin is inventory q29 — same logical plan, Spark just swaps in
+   incremental state-store execution. At scale the watermark bounds state:
+   late events beyond 10 minutes are dropped instead of accumulating.
+
+2. `stream_ingest`: file-source stream of documents run through the SAME
+   batch ingest stages via foreachBatch — exactly-once per micro-batch into
+   an append sink. This is the incremental-ingest extension the reference's
+   CLI loop (api/cli/ingest.py) approximates with re-runs.
+
+Tests drive these with the memory sink + processAllAvailable() so a batch of
+files exercises the streaming path synchronously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts/sums with late-data watermark."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over json event files dropped into `source_dir`."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).json(source_dir)
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming DF to completion against current inputs (memory
+    sink, synchronous) and return the materialized result."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_ingest(
+    spark: SparkSession,
+    files_stream: DataFrame,
+    sink: dict[str, list],
+    dim: int = 64,
+):
+    """Incremental ingest: each micro-batch of (source_path, content, fmt)
+    rows runs the batch ingest stages; results land in `sink` (a dict of
+    lists for tests; production points this at parquet/Delta appends)."""
+    from ocr_vector_db_spark.sources.ingest import ingest
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = ingest(spark, batch_df, dim=dim)
+        sink.setdefault("fragments", []).extend(out["fragments"].collect())
+        sink.setdefault("embeddings", []).extend(out["embeddings"].collect())
+
+    return (
+        files_stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

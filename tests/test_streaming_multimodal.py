@@ -1,0 +1,83 @@
+"""Streaming pipeline + multimodal column tests."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.sources.multimodal import ASSET_SCHEMA, extract_features, frame_sample_plan
+from ocr_vector_db_spark.streaming.pipeline import (
+    EVENTS_STREAM_SCHEMA,
+    read_events_stream,
+    run_to_memory,
+    windowed_event_counts,
+)
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T0{i % 3}:10:00.000Z", "user_id": i % 2,
+         "event_type": "click" if i % 2 else "view", "value": float(i), "props": "{}"}
+        for i in range(12)
+    ]
+    with open(src / "batch1.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    stream = read_events_stream(spark, str(src))
+    assert stream.isStreaming
+    out = run_to_memory(windowed_event_counts(stream), "win_counts_test").collect()
+    assert out
+    total = sum(r.n_events for r in out)
+    assert total == 12
+    assert all(r.window_end > r.window_start for r in out)
+
+
+def test_streaming_ingest_foreachbatch(spark, tmp_path):
+    from ocr_vector_db_spark.sources.ingest import FILES_SCHEMA
+    from ocr_vector_db_spark.streaming.pipeline import stream_ingest
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    doc = {"source_path": "/stream/a.md",
+           "content": "Streaming prose paragraph that is long enough to embed.\n\n"
+                      "```python\ndef g():\n    return 2\n```\n",
+           "fmt": "md"}
+    with open(src / "f1.json", "w") as fh:
+        fh.write(json.dumps(doc) + "\n")
+
+    files_stream = spark.readStream.schema(FILES_SCHEMA).json(str(src))
+    sink: dict = {}
+    q = stream_ingest(spark, files_stream, sink, dim=16)
+    q.awaitTermination(60)
+    assert sink.get("fragments"), "streamed file should produce fragments"
+    assert sink.get("embeddings")
+    assert all(len(e.embedding) == 16 for e in sink["embeddings"])
+
+
+def test_multimodal_features(spark):
+    assets = spark.createDataFrame(
+        [
+            ("img-1", "image", bytearray(b"\x89PNG fake image bytes 1"), {"src": "a"}),
+            ("img-2", "image", bytearray(b"\x89PNG other bytes"), {"src": "b"}),
+            ("aud-1", "audio", bytearray(b"RIFF fake wav"), {}),
+            ("vid-1", "video", bytearray(b"\x00\x00ftyp fake mp4"), {}),
+        ],
+        ASSET_SCHEMA,
+    )
+    feats = extract_features(assets).collect()
+    assert len(feats) == 4
+    by_id = {r.asset_id: r for r in feats}
+    assert by_id["img-1"].width and by_id["img-1"].height and by_id["img-1"].duration_s is None
+    assert by_id["aud-1"].duration_s is not None and by_id["aud-1"].width is None
+    assert all(len(r.feature) == 16 for r in feats)
+    # deterministic: same bytes → same features
+    again = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert again["img-1"].feature == by_id["img-1"].feature
+    assert by_id["img-1"].content_hash != by_id["img-2"].content_hash
+
+    frames = frame_sample_plan(assets, every_s=2.0).collect()
+    assert all(r.t_offset_s % 2.0 == 0 for r in frames)
+    assert {r.asset_id for r in frames} == {"vid-1"}
