@@ -60,22 +60,35 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct n-gram (word-shingle) set per document."""
-    toks = tokens_col(F.lower(F.col(text_col)))
+    """Distinct n-gram (word-shingle) set per document.
+
+    Two deliberate physical choices:
+    - repartition first: a small parquet file arrives as ONE input split, and
+      the shingle explosion is the expensive stage — spread the documents
+      across the cluster before fanning out;
+    - materialize the token array behind a projection boundary: referencing
+      the split() expression inside the transform lambda would re-tokenize
+      the document once per shingle (O(tokens²) work)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toked = df.repartition(parallelism).select(
+        F.col(id_col).alias("doc"), tokens_col(F.lower(F.col(text_col))).alias("toks")
+    )
+    toks = F.col("toks")
     if n == 1:
         sh = toks
     else:
+        # element_at chain instead of slice()+array_join(): O(1) lookups, no
+        # per-shingle array allocation in the codegen'd loop.
         # guard: sequence(1, 0) would produce a DESCENDING [1, 0] in Spark,
         # so documents shorter than n tokens get an empty shingle set instead
         shingles = F.transform(
             F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            ),
         )
         sh = F.when(F.size(toks) >= n, shingles).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return toked.select("doc", F.explode(sh).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -153,8 +166,14 @@ def minhash_lsh_candidates(
     signature slots. Returns (doc_a, doc_b, est_jaccard)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col).cache()
 
+    # The banding join stays SLIM — (doc, band_id, band_hash) only — so the
+    # pair-generating shuffle carries 3 columns, not the whole signature.
+    # Signatures re-attach afterwards via two joins against the (small,
+    # one-row-per-doc) signature table. At 100 TB the signature table is
+    # orders of magnitude smaller than the shingle explosion, and the only
+    # pair-sized data in flight is the candidate id pairs themselves.
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band_id"),
@@ -165,29 +184,30 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ])
-    banded = sig.select("doc", *[F.col(f"mh_{i}") for i in range(num_hashes)],
-                        F.explode(band_structs).alias("band")) \
-                .select("doc", "band.band_id", "band.band_hash",
-                        *[F.col(f"mh_{i}") for i in range(num_hashes)])
+    banded = sig.select("doc", F.explode(band_structs).alias("band")).select(
+        "doc", "band.band_id", "band.band_hash"
+    )
 
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
         x.join(y, ["band_id", "band_hash"])
         .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(
-            F.col("x.doc").alias("doc_a"),
-            F.col("y.doc").alias("doc_b"),
-            *[F.col(f"x.mh_{i}").alias(f"a_{i}") for i in range(num_hashes)],
-            *[F.col(f"y.mh_{i}").alias(f"b_{i}") for i in range(num_hashes)],
-        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sig_a = sig.select(F.col("doc").alias("doc_a"),
+                       *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
+    sig_b = sig.select(F.col("doc").alias("doc_b"),
+                       *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
     agree = sum(
         F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_hashes)
     )
-    return cand.withColumn(
-        "est_jaccard", F.round(agree / F.lit(float(num_hashes)), 6)
-    ).select("doc_a", "doc_b", "est_jaccard")
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_jaccard", F.round(agree / F.lit(float(num_hashes)), 6))
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
 
 
 # ----------------------------------------------------------------- simhash
@@ -245,20 +265,36 @@ def embedding_near_dup_pairs(
     """Pairs (a < b) with cosine ≥ threshold. `block_col` (IVF cluster, label,
     LSH bucket) restricts the self-join to within-block pairs — mandatory at
     scale; without it this is a guarded O(n²) for small corpora only."""
-    left = df.select(
-        F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"),
+    from ocr_vector_db_spark.functions.vector import dot_col, norm_col
+
+    # Precompute each vector's norm ONCE before the self-join: the pairwise
+    # stage then does a single dot product per pair instead of re-deriving
+    # both norms (3× the flops) inside the O(pairs) hot loop. Repartition
+    # first: a small single-file corpus would otherwise run the whole
+    # pair loop in ONE task (broadcast-join parallelism = left-side
+    # partitions).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(parallelism)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).cast("array<double>").alias("__v"),
+        norm_col(F.col(emb_col)).alias("__nrm"),
         *([F.col(block_col)] if block_col else []),
     )
-    right = df.select(
-        F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"),
-        *([F.col(block_col)] if block_col else []),
+    left = base.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("emb_a"),
+        F.col("__nrm").alias("nrm_a"), *([F.col(block_col)] if block_col else []),
     )
-    joined = left.join(right, [block_col] if block_col else []) if block_col else left.crossJoin(right)
+    right = base.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("emb_b"),
+        F.col("__nrm").alias("nrm_b"), *([F.col(block_col)] if block_col else []),
+    )
+    joined = left.join(right, [block_col]) if block_col else left.crossJoin(right)
+    denom = F.col("nrm_a") * F.col("nrm_b")
+    cos = F.when(denom != 0.0, dot_col(F.col("emb_a"), F.col("emb_b")) / denom)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine", F.round(cosine_similarity_col(F.col("emb_a"), F.col("emb_b")), 6)
-        )
+        .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -70,12 +70,21 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return out
 
 
+_TABLE_CACHE: dict[tuple[str, str, str], "object"] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver table. The events table carries TIMESTAMP(NANOS)
-    parquet (unsupported by Spark's vectorized reader) — read nanos as long
-    and convert to a microsecond timestamp, matching how external engines
-    (DuckDB) truncate ns → µs."""
+    """Read one driver table. DataFrame plan objects are memoized per
+    (session, dir, table) — repeated loads in a query batch skip the
+    driver-side file listing / footer read. The events table carries
+    TIMESTAMP(NANOS) parquet (unsupported by Spark's vectorized reader) —
+    read nanos as long and convert to a microsecond timestamp, matching how
+    external engines (DuckDB) truncate ns → µs."""
     from pyspark.sql import functions as F
+
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
 
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
@@ -85,5 +94,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             # integer division: float division of ~1.7e18 ns exceeds double's
             # 53-bit mantissa and corrupts the low microseconds
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _TABLE_CACHE[key] = df
+    return df
