@@ -1,0 +1,127 @@
+"""Persistent IVF ANN index: the Spark answer to pgvector's HNSW.
+
+The reference serves KNN through an HNSW index with `ivfflat.probes`-style
+recall knobs (storage/schema.py:30-85). Spark has no online graph index, and
+batch index build + pruned scan is the idiomatic equivalent at scale:
+
+  build:  MLlib KMeans over (a sample of) the corpus → centroid table
+          assign every vector its nearest cluster_id
+  store:  embeddings parquet PARTITIONED BY cluster_id (+ the tiny centroid
+          table alongside) — the cluster layout IS the index
+  search: score centroids driver-side (they fit in memory by construction),
+          filter `cluster_id IN nprobe-nearest` — a partition-pruned scan
+          that reads nprobe/num_clusters of the data — then exact top-k
+          inside the probed clusters
+
+recall/latency knobs = (num_clusters, nprobe), mirroring ivfflat's
+(lists, probes). nprobe = num_clusters degrades gracefully to exact search.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators.knn import knn_brute_force
+
+
+def _cos(a: list[float], b: list[float]) -> float:
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+class IVFIndex:
+    def __init__(self, spark: SparkSession, path: str,
+                 centroids: list[tuple[int, list[float]]] | None = None):
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids or []
+
+    # --------------------------------------------------------------- build
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        num_clusters: int,
+        emb_col: str = "embedding",
+        seed: int = 42,
+        sample_fraction: float | None = None,
+        max_iter: int = 20,
+    ) -> "IVFIndex":
+        """Fit KMeans (optionally on a sample — at 100 TB you fit on ~1M
+        sampled vectors, then assign everything in one distributed pass),
+        write the corpus partitioned by cluster_id, persist centroids."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = df.withColumn("__f", array_to_vector(F.col(emb_col).cast("array<double>")))
+        fit_on = feat.sample(sample_fraction, seed=seed) if sample_fraction else feat
+        model = KMeans(
+            k=num_clusters, seed=seed, maxIter=max_iter,
+            featuresCol="__f", predictionCol="cluster_id",
+        ).fit(fit_on)
+        assigned = model.transform(feat).drop("__f")
+
+        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            os.path.join(path, "vectors")
+        )
+        centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+        with open(os.path.join(path, "centroids.json"), "w") as fh:
+            json.dump(centroids, fh)
+        return cls(spark, path, centroids)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        with open(os.path.join(path, "centroids.json")) as fh:
+            centroids = [(int(i), v) for i, v in json.load(fh)]
+        return cls(spark, path, centroids)
+
+    # -------------------------------------------------------------- search
+
+    def vectors(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "vectors"))
+
+    def probe_clusters(self, query_vector: list[float], nprobe: int) -> list[int]:
+        ranked = sorted(self.centroids, key=lambda c: (-_cos(c[1], query_vector), c[0]))
+        return [cid for cid, _ in ranked[:nprobe]]
+
+    def search(
+        self,
+        query_vector: list[float],
+        k: int,
+        nprobe: int = 3,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Pruned exact search: `cluster_id IN (...)` prunes parquet
+        partitions (check .explain: PartitionFilters, not PushedFilters)."""
+        probes = self.probe_clusters(query_vector, nprobe)
+        pruned = self.vectors().filter(F.col("cluster_id").isin(probes))
+        return knn_brute_force(pruned, query_vector, k, emb_col=emb_col, id_col=id_col)
+
+    def recall_at_k(
+        self,
+        corpus: DataFrame,
+        queries: list[list[float]],
+        k: int = 10,
+        nprobe: int = 3,
+        id_col: str = "vec_id",
+    ) -> float:
+        """Measured recall vs exact brute force — the tuning loop for
+        (num_clusters, nprobe), standing in for pgvector's ef_search knob."""
+        hits = total = 0
+        for qv in queries:
+            exact = {r[id_col] for r in knn_brute_force(corpus, qv, k, id_col=id_col).collect()}
+            approx = {r[id_col] for r in self.search(qv, k, nprobe, id_col=id_col).collect()}
+            hits += len(exact & approx)
+            total += len(exact)
+        return hits / total if total else 1.0

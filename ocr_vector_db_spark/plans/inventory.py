@@ -1134,3 +1134,48 @@ def q38(spark, sf):
         [(report.passed, report.total, float(report.pass_rate), len(report.failures))],
         "passed int, total int, pass_rate double, n_failures int",
     )
+
+
+@query(
+    "q39_caption_header_detection",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'Figure ' || doc_id || ': synthetic diagram caption' || chr(10) || text
+                    WHEN doc_id % 7 = 0
+                    THEN '## Section ' || doc_id || chr(10) || text
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_matches(text, '(?mi)^(?:figure|fig\.|table|그림)\s*\d+[:\.]?\s+.+') AS has_caption,
+           CASE WHEN regexp_extract(text, '(?mi)^(?:figure|fig\.|table|그림)\s*\d+[:\.]?\s+.+') != ''
+                THEN trim(regexp_extract(text, '(?mi)^(?:figure|fig\.|table|그림)\s*\d+[:\.]?\s+.+')) END AS caption,
+           CASE WHEN regexp_extract(text, '(?m)^(?:#{1,3}\s+.+|Chapter\s+\d+\b|제\s*\d+\s*장|\d+\.\d+\s+.+)') != ''
+                THEN trim(regexp_extract(text, '(?m)^(?:#{1,3}\s+.+|Chapter\s+\d+\b|제\s*\d+\s*장|\d+\.\d+\s+.+)')) END AS header
+    FROM aug
+    """,
+)
+def q39(spark, sf):
+    """Caption + header detection/extraction (app/parents.py:11-18,137-153)
+    over documents with synthetic caption/heading lines injected so the
+    regex families are exercised on real matches."""
+    from ocr_vector_db_spark.functions import captions
+
+    d = load_table(spark, sf, "documents")
+    aug = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("Figure "), F.col("doc_id").cast("string"),
+                 F.lit(": synthetic diagram caption\n"), F.col("text")),
+    ).when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("## Section "), F.col("doc_id").cast("string"),
+                 F.lit("\n"), F.col("text")),
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id",
+        captions.has_caption_col(aug).alias("has_caption"),
+        captions.caption_col(aug).alias("caption"),
+        captions.header_col(aug).alias("header"),
+    )

@@ -1,0 +1,144 @@
+"""EntityStore (upsert/cascade/reingest/compaction), IVF index persistence +
+partition pruning + recall, embedding-provider harness."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators import embedding_provider as ep
+from ocr_vector_db_spark.operators.ann_index import IVFIndex
+from ocr_vector_db_spark.sources.ingest import files_df, ingest
+from ocr_vector_db_spark.storage import EntityStore
+
+DOCS = [
+    ("/corpus/a.md", "Alpha prose paragraph long enough to pass validation easily.\n\n```python\ndef a():\n    return 1\n```\n", "md"),
+    ("/corpus/b.md", "Beta prose paragraph long enough to pass validation easily too.\n\n```python\ndef b():\n    return 2\n```\n", "md"),
+]
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("entity_store"))
+    st = EntityStore(spark, base)
+    out = ingest(spark, files_df(spark, DOCS), dim=16)
+    st.save_ingest(out)
+    return st
+
+
+def test_store_roundtrip_and_partitioning(store):
+    emb = store.read("embeddings")
+    assert emb.count() > 0
+    # partitioned by view → equality filter is partition pruning
+    plan = emb.filter(F.col("view") == "code")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "view" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_upsert_by_key_last_writer_wins(store, spark):
+    parents = store.read("parents")
+    some_id = parents.head().id
+    update = spark.createDataFrame(
+        [tuple(["REPLACED CONTENT" if f.name == "content" else some_id
+                for f in parents.schema.fields])],
+        parents.schema,
+    )
+    n_before = parents.count()
+    store.upsert_by_key("parents", update, "id")
+    after = store.read("parents")
+    assert after.count() == n_before
+    assert after.filter(F.col("id") == some_id).head().content == "REPLACED CONTENT"
+
+
+def test_insert_if_absent(store, spark):
+    emb = store.read("embeddings")
+    n = emb.count()
+    dup = emb.limit(1)
+    store.insert_if_absent("embeddings_custom", emb, ["doc_id"])
+    store.insert_if_absent("embeddings_custom", dup, ["doc_id"])  # conflict → no-op
+    assert store.read("embeddings_custom").count() == n
+
+
+def test_cascade_delete(store):
+    from ocr_vector_db_spark.functions import hashing
+
+    doomed = hashing.document_id("/corpus/a.md")
+    counts = store.cascade_delete([doomed])
+    assert counts["documents"] == 1
+    assert store.read("concepts").filter(F.col("document_id") == doomed).count() == 0
+    assert store.read("fragments").filter(F.col("document_id") == doomed).count() == 0
+
+
+def test_ivf_index_persist_prune_recall(spark, tables, tmp_path_factory):
+    emb = tables["embeddings"]
+    path = str(tmp_path_factory.mktemp("ivf"))
+    idx = IVFIndex.build(spark, emb, path, num_clusters=5)
+    idx2 = IVFIndex.load(spark, path)
+    assert [c[0] for c in idx2.centroids] == [0, 1, 2, 3, 4]
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head().embedding]
+    res = idx2.search(qv, k=5, nprobe=2)
+    rows = res.collect()
+    assert len(rows) == 5 and rows[0].vec_id == 3
+
+    # the cluster filter must prune partitions, not scan-and-filter
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split("PartitionFilters")[1][:300]
+
+    # full probe ⇒ recall 1.0; pruned probe stays useful
+    assert idx2.recall_at_k(emb, [qv], k=10, nprobe=5) == 1.0
+    assert idx2.recall_at_k(emb, [qv], k=10, nprobe=2) >= 0.3
+
+
+def test_char_budget_batching():
+    items = ["a" * 30, "b" * 30, "c" * 30, "d" * 100, "e"]
+    batches = list(ep.iter_by_char_budget(items, char_budget=70, max_batch_size=10))
+    assert [len(b) for b in batches] == [2, 1, 1, 1]
+    assert all(sum(len(x) for x in b) <= 70 or len(b) == 1 for b in batches)
+    # item cap
+    batches = list(ep.iter_by_char_budget(items, char_budget=0, max_batch_size=2))
+    assert [len(b) for b in batches] == [2, 2, 1]
+
+
+def test_retry_backoff_semantics():
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ep.RateLimitError("rate limit exceeded")
+        return "ok"
+
+    assert ep.call_with_retry(flaky, sleep=sleeps.append) == "ok"
+    assert calls["n"] == 3
+    assert sleeps == [20.0 * 1.5, 20.0 * 1.5**2]  # ×1.5 backoff from base 20
+
+    def fatal():
+        raise ValueError("schema mismatch")
+
+    with pytest.raises(ValueError):
+        ep.call_with_retry(fatal, sleep=sleeps.append)  # non-rate-limit: immediate
+
+
+def test_embed_with_provider(spark):
+    df = spark.createDataFrame(
+        [(i, f"text number {i} with enough content") for i in range(10)],
+        ["id", "content"],
+    )
+    t0 = time.time()
+    out = ep.embed_with_provider(
+        df,
+        lambda: ep.DeterministicProvider(dim=8),
+        batch_size=4,
+        max_parallel_tasks=2,
+    )
+    rows = out.collect()
+    assert len(rows) == 10 and all(len(r.embedding) == 8 for r in rows)
+    # deterministic provider ≡ direct embed
+    from ocr_vector_db_spark.functions.vector import embed_text
+
+    by_id = {r.id: r for r in rows}
+    assert by_id[0].embedding == embed_text("text number 0 with enough content", 8)
+    assert time.time() - t0 < 60
+    assert ep.check_dimension(ep.DeterministicProvider(dim=8), 8)
+    assert not ep.check_dimension(ep.DeterministicProvider(dim=8), 16)

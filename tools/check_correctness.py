@@ -42,7 +42,8 @@ def canon(v):
 
 def normalize_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    # key=repr: rows may mix None with values, which plain tuple sort rejects
+    out = sorted((tuple(canon(r[i]) for i in order) for r in rows), key=repr)
     return [cols[i] for i in order], out
 
 
