@@ -1,0 +1,109 @@
+"""RetrievalPipeline fallback chain, MLlib LSH wrappers, plan-shape checks."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators import lsh
+from ocr_vector_db_spark.plans.pipeline import RetrievalPipeline, heuristic_self_query
+from ocr_vector_db_spark.plans.quality import load_golden_queries
+from ocr_vector_db_spark.sources.ingest import files_df, ingest
+
+CORPUS = [
+    ("/corpus/decorators.md",
+     "Python decorators wrap functions to extend behavior cleanly and simply.\n\n"
+     "```python\ndef retry(fn):\n    return fn\n```\n\n"
+     "More prose about decorator composition patterns and idioms in code.\n", "md"),
+    ("/corpus/generators.md",
+     "Generators produce values lazily using the yield keyword in Python.\n\n"
+     "```python\ndef count(n):\n    yield n\n```\n\n"
+     "Lazy evaluation saves memory on large sequences of records.\n", "md"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    out = ingest(spark, files_df(spark, CORPUS), dim=32)
+    emb = out["embeddings"].cache()
+    parents = out["parents"].cache()
+    emb.count(), parents.count()
+    return {"embeddings": emb, "parents": parents}
+
+
+def test_self_query_filters():
+    assert heuristic_self_query("show me python code for decorators") == {
+        "view": "code", "lang": "python"}
+    assert heuristic_self_query("explain the concept of monads") == {"view": "text"}
+    assert heuristic_self_query("weather tomorrow") == {}
+
+
+def test_pipeline_stage_fallback(corpus):
+    pipe = RetrievalPipeline(corpus["embeddings"], corpus["parents"], dim=32)
+    # self-query extracts view=code lang=python -> only python code rows
+    rows = pipe.retrieve("implement a python decorator function", top_k=10).collect()
+    assert rows and all(r.view == "code" and r.lang == "python" for r in rows)
+    # explicit view beats hints; self-query failure falls through silently
+    def boom(q):
+        raise RuntimeError("LLM down")
+    pipe2 = RetrievalPipeline(corpus["embeddings"], corpus["parents"],
+                              self_query=boom, dim=32)
+    # no language word in the query → lang hint stays unset; explicit view wins
+    rows2 = pipe2.retrieve("implement a decorator function",
+                           view="text", top_k=10).collect()
+    assert rows2 and all(r.view == "text" for r in rows2)
+    # deduplicate=False path returns untouched top-k
+    rows3 = pipe2.retrieve("anything", top_k=3, deduplicate=False,
+                           use_self_query=False).collect()
+    assert len(rows3) == 3
+
+
+def test_golden_jsonl_through_pipeline(corpus):
+    from ocr_vector_db_spark.plans.quality import evaluate
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "eval_queries.jsonl")
+    golden = load_golden_queries(path)
+    assert len(golden) == 4
+    report = evaluate(golden, corpus["embeddings"], corpus["parents"], dim=32)
+    # contains-based hits must pass when k covers the corpus (plumbing check)
+    assert report.total == 4
+    assert report.passed >= 3
+
+
+def test_lsh_similarity_join(tables):
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    # self-match pairs (cos=1.0) must survive any threshold
+    pairs = lsh.lsh_similarity_join(
+        emb, queries, cosine_threshold=0.95, num_hash_tables=4).collect()
+    self_matches = {(p.vec_id, p.query_id) for p in pairs if p.vec_id == p.query_id}
+    assert self_matches == {(0, 0), (1, 1), (2, 2)}
+    assert all(p.cosine >= 0.95 - 1e-6 for p in pairs)
+
+
+def test_lsh_nearest_neighbors(tables):
+    emb = tables["embeddings"]
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 5).head().embedding]
+    rows = lsh.lsh_nearest_neighbors(emb, qv, k=3, num_hash_tables=4).collect()
+    assert rows and rows[0].vec_id == 5 and abs(rows[0].cosine - 1.0) < 1e-6
+
+
+def test_plan_shapes(tables, spark):
+    """Physical-plan regression checks: the plans we rely on at scale."""
+    from ocr_vector_db_spark.plans.inventory import QUERIES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+    def plan_of(name):
+        return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    # top-k compiles to TakeOrderedAndProject (no global Sort+Limit)
+    assert "TakeOrderedAndProject" in plan_of("q05_global_topk")
+    # star join broadcasts both dims
+    p3 = plan_of("q03_broadcast_join_star")
+    assert p3.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p3
+    # anti-join stays broadcast (doomed key set is small)
+    assert "BroadcastHashJoin" in plan_of("q09_cascade_delete_anti_join")
+    # pushdown reaches the scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan_of("q02_filter_pushdown_revenue")
