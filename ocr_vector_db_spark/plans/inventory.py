@@ -990,10 +990,10 @@ def q33(spark, sf):
             ).alias("centroid_sim")
         )
     )
-    probe_labels = [
-        r.label for r in score.orderBy(F.desc("centroid_sim"), "label").limit(2).collect()
-    ]
-    pruned = e.filter(F.col("label").isin(probe_labels))
+    # single fused plan: the nprobe selection joins in as a broadcast of the
+    # 2-row probe table instead of a collect() round trip (one Spark job)
+    probes = score.orderBy(F.desc("centroid_sim"), "label").limit(2).select("label")
+    pruned = e.join(F.broadcast(probes), "label")
     return knn.knn_brute_force(pruned, qv, 10).select("vec_id", "label", "similarity")
 
 
@@ -1179,3 +1179,103 @@ def q39(spark, sf):
         captions.caption_col(aug).alias("caption"),
         captions.header_col(aug).alias("header"),
     )
+
+
+@query(
+    "q40_rollup_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {_sql_dsum('l_extendedprice')} AS total_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q40(spark, sf):
+    """Hierarchical rollup aggregation (beyond reference parity — the
+    reference has no grouping sets; Spark/DuckDB both provide them)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum(F.col("l_extendedprice")).alias("total_price")
+    )
+
+
+@query(
+    "q41_asof_join",
+    """
+    WITH signups AS (
+        SELECT user_id, ts, MAX(event_id) AS signup_id
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id, ts
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, ROUND(p.value, 4) AS value,
+           s.signup_id AS last_signup_id, s.ts AS last_signup_ts
+    FROM purchases p
+    ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def q41(spark, sf):
+    """As-of join (Spark lacks a native one — SURVEY §2.3 notes none in the
+    reference either; this is the composition pattern): tag both streams,
+    forward-fill the right side's latest row over event time per key, keep
+    left rows. One shuffle on (user_id), no range explosion."""
+    e = load_table(spark, sf, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_id"))
+        .select("user_id", "ts", "signup_id", F.lit(0).alias("__is_left"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id"), F.col("value"), F.lit(1).alias("__is_left")
+    )
+    unioned = signups.select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"), "signup_id", "__is_left",
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts", "event_id", "value",
+            F.lit(None).cast("long").alias("signup_id"), "__is_left",
+        )
+    )
+    # at equal ts the signup row (__is_left=0) sorts first so `>=` semantics
+    # hold; forward-fill carries (ts, signup_id) of the latest signup
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "__is_left", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = F.when(F.col("__is_left") == 0, F.struct(F.col("ts"), F.col("signup_id")))
+    filled = unioned.withColumn("__last_signup", F.last(marked, ignorenulls=True).over(w))
+    return filled.filter(F.col("__is_left") == 1).select(
+        "event_id", "user_id", F.round("value", 4).alias("value"),
+        F.col("__last_signup.signup_id").alias("last_signup_id"),
+        F.col("__last_signup.ts").alias("last_signup_ts"),
+    )
+
+
+@query(
+    "q42_pivot_event_types",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q42(spark, sf):
+    """Pivot: per-user event-type counts as columns (explicit value list so
+    the output schema is static — required for both engines and for any
+    downstream consumer at scale)."""
+    e = load_table(spark, sf, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = e.groupBy("user_id").pivot("event_type", kinds).count()
+    for k in kinds:
+        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(0)).cast("bigint"))
+    return out
