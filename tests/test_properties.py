@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis) for the pure-Python function layer."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_vector_db_spark.functions import chunking, hashing, text, text_analysis, vector
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=2000
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts, st.integers(50, 400), st.integers(0, 100))
+def test_chunker_invariants(t, size, overlap):
+    chunks = chunking.TextChunker(chunk_size=size, chunk_overlap=overlap).chunk(t)
+    # every chunk within size; no empty/whitespace-only chunks
+    assert all(chunks), "no empty chunks"
+    assert all(len(c) <= size for c in chunks)
+    assert all(c == c.strip() for c in chunks)
+    # non-whitespace input always yields at least one chunk
+    if t.strip():
+        assert chunks
+
+
+@settings(max_examples=100, deadline=None)
+@given(texts)
+def test_chunker_preserves_content_order(t):
+    """Chunk bodies appear in input order (overlap allows repeats)."""
+    chunks = chunking.TextChunker(chunk_size=120, chunk_overlap=0).chunk(t)
+    pos = 0
+    for c in chunks:
+        found = t.find(c, pos)
+        if found == -1:  # whitespace got stripped at boundaries; relax to membership
+            assert c in t
+        else:
+            pos = found
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_normalize_idempotent(t):
+    once = text.normalize(t)
+    assert text.normalize(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=500))
+def test_embedder_unit_norm_and_stability(t):
+    v = vector.embed_text(t, 16)
+    assert len(v) == 16
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-9
+    assert v == vector.embed_text(t, 16)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300), st.text(max_size=300))
+def test_hashing_identity_properties(a, b):
+    # distinct inputs ⇒ distinct ids except genuine collisions (md5)
+    if a != b:
+        assert hashing.content_hash("p", "text", None, a) != hashing.content_hash(
+            "p", "text", None, b
+        ) or a.encode("utf-8", "ignore") == b.encode("utf-8", "ignore")
+    assert hashing.compute_doc_id("p", "code", "python", a).startswith("doc:")
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts)
+def test_token_count_consistency(t):
+    n = text_analysis.token_count(t)
+    assert n == len(text_analysis.tokenize(t))
+    assert n >= 0
+    assert text_analysis.bpe_token_estimate(t) >= (1 if t else 0)
+    q = text_analysis.quality_score(t)
+    assert 0.0 <= q <= 1.0
