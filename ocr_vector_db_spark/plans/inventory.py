@@ -1279,3 +1279,28 @@ def q42(spark, sf):
     for k in kinds:
         out = out.withColumn(k, F.coalesce(F.col(k), F.lit(0)).cast("bigint"))
     return out
+
+
+@query(
+    "q43_salted_skew_join",
+    f"""
+    SELECT o.o_orderstatus, COUNT(*) AS n_items,
+           {_sql_dsum('l.l_extendedprice')} AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q43(spark, sf):
+    """Skew-safe salted join: the salt spreads each hot key over N reducers;
+    the aggregate is provably identical to the plain join (the oracle IS the
+    plain join — randomness affects placement, never values)."""
+    from ocr_vector_db_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(li, o.withColumnRenamed("o_orderkey", "l_orderkey"),
+                         "l_orderkey", salt_buckets=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_items"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+    )
