@@ -1,0 +1,214 @@
+"""Command-line interface — the reference's api/cli surface on Spark.
+
+    python -m ocr_vector_db_spark.cli ingest  FILES...  --store DIR
+    python -m ocr_vector_db_spark.cli search  "query"   --store DIR
+        [--view V] [--language L] [--top-k K] [--json] [--no-context]
+    python -m ocr_vector_db_spark.cli rag     "query"   --store DIR
+    python -m ocr_vector_db_spark.cli quality --store DIR --golden FILE.jsonl
+    python -m ocr_vector_db_spark.cli metrics --store DIR
+    python -m ocr_vector_db_spark.cli delete  DOC_PATHS... --store DIR
+
+Mirrors api/cli/{ingest,search,repl,quality}.py + api/formatters.py: same
+text/JSON result formats (similarity to 4 dp, 500-char parent preview), same
+golden-query pass/total report, re-ingest idempotency via cascade delete.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _formatters_text(rows, show_context: bool = True) -> str:
+    if not rows:
+        return "[No results found]"
+    lines = [f"[Found {len(rows)} results]\n"]
+    for i, r in enumerate(rows, 1):
+        lines.append("=" * 80)
+        lines.append(f"Result {i}/{len(rows)}")
+        lines.append(f"Similarity: {r.similarity:.4f}")
+        lines.append(f"View: {r.view}")
+        if r.lang:
+            lines.append(f"Language: {r.lang}")
+        lines.append(f"Parent ID: {r.parent_id}")
+        lines.append(f"Fragment ID: {r.fragment_id}")
+        lines.append("-" * 80)
+        lines.append("Content:")
+        lines.append(r.content)
+        parent = getattr(r, "parent_content", None)
+        if show_context and parent:
+            lines.append("-" * 80)
+            lines.append("Parent Context:")
+            lines.append(parent[:500] + "..." if len(parent) > 500 else parent)
+        lines.append("")
+    return "\n".join(lines)
+
+
+def _formatters_json(rows, show_context: bool = True) -> str:
+    out = []
+    for r in rows:
+        item = {
+            "fragment_id": r.fragment_id,
+            "parent_id": r.parent_id,
+            "view": r.view,
+            "language": r.lang,
+            "content": r.content,
+            "similarity": r.similarity,
+        }
+        if show_context:
+            item["parent_content"] = getattr(r, "parent_content", None)
+        out.append(item)
+    return json.dumps(out, indent=2, ensure_ascii=False)
+
+
+def _spark():
+    from ocr_vector_db_spark.session import get_spark
+
+    return get_spark("ocr_vector_db_spark_cli")
+
+
+def cmd_ingest(args) -> int:
+    from ocr_vector_db_spark.functions import hashing
+    from ocr_vector_db_spark.sources.ingest import ingest, read_files
+    from ocr_vector_db_spark.storage import EntityStore
+
+    spark = _spark()
+    store = EntityStore(spark, args.store)
+    if store.exists("documents"):
+        # re-ingest idempotency: drop existing trees for these paths first
+        doomed = [hashing.document_id(p) for p in args.files]
+        store.cascade_delete(doomed)
+    files = read_files(spark, args.files)
+    out = ingest(spark, files, dim=args.dim)
+    store.save_ingest(out)
+    n = store.read("embeddings").count()
+    print(f"[ingest] stored {n} embeddings from {files.count()} files into {args.store}")
+    return 0
+
+
+def cmd_search(args) -> int:
+    from ocr_vector_db_spark.plans.pipeline import RetrievalPipeline
+    from ocr_vector_db_spark.storage import EntityStore
+
+    spark = _spark()
+    store = EntityStore(spark, args.store)
+    pipe = RetrievalPipeline(
+        store.read("embeddings"), store.read("parents"), dim=args.dim
+    )
+    rows = pipe.retrieve(
+        args.query, view=args.view, language=args.language,
+        top_k=args.top_k, expand_context=not args.no_context,
+    ).collect()
+    fmt = _formatters_json if args.json else _formatters_text
+    print(fmt(rows, show_context=not args.no_context))
+    return 0
+
+
+def cmd_rag(args) -> int:
+    from ocr_vector_db_spark.plans import rag
+    from ocr_vector_db_spark.plans.pipeline import RetrievalPipeline
+    from ocr_vector_db_spark.storage import EntityStore
+
+    spark = _spark()
+    store = EntityStore(spark, args.store)
+    pipe = RetrievalPipeline(store.read("embeddings"), store.read("parents"), dim=args.dim)
+    rows = pipe.retrieve(args.query, top_k=args.top_k).collect()
+    resp = rag.generate(args.query, rows)
+    print(resp.format_with_sources())
+    return 0
+
+
+def cmd_quality(args) -> int:
+    from ocr_vector_db_spark.plans.quality import evaluate, load_golden_queries
+    from ocr_vector_db_spark.storage import EntityStore
+
+    spark = _spark()
+    store = EntityStore(spark, args.store)
+    golden = load_golden_queries(args.golden)
+    report = evaluate(golden, store.read("embeddings"), store.read("parents"), dim=args.dim)
+    print(f"[quality] passed {report.passed}/{report.total} "
+          f"({report.pass_rate:.1%})")
+    for f in report.failures:
+        print(f"  FAIL {f}")
+    return 0 if report.passed == report.total else 1
+
+
+def cmd_metrics(args) -> int:
+    from ocr_vector_db_spark.operators.metrics import distribution, quality_metrics
+    from ocr_vector_db_spark.storage import EntityStore
+
+    spark = _spark()
+    store = EntityStore(spark, args.store)
+    emb = store.read("embeddings")
+    row = quality_metrics(emb).head()
+    print("[metrics]", json.dumps(row.asDict(), ensure_ascii=False))
+    for r in distribution(emb, "view", 10).collect():
+        print(f"  view={r['view']}: {r['n']}")
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from ocr_vector_db_spark.functions import hashing
+    from ocr_vector_db_spark.storage import EntityStore
+
+    spark = _spark()
+    store = EntityStore(spark, args.store)
+    doomed = [hashing.document_id(p) for p in args.paths]
+    counts = store.cascade_delete(doomed)
+    print(f"[delete] surviving rows: {json.dumps(counts)}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ocr_vector_db_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--store", required=True)
+        sp.add_argument("--dim", type=int, default=64)
+
+    sp = sub.add_parser("ingest")
+    sp.add_argument("files", nargs="+")
+    common(sp)
+    sp.set_defaults(fn=cmd_ingest)
+
+    sp = sub.add_parser("search")
+    sp.add_argument("query")
+    common(sp)
+    sp.add_argument("--view")
+    sp.add_argument("--language")
+    sp.add_argument("--top-k", type=int, default=10)
+    sp.add_argument("--json", action="store_true")
+    sp.add_argument("--no-context", action="store_true")
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("rag")
+    sp.add_argument("query")
+    common(sp)
+    sp.add_argument("--top-k", type=int, default=5)
+    sp.set_defaults(fn=cmd_rag)
+
+    sp = sub.add_parser("quality")
+    common(sp)
+    sp.add_argument("--golden", required=True)
+    sp.set_defaults(fn=cmd_quality)
+
+    sp = sub.add_parser("metrics")
+    common(sp)
+    sp.set_defaults(fn=cmd_metrics)
+
+    sp = sub.add_parser("delete")
+    sp.add_argument("paths", nargs="+")
+    common(sp)
+    sp.set_defaults(fn=cmd_delete)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

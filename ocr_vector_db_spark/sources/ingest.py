@@ -68,8 +68,11 @@ def read_files(spark: SparkSession, paths: list[str]) -> DataFrame:
     """Whole-file text source; fmt from extension. For huge corpora swap in
     binaryFile + per-format decode without touching the rest of the plan."""
     expanded = parsers.expand_file_patterns(paths)
+    # input_file_name() yields a file:// URI — normalize to the plain path so
+    # document identity (md5(source_path), ingest.py:149) matches ids derived
+    # from user-supplied paths at delete/re-ingest time
     df = spark.read.text(expanded, wholetext=True).withColumn(
-        "source_path", F.input_file_name()
+        "source_path", F.regexp_replace(F.input_file_name(), r"^file:(//)?", "")
     )
     return df.select(
         F.col("source_path"),

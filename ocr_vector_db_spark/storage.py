@@ -50,9 +50,35 @@ class EntityStore:
         if parts:
             writer = writer.partitionBy(*parts)
         writer.parquet(self.path(table))
+        self._save_schema(table, df)
 
     def read(self, table: str) -> DataFrame:
+        # a fully-deleted table has no parquet footers to infer from — fall
+        # back to the schema persisted at write time
+        schema = self._load_schema(table)
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(self.path(table))
         return self.spark.read.parquet(self.path(table))
+
+    def _schema_path(self, table: str) -> str:
+        return self.path(table) + ".schema.json"
+
+    def _save_schema(self, table: str, df: DataFrame) -> None:
+        import json
+
+        with open(self._schema_path(table), "w") as fh:
+            fh.write(json.dumps(df.schema.jsonValue()))
+
+    def _load_schema(self, table: str):
+        import json
+
+        from pyspark.sql import types as T
+
+        p = self._schema_path(table)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return T.StructType.fromJson(json.loads(fh.read()))
 
     # ------------------------------------------------------------- upserts
 
@@ -73,6 +99,7 @@ class EntityStore:
         merged.write.mode("overwrite").parquet(tmp)
         final = self.path(table)
         self._swap(tmp, final)
+        self._save_schema(table, merged)
 
     def insert_if_absent(self, table: str, incoming: DataFrame, keys: list[str]) -> None:
         """`ON CONFLICT DO NOTHING` over a composite key — the custom
@@ -83,8 +110,10 @@ class EntityStore:
             existing_keys = self.read(table).select(*keys)
             fresh = incoming.join(existing_keys, keys, "left_anti")
             fresh.write.mode("append").parquet(self.path(table))
+            self._save_schema(table, incoming)
         else:
             incoming.write.mode("overwrite").parquet(self.path(table))
+            self._save_schema(table, incoming)
 
     # -------------------------------------------------- re-ingest / cascade
 
@@ -124,6 +153,7 @@ class EntityStore:
                 writer = writer.partitionBy(*parts)
             writer.parquet(tmp)
             self._swap(tmp, self.path(table))
+            self._save_schema(table, df)
             counts[table] = self.read(table).count()
         return counts
 

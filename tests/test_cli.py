@@ -1,0 +1,50 @@
+"""CLI surface test: ingest → search → quality → metrics → delete through
+main(), against a temp store (reuses the session fixture's JVM)."""
+
+import json
+
+from ocr_vector_db_spark import cli
+
+
+def test_cli_lifecycle(spark, tmp_path, capsys):
+    doc = tmp_path / "notes.md"
+    doc.write_text(
+        "Broadcast joins avoid shuffles when one side is small enough.\n\n"
+        "```python\ndf.join(broadcast(dim), 'k')\n```\n"
+    )
+    store = str(tmp_path / "store")
+
+    assert cli.main(["ingest", str(doc), "--store", store, "--dim", "16"]) == 0
+    out = capsys.readouterr().out
+    assert "[ingest] stored" in out
+
+    assert cli.main([
+        "search", "python broadcast join code", "--store", store,
+        "--dim", "16", "--top-k", "5", "--json",
+    ]) == 0
+    results = json.loads(capsys.readouterr().out)
+    assert results and all("similarity" in r for r in results)
+    assert any("broadcast" in r["content"] for r in results)
+
+    golden = tmp_path / "golden.jsonl"
+    golden.write_text(json.dumps(
+        {"query": "broadcast join", "top_k": 20, "expect_contains": ["broadcast"]}
+    ) + "\n")
+    assert cli.main(["quality", "--store", store, "--dim", "16",
+                     "--golden", str(golden)]) == 0
+    assert "passed 1/1" in capsys.readouterr().out
+
+    assert cli.main(["metrics", "--store", store, "--dim", "16"]) == 0
+    assert "total_rows" in capsys.readouterr().out
+
+    assert cli.main(["delete", str(doc), "--store", store, "--dim", "16"]) == 0
+    assert '"documents": 0' in capsys.readouterr().out
+
+    # re-ingest after delete is idempotent (same ids, no duplicates)
+    assert cli.main(["ingest", str(doc), "--store", store, "--dim", "16"]) == 0
+    assert cli.main(["ingest", str(doc), "--store", store, "--dim", "16"]) == 0
+    capsys.readouterr()
+    assert cli.main(["metrics", "--store", store, "--dim", "16"]) == 0
+    metrics_line = capsys.readouterr().out.splitlines()[0]
+    m = json.loads(metrics_line.split("[metrics] ")[1])
+    assert m["total_rows"] == m["distinct_doc_ids"]  # no duplicate embeddings
