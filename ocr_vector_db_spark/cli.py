@@ -160,6 +160,36 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    import os
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.storage import EntityStore
+
+    spark = _spark()
+    store = EntityStore(spark, args.store)
+    emb = store.read("embeddings").withColumnRenamed("fragment_id", "vec_id")
+    idx = IVFIndex.build(spark, emb, os.path.join(args.store, "ivf"),
+                         num_clusters=args.clusters)
+    print(f"[index] built IVF with {len(idx.centroids)} clusters at {args.store}/ivf")
+    return 0
+
+
+def cmd_index_search(args) -> int:
+    import os
+
+    from ocr_vector_db_spark.functions.vector import embed_text
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    spark = _spark()
+    idx = IVFIndex.load(spark, os.path.join(args.store, "ivf"))
+    qv = embed_text(args.query, args.dim)
+    rows = idx.search(qv, args.top_k, nprobe=args.nprobe, id_col="vec_id").collect()
+    for r in rows:
+        print(f"  {r.similarity:+.4f}  cluster={r.cluster_id}  {r.vec_id}  {r.content[:60]!r}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ocr_vector_db_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -202,6 +232,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("paths", nargs="+")
     common(sp)
     sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("index")
+    common(sp)
+    sp.add_argument("--clusters", type=int, default=16)
+    sp.set_defaults(fn=cmd_index)
+
+    sp = sub.add_parser("index-search")
+    sp.add_argument("query")
+    common(sp)
+    sp.add_argument("--top-k", type=int, default=10)
+    sp.add_argument("--nprobe", type=int, default=3)
+    sp.set_defaults(fn=cmd_index_search)
     return p
 
 

@@ -140,3 +140,38 @@ def shingle_fingerprint_col(text: Column, k: int = 3) -> Column:
         lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
     )
     return F.when(n >= k, F.array_min(shingle_hashes)).otherwise(fingerprint_col(text))
+
+
+def repetition_ratio_col(text: Column, n: int = 3) -> Column:
+    """Fraction of duplicated n-gram occurrences (C4/RefinedWeb-style quality
+    signal): 1 - distinct_ngrams/total_ngrams; 0.0 for texts shorter than n
+    tokens. High values flag boilerplate/spam for pipeline filtering."""
+    toks = tokens_col(F.lower(text))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]),
+    )
+    total = F.size(grams).cast("double")
+    distinct = F.size(F.array_distinct(grams)).cast("double")
+    return F.when(
+        F.size(toks) >= n, F.round(F.lit(1.0) - distinct / total, 6)
+    ).otherwise(F.lit(0.0))
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+
+
+def scrub_pii_col(text: Column) -> Column:
+    """Mask emails and URLs (the minimal PII-scrub pass every training-data
+    pipeline runs before publication). Pure regexp_replace — JVM-side."""
+    masked = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(masked, URL_RE, "<URL>")
+
+
+def pii_counts_col(text: Column):
+    """(n_emails, n_urls) found in the text."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))).cast("bigint"),
+        F.size(F.regexp_extract_all(text, F.lit(URL_RE), F.lit(0))).cast("bigint"),
+    )

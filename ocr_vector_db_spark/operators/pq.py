@@ -1,0 +1,180 @@
+"""Product quantization (PQ) — vector compression as DataFrame expressions.
+
+At 100 TB, raw float32 embeddings are the dominant storage cost
+(768 dims ≈ 3 KB/vector). PQ splits each vector into M subvectors, learns a
+K-centroid codebook per subspace (KMeans on a sample), and stores each
+vector as M small codes: 768-d float32 → 8 bytes at M=8/K=256 — a ~384×
+compression — while queries score against the codes via asymmetric distance
+computation (ADC).
+
+Spark-first shape (no Python in the scoring path):
+
+- train:  M independent KMeans fits on subvector slices of a sample
+          (driver loops over M; each fit is a distributed MLlib job);
+- encode: argmin over K per-subspace distances, built as literal-codebook
+          expressions → whole-stage codegen, one pass, no UDF;
+- search: the query's M×K distance table is computed on the DRIVER (tiny)
+          and inlined as literals; approximate distance per row is M
+          element_at lookups + adds. Optional exact re-rank of the top
+          `refine` candidates restores near-exact top-k.
+
+Reference tie-in: this is the "novel sketch" slot (SURVEY §2.9's ANN index
+family) — the storage/recall knob pgvector tunes with HNSW/ivfflat, done
+the columnar way.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators.knn import knn_brute_force
+
+
+def _sub_slices(dim: int, m: int) -> list[tuple[int, int]]:
+    """M (start, length) 1-based slices covering dim."""
+    assert dim % m == 0, f"dim {dim} not divisible by M={m}"
+    w = dim // m
+    return [(i * w + 1, w) for i in range(m)]
+
+
+class PQIndex:
+    def __init__(self, dim: int, m: int, codebooks: list[list[list[float]]]):
+        self.dim = dim
+        self.m = m
+        self.codebooks = codebooks          # [m][k][dim/m]
+        self.k = len(codebooks[0])
+
+    # --------------------------------------------------------------- train
+
+    @classmethod
+    def train(
+        cls,
+        df: DataFrame,
+        dim: int,
+        m: int = 8,
+        k: int = 16,
+        emb_col: str = "embedding",
+        seed: int = 42,
+        sample_fraction: float | None = None,
+        max_iter: int = 20,
+    ) -> "PQIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        base = df.sample(sample_fraction, seed=seed) if sample_fraction else df
+        base = base.select(F.col(emb_col).cast("array<double>").alias("v")).cache()
+        codebooks = []
+        for start, width in _sub_slices(dim, m):
+            sub = base.select(
+                array_to_vector(F.slice(F.col("v"), start, width)).alias("__f")
+            )
+            model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="__f").fit(sub)
+            codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
+        base.unpersist()
+        return cls(dim, m, codebooks)
+
+    # -------------------------------------------------------------- encode
+
+    def _sub_dist2(self, sub: Column, centroid: list[float]) -> Column:
+        """Squared L2 distance of a subvector column to a literal centroid."""
+        expr = F.lit(0.0)
+        for j, c in enumerate(centroid):
+            d = F.element_at(sub, j + 1) - F.lit(float(c))
+            expr = expr + d * d
+        return expr
+
+    def encode_col(self, emb: Column) -> Column:
+        """array<int> of M codes (argmin centroid per subspace)."""
+        v = emb.cast("array<double>")
+        codes = []
+        for mi, (start, width) in enumerate(_sub_slices(self.dim, self.m)):
+            sub = F.slice(v, start, width)
+            dists = F.array(*[self._sub_dist2(sub, c) for c in self.codebooks[mi]])
+            # array_position of the min is 1-based; code = position - 1
+            codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+        return F.array(*codes)
+
+    def encode(self, df: DataFrame, emb_col: str = "embedding",
+               out_col: str = "pq_codes") -> DataFrame:
+        return df.withColumn(out_col, self.encode_col(F.col(emb_col)))
+
+    # -------------------------------------------------------------- search
+
+    def distance_tables(self, query: list[float]) -> list[list[float]]:
+        """[m][k] squared distances of the query's subvectors to each
+        centroid — M·K floats, computed driver-side."""
+        tables = []
+        for mi, (start, width) in enumerate(_sub_slices(self.dim, self.m)):
+            qsub = query[start - 1 : start - 1 + width]
+            tables.append([
+                sum((a - b) ** 2 for a, b in zip(qsub, c)) for c in self.codebooks[mi]
+            ])
+        return tables
+
+    def adc_distance_col(self, codes: Column, query: list[float]) -> Column:
+        """Asymmetric distance: Σ_m table[m][code[m]] — M lookups per row."""
+        tables = self.distance_tables(query)
+        expr = F.lit(0.0)
+        for mi, table in enumerate(tables):
+            lit_table = F.array(*[F.lit(float(x)) for x in table])
+            expr = expr + F.element_at(lit_table, F.element_at(codes, mi + 1) + 1)
+        return expr
+
+    def search(
+        self,
+        encoded: DataFrame,
+        query: list[float],
+        kk: int,
+        codes_col: str = "pq_codes",
+        id_col: str = "vec_id",
+        emb_col: str | None = "embedding",
+        refine: int = 4,
+    ) -> DataFrame:
+        """Top-k by ADC distance; when the raw `emb_col` is still present,
+        the top k·refine candidates are re-ranked exactly (standard PQ+refine
+        — the scan stays code-only, exact math touches k·refine rows)."""
+        scored = encoded.withColumn(
+            "pq_distance", F.round(self.adc_distance_col(F.col(codes_col), query), 6)
+        )
+        if emb_col is None:
+            return scored.orderBy("pq_distance", id_col).limit(kk)
+        cand = scored.orderBy("pq_distance", id_col).limit(kk * refine)
+        return (
+            knn_brute_force(cand, query, kk, emb_col=emb_col, id_col=id_col)
+        )
+
+    def compression_ratio(self) -> float:
+        raw = self.dim * 4                     # float32 bytes
+        coded = self.m * (1 if self.k <= 256 else 2)
+        return raw / coded
+
+    def recall_at_k(self, df: DataFrame, queries: list[list[float]], kk: int = 10,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    refine: int = 4) -> float:
+        encoded = self.encode(df, emb_col).cache()
+        hits = total = 0
+        for qv in queries:
+            exact = {r[id_col] for r in knn_brute_force(df, qv, kk, emb_col=emb_col, id_col=id_col).collect()}
+            approx = {r[id_col] for r in self.search(encoded, qv, kk, id_col=id_col,
+                                                     emb_col=emb_col, refine=refine).collect()}
+            hits += len(exact & approx)
+            total += len(exact)
+        encoded.unpersist()
+        return hits / total if total else 1.0
+
+
+def quantization_error(index: PQIndex, df: DataFrame, emb_col: str = "embedding") -> float:
+    """Mean squared reconstruction error over the corpus (codebook quality)."""
+    enc = index.encode(df, emb_col)
+    v = F.col(emb_col).cast("array<double>")
+    err = F.lit(0.0)
+    for mi, (start, width) in enumerate(_sub_slices(index.dim, index.m)):
+        sub = F.slice(v, start, width)
+        for ki, centroid in enumerate(index.codebooks[mi]):
+            d2 = index._sub_dist2(sub, centroid)
+            err = err + F.when(F.element_at(F.col("pq_codes"), mi + 1) == ki, d2).otherwise(0.0)
+    row = enc.agg(F.avg(err).alias("mse")).head()
+    return float(row.mse) if row.mse is not None else math.nan

@@ -1304,3 +1304,81 @@ def q43(spark, sf):
         F.count("*").alias("n_items"),
         dsum(F.col("l_extendedprice")).alias("total_price"),
     )
+
+
+@query(
+    "q44_repetition_ratio",
+    r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                ELSE 0.0 END AS repetition
+    FROM g
+    """,
+)
+def q44(spark, sf):
+    """Repetition ratio: duplicated-trigram fraction — the C4-style
+    boilerplate/spam signal for corpus filtering."""
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", ta.repetition_ratio_col(F.col("text"), 3).alias("repetition"))
+
+
+@query(
+    "q45_pii_scrub",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0
+                    THEN text || ' contact user' || doc_id || '@example.com or https://ex.org/p/' || doc_id
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+           md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g')) AS scrubbed_hash
+    FROM aug
+    """,
+)
+def q45(spark, sf):
+    """PII scrubbing: count + mask emails/URLs (synthetic PII injected on a
+    quarter of documents so the masking is exercised on real matches)."""
+    d = load_table(spark, sf, "documents")
+    aug = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or https://ex.org/p/"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("text"))
+    n_emails, n_urls = ta.pii_counts_col(aug)
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        F.md5(ta.scrub_pii_col(aug)).alias("scrubbed_hash"),
+    )
+
+
+@query("q46_pq_compression_search")
+def q46(spark, sf):
+    """Product quantization lifecycle: train codebooks (M KMeans fits),
+    encode the corpus to M-byte codes, ADC top-k with exact refine.
+    KMeans codebooks aren't SQL-reproducible → rows-only check."""
+    from ocr_vector_db_spark.operators.pq import PQIndex
+
+    e = load_table(spark, sf, "embeddings")
+    pq = PQIndex.train(e, dim=64, m=8, k=16)
+    encoded = pq.encode(e)
+    qv = _query_vec(spark, sf, 0)
+    return pq.search(encoded, qv, 10).select("vec_id", "label", "similarity")
