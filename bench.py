@@ -36,6 +36,9 @@ HEADLINE = [
     "q31_json_extract_agg",
     "q33_ivf_centroid_prune",
     "q34_knn_batch_queries",
+    "q47_stats_percentiles",
+    "q49_shipping_priority",
+    "q50_regional_supplier_volume",
 ]
 
 
