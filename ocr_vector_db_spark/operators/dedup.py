@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ocr_vector_db_spark.functions.text_analysis import fingerprint_col, tokens_col
-from ocr_vector_db_spark.functions.vector import cosine_similarity_col
 
 # ------------------------------------------------------------------ exact
 

@@ -101,7 +101,7 @@ def build_ivf_index(
     pruning becomes partition pruning.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    from pyspark.ml.functions import array_to_vector
 
     ml_df = df.withColumn("__features", array_to_vector(F.col(emb_col).cast("array<double>")))
     km = KMeans(k=num_clusters, seed=seed, maxIter=max_iter, featuresCol="__features", predictionCol="cluster_id")

@@ -23,7 +23,6 @@ from pyspark.sql import functions as F
 from ocr_vector_db_spark.functions import text_analysis as ta
 from ocr_vector_db_spark.functions import validators
 from ocr_vector_db_spark.functions.chunking import chunk_fixed_col
-from ocr_vector_db_spark.functions.vector import cosine_similarity_col
 from ocr_vector_db_spark.operators import dedup, grouping, knn, metrics
 from ocr_vector_db_spark.session import load_table
 
@@ -1070,7 +1069,17 @@ def q35(spark, sf):
     ).orderBy("document_id", "concept_id", "order")
 
 
-@query("q36_streaming_windowed_agg")
+@query(
+    "q36_streaming_windowed_agg",
+    """
+    WITH sub AS (SELECT * FROM events ORDER BY event_id LIMIT 500)
+    SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
+           date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+           event_type, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(ROUND(value,6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS total_value
+    FROM sub GROUP BY 1, 2, 3
+    """,
+)
 def q36(spark, sf):
     """Structured Streaming tumbling-window agg driven to completion with the
     availableNow trigger over a file source fed from the events table."""
@@ -1093,7 +1102,31 @@ def q36(spark, sf):
     return run_to_memory(windowed_event_counts(stream), "q36_win_agg")
 
 
-@query("q37_multimodal_features")
+@query(
+    "q37_multimodal_features",
+    """
+    WITH assets AS (
+        SELECT 'asset-' || doc_id AS asset_id,
+               CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               text, md5(text) AS h
+        FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 50)
+    )
+    SELECT asset_id, kind,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           h AS content_hash,
+           CASE WHEN kind IN ('image','video')
+                THEN CAST(64 + ((strpos('0123456789abcdef', h[1]) - 1) * 16 + (strpos('0123456789abcdef', h[2]) - 1)) * 4 AS INTEGER) END AS width,
+           CASE WHEN kind IN ('image','video')
+                THEN CAST(64 + ((strpos('0123456789abcdef', h[3]) - 1) * 16 + (strpos('0123456789abcdef', h[4]) - 1)) * 4 AS INTEGER) END AS height,
+           CASE WHEN kind IN ('audio','video')
+                THEN ROUND(((strpos('0123456789abcdef', h[5]) - 1) * 16 + (strpos('0123456789abcdef', h[6]) - 1)) / 8.0, 3) END AS duration_s,
+           list_transform(range(0, 16), i ->
+               ((strpos('0123456789abcdef', h[CAST(2 * (i % 16) + 1 AS INTEGER)]) - 1) * 16
+                + (strpos('0123456789abcdef', h[CAST(2 * (i % 16) + 2 AS INTEGER)]) - 1)) / 255.0 * 2 - 1
+           ) AS feature
+    FROM assets
+    """,
+)
 def q37(spark, sf):
     """Multimodal binary columns: Arrow-batched decode/feature-extract over
     opaque payloads (decode stubbed deterministically; plumbing real)."""
@@ -1101,7 +1134,7 @@ def q37(spark, sf):
 
     from ocr_vector_db_spark.sources.multimodal import ASSET_SCHEMA, extract_features
 
-    docs = load_table(spark, sf, "documents").limit(50)
+    docs = load_table(spark, sf, "documents").orderBy("doc_id").limit(50)
     assets = docs.select(
         F.concat(F.lit("asset-"), F.col("doc_id").cast("string")).alias("asset_id"),
         F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),

@@ -38,10 +38,13 @@ def windowed_event_counts(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Tumbling-window counts/sums with late-data watermark."""
+    # decimal-cast sum: associativity-proof, so the streamed incremental
+    # aggregation is value-identical to any batch/SQL twin of this query
+    dsum = F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)")).cast("double")
     return (
         events_stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), F.round(dsum, 4).alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
