@@ -60,6 +60,29 @@ def main() -> None:
         queries[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+
+    # ingest-pipeline throughput: 200 synthetic markdown docs through the
+    # full parse -> unitize -> validate -> embed lifecycle (pipeline shape,
+    # not a table query, so it is timed as its own headline entry)
+    from ocr_vector_db_spark.sources.ingest import files_df, ingest
+
+    docs = [
+        (f"/bench/doc{i}.md",
+         f"Prose paragraph number {i} about engines, with enough words to "
+         f"pass validation easily and form a text unit of reasonable size. "
+         + ("filler sentence. " * (i % 7)) +
+         f"\n\n```python\ndef f{i}(x):\n    return x + {i}\n```\n",
+         "md")
+        for i in range(200)
+    ]
+    fdf = files_df(spark, docs)
+    ingest(spark, fdf, dim=64)["embeddings"].count()  # warmup
+    t0 = time.time()
+    n_emb = ingest(spark, fdf, dim=64)["embeddings"].count()
+    timings["ingest_200docs"] = round(time.time() - t0, 3)
+    print(f"# ingest_200docs: {timings['ingest_200docs']:.3f}s ({n_emb} embeddings)",
+          file=sys.stderr)
+
     for name in HEADLINE:
         t0 = time.time()
         df = queries[name](spark, sf_dir)

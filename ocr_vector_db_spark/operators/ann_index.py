@@ -125,3 +125,30 @@ class IVFIndex:
             hits += len(exact & approx)
             total += len(exact)
         return hits / total if total else 1.0
+
+    # ------------------------------------------------------------ increment
+
+    def add(self, df: DataFrame, emb_col: str = "embedding") -> int:
+        """Incremental index update: assign new vectors to their nearest
+        EXISTING centroid (no re-clustering) and append into the partitioned
+        layout. Centroid drift is handled by periodic rebuilds — the same
+        lists-don't-move contract as pgvector's ivfflat."""
+        from ocr_vector_db_spark.functions.vector import dot_col, norm_col
+
+        v = F.col(emb_col).cast("array<double>")
+        best_id, best_sim = None, None
+        for cid, centroid in self.centroids:
+            c = F.array(*[F.lit(float(x)) for x in centroid])
+            cn = math.sqrt(sum(x * x for x in centroid)) or 1.0
+            sim = dot_col(v, c) / (norm_col(v) * F.lit(cn))
+            if best_id is None:
+                best_id, best_sim = F.lit(cid), sim
+            else:
+                cond = sim > best_sim
+                best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
+                best_sim = F.when(cond, sim).otherwise(best_sim)
+        assigned = df.withColumn("cluster_id", best_id.cast("int"))
+        assigned.write.mode("append").partitionBy("cluster_id").parquet(
+            os.path.join(self.path, "vectors")
+        )
+        return assigned.count()

@@ -142,3 +142,25 @@ def test_embed_with_provider(spark):
     assert time.time() - t0 < 60
     assert ep.check_dimension(ep.DeterministicProvider(dim=8), 8)
     assert not ep.check_dimension(ep.DeterministicProvider(dim=8), 16)
+
+
+def test_ivf_incremental_add(spark, tables, tmp_path_factory):
+    from pyspark.sql import functions as F2
+
+    emb = tables["embeddings"]
+    path = str(tmp_path_factory.mktemp("ivf_add"))
+    base = emb.filter(F2.col("vec_id") < 400)
+    idx = IVFIndex.build(spark, base, path, num_clusters=4)
+    n_before = idx.vectors().count()
+
+    extra = emb.filter(F2.col("vec_id") >= 400)
+    added = idx.add(extra)
+    assert added == extra.count()
+    assert idx.vectors().count() == n_before + added
+
+    # a newly-added vector is findable through the pruned search
+    qv = [float(x) for x in emb.filter(F2.col("vec_id") == 450).head().embedding]
+    rows = idx.search(qv, k=3, nprobe=4).collect()
+    assert rows[0].vec_id == 450 and abs(rows[0].similarity - 1.0) < 1e-6
+    # appended rows landed in their assigned cluster partitions
+    assert idx.vectors().filter(F2.col("vec_id") == 450).head().cluster_id in {0, 1, 2, 3}
