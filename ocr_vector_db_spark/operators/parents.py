@@ -102,3 +102,41 @@ def assign_parent_by_page_section(
             "-", F.col(document_col), F.lit("p"), F.col("cur_page"), F.lit("s"), F.col("cur_section")
         )
     return df.withColumn("parent_key", key)
+
+
+def synthesize_parents_legacy(
+    fragments: DataFrame,
+    concept_col: str = "concept_id",
+    max_chars: int = 2000,
+) -> DataFrame:
+    """Legacy parent synthesis (app/parents.py:94-108): header line (markdown
+    heading / Chapter N / 제 N 장 / numbered section, uppercase-line
+    fallback) + first caption + sentence-truncated body from pre_text (or all
+    text) fragments, joined with blank lines and capped at `max_chars`.
+
+    Header fallback and sentence truncation are per-group sequential logic →
+    applyInPandas per concept (groups are tiny: one concept's fragments)."""
+    import pandas as pd
+
+    from ocr_vector_db_spark.functions.captions import (
+        extract_caption, extract_header, first_sentences,
+    )
+
+    def per_concept(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("order")
+        cid = pdf[concept_col].iloc[0]
+        texts = [r.content for r in pdf.itertuples() if r.view == "text"]
+        if not texts:
+            texts = [r.content for r in pdf.itertuples()]
+        header = next((h for t in texts if (h := extract_header(t))), None)
+        caption = next((c for t in texts if (c := extract_caption(t))), None)
+        pre = [r.content for r in pdf.itertuples() if getattr(r, "unit_role", "") == "pre_text"]
+        body_src = "\n".join(pre) if pre else "\n".join(texts)
+        body = first_sentences(body_src, max_chars=max(600, max_chars - 200)) if body_src else ""
+        parts = [p for p in (header, caption, body) if p]
+        content = "\n\n".join(parts) if parts else f"unit {cid}"
+        return pd.DataFrame({"id": [cid], "content": [content[:max_chars]]})
+
+    return fragments.groupBy(concept_col).applyInPandas(
+        per_concept, "id string, content string"
+    )

@@ -69,3 +69,24 @@ def test_caption_cols_and_augmentation(spark):
     views = {r.content.split(" ")[0]: r.view for r in aug}
     assert views == {"Figure": "figure", "Table": "table"}
     assert all(r.unit_role == "caption" for r in aug)
+
+
+def test_synthesize_parents_legacy(spark):
+    from ocr_vector_db_spark.operators.parents import synthesize_parents_legacy
+
+    frags = spark.createDataFrame(
+        [
+            ("c1", "## Wrappers Guide\nProse about retry wrappers. More prose follows here.",
+             "text", "pre_text", 0),
+            ("c1", "Figure 2: retry flow diagram", "text", "pre_text", 1),
+            ("c1", "def retry(fn):\n    return fn", "code", "python", 2),
+            ("c2", "plain body only, no header at all. second sentence here.",
+             "text", "text_unit", 0),
+        ],
+        ["concept_id", "content", "view", "unit_role", "order"],
+    )
+    parents = {r.id: r.content for r in synthesize_parents_legacy(frags).collect()}
+    assert parents["c1"].startswith("## Wrappers Guide")
+    assert "Figure 2: retry flow diagram" in parents["c1"]
+    assert "retry wrappers" in parents["c1"]          # body from pre_text
+    assert parents["c2"].startswith("plain body only")
