@@ -9,8 +9,12 @@ computation (ADC).
 
 Spark-first shape (no Python in the scoring path):
 
-- train:  M independent KMeans fits on subvector slices of a sample
-          (driver loops over M; each fit is a distributed MLlib job);
+- train:  FAISS-style codebook training on a BOUNDED sample collected to
+          the driver (seeded kmeans++ + Lloyd's in numpy per subspace).
+          Codebooks are tiny (M·K·dim/M floats) and classically trained on
+          ~100k-1M sampled vectors regardless of corpus size, so the sample
+          cap — not the corpus — bounds driver memory at 100 TB; only
+          encode/search are distributed;
 - encode: argmin over K per-subspace distances, built as literal-codebook
           expressions → whole-stage codegen, one pass, no UDF;
 - search: the query's M×K distance table is computed on the DRIVER (tiny)
@@ -40,6 +44,46 @@ def _sub_slices(dim: int, m: int) -> list[tuple[int, int]]:
     return [(i * w + 1, w) for i in range(m)]
 
 
+def _lloyd(X, k: int, rng, max_iter: int):
+    """Seeded kmeans++ init + Lloyd's iterations over an in-memory sample.
+
+    numpy import is deferred to call sites; X is (n, d) float64. Empty
+    clusters are re-seeded from the point farthest from its center."""
+    import numpy as np
+
+    n = X.shape[0]
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.integers(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            centers[i:] = X[rng.integers(n, size=k - i)]
+            break
+        centers[i] = X[rng.choice(n, p=d2 / total)]
+        d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        # (n, k) squared distances via ||x||² - 2x·c + ||c||²
+        dist = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2.0 * X @ centers.T
+            + (centers * centers).sum(axis=1)
+        )
+        assign = dist.argmin(axis=1)
+        moved = 0.0
+        for ci in range(k):
+            mask = assign == ci
+            if mask.any():
+                new = X[mask].mean(axis=0)
+            else:
+                new = X[dist.min(axis=1).argmax()]
+            moved += float(((centers[ci] - new) ** 2).sum())
+            centers[ci] = new
+        if moved < 1e-12:
+            break
+    return centers
+
+
 class PQIndex:
     def __init__(self, dim: int, m: int, codebooks: list[list[list[float]]]):
         self.dim = dim
@@ -60,39 +104,55 @@ class PQIndex:
         seed: int = 42,
         sample_fraction: float | None = None,
         max_iter: int = 20,
+        sample_limit: int = 65536,
     ) -> "PQIndex":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+        import numpy as np
 
         base = df.sample(sample_fraction, seed=seed) if sample_fraction else df
-        base = base.select(F.col(emb_col).cast("array<double>").alias("v")).cache()
+        rows = (
+            base.select(F.col(emb_col).cast("array<double>").alias("v"))
+            .limit(sample_limit)
+            .collect()
+        )
+        X = np.asarray([r.v for r in rows], dtype=np.float64)
+        if X.shape[0] < k:
+            raise ValueError(f"need >= {k} sample vectors, got {X.shape[0]}")
+        rng = np.random.default_rng(seed)
         codebooks = []
         for start, width in _sub_slices(dim, m):
-            sub = base.select(
-                array_to_vector(F.slice(F.col("v"), start, width)).alias("__f")
-            )
-            model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="__f").fit(sub)
-            codebooks.append([[float(x) for x in c] for c in model.clusterCenters()])
-        base.unpersist()
+            sub = np.ascontiguousarray(X[:, start - 1 : start - 1 + width])
+            centers = _lloyd(sub, k, rng, max_iter)
+            codebooks.append([[float(x) for x in c] for c in centers])
         return cls(dim, m, codebooks)
 
     # -------------------------------------------------------------- encode
 
-    def _sub_dist2(self, sub: Column, centroid: list[float]) -> Column:
-        """Squared L2 distance of a subvector column to a literal centroid."""
-        expr = F.lit(0.0)
-        for j, c in enumerate(centroid):
-            d = F.element_at(sub, j + 1) - F.lit(float(c))
-            expr = expr + d * d
-        return expr
+    def _codebook_lit(self, mi: int) -> Column:
+        """Subspace codebook as a literal array<array<double>> (K × dim/M)."""
+        return F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in self.codebooks[mi]]
+        )
+
+    @staticmethod
+    def _dist2(sub: Column, centroid: Column) -> Column:
+        """Squared L2 distance between two array<double> columns."""
+        return F.aggregate(
+            F.zip_with(sub, centroid, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
 
     def encode_col(self, emb: Column) -> Column:
-        """array<int> of M codes (argmin centroid per subspace)."""
+        """array<int> of M codes (argmin centroid per subspace).
+
+        Distances are computed with higher-order functions over a literal
+        codebook array rather than M·K·width unrolled scalar terms — the
+        expression (and the task binary / codegen unit) stays O(M) sized."""
         v = emb.cast("array<double>")
         codes = []
         for mi, (start, width) in enumerate(_sub_slices(self.dim, self.m)):
             sub = F.slice(v, start, width)
-            dists = F.array(*[self._sub_dist2(sub, c) for c in self.codebooks[mi]])
+            dists = F.transform(self._codebook_lit(mi), lambda c: self._dist2(sub, c))
             # array_position of the min is 1-based; code = position - 1
             codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
         return F.array(*codes)
@@ -173,8 +233,9 @@ def quantization_error(index: PQIndex, df: DataFrame, emb_col: str = "embedding"
     err = F.lit(0.0)
     for mi, (start, width) in enumerate(_sub_slices(index.dim, index.m)):
         sub = F.slice(v, start, width)
-        for ki, centroid in enumerate(index.codebooks[mi]):
-            d2 = index._sub_dist2(sub, centroid)
-            err = err + F.when(F.element_at(F.col("pq_codes"), mi + 1) == ki, d2).otherwise(0.0)
+        chosen = F.element_at(
+            index._codebook_lit(mi), F.element_at(F.col("pq_codes"), mi + 1) + 1
+        )
+        err = err + index._dist2(sub, chosen)
     row = enc.agg(F.avg(err).alias("mse")).head()
     return float(row.mse) if row.mse is not None else math.nan
