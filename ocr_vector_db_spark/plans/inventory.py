@@ -1536,3 +1536,65 @@ def q50(spark, sf):
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
+
+
+@query(
+    "q51_range_join_binned",
+    f"""
+    SELECT e.event_id,
+           CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks,
+           {_sql_dsum('c.value')} AS click_value
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def q51(spark, sf):
+    """Time-range join done the scale-safe way: binned equi-join on
+    (user_id, time-bucket) + exact filter instead of an inequality join
+    (which Catalyst would plan as a broadcast-nested-loop). For every error
+    event: clicks by the same user in the preceding 10 minutes."""
+    from ocr_vector_db_spark.operators.range_join import range_join_binned
+
+    e = load_table(spark, sf, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts",
+        F.col("value").alias("click_val"),
+    )
+    pairs = range_join_binned(errors, clicks, ["user_id"], -600.0, 0.0)
+    hit = pairs.groupBy("event_id").agg(
+        F.count("click_id").alias("__n"), dsum(F.col("click_val")).alias("__v")
+    )
+    return (
+        errors.select("event_id")
+        .join(hit, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_clicks"),
+            F.col("__v").alias("click_value"),
+        )
+    )
+
+
+@query("q52_parent_synthesis_legacy")
+def q52(spark, sf):
+    """Legacy parent synthesis (app/parents.py:94-182): header detection +
+    first caption + sentence-truncated body per parent group. Regex
+    header-fallback and sentence-boundary truncation are per-group
+    sequential logic (applyInPandas) → rows-only check."""
+    from ocr_vector_db_spark.operators.parents import synthesize_parents_legacy
+
+    d = load_table(spark, sf, "documents").limit(400)
+    frags = d.select(
+        F.col("doc_id").cast("string").alias("concept_id"),
+        F.col("text").alias("content"),
+        F.lit("text").alias("view"),
+        F.lit("pre_text").alias("unit_role"),
+        F.lit(0).alias("order"),
+    )
+    out = synthesize_parents_legacy(frags)
+    return out.select("id", F.md5("content").alias("content_hash"))
