@@ -58,6 +58,38 @@ def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return spark.readStream.schema(EVENTS_STREAM_SCHEMA).json(source_dir)
 
 
+def dedup_stream(
+    events_stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, incremental
+    twin of batch `dedup.dedup_exact`. `dropDuplicatesWithinWatermark`
+    bounds the key state to the watermark horizon — at 100 TB/day the state
+    store holds only the recent-key set instead of growing forever (the
+    same first-writer-wins contract as the reference's ON CONFLICT DO
+    NOTHING child sink, app/storage.py:327-438)."""
+    wm = events_stream.withWatermark(ts_col, watermark)
+    return wm.dropDuplicatesWithinWatermark(key_cols)
+
+
+def run_to_memory_append(stream_df: DataFrame, name: str) -> DataFrame:
+    """Like run_to_memory but in append mode (required for stateful ops that
+    emit rows once, e.g. dedup)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a streaming DF to completion against current inputs (memory
     sink, synchronous) and return the materialized result."""

@@ -81,3 +81,27 @@ def test_multimodal_features(spark):
     frames = frame_sample_plan(assets, every_s=2.0).collect()
     assert all(r.t_offset_s % 2.0 == 0 for r in frames)
     assert {r.asset_id for r in frames} == {"vid-1"}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from ocr_vector_db_spark.streaming.pipeline import dedup_stream, run_to_memory_append
+
+    src = tmp_path / "dedup_stream"
+    src.mkdir()
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T00:0{i % 5}:00.000Z", "user_id": i % 3,
+         "event_type": "click", "value": 1.0, "props": f'{{"doc": "d{i % 4}"}}'}
+        for i in range(20)
+    ]
+    with open(src / "b1.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    stream = read_events_stream(spark, str(src))
+    deduped = dedup_stream(
+        stream.withColumn("doc", F.get_json_object("props", "$.doc")),
+        ["doc"],
+    )
+    out = run_to_memory_append(deduped, "dedup_stream_test").collect()
+    assert len(out) == 4                       # one survivor per distinct doc
+    assert {r.doc for r in out} == {"d0", "d1", "d2", "d3"}
