@@ -1,0 +1,224 @@
+"""IVF-PQ: partition-pruned probing over PQ-compressed residual codes.
+
+The composition FAISS ships as `IndexIVFPQ`, rebuilt the columnar way. At
+100 TB neither half suffices alone: IVF (`operators/ann_index.py`) prunes
+*reads* to nprobe/num_clusters of the bytes but still stores 3 KB/vector;
+PQ (`operators/pq.py`) compresses ~32-384x but still scans every code. The
+combination stores residual codes partitioned by cluster:
+
+  build:  KMeans coarse quantizer (MLlib, fit on a bounded sample) assigns
+          every vector a cluster_id; the PQ codebook is trained on
+          RESIDUALS (vector - its centroid) — residuals have far lower
+          variance than raw vectors, so the same codebook budget buys a
+          much finer quantization (Jegou et al., "Product Quantization for
+          Nearest Neighbor Search", TPAMI 2011);
+  store:  (id, cluster_id, pq_codes) parquet PARTITIONED BY cluster_id —
+          ~M bytes/vector of scannable state; raw vectors stay only in the
+          base table for optional re-rank;
+  search: rank centroids driver-side, then ONE union-of-pruned-scans job:
+          per probed cluster the query residual's MxK distance table is
+          computed on the driver and inlined as literals, so the scan is
+          M element_at lookups + adds per row (whole-stage codegen, no
+          UDF, no shuffle); global top-k via TakeOrderedAndProject.
+  refine: optional exact re-rank of the top k*refine candidates against the
+          raw corpus — candidate ids are collected (<= k*refine <= a few
+          hundred) and pushed down as an `IN` filter, so the exact pass
+          reads only matching row groups.
+
+Reference tie-in: pgvector's ivfflat (lists, probes) knobs
+(storage/schema.py:38-41) plus the HNSW storage/recall trade
+(storage/schema.py:80-85), served as a batch-built layout instead of an
+online graph.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators.ann_index import IVFIndex, _cos
+from ocr_vector_db_spark.operators.knn import knn_brute_force
+from ocr_vector_db_spark.operators.pq import PQIndex, _sub_slices
+
+
+class IVFPQIndex:
+    """Coarse KMeans quantizer + per-subspace PQ codebook over residuals."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 centroids: list[tuple[int, list[float]]], pq: PQIndex):
+        self.spark = spark
+        self.path = path
+        self.centroids = centroids
+        self.pq = pq
+
+    # --------------------------------------------------------------- build
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        dim: int,
+        num_clusters: int = 8,
+        m: int = 8,
+        k: int = 16,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 42,
+        sample_fraction: float | None = None,
+        sample_limit: int = 65536,
+    ) -> "IVFPQIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = df.withColumn(
+            "__f", array_to_vector(F.col(emb_col).cast("array<double>"))
+        )
+        fit_on = feat.sample(sample_fraction, seed=seed) if sample_fraction else feat
+        model = KMeans(
+            k=num_clusters, seed=seed, featuresCol="__f", predictionCol="cluster_id"
+        ).fit(fit_on)
+        centroids = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+
+        # residual = vector - centroid[cluster_id]; the centroid table is a
+        # broadcast join (num_clusters rows), the subtraction a zip_with.
+        cent_df = spark.createDataFrame(
+            [(cid, vec) for cid, vec in centroids], ["cluster_id", "__centroid"]
+        )
+        assigned = (
+            model.transform(feat)
+            .drop("__f")
+            .join(F.broadcast(cent_df), "cluster_id")
+            .withColumn(
+                "__residual",
+                F.zip_with(
+                    F.col(emb_col).cast("array<double>"),
+                    F.col("__centroid").cast("array<double>"),
+                    lambda a, b: a - b,
+                ),
+            )
+            .drop("__centroid")
+        )
+
+        pq = PQIndex.train(
+            assigned, dim, m=m, k=k, emb_col="__residual", seed=seed,
+            sample_limit=sample_limit,
+        )
+        codes = assigned.select(
+            id_col,
+            "cluster_id",
+            pq.encode_col(F.col("__residual")).alias("pq_codes"),
+        )
+        codes.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            os.path.join(path, "codes")
+        )
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(
+                {"dim": dim, "m": m, "centroids": centroids, "codebooks": pq.codebooks},
+                fh,
+            )
+        return cls(spark, path, centroids, pq)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFPQIndex":
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        pq = PQIndex(meta["dim"], meta["m"], meta["codebooks"])
+        centroids = [(int(i), v) for i, v in meta["centroids"]]
+        return cls(spark, path, centroids, pq)
+
+    # -------------------------------------------------------------- search
+
+    def codes(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "codes"))
+
+    def probe_clusters(self, query: list[float], nprobe: int) -> list[int]:
+        ranked = sorted(self.centroids, key=lambda c: (-_cos(c[1], query), c[0]))
+        return [cid for cid, _ in ranked[:nprobe]]
+
+    def _residual_tables(self, query: list[float], cid: int) -> list[list[float]]:
+        centroid = dict(self.centroids)[cid]
+        resid = [q - c for q, c in zip(query, centroid)]
+        return self.pq.distance_tables(resid)
+
+    def search(
+        self,
+        query: list[float],
+        k: int,
+        nprobe: int = 2,
+        id_col: str = "vec_id",
+        corpus: DataFrame | None = None,
+        emb_col: str = "embedding",
+        refine: int = 4,
+    ) -> DataFrame:
+        """Approximate top-k; pass `corpus` to exact-re-rank k*refine heads.
+
+        One job: a union of nprobe partition-pruned scans, each scoring with
+        its own cluster's literal distance table. Distances across clusters
+        are comparable because every table measures the same thing — squared
+        L2 of (query - centroid_c) to the shared residual codebook."""
+        parts = []
+        for cid in self.probe_clusters(query, nprobe):
+            tables = self._residual_tables(query, cid)
+            expr = F.lit(0.0)
+            for mi, table in enumerate(tables):
+                lit_table = F.array(*[F.lit(float(x)) for x in table])
+                expr = expr + F.element_at(
+                    lit_table, F.element_at(F.col("pq_codes"), mi + 1) + 1
+                )
+            parts.append(
+                self.codes()
+                .filter(F.col("cluster_id") == cid)
+                .select(id_col, "cluster_id", expr.alias("pq_distance"))
+            )
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.unionByName(p)
+        scored = scored.withColumn("pq_distance", F.round("pq_distance", 6))
+
+        if corpus is None:
+            return scored.orderBy("pq_distance", id_col).limit(k)
+        cand_ids = [
+            r[id_col]
+            for r in scored.orderBy("pq_distance", id_col).limit(k * refine).collect()
+        ]
+        cand = corpus.filter(F.col(id_col).isin(cand_ids))
+        return knn_brute_force(cand, query, k, emb_col=emb_col, id_col=id_col)
+
+    def recall_at_k(
+        self,
+        corpus: DataFrame,
+        queries: list[list[float]],
+        k: int = 10,
+        nprobe: int = 2,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        refine: int = 4,
+    ) -> float:
+        hits = total = 0
+        for qv in queries:
+            exact = {
+                r[id_col]
+                for r in knn_brute_force(corpus, qv, k, emb_col=emb_col,
+                                         id_col=id_col).collect()
+            }
+            approx = {
+                r[id_col]
+                for r in self.search(qv, k, nprobe, id_col=id_col, corpus=corpus,
+                                     emb_col=emb_col, refine=refine).collect()
+            }
+            hits += len(exact & approx)
+            total += len(exact)
+        return hits / total if total else 1.0
+
+    def bytes_per_vector(self) -> tuple[int, float]:
+        """(compressed, raw) scannable bytes per vector."""
+        raw = self.pq.dim * 4
+        coded = self.pq.m * (1 if self.pq.k <= 256 else 2)
+        return coded, float(raw)

@@ -1417,6 +1417,28 @@ def q46(spark, sf):
     return pq.search(encoded, qv, 10).select("vec_id", "label", "similarity")
 
 
+@query("q53_ivfpq_search")
+def q53(spark, sf):
+    """IVF-PQ (FAISS IndexIVFPQ, the columnar way): KMeans coarse quantizer
+    partitions PQ-compressed RESIDUAL codes by cluster_id; search is a
+    union of nprobe partition-pruned code scans (literal ADC distance
+    tables, whole-stage codegen) + exact re-rank of the candidate heads.
+    KMeans clustering isn't SQL-reproducible → rows-only check."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ivfpq import IVFPQIndex
+
+    e = load_table(spark, sf, "embeddings")
+    idx = IVFPQIndex.build(
+        spark, e, tempfile.mkdtemp(prefix="ivfpq_q53_"), dim=64,
+        num_clusters=8, m=8, k=16,
+    )
+    qv = _query_vec(spark, sf, 0)
+    return idx.search(qv, 10, nprobe=3, corpus=e).select(
+        "vec_id", "label", "similarity"
+    )
+
+
 @query(
     "q47_stats_percentiles",
     """
