@@ -54,6 +54,39 @@ def l2_normalize_col(a: Column) -> Column:
     return F.when(n != 0.0, F.transform(a, lambda x: x.cast("double") / n))
 
 
+def quantize_int8_col(a: Column) -> Column:
+    """Symmetric per-vector int8 scalar quantization: codes = round(x·s),
+    s = 127/max|x|. 4× smaller scannable state than float32 (and the cheap
+    sibling of PQ's 32-384×); cosine over codes needs no dequantization —
+    the scale cancels. Integer code sums are exact, so quantized scores are
+    bit-reproducible across partitionings."""
+    max_abs = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    return F.when(
+        max_abs > 0.0,
+        F.transform(
+            a,
+            lambda x: F.round(x.cast("double") * (F.lit(127.0) / max_abs)).cast("int"),
+        ),
+    ).otherwise(F.transform(a, lambda x: F.lit(0)))
+
+
+def int8_cosine_col(codes_a: Column, codes_b: Column) -> Column:
+    """Cosine over int8 code arrays — exact bigint sums, one final divide."""
+    dot = F.aggregate(
+        F.zip_with(codes_a, codes_b, lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(
+        codes_a, F.lit(0).cast("bigint"), lambda acc, x: acc + (x * x).cast("bigint")
+    )
+    nb = F.aggregate(
+        codes_b, F.lit(0).cast("bigint"), lambda acc, x: acc + (x * x).cast("bigint")
+    )
+    denom = F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    return F.when(denom != 0.0, dot.cast("double") / denom)
+
+
 # ------------------------------------------------- deterministic test embedder
 
 

@@ -1440,6 +1440,85 @@ def q53(spark, sf):
 
 
 @query(
+    "q54_tfidf_top_terms",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w WHERE word <> ''
+           GROUP BY doc_id, word),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    s AS (
+        SELECT tf.doc_id, tf.word, tf.tf, df.df,
+               ROUND(tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0), 6) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    ),
+    r AS (SELECT *, CAST(row_number() OVER (
+              PARTITION BY doc_id ORDER BY tfidf DESC, word) AS BIGINT) AS rank
+          FROM s)
+    SELECT doc_id, rank, word, tf, df, tfidf FROM r WHERE rank <= 3
+    """,
+)
+def q54(spark, sf):
+    """Corpus TF-IDF with top-3 characteristic terms per document — the
+    vocabulary/keyword-extraction staple of an LLM data pipeline. Integer
+    tf/df aggregates are exact; the word→df join broadcasts (Heaps'-law
+    small vocab); per-doc top-k is a window, no global sort."""
+    from ocr_vector_db_spark.operators.tfidf import top_terms_per_doc
+
+    return top_terms_per_doc(load_table(spark, sf, "documents"), k=3)
+
+
+@query(
+    "q55_int8_quantized_knn",
+    """
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(
+                   embedding::DOUBLE[],
+                   x -> ROUND(x * (127.0 / list_max(
+                            list_transform(embedding::DOUBLE[], y -> abs(y)))))
+               ) AS codes
+        FROM embeddings
+    ),
+    q AS (SELECT codes AS qc FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           ROUND(list_dot_product(e.codes, q.qc)
+                 / (sqrt(list_dot_product(e.codes, e.codes))
+                    * sqrt(list_dot_product(q.qc, q.qc))), 6) AS sim_q
+    FROM e CROSS JOIN q
+    ORDER BY sim_q DESC, e.vec_id LIMIT 10
+    """,
+)
+def q55(spark, sf):
+    """Int8 scalar-quantized KNN: symmetric per-vector quantization (4×
+    smaller scannable state), cosine over integer codes — exact bigint
+    sums make the approximate scores bit-reproducible across partition
+    orders, so even the quantized path is oracle-checkable."""
+    from ocr_vector_db_spark.functions.vector import int8_cosine_col, quantize_int8_col
+
+    e = load_table(spark, sf, "embeddings").withColumn(
+        "codes", quantize_int8_col(F.col("embedding"))
+    )
+    qc = [
+        int(x)
+        for x in e.filter(F.col("vec_id") == 0).select("codes").head().codes
+    ]
+    qcol = F.array(*[F.lit(c) for c in qc])
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.round(int8_cosine_col(F.col("codes"), qcol), 6).alias("sim_q"),
+        )
+        .orderBy(F.desc("sim_q"), "vec_id")
+        .limit(10)
+    )
+
+
+@query(
     "q47_stats_percentiles",
     """
     SELECT l_returnflag,

@@ -74,6 +74,41 @@ def dedup_stream(
     return wm.dropDuplicatesWithinWatermark(key_cols)
 
 
+def join_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: pair each left event with right
+    events for the same key that arrive within [left.ts - max_lag,
+    left.ts + max_lag]. Both watermarks plus the time-range predicate are
+    what let Spark EVICT join state — without the range condition the state
+    store would buffer both streams forever; with it, rows older than
+    watermark + lag are dropped as each micro-batch commits. This is the
+    streaming twin of the batch binned range join
+    (operators/range_join.py), with the same bounded-window contract."""
+    l = left.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("l_key"),
+        F.col(ts_col).alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, ts_col)],
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, ts_col)],
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {max_lag}"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return l.join(r, cond, how)
+
+
 def run_to_memory_append(stream_df: DataFrame, name: str) -> DataFrame:
     """Like run_to_memory but in append mode (required for stateful ops that
     emit rows once, e.g. dedup)."""

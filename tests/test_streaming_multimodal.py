@@ -35,6 +35,39 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert all(r.window_end > r.window_start for r in out)
 
 
+def test_stream_stream_join_within_lag(spark, tmp_path):
+    from ocr_vector_db_spark.streaming.pipeline import join_event_streams, run_to_memory_append
+
+    lsrc, rsrc = tmp_path / "left", tmp_path / "right"
+    lsrc.mkdir(), rsrc.mkdir()
+    lrows = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00.000Z", "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:40:00.000Z", "user_id": 2,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    rrows = [
+        # within 5 min of left event 1, same key -> joins
+        {"event_id": 10, "ts": "2024-01-01T00:12:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.5, "props": "{}"},
+        # same key but 30 min later than left event 1 -> outside lag, dropped
+        {"event_id": 11, "ts": "2024-01-01T00:40:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 9.9, "props": "{}"},
+    ]
+    for path, rows in ((lsrc, lrows), (rsrc, rrows)):
+        with open(path / "b.json", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    joined = join_event_streams(
+        read_events_stream(spark, str(lsrc)),
+        read_events_stream(spark, str(rsrc)),
+    )
+    assert joined.isStreaming
+    out = run_to_memory_append(joined, "ss_join_test").collect()
+    assert [(r.l_event_id, r.r_event_id) for r in out] == [(1, 10)]
+
+
 def test_streaming_ingest_foreachbatch(spark, tmp_path):
     from ocr_vector_db_spark.sources.ingest import FILES_SCHEMA
     from ocr_vector_db_spark.streaming.pipeline import stream_ingest
