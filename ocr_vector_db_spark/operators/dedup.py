@@ -297,3 +297,50 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Duplicate-cluster resolution: (id, comp) with comp = min id reachable
+    through the near-dup pair graph. Pairs alone under-merge (A~B, B~C but
+    A!~C); picking one canonical document per CLUSTER needs the transitive
+    closure, which is what every production dedup pipeline runs after
+    MinHash-LSH candidate generation.
+
+    Min-label propagation: each round every node adopts the smallest label
+    among itself and its neighbors — one broadcast-able-or-shuffled equi-join
+    + hash agg per round, converging in O(component diameter) rounds (near-dup
+    clusters are shallow: duplicates of a common source are all pairwise
+    similar, so diameter is small even when clusters are huge). Lineage is
+    truncated per round with localCheckpoint so the plan doesn't grow with
+    iterations; the loop exits on a zero-changes fixpoint. For graphs with
+    continent-sized diameters, swap in alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce", SoCC'14) — same
+    join-agg primitive, fewer rounds."""
+    sym = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = (
+        sym.unionByName(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym["dst"] == labels["id"]).select(
+            sym["src"].alias("id"), F.col("comp")
+        )
+        new = labels.unionByName(neigh).groupBy("id").agg(F.min("comp").alias("comp"))
+        new = new.localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -1439,6 +1439,42 @@ def q53(spark, sf):
     )
 
 
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_MH_CAND_SQL}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE est_jaccard >= 0.5
+    ),
+    reach(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, MIN(comp) AS component_id,
+           (id = MIN(comp)) AS is_canonical
+    FROM reach GROUP BY id
+    """
+
+
+@query("q56_neardup_components", _COMPONENTS_SQL)
+def q56(spark, sf):
+    """Duplicate-cluster connected components over the MinHash-LSH pair
+    graph (est_jaccard >= 0.5): transitive closure via min-label
+    propagation, canonical doc = min id per cluster. The oracle computes
+    the same closure with a recursive CTE."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id"
+    )
+    comp = dedup.connected_components(pairs.filter(F.col("est_jaccard") >= 0.5))
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )
+
+
 @query(
     "q54_tfidf_top_terms",
     """

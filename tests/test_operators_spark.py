@@ -137,3 +137,15 @@ def test_grouping_and_metrics(tables):
     assert all(r["count"] <= 2 for r in counts)
     dist = metrics.distribution(tables["documents"], "lang", limit=3).collect()
     assert len(dist) == 3 and dist[0].n >= dist[1].n >= dist[2].n
+
+
+def test_connected_components_chain_and_clique(spark):
+    from ocr_vector_db_spark.operators.dedup import connected_components
+
+    # chain 1-2-3 (transitive merge), clique 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {r.id: r.comp for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
