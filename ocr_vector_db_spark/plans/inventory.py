@@ -1439,6 +1439,89 @@ def q53(spark, sf):
     )
 
 
+@query(
+    "q57_deterministic_split",
+    """
+    WITH assigned AS (
+        SELECT lang, n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def q57(spark, sf):
+    """Reproducible train/val/test assignment: hash-mod split on md5(id)
+    (first hex byte < 0xcc ≈ 80% / < 0xe6 ≈ 90%). Unlike seeded random
+    sampling, the assignment is a pure function of the row key — stable
+    across engines, re-runs, repartitions, and incremental appends, which
+    is what a training pipeline needs for split integrity at 100 TB. The
+    per-(split, lang) rollup doubles as the stratification check."""
+    d = load_table(spark, sf, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "q58_event_gaps_lag",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               date_diff('millisecond', prev_ts, ts) AS gap_ms
+        FROM ordered WHERE prev_ts IS NOT NULL
+    )
+    SELECT user_id, COUNT(*) AS n_gaps,
+           CAST(MAX(gap_ms) AS BIGINT) AS max_gap_ms,
+           ROUND(AVG(gap_ms), 4) AS avg_gap_ms
+    FROM gaps GROUP BY user_id ORDER BY user_id LIMIT 200
+    """,
+)
+def q58(spark, sf):
+    """Inter-event gap analysis via lag(): per-user deterministic ordering
+    (ts, event_id), exact integer millisecond gaps, one window shuffle on
+    user_id then per-partition sorted streaming — the idle-time /
+    bot-detection signal behind sessionization thresholds."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .withColumn(
+            "gap_ms",
+            (F.unix_millis(F.col("ts")) - F.unix_millis(F.col("prev_ts"))),
+        )
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.max("gap_ms").cast("bigint").alias("max_gap_ms"),
+            F.round(F.avg("gap_ms"), 4).alias("avg_gap_ms"),
+        )
+        .orderBy("user_id")
+        .limit(200)
+    )
+
+
 _COMPONENTS_SQL = f"""
     WITH RECURSIVE pairs AS ({_MH_CAND_SQL}),
     edges AS (

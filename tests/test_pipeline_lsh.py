@@ -107,3 +107,27 @@ def test_plan_shapes(tables, spark):
     assert "BroadcastHashJoin" in plan_of("q09_cascade_delete_anti_join")
     # pushdown reaches the scan
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan_of("q02_filter_pushdown_revenue")
+
+
+def test_no_accidental_cartesian_products(tables, spark):
+    """Sweep every cheap-to-plan inventory query: no CartesianProduct or
+    BroadcastNestedLoopJoin may appear unless the operator is intentionally
+    pairwise (blocked/bounded) — at 100 TB an accidental cross join is the
+    difference between a job and an outage."""
+    from ocr_vector_db_spark.plans.inventory import QUERIES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    # skipped: index/codebook builders + streaming + pipeline runs (they
+    # execute work at construction time, covered by their own tests)
+    skip_prefixes = (
+        "q33", "q34", "q35", "q36", "q37", "q38", "q46", "q53",
+    )
+    # intentionally pairwise within a bounded block (documented O(block²)):
+    allow_nested_loop = ("q16", "q17", "q22", "q55")
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith(skip_prefixes):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if not name.startswith(allow_nested_loop):
+            assert "BroadcastNestedLoopJoin" not in plan, name
