@@ -138,3 +138,39 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     out = run_to_memory_append(deduped, "dedup_stream_test").collect()
     assert len(out) == 4                       # one survivor per distinct doc
     assert {r.doc for r in out} == {"d0", "d1", "d2", "d3"}
+
+
+def test_ocr_cache_skips_seen_content(spark, tmp_path):
+    from ocr_vector_db_spark.sources.ocr_cache import ocr_with_cache
+
+    cache = str(tmp_path / "ocr_cache")
+
+    assets1 = spark.createDataFrame(
+        [("a1", "image", bytearray(b"xxxx"), None),
+         ("a2", "image", bytearray(b"yyy"), None),
+         ("a3", "image", bytearray(b"xxxx"), None)],  # duplicate content of a1
+        ASSET_SCHEMA,
+    )
+    out1 = ocr_with_cache(spark, assets1, cache, ocr=lambda d: f"text-{len(d)}")
+    rows1 = {r.asset_id: r for r in out1.collect()}
+    assert len(rows1) == 3
+    assert rows1["a1"].ocr_text == "text-4" and rows1["a3"].ocr_text == "text-4"
+    assert not rows1["a1"].from_cache
+    # duplicate content OCR'd once: cache holds 2 distinct hashes
+    assert spark.read.parquet(cache).count() == 2
+
+    # second run: cached bytes never reach the provider (it would raise)
+    def strict_ocr(data: bytes) -> str:
+        if data == b"xxxx":
+            raise AssertionError("provider invoked for cached content")
+        return f"text-{len(data)}"
+
+    assets2 = spark.createDataFrame(
+        [("b1", "image", bytearray(b"xxxx"), None),
+         ("b2", "image", bytearray(b"zz"), None)],
+        ASSET_SCHEMA,
+    )
+    out2 = {r.asset_id: r for r in ocr_with_cache(spark, assets2, cache, ocr=strict_ocr).collect()}
+    assert out2["b1"].from_cache and out2["b1"].ocr_text == "text-4"
+    assert not out2["b2"].from_cache and out2["b2"].ocr_text == "text-2"
+    assert spark.read.parquet(cache).count() == 3  # only the new hash appended
