@@ -1522,6 +1522,100 @@ def q58(spark, sf):
     )
 
 
+@query(
+    "q59_intersect_except",
+    """
+    WITH made AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                  WHERE o_orderstatus = 'F'),
+    big AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE o_totalprice > 150000),
+    both_sets AS (SELECT custkey FROM made INTERSECT SELECT custkey FROM big),
+    only_f AS (SELECT custkey FROM made EXCEPT SELECT custkey FROM big)
+    SELECT 'intersect' AS set_op, COUNT(*) AS n FROM both_sets
+    UNION ALL
+    SELECT 'except' AS set_op, COUNT(*) AS n FROM only_f
+    """,
+)
+def q59(spark, sf):
+    """Set operations (SURVEY §2.7 had only union-dedup): INTERSECT and
+    EXCEPT compile to left-semi / left-anti hash joins over the distinct
+    key sets — no row explosion, one shuffle each."""
+    o = load_table(spark, sf, "orders")
+    made = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    big = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    inter = made.intersect(big).agg(F.count("*").alias("n")).select(
+        F.lit("intersect").alias("set_op"), "n"
+    )
+    exc = made.exceptAll(big).agg(F.count("*").alias("n")).select(
+        F.lit("except").alias("set_op"), "n"
+    )
+    return inter.unionByName(exc)
+
+
+@query(
+    "q60_price_histogram",
+    """
+    SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q60(spark, sf):
+    """Fixed-width histogram: binning is a projection (codegen), the agg
+    carries #buckets partials — the profile-a-column primitive that stays
+    one scan + one tiny shuffle at any scale."""
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.withColumn(
+            "bucket", F.floor(F.col("l_extendedprice") / 5000.0).cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").cast("double").alias("lo"),
+            F.max("l_extendedprice").cast("double").alias("hi"),
+        )
+    )
+
+
+@query(
+    "q61_ntile_deciles",
+    """
+    WITH ranked AS (
+        SELECT o_custkey, o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM ranked GROUP BY decile
+    """,
+)
+def q61(spark, sf):
+    """Decile assignment via ntile over a deterministic total order —
+    the quantile-bucketing used for quality-score stratification. A global
+    window is a single-partition sort; at 100 TB swap to approx_percentile
+    cutpoints + a join, same output contract (documented trade)."""
+    o = load_table(spark, sf, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )
+
+
 _COMPONENTS_SQL = f"""
     WITH RECURSIVE pairs AS ({_MH_CAND_SQL}),
     edges AS (
