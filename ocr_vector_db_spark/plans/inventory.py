@@ -1616,6 +1616,136 @@ def q61(spark, sf):
     )
 
 
+_SHINGLE_CTE = r"""
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, unnest(
+            CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)), i -> array_to_string(list_slice(t, i, i + 1), ' '))
+                 ELSE [] END) AS shingle
+        FROM toks
+    )
+"""
+
+
+@query(
+    "q62_decontamination",
+    f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc < 5),
+    corpus AS (SELECT doc, shingle FROM sh WHERE doc >= 5),
+    totals AS (SELECT doc, COUNT(*) AS n_shingles FROM corpus GROUP BY doc),
+    overlap AS (
+        SELECT c.doc, COUNT(*) AS n_overlap
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc
+    )
+    SELECT t.doc AS doc_id, t.n_shingles,
+           COALESCE(o.n_overlap, 0) AS n_overlap,
+           ROUND(COALESCE(o.n_overlap, 0) / CAST(t.n_shingles AS DOUBLE), 6)
+               AS contamination,
+           (COALESCE(o.n_overlap, 0) / CAST(t.n_shingles AS DOUBLE)) >= 0.3
+               AS contaminated
+    FROM totals t LEFT JOIN overlap o ON t.doc = o.doc
+    """,
+)
+def q62(spark, sf):
+    """Benchmark decontamination: flag training documents whose 2-gram sets
+    overlap a held-out benchmark set (docs 0-4 stand in for the eval
+    corpus). The benchmark shingle set is DISTINCT and benchmark-sized →
+    broadcast inner join against the exploded corpus shingles; totals come
+    from the same exploded pass. The standard eval-leak scrub at corpus
+    scale (cf. GPT-3 appendix C / The Pile §6.3 methodology)."""
+    from ocr_vector_db_spark.operators.dedup import _doc_shingles
+
+    d = load_table(spark, sf, "documents")
+    sh = _doc_shingles(d, "text", "doc_id", 2)
+    bench = F.broadcast(
+        sh.filter(F.col("doc") < 5).select("shingle").distinct()
+    )
+    corpus = sh.filter(F.col("doc") >= 5)
+    totals = corpus.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    overlap = corpus.join(bench, "shingle").groupBy("doc").agg(
+        F.count("*").alias("n_overlap")
+    )
+    ratio = F.col("n_overlap") / F.col("n_shingles").cast("double")
+    return (
+        totals.join(overlap, "doc", "left")
+        .withColumn("n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)))
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_shingles",
+            "n_overlap",
+            F.round(ratio, 6).alias("contamination"),
+            (ratio >= 0.3).alias("contaminated"),
+        )
+    )
+
+
+def _quality_gate_sql() -> str:
+    return f"""
+    WITH q AS ({{q24}}),
+    r AS ({{q44}}),
+    l AS ({{q23}})
+    SELECT d.doc_id, q.quality, r.repetition, l.lang_pred,
+           (q.quality >= 0.5 AND r.repetition <= 0.5
+            AND l.lang_pred <> 'unknown') AS keep,
+           concat_ws(',',
+               CASE WHEN q.quality < 0.5 THEN 'low_quality' END,
+               CASE WHEN r.repetition > 0.5 THEN 'repetitive' END,
+               CASE WHEN l.lang_pred = 'unknown' THEN 'unknown_lang' END)
+               AS reasons
+    FROM documents d
+    JOIN q ON d.doc_id = q.doc_id
+    JOIN r ON d.doc_id = r.doc_id
+    JOIN l ON d.doc_id = l.doc_id
+    """
+
+
+@query("q63_quality_gate")
+def q63(spark, sf):
+    """Composite C4/Gopher-style quality gate: length/stopword/punctuation
+    score + 3-gram repetition + language-ID combine into a keep/drop
+    verdict with machine-readable reasons — one scan, all codegen
+    expressions, the fan-in filter a training pipeline runs before
+    tokenization. Oracle = the q23/q24/q44 oracles composed as CTEs."""
+    d = load_table(spark, sf, "documents")
+    quality = ta.quality_score_col(F.col("text"))
+    repetition = ta.repetition_ratio_col(F.col("text"))
+    lang = ta.detect_language_col(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        quality.alias("quality"),
+        repetition.alias("repetition"),
+        lang.alias("lang_pred"),
+    )
+    keep = (
+        (F.col("quality") >= 0.5)
+        & (F.col("repetition") <= 0.5)
+        & (F.col("lang_pred") != "unknown")
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("quality") < 0.5, "low_quality"),
+        F.when(F.col("repetition") > 0.5, "repetitive"),
+        F.when(F.col("lang_pred") == "unknown", "unknown_lang"),
+    )
+    return scored.select(
+        "doc_id", "quality", "repetition", "lang_pred",
+        keep.alias("keep"), reasons.alias("reasons"),
+    )
+
+
+ORACLES["q63_quality_gate"] = (
+    _quality_gate_sql()
+    .replace("{q24}", ORACLES["q24_quality_score"])
+    .replace("{q44}", ORACLES["q44_repetition_ratio"])
+    .replace("{q23}", ORACLES["q23_language_id"])
+)
+
+
 _COMPONENTS_SQL = f"""
     WITH RECURSIVE pairs AS ({_MH_CAND_SQL}),
     edges AS (
