@@ -1764,6 +1764,71 @@ _COMPONENTS_SQL = f"""
     """
 
 
+_KEEP_BEST_SQL = f"""
+    WITH RECURSIVE pairs AS ({_MH_CAND_SQL}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE est_jaccard >= 0.5
+    ),
+    reach(id, comp) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY id),
+    q AS ({{q24}}),
+    ranked AS (
+        SELECT c.component_id, c.doc_id, q.quality,
+               CAST(row_number() OVER (
+                   PARTITION BY c.component_id
+                   ORDER BY q.quality DESC, c.doc_id) AS BIGINT) AS rk,
+               COUNT(*) OVER (PARTITION BY c.component_id) AS n_members
+        FROM comp c JOIN q ON c.doc_id = q.doc_id
+    )
+    SELECT component_id, doc_id AS kept_doc_id, quality AS kept_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rk = 1
+    """
+
+
+@query("q64_dedup_keep_best")
+def q64(spark, sf):
+    """Keep-best dedup: per near-dup cluster (q56's transitive closure),
+    retain the highest-quality member (q24's score, ties on id) — what a
+    production pipeline actually keeps, vs. min-id canonicalization. One
+    window over the tiny (clustered-docs × 1) frame after the closure."""
+    from ocr_vector_db_spark.operators.dedup import connected_components, minhash_lsh_candidates
+
+    d = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id"
+    )
+    comp = connected_components(pairs.filter(F.col("est_jaccard") >= 0.5)).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+    quality = d.select("doc_id", ta.quality_score_col(F.col("text")).alias("quality"))
+    joined = comp.join(quality, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(F.desc("quality"), "doc_id")
+    wc = Window.partitionBy("component_id")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc).cast("bigint"))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("quality").alias("kept_quality"),
+            "n_members",
+        )
+    )
+
+
+ORACLES["q64_dedup_keep_best"] = _KEEP_BEST_SQL.replace(
+    "{q24}", ORACLES["q24_quality_score"]
+)
+
+
 @query("q56_neardup_components", _COMPONENTS_SQL)
 def q56(spark, sf):
     """Duplicate-cluster connected components over the MinHash-LSH pair
