@@ -2107,3 +2107,308 @@ def q52(spark, sf):
     )
     out = synthesize_parents_legacy(frags)
     return out.select("id", F.md5("content").alias("content_hash"))
+
+
+# =====================================================================
+# Round-1 batch 2: corpus statistics, vector aggregation, time series
+# =====================================================================
+
+
+@query(
+    "q65_token_zipf_topk",
+    """
+    WITH w AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS cnt
+    FROM w WHERE token <> ''
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+    """,
+)
+def q65(spark, sf):
+    """Global token-frequency top-k (Zipf head): the corpus vocabulary scan
+    behind TF-IDF / BPE tokenizer training. explode -> hash agg relies on
+    map-side partial aggregation so the shuffle carries one row per distinct
+    token per partition (vocabulary-sized, ~1e6), not one per token
+    occurrence (~1e11 at 100 TB); top-k is TakeOrderedAndProject."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(50)
+    )
+
+
+_DIM = 64
+
+
+@query(
+    "q66_label_centroids",
+    f"""
+    SELECT label, CAST(r.i AS BIGINT) AS dim,
+           ROUND(CAST(SUM(CAST(ROUND(embedding[CAST(r.i + 1 AS INT)], 6)
+                              AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+               AS centroid
+    FROM embeddings CROSS JOIN range({_DIM}) r(i)
+    GROUP BY label, r.i
+    """,
+)
+def q66(spark, sf):
+    """Per-label centroid (elementwise mean embedding) — the class-prototype /
+    KMeans-update aggregation. One pass, one {_DIM}-column partial agg per
+    group (decimal sums, order-independent): the shuffle carries
+    n_labels x {_DIM} accumulators, NOT n_rows x dim exploded rows — at 100 TB
+    the posexplode formulation would shuffle 64x the table; this shuffles KB."""
+    e = load_table(spark, sf, "embeddings")
+    sums = e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        *[dsum(F.col("embedding")[i]).alias(f"s{i}") for i in range(_DIM)],
+    )
+    means = F.array(*[F.round(F.col(f"s{i}") / F.col("n"), 6) for i in range(_DIM)])
+    return sums.select(
+        "label", F.posexplode(means).alias("dim", "centroid")
+    ).select("label", F.col("dim").cast("bigint").alias("dim"), "centroid")
+
+
+@query(
+    "q67_user_moving_avg",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+    FROM events
+    """,
+)
+def q67(spark, sf):
+    """Trailing moving average (4-event frame) per user: the smoothing window
+    behind rate/engagement time series. One shuffle on user_id, then
+    per-partition sorted streaming frames; deterministic (ts, event_id)
+    order makes the 4-element IEEE sum identical on both engines."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mov_avg")
+    )
+
+
+@query(
+    "q68_zscore_outliers",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS ss
+        FROM events GROUP BY event_type
+    ),
+    z AS (
+        SELECT e.event_type, e.value, s.s / s.n AS mean,
+               sqrt((s.ss - s.s * s.s / s.n) / (s.n - 1)) AS std
+        FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE abs((value - mean) / std) > 2.0)
+                AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_total,
+           ROUND(COUNT(*) FILTER (WHERE abs((value - mean) / std) > 2.0)
+                 * 1.0 / COUNT(*), 6) AS outlier_rate
+    FROM z GROUP BY event_type
+    """,
+)
+def q68(spark, sf):
+    """Z-score outlier rates per event type. Moments (n, sum, sum-of-squares)
+    come from one exact decimal-sum pass — associativity-proof, unlike
+    stddev_samp's float partials — then mean/std derive identically on both
+    engines. Stats frame is tiny -> broadcast back onto the fact scan: two
+    scans, zero wide shuffles beyond the 5-group agg."""
+    e = load_table(spark, sf, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("s"),
+        dsum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    z = e.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        (
+            F.abs(
+                (F.col("value") - F.col("s") / F.col("n"))
+                / F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+            )
+            > 2.0
+        ).alias("is_outlier"),
+    )
+    return z.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        F.count("*").alias("n_total"),
+        F.round(
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("outlier_rate"),
+    )
+
+
+@query(
+    "q69_funnel_full_outer",
+    """
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS n_clicks FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, COUNT(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    f AS (
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(c.n_clicks, 0) AS n_clicks,
+               COALESCE(p.n_purchases, 0) AS n_purchases
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    )
+    SELECT CASE WHEN n_clicks > 0 AND n_purchases > 0 THEN 'both'
+                WHEN n_clicks > 0 THEN 'click_only'
+                ELSE 'purchase_only' END AS segment,
+           COUNT(*) AS n_users,
+           SUM(n_clicks) AS total_clicks,
+           SUM(n_purchases) AS total_purchases
+    FROM f GROUP BY 1
+    """,
+)
+def q69(spark, sf):
+    """Funnel reconciliation via FULL OUTER join of two per-user aggregates
+    (clicks vs purchases) — the classic activity-overlap segmentation. Both
+    sides pre-aggregate before the join, so the full-outer shuffle carries
+    one row per user, not per event; same-key (user_id) partitioning is
+    reused across agg and join (one exchange, AQE-coalesced)."""
+    e = load_table(spark, sf, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id").agg(F.count("*").alias("n_clicks"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.count("*").alias("n_purchases"))
+    )
+    f = (
+        c.join(p, "user_id", "full_outer")
+        .select(
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+        )
+    )
+    seg = (
+        F.when((F.col("n_clicks") > 0) & (F.col("n_purchases") > 0), "both")
+        .when(F.col("n_clicks") > 0, "click_only")
+        .otherwise("purchase_only")
+    )
+    return f.groupBy(seg.alias("segment")).agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_clicks").alias("total_clicks"),
+        F.sum("n_purchases").alias("total_purchases"),
+    )
+
+
+def _corr_sql(x: str, y: str, name: str) -> str:
+    return f"""
+        SELECT '{name}' AS pair,
+               ROUND((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                   AS corr
+        FROM (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND({x}, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ROUND({y}, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(ROUND({x} * {y}, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(ROUND({x} * {x}, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(ROUND({y} * {y}, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+            FROM lineitem
+        )
+    """
+
+
+@query(
+    "q70_column_correlations",
+    " UNION ALL ".join(
+        [
+            _corr_sql("l_quantity", "l_extendedprice", "qty_price"),
+            _corr_sql("l_extendedprice", "l_discount", "price_discount"),
+            _corr_sql("l_quantity", "l_tax", "qty_tax"),
+        ]
+    ),
+)
+def q70(spark, sf):
+    """Pearson correlation matrix from exact moments: one scan computes all
+    five decimal sums per pair (single multi-aggregate pass — Spark's corr()
+    uses float partials whose order shifts results; moments are
+    associativity-proof). 3 pairs derive from ONE 1-row aggregate, then a
+    driver-side literal union — no second scan."""
+    li = load_table(spark, sf, "lineitem")
+
+    def moments(x, y):
+        return [
+            dsum(F.col(x)).alias(f"sx_{x}_{y}"),
+            dsum(F.col(y)).alias(f"sy_{x}_{y}"),
+            dsum(F.col(x) * F.col(y), 6).alias(f"sxy_{x}_{y}"),
+            dsum(F.col(x) * F.col(x), 6).alias(f"sxx_{x}_{y}"),
+            dsum(F.col(y) * F.col(y), 6).alias(f"syy_{x}_{y}"),
+        ]
+
+    pairs = [
+        ("l_quantity", "l_extendedprice", "qty_price"),
+        ("l_extendedprice", "l_discount", "price_discount"),
+        ("l_quantity", "l_tax", "qty_tax"),
+    ]
+    aggs = [F.count("*").alias("n")]
+    for x, y, _ in pairs:
+        aggs += moments(x, y)
+    m = li.agg(*aggs)
+
+    def corr_col(x, y, name):
+        n = F.col("n")
+        sx, sy = F.col(f"sx_{x}_{y}"), F.col(f"sy_{x}_{y}")
+        sxy, sxx, syy = (
+            F.col(f"sxy_{x}_{y}"), F.col(f"sxx_{x}_{y}"), F.col(f"syy_{x}_{y}")
+        )
+        return F.struct(
+            F.lit(name).alias("pair"),
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("corr"),
+        )
+
+    rows = F.array(*[corr_col(x, y, nm) for x, y, nm in pairs])
+    return m.select(F.explode(rows).alias("r")).select("r.pair", "r.corr")
+
+
+@query(
+    "q71_weekday_hour_profile",
+    """
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q71(spark, sf):
+    """Weekday x hour activity heatmap: calendar-function extraction
+    (ISO weekday parity between engines: Spark weekday()+1 == DuckDB isodow)
+    feeding a tiny 7x24-group agg — pure map-side combine, the shuffle
+    carries at most 168 rows per partition."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            (F.expr("weekday(ts)") + 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
+    )
