@@ -2412,3 +2412,132 @@ def q71(spark, sf):
         )
         .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
     )
+
+
+@query(
+    "q72_rank_function_suite",
+    """
+    SELECT user_id,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           ROUND(percent_rank() OVER w, 6) AS prnk,
+           ROUND(cume_dist() OVER w, 6) AS cdist,
+           lead(event_id) OVER w AS next_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+)
+def q72(spark, sf):
+    """Full ranking-function suite (rank / dense_rank / percent_rank /
+    cume_dist / lead) in ONE window spec — one shuffle on user_id, one
+    per-partition sort serves all five functions; deterministic
+    (value DESC, event_id) ordering."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return e.select(
+        "user_id",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@query(
+    "q73_levenshtein_neardup",
+    """
+    WITH k AS (
+        SELECT doc_id, lang, CAST(n_chars / 200 AS BIGINT) AS size_bucket,
+               substr(text, 1, 40) AS head
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM k a JOIN k b
+      ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 12
+    """,
+)
+def q73(spark, sf):
+    """Edit-distance near-dup candidates with blocking: the O(n^2) distance
+    join is confined to (lang, size-bucket) blocks — an equi-join, NOT a
+    cross join — so at 100 TB each shuffle bucket holds one block's worth
+    of rows and the quadratic term is bounded per block. levenshtein() is
+    JVM whole-stage-codegen on both engines."""
+    d = load_table(spark, sf, "documents")
+    k = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 200).cast("bigint").alias("size_bucket"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.size_bucket") == F.col("b.size_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("a.head"), F.col("b.head")).cast("bigint"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "edit_dist",
+        )
+    )
+
+
+@query(
+    "q74_time_spine_gapfill",
+    """
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        FROM bounds
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT s.hour_ts, COALESCE(a.n, 0) AS n_events,
+           (a.n IS NULL) AS is_gap
+    FROM spine s LEFT JOIN agg a ON s.hour_ts = a.hour_ts
+    """,
+)
+def q74(spark, sf):
+    """Dense hourly time spine with gap filling: sequence() generates the
+    spine from the global min/max (1-row agg), left-joins the hourly
+    pre-aggregate, and flags empty hours. Both join sides are hour-count
+    sized (the event side is already reduced by its group-by), so the
+    pre-agg is broadcast — the only wide shuffle is the hourly agg itself."""
+    e = load_table(spark, sf, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    agg = e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        spine.join(F.broadcast(agg), "hour_ts", "left")
+        .select(
+            "hour_ts",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
