@@ -2541,3 +2541,66 @@ def q74(spark, sf):
             F.col("n").isNull().alias("is_gap"),
         )
     )
+
+
+def _pagerank_sql(iterations: int = 5, scale: int = 9) -> str:
+    """Unrolled fixed-iteration PageRank: no recursive aggregation needed —
+    each iteration is a plain (ranks ⋈ edges) group-by CTE, mirroring
+    operators/graph.py::pagerank's decimal-sum determinism contract."""
+    step = (
+        "pr{k} AS (\n"
+        "        SELECT e.dst AS id,\n"
+        "               ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)\n"
+        "                     + CAST(0.85 AS DOUBLE) * CAST(SUM(CAST(\n"
+        "                         ROUND(p.rank / d.deg, {s}) AS DECIMAL(28,{s})))\n"
+        "                       AS DOUBLE), {s}) AS rank\n"
+        "        FROM pr{j} p JOIN deg d ON p.id = d.id\n"
+        "        JOIN edges e ON e.src = p.id\n"
+        "        GROUP BY e.dst\n"
+        "    )"
+    )
+    steps = ",\n    ".join(
+        step.format(k=i + 1, j=i, s=scale) for i in range(iterations)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED ({_MH_CAND_SQL}),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE est_jaccard >= 0.5
+    ),
+    deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    pr0 AS (
+        SELECT id, ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), {scale}) AS rank
+        FROM deg
+    ),
+    {steps}
+    SELECT id AS doc_id, ROUND(rank, 6) AS pagerank FROM pr{iterations}
+    """
+
+
+@query("q75_pagerank_neardup_graph", _pagerank_sql(5))
+def q75(spark, sf):
+    """PageRank (5 iterations, damping 0.85) over the symmetrized MinHash-
+    LSH near-dup graph: ranks the most-connected member of each duplicate
+    cluster. Iterative driver loop; per-iteration determinism via round-9 +
+    decimal sums lets a non-recursive unrolled-CTE oracle reproduce it
+    exactly. Edges are cached and hash-partitioned once; only the
+    nodes-sized rank table moves each iteration."""
+    from ocr_vector_db_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id"
+    ).filter(F.col("est_jaccard") >= 0.5)
+    # materialize the LSH pipeline once: both union branches and every
+    # pagerank iteration read the tiny pair list, not the shingle join
+    pairs = pairs.localCheckpoint(eager=False)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    pr = pagerank(edges, iterations=5)
+    return pr.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("pagerank")
+    )

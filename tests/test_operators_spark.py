@@ -149,3 +149,29 @@ def test_connected_components_chain_and_clique(spark):
     )
     comp = {r.id: r.comp for r in connected_components(edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_pagerank_triangle_uniform(spark):
+    """On a regular (triangle) graph PageRank is exactly uniform."""
+    from ocr_vector_db_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]],
+        "src bigint, dst bigint",
+    )
+    got = {r.id: r.rank for r in pagerank(edges, iterations=4, cache=False).collect()}
+    assert set(got) == {1, 2, 3}
+    for v in got.values():
+        assert abs(v - 1 / 3) < 1e-6
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Star graph: the hub accumulates rank mass; ranks sum to ~1."""
+    from ocr_vector_db_spark.operators.graph import pagerank
+
+    leaves = [2, 3, 4, 5]
+    e = [(1, x) for x in leaves] + [(x, 1) for x in leaves]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    got = {r.id: r.rank for r in pagerank(edges, iterations=6, cache=False).collect()}
+    assert got[1] > max(got[x] for x in leaves)
+    assert abs(sum(got.values()) - 1.0) < 1e-3
