@@ -2604,3 +2604,60 @@ def q75(spark, sf):
     return pr.select(
         F.col("id").alias("doc_id"), F.round("rank", 6).alias("pagerank")
     )
+
+
+def _zorder_sql() -> str:
+    from ocr_vector_db_spark.operators.layout import bucketize_expr, morton_expr
+
+    xb = bucketize_expr(
+        "l_quantity",
+        "(SELECT MIN(l_quantity) FROM lineitem)",
+        "(SELECT MAX(l_quantity) FROM lineitem)",
+    )
+    yb = bucketize_expr(
+        "l_extendedprice",
+        "(SELECT MIN(l_extendedprice) FROM lineitem)",
+        "(SELECT MAX(l_extendedprice) FROM lineitem)",
+    )
+    z = morton_expr(xb, yb)
+    return f"""
+    WITH keyed AS (SELECT l_quantity, l_extendedprice, {z} AS z_key FROM lineitem)
+    SELECT CAST(FLOOR(z_key / 4096.0) AS BIGINT) AS z_tile,
+           COUNT(*) AS n,
+           ROUND(MIN(l_quantity), 6) AS min_qty, ROUND(MAX(l_quantity), 6) AS max_qty,
+           ROUND(MIN(l_extendedprice), 6) AS min_price,
+           ROUND(MAX(l_extendedprice), 6) AS max_price
+    FROM keyed GROUP BY 1
+    """
+
+
+@query("q76_zorder_tiles", _zorder_sql())
+def q76(spark, sf):
+    """Z-order (Morton) layout keys over (l_quantity, l_extendedprice),
+    aggregated per 4096-key tile: each tile's min/max spans a narrow window
+    of BOTH columns — the file-statistics pruning this layout buys at 100 TB
+    (write path: operators/layout.py::write_zordered, range-partitioned +
+    sorted by z_key). Key arithmetic is the same shifts/ands expression
+    string Spark and DuckDB both compile."""
+    from ocr_vector_db_spark.operators.layout import zorder_key
+
+    li = load_table(spark, sf, "lineitem")
+    r = li.agg(
+        F.min("l_quantity"), F.max("l_quantity"),
+        F.min("l_extendedprice"), F.max("l_extendedprice"),
+    ).head()
+    bounds = {
+        "l_quantity": (float(r[0]), float(r[1])),
+        "l_extendedprice": (float(r[2]), float(r[3])),
+    }
+    keyed = zorder_key(li, "l_quantity", "l_extendedprice", bounds=bounds)
+    return (
+        keyed.groupBy(F.floor(F.col("z_key") / 4096.0).cast("bigint").alias("z_tile"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_quantity"), 6).alias("min_qty"),
+            F.round(F.max("l_quantity"), 6).alias("max_qty"),
+            F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        )
+    )
