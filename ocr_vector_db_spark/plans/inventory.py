@@ -2661,3 +2661,101 @@ def q76(spark, sf):
             F.round(F.max("l_extendedprice"), 6).alias("max_price"),
         )
     )
+
+
+@query(
+    "q77_grouping_sets",
+    """
+    SELECT event_type,
+           CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(GROUPING(event_type, isodow(ts)) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, isodow(ts)), (event_type), (isodow(ts)), ())
+    """,
+)
+def q77(spark, sf):
+    """Explicit GROUPING SETS (finer than q40's rollup / q48's cube): four
+    simultaneous granularities in ONE pass — Spark expands the sets during
+    partial aggregation, so the scan happens once and the shuffle carries
+    per-set group partials; grouping_id disambiguates the NULL-keyed
+    subtotal rows exactly as GROUPING() does in the oracle."""
+    e = load_table(spark, sf, "events").select(
+        "event_type",
+        (F.expr("weekday(ts)") + 1).cast("bigint").alias("dow"),
+        "value",
+    )
+    return (
+        e.groupingSets(
+            [["event_type", "dow"], ["event_type"], ["dow"], []],
+            "event_type",
+            "dow",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select("event_type", "dow", "gid", "n", "total_value")
+    )
+
+
+@query(
+    "q78_from_json_struct",
+    """
+    SELECT CAST(FLOOR(CAST(props->>'$.k' AS INTEGER) / 10.0) AS BIGINT) AS k_bucket,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_value
+    FROM events
+    WHERE CAST(props->>'$.k' AS INTEGER) >= 20
+    GROUP BY 1
+    """,
+)
+def q78(spark, sf):
+    """Schema-projected JSON parse: from_json with an explicit struct schema
+    (vs q31's per-path get_json_object) — one parse materializes every
+    needed field, the struct is pruned by Catalyst (OptimizeJsonExprs
+    collapses unused fields), and the nested value feeds filter + bucket +
+    agg entirely in codegen."""
+    e = load_table(spark, sf, "events")
+    parsed = e.select(
+        F.from_json("props", "k INT").alias("p"), "value"
+    ).filter(F.col("p.k") >= 20)
+    return (
+        parsed.groupBy(
+            F.floor(F.col("p.k") / 10.0).cast("bigint").alias("k_bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(dsum(F.col("value")) / F.count("*"), 6).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "q79_array_hof_suite",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0.1)) AS BIGINT)
+               AS n_above,
+           ROUND(list_max(embedding::DOUBLE[]), 6) AS max_val,
+           ROUND(list_min(embedding::DOUBLE[]), 6) AS min_val,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+)
+def q79(spark, sf):
+    """Array higher-order-function suite over the embedding column: filter
+    (predicate HOF), array_max/min, size — all JVM codegen expressions, the
+    per-element work never leaves the scan stage (the pattern the vector
+    functions build on: functions/vector.py)."""
+    e = load_table(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0.1)).cast("bigint").alias("n_above"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )

@@ -107,6 +107,17 @@ def test_plan_shapes(tables, spark):
     assert "BroadcastHashJoin" in plan_of("q09_cascade_delete_anti_join")
     # pushdown reaches the scan
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan_of("q02_filter_pushdown_revenue")
+    # vocabulary scan: map-side partial agg before the exchange (the
+    # occurrence->vocab reduction happens pre-shuffle), top-k stays heap-based
+    p65 = plan_of("q65_token_zipf_topk")
+    assert "partial_count" in p65 and "TakeOrderedAndProject" in p65
+    # centroid agg: ONE exchange (the 64-column sum agg), no posexplode fanout
+    p66 = plan_of("q66_label_centroids")
+    assert p66.count("Exchange") == 1 and "Generate" in p66  # posexplode AFTER agg
+    # gap-fill joins the hourly pre-agg broadcast — the spine never shuffles
+    assert "BroadcastHashJoin" in plan_of("q74_time_spine_gapfill")
+    # grouping sets expand within one aggregate pipeline: a single scan
+    assert plan_of("q77_grouping_sets").count("Scan parquet") == 1
 
 
 def test_no_accidental_cartesian_products(tables, spark):
