@@ -39,6 +39,10 @@ HEADLINE = [
     "q47_stats_percentiles",
     "q49_shipping_priority",
     "q50_regional_supplier_volume",
+    "q65_token_zipf_topk",
+    "q66_label_centroids",
+    "q76_zorder_tiles",
+    "q80_interval_range_window",
 ]
 
 

@@ -2759,3 +2759,64 @@ def q79(spark, sf):
         F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
         F.size("embedding").cast("bigint").alias("dim"),
     )
+
+
+@query(
+    "q80_interval_range_window",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS events_last_hour
+    FROM events
+    """,
+)
+def q80(spark, sf):
+    """Time-interval RANGE window: per event, how many events the same user
+    fired in the trailing hour — the rate-limit / burst-detection primitive.
+    RANGE frames bound by VALUE (epoch seconds), not row count, so ties and
+    gaps are handled exactly; one shuffle on user_id, then sorted streaming
+    with a sliding frame pointer (O(n) per partition, no per-row rescan)."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("events_last_hour"),
+    )
+
+
+@query(
+    "q81_ordered_string_agg",
+    """
+    SELECT lang,
+           string_agg(source, ',' ORDER BY doc_id) AS sources,
+           COUNT(*) AS n
+    FROM (
+        SELECT lang, doc_id, source,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 5
+    GROUP BY lang
+    """,
+)
+def q81(spark, sf):
+    """Deterministic ordered string aggregation (string_agg ... ORDER BY):
+    top-5 doc sources per language concatenated in id order. Spark composes
+    it from collect_list(struct) + array_sort + transform + concat_ws — the
+    collect stays bounded (5 rows/group) because the window filter runs
+    FIRST; an unbounded listagg over a hot group is the thing to avoid at
+    scale."""
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    top = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    pairs = F.array_sort(F.collect_list(F.struct("doc_id", "source")))
+    return top.groupBy("lang").agg(
+        F.concat_ws(",", F.transform(pairs, lambda x: x.source)).alias("sources"),
+        F.count("*").alias("n"),
+    )
