@@ -2820,3 +2820,59 @@ def q81(spark, sf):
         F.concat_ws(",", F.transform(pairs, lambda x: x.source)).alias("sources"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q82_unigram_cross_entropy",
+    r"""
+    WITH tk AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    vocab AS MATERIALIZED (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM tk),
+    scored AS (
+        SELECT t.doc_id,
+               ROUND(-ln(CAST(v.cnt AS DOUBLE) / n.n), 6) AS nlp
+        FROM tk t JOIN vocab v USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q82(spark, sf):
+    """Unigram cross-entropy per document (CCNet-style perplexity filter):
+    fit the corpus unigram LM in one token agg, broadcast the vocabulary
+    (Heaps'-law sized) back onto the token stream, and average -ln p(tok)
+    per doc. Low entropy ≈ boilerplate/repetition, high ≈ noise — the
+    standard mid-band keep rule for training data. Two shuffles total
+    (vocab agg, per-doc agg); the LM join is broadcast, the token stream is
+    never re-shuffled."""
+    d = load_table(spark, sf, "documents")
+    tk = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    vocab = tk.groupBy("tok").agg(F.count("*").alias("cnt")).cache()
+    # total tokens from the (vocab-sized, cached) counts — avoids a second
+    # full tokenization pass over the corpus just for the scalar
+    n = vocab.agg(F.sum("cnt")).head()[0]
+    scored = tk.join(F.broadcast(vocab), "tok").select(
+        "doc_id",
+        F.round(-F.log(F.col("cnt").cast("double") / F.lit(n)), 6).alias("nlp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("nlp").cast("decimal(28,6)")).cast("double") / F.count("*"),
+            6,
+        ).alias("avg_neg_logprob"),
+    )
