@@ -2876,3 +2876,82 @@ def q82(spark, sf):
             6,
         ).alias("avg_neg_logprob"),
     )
+
+
+@query(
+    "q83_scd2_versioning",
+    """
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL) AS is_current
+    FROM events
+    """,
+)
+def q83(spark, sf):
+    """Slowly-changing-dimension (type 2) versioning: each user's event
+    stream becomes contiguous validity intervals — valid_from = change ts,
+    valid_to = next change (NULL ⇒ current row). One shuffle on the entity
+    key, then lead() over the sorted partition; the as-of join (q41) is the
+    read-side companion for point-in-time lookups against this shape."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q84_readability_stats",
+    r"""
+    WITH s AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '[.!?]+'),
+                               x -> trim(x) <> '')) AS n_sentences,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '')) AS n_words,
+               length(replace(text, ' ', '')) AS n_nonspace_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(CASE WHEN n_sentences > 0
+                      THEN CAST(n_words AS DOUBLE) / n_sentences END, 6)
+               AS words_per_sentence,
+           ROUND(CASE WHEN n_words > 0
+                      THEN CAST(n_nonspace_chars AS DOUBLE) / n_words END, 6)
+               AS chars_per_word
+    FROM s
+    """,
+)
+def q84(spark, sf):
+    """Readability / surface statistics per document (sentence length, word
+    length) — the cheap quality signals next to q24's composite score. Pure
+    per-row string expressions: map-only, zero shuffles, whole-stage
+    codegen; the CASE guards keep ANSI division safe on degenerate docs."""
+    d = load_table(spark, sf, "documents")
+    n_sent = F.size(
+        F.filter(
+            F.split("text", r"[.!?]+"), lambda x: F.trim(x) != ""
+        )
+    )
+    n_words = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    n_chars = F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(
+            F.when(n_sent > 0, n_words.cast("double") / n_sent), 6
+        ).alias("words_per_sentence"),
+        F.round(
+            F.when(n_words > 0, n_chars.cast("double") / n_words), 6
+        ).alias("chars_per_word"),
+    )
