@@ -2955,3 +2955,75 @@ def q84(spark, sf):
             F.when(n_words > 0, n_chars.cast("double") / n_words), 6
         ).alias("chars_per_word"),
     )
+
+
+@query(
+    "q85_temperature_source_remix",
+    """
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n FROM counts),
+    weighted AS (
+        SELECT source, n, total_n,
+               ROUND(POW(CAST(n AS DOUBLE) / total_n, 0.7), 6) AS w
+        FROM counts CROSS JOIN tot
+    ),
+    z AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS Z FROM weighted),
+    rates AS (
+        SELECT source, n,
+               ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                           CAST(0.5 AS DOUBLE) * total_n * w / Z / n), 6) AS rate
+        FROM weighted CROSS JOIN z
+    ),
+    kept AS (
+        SELECT d.source
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              / CAST(4294967296.0 AS DOUBLE) < r.rate
+    )
+    SELECT r.source, r.n AS n_orig, k.n_kept, r.rate
+    FROM rates r JOIN (SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source) k
+      ON r.source = k.source
+    """,
+)
+def q85(spark, sf):
+    """Temperature-based source re-mixing (alpha=0.7, half-corpus budget):
+    the training-mix construction step — up-weight tail sources, cap head
+    sources, then keep rows by a DETERMINISTIC md5-uniform draw against each
+    source's rate (a pure function of the row key: stable across engines,
+    re-runs, repartitions — q57's split-integrity property, with data-driven
+    rates). Rate computation touches only the source dimension (tiny);
+    the corpus pays one broadcast join + map-side filter, no shuffle."""
+    d = load_table(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total_n"))
+    weighted = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "w", F.round(F.pow(F.col("n").cast("double") / F.col("total_n"), 0.7), 6)
+    )
+    z = weighted.agg(
+        F.sum(F.col("w").cast("decimal(28,6)")).cast("double").alias("Z")
+    )
+    rates = weighted.crossJoin(F.broadcast(z)).withColumn(
+        "rate",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5) * F.col("total_n") * F.col("w") / F.col("Z") / F.col("n"),
+            ),
+            6,
+        ),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0)
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(u < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.select("source", F.col("n").alias("n_orig"), "rate")
+        .join(kept, "source")
+        .select("source", "n_orig", "n_kept", "rate")
+    )
