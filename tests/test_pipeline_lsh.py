@@ -133,8 +133,9 @@ def test_no_accidental_cartesian_products(tables, spark):
     skip_prefixes = (
         "q33", "q34", "q35", "q36", "q37", "q38", "q46", "q53",
     )
-    # intentionally pairwise within a bounded block (documented O(block²)):
-    allow_nested_loop = ("q16", "q17", "q22", "q55")
+    # intentionally pairwise within a bounded block (documented O(block²)),
+    # or scalar cross joins of 1-row aggregates (q85's total/Z broadcasts):
+    allow_nested_loop = ("q16", "q17", "q22", "q55", "q85")
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(skip_prefixes):
             continue
