@@ -821,7 +821,7 @@ def q28(spark, sf):
 @query(
     "q29_tumbling_window_agg",
     f"""
-    SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
+    SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS window_start_us, event_type,
            COUNT(*) AS n_events, {_sql_dsum('value')} AS total_value
     FROM events
     GROUP BY 1, 2
@@ -830,11 +830,14 @@ def q28(spark, sf):
 def q29(spark, sf):
     """Tumbling-window aggregation (batch twin of the Structured Streaming
     windowed agg; same plan shape at 100 TB: partial agg → shuffle on
-    (window, type) → final)."""
+    (window, type) → final). Output timestamps are epoch-microsecond
+    bigints — the inventory-wide canonical form (raw timestamp columns hash
+    differently across engines on nanos-precision sources)."""
     e = load_table(spark, sf, "events")
     return (
         e.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("window_start"), F.col("event_type")
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("window_start_us"),
+            F.col("event_type"),
         )
         .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
     )
@@ -858,7 +861,8 @@ def q29(spark, sf):
         FROM marked
     )
     SELECT user_id, session_seq, COUNT(*) AS n_events,
-           MIN(ts) AS session_start, MAX(ts) AS session_end
+           epoch_us(MIN(ts)::TIMESTAMP) AS session_start_us,
+           epoch_us(MAX(ts)::TIMESTAMP) AS session_end_us
     FROM sessions GROUP BY user_id, session_seq
     """,
 )
@@ -876,8 +880,8 @@ def q30(spark, sf):
     sess = marked.withColumn("session_seq", F.sum("is_new").over(wcum))
     return sess.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
     )
 
 
@@ -1073,8 +1077,8 @@ def q35(spark, sf):
     "q36_streaming_windowed_agg",
     """
     WITH sub AS (SELECT * FROM events ORDER BY event_id LIMIT 500)
-    SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
-           date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR AS window_end,
+    SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS window_start_us,
+           epoch_us(date_trunc('hour', ts::TIMESTAMP) + INTERVAL 1 HOUR) AS window_end_us,
            event_type, COUNT(*) AS n_events,
            ROUND(CAST(SUM(CAST(ROUND(value,6) AS DECIMAL(28,6))) AS DOUBLE), 4) AS total_value
     FROM sub GROUP BY 1, 2, 3
@@ -1099,7 +1103,12 @@ def q36(spark, sf):
                 "event_type": r.event_type, "value": r.value, "props": r.props,
             }) + "\n")
     stream = read_events_stream(spark, tmp)
-    return run_to_memory(windowed_event_counts(stream), "q36_win_agg")
+    out = run_to_memory(windowed_event_counts(stream), "q36_win_agg")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "event_type", "n_events", "total_value",
+    )
 
 
 @query(
@@ -1120,19 +1129,23 @@ def q36(spark, sf):
                 THEN CAST(64 + ((strpos('0123456789abcdef', h[3]) - 1) * 16 + (strpos('0123456789abcdef', h[4]) - 1)) * 4 AS INTEGER) END AS height,
            CASE WHEN kind IN ('audio','video')
                 THEN ROUND(((strpos('0123456789abcdef', h[5]) - 1) * 16 + (strpos('0123456789abcdef', h[6]) - 1)) / 8.0, 3) END AS duration_s,
-           list_transform(range(0, 16), i ->
-               ((strpos('0123456789abcdef', h[CAST(2 * (i % 16) + 1 AS INTEGER)]) - 1) * 16
-                + (strpos('0123456789abcdef', h[CAST(2 * (i % 16) + 2 AS INTEGER)]) - 1)) / 255.0 * 2 - 1
-           ) AS feature
+           array_to_string(list_transform(range(0, 16), i ->
+               CAST(FLOOR((((strpos('0123456789abcdef', h[CAST(2 * (i % 16) + 1 AS INTEGER)]) - 1) * 16
+                + (strpos('0123456789abcdef', h[CAST(2 * (i % 16) + 2 AS INTEGER)]) - 1)) / 255.0 * 2 - 1)
+                * 1000000 + 0.5) AS BIGINT)::VARCHAR
+           ), ',') AS feature_str
     FROM assets
     """,
 )
 def q37(spark, sf):
     """Multimodal binary columns: Arrow-batched decode/feature-extract over
-    opaque payloads (decode stubbed deterministically; plumbing real)."""
-    from pyspark.sql import types as T2
-
-    from ocr_vector_db_spark.sources.multimodal import ASSET_SCHEMA, extract_features
+    opaque payloads (decode stubbed deterministically; plumbing real).
+    The feature vector is serialized to a scaled-integer CSV string — array
+    columns are unhashable in external canonicalizers, so the inventory
+    contract is scalar output columns only. floor(x*1e6 + 0.5) rounds
+    half-up identically on both engines (both evaluate the same IEEE
+    doubles; CAST-vs-truncate divergence avoided by flooring first)."""
+    from ocr_vector_db_spark.sources.multimodal import extract_features
 
     docs = load_table(spark, sf, "documents").orderBy("doc_id").limit(50)
     assets = docs.select(
@@ -1142,9 +1155,18 @@ def q37(spark, sf):
         F.encode("text", "UTF-8").alias("data"),
         F.create_map(F.lit("source"), F.col("source")).alias("metadata"),
     )
-    assets = spark.createDataFrame(assets.collect(), ASSET_SCHEMA)
-    _ = T2
-    return extract_features(assets)
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id", "kind", "n_bytes", "content_hash", "width", "height",
+        "duration_s",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: F.floor(x * 1000000 + F.lit(0.5)).cast("string"),
+            ),
+        ).alias("feature_str"),
+    )
 
 
 @query("q38_golden_eval")
@@ -1244,7 +1266,8 @@ def q40(spark, sf):
         SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
     )
     SELECT p.event_id, p.user_id, ROUND(p.value, 4) AS value,
-           s.signup_id AS last_signup_id, s.ts AS last_signup_ts
+           s.signup_id AS last_signup_id,
+           epoch_us(s.ts::TIMESTAMP) AS last_signup_ts_us
     FROM purchases p
     ASOF LEFT JOIN signups s
       ON p.user_id = s.user_id AND p.ts >= s.ts
@@ -1286,7 +1309,7 @@ def q41(spark, sf):
     return filled.filter(F.col("__is_left") == 1).select(
         "event_id", "user_id", F.round("value", 4).alias("value"),
         F.col("__last_signup.signup_id").alias("last_signup_id"),
-        F.col("__last_signup.ts").alias("last_signup_ts"),
+        F.unix_micros(F.col("__last_signup.ts")).alias("last_signup_ts_us"),
     )
 
 
@@ -1975,7 +1998,7 @@ def q48(spark, sf):
     f"""
     SELECT l.l_orderkey,
            {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
-           o.o_orderdate, o.o_orderpriority
+           epoch_us(o.o_orderdate::TIMESTAMP) AS o_orderdate_us, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2001,7 +2024,11 @@ def q49(spark, sf):
         .join(sel_l, sel_l["l_orderkey"] == sel_o["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "l_orderkey", "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -2509,7 +2536,7 @@ def q73(spark, sf):
         SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n
         FROM events GROUP BY 1
     )
-    SELECT s.hour_ts, COALESCE(a.n, 0) AS n_events,
+    SELECT epoch_us(s.hour_ts::TIMESTAMP) AS hour_ts_us, COALESCE(a.n, 0) AS n_events,
            (a.n IS NULL) AS is_gap
     FROM spine s LEFT JOIN agg a ON s.hour_ts = a.hour_ts
     """,
@@ -2536,7 +2563,7 @@ def q74(spark, sf):
     return (
         spine.join(F.broadcast(agg), "hour_ts", "left")
         .select(
-            "hour_ts",
+            F.unix_micros("hour_ts").alias("hour_ts_us"),
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
             F.col("n").isNull().alias("is_gap"),
         )
@@ -2881,9 +2908,10 @@ def q82(spark, sf):
 @query(
     "q83_scd2_versioning",
     """
-    SELECT user_id, event_type AS state, ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS valid_to,
+    SELECT user_id, event_type AS state,
+           epoch_us(ts::TIMESTAMP) AS valid_from_us,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               ::TIMESTAMP) AS valid_to_us,
            (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                IS NULL) AS is_current
     FROM events
@@ -2901,8 +2929,8 @@ def q83(spark, sf):
     return e.select(
         "user_id",
         F.col("event_type").alias("state"),
-        F.col("ts").alias("valid_from"),
-        nxt.alias("valid_to"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
 

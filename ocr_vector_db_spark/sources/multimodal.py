@@ -60,17 +60,17 @@ def extract_features(assets: DataFrame, decode=_fake_decode) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r["data"])
-                d = decode(r["kind"], data)
-                rows.append({
-                    "asset_id": r["asset_id"],
-                    "kind": r["kind"],
+            payloads = [bytes(d) for d in pdf["data"]]
+            rows = [
+                {
+                    "asset_id": aid,
+                    "kind": kind,
                     "n_bytes": len(data),
                     "content_hash": hashlib.md5(data).hexdigest(),
-                    **d,
-                })
+                    **decode(kind, data),
+                }
+                for aid, kind, data in zip(pdf["asset_id"], pdf["kind"], payloads)
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return assets.mapInPandas(run, FEATURE_SCHEMA)

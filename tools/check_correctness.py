@@ -69,6 +69,17 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from pyspark.sql import types as T
+
+    # Types the driver's pandas canonicalizer cannot hash/sort (arrays) or
+    # hashes at a different precision than DuckDB (nanos-vs-micros
+    # timestamps). Inventory contract: scalar outputs only — encode
+    # timestamps as epoch-us bigints and vectors as strings.
+    BANNED_TYPES = (
+        T.TimestampType, T.TimestampNTZType, T.ArrayType,
+        T.MapType, T.BinaryType, T.StructType,
+    )
+
     queries = entry.queries()
     oracles = entry.oracle_sql()
     names = only or list(queries)
@@ -78,6 +89,16 @@ def main():
         try:
             sdf = queries[name](spark, sf_dir)
             scols = sdf.columns
+            bad = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, BANNED_TYPES)
+            ]
+            if bad:
+                print(f"FAIL  {name}: non-canonical output columns {bad} "
+                      "(driver hashes raw values: emit epoch-us bigints / strings)")
+                failed += 1
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
