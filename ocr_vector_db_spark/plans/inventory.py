@@ -968,34 +968,49 @@ def q32(spark, sf):
 def q33(spark, sf):
     """IVF-style pruned KNN with label as the cluster id: centroid = exact
     per-dimension mean, probe the nprobe=2 nearest clusters, exact top-k
-    inside (the `ivfflat.probes` analogue, storage/schema.py:38-41)."""
+    inside (the `ivfflat.probes` analogue, storage/schema.py:38-41).
+
+    The centroid sub-plan is the q66-style wide aggregation: one 64-column
+    decimal-sum partial agg per label, so the shuffle carries
+    n_labels x 64 accumulators — NOT n_rows x 64 posexploded rows (64x
+    shuffle amplification at scale). The query vector is a local 64-float
+    list, so the dot product folds into the same projection — no per-dim
+    join at all. The wide sub-plan is generated as one SQL string: building
+    a 64-dim expression tree column-by-column costs hundreds of Py4J round
+    trips (~1.3s of driver latency per call); one parse of generated SQL is
+    ~10x cheaper and yields the identical plan."""
     import math
 
     e = load_table(spark, sf, "embeddings")
     qv = _query_vec(spark, sf, 0)
-    v = F.col("embedding").cast("array<double>")
-    comp = e.select("label", F.posexplode(v).alias("pos", "val"))
-    cent = comp.groupBy("label", "pos").agg(
-        (F.sum(F.round(F.col("val"), 12).cast("decimal(28,12)")).cast("double") / F.count("*")).alias("cval")
+    dim = len(qv)
+    e.createOrReplaceTempView("q33_embeddings")
+    sum_terms = ", ".join(
+        f"SUM(CAST(ROUND(CAST(embedding[{i}] AS DOUBLE), 12) AS DECIMAL(28,12)))"
+        f" AS s{i}"
+        for i in range(dim)
     )
-    qdf = F.broadcast(
-        e.sparkSession.createDataFrame([(i, float(x)) for i, x in enumerate(qv)], ["pos", "qval"])
+    cval_terms = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / n AS cv{i}" for i in range(dim)
     )
+    dot = " + ".join(f"cv{i} * {float(q)!r}" for i, q in enumerate(qv))
+    sq = " + ".join(f"cv{i} * cv{i}" for i in range(dim))
     qnorm = math.sqrt(sum(x * x for x in qv))
-    score = (
-        cent.join(qdf, "pos")
-        .groupBy("label")
-        .agg(
-            F.round(
-                F.sum(F.col("cval") * F.col("qval"))
-                / (F.sqrt(F.sum(F.col("cval") * F.col("cval"))) * F.lit(qnorm)),
-                6,
-            ).alias("centroid_sim")
+    probes = spark.sql(f"""
+        WITH sums AS (
+            SELECT label, COUNT(*) AS n, {sum_terms}
+            FROM q33_embeddings GROUP BY label
+        ),
+        cv AS (SELECT label, {cval_terms} FROM sums),
+        score AS (
+            SELECT label,
+                   ROUND(({dot}) / (SQRT({sq}) * {qnorm!r}), 6) AS centroid_sim
+            FROM cv
         )
-    )
+        SELECT label FROM score ORDER BY centroid_sim DESC, label LIMIT 2
+    """)
     # single fused plan: the nprobe selection joins in as a broadcast of the
     # 2-row probe table instead of a collect() round trip (one Spark job)
-    probes = score.orderBy(F.desc("centroid_sim"), "label").limit(2).select("label")
     pruned = e.join(F.broadcast(probes), "label")
     return knn.knn_brute_force(pruned, qv, 10).select("vec_id", "label", "similarity")
 
@@ -2191,14 +2206,28 @@ def q66(spark, sf):
     n_labels x {_DIM} accumulators, NOT n_rows x dim exploded rows — at 100 TB
     the posexplode formulation would shuffle 64x the table; this shuffles KB."""
     e = load_table(spark, sf, "embeddings")
-    sums = e.groupBy("label").agg(
-        F.count("*").alias("n"),
-        *[dsum(F.col("embedding")[i]).alias(f"s{i}") for i in range(_DIM)],
+    e.createOrReplaceTempView("q66_embeddings")
+    # Generated-SQL construction: a 64-dim expression tree built column by
+    # column costs hundreds of Py4J round trips (~1.3s driver latency); one
+    # parse of generated SQL yields the identical plan (see q33).
+    sum_terms = ", ".join(
+        f"SUM(CAST(ROUND(CAST(embedding[{i}] AS DOUBLE), 6) AS DECIMAL(28,6))) AS s{i}"
+        for i in range(_DIM)
     )
-    means = F.array(*[F.round(F.col(f"s{i}") / F.col("n"), 6) for i in range(_DIM)])
-    return sums.select(
-        "label", F.posexplode(means).alias("dim", "centroid")
-    ).select("label", F.col("dim").cast("bigint").alias("dim"), "centroid")
+    mean_terms = ", ".join(
+        f"ROUND(CAST(s{i} AS DOUBLE) / n, 6)" for i in range(_DIM)
+    )
+    # the posexplode here runs over n_labels pre-aggregated rows (KB-scale),
+    # not the input table — input rows never explode
+    return spark.sql(f"""
+        WITH sums AS (
+            SELECT label, COUNT(*) AS n, {sum_terms}
+            FROM q66_embeddings GROUP BY label
+        ),
+        m AS (SELECT label, posexplode(array({mean_terms})) AS (dim, centroid)
+              FROM sums)
+        SELECT label, CAST(dim AS BIGINT) AS dim, centroid FROM m
+    """)
 
 
 @query(
