@@ -43,6 +43,10 @@ HEADLINE = [
     "q66_label_centroids",
     "q76_zorder_tiles",
     "q80_interval_range_window",
+    # round 2 additions (kept after the stable r01 set so per-query lines
+    # stay 1:1 comparable across rounds)
+    "q86_pdf_ingest",
+    "q87_ocr_policy_gate",
 ]
 
 

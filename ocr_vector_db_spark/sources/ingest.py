@@ -112,6 +112,47 @@ def parse_segments(files: DataFrame) -> DataFrame:
     return files.mapInPandas(run, SEGMENT_SCHEMA)
 
 
+PDF_FILES_SCHEMA = T.StructType([
+    T.StructField("source_path", T.StringType(), False),
+    T.StructField("data", T.BinaryType(), False),
+])
+
+
+def pdf_files_df(spark: SparkSession, files: list[tuple[str, bytes]]) -> DataFrame:
+    """In-memory binary PDF source: [(source_path, pdf_bytes)]. Production
+    reads the same shape via `spark.read.format('binaryFile')`."""
+    return spark.createDataFrame(files, PDF_FILES_SCHEMA)
+
+
+def parse_pdf_segments(files: DataFrame, enable_auto_ocr: bool = False,
+                       ocr=None) -> DataFrame:
+    """Binary PDFs → RawSegments via the full decode + Vision Invocation
+    Policy path (parsers.parse_pdf); one document per row, Arrow-batched.
+    Output plugs straight into build_fragments — PDF ingest shares every
+    stage after parsing with the text formats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, data in zip(pdf["source_path"], pdf["data"]):
+                doc_id = hashing.document_id(path)
+                for seg in parsers.parse_pdf(
+                    bytes(data), ocr=ocr, enable_auto_ocr=enable_auto_ocr
+                ):
+                    rows.append({
+                        "document_id": doc_id,
+                        "source_path": path,
+                        "kind": seg["kind"],
+                        "content": seg["content"],
+                        "language": seg["language"],
+                        "order": seg["order"],
+                        "page": seg["page"],
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+
+    return files.mapInPandas(run, SEGMENT_SCHEMA)
+
+
 def build_fragments(segments: DataFrame, **unitizer_kwargs) -> DataFrame:
     """Per-document ordered scan: unitize automaton + concept builder.
 

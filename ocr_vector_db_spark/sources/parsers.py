@@ -11,10 +11,11 @@ Semantics match the reference parsers:
 - OCR/plain text (ingestion/parsers/ocr.py:15-145): normalize, optionally
   merge short OCR lines into paragraphs (break on code/heading/long line),
   chunk 1200/200, classify each paragraph/chunk code vs text.
-- PDF (ingestion/parsers/pymupdf_parser.py): PyMuPDF isn't in this
-  container — the binary decode step is stubbed; the segment contract
-  (kind/content/language/order/page/bbox) is real so the Spark plumbing is
-  exercised end-to-end.
+- PDF (ingestion/parsers/pymupdf_parser.py): decode via PyMuPDF when
+  importable, else the pure-Python content-stream extractor
+  (sources/pdf_decode.py); block merge, min-length filter, the Vision
+  Invocation Policy (sources/ocr_policy.py), and the legacy low-density
+  check (pdf.py:40-57) all run on either decode path.
 
 A segment dict: {kind, content, language, order, page, bbox}.
 """
@@ -231,13 +232,120 @@ def parse_pdf_blocks(blocks: list[dict], merge_limit: int = 1500) -> list[Segmen
 
 
 def decode_pdf(data: bytes) -> list[dict]:
-    """Binary PDF → blocks. PyMuPDF is not available in this container; the
-    decode is stubbed by contract (SURVEY §2.1 PDF scan). Production swaps in
-    a PyMuPDF-backed implementation with the same block schema."""
-    raise NotImplementedError(
-        "PDF decoding requires PyMuPDF, which is not installed in this "
-        "environment; feed parse_pdf_blocks() pre-extracted blocks instead."
+    """Binary PDF → blocks [{page, bbox, kind, content}]. Prefers PyMuPDF
+    when importable (full layout/encoding coverage, the reference's primary
+    decoder — pymupdf_parser.py:518-569); falls back to the pure-Python
+    content-stream extractor (sources/pdf_decode.py) which covers the
+    simple-PDF subset from the public spec with no native dependency."""
+    try:
+        import fitz  # PyMuPDF, optional
+
+        blocks: list[dict] = []
+        doc = fitz.open(stream=data, filetype="pdf")
+        for page_num in range(len(doc)):
+            for b in doc[page_num].get_text("dict", flags=11)["blocks"]:
+                bbox = list(b.get("bbox", (0, 0, 0, 0)))
+                if b.get("type", 0) == 0:
+                    text = "\n".join(
+                        "".join(s.get("text", "") for s in line.get("spans", []))
+                        for line in b.get("lines", [])
+                    )
+                    blocks.append(
+                        {"page": page_num, "bbox": bbox, "kind": "text", "content": text}
+                    )
+                else:
+                    blocks.append(
+                        {"page": page_num, "bbox": bbox, "kind": "image",
+                         "content": f"pdf-image Height={b.get('height', 0)} "
+                                    f"Width={b.get('width', 0)}"}
+                    )
+        doc.close()
+        return blocks
+    except ImportError:
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_blocks
+
+        return extract_pdf_blocks(data)
+
+
+def is_low_text_density(text: str, min_len: int = 500, min_ratio: float = 0.2) -> bool:
+    """Legacy low-density check (pdf.py:40-57): extraction likely needs OCR
+    when the text is short or mostly non-alphanumeric."""
+    if not text or len(text.strip()) < min_len:
+        return True
+    letters = sum(ch.isalnum() for ch in text)
+    return letters / max(1, len(text)) < min_ratio
+
+
+def parse_pdf(data: bytes, ocr=None, enable_auto_ocr: bool = False,
+              merge_limit: int = 1500) -> list[Segment]:
+    """Full PDF parse with the Vision Invocation Policy
+    (pymupdf_parser.py:180-242):
+
+    1. deterministic block extraction first (decode_pdf → parse_pdf_blocks);
+    2. image-only documents (no text blocks) go to OCR if a provider exists;
+    3. sufficient text (>=100 chars, alnum ratio >=0.3) → never invoke OCR;
+    4. >=2 code patterns → preserve deterministic extraction;
+    5. otherwise OCR only if enabled AND a provider is wired; OCR failure
+       preserves the deterministic output (Rule 4).
+
+    Text segments are re-classified for embedded code (the reference's
+    _detect_code_blocks re-runs the OCR text parser per segment)."""
+    from ocr_vector_db_spark.sources.ocr_policy import (
+        has_code_patterns, is_text_sufficient,
     )
+
+    blocks = decode_pdf(data)
+    merged = parse_pdf_blocks(blocks, merge_limit=merge_limit)
+    n_text = sum(1 for b in blocks if b["kind"] == "text")
+    n_image = sum(1 for b in blocks if b["kind"] == "image")
+
+    # image segments exist only through OCR (the reference's
+    # _process_image_block returns None without a provider; with one, the
+    # segment's content IS the normalized OCR text)
+    segments: list[Segment] = []
+    for s in merged:
+        if s["kind"] != "image":
+            segments.append(s)
+            continue
+        if ocr is None:
+            continue
+        text = ocr(s)
+        if text and text.strip():
+            segments.append(_segment("image", T.normalize(text), "image",
+                                     s["order"], s["page"], s["bbox"]))
+
+    def detect_code(segs: list[Segment]) -> list[Segment]:
+        out: list[Segment] = []
+        for seg in segs:
+            if seg["kind"] != "text":
+                out.append(seg)
+                continue
+            for sub in parse_plain_text(seg["content"], is_ocr=True):
+                out.append(_segment(sub["kind"], sub["content"], sub["language"],
+                                    seg["order"], seg["page"], seg["bbox"]))
+        return out
+
+    if n_text == 0:
+        # image-only (or empty/corrupt) document: OCR results if any,
+        # else nothing to index
+        return segments if n_image > 0 else detect_code(segments)
+
+    if is_text_sufficient(segments) or has_code_patterns(segments):
+        return detect_code(segments)
+
+    if enable_auto_ocr and ocr is not None:
+        ocr_segs: list[Segment] = []
+        for i, b in enumerate(blocks):
+            if b["kind"] != "text":
+                continue
+            text = ocr(b)
+            if text and text.strip():
+                ocr_segs.append(_segment("text", T.normalize(text), None,
+                                         i, b["page"], b["bbox"]))
+        if ocr_segs:
+            return detect_code(ocr_segs)
+
+    return detect_code(segments)
 
 
 # ------------------------------------------------------------------ dispatch

@@ -1,0 +1,456 @@
+"""Pure-Python PDF decode → block dicts (no native PDF library needed).
+
+The reference's primary ingestion path is PyMuPDF block extraction
+(ingestion/parsers/pymupdf_parser.py:518-569: per-page text/image blocks
+with bbox, min-length filter, adjacent-merge). PyMuPDF is not available in
+this container, so this module implements the decode step from the public
+PDF spec directly:
+
+- COS object scan (`N 0 obj … endobj`), stream payloads, FlateDecode via
+  stdlib zlib;
+- page-tree walk (/Root → /Pages → /Kids, /Contents may be a ref or array);
+- content-stream interpretation: BT/ET text objects, Td/TD/Tm/T* text
+  positioning, Tj/TJ/'/" show operators, literal-string escapes + hex
+  strings, Tf font size (for line/block gap heuristics), cm CTM + `name Do`
+  image XObject draws → image blocks.
+
+Coverage is deliberately the simple-PDF subset (ASCII/Latin-1 text, Flate
+or raw streams, uncompressed xref): enough for generated documents and the
+common machine-produced reports; exotic encodings (CID fonts, object
+streams, encryption) are out of scope — `decode_pdf` in parsers.py first
+tries PyMuPDF if importable and falls back here.
+
+Output block schema matches parse_pdf_blocks() input:
+    {page: int, bbox: [x0, y0, x1, y1], kind: 'text'|'image', content: str}
+
+`build_simple_pdf` is the matching fixture writer (tests + golden queries
+need deterministic PDF bytes without any PDF library).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# ---------------------------------------------------------------- COS layer
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_RE = re.compile(rb"stream\r?\n")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
+_NAME_NUM_RE = re.compile(rb"/(\w+)\s+(-?\d+(?:\.\d+)?)")
+
+
+def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """objnum → (object source before any stream, raw stream bytes or None)."""
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        end = data.find(b"endobj", m.end())
+        if end < 0:
+            continue
+        body = data[m.end():end]
+        sm = _STREAM_RE.search(body)
+        if sm:
+            tail = body.rfind(b"endstream")
+            stream = body[sm.end():tail] if tail > sm.end() else b""
+            # spec: EOL before `endstream` is not stream data
+            stream = stream.rstrip(b"\r\n")
+            objects[num] = (body[: sm.start()], stream)
+        else:
+            objects[num] = (body, None)
+    return objects
+
+
+def _dict_src(objects, num: int) -> bytes:
+    return objects.get(num, (b"", None))[0]
+
+
+def _first_ref(src: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R", src)
+    return int(m.group(1)) if m else None
+
+
+def _all_refs(src: bytes, key: bytes) -> list[int]:
+    """Refs under /Key — either `/Key N 0 R` or `/Key [N 0 R M 0 R …]`."""
+    m = re.search(rb"/" + key + rb"\s*\[(.*?)\]", src, re.S)
+    if m:
+        return [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+    one = _first_ref(src, key)
+    return [one] if one is not None else []
+
+
+def _decode_stream(dict_src: bytes, stream: bytes) -> bytes | None:
+    if b"/FlateDecode" in dict_src:
+        try:
+            return zlib.decompress(stream)
+        except zlib.error:
+            return None
+    if b"/Filter" in dict_src:   # unsupported filter (DCT, LZW, …)
+        return None
+    return stream
+
+
+def _page_numbers(objects) -> list[int]:
+    """Walk the page tree in order; fall back to scan order of /Type/Page."""
+    root = None
+    for num, (src, _) in objects.items():
+        if b"/Type" in src and b"/Catalog" in src:
+            root = num
+            break
+    ordered: list[int] = []
+
+    def walk(num: int) -> None:
+        src = _dict_src(objects, num)
+        if b"/Page" in src and b"/Pages" not in src and b"/Kids" not in src:
+            ordered.append(num)
+            return
+        for kid in _all_refs(src, b"Kids"):
+            walk(kid)
+
+    if root is not None:
+        pages_ref = _first_ref(_dict_src(objects, root), b"Pages")
+        if pages_ref is not None:
+            walk(pages_ref)
+    if not ordered:
+        ordered = [
+            n for n, (src, _) in sorted(objects.items())
+            if b"/Type" in src and re.search(rb"/Page\b", src) and b"/Kids" not in src
+        ]
+    return ordered
+
+
+def _xobject_map(objects, page_src: bytes) -> dict[bytes, int]:
+    """/Resources /XObject name → object number (image detection for Do)."""
+    res_ref = _first_ref(page_src, b"Resources")
+    res_src = _dict_src(objects, res_ref) if res_ref is not None else page_src
+    m = re.search(rb"/XObject\s*<<(.*?)>>", res_src, re.S)
+    if not m:
+        return {}
+    return {
+        nm.group(1): int(nm.group(2))
+        for nm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", m.group(1))
+    }
+
+
+# ------------------------------------------------------- content stream layer
+
+_STR_ESCAPES = {
+    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
+    b"(": "(", b")": ")", b"\\": "\\",
+}
+
+_TOKEN_RE = re.compile(
+    rb"\((?:\\.|[^\\()])*\)"        # literal string (1-level; escapes ok)
+    rb"|<[0-9A-Fa-f\s]*>"           # hex string
+    rb"|\[|\]"
+    rb"|/\w+"
+    rb"|-?\d*\.?\d+"
+    rb"|[A-Za-z'\"*]+",
+    re.S,
+)
+
+
+def _decode_literal(tok: bytes) -> str:
+    out: list[str] = []
+    body = tok[1:-1]
+    i = 0
+    while i < len(body):
+        c = body[i:i + 1]
+        if c == b"\\" and i + 1 < len(body):
+            nxt = body[i + 1:i + 2]
+            if nxt in _STR_ESCAPES:
+                out.append(_STR_ESCAPES[nxt])
+                i += 2
+            elif nxt.isdigit():
+                octal = body[i + 1:i + 4]
+                j = 1
+                while j < 3 and body[i + j:i + j + 1].isdigit():
+                    j += 1
+                out.append(chr(int(body[i + 1:i + 1 + j], 8) & 0xFF))
+                i += 1 + j
+            elif nxt in (b"\n", b"\r"):   # line continuation
+                i += 2
+            else:
+                out.append(nxt.decode("latin-1"))
+                i += 2
+        else:
+            out.append(c.decode("latin-1"))
+            i += 1
+    return "".join(out)
+
+
+def _decode_hex(tok: bytes) -> str:
+    digits = re.sub(rb"\s", b"", tok[1:-1])
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")).decode("latin-1")
+
+
+class _TextRun:
+    __slots__ = ("x", "y", "size", "text")
+
+    def __init__(self, x: float, y: float, size: float, text: str):
+        self.x, self.y, self.size, self.text = x, y, size, text
+
+
+def _interpret(content: bytes, xobjects: dict[bytes, int], objects,
+               page_no: int) -> tuple[list[_TextRun], list[dict]]:
+    """One pass over a page's content stream: text runs + image blocks."""
+    runs: list[_TextRun] = []
+    images: list[dict] = []
+    stack: list[object] = []
+    size = 12.0
+    leading = 0.0
+    tx = ty = 0.0          # text-space position (Tm translation + Td offsets)
+    ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+    def shownum() -> list[float]:
+        return [float(v) for v in stack if isinstance(v, float)]
+
+    def show(s: str) -> None:
+        if s:
+            runs.append(_TextRun(tx, ty, size, s))
+
+    for tok in _TOKEN_RE.finditer(content):
+        t = tok.group(0)
+        if t.startswith(b"("):
+            stack.append(_decode_literal(t))
+        elif t.startswith(b"<"):
+            stack.append(_decode_hex(t))
+        elif t in (b"[", b"]"):
+            continue          # TJ arrays: strings/numbers already on stack
+        elif t.startswith(b"/"):
+            stack.append(t[1:])
+        elif re.fullmatch(rb"-?\d*\.?\d+", t):
+            stack.append(float(t))
+        else:
+            op = t
+            if op == b"Tf":
+                nums = shownum()
+                if nums:
+                    size = nums[-1]
+            elif op in (b"Td", b"TD"):
+                nums = shownum()
+                if len(nums) >= 2:
+                    tx += nums[-2]
+                    ty += nums[-1]
+                    if op == b"TD":
+                        leading = -nums[-1]
+            elif op == b"Tm":
+                nums = shownum()
+                if len(nums) >= 6:
+                    tx, ty = nums[-2], nums[-1]
+            elif op == b"TL":
+                nums = shownum()
+                if nums:
+                    leading = nums[-1]
+            elif op == b"T*":
+                ty -= leading if leading else size * 1.2
+            elif op == b"BT":
+                tx = ty = 0.0
+            elif op in (b"Tj", b"TJ"):
+                show("".join(v for v in stack if isinstance(v, str)))
+            elif op in (b"'", b'"'):
+                ty -= leading if leading else size * 1.2
+                show("".join(v for v in stack if isinstance(v, str)))
+            elif op == b"cm":
+                nums = shownum()
+                if len(nums) >= 6:
+                    ctm = tuple(nums[-6:])   # type: ignore[assignment]
+            elif op == b"Do":
+                name = next(
+                    (v for v in reversed(stack) if isinstance(v, bytes)), None
+                )
+                ref = xobjects.get(name or b"")
+                if ref is not None:
+                    src = _dict_src(objects, ref)
+                    if b"/Image" in src:
+                        a, _b, _c, d, e, f = ctm
+                        props = dict(
+                            (k.decode(), v)
+                            for k, v in (
+                                (m.group(1), float(m.group(2)))
+                                for m in _NAME_NUM_RE.finditer(src)
+                            )
+                            if k in (b"Width", b"Height")
+                        )
+                        images.append({
+                            "page": page_no,
+                            "bbox": [e, f, e + abs(a), f + abs(d)],
+                            "kind": "image",
+                            "content": "pdf-image "
+                            + " ".join(f"{k}={int(v)}" for k, v in sorted(props.items())),
+                        })
+            stack.clear()
+    return runs, images
+
+
+def _runs_to_blocks(runs: list[_TextRun], page_no: int,
+                    block_gap_factor: float = 1.8) -> list[dict]:
+    """Group positioned text runs into blocks: a vertical jump larger than
+    block_gap_factor × font size starts a new block (the analogue of
+    PyMuPDF's layout blocks); smaller jumps are new lines inside a block."""
+    blocks: list[dict] = []
+    cur: list[_TextRun] = []
+
+    def flush() -> None:
+        if not cur:
+            return
+        lines: list[str] = []
+        last_y = None
+        for r in cur:
+            if last_y is not None and abs(r.y - last_y) > 0.1:
+                lines.append(r.text)
+            elif lines:
+                lines[-1] += r.text
+            else:
+                lines.append(r.text)
+            last_y = r.y
+        xs = [r.x for r in cur]
+        ys = [r.y for r in cur]
+        smax = max(r.size for r in cur)
+        width = max(len(line) for line in lines) * smax * 0.5
+        blocks.append({
+            "page": page_no,
+            "bbox": [min(xs), min(ys) - smax * 0.2, min(xs) + width, max(ys) + smax],
+            "kind": "text",
+            "content": "\n".join(lines),
+        })
+        cur.clear()
+
+    prev: _TextRun | None = None
+    for r in runs:
+        if prev is not None and abs(prev.y - r.y) > block_gap_factor * max(
+            prev.size, r.size
+        ):
+            flush()
+        cur.append(r)
+        prev = r
+    flush()
+    return blocks
+
+
+def extract_pdf_blocks(data: bytes) -> list[dict]:
+    """bytes → ordered block dicts (text + image), all pages."""
+    objects = _scan_objects(data)
+    out: list[dict] = []
+    for page_no, page_obj in enumerate(_page_numbers(objects)):
+        page_src = _dict_src(objects, page_obj)
+        xobjects = _xobject_map(objects, page_src)
+        parts: list[bytes] = []
+        for ref in _all_refs(page_src, b"Contents"):
+            dict_src, stream = objects.get(ref, (b"", None))
+            if stream is None:
+                continue
+            decoded = _decode_stream(dict_src, stream)
+            if decoded:
+                parts.append(decoded)
+        runs, images = _interpret(b"\n".join(parts), xobjects, objects, page_no)
+        text_blocks = _runs_to_blocks(runs, page_no)
+        # interleave by vertical position (PDF y grows upward → sort desc),
+        # stable for equal positions
+        keyed = [(b["bbox"][1], i, b) for i, b in enumerate(text_blocks + images)]
+        out.extend(b for _, _, b in sorted(keyed, key=lambda k: (-k[0], k[1])))
+    return out
+
+
+# ------------------------------------------------------------ fixture writer
+
+def build_simple_pdf(pages: list[list[dict]], compress: bool = True) -> bytes:
+    """Deterministic minimal PDF writer for fixtures/tests (no library).
+
+    `pages` = list of pages; each page a list of blocks:
+      {'kind': 'text', 'text': str, 'x': float, 'y': float, 'size': float}
+      {'kind': 'image', 'x', 'y', 'w', 'h', 'width': px, 'height': px}
+    """
+    objects: list[bytes] = []      # 1-indexed bodies, object 1 = catalog
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    n_pages = len(pages)
+    page_obj_start = 3             # 1=Catalog, 2=Pages
+    body_objs: list[bytes] = []
+    page_refs: list[str] = []
+    next_obj = page_obj_start + n_pages
+    page_bodies: list[bytes] = []
+
+    for blocks in pages:
+        content_lines: list[str] = []
+        xobj_entries: list[str] = []
+        img_objs: list[bytes] = []
+        for b in blocks:
+            if b["kind"] == "text":
+                size = b.get("size", 12)
+                content_lines.append("BT")
+                content_lines.append(f"/F1 {size} Tf")
+                content_lines.append(f"{b['x']} {b['y']} Td")
+                lines = b["text"].split("\n")
+                content_lines.append(f"({esc(lines[0])}) Tj")
+                for line in lines[1:]:
+                    content_lines.append(f"0 -{size + 2} Td")
+                    content_lines.append(f"({esc(line)}) Tj")
+                content_lines.append("ET")
+            else:
+                name = f"Im{len(xobj_entries)}"
+                img_objs.append(
+                    f"<< /Type /XObject /Subtype /Image /Width {b['width']} "
+                    f"/Height {b['height']} /ColorSpace /DeviceGray "
+                    f"/BitsPerComponent 8 /Length 1 >>\nstream\n\x00\nendstream"
+                    .encode("latin-1")
+                )
+                xobj_entries.append(f"/{name} {next_obj + len(img_objs) - 1} 0 R")
+                content_lines.append(
+                    f"q {b['w']} 0 0 {b['h']} {b['x']} {b['y']} cm /{name} Do Q"
+                )
+        content = "\n".join(content_lines).encode("latin-1")
+        if compress:
+            payload = zlib.compress(content)
+            stream_dict = f"<< /Length {len(payload)} /Filter /FlateDecode >>"
+        else:
+            payload = content
+            stream_dict = f"<< /Length {len(payload)} >>"
+        content_obj = next_obj + len(img_objs)
+        xobj_dict = (
+            f" /XObject << {' '.join(xobj_entries)} >>" if xobj_entries else ""
+        )
+        page_bodies.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_obj} 0 R /Resources << /Font "
+                f"<< /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >>"
+                f"{xobj_dict} >> >>"
+            ).encode("latin-1")
+        )
+        body_objs.extend(img_objs)
+        body_objs.append(
+            stream_dict.encode("latin-1") + b"\nstream\n" + payload + b"\nendstream"
+        )
+        next_obj = content_obj + 1
+
+    for i in range(n_pages):
+        page_refs.append(f"{page_obj_start + i} 0 R")
+
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        (
+            f"<< /Type /Pages /Kids [{' '.join(page_refs)}] /Count {n_pages} >>"
+        ).encode("latin-1")
+    )
+    objects.extend(page_bodies)
+    objects.extend(body_objs)
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: list[int] = []
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode("latin-1") + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n0000000000 65535 f \n".encode("latin-1")
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode("latin-1")
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode("latin-1")
+    return bytes(out)

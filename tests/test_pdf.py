@@ -1,0 +1,227 @@
+"""PDF decode, parse policy, and OCR-invocation gate tests.
+
+Mirrors the reference behaviors:
+- block extraction / merge (pymupdf_parser.py:518-569) on the pure-Python
+  decode path (sources/pdf_decode.py);
+- Vision Invocation Policy thresholds (pymupdf_parser.py:675-759);
+- legacy low-density check (pdf.py:40-57).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.sources import ocr_policy, parsers
+from ocr_vector_db_spark.sources.pdf_decode import build_simple_pdf, extract_pdf_blocks
+
+PROSE = (
+    "This paragraph describes the architecture of the retrieval system in "
+    "sufficient detail to exercise every text path end to end."
+)
+CODE_TEXT = "def handler(event):\n    return process(event)\nimport os\nfrom sys import path"
+
+
+def _pdf(pages, compress=True):
+    return build_simple_pdf(pages, compress=compress)
+
+
+def text_block(text, x=72, y=700, size=12):
+    return {"kind": "text", "text": text, "x": x, "y": y, "size": size}
+
+
+# ------------------------------------------------------------------- decode
+
+
+class TestPdfDecode:
+    def test_round_trip_single_page(self):
+        data = _pdf([[text_block(PROSE + "\nSecond line of the block.")]])
+        blocks = extract_pdf_blocks(data)
+        assert len(blocks) == 1
+        assert blocks[0]["kind"] == "text"
+        assert blocks[0]["page"] == 0
+        assert PROSE in blocks[0]["content"]
+        assert "Second line of the block." in blocks[0]["content"]
+
+    def test_uncompressed_stream(self):
+        data = _pdf([[text_block(PROSE)]], compress=False)
+        assert PROSE in extract_pdf_blocks(data)[0]["content"]
+
+    def test_vertical_gap_splits_blocks(self):
+        data = _pdf([[text_block("Upper block content here.", y=720),
+                      text_block("Lower block content here.", y=500)]])
+        blocks = extract_pdf_blocks(data)
+        assert [b["content"] for b in blocks] == [
+            "Upper block content here.", "Lower block content here.",
+        ]
+        assert blocks[0]["bbox"][1] > blocks[1]["bbox"][1]
+
+    def test_multi_page_order(self):
+        data = _pdf([[text_block("Page one text.")], [text_block("Page two text.")]])
+        blocks = extract_pdf_blocks(data)
+        assert [(b["page"], b["content"]) for b in blocks] == [
+            (0, "Page one text."), (1, "Page two text."),
+        ]
+
+    def test_image_xobject_detected(self):
+        data = _pdf([[
+            text_block("Caption text above the figure.", y=700),
+            {"kind": "image", "x": 72, "y": 420, "w": 180, "h": 120,
+             "width": 360, "height": 240},
+        ]])
+        kinds = [(b["kind"], b["page"]) for b in extract_pdf_blocks(data)]
+        assert ("image", 0) in kinds
+        img = next(b for b in extract_pdf_blocks(data) if b["kind"] == "image")
+        assert img["content"] == "pdf-image Height=240 Width=360"
+        assert img["bbox"] == [72.0, 420.0, 252.0, 540.0]
+
+    def test_escapes_and_hex_strings(self):
+        # parentheses + backslash escapes via the writer; hex via raw stream
+        data = _pdf([[text_block("f(x) = (a\\b) result")]])
+        assert "f(x) = (a\\b) result" in extract_pdf_blocks(data)[0]["content"]
+
+    def test_decode_pdf_dispatch_uses_fallback(self):
+        # container has no PyMuPDF → decode_pdf must route to pdf_decode
+        data = _pdf([[text_block(PROSE)]])
+        blocks = parsers.decode_pdf(data)
+        assert blocks and PROSE in blocks[0]["content"]
+
+    def test_garbage_returns_no_blocks(self):
+        assert extract_pdf_blocks(b"not a pdf at all") == []
+
+
+# ------------------------------------------------------------------- policy
+
+
+def seg(content, kind="text"):
+    return {"kind": kind, "content": content}
+
+
+class TestVisionPolicy:
+    def test_sufficient_text_blocks_vision(self):
+        segs = [seg(PROSE)]
+        assert ocr_policy.is_text_sufficient(segs)
+        assert not ocr_policy.should_invoke_vision(segs)
+
+    def test_short_text_insufficient(self):
+        segs = [seg("tiny")]
+        assert not ocr_policy.is_text_sufficient(segs)
+        assert ocr_policy.should_invoke_vision(segs)
+
+    def test_low_alpha_ratio_insufficient(self):
+        junk = "|- . -- ~ ~~ ::: |- . -- ~ ~~ ::: " * 8   # >=100 chars, alnum-poor
+        segs = [seg(junk)]
+        assert len(junk) >= 100 and not ocr_policy.is_text_sufficient(segs)
+        assert ocr_policy.should_invoke_vision(segs)
+
+    def test_code_patterns_block_vision_even_when_sparse(self):
+        segs = [seg("def f(x):\nimport os")]     # short, but 2 code patterns
+        assert not ocr_policy.is_text_sufficient(segs)
+        assert ocr_policy.has_code_patterns(segs)
+        assert not ocr_policy.should_invoke_vision(segs)
+
+    def test_single_pattern_not_enough(self):
+        segs = [seg("def f(x): pass")]
+        assert not ocr_policy.has_code_patterns(segs)
+
+    def test_image_segments_ignored_by_both_rules(self):
+        segs = [seg(PROSE, kind="image")]
+        assert not ocr_policy.is_text_sufficient(segs)
+        assert not ocr_policy.has_code_patterns([seg(CODE_TEXT, kind="image")])
+
+
+class TestLowTextDensity:
+    def test_short_is_low(self):
+        assert parsers.is_low_text_density("short text")
+
+    def test_long_alpha_is_dense(self):
+        assert not parsers.is_low_text_density(PROSE * 5)
+
+    def test_long_junk_is_low(self):
+        assert parsers.is_low_text_density(". - | ~ " * 100)
+
+    def test_empty_is_low(self):
+        assert parsers.is_low_text_density("")
+
+
+# ------------------------------------------------------------ parse_pdf flow
+
+
+class TestParsePdfPolicyFlow:
+    def test_text_rich_pdf_never_calls_ocr(self):
+        calls = []
+        data = _pdf([[text_block(PROSE + "\n" + PROSE)]])
+        segs = parsers.parse_pdf(data, ocr=lambda b: calls.append(b) or "x",
+                                 enable_auto_ocr=True)
+        assert calls == []
+        assert segs and all(s["kind"] == "text" for s in segs)
+
+    def test_code_pdf_preserves_deterministic_extraction(self):
+        calls = []
+        data = _pdf([[text_block(CODE_TEXT)]])
+        segs = parsers.parse_pdf(data, ocr=lambda b: calls.append(b) or "x",
+                                 enable_auto_ocr=True)
+        assert calls == []
+        assert any(s["kind"] == "code" for s in segs)
+
+    def test_sparse_pdf_invokes_ocr_when_enabled(self):
+        calls = []
+
+        def fake_ocr(block):
+            calls.append(block)
+            return "Recovered scanned prose from the vision provider."
+
+        data = _pdf([[text_block("|- . -- ~ ~~ ::: |- . -- ~ ~~ :::" * 4, y=700)]])
+        segs = parsers.parse_pdf(data, ocr=fake_ocr, enable_auto_ocr=True)
+        assert calls, "sparse non-code text must reach the provider"
+        assert any("Recovered scanned prose" in s["content"] for s in segs)
+
+    def test_sparse_pdf_without_provider_keeps_deterministic(self):
+        data = _pdf([[text_block("|- . -- ~ ~~ ::: |- . -- ~ ~~ :::" * 4)]])
+        segs = parsers.parse_pdf(data, ocr=None, enable_auto_ocr=True)
+        assert segs and all("~" in s["content"] for s in segs)
+
+    def test_image_only_pdf_goes_to_ocr(self):
+        def fake_ocr(block):
+            return "OCR text extracted from the page image content here."
+
+        data = _pdf([[{"kind": "image", "x": 0, "y": 0, "w": 612, "h": 792,
+                       "width": 1224, "height": 1584}]])
+        segs = parsers.parse_pdf(data, ocr=fake_ocr)
+        assert segs and segs[0]["kind"] == "image"
+        assert "OCR text extracted" in segs[0]["content"]
+
+    def test_image_only_pdf_without_provider_empty(self):
+        data = _pdf([[{"kind": "image", "x": 0, "y": 0, "w": 612, "h": 792,
+                       "width": 10, "height": 10}]])
+        assert parsers.parse_pdf(data, ocr=None) == []
+
+
+# --------------------------------------------------------- column-level gate
+
+
+class TestColumnPolicy:
+    @pytest.fixture(scope="class")
+    def docs(self, tables):
+        return tables["documents"].select("doc_id", "text").limit(200)
+
+    def test_column_matches_python_on_corpus(self, docs):
+        rows = docs.select(
+            "text",
+            ocr_policy.vision_allowed_col(F.col("text")).alias("col_allowed"),
+        ).collect()
+        for r in rows:
+            py = ocr_policy.should_invoke_vision([seg(r.text)])
+            assert py == r.col_allowed, r.text[:80]
+
+    def test_gate_filters_before_provider(self, spark, docs, tmp_path):
+        from ocr_vector_db_spark.sources.ocr_cache import ocr_with_cache
+
+        assets = docs.select(
+            F.col("doc_id").cast("string").alias("asset_id"),
+            F.col("text"),
+            F.encode("text", "UTF-8").alias("data"),
+        )
+        admitted = ocr_policy.gate_assets_for_ocr(assets, "text")
+        n_admitted = admitted.count()
+        out = ocr_with_cache(spark, admitted, str(tmp_path / "cache"))
+        assert out.count() == n_admitted
+        assert n_admitted < assets.count()   # the gate must prune something
