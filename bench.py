@@ -47,6 +47,11 @@ HEADLINE = [
     # stay 1:1 comparable across rounds)
     "q86_pdf_ingest",
     "q87_ocr_policy_gate",
+    "q89_bm25_topk",
+    "q90_hybrid_rrf_fusion",
+    "q91_sequence_packing",
+    "q92_semantic_dedup_survivors",
+    "q93_duplicate_ngram_coverage",
 ]
 
 

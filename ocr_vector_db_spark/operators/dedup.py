@@ -413,3 +413,68 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def semantic_dedup_survivors(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): within each semantic cluster, drop
+    every document that has a HIGHER-PRIORITY near-neighbor (cosine ≥
+    threshold, priority = lower id); survivors are the cluster
+    representatives. The rule is one-hop and pairwise — a doc is dropped
+    iff ANY lower-id doc lies within the threshold, whether or not that
+    neighbor is itself dropped — NOT transitive closure (for chains
+    A~B~C with A!~C: B and C are both dropped, only A survives). One
+    anti-join expresses it exactly.
+
+    Scale shape: candidate pairs come from the blocked self-join
+    (`embedding_near_dup_pairs` — block = KMeans cluster / label / LSH
+    bucket, never all-pairs); the survivor set is a broadcast-able
+    left-anti join of the corpus against the "has a better neighbor"
+    id set (distinct ids on the b-side of pairs)."""
+    pairs = embedding_near_dup_pairs(
+        df, threshold=threshold, block_col=block_col, emb_col=emb_col, id_col=id_col
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")
+
+
+def duplicate_ngram_coverage(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicate-text signal (the shingle-set proxy for Lee et
+    al. 2022's exact-substring dedup): (id, n_shingles, n_shared,
+    dup_coverage) where dup_coverage = fraction of the document's DISTINCT
+    word n-grams that occur in at least one OTHER document. Docs with high
+    coverage are boilerplate/mirrors; pipelines drop or trim them (the
+    suffix-array span surgery is the sequential refinement — this is the
+    distributed screening pass that bounds where it must run).
+
+    Scale shape: shingle explode (map-only, after a repartition spread) →
+    distinct → per-shingle doc-frequency agg → join back on shingle → per-doc
+    agg. The shingle-df join is the one big shuffle (both sides
+    corpus-shingle-sized); counts are integers, so every aggregate is exact.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("dup_coverage"),
+        )
+    )

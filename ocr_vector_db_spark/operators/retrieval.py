@@ -1,0 +1,139 @@
+"""Hybrid retrieval: BM25 lexical scoring + reciprocal-rank fusion (RRF).
+
+The reference retrieves purely by dense cosine (retrieval/search.py:89-116)
+with a keyword optimizer that rewrites the query text but still searches by
+embedding (retrieval/query_optimizer.py). A production RAG stack pairs that
+dense ranking with a sparse lexical ranking (BM25, Robertson & Spärck Jones)
+and fuses the two lists with reciprocal-rank fusion (Cormack et al., SIGIR'09)
+— the standard hybrid-search recipe (Elasticsearch/Vespa/Weaviate all ship
+exactly this pair). Both halves are pure built-in-expression DataFrame plans.
+
+Scale shape:
+  BM25: the candidate explode is pre-filtered to the query's own terms
+        (array filter BEFORE explode), so the exploded relation is
+        O(matching postings), not O(corpus tokens). Per-doc length and the
+        corpus stats ride a 1-row broadcast cross join; the per-term df
+        table (≤ |query| rows) is broadcast. One shuffle: the (doc, term)
+        tf aggregate.
+  RRF:  union of the K-row ranked lists → one hash agg on id. Input lists
+        are already top-k (driver-bounded), so this is KB-scale regardless
+        of corpus size.
+
+Determinism contract: per-term/per-system contributions are rounded to 6 dp
+and summed as DECIMAL(28,6) (order-independent), then cast back to double —
+same convention as the inventory's `dsum`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators.tfidf import words_col
+
+
+def _dsum6(c: Column) -> Column:
+    """Order-independent float sum: round 6 dp → exact decimal sum → double."""
+    return F.sum(F.round(c, 6).cast("decimal(28,6)")).cast("double")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bm25) for every document matching ≥1 query term.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene's BM25 idf).
+
+    dl = document length in tokens, avgdl/N from a 1-row broadcast stats
+    join, df from a ≤|query|-row broadcast join. The only corpus-wide
+    shuffle is the (doc, term) tf aggregate over pre-filtered postings.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    base = docs.select(
+        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("__ws")
+    ).select(
+        "id",
+        F.size("__ws").alias("dl"),
+        F.filter("__ws", lambda w: w.isin(terms)).alias("__hits"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("id", "dl", F.explode("__hits").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(_dsum6(idf * tf_part).alias("bm25"))
+        .select("id", F.round("bm25", 6).alias("bm25"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 (score desc, id asc) — TakeOrderedAndProject, no full sort."""
+    scored = bm25_scores(docs, query_terms, **kwargs)
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc("id"))
+        .limit(k)
+        .select(
+            "id",
+            "bm25",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.asc("id")))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    k: int = 60,
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of named ranked lists:
+    rrf(d) = Σ_systems 1/(k + rank_s(d))  (Cormack et al., k=60).
+
+    Returns (id, rrf, n_systems, fused_rank) ordered by (rrf desc, id) —
+    ties broken on id so the fused ranking is total and reproducible.
+    Inputs are top-k lists, so the union + single hash agg is KB-scale.
+    """
+    tagged = None
+    for name, r in sorted(rankings.items()):
+        t = r.select(
+            F.col(id_col).alias("id"), F.col(rank_col).cast("double").alias("rank")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = (
+        tagged.groupBy("id")
+        .agg(
+            _dsum6(F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("rrf"),
+            F.count("*").alias("n_systems"),
+        )
+        .select("id", F.round("rrf", 6).alias("rrf"), "n_systems")
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("id"))
+    return fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))

@@ -944,7 +944,8 @@ def q32(spark, sf):
     comp AS (SELECT label, pos, v[CAST(pos AS INTEGER)] AS val FROM idx),
     cent AS (
         SELECT label, pos,
-               CAST(SUM(CAST(ROUND(val, 12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
+               CAST(SUM(CAST(ROUND(val * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 / COUNT(*) AS cval
         FROM comp GROUP BY label, pos
     ),
     qv AS (SELECT v FROM e WHERE vec_id = 0),
@@ -971,14 +972,20 @@ def q33(spark, sf):
     inside (the `ivfflat.probes` analogue, storage/schema.py:38-41).
 
     The centroid sub-plan is the q66-style wide aggregation: one 64-column
-    decimal-sum partial agg per label, so the shuffle carries
-    n_labels x 64 accumulators — NOT n_rows x 64 posexploded rows (64x
-    shuffle amplification at scale). The query vector is a local 64-float
-    list, so the dot product folds into the same projection — no per-dim
-    join at all. The wide sub-plan is generated as one SQL string: building
-    a 64-dim expression tree column-by-column costs hundreds of Py4J round
-    trips (~1.3s of driver latency per call); one parse of generated SQL is
-    ~10x cheaper and yields the identical plan."""
+    partial agg per label, so the shuffle carries n_labels x 64 accumulators
+    — NOT n_rows x 64 posexploded rows (64x shuffle amplification at scale).
+    Sums are exact scaled-bigint (elements rounded to 6 dp then summed as
+    integers): associative/deterministic like the decimal formulation but
+    ~40% cheaper to analyze+codegen than 64 DECIMAL(28,12) chains (measured
+    1.36s -> 0.85s warm at sf0.1), and 8-byte accumulators on the shuffle
+    wire instead of 16. Overflow headroom: |element| <~ 10 so each scaled
+    term <~ 1e7; a bigint sum is safe to ~1e11 rows per label — beyond a
+    100 TB table's rows. The query vector is a local 64-float list, so the
+    dot product folds into the same projection — no per-dim join at all.
+    The wide sub-plan is generated as one SQL string: building a 64-dim
+    expression tree column-by-column costs hundreds of Py4J round trips
+    (~1.3s of driver latency per call); one parse of generated SQL is ~10x
+    cheaper and yields the identical plan."""
     import math
 
     e = load_table(spark, sf, "embeddings")
@@ -986,12 +993,12 @@ def q33(spark, sf):
     dim = len(qv)
     e.createOrReplaceTempView("q33_embeddings")
     sum_terms = ", ".join(
-        f"SUM(CAST(ROUND(CAST(embedding[{i}] AS DOUBLE), 12) AS DECIMAL(28,12)))"
+        f"SUM(CAST(ROUND(CAST(embedding[{i}] AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
         f" AS s{i}"
         for i in range(dim)
     )
     cval_terms = ", ".join(
-        f"CAST(s{i} AS DOUBLE) / n AS cv{i}" for i in range(dim)
+        f"CAST(s{i} AS DOUBLE) / 1000000.0 / n AS cv{i}" for i in range(dim)
     )
     dot = " + ".join(f"cv{i} * {float(q)!r}" for i, q in enumerate(qv))
     sq = " + ".join(f"cv{i} * cv{i}" for i in range(dim))
@@ -2272,8 +2279,8 @@ _DIM = 64
     "q66_label_centroids",
     f"""
     SELECT label, CAST(r.i AS BIGINT) AS dim,
-           ROUND(CAST(SUM(CAST(ROUND(embedding[CAST(r.i + 1 AS INT)], 6)
-                              AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+           ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE) * 1000000.0, 0)
+                              AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
                AS centroid
     FROM embeddings CROSS JOIN range({_DIM}) r(i)
     GROUP BY label, r.i
@@ -2282,7 +2289,10 @@ _DIM = 64
 def q66(spark, sf):
     """Per-label centroid (elementwise mean embedding) — the class-prototype /
     KMeans-update aggregation. One pass, one {_DIM}-column partial agg per
-    group (decimal sums, order-independent): the shuffle carries
+    group (exact scaled-bigint sums: elements rounded to 6 dp then summed as
+    integers — order-independent like decimal but ~40% cheaper to
+    analyze+codegen and 8-byte accumulators on the wire; overflow-safe to
+    ~1e11 rows per label, see q33): the shuffle carries
     n_labels x {_DIM} accumulators, NOT n_rows x dim exploded rows — at 100 TB
     the posexplode formulation would shuffle 64x the table; this shuffles KB."""
     e = load_table(spark, sf, "embeddings")
@@ -2291,11 +2301,12 @@ def q66(spark, sf):
     # column costs hundreds of Py4J round trips (~1.3s driver latency); one
     # parse of generated SQL yields the identical plan (see q33).
     sum_terms = ", ".join(
-        f"SUM(CAST(ROUND(CAST(embedding[{i}] AS DOUBLE), 6) AS DECIMAL(28,6))) AS s{i}"
+        f"SUM(CAST(ROUND(CAST(embedding[{i}] AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
+        f" AS s{i}"
         for i in range(_DIM)
     )
     mean_terms = ", ".join(
-        f"ROUND(CAST(s{i} AS DOUBLE) / n, 6)" for i in range(_DIM)
+        f"ROUND(CAST(s{i} AS DOUBLE) / 1000000.0 / n, 6)" for i in range(_DIM)
     )
     # the posexplode here runs over n_labels pre-aggregated rows (KB-scale),
     # not the input table — input rows never explode
@@ -3330,3 +3341,230 @@ def q88(spark, sf):
     approximate HNSW recall (storage/schema.py:80-85)."""
     d = load_table(spark, sf, "documents")
     return dedup.simhash_near_dup_pairs(d, bits=16, r=2)
+
+
+# =====================================================================
+# Hybrid retrieval, sequence packing, semantic dedup
+# =====================================================================
+
+_BM25_TERMS = ["vector", "hash", "spark"]
+
+
+def _bm25_scored_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of operators/retrieval.bm25_scores — literals emitted with
+    repr() so both engines evaluate the exact same doubles, and the per-term
+    contribution is rounded+decimal-summed like the Spark side."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    c1 = repr(k1 + 1.0)
+    c2 = repr(1.0 - b)
+    idf = "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    tf_part = f"(tf * {c1}) / (tf + {k1!r} * ({c2} + {b!r} * dl / avgdl))"
+    return f"""
+    base AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    d AS (SELECT id, CAST(len(ws) AS BIGINT) AS dl, ws FROM base),
+    posting AS (
+        SELECT id, dl, unnest(list_filter(ws, w -> w IN ({in_list}))) AS term
+        FROM d
+    ),
+    tf AS (SELECT id, dl, term, COUNT(*) AS tf FROM posting GROUP BY id, dl, term),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+    scored AS (
+        SELECT tf.id,
+               ROUND({_sql_dsum(f'({idf}) * ({tf_part})')}, 6) AS bm25
+        FROM tf JOIN dfx USING (term) CROSS JOIN stats
+        GROUP BY tf.id
+    )"""
+
+
+@query(
+    "q89_bm25_topk",
+    f"""
+    WITH {_bm25_scored_sql(_BM25_TERMS)}
+    SELECT id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS rank
+    FROM scored ORDER BY bm25 DESC, id LIMIT 10
+    """,
+)
+def q89(spark, sf):
+    """BM25 lexical top-k — the sparse half of hybrid search (the reference
+    retrieves dense-only, retrieval/search.py:89-116; its keyword optimizer
+    retrieval/query_optimizer.py rewrites queries but still searches by
+    embedding). Postings are pre-filtered to the query's terms BEFORE the
+    explode, corpus stats ride a 1-row broadcast cross join, per-term df a
+    ≤|query|-row broadcast join: one corpus-wide shuffle (the (doc,term) tf
+    agg), top-k is TakeOrderedAndProject."""
+    from ocr_vector_db_spark.operators import retrieval
+
+    d = load_table(spark, sf, "documents")
+    return retrieval.bm25_topk(d, _BM25_TERMS, k=10)
+
+
+@query(
+    "q90_hybrid_rrf_fusion",
+    f"""
+    WITH {_bm25_scored_sql(_BM25_TERMS)},
+    lex AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS rank
+        FROM scored QUALIFY rank <= 20
+    ),
+    dense AS (
+        SELECT e.vec_id AS id,
+               CAST(ROW_NUMBER() OVER (ORDER BY {_COS} DESC, e.vec_id) AS BIGINT) AS rank
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+        QUALIFY rank <= 20
+    ),
+    u AS (
+        SELECT id, CAST(rank AS DOUBLE) AS rank FROM dense
+        UNION ALL
+        SELECT id, CAST(rank AS DOUBLE) AS rank FROM lex
+    ),
+    fused AS (
+        SELECT id, ROUND({_sql_dsum('1.0 / (60.0 + rank)')}, 6) AS rrf,
+               COUNT(*) AS n_systems
+        FROM u GROUP BY id
+    )
+    SELECT id, rrf, n_systems,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS fused_rank
+    FROM fused
+    """,
+)
+def q90(spark, sf):
+    """Hybrid search: BM25 (sparse) top-20 + cosine (dense) top-20 fused by
+    reciprocal-rank fusion, rrf = Σ 1/(60+rank) (Cormack et al., SIGIR'09) —
+    the Elasticsearch/Vespa/Weaviate hybrid recipe the reference's dense-only
+    retriever (retrieval/search.py) is one half of. The fusion input is two
+    driver-bounded top-k lists, so the union+agg is KB-scale no matter the
+    corpus; the dense half is TakeOrderedAndProject over one scan, the
+    sparse half is q89's plan."""
+    from ocr_vector_db_spark.functions.vector import cosine_similarity_col
+    from ocr_vector_db_spark.operators import retrieval
+
+    d = load_table(spark, sf, "documents")
+    e = load_table(spark, sf, "embeddings")
+    qv = _query_vec(spark, sf, 0)
+    sim = F.round(
+        cosine_similarity_col(
+            F.col("embedding"), F.lit(qv).cast("array<double>")
+        ),
+        6,
+    )
+    dense = (
+        e.select(F.col("vec_id").alias("id"), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("id"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim"), F.asc("id")))
+            .cast("bigint"),
+        )
+    )
+    lex = retrieval.bm25_topk(d, _BM25_TERMS, k=20)
+    return retrieval.rrf_fuse({"dense": dense, "lex": lex}, k=60)
+
+
+@query(
+    "q91_sequence_packing",
+    r"""
+    WITH t AS (
+        SELECT lang AS shard, doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, doc_id, tokens,
+               SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM t
+    ),
+    p AS (
+        SELECT shard, tokens,
+               CAST(floor((cum_tokens - tokens) / 256.0) AS BIGINT) AS pack_id
+        FROM c
+    )
+    SELECT shard, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS pack_tokens,
+           ROUND(SUM(tokens) / 256.0, 6) AS fill_ratio
+    FROM p GROUP BY shard, pack_id
+    """,
+)
+def q91(spark, sf):
+    """Sequence packing: contiguous greedy assignment of each shard's
+    documents into 256-token training packs (pack = floor of the prefix sum
+    before the doc / budget), rolled up to per-pack fill stats. ONE window
+    (per-shard prefix sum, no global sort) + one hash agg — the
+    document-boundary packing a pretraining pipeline runs as its final hop;
+    see operators/packing.py for the scale notes."""
+    from ocr_vector_db_spark.operators import packing
+
+    d = load_table(spark, sf, "documents")
+    packed = packing.pack_documents(d, budget=256, shard_col="lang")
+    return packing.pack_stats(packed, budget=256)
+
+
+@query(
+    "q92_semantic_dedup_survivors",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT s.vec_id, s.label FROM e s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM e b
+        WHERE b.label = s.label AND b.vec_id < s.vec_id
+          AND ROUND(list_dot_product(s.v, b.v)
+                    / (sqrt(list_dot_product(s.v, s.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    )
+    """,
+)
+def q92(spark, sf):
+    """SemDeDup (Abbas et al., 2023) survivors: within each cluster (label
+    as the k-means block), keep only documents with NO higher-priority
+    (lower-id) neighbor at cosine ≥ 0.3 — the pairwise greedy rule, not
+    transitive closure. Candidates from the blocked self-join (q22's
+    pattern), survivors via one left-anti join; never all-pairs."""
+    e = load_table(spark, sf, "embeddings")
+    return dedup.semantic_dedup_survivors(
+        e, threshold=0.3, block_col="label"
+    ).select("vec_id", "label")
+
+
+@query(
+    "q93_duplicate_ngram_coverage",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, unnest(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                 ELSE [] END) AS shingle
+        FROM toks
+    ),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc AS doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           ROUND(SUM(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS dup_coverage
+    FROM sh JOIN freq USING (shingle)
+    GROUP BY sh.doc
+    """,
+)
+def q93(spark, sf):
+    """Duplicate n-gram coverage (3-grams at test scale; 13 in production —
+    Lee et al. 2022's exact-substring screening): fraction of each doc's
+    distinct shingles shared with any other doc. Inverted-index formulation —
+    the one big shuffle is the shingle-df join; integer counts keep every
+    aggregate exact. See operators/dedup.py::duplicate_ngram_coverage."""
+    d = load_table(spark, sf, "documents")
+    return dedup.duplicate_ngram_coverage(d, n=3)

@@ -220,3 +220,112 @@ def test_simhash_near_dup_pairs_matches_bruteforce(spark):
             if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= r
         }
         assert got == want, f"r={r}"
+
+
+def test_bm25_matches_hand_formula(spark):
+    """BM25 on a 3-doc corpus equals the textbook formula computed in python."""
+    import math
+
+    from ocr_vector_db_spark.operators.retrieval import bm25_scores
+
+    rows = [
+        (1, "spark shuffle join spark spark"),
+        (2, "join scan filter window"),
+        (3, "python pandas numpy"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.id: r.bm25 for r in bm25_scores(df, ["spark", "join"]).collect()}
+    docs = {i: t.split() for i, t in rows}
+    n, avgdl = 3, sum(len(w) for w in docs.values()) / 3
+    dfreq = {"spark": 1, "join": 2}
+    k1, b = 1.2, 0.75
+    for did, words in docs.items():
+        exp = 0.0
+        for t in ("join", "spark"):
+            tf = words.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            part = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(words) / avgdl))
+            exp += round(idf * part, 6)
+        if exp:
+            assert abs(got[did] - round(exp, 6)) < 1e-9, did
+        else:
+            assert did not in got
+    assert 3 not in got  # no query term -> no row
+
+
+def test_rrf_fusion_orders_consensus_first(spark):
+    """A doc ranked mid by BOTH systems outfuses a doc ranked #1 by one."""
+    from ocr_vector_db_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], ["id", "rank"])
+    b = spark.createDataFrame([(20, 1), (11, 2), (12, 3)], ["id", "rank"])
+    out = {r.id: (r.rrf, r.n_systems, r.fused_rank)
+           for r in rrf_fuse({"a": a, "b": b}).collect()}
+    assert out[11][1] == 2 and out[10][1] == 1
+    assert out[11][0] == round(2 * round(1 / 62, 6), 6)
+    assert out[11][2] == 1  # consensus mid-ranker fuses above either solo #1
+    assert out[10][2] < out[20][2]  # equal-score tie broken by id
+
+
+def test_pack_documents_boundary_overflow(spark):
+    """A doc straddling the budget belongs to the pack its FIRST token is in;
+    the next doc opens the next pack."""
+    from ocr_vector_db_spark.operators.packing import pack_documents, pack_stats
+
+    rows = [(1, "w " * 100, "en"), (2, "w " * 100, "en"),
+            (3, "w " * 100, "en"), (4, "w " * 50, "en"), (5, "w " * 10, "fr")]
+    df = spark.createDataFrame(
+        [(i, t.strip(), g) for i, t, g in rows], ["doc_id", "text", "lang"])
+    packed = {r.doc_id: (r.pack_id, r.cum_tokens)
+              for r in pack_documents(df, budget=128, shard_col="lang").collect()}
+    assert packed[1] == (0, 100)   # starts at 0
+    assert packed[2] == (0, 200)   # starts at 100 < 128 -> pack 0 (overflow)
+    assert packed[3] == (1, 300)   # starts at 200 -> pack 1
+    assert packed[4] == (2, 350)   # starts at 300 -> pack 2
+    assert packed[5] == (0, 10)    # fr shard packs independently
+    stats = {(r.shard, r.pack_id): (r.n_docs, r.pack_tokens)
+             for r in pack_stats(
+                 pack_documents(df, budget=128, shard_col="lang"), 128).collect()}
+    assert stats[("en", 0)] == (2, 200) and stats[("fr", 0)] == (1, 10)
+
+
+def test_semantic_dedup_pairwise_not_transitive(spark):
+    """Chain A~B~C with A!~C: B and C both drop (pairwise greedy rule),
+    only A survives; an isolated far vector always survives."""
+    from ocr_vector_db_spark.operators.dedup import semantic_dedup_survivors
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9806, 0.196], 0),   # cos(1,2) ~ 0.9806 >= 0.95
+        (3, [0.9239, 0.3827], 0),  # cos(2,3) ~ 0.981, cos(1,3) ~ 0.924 < 0.95
+        (4, [0.0, 1.0], 0),
+        (9, [1.0, 0.0], 1),        # other block: never compared to label 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = sorted(r.vec_id for r in
+                 semantic_dedup_survivors(df, threshold=0.95, block_col="label").collect())
+    assert got == [1, 4, 9]
+
+
+def test_duplicate_ngram_coverage_shared_vs_unique(spark):
+    """Docs sharing a 3-gram run get partial coverage; a fully-unique doc
+    gets 0; identical docs get 1."""
+    from ocr_vector_db_spark.operators.dedup import duplicate_ngram_coverage
+
+    rows = [
+        (1, "alpha beta gamma delta"),        # shares 'alpha beta gamma' w/ 2
+        (2, "alpha beta gamma epsilon"),
+        (3, "zeta eta theta iota kappa"),     # unique
+        (4, "mu nu xi"),                      # identical pair -> coverage 1
+        (5, "mu nu xi"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_shingles, r.n_shared, r.dup_coverage)
+           for r in duplicate_ngram_coverage(df, n=3).collect()}
+    assert got[1] == (2, 1, 0.5)      # 'alpha beta gamma' shared of 2 shingles
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (3, 0, 0.0)
+    assert got[4] == (1, 1, 1.0)
+    assert got[5] == (1, 1, 1.0)

@@ -134,8 +134,9 @@ def test_no_accidental_cartesian_products(tables, spark):
         "q33", "q34", "q35", "q36", "q37", "q38", "q46", "q53",
     )
     # intentionally pairwise within a bounded block (documented O(block²)),
-    # or scalar cross joins of 1-row aggregates (q85's total/Z broadcasts):
-    allow_nested_loop = ("q16", "q17", "q22", "q55", "q85")
+    # or scalar cross joins of 1-row aggregates (q85's total/Z, q89/q90's
+    # BM25 corpus-stats row):
+    allow_nested_loop = ("q16", "q17", "q22", "q55", "q85", "q89", "q90")
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(skip_prefixes):
             continue
