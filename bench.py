@@ -52,6 +52,10 @@ HEADLINE = [
     "q91_sequence_packing",
     "q92_semantic_dedup_survivors",
     "q93_duplicate_ngram_coverage",
+    "q94_rerank_stub_topk",
+    "q95_bpe_pair_counts",
+    "q96_quality_deciles",
+    "q97_training_pipeline_e2e",
 ]
 
 

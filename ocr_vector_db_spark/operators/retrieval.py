@@ -137,3 +137,49 @@ def rrf_fuse(
     )
     w = Window.orderBy(F.desc("rrf"), F.asc("id"))
     return fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+
+
+def md5_stub_scorer(query: str):
+    """Deterministic stand-in for a cross-encoder: the score key is the
+    first 8 hex chars of md5(query || '|' || doc_text) — a fixed-length
+    lowercase hex STRING, which orders lexicographically exactly like its
+    numeric value and is bit-identical across engines (hex→int conversion
+    is not portable; see dedup._hash_slot). Pure built-in expressions, so
+    the rerank plumbing is oracle-checkable end-to-end; swap in a real
+    model via `rerank_topk(..., scorer=...)` (a mapInPandas
+    batch-inference column factory returning a double) without touching
+    the plan around it."""
+
+    def scorer(text: Column) -> Column:
+        return F.substring(F.md5(F.concat(F.lit(query), F.lit("|"), text)), 1, 8)
+
+    return scorer
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    scorer,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "id",
+) -> DataFrame:
+    """Second-stage rerank: score each first-stage candidate with a
+    (potentially expensive) pairwise scorer and keep the top-k.
+
+    The two-stage retrieve-then-rerank shape is what makes cross-encoders
+    affordable: the O(corpus) work happens in stage 1 (BM25 / dense top-N,
+    N ~ 100s), and the expensive per-(query, doc) scorer only ever sees the
+    driver-bounded candidate set — so even a Python-batch model call is
+    KB-scale. `scorer` maps a text Column to a double score Column; use
+    `md5_stub_scorer` for the deterministic default or a Pandas-UDF-backed
+    factory for a real model. Output: (id, ce_score, rank), ties on id.
+    """
+    scored = candidates.select(
+        F.col(id_col).alias("id"), scorer(F.col(text_col)).alias("ce_score")
+    )
+    w = Window.orderBy(F.desc("ce_score"), F.asc("id"))
+    return (
+        scored.orderBy(F.desc("ce_score"), F.asc("id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )

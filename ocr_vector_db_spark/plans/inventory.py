@@ -3568,3 +3568,226 @@ def q93(spark, sf):
     aggregate exact. See operators/dedup.py::duplicate_ngram_coverage."""
     d = load_table(spark, sf, "documents")
     return dedup.duplicate_ngram_coverage(d, n=3)
+
+
+@query(
+    "q94_rerank_stub_topk",
+    f"""
+    WITH {_bm25_scored_sql(_BM25_TERMS)},
+    cand AS (SELECT id FROM scored ORDER BY bm25 DESC, id LIMIT 50),
+    ce AS (
+        SELECT c.id,
+               substr(md5('vector hash spark' || '|' || d.text), 1, 8) AS ce_score
+        FROM cand c JOIN documents d ON d.doc_id = c.id
+    )
+    SELECT id, ce_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY ce_score DESC, id) AS BIGINT) AS rank
+    FROM ce ORDER BY ce_score DESC, id LIMIT 10
+    """,
+)
+def q94(spark, sf):
+    """Two-stage retrieve-then-rerank: BM25 top-50 (the O(corpus) stage) →
+    cross-encoder rerank → top-10. The expensive pairwise scorer only ever
+    sees the driver-bounded candidate set — the shape that makes
+    cross-encoders affordable at any corpus size. Scorer here is the
+    deterministic md5 stub (hex-string key, oracle-checkable); a real model
+    drops in as a Pandas-UDF batch scorer without touching the plan.
+    See operators/retrieval.py::rerank_topk."""
+    from ocr_vector_db_spark.operators import retrieval
+
+    d = load_table(spark, sf, "documents")
+    cand = retrieval.bm25_topk(d, _BM25_TERMS, k=50).select("id")
+    with_text = cand.join(
+        d.select(F.col("doc_id").alias("id"), "text"), "id"
+    )
+    return retrieval.rerank_topk(
+        with_text, retrieval.md5_stub_scorer(" ".join(_BM25_TERMS)), k=10
+    )
+
+
+@query(
+    "q95_bpe_pair_counts",
+    """
+    WITH w AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents
+    ),
+    p AS (
+        SELECT unnest(list_transform(range(1, length(word)),
+                                     i -> word[i:i+1])) AS pair
+        FROM w WHERE length(word) >= 2
+    )
+    SELECT pair, COUNT(*) AS cnt
+    FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
+    """,
+)
+def q95(spark, sf):
+    """Adjacent-symbol pair counts — the inner loop of BPE tokenizer
+    training (the first merge = the argmax of exactly this table; Sennrich
+    et al. 2016). Explode words → explode in-word character bigrams →
+    hash agg: the shuffle carries one row per distinct pair per partition
+    (≤ 36² for lowercase alnum), not per occurrence — the same map-side
+    combine discipline as q65's Zipf scan."""
+    d = load_table(spark, sf, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(50)
+    )
+
+
+@query(
+    "q96_quality_deciles",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(length(text) AS DOUBLE) AS n,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> list_contains(['the','a','and','of','to','in','is','it','that','for'], t))) AS DOUBLE) AS stop,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}\-]', '', 'g')) AS DOUBLE) AS punct
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, lang,
+               CASE WHEN n = 0 THEN 0.0 ELSE ROUND(
+                   0.5 * least(n / 500.0, 1.0)
+                 + 0.3 * (CASE WHEN ntok > 0 THEN least(stop / ntok * 5.0, 1.0) ELSE 0.0 END)
+                 + 0.2 * (1.0 - least(punct / n * 10.0, 1.0)), 6) END AS quality
+        FROM t
+    ),
+    d AS (
+        SELECT lang, quality,
+               CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS BIGINT) AS decile
+        FROM q
+    )
+    SELECT lang, decile, COUNT(*) AS n_docs,
+           MIN(quality) AS min_q, MAX(quality) AS max_q
+    FROM d GROUP BY lang, decile
+    """,
+)
+def q96(spark, sf):
+    """Per-language quality deciles — the bucketing behind quality-curriculum
+    sampling and threshold sweeps (pick the keep-fraction by decile, not by a
+    global magic score). ntile(10) window per lang (one shuffle on lang,
+    per-partition sort) + per-decile rollup; the quality score is q24's exact
+    single-pass expression."""
+    d = load_table(spark, sf, "documents")
+    q = d.select(
+        "doc_id", "lang", ta.quality_score_col(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        q.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+        )
+    )
+
+
+@query(
+    "q97_training_pipeline_e2e",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               CAST(length(text) AS DOUBLE) AS n,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> list_contains(['the','a','and','of','to','in','is','it','that','for'], t))) AS DOUBLE) AS stop,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}\-]', '', 'g')) AS DOUBLE) AS punct
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, lang, text FROM t
+        WHERE CASE WHEN n = 0 THEN 0.0 ELSE ROUND(
+                  0.5 * least(n / 500.0, 1.0)
+                + 0.3 * (CASE WHEN ntok > 0 THEN least(stop / ntok * 5.0, 1.0) ELSE 0.0 END)
+                + 0.2 * (1.0 - least(punct / n * 10.0, 1.0)), 6) END >= 0.6
+    ),
+    keep AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               MIN(doc_id) AS doc_id
+        FROM gated GROUP BY 1
+    ),
+    deduped AS (
+        SELECT g.doc_id, g.lang, g.text FROM gated g
+        JOIN keep k ON g.doc_id = k.doc_id
+    ),
+    split_assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+        FROM deduped
+    ),
+    packed AS (
+        SELECT split, lang, tokens,
+               CAST(floor((SUM(tokens) OVER (PARTITION BY split, lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - tokens) / 256.0) AS BIGINT) AS pack_id
+        FROM split_assigned
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           COUNT(DISTINCT pack_id) AS n_packs,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY split, lang
+    """,
+)
+def q97(spark, sf):
+    """The full training-data pipeline as ONE lazy plan — quality gate
+    (q24's score ≥ 0.6) → exact dedup (min-id per normalized-text
+    fingerprint) → deterministic md5 train/val/test split (q57's rule) →
+    per-(split, lang) sequence packing (q91's contiguous greedy rule) →
+    stratification rollup. Composition is the point: every stage is the
+    same operator the standalone queries check, and Catalyst fuses the
+    whole chain into scan → filter → dedup agg+semi-join → window → agg
+    with no materialization between stages. Shuffle inventory: fingerprint
+    agg + semi-join, one (split, lang) window, final rollup — nothing
+    corpus-squared anywhere."""
+    from ocr_vector_db_spark.functions.text_analysis import (
+        quality_score_col,
+        token_count_col,
+    )
+    from ocr_vector_db_spark.operators.dedup import dedup_exact
+
+    d = load_table(spark, sf, "documents")
+    gated = d.filter(quality_score_col(F.col("text")) >= 0.6)
+    deduped = dedup_exact(gated, text_col="text", id_col="doc_id")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    assigned = deduped.select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        token_count_col(F.col("text")).cast("bigint").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("split", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = assigned.withColumn(
+        "pack_id",
+        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / 256.0).cast("bigint"),
+    )
+    return packed.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.sum("tokens").alias("total_tokens"),
+    )

@@ -205,3 +205,25 @@ def test_ingest_end_to_end(spark):
         c.document_id in {md_doc, hashing.document_id("/corpus/scan.ocr")}
         for c in out["concepts"].collect()
     )
+
+
+def test_parse_fragments_fused_equals_shuffled_path(spark):
+    """The fused parse+unitize stage must produce row-identical output to
+    parse_segments → build_fragments, with NO exchange between the Python
+    stages (parser output is already document-co-located)."""
+    from ocr_vector_db_spark.sources.ingest import (
+        build_fragments, files_df, parse_fragments, parse_segments,
+    )
+
+    docs = [
+        ("/t/a.md", "Intro prose paragraph with several words here.\n\n"
+         "```python\ndef f(x):\n    return x\n```\n\nMore prose follows.", "md"),
+        ("/t/b.txt", "Short line.\nAnother short line that merges.\n\n"
+         "Second paragraph of plain text content.", "txt"),
+    ]
+    fdf = files_df(spark, docs)
+    old = sorted(map(tuple, build_fragments(parse_segments(fdf)).collect()))
+    new_df = parse_fragments(fdf)
+    assert sorted(map(tuple, new_df.collect())) == old
+    plan = new_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -329,3 +329,21 @@ def test_duplicate_ngram_coverage_shared_vs_unique(spark):
     assert got[3] == (3, 0, 0.0)
     assert got[4] == (1, 1, 1.0)
     assert got[5] == (1, 1, 1.0)
+
+
+def test_rerank_stub_is_deterministic_and_bounded(spark):
+    """Stub rerank keeps k rows, ranks by the md5 hex key desc, ids break
+    ties, and the same input always produces the same output."""
+    import hashlib
+
+    from ocr_vector_db_spark.operators.retrieval import md5_stub_scorer, rerank_topk
+
+    rows = [(i, f"doc body {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = rerank_topk(df, md5_stub_scorer("q"), k=5).collect()
+    assert len(out) == 5
+    exp = sorted(
+        ((hashlib.md5(f"q|doc body {i}".encode()).hexdigest()[:8], i) for i in range(20)),
+        key=lambda t: (t[0], -t[1]), reverse=True)[:5]
+    assert [(r.ce_score, r.id) for r in out] == [(h, i) for h, i in exp]
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]

@@ -118,6 +118,16 @@ def test_plan_shapes(tables, spark):
     assert "BroadcastHashJoin" in plan_of("q74_time_spine_gapfill")
     # grouping sets expand within one aggregate pipeline: a single scan
     assert plan_of("q77_grouping_sets").count("Scan parquet") == 1
+    # BM25: per-term df and the 1-row corpus stats both arrive broadcast;
+    # the only SortMergeJoin-eligible shuffle is the tf aggregate
+    p89 = plan_of("q89_bm25_topk")
+    assert p89.count("BroadcastHashJoin") >= 1 and "SortMergeJoin" not in p89
+    assert "TakeOrderedAndProject" in p89
+    # rerank stage-2 ordering is heap-based top-k, never a global sort
+    assert "TakeOrderedAndProject" in plan_of("q94_rerank_stub_topk")
+    # packing: ONE window exchange (per-shard prefix sum) feeds the rollup
+    p91 = plan_of("q91_sequence_packing")
+    assert p91.count("Window") == 1
 
 
 def test_no_accidental_cartesian_products(tables, spark):
@@ -136,7 +146,7 @@ def test_no_accidental_cartesian_products(tables, spark):
     # intentionally pairwise within a bounded block (documented O(block²)),
     # or scalar cross joins of 1-row aggregates (q85's total/Z, q89/q90's
     # BM25 corpus-stats row):
-    allow_nested_loop = ("q16", "q17", "q22", "q55", "q85", "q89", "q90")
+    allow_nested_loop = ("q16", "q17", "q22", "q55", "q85", "q89", "q90", "q94")
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(skip_prefixes):
             continue
