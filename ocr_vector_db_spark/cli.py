@@ -7,6 +7,9 @@
     python -m ocr_vector_db_spark.cli quality --store DIR --golden FILE.jsonl
     python -m ocr_vector_db_spark.cli metrics --store DIR
     python -m ocr_vector_db_spark.cli delete  DOC_PATHS... --store DIR
+    python -m ocr_vector_db_spark.cli hybrid-search "query" --store DIR
+        [--top-k K] [--fuse-k 60]     # BM25 + dense cosine, RRF-fused
+    python -m ocr_vector_db_spark.cli pack --store DIR --budget 512
 
 Mirrors api/cli/{ingest,search,repl,quality}.py + api/formatters.py: same
 text/JSON result formats (similarity to 4 dp, 500-char parent preview), same
@@ -190,6 +193,85 @@ def cmd_index_search(args) -> int:
     return 0
 
 
+
+
+def cmd_hybrid_search(args) -> int:
+    """Sparse (BM25 over fragment content) + dense (cosine) top-k, RRF-fused
+    — the hybrid recipe the dense-only `search` command is one half of."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.functions.vector import cosine_similarity_col, embed_text
+    from ocr_vector_db_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from ocr_vector_db_spark.storage import EntityStore
+
+    spark = _spark()
+    store = EntityStore(spark, args.store)
+    emb = store.read("embeddings")
+    qv = embed_text(args.query, args.dim)
+    sim = F.round(
+        cosine_similarity_col(F.col("embedding"), F.lit(qv).cast("array<double>")), 6
+    )
+    dense = (
+        emb.select(F.col("doc_id").alias("id"), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("id"))
+        .limit(args.top_k * 2)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("id"))).cast("bigint"),
+        )
+    )
+    lex = bm25_topk(
+        emb.select("doc_id", "content"), args.query.split(),
+        k=args.top_k * 2, id_col="doc_id", text_col="content",
+    )
+    fused = rrf_fuse({"dense": dense, "lex": lex}, k=args.fuse_k).limit(args.top_k)
+    rows = (
+        fused.join(emb.select(F.col("doc_id").alias("id"), "content"), "id")
+        .orderBy("fused_rank")
+        .collect()
+    )
+    for r in rows:
+        print(f"  #{r.fused_rank}  rrf={r.rrf:.6f}  systems={r.n_systems}  "
+              f"{r.id[:24]}  {r.content[:60]!r}")
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Pack stored fragments into token-budget training sequences, per
+    language shard; prints the per-shard pack summary."""
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.operators.packing import pack_documents, pack_stats
+    from ocr_vector_db_spark.storage import EntityStore
+
+    spark = _spark()
+    store = EntityStore(spark, args.store)
+    frags = store.read("fragments").withColumn(
+        "shard_lang", F.coalesce(F.col("language"), F.lit("unknown"))
+    )
+    packed = pack_documents(
+        frags, budget=args.budget, shard_col="shard_lang",
+        id_col="id", text_col="content",
+    )
+    stats = pack_stats(packed, budget=args.budget)
+    agg = (
+        stats.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_packs"),
+            F.sum("n_docs").alias("n_fragments"),
+            F.sum("pack_tokens").alias("total_tokens"),
+            F.round(F.avg("fill_ratio"), 4).alias("avg_fill"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    for r in agg:
+        print(f"[pack] shard={r.shard} packs={r.n_packs} fragments={r.n_fragments} "
+              f"tokens={r.total_tokens} avg_fill={r.avg_fill}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ocr_vector_db_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -244,6 +326,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--top-k", type=int, default=10)
     sp.add_argument("--nprobe", type=int, default=3)
     sp.set_defaults(fn=cmd_index_search)
+
+    sp = sub.add_parser("hybrid-search")
+    sp.add_argument("query")
+    common(sp)
+    sp.add_argument("--top-k", type=int, default=5)
+    sp.add_argument("--fuse-k", type=int, default=60)
+    sp.set_defaults(fn=cmd_hybrid_search)
+
+    sp = sub.add_parser("pack")
+    common(sp)
+    sp.add_argument("--budget", type=int, default=512)
+    sp.set_defaults(fn=cmd_pack)
     return p
 
 

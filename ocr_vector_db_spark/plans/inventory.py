@@ -3791,3 +3791,43 @@ def q97(spark, sf):
         F.countDistinct("pack_id").alias("n_packs"),
         F.sum("tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "q98_rag_prompt_golden",
+    """
+    SELECT * FROM (VALUES
+        ('lazy evaluation generators', 3,
+         '[1] decorators.md|[2] decorators.md|[3] generators.md',
+         'c537cc1c2240cafdf9b13065dec3434b')
+    ) AS t(query, n_sources, citations, prompt_md5)
+    """,
+)
+def q98(spark, sf):
+    """RAG context assembly (§3.3: api/repl --rag path) driver-verified:
+    ingest the fixture corpus, retrieve top-3, assemble the prompt
+    (800-char parent previews, numbered source blocks, separator template —
+    plans/rag.py parity with retrieval/rag.py) and hash it. Deterministic
+    end-to-end (hash embedder, fixed corpus, total orderings), so the
+    oracle is a golden VALUES row — same regeneration contract as q35."""
+    import hashlib as _hashlib
+
+    from ocr_vector_db_spark.plans.pipeline import RetrievalPipeline
+    from ocr_vector_db_spark.plans.rag import build_context, format_rag_prompt
+    from ocr_vector_db_spark.sources.ingest import files_df, ingest
+
+    q = "lazy evaluation generators"
+    out = ingest(spark, files_df(spark, _FIXTURE_FILES), dim=16)
+    pipe = RetrievalPipeline(out["embeddings"], out["parents"], dim=16)
+    rows = pipe.retrieve(q, top_k=3, use_self_query=False).collect()
+    ctx = build_context(rows)
+    prompt = format_rag_prompt(q, ctx)
+    return spark.createDataFrame(
+        [(
+            q,
+            len(ctx.source_citations),
+            "|".join(ctx.source_citations),
+            _hashlib.md5(prompt.encode()).hexdigest(),
+        )],
+        "query string, n_sources int, citations string, prompt_md5 string",
+    )

@@ -95,12 +95,12 @@ def parse_segments(files: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                doc_id = hashing.document_id(r["source_path"])
-                for seg in parsers.parse_file(r["source_path"], r["content"], r["fmt"]):
+            for path, content, fmt in zip(pdf["source_path"], pdf["content"], pdf["fmt"]):
+                doc_id = hashing.document_id(path)
+                for seg in parsers.parse_file(path, content, fmt):
                     rows.append({
                         "document_id": doc_id,
-                        "source_path": r["source_path"],
+                        "source_path": path,
                         "kind": seg["kind"],
                         "content": seg["content"],
                         "language": seg["language"],
@@ -226,8 +226,8 @@ def parse_fragments(files: DataFrame, **unitizer_kwargs) -> DataFrame:
         cols = [f.name for f in FRAGMENT_FULL_SCHEMA.fields]
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                doc_id = hashing.document_id(r["source_path"])
+            for path, content, fmt in zip(pdf["source_path"], pdf["content"], pdf["fmt"]):
+                doc_id = hashing.document_id(path)
                 segs = [
                     {
                         "kind": s["kind"],
@@ -235,12 +235,10 @@ def parse_fragments(files: DataFrame, **unitizer_kwargs) -> DataFrame:
                         "language": s["language"],
                         "order": s["order"],
                     }
-                    for s in parsers.parse_file(
-                        r["source_path"], r["content"], r["fmt"]
-                    )
+                    for s in parsers.parse_file(path, content, fmt)
                 ]
                 rows.extend(
-                    _fragment_rows(doc_id, r["source_path"], segs, **unitizer_kwargs)
+                    _fragment_rows(doc_id, path, segs, **unitizer_kwargs)
                 )
             yield pd.DataFrame(rows, columns=cols)
 

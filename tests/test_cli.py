@@ -48,3 +48,25 @@ def test_cli_lifecycle(spark, tmp_path, capsys):
     metrics_line = capsys.readouterr().out.splitlines()[0]
     m = json.loads(metrics_line.split("[metrics] ")[1])
     assert m["total_rows"] == m["distinct_doc_ids"]  # no duplicate embeddings
+
+
+def test_cli_hybrid_search_and_pack(spark, tmp_path, capsys):
+    doc = tmp_path / "guide.md"
+    doc.write_text(
+        "Shuffle partitions control parallelism in wide transformations.\n\n"
+        "Broadcast joins avoid shuffles when one side is small.\n\n"
+        "```python\ndf.join(broadcast(dim), 'k')\n```\n"
+    )
+    store = str(tmp_path / "store")
+    assert cli.main(["ingest", str(doc), "--store", store, "--dim", "16"]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["hybrid-search", "broadcast joins shuffles", "--store", store,
+                     "--dim", "16", "--top-k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "rrf=" in out and "#1" in out
+
+    assert cli.main(["pack", "--store", store, "--dim", "16",
+                     "--budget", "32"]) == 0
+    out = capsys.readouterr().out
+    assert "[pack] shard=" in out and "avg_fill=" in out

@@ -141,7 +141,7 @@ def test_no_accidental_cartesian_products(tables, spark):
     # skipped: index/codebook builders + streaming + pipeline runs (they
     # execute work at construction time, covered by their own tests)
     skip_prefixes = (
-        "q33", "q34", "q35", "q36", "q37", "q38", "q46", "q53",
+        "q33", "q34", "q35", "q36", "q37", "q38", "q46", "q53", "q98",
     )
     # intentionally pairwise within a bounded block (documented O(block²)),
     # or scalar cross joins of 1-row aggregates (q85's total/Z, q89/q90's

@@ -73,3 +73,49 @@ def test_token_count_consistency(t):
     assert text_analysis.bpe_token_estimate(t) >= (1 if t else 0)
     q = text_analysis.quality_score(t)
     assert 0.0 <= q <= 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(2, 128), st.integers(0, 127))
+def test_simhash_band_widths_partition(bits, r):
+    """Bands always partition the B bits: contiguous, nonempty, ±1 balanced."""
+    from ocr_vector_db_spark.operators.dedup import simhash_band_widths
+
+    if r >= bits:
+        r = bits - 1  # at most one band per bit
+    spans = simhash_band_widths(bits, r)
+    assert len(spans) == r + 1
+    lo = 0
+    for start, w in spans:
+        assert start == lo and w >= 1
+        lo += w
+    assert lo == bits
+    ws = [w for _, w in spans]
+    assert max(ws) - min(ws) <= 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(1, 400), min_size=1, max_size=60), st.integers(16, 256))
+def test_contiguous_packing_rule_invariants(tokens, budget):
+    """The pack rule floor((cumsum - tokens)/budget): ids start at 0,
+    are nondecreasing, each pack's first doc starts inside its budget slot,
+    and a pack never *starts* past the running total."""
+    cum = 0
+    packs: dict[int, list[int]] = {}
+    last = 0
+    for t in tokens:
+        cum += t
+        pid = (cum - t) // budget
+        assert pid >= last  # nondecreasing along the scan order
+        last = pid
+        packs.setdefault(pid, []).append(t)
+        # the doc's start offset lies inside pack pid's [pid*b, (pid+1)*b) slot
+        assert pid * budget <= cum - t < (pid + 1) * budget
+    assert min(packs) == 0
+    # every non-final pack ends at or past its slot end (otherwise the next
+    # doc would have joined it)
+    pids = sorted(packs)
+    run = 0
+    for pid in pids[:-1]:
+        run += sum(packs[pid])
+        assert run >= (pid + 1) * budget
