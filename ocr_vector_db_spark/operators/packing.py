@@ -18,6 +18,15 @@ no driver loop. Shard by whatever already partitions the corpus (source,
 language, date bucket); parallelism = #shards, and each shard's window is a
 single per-partition sorted stream. The per-pack rollup is a hash agg on
 (shard, pack_id).
+
+When the natural shard key is low-cardinality (a handful of languages over
+a 100 TB corpus = a handful of single-reducer sorted streams), pass
+``sub_shards=N``: each shard is salted into N deterministic sub-shards
+(md5(doc_id) mod N — engine-portable, no xxhash dependency in the oracle),
+so window partitions stay bounded at corpus_size / (shards * N). Packs are
+per-(sub-)shard by definition, so salting only relabels WHICH pack a doc
+joins — budget/overflow semantics per pack are identical, and
+``sub_shards=1`` is exactly the unsalted operator.
 """
 
 from __future__ import annotations
@@ -28,6 +37,18 @@ from pyspark.sql import functions as F
 from ocr_vector_db_spark.functions.text_analysis import token_count_col
 
 
+def sub_shard_salt(id_col: Column, sub_shards: int) -> Column:
+    """Deterministic bounded salt in [0, sub_shards): first 8 hex chars of
+    md5(id) as an int, mod N. md5+conv (not xxhash64) so a SQL oracle on any
+    engine reproduces it bit-for-bit."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(sub_shards),
+    )
+
+
 def pack_documents(
     docs: DataFrame,
     budget: int,
@@ -35,10 +56,25 @@ def pack_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens: Column | None = None,
+    sub_shards: int = 1,
 ) -> DataFrame:
     """(shard, doc_id, tokens, cum_tokens, pack_id): contiguous greedy
     packing of each shard's documents (ordered by id) into `budget`-token
-    packs. `tokens` defaults to the whitespace-token count of `text_col`."""
+    packs. `tokens` defaults to the whitespace-token count of `text_col`.
+    `sub_shards > 1` salts each shard into that many deterministic
+    sub-shards (shard value becomes "<shard>#<salt>") so no window
+    partition outgrows an executor at corpus scale."""
+    if budget <= 0:
+        raise ValueError(f"pack_documents budget must be positive, got {budget}")
+    if sub_shards < 1:
+        raise ValueError(f"sub_shards must be >= 1, got {sub_shards}")
+    shard = F.col(shard_col)
+    if sub_shards > 1:
+        shard = F.concat_ws(
+            "#",
+            shard.cast("string"),
+            sub_shard_salt(F.col(id_col), sub_shards).cast("string"),
+        )
     tok = tokens if tokens is not None else token_count_col(F.col(text_col))
     w = (
         Window.partitionBy("shard")
@@ -46,7 +82,7 @@ def pack_documents(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return docs.select(
-        F.col(shard_col).alias("shard"),
+        shard.alias("shard"),
         F.col(id_col),
         tok.cast("bigint").alias("tokens"),
     ).select(

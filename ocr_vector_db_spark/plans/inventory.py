@@ -856,8 +856,8 @@ def q29(spark, sf):
     ),
     sessions AS (
         SELECT user_id, ts, event_id,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         FROM marked
     )
     SELECT user_id, session_seq, COUNT(*) AS n_events,
@@ -3474,7 +3474,10 @@ def q90(spark, sf):
     "q91_sequence_packing",
     r"""
     WITH t AS (
-        SELECT lang AS shard, doc_id,
+        SELECT lang || '#' || CAST(
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+                   AS VARCHAR) AS shard,
+               doc_id,
                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
         FROM documents
     ),
@@ -3501,12 +3504,14 @@ def q91(spark, sf):
     documents into 256-token training packs (pack = floor of the prefix sum
     before the doc / budget), rolled up to per-pack fill stats. ONE window
     (per-shard prefix sum, no global sort) + one hash agg — the
-    document-boundary packing a pretraining pipeline runs as its final hop;
-    see operators/packing.py for the scale notes."""
+    document-boundary packing a pretraining pipeline runs as its final hop.
+    The shard key is salted into 4 sub-shards (md5(doc_id) mod 4) so window
+    partitions stay bounded when the natural key is low-cardinality — the
+    100-TB guard; see operators/packing.py for the scale notes."""
     from ocr_vector_db_spark.operators import packing
 
     d = load_table(spark, sf, "documents")
-    packed = packing.pack_documents(d, budget=256, shard_col="lang")
+    packed = packing.pack_documents(d, budget=256, shard_col="lang", sub_shards=4)
     return packing.pack_stats(packed, budget=256)
 
 
@@ -3733,18 +3738,21 @@ def q96(spark, sf):
                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
                     ELSE 'test' END AS split,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 4
+                   AS sub_shard,
                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
         FROM deduped
     ),
     packed AS (
-        SELECT split, lang, tokens,
-               CAST(floor((SUM(tokens) OVER (PARTITION BY split, lang ORDER BY doc_id
+        SELECT split, lang, sub_shard, tokens,
+               CAST(floor((SUM(tokens) OVER (PARTITION BY split, lang, sub_shard
+                               ORDER BY doc_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                            - tokens) / 256.0) AS BIGINT) AS pack_id
         FROM split_assigned
     )
     SELECT split, lang, COUNT(*) AS n_docs,
-           COUNT(DISTINCT pack_id) AS n_packs,
+           COUNT(DISTINCT CONCAT(sub_shard, ':', pack_id)) AS n_packs,
            CAST(SUM(tokens) AS BIGINT) AS total_tokens
     FROM packed GROUP BY split, lang
     """,

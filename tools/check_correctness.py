@@ -25,16 +25,30 @@ TABLES = [
 
 
 def canon(v):
+    import numpy as np
+
+    # pandas cannot distinguish NULL from NaN in a float column (both sides
+    # of the driver's compare materialize through pandas), so all null-ish
+    # values collapse to one sentinel.
+    if v is None or v is getattr(__import__("pandas"), "NaT", None):
+        return "__NULL__"
     if isinstance(v, Decimal):
         return float(v)
-    if isinstance(v, float):
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
-            return "NaN"
+            return "__NULL__"
         return v
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
         return v.isoformat()
+    if isinstance(v, np.ndarray):
+        return tuple(canon(x) for x in v.tolist())
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     return v
@@ -99,7 +113,13 @@ def main():
                       "(driver hashes raw values: emit epoch-us bigints / strings)")
                 failed += 1
                 continue
-            srows = [tuple(r) for r in sdf.collect()]
+            # Materialize through pandas, like the driver: a nullable bigint
+            # becomes float64 on BOTH sides, but a DuckDB HUGEINT becomes
+            # float64 only on the oracle side — that asymmetry is what the
+            # dtype-kind check below catches.
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+            skinds = {c: spdf[c].dtype.kind for c in spdf.columns}
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             failed += 1
@@ -109,9 +129,10 @@ def main():
             skipped += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odf = con.execute(oracles[name]).fetch_df()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
+            okinds = {c: odf[c].dtype.kind for c in ocols}
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             failed += 1
@@ -121,6 +142,17 @@ def main():
         msgs = []
         if sc != oc:
             msgs.append(f"columns differ: spark={sc} oracle={oc}")
+        else:
+            # The driver hashes pandas-materialized values: a DuckDB HUGEINT
+            # (float64 via fetch_df) vs a Spark bigint hashes differently even
+            # when every value is equal. Flag int-vs-float kind splits hard.
+            for c in sc:
+                ok, sk = okinds.get(c), skinds.get(c)
+                if {ok, sk} == {"i", "f"}:
+                    msgs.append(
+                        f"dtype kind mismatch on {c}: spark={sk} oracle-pandas={ok} "
+                        "(driver hash would differ — CAST the oracle column)"
+                    )
         if len(sr) != len(orr):
             msgs.append(f"row count: spark={len(sr)} oracle={len(orr)}")
         if not msgs and sr != orr:
