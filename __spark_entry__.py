@@ -78,8 +78,31 @@ _DRIVER_GREEN = {
     "q44_repetition_ratio", "q45_pii_scrub", "q46_pq_compression_search",
     "q53_ivfpq_search", "q57_deterministic_split", "q58_event_gaps_lag",
     "q59_intersect_except",
-    # q30_sessionization was driver-red r01+r02 (oracle HUGEINT cast, fixed
-    # round 3) — deliberately NOT in this set so it re-verifies first.
+    # r03 greens (driver-verified in CORRECTNESS_r03.json): q30's cast fix
+    # landed, and q47-q98 got their first verdicts — all green except q69
+    # (oracle HUGEINT sum, cast added round 4) and q97 (Spark side lacked
+    # the oracle's sub-shard salt, matched round 4), which are deliberately
+    # NOT in this set so they re-verify first.
+    "q30_sessionization", "q47_stats_percentiles", "q48_cube_agg",
+    "q49_shipping_priority", "q50_regional_supplier_volume",
+    "q51_range_join_binned", "q52_parent_synthesis_legacy",
+    "q54_tfidf_top_terms", "q55_int8_quantized_knn",
+    "q56_neardup_components", "q60_price_histogram", "q61_ntile_deciles",
+    "q62_decontamination", "q63_quality_gate", "q64_dedup_keep_best",
+    "q65_token_zipf_topk", "q66_label_centroids", "q67_user_moving_avg",
+    "q68_zscore_outliers", "q70_column_correlations",
+    "q71_weekday_hour_profile", "q72_rank_function_suite",
+    "q73_levenshtein_neardup", "q74_time_spine_gapfill",
+    "q75_pagerank_neardup_graph", "q76_zorder_tiles", "q77_grouping_sets",
+    "q78_from_json_struct", "q79_array_hof_suite",
+    "q80_interval_range_window", "q81_ordered_string_agg",
+    "q82_unigram_cross_entropy", "q83_scd2_versioning",
+    "q84_readability_stats", "q85_temperature_source_remix",
+    "q86_pdf_ingest", "q87_ocr_policy_gate", "q88_simhash_banded_pairs",
+    "q89_bm25_topk", "q90_hybrid_rrf_fusion", "q91_sequence_packing",
+    "q92_semantic_dedup_survivors", "q93_duplicate_ngram_coverage",
+    "q94_rerank_stub_topk", "q95_bpe_pair_counts", "q96_quality_deciles",
+    "q98_rag_prompt_golden",
 }
 
 

@@ -415,12 +415,44 @@ def connected_components(
     return labels
 
 
+def kmeans_blocks(
+    df: DataFrame,
+    num_clusters: int,
+    emb_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_iter: int = 20,
+    out_col: str = "sem_cluster",
+) -> DataFrame:
+    """Assign every row a KMeans cluster id over its embedding — the block
+    key SemDeDup (Abbas et al., 2023 §3) prescribes when the corpus has no
+    natural label: fit k-means on (a sample of) the embeddings, then dedup
+    WITHIN each cluster only. Same fit-assign recipe as IVFIndex.build
+    (operators/ann_index.py) minus the partitioned write: at 100 TB the fit
+    runs on ~1M sampled vectors (`sample_fraction`) and the assignment is
+    one distributed map over the corpus. Seeded, so assignments are
+    deterministic run-to-run."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.withColumn("__f", array_to_vector(F.col(emb_col).cast("array<double>")))
+    fit_on = feat.sample(sample_fraction, seed=seed) if sample_fraction else feat
+    model = KMeans(
+        k=num_clusters, seed=seed, maxIter=max_iter,
+        featuresCol="__f", predictionCol=out_col,
+    ).fit(fit_on)
+    return model.transform(feat).drop("__f")
+
+
 def semantic_dedup_survivors(
     df: DataFrame,
     threshold: float = 0.95,
-    block_col: str = "label",
+    block_col: str | None = "label",
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    kmeans_clusters: int | None = None,
+    seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): within each semantic cluster, drop
     every document that has a HIGHER-PRIORITY near-neighbor (cosine ≥
@@ -431,13 +463,26 @@ def semantic_dedup_survivors(
     A~B~C with A!~C: B and C are both dropped, only A survives). One
     anti-join expresses it exactly.
 
+    Blocking: pass ``kmeans_clusters=N`` to block by a seeded KMeans
+    assignment over the embeddings (`kmeans_blocks`) — the paper's own
+    clustering, and the only option on a corpus with no labels; or pass an
+    existing ``block_col`` (label / IVF cluster / LSH bucket) to reuse a
+    partitioning the pipeline already computed.
+
     Scale shape: candidate pairs come from the blocked self-join
-    (`embedding_near_dup_pairs` — block = KMeans cluster / label / LSH
-    bucket, never all-pairs); the survivor set is a broadcast-able
-    left-anti join of the corpus against the "has a better neighbor"
-    id set (distinct ids on the b-side of pairs)."""
+    (`embedding_near_dup_pairs` — never all-pairs); the survivor set is a
+    broadcast-able left-anti join of the corpus against the "has a better
+    neighbor" id set (distinct ids on the b-side of pairs)."""
+    blocked = df
+    if kmeans_clusters is not None:
+        block_col = "__sem_cluster"
+        blocked = kmeans_blocks(
+            df, kmeans_clusters, emb_col=emb_col, seed=seed,
+            sample_fraction=sample_fraction, out_col=block_col,
+        )
     pairs = embedding_near_dup_pairs(
-        df, threshold=threshold, block_col=block_col, emb_col=emb_col, id_col=id_col
+        blocked, threshold=threshold, block_col=block_col, emb_col=emb_col,
+        id_col=id_col,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")

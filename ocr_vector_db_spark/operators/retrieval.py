@@ -37,6 +37,19 @@ def _dsum6(c: Column) -> Column:
     return F.sum(F.round(c, 6).cast("decimal(28,6)")).cast("double")
 
 
+def bounded_window(*order_cols: Column) -> Window:
+    """Total-order window over a DRIVER-BOUNDED (top-k) relation.
+
+    Semantically identical to ``Window.orderBy(...)`` but partitioned on a
+    constant, which tells Spark the single-partition placement is deliberate
+    — silencing the per-plan "No Partition Defined for Window operation"
+    WindowExec warning that otherwise fires even when the input is k rows.
+    Only ever use this AFTER a ``orderBy(...).limit(k)`` or equivalent
+    bound; on an unbounded relation it is exactly the anti-pattern the
+    warning exists for."""
+    return Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
@@ -101,7 +114,7 @@ def bm25_topk(
             "id",
             "bm25",
             F.row_number()
-            .over(Window.orderBy(F.desc("bm25"), F.asc("id")))
+            .over(bounded_window(F.desc("bm25"), F.asc("id")))
             .cast("bigint")
             .alias("rank"),
         )
@@ -135,7 +148,7 @@ def rrf_fuse(
         )
         .select("id", F.round("rrf", 6).alias("rrf"), "n_systems")
     )
-    w = Window.orderBy(F.desc("rrf"), F.asc("id"))
+    w = bounded_window(F.desc("rrf"), F.asc("id"))
     return fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
 
 
@@ -177,7 +190,7 @@ def rerank_topk(
     scored = candidates.select(
         F.col(id_col).alias("id"), scorer(F.col(text_col)).alias("ce_score")
     )
-    w = Window.orderBy(F.desc("ce_score"), F.asc("id"))
+    w = bounded_window(F.desc("ce_score"), F.asc("id"))
     return (
         scored.orderBy(F.desc("ce_score"), F.asc("id"))
         .limit(k)

@@ -2423,8 +2423,8 @@ def q68(spark, sf):
                 WHEN n_clicks > 0 THEN 'click_only'
                 ELSE 'purchase_only' END AS segment,
            COUNT(*) AS n_users,
-           SUM(n_clicks) AS total_clicks,
-           SUM(n_purchases) AS total_purchases
+           CAST(SUM(n_clicks) AS BIGINT) AS total_clicks,
+           CAST(SUM(n_purchases) AS BIGINT) AS total_purchases
     FROM f GROUP BY 1
     """,
 )
@@ -3761,12 +3761,13 @@ def q97(spark, sf):
     """The full training-data pipeline as ONE lazy plan — quality gate
     (q24's score ≥ 0.6) → exact dedup (min-id per normalized-text
     fingerprint) → deterministic md5 train/val/test split (q57's rule) →
-    per-(split, lang) sequence packing (q91's contiguous greedy rule) →
-    stratification rollup. Composition is the point: every stage is the
-    same operator the standalone queries check, and Catalyst fuses the
-    whole chain into scan → filter → dedup agg+semi-join → window → agg
-    with no materialization between stages. Shuffle inventory: fingerprint
-    agg + semi-join, one (split, lang) window, final rollup — nothing
+    per-(split, lang, sub_shard) sequence packing (q91's contiguous greedy
+    rule, salted into 4 bounded sub-shards) → stratification rollup.
+    Composition is the point: every stage is the same operator the
+    standalone queries check, and Catalyst fuses the whole chain into
+    scan → filter → dedup agg+semi-join → window → agg with no
+    materialization between stages. Shuffle inventory: fingerprint agg +
+    semi-join, one (split, lang, sub_shard) window, final rollup — nothing
     corpus-squared anywhere."""
     from ocr_vector_db_spark.functions.text_analysis import (
         quality_score_col,
@@ -3777,16 +3778,24 @@ def q97(spark, sf):
     d = load_table(spark, sf, "documents")
     gated = d.filter(quality_score_col(F.col("text")) >= 0.6)
     deduped = dedup_exact(gated, text_col="text", id_col="doc_id")
-    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    h = F.substring(md5, 1, 2)
     split = F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    # Bounded sub-shard salt (md5 chars 9-16, disjoint from the split's 1-2,
+    # mod 4) — the 100-TB guard keeping each packing window partition
+    # corpus/(splits*langs*4) instead of a single-reducer sorted stream.
+    sub_shard = F.pmod(
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint"), F.lit(4)
+    )
     assigned = deduped.select(
         "doc_id",
         "lang",
         split.alias("split"),
+        sub_shard.alias("sub_shard"),
         token_count_col(F.col("text")).cast("bigint").alias("tokens"),
     )
     w = (
-        Window.partitionBy("split", "lang")
+        Window.partitionBy("split", "lang", "sub_shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -3796,7 +3805,7 @@ def q97(spark, sf):
     )
     return packed.groupBy("split", "lang").agg(
         F.count("*").alias("n_docs"),
-        F.countDistinct("pack_id").alias("n_packs"),
+        F.countDistinct("sub_shard", "pack_id").alias("n_packs"),
         F.sum("tokens").alias("total_tokens"),
     )
 
@@ -3838,4 +3847,57 @@ def q98(spark, sf):
             _hashlib.md5(prompt.encode()).hexdigest(),
         )],
         "query string, n_sources int, citations string, prompt_md5 string",
+    )
+
+
+@query(
+    "q99_semdedup_kmeans_invariants",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_total,
+           true AS survivors_nonempty,
+           true AS conservation_ok,
+           true AS min_ids_survive_ok,
+           true AS monotone_ok
+    """,
+)
+def q99(spark, sf):
+    """SemDeDup blocked by the paper's own KMeans clustering (Abbas et al.
+    2023 §3 — q92 uses the synthetic `label` as the block; a real corpus has
+    no labels, so this variant fits seeded k-means over the embeddings via
+    dedup.kmeans_blocks and dedups within each cluster). The cluster
+    assignment isn't SQL-reproducible, so — like q46/q53's ANN gates — the
+    driver checks an invariant row instead of the raw survivor set:
+      n_total            survivors + dropped must re-add to the corpus count
+                         (the oracle recomputes COUNT(*) independently)
+      survivors_nonempty at least one representative survives
+      conservation_ok    survivors ∩ dropped = ∅ partition of the corpus
+      min_ids_survive_ok the min-id doc of every cluster survives (it can
+                         have no lower-id neighbor — a banding/priority bug
+                         flips this)
+      monotone_ok        survivors(τ=0.3) ⊆ survivors(τ=0.5): raising the
+                         threshold can only shrink the dropped set — a
+                         threshold-comparison bug flips this."""
+    e = load_table(spark, sf, "embeddings")
+    blocks = dedup.kmeans_blocks(e, 8, out_col="sem_cluster")
+    # one fit, two thresholds: reuse the assignment as a plain block_col
+    s_lo = dedup.semantic_dedup_survivors(
+        blocks, threshold=0.3, block_col="sem_cluster"
+    ).select("vec_id")
+    s_hi = dedup.semantic_dedup_survivors(
+        blocks, threshold=0.5, block_col="sem_cluster"
+    ).select("vec_id")
+    n_total = e.count()
+    n_lo = s_lo.count()
+    n_dropped = e.join(s_lo, "vec_id", "left_anti").count()
+    min_ids = blocks.groupBy("sem_cluster").agg(F.min("vec_id").alias("vec_id"))
+    return spark.createDataFrame(
+        [(
+            n_total,
+            n_lo > 0,
+            n_lo + n_dropped == n_total,
+            min_ids.join(s_lo, "vec_id", "left_anti").count() == 0,
+            s_lo.join(s_hi, "vec_id", "left_anti").count() == 0,
+        )],
+        "n_total bigint, survivors_nonempty boolean, conservation_ok boolean, "
+        "min_ids_survive_ok boolean, monotone_ok boolean",
     )

@@ -86,6 +86,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
 
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) must read as plain TIMESTAMP
+    # (stored int64 = epoch micros, same value DuckDB's epoch_us sees), not
+    # TIMESTAMP_NTZ — NTZ breaks unix_micros() and makes epoch extraction
+    # session-timezone-dependent. Set at runtime so it also holds under the
+    # driver's own SparkSession, whatever its defaults.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -94,6 +101,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             # integer division: float division of ~1.7e18 ns exceeds double's
             # 53-bit mantissa and corrupts the low microseconds
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # belt-and-braces if the conf above is ever non-settable: NTZ
+            # wall-clock == the stored instant under UTC, so pin the
+            # conversion to UTC explicitly (session-tz-independent).
+            df = df.withColumn(
+                "ts", F.to_utc_timestamp(F.col("ts").cast("timestamp"), "UTC")
+            )
     else:
         df = spark.read.parquet(path)
     _TABLE_CACHE[key] = df

@@ -309,6 +309,34 @@ def test_semantic_dedup_pairwise_not_transitive(spark):
     assert got == [1, 4, 9]
 
 
+def test_semantic_dedup_kmeans_blocking(spark):
+    """kmeans_clusters=N blocks by a seeded KMeans assignment (Abbas et al.
+    §3): two tight far-apart groups land in separate clusters, each keeps
+    only its min-id representative; assignment is deterministic per seed."""
+    from ocr_vector_db_spark.operators.dedup import (
+        kmeans_blocks,
+        semantic_dedup_survivors,
+    )
+
+    rows = [
+        (1, [1.0, 0.01]), (2, [0.999, 0.02]), (3, [0.998, 0.0]),   # group A
+        (11, [0.0, 1.0]), (12, [0.01, 0.999]), (13, [0.02, 0.998]),  # group B
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = sorted(
+        r.vec_id
+        for r in semantic_dedup_survivors(
+            df, threshold=0.95, block_col=None, kmeans_clusters=2
+        ).collect()
+    )
+    assert got == [1, 11]
+    # deterministic assignment: same seed -> same clusters both calls
+    a = {r.vec_id: r.sem_cluster for r in kmeans_blocks(df, 2).collect()}
+    b = {r.vec_id: r.sem_cluster for r in kmeans_blocks(df, 2).collect()}
+    assert a == b
+    assert len({a[1], a[11]}) == 2  # the two groups are split
+
+
 def test_duplicate_ngram_coverage_shared_vs_unique(spark):
     """Docs sharing a 3-gram run get partial coverage; a fully-unique doc
     gets 0; identical docs get 1."""
