@@ -14,11 +14,13 @@ PDF spec directly:
   strings, Tf font size (for line/block gap heuristics), cm CTM + `name Do`
   image XObject draws → image blocks.
 
-Coverage is deliberately the simple-PDF subset (ASCII/Latin-1 text, Flate
-or raw streams, uncompressed xref): enough for generated documents and the
-common machine-produced reports; exotic encodings (CID fonts, object
-streams, encryption) are out of scope — `decode_pdf` in parsers.py first
-tries PyMuPDF if importable and falls back here.
+Coverage is the simple-PDF subset PLUS CID-keyed fonts with /ToUnicode
+CMaps: Type0/Identity-H show strings (the encoding every Korean/CJK PDF in
+the reference's corpus uses) decode through the font's bfchar/bfrange map
+to Unicode, exactly as PyMuPDF resolves them. Still out of scope: object
+streams, encryption, CID fonts WITHOUT a ToUnicode map (no unicode info
+exists in the file; PyMuPDF shows U+FFFD there too) — `decode_pdf` in
+parsers.py first tries PyMuPDF if importable and falls back here.
 
 Output block schema matches parse_pdf_blocks() input:
     {page: int, bbox: [x0, y0, x1, y1], kind: 'text'|'image', content: str}
@@ -119,17 +121,119 @@ def _page_numbers(objects) -> list[int]:
     return ordered
 
 
+def _dict_body(src: bytes, key: bytes) -> bytes | None:
+    """Balanced `<<…>>` body following /Key — a non-greedy regex stops at
+    the first `>>` and truncates dictionaries whose entries are themselves
+    inline dicts (e.g. a /Font map mixing inline simple fonts and CID font
+    refs)."""
+    m = re.search(rb"/" + key + rb"\s*<<", src)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(src) and depth:
+        if src[i : i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif src[i : i + 2] == b">>":
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    return src[m.end() : i - 2] if depth == 0 else None
+
+
 def _xobject_map(objects, page_src: bytes) -> dict[bytes, int]:
     """/Resources /XObject name → object number (image detection for Do)."""
     res_ref = _first_ref(page_src, b"Resources")
     res_src = _dict_src(objects, res_ref) if res_ref is not None else page_src
-    m = re.search(rb"/XObject\s*<<(.*?)>>", res_src, re.S)
-    if not m:
+    body = _dict_body(res_src, b"XObject")
+    if body is None:
         return {}
     return {
         nm.group(1): int(nm.group(2))
-        for nm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", m.group(1))
+        for nm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", body)
     }
+
+
+# ------------------------------------------------------------- font layer
+
+_HEX_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(cmap: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a /ToUnicode CMap stream (PDF 32000-1 §9.10.3) into
+    (code_width_bytes, {code: unicode_str}).
+
+    Handles begincodespacerange (code width), beginbfchar (pairs
+    `<src> <dst>`) and beginbfrange (`<lo> <hi> <dst0>` increments the LAST
+    dst code unit, or `<lo> <hi> [<d0> <d1> …]` explicit array) — the three
+    constructs real-world ToUnicode CMaps use. Destinations are UTF-16BE
+    (can be multi-unit, e.g. ligature expansions)."""
+    nbytes = 1
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", cmap, re.S)
+    if m:
+        pairs = _HEX_PAIR_RE.findall(m.group(1))
+        if pairs:
+            nbytes = max(1, len(pairs[0]) // 2)
+
+    def dst_str(hexdigits: bytes) -> str:
+        raw = bytes.fromhex(hexdigits.decode("ascii"))
+        try:
+            return raw.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return "�"
+
+    table: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        toks = _HEX_PAIR_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            table[int(src, 16)] = dst_str(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        body = m.group(1)
+        # array form: <lo> <hi> [<d0> <d1> ...]
+        for am in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", body, re.S
+        ):
+            lo, hi = int(am.group(1), 16), int(am.group(2), 16)
+            dsts = _HEX_PAIR_RE.findall(am.group(3))
+            for off, d in enumerate(dsts):
+                if lo + off <= hi:
+                    table[lo + off] = dst_str(d)
+        # increment form: <lo> <hi> <dst> (last UTF-16 unit increments)
+        body_wo_arrays = re.sub(rb"\[.*?\]", b"", body, flags=re.S)
+        toks = _HEX_PAIR_RE.findall(body_wo_arrays)
+        for lo_h, hi_h, dst_h in zip(toks[0::3], toks[1::3], toks[2::3]):
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            base = dst_str(dst_h)
+            for off in range(hi - lo + 1):
+                table[lo + off] = base[:-1] + chr(ord(base[-1]) + off) if base else ""
+    return nbytes, table
+
+
+def _load_fonts(objects, page_src: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
+    """/Resources /Font name → (code_width, ToUnicode table) for fonts that
+    CARRY a /ToUnicode CMap (CID/Type0 or simple fonts with explicit maps).
+    Fonts without one fall through to Latin-1 passthrough in the
+    interpreter — matching what the bytes literally say."""
+    res_ref = _first_ref(page_src, b"Resources")
+    res_src = _dict_src(objects, res_ref) if res_ref is not None else page_src
+    body = _dict_body(res_src, b"Font")
+    if body is None:
+        return {}
+    out: dict[bytes, tuple[int, dict[int, str]]] = {}
+    for nm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", body):
+        name, ref = nm.group(1), int(nm.group(2))
+        font_src = _dict_src(objects, ref)
+        tu_ref = _first_ref(font_src, b"ToUnicode")
+        if tu_ref is None:
+            continue
+        dict_src, stream = objects.get(tu_ref, (b"", None))
+        if stream is None:
+            continue
+        decoded = _decode_stream(dict_src, stream)
+        if decoded:
+            out[name] = _parse_tounicode(decoded)
+    return out
 
 
 # ------------------------------------------------------- content stream layer
@@ -194,8 +298,11 @@ class _TextRun:
 
 
 def _interpret(content: bytes, xobjects: dict[bytes, int], objects,
-               page_no: int) -> tuple[list[_TextRun], list[dict]]:
+               page_no: int,
+               fonts: dict[bytes, tuple[int, dict[int, str]]] | None = None,
+               ) -> tuple[list[_TextRun], list[dict]]:
     """One pass over a page's content stream: text runs + image blocks."""
+    fonts = fonts or {}
     runs: list[_TextRun] = []
     images: list[dict] = []
     stack: list[object] = []
@@ -203,9 +310,25 @@ def _interpret(content: bytes, xobjects: dict[bytes, int], objects,
     leading = 0.0
     tx = ty = 0.0          # text-space position (Tm translation + Td offsets)
     ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    cur_font: bytes = b""
 
     def shownum() -> list[float]:
         return [float(v) for v in stack if isinstance(v, float)]
+
+    def decode_shown(s: str) -> str:
+        """Map a shown string through the current font's ToUnicode CMap.
+        String tokens are decoded latin-1 (lossless byte carrier); CID fonts
+        consume them as big-endian code units of the CMap's code width."""
+        fo = fonts.get(cur_font)
+        if fo is None:
+            return s
+        nbytes, table = fo
+        raw = s.encode("latin-1", "replace")
+        out: list[str] = []
+        for i in range(0, len(raw) - nbytes + 1, nbytes):
+            code = int.from_bytes(raw[i : i + nbytes], "big")
+            out.append(table.get(code, "�"))
+        return "".join(out)
 
     def show(s: str) -> None:
         if s:
@@ -229,6 +352,11 @@ def _interpret(content: bytes, xobjects: dict[bytes, int], objects,
                 nums = shownum()
                 if nums:
                     size = nums[-1]
+                fname = next(
+                    (v for v in reversed(stack) if isinstance(v, bytes)), None
+                )
+                if fname is not None:
+                    cur_font = fname
             elif op in (b"Td", b"TD"):
                 nums = shownum()
                 if len(nums) >= 2:
@@ -249,10 +377,10 @@ def _interpret(content: bytes, xobjects: dict[bytes, int], objects,
             elif op == b"BT":
                 tx = ty = 0.0
             elif op in (b"Tj", b"TJ"):
-                show("".join(v for v in stack if isinstance(v, str)))
+                show("".join(decode_shown(v) for v in stack if isinstance(v, str)))
             elif op in (b"'", b'"'):
                 ty -= leading if leading else size * 1.2
-                show("".join(v for v in stack if isinstance(v, str)))
+                show("".join(decode_shown(v) for v in stack if isinstance(v, str)))
             elif op == b"cm":
                 nums = shownum()
                 if len(nums) >= 6:
@@ -337,6 +465,7 @@ def extract_pdf_blocks(data: bytes) -> list[dict]:
     for page_no, page_obj in enumerate(_page_numbers(objects)):
         page_src = _dict_src(objects, page_obj)
         xobjects = _xobject_map(objects, page_src)
+        fonts = _load_fonts(objects, page_src)
         parts: list[bytes] = []
         for ref in _all_refs(page_src, b"Contents"):
             dict_src, stream = objects.get(ref, (b"", None))
@@ -345,7 +474,9 @@ def extract_pdf_blocks(data: bytes) -> list[dict]:
             decoded = _decode_stream(dict_src, stream)
             if decoded:
                 parts.append(decoded)
-        runs, images = _interpret(b"\n".join(parts), xobjects, objects, page_no)
+        runs, images = _interpret(
+            b"\n".join(parts), xobjects, objects, page_no, fonts
+        )
         text_blocks = _runs_to_blocks(runs, page_no)
         # interleave by vertical position (PDF y grows upward → sort desc),
         # stable for equal positions
@@ -356,17 +487,47 @@ def extract_pdf_blocks(data: bytes) -> list[dict]:
 
 # ------------------------------------------------------------ fixture writer
 
+def _tounicode_cmap(chars: set[str]) -> bytes:
+    """Minimal spec-shaped ToUnicode CMap: 2-byte Identity codespace, one
+    bfchar entry per used char (code = the char's BMP codepoint — the
+    Identity-H convention), ≤100 entries per bfchar section per spec."""
+    ordered = sorted(chars)
+    sections: list[str] = []
+    for i in range(0, len(ordered), 100):
+        chunk = ordered[i : i + 100]
+        entries = "\n".join(f"<{ord(c):04X}> <{ord(c):04X}>" for c in chunk)
+        sections.append(f"{len(chunk)} beginbfchar\n{entries}\nendbfchar")
+    return (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        + "\n".join(sections)
+        + "\nendcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    ).encode("latin-1")
+
+
 def build_simple_pdf(pages: list[list[dict]], compress: bool = True) -> bytes:
     """Deterministic minimal PDF writer for fixtures/tests (no library).
 
     `pages` = list of pages; each page a list of blocks:
       {'kind': 'text', 'text': str, 'x': float, 'y': float, 'size': float}
       {'kind': 'image', 'x', 'y', 'w', 'h', 'width': px, 'height': px}
-    """
+
+    Text containing non-Latin-1 characters (Korean, CJK, …) is emitted the
+    way real-world PDFs carry it: a Type0 /Identity-H font whose show
+    strings are 2-byte hex codes, plus a /ToUnicode CMap stream mapping
+    code → Unicode — the exact structure the reader's CID path decodes."""
     objects: list[bytes] = []      # 1-indexed bodies, object 1 = catalog
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    def is_latin1(s: str) -> bool:
+        try:
+            s.encode("latin-1")
+            return True
+        except UnicodeEncodeError:
+            return False
 
     n_pages = len(pages)
     page_obj_start = 3             # 1=Catalog, 2=Pages
@@ -379,17 +540,30 @@ def build_simple_pdf(pages: list[list[dict]], compress: bool = True) -> bytes:
         content_lines: list[str] = []
         xobj_entries: list[str] = []
         img_objs: list[bytes] = []
+        cid_chars: set[str] = set()
+        uses_cid = any(
+            b["kind"] == "text" and not is_latin1(b["text"]) for b in blocks
+        )
         for b in blocks:
             if b["kind"] == "text":
                 size = b.get("size", 12)
+                cid = not is_latin1(b["text"])
+                font = "F2" if cid else "F1"
                 content_lines.append("BT")
-                content_lines.append(f"/F1 {size} Tf")
+                content_lines.append(f"/{font} {size} Tf")
                 content_lines.append(f"{b['x']} {b['y']} Td")
+
+                def show(line: str) -> str:
+                    if cid:
+                        cid_chars.update(line)
+                        return "<" + "".join(f"{ord(c):04X}" for c in line) + "> Tj"
+                    return f"({esc(line)}) Tj"
+
                 lines = b["text"].split("\n")
-                content_lines.append(f"({esc(lines[0])}) Tj")
+                content_lines.append(show(lines[0]))
                 for line in lines[1:]:
                     content_lines.append(f"0 -{size + 2} Td")
-                    content_lines.append(f"({esc(line)}) Tj")
+                    content_lines.append(show(line))
                 content_lines.append("ET")
             else:
                 name = f"Im{len(xobj_entries)}"
@@ -410,7 +584,24 @@ def build_simple_pdf(pages: list[list[dict]], compress: bool = True) -> bytes:
         else:
             payload = content
             stream_dict = f"<< /Length {len(payload)} >>"
-        content_obj = next_obj + len(img_objs)
+        cid_objs: list[bytes] = []
+        font_entries = "/F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        if uses_cid:
+            cmap_payload = _tounicode_cmap(cid_chars)
+            cmap_obj = next_obj + len(img_objs)
+            font_obj = cmap_obj + 1
+            cid_objs.append(
+                f"<< /Length {len(cmap_payload)} >>".encode("latin-1")
+                + b"\nstream\n" + cmap_payload + b"\nendstream"
+            )
+            cid_objs.append(
+                (
+                    f"<< /Type /Font /Subtype /Type0 /BaseFont /GenGothic "
+                    f"/Encoding /Identity-H /ToUnicode {cmap_obj} 0 R >>"
+                ).encode("latin-1")
+            )
+            font_entries += f" /F2 {font_obj} 0 R"
+        content_obj = next_obj + len(img_objs) + len(cid_objs)
         xobj_dict = (
             f" /XObject << {' '.join(xobj_entries)} >>" if xobj_entries else ""
         )
@@ -418,11 +609,12 @@ def build_simple_pdf(pages: list[list[dict]], compress: bool = True) -> bytes:
             (
                 f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
                 f"/Contents {content_obj} 0 R /Resources << /Font "
-                f"<< /F1 << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> >>"
+                f"<< {font_entries} >>"
                 f"{xobj_dict} >> >>"
             ).encode("latin-1")
         )
         body_objs.extend(img_objs)
+        body_objs.extend(cid_objs)
         body_objs.append(
             stream_dict.encode("latin-1") + b"\nstream\n" + payload + b"\nendstream"
         )

@@ -88,6 +88,79 @@ class TestPdfDecode:
         assert extract_pdf_blocks(b"not a pdf at all") == []
 
 
+KO_TEXT = "파이썬 데코레이터는 함수를 감싸서\n동작을 확장한다"
+
+
+class TestCidToUnicode:
+    """CID/Identity-H + /ToUnicode decode — the encoding of the reference's
+    Korean OCR corpus (pymupdf_parser.py:518-569 handles it via PyMuPDF;
+    the pure-Python path must extract identically)."""
+
+    def _korean_pdf(self, compress=True):
+        return build_simple_pdf(
+            [[
+                {"kind": "text", "text": "ASCII heading", "x": 72, "y": 720,
+                 "size": 14},
+                {"kind": "text", "text": KO_TEXT, "x": 72, "y": 650, "size": 12},
+                {"kind": "text", "text": "tail latin text", "x": 72, "y": 560,
+                 "size": 12},
+            ]],
+            compress=compress,
+        )
+
+    def test_korean_golden_round_trip(self):
+        blocks = extract_pdf_blocks(self._korean_pdf())
+        texts = [b["content"] for b in blocks if b["kind"] == "text"]
+        assert texts == ["ASCII heading", KO_TEXT, "tail latin text"]
+
+    def test_korean_uncompressed_identical(self):
+        a = [b["content"] for b in extract_pdf_blocks(self._korean_pdf())]
+        b_ = [b["content"] for b in extract_pdf_blocks(self._korean_pdf(False))]
+        assert a == b_
+
+    def test_pymupdf_parity_when_available(self):
+        """Both decode paths must yield the same Korean text. PyMuPDF is not
+        in this container — the check runs wherever it is installed."""
+        fitz = pytest.importorskip("fitz")
+        doc = fitz.open(stream=self._korean_pdf(), filetype="pdf")
+        via_mupdf = "\n".join(p.get_text() for p in doc)
+        for line in ("ASCII heading", *KO_TEXT.split("\n"), "tail latin text"):
+            assert line in via_mupdf
+
+    def test_bfrange_increment_and_array_forms(self):
+        from ocr_vector_db_spark.sources.pdf_decode import _parse_tounicode
+
+        cmap = (b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+                b"1 beginbfchar\n<0041> <AC00>\nendbfchar\n"
+                b"2 beginbfrange\n"
+                b"<0050> <0052> <0061>\n"            # P,Q,R -> a,b,c
+                b"<0060> <0061> [<D55C> <AE00>]\n"   # array dst
+                b"endbfrange\n")
+        nbytes, table = _parse_tounicode(cmap)
+        assert nbytes == 2
+        assert table[0x41] == "가"
+        assert [table[c] for c in (0x50, 0x51, 0x52)] == ["a", "b", "c"]
+        assert table[0x60] == "한" and table[0x61] == "글"
+
+    def test_multibyte_dst_utf16(self):
+        from ocr_vector_db_spark.sources.pdf_decode import _parse_tounicode
+
+        # ligature-style expansion: one code -> two chars ("fi")
+        cmap = (b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+                b"1 beginbfchar\n<01> <00660069>\nendbfchar\n")
+        nbytes, table = _parse_tounicode(cmap)
+        assert nbytes == 1 and table[1] == "fi"
+
+    def test_unmapped_code_is_replacement_char(self):
+        pdf = self._korean_pdf()
+        # corrupt the CMap: drop one bfchar entry for 파 (U+D30C)
+        broken = pdf.replace(b"<D30C> <D30C>\n", b"")
+        texts = [b["content"] for b in extract_pdf_blocks(broken)
+                 if b["kind"] == "text"]
+        ko = next(t for t in texts if "이썬" in t)
+        assert ko.startswith("�")  # PyMuPDF shows U+FFFD for unmapped too
+
+
 # ------------------------------------------------------------------- policy
 
 

@@ -95,6 +95,136 @@ def test_golden_harness(corpus):
     assert len(report.failures) == 2  # one miss + one invalid
 
 
+class _FailingLLM:
+    """Transport-dead client: every call raises (non-rate-limit)."""
+
+    model = "failing-llm"
+    calls = 0
+
+    def complete(self, system, prompt):
+        self.calls += 1
+        raise ConnectionError("backend unreachable")
+
+
+class _GarbageLLM:
+    model = "garbage-llm"
+
+    def complete(self, system, prompt):
+        return "Sure! The filters you want are view equals code."
+
+
+class _FlakyJsonLLM:
+    """Rate-limited twice, then answers — exercises the retry contract."""
+
+    model = "flaky-json-llm"
+
+    def __init__(self):
+        self.calls = 0
+
+    def complete(self, system, prompt):
+        self.calls += 1
+        if self.calls <= 2:
+            raise RuntimeError("ratelimit: slow down")
+        return '{"view": "code", "lang": "python", "limit": 5, "evil": "x"}'
+
+
+def test_self_query_llm_extracts_and_sanitizes():
+    """Valid JSON → whitelisted filters; unknown keys and non-schema values
+    are dropped; retry contract consumes rate-limit errors."""
+    from ocr_vector_db_spark.plans.self_query import LLMSelfQuery
+
+    llm = _FlakyJsonLLM()
+    sq = LLMSelfQuery(llm, max_attempts=5)
+    # no real sleeping in tests: patch the retry sleeper via rpm=0 default
+    import ocr_vector_db_spark.operators.embedding_provider as ep
+
+    orig = ep.time.sleep
+    ep.time.sleep = lambda s: None
+    try:
+        got = sq("python decorator code example")
+    finally:
+        ep.time.sleep = orig
+    assert got == {"view": "code", "lang": "python"}
+    assert llm.calls == 3  # two rate-limit retries then success
+    assert sq.last_error is None
+
+
+def test_self_query_failure_falls_back_to_heuristic():
+    """Dead transport → heuristic filters (reference's fallback ladder,
+    retrieval/self_query.py:155-240); garbage JSON → same; heuristic=None →
+    empty filters. The pipeline never sees the exception."""
+    from ocr_vector_db_spark.plans.pipeline import heuristic_self_query
+    from ocr_vector_db_spark.plans.self_query import LLMSelfQuery
+
+    q = "python decorator code example"
+    sq = LLMSelfQuery(_FailingLLM())
+    assert sq(q) == heuristic_self_query(q)  # fell back, same filters
+    assert isinstance(sq.last_error, ConnectionError)
+
+    sq_bare = LLMSelfQuery(_FailingLLM(), fallback=None)
+    assert sq_bare(q) == {}  # explicitly-no-fallback ladder ends empty
+
+    sq_garbage = LLMSelfQuery(_GarbageLLM(), fallback=None)
+    assert sq_garbage(q) == {}
+    assert sq_garbage.last_error is not None  # parse error recorded
+
+
+def test_self_query_stub_llm_end_to_end(corpus):
+    """The full stage-0 path through RetrievalPipeline with an injected
+    (deterministic) LLM client: extraction runs, retrieval still returns
+    rows, and a failing client degrades to the same results — stage
+    fallback parity with retrieval/pipeline.py:114-135."""
+    from ocr_vector_db_spark.plans.pipeline import RetrievalPipeline
+    from ocr_vector_db_spark.plans.self_query import JsonStubLLM, LLMSelfQuery
+
+    pipe_llm = RetrievalPipeline(
+        corpus["embeddings"], corpus["parents"], dim=32,
+        self_query=LLMSelfQuery(JsonStubLLM()),
+    )
+    pipe_dead = RetrievalPipeline(
+        corpus["embeddings"], corpus["parents"], dim=32,
+        self_query=LLMSelfQuery(_FailingLLM()),
+    )
+    q = "lazy evaluation generators"
+    got_llm = pipe_llm.retrieve(q, top_k=3).collect()
+    got_dead = pipe_dead.retrieve(q, top_k=3).collect()
+    assert len(got_llm) > 0
+    # dead LLM falls back to the heuristic — identical filter decisions,
+    # identical results
+    assert [r.fragment_id for r in got_llm] == [r.fragment_id for r in got_dead]
+
+
+def test_rag_generate_with_failing_llm(corpus):
+    """generate() keeps the retry contract for the injected client: a
+    non-rate-limit failure propagates after ONE attempt (the reference
+    re-raises transport errors immediately, generation/client.py), a
+    rate-limited client is retried."""
+    import pytest as _pytest
+
+    from ocr_vector_db_spark.plans.pipeline import RetrievalPipeline
+    from ocr_vector_db_spark.plans.rag import generate
+
+    rows = RetrievalPipeline(
+        corpus["embeddings"], corpus["parents"], dim=32
+    ).retrieve("decorators", top_k=2).collect()
+    assert rows
+    dead = _FailingLLM()
+    with _pytest.raises(ConnectionError):
+        generate("decorators", rows, llm=dead)
+    assert dead.calls == 1  # non-rate-limit: no blind retries
+
+    import ocr_vector_db_spark.operators.embedding_provider as ep
+
+    flaky = _FlakyJsonLLM()
+    orig = ep.time.sleep
+    ep.time.sleep = lambda s: None
+    try:
+        resp = generate("decorators", rows, llm=flaky)
+    finally:
+        ep.time.sleep = orig
+    assert flaky.calls == 3 and resp.answer.startswith("{")
+
+
 def test_query_optimizer_fallback():
     q = query_optimizer.optimize("How do I implement a python decorator function?")
     assert q.view_hint == "code"
