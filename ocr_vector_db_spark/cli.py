@@ -198,11 +198,14 @@ def cmd_index_search(args) -> int:
 def cmd_hybrid_search(args) -> int:
     """Sparse (BM25 over fragment content) + dense (cosine) top-k, RRF-fused
     — the hybrid recipe the dense-only `search` command is one half of."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ocr_vector_db_spark.functions.vector import cosine_similarity_col, embed_text
-    from ocr_vector_db_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from ocr_vector_db_spark.operators.retrieval import (
+        bm25_topk,
+        bounded_window,
+        rrf_fuse,
+    )
     from ocr_vector_db_spark.storage import EntityStore
 
     spark = _spark()
@@ -218,7 +221,9 @@ def cmd_hybrid_search(args) -> int:
         .limit(args.top_k * 2)
         .withColumn(
             "rank",
-            F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("id"))).cast("bigint"),
+            F.row_number()
+            .over(bounded_window(F.desc("sim"), F.asc("id")))
+            .cast("bigint"),
         )
     )
     lex = bm25_topk(

@@ -2309,7 +2309,12 @@ def q66(spark, sf):
     analyze+codegen and 8-byte accumulators on the wire; overflow-safe to
     ~1e11 rows per label, see q33): the shuffle carries
     n_labels x {_DIM} accumulators, NOT n_rows x dim exploded rows — at 100 TB
-    the posexplode formulation would shuffle 64x the table; this shuffles KB."""
+    the posexplode formulation would shuffle 64x the table; this shuffles KB.
+    Built plan memoized per (session, sf) like q33 — the wide generated SQL
+    costs ~0.4s to parse+analyze per construction."""
+    key = (spark.sparkContext.applicationId, sf, "q66")
+    if key in _PLAN_MEMO:
+        return _PLAN_MEMO[key]
     e = load_table(spark, sf, "embeddings")
     e.createOrReplaceTempView("q66_embeddings")
     # Generated-SQL construction: a 64-dim expression tree built column by
@@ -2325,7 +2330,7 @@ def q66(spark, sf):
     )
     # the posexplode here runs over n_labels pre-aggregated rows (KB-scale),
     # not the input table — input rows never explode
-    return spark.sql(f"""
+    out = spark.sql(f"""
         WITH sums AS (
             SELECT label, COUNT(*) AS n, {sum_terms}
             FROM q66_embeddings GROUP BY label
@@ -2334,6 +2339,8 @@ def q66(spark, sf):
               FROM sums)
         SELECT label, CAST(dim AS BIGINT) AS dim, centroid FROM m
     """)
+    _PLAN_MEMO[key] = out
+    return out
 
 
 @query(
@@ -3862,6 +3869,69 @@ def q98(spark, sf):
             _hashlib.md5(prompt.encode()).hexdigest(),
         )],
         "query string, n_sources int, citations string, prompt_md5 string",
+    )
+
+
+@query(
+    "q100_self_query_llm_golden",
+    """
+    SELECT * FROM (VALUES
+        ('python decorator code example', 'code', 'python',
+         CAST(2 AS BIGINT), true, true)
+    ) AS t(query, view_filter, lang_filter, n_results, fallback_same, used_llm)
+    """,
+)
+def q100(spark, sf):
+    """Stage-0 self-query through the INJECTED LLM client seam
+    (plans/self_query.py — the reference's SelfQueryRetriever chain,
+    retrieval/self_query.py:99-240): the deterministic JSON-stub client
+    extracts {view: code, lang: python} from the NL query, the filters
+    prune the fixture corpus before scoring, and a DEAD client degrades to
+    the heuristic with IDENTICAL results (the fallback ladder,
+    retrieval/pipeline.py:114-135). Deterministic end-to-end → golden
+    VALUES oracle, same contract as q98."""
+
+    class _DeadLLM:
+        model = "dead"
+
+        def complete(self, system, prompt):
+            raise ConnectionError("no backend")
+
+    from ocr_vector_db_spark.plans.pipeline import RetrievalPipeline
+    from ocr_vector_db_spark.plans.self_query import (
+        JsonStubLLM,
+        LLMSelfQuery,
+        parse_filter_json,
+    )
+    from ocr_vector_db_spark.sources.ingest import files_df, ingest
+
+    q = "python decorator code example"
+    out = ingest(spark, files_df(spark, _FIXTURE_FILES), dim=16)
+    sq = LLMSelfQuery(JsonStubLLM())
+    filters = sq(q)
+    used_llm = sq.last_error is None and filters == parse_filter_json(
+        JsonStubLLM().complete("", f"Query: {q}\nFilters:")
+    )
+    pipe = RetrievalPipeline(
+        out["embeddings"], out["parents"], dim=16, self_query=sq
+    )
+    dead = RetrievalPipeline(
+        out["embeddings"], out["parents"], dim=16,
+        self_query=LLMSelfQuery(_DeadLLM()),
+    )
+    got = [r.fragment_id for r in pipe.retrieve(q, top_k=3).collect()]
+    got_dead = [r.fragment_id for r in dead.retrieve(q, top_k=3).collect()]
+    return spark.createDataFrame(
+        [(
+            q,
+            filters.get("view", ""),
+            filters.get("lang", ""),
+            len(got),
+            got == got_dead,
+            used_llm,
+        )],
+        "query string, view_filter string, lang_filter string, "
+        "n_results bigint, fallback_same boolean, used_llm boolean",
     )
 
 
