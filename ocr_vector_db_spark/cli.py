@@ -222,7 +222,7 @@ def cmd_hybrid_search(args) -> int:
         .withColumn(
             "rank",
             F.row_number()
-            .over(bounded_window(F.desc("sim"), F.asc("id")))
+            .over(bounded_window(F.col("sim"), F.desc("sim"), F.asc("id")))
             .cast("bigint"),
         )
     )

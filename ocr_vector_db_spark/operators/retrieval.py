@@ -37,17 +37,26 @@ def _dsum6(c: Column) -> Column:
     return F.sum(F.round(c, 6).cast("decimal(28,6)")).cast("double")
 
 
-def bounded_window(*order_cols: Column) -> Window:
+def bounded_window(anchor: Column, *order_cols: Column) -> Window:
     """Total-order window over a DRIVER-BOUNDED (top-k) relation.
 
     Semantically identical to ``Window.orderBy(...)`` but partitioned on a
-    constant, which tells Spark the single-partition placement is deliberate
-    — silencing the per-plan "No Partition Defined for Window operation"
-    WindowExec warning that otherwise fires even when the input is k rows.
-    Only ever use this AFTER a ``orderBy(...).limit(k)`` or equivalent
-    bound; on an unbounded relation it is exactly the anti-pattern the
-    warning exists for."""
-    return Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+    value that is 0 for every row (``coalesce(anchor*0, 0)``), which tells
+    Spark the single-partition placement is deliberate — silencing the
+    per-plan "No Partition Defined for Window operation" WindowExec warning
+    that otherwise fires even when the input is k rows. A bare ``lit(0)``
+    does NOT work: Catalyst constant-folds foldable partition expressions
+    away, leaving an empty partition spec and the warning; deriving the
+    constant from a column keeps it in the spec. ``length(cast(anchor as
+    string)) * 0`` is type-agnostic (a numeric multiply would raise under
+    ANSI mode for non-numeric scores, e.g. the md5-hex rerank key) and
+    null-safe via the coalesce. `anchor` is any column of the relation (the
+    score being ranked is the natural choice). Only ever use this AFTER a
+    ``orderBy(...).limit(k)`` or equivalent bound; on an unbounded relation
+    it is exactly the anti-pattern the warning exists for."""
+    return Window.partitionBy(
+        F.coalesce(F.length(anchor.cast("string")) * F.lit(0), F.lit(0))
+    ).orderBy(*order_cols)
 
 
 def bm25_scores(
@@ -114,7 +123,7 @@ def bm25_topk(
             "id",
             "bm25",
             F.row_number()
-            .over(bounded_window(F.desc("bm25"), F.asc("id")))
+            .over(bounded_window(F.col("bm25"), F.desc("bm25"), F.asc("id")))
             .cast("bigint")
             .alias("rank"),
         )
@@ -148,7 +157,7 @@ def rrf_fuse(
         )
         .select("id", F.round("rrf", 6).alias("rrf"), "n_systems")
     )
-    w = bounded_window(F.desc("rrf"), F.asc("id"))
+    w = bounded_window(F.col("rrf"), F.desc("rrf"), F.asc("id"))
     return fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
 
 
@@ -190,7 +199,7 @@ def rerank_topk(
     scored = candidates.select(
         F.col(id_col).alias("id"), scorer(F.col(text_col)).alias("ce_score")
     )
-    w = bounded_window(F.desc("ce_score"), F.asc("id"))
+    w = bounded_window(F.col("ce_score"), F.desc("ce_score"), F.asc("id"))
     return (
         scored.orderBy(F.desc("ce_score"), F.asc("id"))
         .limit(k)

@@ -1508,11 +1508,13 @@ def _ann_invariants(results, exact, k: int = 10, recall_floor: float = 0.4):
     shortlist, or an unsorted output all flip a column and fail the gate.
     The floor sits below the measured deterministic recall (0.5–0.7 on the
     synthetic corpus at sf0.001/sf0.01; seeded KMeans, so reproducible)."""
-    w = Window.orderBy(F.desc("similarity"), "vec_id")
+    from ocr_vector_db_spark.operators.retrieval import bounded_window
+
+    w = bounded_window(F.col("similarity"), F.desc("similarity"), F.asc("vec_id"))
     ranked = results.select(
         "vec_id", "similarity", F.row_number().over(w).alias("rank")
     )
-    wprev = Window.orderBy("rank")
+    wprev = bounded_window(F.col("rank"), F.asc("rank"))
     flagged = ranked.withColumn(
         "non_increasing",
         F.coalesce(F.col("similarity") <= F.lag("similarity").over(wprev), F.lit(True)),
@@ -3484,7 +3486,7 @@ def q90(spark, sf):
         .withColumn(
             "rank",
             F.row_number()
-            .over(Window.orderBy(F.desc("sim"), F.asc("id")))
+            .over(retrieval.bounded_window(F.col("sim"), F.desc("sim"), F.asc("id")))
             .cast("bigint"),
         )
     )
