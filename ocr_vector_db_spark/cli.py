@@ -277,6 +277,188 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def _repl_help(rag_mode: bool) -> str:
+    base = (
+        "\nCommands:\n"
+        "  :help                 Show this help\n"
+        "  :quit / :q / exit     Quit\n"
+        "  :show                 Show current settings\n"
+        "  :view <type|none>     Set view filter (text/code/image/caption/table/figure)\n"
+        "  :lang <name|none>     Set language filter (python/javascript/etc.)\n"
+        "  :topk <int>           Set top-k results\n"
+    )
+    search = (
+        "  :context <on|off>     Toggle parent context\n"
+        "  :json <on|off>        Toggle JSON output\n"
+    )
+    rag = (
+        "  :rag <on|off>         Toggle RAG mode (LLM generation)\n"
+        "  :sources              Show sources from last response\n"
+        "  :conversation <on|off> Toggle multi-turn conversation\n"
+        "  :clear-history        Clear conversation history\n"
+    )
+    if rag_mode:
+        return base + rag + "\nEnter any text to ask a question.\n"
+    return base + search + rag + "\nEnter any text to run a search.\n"
+
+
+def _parse_toggle(value: str) -> bool:
+    return value.lower() in ("1", "true", "yes", "y", "on")
+
+
+def cmd_repl(args, stdin=None, out=None) -> int:
+    """Interactive REPL — api/cli/repl.py parity: the same command set
+    (:view/:lang/:topk/:context/:json/:rag/:sources/:conversation/
+    :clear-history), search and RAG modes over one long-lived session,
+    conversation memory, and :sources echoing the last response's citations
+    + query-optimizer hints. `stdin`/`out` injectable for tests."""
+    from ocr_vector_db_spark.plans import query_optimizer, rag
+    from ocr_vector_db_spark.plans.pipeline import RetrievalPipeline
+    from ocr_vector_db_spark.plans.query import ValidationError, validate_request
+    from ocr_vector_db_spark.storage import EntityStore
+
+    stdin = stdin if stdin is not None else sys.stdin
+    out = out if out is not None else sys.stdout
+
+    def emit(s: str = "") -> None:
+        print(s, file=out)
+
+    spark = _spark()
+    store = EntityStore(spark, args.store)
+    pipe = RetrievalPipeline(
+        store.read("embeddings"), store.read("parents"), dim=args.dim
+    )
+    view = args.view
+    language = args.language
+    top_k = args.top_k
+    show_context = not args.no_context
+    as_json = args.json
+    rag_mode = args.rag
+    use_conversation = True
+    conversation = rag.Conversation()
+    last_response = None
+
+    emit("OCR Vector DB RAG REPL (LLM-powered)" if rag_mode
+         else "OCR Vector DB Search REPL")
+    emit("Type :help for commands.")
+
+    for raw in stdin:
+        line = raw.strip()
+        if not line:
+            continue
+        cmd = line.split()
+        head = cmd[0].lower()
+
+        if head in (":quit", ":q", "exit"):
+            break
+        if head == ":help":
+            emit(_repl_help(rag_mode))
+            continue
+        if head == ":show":
+            emit("Current settings:")
+            emit(f"  rag_mode:    {'on' if rag_mode else 'off'}")
+            emit(f"  view:        {view or '<none>'}")
+            emit(f"  language:    {language or '<none>'}")
+            emit(f"  top_k:       {top_k}")
+            if not rag_mode:
+                emit(f"  context:     {'on' if show_context else 'off'}")
+                emit(f"  json:        {'on' if as_json else 'off'}")
+            else:
+                emit(f"  conversation: {'on' if use_conversation else 'off'}")
+            continue
+        if head == ":view":
+            if len(cmd) < 2:
+                emit("[error] usage: :view <type|none>")
+                continue
+            view = None if cmd[1].lower() == "none" else cmd[1].lower()
+            emit(f"[ok] view set to {view or '<none>'}")
+            continue
+        if head == ":lang":
+            if len(cmd) < 2:
+                emit("[error] usage: :lang <name|none>")
+                continue
+            language = None if cmd[1].lower() == "none" else cmd[1]
+            emit(f"[ok] language set to {language or '<none>'}")
+            continue
+        if head == ":topk":
+            if len(cmd) < 2 or not cmd[1].isdigit():
+                emit("[error] usage: :topk <int>")
+                continue
+            top_k = int(cmd[1])
+            emit(f"[ok] top_k set to {top_k}")
+            continue
+        if head == ":context":
+            if len(cmd) < 2:
+                emit("[error] usage: :context <on|off>")
+                continue
+            show_context = _parse_toggle(cmd[1])
+            emit(f"[ok] context {'on' if show_context else 'off'}")
+            continue
+        if head == ":json":
+            if len(cmd) < 2:
+                emit("[error] usage: :json <on|off>")
+                continue
+            as_json = _parse_toggle(cmd[1])
+            emit(f"[ok] json {'on' if as_json else 'off'}")
+            continue
+        if head == ":rag":
+            if len(cmd) < 2:
+                emit("[error] usage: :rag <on|off>")
+                continue
+            rag_mode = _parse_toggle(cmd[1])
+            emit(f"[ok] RAG mode {'on' if rag_mode else 'off'}")
+            continue
+        if head == ":sources":
+            if last_response is not None and last_response.sources:
+                emit("\nSources from last response:")
+                for i, r in enumerate(last_response.sources, 1):
+                    src = getattr(r, "source", None) or "unknown"
+                    emit(f"  [{i}] {src} ({r.view}, sim: {r.similarity:.3f})")
+                opt = query_optimizer.optimize(last_response.query)
+                emit("\nQuery optimization:")
+                emit(f"  Keywords: {', '.join(opt.keywords)}")
+                if opt.view_hint:
+                    emit(f"  View hint: {opt.view_hint}")
+                if opt.language_hint:
+                    emit(f"  Language hint: {opt.language_hint}")
+            else:
+                emit("[info] No previous RAG response")
+            continue
+        if head == ":conversation":
+            if len(cmd) < 2:
+                emit("[error] usage: :conversation <on|off>")
+                continue
+            use_conversation = _parse_toggle(cmd[1])
+            emit(f"[ok] conversation {'on' if use_conversation else 'off'}")
+            continue
+        if head == ":clear-history":
+            conversation.clear()
+            emit("[ok] conversation history cleared")
+            continue
+
+        # plain text → query
+        try:
+            validate_request(line, view, top_k)
+        except ValidationError as exc:
+            emit(f"[error] {exc}")
+            continue
+        rows = pipe.retrieve(
+            line, view=view, language=language, top_k=top_k,
+            expand_context=show_context,
+        ).collect()
+        if rag_mode:
+            resp = rag.generate(
+                line, rows,
+                conversation=conversation if use_conversation else None,
+            )
+            last_response = resp
+            emit(f"\n{resp.format_with_sources()}\n")
+        else:
+            fmt = _formatters_json if as_json else _formatters_text
+            emit(fmt(rows, show_context=show_context))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ocr_vector_db_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -343,6 +525,16 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--budget", type=int, default=512)
     sp.set_defaults(fn=cmd_pack)
+
+    sp = sub.add_parser("repl")
+    common(sp)
+    sp.add_argument("--rag", action="store_true")
+    sp.add_argument("--view")
+    sp.add_argument("--language")
+    sp.add_argument("--top-k", type=int, default=10)
+    sp.add_argument("--json", action="store_true")
+    sp.add_argument("--no-context", action="store_true")
+    sp.set_defaults(fn=cmd_repl)
     return p
 
 

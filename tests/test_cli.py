@@ -70,3 +70,60 @@ def test_cli_hybrid_search_and_pack(spark, tmp_path, capsys):
                      "--budget", "32"]) == 0
     out = capsys.readouterr().out
     assert "[pack] shard=" in out and "avg_fill=" in out
+
+
+def test_cli_repl_session(spark, tmp_path, capsys):
+    """REPL parity with api/cli/repl.py: settings commands, a search, RAG
+    toggle mid-session, :sources after a generation, :clear-history, :quit."""
+    import io
+
+    doc = tmp_path / "repl.md"
+    doc.write_text(
+        "Generators produce values lazily using yield in Python.\n\n"
+        "```python\ndef count(n):\n    yield n\n```\n"
+    )
+    store = str(tmp_path / "store")
+    assert cli.main(["ingest", str(doc), "--store", store, "--dim", "16"]) == 0
+    capsys.readouterr()
+
+    script = "\n".join([
+        ":help",
+        ":show",
+        ":view code",
+        ":lang python",
+        ":topk 3",
+        ":view none",
+        ":lang none",
+        "lazy generators yield",        # search mode query
+        ":json on",
+        "lazy generators yield",        # same query, JSON output
+        ":rag on",
+        "lazy generators yield",        # RAG generation (EchoLLM)
+        ":sources",
+        ":clear-history",
+        ":topk abc",                    # error path
+        ":quit",
+    ]) + "\n"
+
+    args = cli.build_parser().parse_args(
+        ["repl", "--store", store, "--dim", "16"]
+    )
+    buf = io.StringIO()
+    assert cli.cmd_repl(args, stdin=io.StringIO(script), out=buf) == 0
+    out = buf.getvalue()
+
+    assert "Search REPL" in out
+    assert ":view <type|none>" in out            # :help rendered
+    assert "rag_mode:    off" in out             # :show
+    assert "[ok] view set to code" in out
+    assert "[ok] lang set to python" not in out  # echo uses 'language'
+    assert "[ok] language set to python" in out
+    assert "[ok] top_k set to 3" in out
+    assert "Similarity:" in out                  # text-format search results
+    assert '"similarity"' in out                 # JSON-format search results
+    assert "[ok] RAG mode on" in out
+    assert "Sources:" in out                     # RAG response footer
+    assert "Sources from last response:" in out  # :sources
+    assert "Keywords:" in out                    # optimizer echo
+    assert "[ok] conversation history cleared" in out
+    assert "[error] usage: :topk <int>" in out
