@@ -85,7 +85,9 @@ _DRIVER_GREEN = {
     # NOT in this set so they re-verify first.
     "q30_sessionization", "q47_stats_percentiles", "q48_cube_agg",
     "q49_shipping_priority", "q50_regional_supplier_volume",
-    "q51_range_join_binned", "q52_parent_synthesis_legacy",
+    "q51_range_join_binned",
+    # q52 upgraded from rows-only to a golden oracle in round 4 — out of
+    # the green set so its first oracle verdict lands early
     "q54_tfidf_top_terms", "q55_int8_quantized_knn",
     "q56_neardup_components", "q60_price_histogram", "q61_ntile_deciles",
     "q62_decontamination", "q63_quality_gate", "q64_dedup_keep_best",

@@ -2235,21 +2235,47 @@ def q51(spark, sf):
     )
 
 
-@query("q52_parent_synthesis_legacy")
+@query(
+    "q52_parent_synthesis_legacy",
+    """
+    SELECT * FROM (VALUES
+        ('/corpus/chapters.md',   '6642d5b79abbc5a3f77b9e988ff6431a'),
+        ('/corpus/decorators.md', '0ca1ef53bdfa9cd014056770f37dc924'),
+        ('/corpus/generators.md', '3087c04c9e94447999e26ce8687c065b'),
+        ('/corpus/korean.md',     'bb6a078b8ab2751724993898817d43a1'),
+        ('/corpus/scan.ocr',      'ea2dbb53b07cc299abc8b3f9d4e99dcb')
+    ) AS t(id, content_hash)
+    """,
+)
 def q52(spark, sf):
     """Legacy parent synthesis (app/parents.py:94-182): header detection +
-    first caption + sentence-truncated body per parent group. Regex
+    first caption + sentence-truncated body per parent group. The regex
     header-fallback and sentence-boundary truncation are per-group
-    sequential logic (applyInPandas) → rows-only check."""
+    sequential logic (applyInPandas), not SQL-expressible — so the check is
+    a golden VALUES oracle over a deterministic fixture corpus (same
+    contract as q35/q98; was rows-only before round 4). The extra fixtures
+    exercise the 'Chapter N' and Korean '제 N 장' header fallbacks and the
+    caption extractor."""
     from ocr_vector_db_spark.operators.parents import synthesize_parents_legacy
 
-    d = load_table(spark, sf, "documents").limit(400)
-    frags = d.select(
-        F.col("doc_id").cast("string").alias("concept_id"),
-        F.col("text").alias("content"),
-        F.lit("text").alias("view"),
-        F.lit("pre_text").alias("unit_role"),
-        F.lit(0).alias("order"),
+    extra = [
+        ("/corpus/chapters.md",
+         "Chapter 3\nThe shuffle boundary splits stages. Wide ops shuffle. "
+         "Narrow ops do not. Extra trailing sentence for truncation checks.",
+         "md"),
+        ("/corpus/korean.md",
+         "제 2 장\n분산 처리 엔진은 셔플 경계를 기준으로 스테이지를 나눈다. "
+         "그림 1: 스테이지 경계 다이어그램",
+         "md"),
+    ]
+    rows = [
+        (p, t, "text", "pre_text", 0)
+        for p, t, _k in list(_FIXTURE_FILES) + extra
+    ]
+    frags = spark.createDataFrame(
+        rows,
+        "concept_id string, content string, view string, unit_role string, "
+        "`order` int",
     )
     out = synthesize_parents_legacy(frags)
     return out.select("id", F.md5("content").alias("content_hash"))
