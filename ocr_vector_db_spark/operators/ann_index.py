@@ -101,11 +101,23 @@ class IVFIndex:
         nprobe: int = 3,
         emb_col: str = "embedding",
         id_col: str = "vec_id",
+        where=None,
     ) -> DataFrame:
         """Pruned exact search: `cluster_id IN (...)` prunes parquet
-        partitions (check .explain: PartitionFilters, not PushedFilters)."""
+        partitions (check .explain: PartitionFilters, not PushedFilters).
+
+        `where` (a Column predicate) is the filtered-ANN combo pgvector runs
+        as `WHERE metadata ... ORDER BY embedding <=> q LIMIT k`
+        (retrieval/search.py:89-97's metadata filters): applied INSIDE the
+        probed clusters, before scoring, so it row-group-skips/pushes down
+        on the pruned scan. Note the pgvector caveat applies here too:
+        filtering after cluster pruning can return < k rows when matches
+        live outside the probed clusters — raise nprobe for selective
+        filters."""
         probes = self.probe_clusters(query_vector, nprobe)
         pruned = self.vectors().filter(F.col("cluster_id").isin(probes))
+        if where is not None:
+            pruned = pruned.filter(where)
         return knn_brute_force(pruned, query_vector, k, emb_col=emb_col, id_col=id_col)
 
     def recall_at_k(

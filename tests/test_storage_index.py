@@ -89,6 +89,30 @@ def test_ivf_index_persist_prune_recall(spark, tables, tmp_path_factory):
     assert idx2.recall_at_k(emb, [qv], k=10, nprobe=2) >= 0.3
 
 
+def test_ivf_filtered_search(spark, tables, tmp_path_factory):
+    """Filtered ANN (pgvector's WHERE + ORDER BY embedding combo): the
+    predicate applies inside the probed clusters — every hit satisfies it,
+    and the scores equal a brute-force scan of the filtered corpus."""
+    from ocr_vector_db_spark.operators.knn import knn_brute_force
+
+    emb = tables["embeddings"]
+    path = str(tmp_path_factory.mktemp("ivf_f"))
+    idx = IVFIndex.build(spark, emb, path, num_clusters=3)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head().embedding]
+    target = emb.filter(F.col("vec_id") == 3).head().label
+
+    hits = idx.search(qv, k=5, nprobe=3, where=F.col("label") == target).collect()
+    assert hits and all(r.label == target for r in hits)
+    # nprobe = num_clusters ⇒ no pruning loss: exact top-k of the filtered set
+    exact = knn_brute_force(
+        emb.filter(F.col("label") == target), qv, 5
+    ).collect()
+    assert [r.vec_id for r in hits] == [r.vec_id for r in exact]
+    # selective filter on a pruned probe may under-fill k — documented
+    sparse = idx.search(qv, k=5, nprobe=1, where=F.col("label") == target)
+    assert sparse.count() <= 5
+
+
 def test_char_budget_batching():
     items = ["a" * 30, "b" * 30, "c" * 30, "d" * 100, "e"]
     batches = list(ep.iter_by_char_budget(items, char_budget=70, max_batch_size=10))
