@@ -119,3 +119,48 @@ def test_contiguous_packing_rule_invariants(tokens, budget):
     for pid in pids[:-1]:
         run += sum(packs[pid])
         assert run >= (pid + 1) * budget
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sets(
+    st.characters(min_codepoint=0x21, max_codepoint=0xD7A3,
+                  blacklist_categories=("Cs",)),
+    min_size=1, max_size=220,
+))
+def test_tounicode_cmap_round_trip(chars):
+    """Writer→parser identity: every BMP char emitted as a bfchar entry by
+    the fixture writer's CMap generator comes back as code→char under the
+    Identity-H convention (code == codepoint), at any size including the
+    >100-entry multi-section split."""
+    from ocr_vector_db_spark.sources.pdf_decode import (
+        _parse_tounicode,
+        _tounicode_cmap,
+    )
+
+    nbytes, table = _parse_tounicode(_tounicode_cmap(chars))
+    assert nbytes == 2
+    assert table == {ord(c): c for c in chars}
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_parse_filter_json_never_widens_schema(raw):
+    """Fuzz the self-query response parser: on arbitrary text it either
+    raises ValueError or returns a dict whose keys ⊆ {view, lang} with
+    lowercase string values and any `view` in the allowed set — a malformed
+    or adversarial LLM response can never inject unknown filters."""
+    from ocr_vector_db_spark.plans.self_query import (
+        ALLOWED_FIELDS,
+        ALLOWED_VIEWS,
+        parse_filter_json,
+    )
+
+    try:
+        out = parse_filter_json(raw)
+    except ValueError:
+        return
+    assert set(out) <= ALLOWED_FIELDS
+    for k, v in out.items():
+        assert isinstance(v, str) and v == v.lower()
+    if "view" in out:
+        assert out["view"] in ALLOWED_VIEWS
