@@ -3456,6 +3456,37 @@ def q89(spark, sf):
 
 
 @query(
+    "q101_bm25_lexical_index",
+    f"""
+    WITH {_bm25_scored_sql(_BM25_TERMS)}
+    SELECT id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS rank
+    FROM scored ORDER BY bm25 DESC, id LIMIT 10
+    """,
+)
+def q101(spark, sf):
+    """Indexed BM25 — q89's scoring served from a PERSISTED bucketed
+    postings layout (operators/lexical_index.py, the sparse twin of
+    IVFIndex): build writes (term, id, tf, dl) partitioned by
+    pmod(xxhash64(term), n_buckets) + a 1-row stats table; search
+    partition-prunes to the query terms' buckets, so per-query work is
+    O(matching postings) instead of a corpus rescan. Same oracle as q89 —
+    the indexed and scan formulations must score identically."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+
+    d = load_table(spark, sf, "documents")
+    key = (spark.sparkContext.applicationId, sf, "q101_index_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="lexidx_")
+        LexicalIndex.build(spark, d, path, n_buckets=16)
+        _PLAN_MEMO[key] = path  # build once per session, like a real index
+    idx = LexicalIndex.load(spark, _PLAN_MEMO[key])
+    return idx.search(_BM25_TERMS, k=10)
+
+
+@query(
     "q90_hybrid_rrf_fusion",
     f"""
     WITH {_bm25_scored_sql(_BM25_TERMS)},

@@ -188,3 +188,28 @@ def test_ivf_incremental_add(spark, tables, tmp_path_factory):
     assert rows[0].vec_id == 450 and abs(rows[0].similarity - 1.0) < 1e-6
     # appended rows landed in their assigned cluster partitions
     assert idx.vectors().filter(F2.col("vec_id") == 450).head().cluster_id in {0, 1, 2, 3}
+
+
+def test_lexical_index_matches_scan_bm25(spark, tables, tmp_path_factory):
+    """Indexed BM25 (bucketed postings, the sparse IVFIndex twin) returns
+    byte-identical scores and ranking to the per-query corpus scan, and its
+    probe is a partition-pruned read of the query terms' buckets only."""
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+    from ocr_vector_db_spark.operators.retrieval import bm25_topk
+
+    docs = tables["documents"]
+    path = str(tmp_path_factory.mktemp("lex"))
+    LexicalIndex.build(spark, docs, path, n_buckets=16)
+    idx = LexicalIndex.load(spark, path)
+    assert idx.n_buckets == 16
+
+    terms = ["distributed", "shuffle", "data"]
+    via_index = idx.search(terms, k=10)
+    via_scan = bm25_topk(docs, terms, k=10)
+    got = [(r.id, r.bm25, r.rank) for r in via_index.collect()]
+    want = [(r.id, r.bm25, r.rank) for r in via_scan.collect()]
+    assert got == want and len(got) == 10
+
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:300]
