@@ -102,6 +102,46 @@ class LexicalIndex:
         )
         return cls(spark, path, n_buckets)
 
+    # ------------------------------------------------------------ increment
+
+    def add(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> int:
+        """Incremental index update, IVFIndex.add parity: append the new
+        docs' postings into their buckets and fold (count, mean dl) into
+        the 1-row stats. Per-term df needs NO maintenance — search derives
+        it from the pruned postings slice at query time, so it is always
+        exact. Returns the number of docs added."""
+        toks = docs.select(
+            F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("__ws")
+        )
+        postings = (
+            toks.select("id", F.size("__ws").alias("dl"),
+                        F.explode("__ws").alias("term"))
+            .groupBy("id", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(self.n_buckets))
+            )
+        )
+        postings.write.mode("append").partitionBy("bucket").parquet(
+            os.path.join(self.path, "postings")
+        )
+        old = self.spark.read.parquet(os.path.join(self.path, "stats")).head()
+        new = toks.select(F.size("__ws").alias("dl")).agg(
+            F.count("*").alias("n"), F.sum("dl").alias("s")
+        ).head()
+        n_docs = int(old["n_docs"]) + int(new["n"])
+        total_dl = float(old["avgdl"]) * int(old["n_docs"]) + float(new["s"] or 0)
+        self.spark.createDataFrame(
+            [(n_docs, total_dl / n_docs if n_docs else 0.0, self.n_buckets)],
+            "n_docs bigint, avgdl double, n_buckets int",
+        ).write.mode("overwrite").parquet(os.path.join(self.path, "stats"))
+        return int(new["n"])
+
     # -------------------------------------------------------------- search
 
     def postings(self) -> DataFrame:

@@ -213,3 +213,32 @@ def test_lexical_index_matches_scan_bm25(spark, tables, tmp_path_factory):
     plan = via_index._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "bucket" in plan.split("PartitionFilters")[1][:300]
+
+
+def test_lexical_index_incremental_add(spark, tables, tmp_path_factory):
+    """Build on half the corpus, add() the rest: search ranking matches a
+    full build (df is derived at query time so it needs no maintenance;
+    stats fold keeps N exact and avgdl within float tolerance)."""
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+
+    docs = tables["documents"]
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    p_inc = str(tmp_path_factory.mktemp("lex_inc"))
+    idx = LexicalIndex.build(spark, half_a, p_inc, n_buckets=8)
+    added = idx.add(half_b)
+    assert added == half_b.count()
+
+    p_full = str(tmp_path_factory.mktemp("lex_full"))
+    full = LexicalIndex.build(spark, docs, p_full, n_buckets=8)
+
+    terms = ["distributed", "data"]
+    got = [(r.id, r.rank) for r in idx.search(terms, k=10).collect()]
+    want = [(r.id, r.rank) for r in full.search(terms, k=10).collect()]
+    assert got == want
+    # folded stats match the full build's exactly-counted N
+    s_inc = idx.stats().head()
+    s_full = full.stats().head()
+    assert s_inc["n_docs"] == s_full["n_docs"]
+    assert abs(s_inc["avgdl"] - s_full["avgdl"]) < 1e-9
