@@ -17,8 +17,10 @@ table whose physical layout prunes the scan down to the query's own terms:
           slice, stats from the 1-row table — both broadcast. Per-query
           work is O(matching postings), independent of corpus size.
 
-Scoring math is shared with the on-the-fly path (`_bm25_score_cols`), so
-the indexed and scan formulations are provably identical — the test
+Scoring math is literally shared with the on-the-fly path — both this
+module and `retrieval.bm25_scores` build their per-(doc, term)
+contribution from the single `retrieval._bm25_score_cols` expression, so
+the indexed and scan formulations cannot drift; a test additionally
 asserts equal results.
 
 Update story mirrors IVFIndex: append new docs' postings (and fold their
@@ -33,20 +35,84 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocr_vector_db_spark.operators.retrieval import _dsum6, bounded_window
+from ocr_vector_db_spark.operators.retrieval import (
+    _bm25_score_cols,
+    _dsum6,
+    bounded_window,
+)
 from ocr_vector_db_spark.operators.tfidf import words_col
 
 
-def _bm25_score_cols(k1: float, b: float):
-    """idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)) — Lucene's BM25,
-    shared by the scan path (retrieval.bm25_scores) and the indexed path."""
-    idf = F.log(
-        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+def _tokenized(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __ws) tokenization shared by build() and add()."""
+    return docs.select(
+        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("__ws")
     )
-    tf_part = (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+
+
+def _postings_of(toks: DataFrame, n_buckets: int) -> DataFrame:
+    """(id, dl, term, tf, bucket) postings rows — the ONE definition of the
+    physical layout, shared by build() and add()."""
+    return (
+        toks.select("id", F.size("__ws").alias("dl"),
+                    F.explode("__ws").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
-    return idf * tf_part
+
+
+def _read_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Latest-committed stats read: `stats` normally; if a crashed swap left
+    only `stats__old` (the previous committed version), read that instead.
+    Together with `_commit_stats`'s ordering this makes every crash point
+    recoverable."""
+    from pyspark.errors import AnalysisException
+
+    last_err: Exception | None = None
+    for name in ("stats", "stats__old"):
+        try:
+            return spark.read.parquet(os.path.join(path, name))
+        except AnalysisException as e:  # path-not-found → try fallback
+            last_err = e
+    raise last_err
+
+
+def _commit_stats(spark: SparkSession, path: str, new_stats: DataFrame) -> None:
+    """Crash-safe replacement of the 1-row stats table: write a complete new
+    copy, then rename-swap so a committed version is readable at every
+    crash point (`_read_stats` holds the matching fallback):
+
+      0. if `stats` is missing but `stats__old` exists (a previous swap
+         died mid-flight), restore it first;
+      1. write `stats__tmp`            (crash → `stats` intact)
+      2. rename `stats` → `stats__old` (crash → `stats__old` read)
+      3. rename `stats__tmp` → `stats` (crash → `stats__old` read)
+      4. delete `stats__old`
+
+    Renames go through the Hadoop FileSystem API so the swap works on any
+    Spark-supported filesystem (atomic on HDFS/local; on object stores
+    rename is copy+delete — still recoverable, just not atomic).
+
+    Single-writer contract: concurrent `add()` calls are NOT supported —
+    the read-fold-commit cycle is not transactional, so a concurrent
+    writer's fold can be lost (last commit wins). Serialize index updates
+    (the reference's ingest path is likewise a single batch writer)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp, cur, old = (
+        os.path.join(path, n) for n in ("stats__tmp", "stats", "stats__old")
+    )
+    if not fs.exists(hpath(cur)) and fs.exists(hpath(old)):
+        fs.rename(hpath(old), hpath(cur))
+    new_stats.write.mode("overwrite").parquet(tmp)
+    if fs.exists(hpath(old)):
+        fs.delete(hpath(old), True)  # stale duplicate — `stats` exists
+    if fs.exists(hpath(cur)):
+        fs.rename(hpath(cur), hpath(old))
+    fs.rename(hpath(tmp), hpath(cur))
+    fs.delete(hpath(old), True)
 
 
 class LexicalIndex:
@@ -71,19 +137,10 @@ class LexicalIndex:
         `n_buckets` trades pruning granularity against file count: at
         100 TB use O(1k) buckets so a 5-term query reads ≤ 5 buckets
         (~0.5% of postings) while each bucket stays multi-file splittable."""
-        toks = docs.select(
-            F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("__ws")
-        )
-        postings = (
-            toks.select("id", F.size("__ws").alias("dl"),
-                        F.explode("__ws").alias("term"))
-            .groupBy("id", "dl", "term")
-            .agg(F.count("*").alias("tf"))
-            .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
-        )
-        postings.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(path, "postings")
-        )
+        toks = _tokenized(docs, id_col, text_col)
+        _postings_of(toks, n_buckets).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(path, "postings"))
         # stats over ALL docs — a zero-token doc contributes dl=0 to avgdl
         # and counts in N, matching the scan path's semantics exactly (the
         # explode above would silently drop it)
@@ -98,7 +155,7 @@ class LexicalIndex:
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "LexicalIndex":
         n_buckets = int(
-            spark.read.parquet(os.path.join(path, "stats")).head()["n_buckets"]
+            _read_stats(spark, path).head()["n_buckets"]
         )
         return cls(spark, path, n_buckets)
 
@@ -109,38 +166,61 @@ class LexicalIndex:
         docs: DataFrame,
         id_col: str = "doc_id",
         text_col: str = "text",
+        assume_new: bool = False,
     ) -> int:
         """Incremental index update, IVFIndex.add parity: append the new
         docs' postings into their buckets and fold (count, mean dl) into
         the 1-row stats. Per-term df needs NO maintenance — search derives
         it from the pruned postings slice at query time, so it is always
-        exact. Returns the number of docs added."""
-        toks = docs.select(
-            F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("__ws")
-        )
-        postings = (
-            toks.select("id", F.size("__ws").alias("dl"),
-                        F.explode("__ws").alias("term"))
-            .groupBy("id", "dl", "term")
-            .agg(F.count("*").alias("tf"))
-            .withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(self.n_buckets))
+        exact. Returns the number of docs actually added.
+
+        Re-add guard: incoming ids are anti-joined against the indexed ids
+        by default, so re-submitting an already-indexed doc is a no-op
+        instead of silently double-counting its postings and inflating
+        (N, avgdl, tf, df). The guard costs one distinct over the postings'
+        id column; pass ``assume_new=True`` to skip it when the pipeline
+        guarantees newness upstream (e.g. ingest already deduped on doc_id).
+
+        Stats commit is crash-safe (`_commit_stats`); single-writer
+        contract applies. If a crash lands between the postings append and
+        the stats commit, the appended docs' (count, dl) fold is lost —
+        stats go stale exactly the way the module docstring allows (search
+        stays well-defined; `build()` restores exactness)."""
+        toks = _tokenized(docs, id_col, text_col)
+        if not assume_new:
+            indexed = self.postings().select("id").distinct()
+            toks = toks.join(indexed, "id", "left_anti")
+        toks = toks.cache()  # two consumers: postings append + stats fold
+        try:
+            # Materialize the batch (and its stats fold) BEFORE the append:
+            # the anti-join above reads the postings path, so evaluating it
+            # after the append would see the batch's own rows and drop
+            # everything. The head() pins the cache to the pre-append state.
+            new = toks.select(F.size("__ws").alias("dl")).agg(
+                F.count("*").alias("n"), F.sum("dl").alias("s")
+            ).head()
+            _postings_of(toks, self.n_buckets).write.mode(
+                "append"
+            ).partitionBy("bucket").parquet(
+                os.path.join(self.path, "postings")
             )
-        )
-        postings.write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(self.path, "postings")
-        )
-        old = self.spark.read.parquet(os.path.join(self.path, "stats")).head()
-        new = toks.select(F.size("__ws").alias("dl")).agg(
-            F.count("*").alias("n"), F.sum("dl").alias("s")
-        ).head()
-        n_docs = int(old["n_docs"]) + int(new["n"])
-        total_dl = float(old["avgdl"]) * int(old["n_docs"]) + float(new["s"] or 0)
-        self.spark.createDataFrame(
-            [(n_docs, total_dl / n_docs if n_docs else 0.0, self.n_buckets)],
-            "n_docs bigint, avgdl double, n_buckets int",
-        ).write.mode("overwrite").parquet(os.path.join(self.path, "stats"))
-        return int(new["n"])
+            old = _read_stats(self.spark, self.path).head()
+            n_docs = int(old["n_docs"]) + int(new["n"])
+            total_dl = (
+                float(old["avgdl"]) * int(old["n_docs"]) + float(new["s"] or 0)
+            )
+            _commit_stats(
+                self.spark,
+                self.path,
+                self.spark.createDataFrame(
+                    [(n_docs, total_dl / n_docs if n_docs else 0.0,
+                      self.n_buckets)],
+                    "n_docs bigint, avgdl double, n_buckets int",
+                ),
+            )
+            return int(new["n"])
+        finally:
+            toks.unpersist()
 
     # -------------------------------------------------------------- search
 
@@ -148,9 +228,7 @@ class LexicalIndex:
         return self.spark.read.parquet(os.path.join(self.path, "postings"))
 
     def stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "stats")).select(
-            "n_docs", "avgdl"
-        )
+        return _read_stats(self.spark, self.path).select("n_docs", "avgdl")
 
     def search(
         self,

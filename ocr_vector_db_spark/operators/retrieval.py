@@ -59,6 +59,22 @@ def bounded_window(anchor: Column, *order_cols: Column) -> Window:
     ).orderBy(*order_cols)
 
 
+def _bm25_score_cols(k1: float, b: float) -> Column:
+    """idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)) — Lucene's BM25
+    (idf = ln(1 + (N - df + 0.5)/(df + 0.5))) over columns
+    (tf, df, dl, n_docs, avgdl). The SINGLE definition of the scoring math:
+    both the scan path below and the persisted-index path
+    (`operators/lexical_index.py`) build their per-(doc, term) contributions
+    from this expression, so the two formulations cannot drift."""
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return idf * tf_part
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
@@ -93,17 +109,11 @@ def bm25_scores(
         .agg(F.count("*").alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_part = (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-    )
     return (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("id")
-        .agg(_dsum6(idf * tf_part).alias("bm25"))
+        .agg(_dsum6(_bm25_score_cols(k1, b)).alias("bm25"))
         .select("id", F.round("bm25", 6).alias("bm25"))
     )
 

@@ -103,10 +103,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif dict(df.dtypes).get("ts") == "timestamp_ntz":
             # belt-and-braces if the conf above is ever non-settable: NTZ
-            # wall-clock == the stored instant under UTC, so pin the
-            # conversion to UTC explicitly (session-tz-independent).
+            # wall-clock == the stored instant under UTC. cast(ntz as
+            # timestamp) reads the wall clock in the SESSION tz (instant =
+            # wall - offset); from_utc_timestamp with that same tz adds the
+            # offset back, so the two cancel and the result is the wall
+            # clock pinned to UTC regardless of session timezone (verified
+            # under Asia/Seoul, America/New_York and UTC).
             df = df.withColumn(
-                "ts", F.to_utc_timestamp(F.col("ts").cast("timestamp"), "UTC")
+                "ts",
+                F.expr(
+                    "from_utc_timestamp(cast(ts as timestamp),"
+                    " current_timezone())"
+                ),
             )
     else:
         df = spark.read.parquet(path)

@@ -199,8 +199,13 @@ def _parse_tounicode(cmap: bytes) -> tuple[int, dict[int, str]]:
             for off, d in enumerate(dsts):
                 if lo + off <= hi:
                     table[lo + off] = dst_str(d)
-        # increment form: <lo> <hi> <dst> (last UTF-16 unit increments)
-        body_wo_arrays = re.sub(rb"\[.*?\]", b"", body, flags=re.S)
+        # increment form: <lo> <hi> <dst> (last UTF-16 unit increments).
+        # Strip WHOLE array entries — lo/hi included — or their orphaned
+        # <lo> <hi> tokens would shift the 3-token grouping below whenever
+        # an array entry precedes an increment entry.
+        body_wo_arrays = re.sub(
+            rb"<[0-9A-Fa-f]+>\s*<[0-9A-Fa-f]+>\s*\[.*?\]", b"", body, flags=re.S
+        )
         toks = _HEX_PAIR_RE.findall(body_wo_arrays)
         for lo_h, hi_h, dst_h in zip(toks[0::3], toks[1::3], toks[2::3]):
             lo, hi = int(lo_h, 16), int(hi_h, 16)

@@ -142,6 +142,31 @@ class TestCidToUnicode:
         assert [table[c] for c in (0x50, 0x51, 0x52)] == ["a", "b", "c"]
         assert table[0x60] == "한" and table[0x61] == "글"
 
+    def test_bfrange_array_entry_before_increment_entry(self):
+        """Array entries must be stripped WHOLE (lo/hi included) before the
+        3-token increment parse — orphaned lo/hi tokens shift the grouping."""
+        from ocr_vector_db_spark.sources.pdf_decode import _parse_tounicode
+
+        cmap = (b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+                b"2 beginbfrange\n"
+                b"<0001> <0002> [<0041> <0042>]\n"   # array FIRST: 1->A, 2->B
+                b"<0010> <0012> <0058>\n"            # increment: 16,17,18 -> X,Y,Z
+                b"endbfrange\n")
+        _, table = _parse_tounicode(cmap)
+        assert table[1] == "A" and table[2] == "B"
+        assert [table[c] for c in (0x10, 0x11, 0x12)] == ["X", "Y", "Z"]
+
+    def test_bfrange_two_array_entries(self):
+        from ocr_vector_db_spark.sources.pdf_decode import _parse_tounicode
+
+        cmap = (b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+                b"2 beginbfrange\n"
+                b"<0001> <0001> [<D55C>]\n"
+                b"<0002> <0002> [<AE00>]\n"
+                b"endbfrange\n")
+        _, table = _parse_tounicode(cmap)
+        assert table[1] == "한" and table[2] == "글"
+
     def test_multibyte_dst_utf16(self):
         from ocr_vector_db_spark.sources.pdf_decode import _parse_tounicode
 

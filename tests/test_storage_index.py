@@ -242,3 +242,74 @@ def test_lexical_index_incremental_add(spark, tables, tmp_path_factory):
     s_full = full.stats().head()
     assert s_inc["n_docs"] == s_full["n_docs"]
     assert abs(s_inc["avgdl"] - s_full["avgdl"]) < 1e-9
+
+
+def test_lexical_index_add_guards_against_readd(spark, tables, tmp_path_factory):
+    """Re-submitting already-indexed docs is a no-op: the anti-join guard
+    keeps postings and (N, avgdl) exact instead of double-counting."""
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+
+    docs = tables["documents"]
+    path = str(tmp_path_factory.mktemp("lex_guard"))
+    idx = LexicalIndex.build(spark, docs, path, n_buckets=8)
+    n_docs = docs.count()
+    n_postings = idx.postings().count()
+
+    assert idx.add(docs) == 0  # every id already indexed
+    assert idx.postings().count() == n_postings
+    s = idx.stats().head()
+    assert s["n_docs"] == n_docs
+
+    # a mixed batch adds only the genuinely-new rows
+    mixed = docs.limit(3).unionByName(
+        spark.createDataFrame(
+            [(10**9 + 7, "entirely new distributed data text")],
+            "doc_id bigint, text string",
+        ).select("doc_id", "text"),
+        allowMissingColumns=True,
+    )
+    assert idx.add(mixed) == 1
+    assert idx.stats().head()["n_docs"] == n_docs + 1
+
+
+def test_lexical_index_stats_swap_crash_recovery(spark, tables, tmp_path_factory):
+    """Every crash point of the stats rename-swap leaves a readable
+    committed version, and the next add() self-heals the layout."""
+    import os
+    import shutil
+
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+
+    docs = tables["documents"]
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path_factory.mktemp("lex_crash"))
+    idx = LexicalIndex.build(spark, half_a, path, n_buckets=8)
+    s0 = idx.stats().head()
+
+    cur, old, tmp = (os.path.join(path, n)
+                     for n in ("stats", "stats__old", "stats__tmp"))
+
+    # crash between step 2 and 3: `stats` renamed away, new copy not yet in
+    os.rename(cur, old)
+    assert LexicalIndex.load(spark, path).n_buckets == 8  # fallback read
+    s_fallback = idx.stats().head()
+    assert s_fallback["n_docs"] == s0["n_docs"]
+
+    # plus a half-written stats__tmp from the dead writer
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00garbage")
+
+    # next add() recovers the committed version, then commits its own fold
+    added = idx.add(half_b)
+    assert added == half_b.count()
+    assert os.path.isdir(cur) and not os.path.exists(old)
+    assert idx.stats().head()["n_docs"] == docs.count()
+
+    # leftover stale stats__old alongside a live `stats` is cleaned up too
+    shutil.copytree(cur, old)
+    idx.add(spark.createDataFrame(
+        [(10**9 + 11, "one more new doc")], "doc_id bigint, text string"))
+    assert not os.path.exists(old)
+    assert idx.stats().head()["n_docs"] == docs.count() + 1
