@@ -15,7 +15,10 @@ no online ANN index; the scale-aware equivalents here are:
   num_clusters/nprobe; writing the index partitioned by cluster_id makes the
   pruning a partition-pruned scan, not a filter.
 - `knn_batch`: many-query batch mode as a blocked broadcast join (queries
-  are broadcast; one scan of the corpus scores all queries).
+  are broadcast; one slim scan of the corpus scores all queries) with a
+  TWO-PHASE top-k: a per-input-partition bounded reduce (mapInPandas, no
+  shuffle) ahead of the per-query rank, so the rank's exchange carries
+  ≤ partitions×Q×k rows — never |corpus|×|Q|.
 
 Scoring is pure built-in expressions (functions/vector.py) — no Python in
 the hot path. Ties broken by `id_col` so results are deterministic.
@@ -140,6 +143,52 @@ def knn_ivf(
 # --------------------------------------------------------------- batch mode
 
 
+def _local_topk(
+    scored: DataFrame, query_id: str, sim_col: str, k: int
+) -> DataFrame:
+    """Per-INPUT-PARTITION top-k per query — the map-side reduce of the
+    two-phase batch KNN, no shuffle (mapInPandas preserves partitioning).
+
+    Keeps, within each input partition and query, every row whose similarity
+    ties into that partition's top-k (boundary ties are kept rather than
+    broken), so the output is a provable superset of the global top-k no
+    matter how the final rank breaks ties — pandas ordering of the id column
+    never has to agree with Spark's. Null similarities sort last (Spark's
+    DESC NULLS LAST), modeled as -inf. Output ≤ partitions × Q × (k + ties)
+    rows."""
+    import pandas as pd  # noqa: F401 — arrow batches arrive as pandas
+
+    schema = scored.schema
+    neg_inf = float("-inf")
+
+    def reduce_partition(batches):
+        best = None
+        for pdf in batches:
+            cur = (
+                pd.concat([best, pdf], ignore_index=True)
+                if best is not None
+                else pdf
+            )
+            if len(cur):
+                simf = cur[sim_col].fillna(neg_inf)
+                cur = cur.assign(__simf=simf).sort_values(
+                    [query_id, "__simf"], ascending=[True, False]
+                )
+                ranks = cur.groupby(query_id, sort=False).cumcount()
+                kth = cur.loc[ranks == k - 1, [query_id, "__simf"]].rename(
+                    columns={"__simf": "__kth"}
+                )
+                cur = cur.merge(kth, on=query_id, how="left")
+                cur = cur[
+                    cur["__kth"].isna() | (cur["__simf"] >= cur["__kth"])
+                ].drop(columns=["__simf", "__kth"])
+            best = cur
+        if best is not None and len(best):
+            yield best
+
+    return scored.mapInPandas(reduce_partition, schema)
+
+
 def knn_batch(
     corpus: DataFrame,
     queries: DataFrame,
@@ -149,10 +198,24 @@ def knn_batch(
     corpus_id: str = "vec_id",
     query_id: str = "query_id",
     block_col: str | None = None,
+    pre_reduce: bool = True,
 ) -> DataFrame:
-    """Top-k corpus rows per query row. Queries are broadcast (small side) so
-    the corpus is scanned exactly once; `block_col` (e.g. an IVF cluster id
-    present on both sides) prunes the cross product to matching blocks."""
+    """Top-k corpus rows per query row (`corpus_id` must be unique).
+
+    Queries are broadcast (small side) so the corpus is scanned once for
+    scoring; `block_col` (e.g. an IVF cluster id present on both sides)
+    prunes the cross product to matching blocks and is the right call at
+    full 100 TB scale.
+
+    Two-phase top-k (the default): scoring happens on a slim
+    (query_id, corpus_id, similarity) projection — column pruning keeps the
+    scoring scan to id+embedding(+block) — then `_local_topk` reduces each
+    input partition to its own top-k per query BEFORE any exchange, so the
+    per-query rank's shuffle carries ≤ partitions × Q × k rows instead of
+    |corpus| × |Q|. The Q×k winners are then broadcast-joined back to the
+    corpus to restore the full output columns. With `pre_reduce=False` the
+    rank runs directly over the scored stream — a |corpus|×|Q|-row exchange
+    kept only as the parity baseline for tests; never use it at scale."""
     q = queries.select(
         F.col(query_id), F.col(query_emb).alias("__q_emb"),
         *([F.col(block_col).alias("__q_block")] if block_col else []),
@@ -162,6 +225,19 @@ def knn_batch(
     else:
         joined = corpus.crossJoin(F.broadcast(q))
     sim = F.round(cosine_similarity_col(F.col(corpus_emb), F.col("__q_emb")), SIM_PRECISION)
-    scored = joined.withColumn("similarity", sim).drop("__q_emb", "__q_block")
     w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.col(corpus_id))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    if not pre_reduce:
+        scored = joined.withColumn("similarity", sim).drop("__q_emb", "__q_block")
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    slim = joined.select(
+        F.col(query_id), F.col(corpus_id), sim.alias("similarity")
+    )
+    winners = (
+        _local_topk(slim, query_id, "similarity", k)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    out_cols = [c for c in corpus.columns] + [query_id, "similarity", "rank"]
+    return corpus.join(F.broadcast(winners), corpus_id).select(*out_cols)

@@ -92,6 +92,79 @@ def test_knn_ivf_matches_brute_force_on_full_probe(tables):
     assert len(approx) == 5
 
 
+def test_knn_batch_two_phase_matches_naive(tables):
+    """The two-phase top-k (per-partition mapInPandas reduce + rejoin) must
+    reproduce the single-window plan row-for-row, including rounded-sim
+    tie-breaks on vec_id."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cols = ["query_id", "vec_id", "similarity", "rank"]
+    fast = knn.knn_batch(emb, queries, 5).select(*cols)
+    naive = knn.knn_batch(emb, queries, 5, pre_reduce=False).select(*cols)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+def test_knn_batch_two_phase_with_ties_and_duplicate_sims(spark):
+    """Seeded corpus engineered so many vectors score IDENTICALLY (after
+    6-dp rounding) and the tie boundary falls inside a partition's local
+    top-k — the boundary-ties-kept reduce must still match the naive rank."""
+    import random
+
+    rnd = random.Random(7)
+    base = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.6, 0.8, 0.0]]
+    rows = []
+    for i in range(60):
+        v = base[i % 3]
+        # half the corpus are exact copies (tie groups); half are jittered
+        if i % 2 == 0:
+            rows.append((i, [float(x) for x in v]))
+        else:
+            rows.append(
+                (i, [float(x) + rnd.uniform(-0.05, 0.05) for x in v])
+            )
+    rows.append((999, [0.0, 0.0, 0.0]))  # zero vector → null similarity
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).repartition(8)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.5, 0.5, 0.5])],
+        "query_id bigint, embedding array<double>",
+    )
+    cols = ["query_id", "vec_id", "similarity", "rank"]
+    fast = knn.knn_batch(corpus, queries, 7).select(*cols)
+    naive = knn.knn_batch(corpus, queries, 7, pre_reduce=False).select(*cols)
+    got = sorted(map(tuple, fast.collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want and len(got) == 21
+
+
+def test_knn_batch_blocked_two_phase(spark):
+    """block_col pruning composes with the two-phase reduce: candidates are
+    restricted to matching blocks on both paths."""
+    rows = [(i, [float(i % 5), 1.0], i % 3) for i in range(30)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, blk int"
+    ).repartition(4)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 1.0], 0), (1, [4.0, 1.0], 1)],
+        "query_id bigint, embedding array<double>, blk int",
+    )
+    cols = ["query_id", "vec_id", "similarity", "rank"]
+    fast = knn.knn_batch(corpus, queries, 4, block_col="blk").select(*cols)
+    naive = knn.knn_batch(
+        corpus, queries, 4, block_col="blk", pre_reduce=False
+    ).select(*cols)
+    got = sorted(map(tuple, fast.collect()))
+    assert got == sorted(map(tuple, naive.collect())) and len(got) == 8
+    # every candidate came from the query's own block
+    blk = {r.vec_id % 3 for r in fast.filter(F.col("query_id") == 0).collect()}
+    assert blk == {0}
+
+
 def test_dedup_exact_and_jaccard(spark):
     rows = [
         (1, "the quick brown fox"),
