@@ -105,6 +105,12 @@ _DRIVER_GREEN = {
     "q92_semantic_dedup_survivors", "q93_duplicate_ngram_coverage",
     "q94_rerank_stub_topk", "q95_bpe_pair_counts", "q96_quality_deciles",
     "q98_rag_prompt_golden",
+    # r04 greens (driver-verified in CORRECTNESS_r04.json): the q52 golden
+    # upgrade, the q69/q97 re-verifications, and the round-4 additions all
+    # landed green — so round 5's new queries (q102+) rotate to the front
+    "q52_parent_synthesis_legacy", "q69_funnel_full_outer",
+    "q97_training_pipeline_e2e", "q99_semdedup_kmeans_invariants",
+    "q100_self_query_llm_golden", "q101_bm25_lexical_index",
 }
 
 

@@ -56,6 +56,17 @@ HEADLINE = [
     "q95_bpe_pair_counts",
     "q96_quality_deciles",
     "q97_training_pipeline_e2e",
+    # round 5 additions: the persisted-index serving paths (lexical BM25,
+    # hybrid RRF from LexicalIndex+IVFIndex, incremental adds) and the
+    # round-4 goldens — index BUILDS happen once in the untimed warmup
+    # (session-memoized, like a real deployed index); timed runs measure
+    # the partition-pruned serving path
+    "q99_semdedup_kmeans_invariants",
+    "q100_self_query_llm_golden",
+    "q101_bm25_lexical_index",
+    "q102_hybrid_indexed",
+    "q103_ivf_incremental_add",
+    "q104_lexical_incremental_add",
 ]
 
 

@@ -290,6 +290,7 @@ def _repl_help(rag_mode: bool) -> str:
     search = (
         "  :context <on|off>     Toggle parent context\n"
         "  :json <on|off>        Toggle JSON output\n"
+        "  :hybrid <on|off>      Toggle hybrid (BM25+dense RRF) retrieval\n"
     )
     rag = (
         "  :rag <on|off>         Toggle RAG mode (LLM generation)\n"
@@ -312,6 +313,8 @@ def cmd_repl(args, stdin=None, out=None) -> int:
     :clear-history), search and RAG modes over one long-lived session,
     conversation memory, and :sources echoing the last response's citations
     + query-optimizer hints. `stdin`/`out` injectable for tests."""
+    from pyspark.sql import functions as F
+
     from ocr_vector_db_spark.plans import query_optimizer, rag
     from ocr_vector_db_spark.plans.pipeline import RetrievalPipeline
     from ocr_vector_db_spark.plans.query import ValidationError, validate_request
@@ -334,6 +337,7 @@ def cmd_repl(args, stdin=None, out=None) -> int:
     show_context = not args.no_context
     as_json = args.json
     rag_mode = args.rag
+    hybrid_mode = False
     use_conversation = True
     conversation = rag.Conversation()
     last_response = None
@@ -363,6 +367,7 @@ def cmd_repl(args, stdin=None, out=None) -> int:
             if not rag_mode:
                 emit(f"  context:     {'on' if show_context else 'off'}")
                 emit(f"  json:        {'on' if as_json else 'off'}")
+                emit(f"  hybrid:      {'on' if hybrid_mode else 'off'}")
             else:
                 emit(f"  conversation: {'on' if use_conversation else 'off'}")
             continue
@@ -424,6 +429,13 @@ def cmd_repl(args, stdin=None, out=None) -> int:
             else:
                 emit("[info] No previous RAG response")
             continue
+        if head == ":hybrid":
+            if len(cmd) < 2:
+                emit("[error] usage: :hybrid <on|off>")
+                continue
+            hybrid_mode = _parse_toggle(cmd[1])
+            emit(f"[ok] hybrid {'on' if hybrid_mode else 'off'}")
+            continue
         if head == ":conversation":
             if len(cmd) < 2:
                 emit("[error] usage: :conversation <on|off>")
@@ -441,6 +453,18 @@ def cmd_repl(args, stdin=None, out=None) -> int:
             validate_request(line, view, top_k)
         except ValidationError as exc:
             emit(f"[error] {exc}")
+            continue
+        if hybrid_mode and not rag_mode:
+            fused = pipe.retrieve_hybrid(line, top_k=top_k)
+            frags = pipe.embeddings.select(
+                F.col("fragment_id").alias("id"), "content"
+            )
+            for r in (
+                fused.join(frags, "id").orderBy("fused_rank").collect()
+            ):
+                emit(f"  #{r.fused_rank}  rrf={r.rrf:.6f}  "
+                     f"systems={r.n_systems}  {r.id[:24]}  "
+                     f"{(r.content or '')[:60]!r}")
             continue
         rows = pipe.retrieve(
             line, view=view, language=language, top_k=top_k,

@@ -143,13 +143,19 @@ class LexicalIndex:
         ).parquet(os.path.join(path, "postings"))
         # stats over ALL docs — a zero-token doc contributes dl=0 to avgdl
         # and counts in N, matching the scan path's semantics exactly (the
-        # explode above would silently drop it)
-        stats = toks.select(F.size("__ws").alias("dl")).agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-        )
-        stats.withColumn("n_buckets", F.lit(n_buckets)).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "stats"))
+        # explode above would silently drop it). total_dl is kept as an
+        # EXACT integer so incremental add() folds are associative:
+        # avgdl is always one double division of exact integers (the same
+        # IEEE op AVG() performs), so build(A∪B) ≡ build(A)+add(B) to the
+        # last bit, not just within float tolerance.
+        row = toks.select(F.size("__ws").alias("dl")).agg(
+            F.count("*").alias("n"), F.sum("dl").alias("s")
+        ).head()
+        n, total = int(row["n"]), int(row["s"] or 0)
+        spark.createDataFrame(
+            [(n, total / n if n else 0.0, n_buckets, total)],
+            "n_docs bigint, avgdl double, n_buckets int, total_dl bigint",
+        ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
         return cls(spark, path, n_buckets)
 
     @classmethod
@@ -206,16 +212,16 @@ class LexicalIndex:
             )
             old = _read_stats(self.spark, self.path).head()
             n_docs = int(old["n_docs"]) + int(new["n"])
-            total_dl = (
-                float(old["avgdl"]) * int(old["n_docs"]) + float(new["s"] or 0)
-            )
+            # exact integer fold — see build(): incremental ≡ full rebuild
+            total_dl = int(old["total_dl"]) + int(new["s"] or 0)
             _commit_stats(
                 self.spark,
                 self.path,
                 self.spark.createDataFrame(
                     [(n_docs, total_dl / n_docs if n_docs else 0.0,
-                      self.n_buckets)],
-                    "n_docs bigint, avgdl double, n_buckets int",
+                      self.n_buckets, total_dl)],
+                    "n_docs bigint, avgdl double, n_buckets int,"
+                    " total_dl bigint",
                 ),
             )
             return int(new["n"])

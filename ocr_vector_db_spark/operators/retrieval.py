@@ -171,6 +171,44 @@ def rrf_fuse(
     return fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
 
 
+def hybrid_indexed(
+    lexical_index,
+    ivf_index,
+    query_terms: list[str],
+    query_vector: list[float],
+    k_each: int = 20,
+    fuse_k: int = 60,
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval served from the PERSISTED indexes — the production
+    twin of the scan-path bm25_topk + brute-force-dense + rrf_fuse combo
+    (the reference's serving shape: GIN + HNSW behind one query,
+    storage/schema.py:80-118).
+
+    Sparse half: `LexicalIndex.search` — a partition-pruned read of the
+    query terms' postings buckets. Dense half: `IVFIndex.search` — a
+    partition-pruned read of the probed clusters. Neither half rescans the
+    corpus; both are O(index slice), and the RRF fusion is a union of two
+    driver-bounded k-row lists. `nprobe=None` probes every cluster: still
+    served from the partitioned layout, and exactly equal to brute force
+    (the oracle-parity setting); production sets nprobe « num_clusters."""
+    lex = lexical_index.search(query_terms, k=k_each)
+    dense_raw = ivf_index.search(
+        query_vector, k_each, nprobe=nprobe or len(ivf_index.centroids),
+        id_col=id_col,
+    )
+    dense = dense_raw.select(
+        F.col(id_col).alias("id"), F.col("similarity").alias("sim")
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(bounded_window(F.col("sim"), F.desc("sim"), F.asc("id")))
+        .cast("bigint"),
+    )
+    return rrf_fuse({"dense": dense, "lex": lex}, k=fuse_k)
+
+
 def md5_stub_scorer(query: str):
     """Deterministic stand-in for a cross-encoder: the score key is the
     first 8 hex chars of md5(query || '|' || doc_text) — a fixed-length

@@ -3472,23 +3472,12 @@ def q101(spark, sf):
     partition-prunes to the query terms' buckets, so per-query work is
     O(matching postings) instead of a corpus rescan. Same oracle as q89 —
     the indexed and scan formulations must score identically."""
-    import tempfile
-
-    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
-
-    d = load_table(spark, sf, "documents")
-    key = (spark.sparkContext.applicationId, sf, "q101_index_path")
-    if key not in _PLAN_MEMO:
-        path = tempfile.mkdtemp(prefix="lexidx_")
-        LexicalIndex.build(spark, d, path, n_buckets=16)
-        _PLAN_MEMO[key] = path  # build once per session, like a real index
-    idx = LexicalIndex.load(spark, _PLAN_MEMO[key])
-    return idx.search(_BM25_TERMS, k=10)
+    return _lexical_index_for(spark, sf).search(_BM25_TERMS, k=10)
 
 
-@query(
-    "q90_hybrid_rrf_fusion",
-    f"""
+# Shared by q90 (scan-path) and q102 (persisted-index path): the two
+# formulations must fuse byte-identically, like q101 ≡ q89.
+_HYBRID_ORACLE_SQL = f"""
     WITH {_bm25_scored_sql(_BM25_TERMS)},
     lex AS (
         SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS rank
@@ -3514,8 +3503,10 @@ def q101(spark, sf):
     SELECT id, rrf, n_systems,
            CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS fused_rank
     FROM fused
-    """,
-)
+    """
+
+
+@query("q90_hybrid_rrf_fusion", _HYBRID_ORACLE_SQL)
 def q90(spark, sf):
     """Hybrid search: BM25 (sparse) top-20 + cosine (dense) top-20 fused by
     reciprocal-rank fusion, rrf = Σ 1/(60+rank) (Cormack et al., SIGIR'09) —
@@ -3549,6 +3540,126 @@ def q90(spark, sf):
     )
     lex = retrieval.bm25_topk(d, _BM25_TERMS, k=20)
     return retrieval.rrf_fuse({"dense": dense, "lex": lex}, k=60)
+
+
+def _lexical_index_for(spark, sf):
+    """Session-memoized LexicalIndex over `documents` (shared q101/q102)."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+
+    key = (spark.sparkContext.applicationId, sf, "q101_index_path")
+    if key not in _PLAN_MEMO:
+        d = load_table(spark, sf, "documents")
+        path = tempfile.mkdtemp(prefix="lexidx_")
+        LexicalIndex.build(spark, d, path, n_buckets=16)
+        _PLAN_MEMO[key] = path  # build once per session, like a real index
+    return LexicalIndex.load(spark, _PLAN_MEMO[key])
+
+
+def _ivf_index_for(spark, sf, num_clusters: int = 8):
+    """Session-memoized persisted IVFIndex over `embeddings` (q102)."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    key = (spark.sparkContext.applicationId, sf, "q102_ivf_path")
+    if key not in _PLAN_MEMO:
+        e = load_table(spark, sf, "embeddings")
+        path = tempfile.mkdtemp(prefix="ivfidx_")
+        IVFIndex.build(spark, e, path, num_clusters=num_clusters)
+        _PLAN_MEMO[key] = path
+    return IVFIndex.load(spark, _PLAN_MEMO[key])
+
+
+@query("q102_hybrid_indexed", _HYBRID_ORACLE_SQL)
+def q102(spark, sf):
+    """q90's hybrid retrieval served from the PERSISTED indexes instead of
+    corpus rescans — the reference's production serving shape (GIN + HNSW
+    behind one query, storage/schema.py:80-118). Sparse half: LexicalIndex
+    postings buckets (partition-pruned to the query's terms); dense half:
+    IVFIndex cluster partitions with a full probe (exactly equal to brute
+    force, served from the partitioned layout; production sets
+    nprobe « num_clusters). Same oracle as q90, byte-identical — the
+    indexed and scan paths must fuse identically, like q101 ≡ q89."""
+    from ocr_vector_db_spark.operators import retrieval
+
+    lex_idx = _lexical_index_for(spark, sf)
+    ivf_idx = _ivf_index_for(spark, sf)
+    qv = _query_vec(spark, sf, 0)
+    return retrieval.hybrid_indexed(
+        lex_idx, ivf_idx, _BM25_TERMS, qv, k_each=20, fuse_k=60
+    )
+
+
+@query(
+    "q103_ivf_incremental_add",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, {_COS} AS similarity
+    FROM embeddings e, q
+    ORDER BY similarity DESC, e.vec_id LIMIT 10
+    """,
+)
+def q103(spark, sf):
+    """Incremental dense index update: IVFIndex.build on HALF the corpus,
+    IVFIndex.add on the rest (new vectors assigned to their nearest
+    EXISTING centroid, appended into the partitioned layout — pgvector's
+    ivfflat lists-don't-move contract), then a full-probe search. Oracle =
+    exact brute-force KNN over the WHOLE corpus (q16's SQL): the updated
+    index must serve every added vector exactly, proving the append landed
+    in the cluster layout and the search sees both halves."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    key = (spark.sparkContext.applicationId, sf, "q103_ivf_inc_path")
+    if key not in _PLAN_MEMO:
+        e = load_table(spark, sf, "embeddings")
+        path = tempfile.mkdtemp(prefix="ivfinc_")
+        idx = IVFIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path, num_clusters=8
+        )
+        idx.add(e.filter(F.col("vec_id") % 2 == 1))
+        _PLAN_MEMO[key] = path
+    idx = IVFIndex.load(spark, _PLAN_MEMO[key])
+    qv = _query_vec(spark, sf, 0)
+    return idx.search(qv, 10, nprobe=len(idx.centroids)).select(
+        "vec_id", "label", "similarity"
+    )
+
+
+@query(
+    "q104_lexical_incremental_add",
+    f"""
+    WITH {_bm25_scored_sql(_BM25_TERMS)}
+    SELECT id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS rank
+    FROM scored ORDER BY bm25 DESC, id LIMIT 10
+    """,
+)
+def q104(spark, sf):
+    """Incremental sparse index update: LexicalIndex.build on HALF the
+    corpus, LexicalIndex.add on the rest (bucketed postings append + exact
+    integer stats fold), then search. Oracle = q89's scan-path BM25 over
+    the WHOLE corpus: build(A)+add(B) must score byte-identically to
+    build(A∪B) — df derives at query time, N folds as a count, and avgdl
+    is one double division of exact integer totals on both paths."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+
+    key = (spark.sparkContext.applicationId, sf, "q104_lex_inc_path")
+    if key not in _PLAN_MEMO:
+        d = load_table(spark, sf, "documents")
+        path = tempfile.mkdtemp(prefix="lexinc_")
+        idx = LexicalIndex.build(
+            spark, d.filter(F.col("doc_id") % 2 == 0), path, n_buckets=16
+        )
+        idx.add(d.filter(F.col("doc_id") % 2 == 1))
+        _PLAN_MEMO[key] = path
+    idx = LexicalIndex.load(spark, _PLAN_MEMO[key])
+    return idx.search(_BM25_TERMS, k=10)
 
 
 @query(

@@ -48,6 +48,8 @@ class RetrievalPipeline:
         use_optimizer: bool = True,
         dim: int = 64,
         embedder=None,
+        lexical_index=None,
+        ivf_index=None,
     ):
         self.embeddings = embeddings
         self.parents = parents
@@ -55,6 +57,11 @@ class RetrievalPipeline:
         self.use_optimizer = use_optimizer
         self.dim = dim
         self.embedder = embedder
+        # persisted serving indexes (operators/lexical_index.LexicalIndex /
+        # operators/ann_index.IVFIndex); when wired, retrieve_hybrid serves
+        # from the partition-pruned index layouts instead of corpus rescans
+        self.lexical_index = lexical_index
+        self.ivf_index = ivf_index
 
     def retrieve(
         self,
@@ -110,3 +117,69 @@ class RetrievalPipeline:
                 top = ec(top, self.parents, preview_chars=800)
             return top.orderBy(F.desc("similarity"), "fragment_id")
         return search(self.embeddings, plan, self.parents if expand_context else None)
+
+    def retrieve_hybrid(
+        self,
+        query: str,
+        top_k: int = 10,
+        k_each: int | None = None,
+        fuse_k: int = 60,
+        nprobe: int | None = None,
+    ) -> DataFrame:
+        """Sparse (BM25) + dense (cosine) retrieval fused by RRF.
+
+        Serves from the persisted indexes when both are wired
+        (`LexicalIndex` postings buckets + `IVFIndex` cluster partitions —
+        partition-pruned reads, no corpus rescan; the reference's GIN+HNSW
+        serving shape), otherwise falls back to the scan-path formulations
+        (`bm25_topk` + brute-force dense). Both paths fuse identically —
+        q102 vs q90 hold the oracle-equality proof.
+
+        Returns (id, rrf, n_systems, fused_rank) limited to `top_k`; join
+        back to the store on id for display columns."""
+        from pyspark.sql import functions as F
+
+        from ocr_vector_db_spark.functions.vector import (
+            cosine_similarity_col,
+            embed_text,
+        )
+        from ocr_vector_db_spark.operators import retrieval
+
+        k_each = k_each or max(top_k * 2, top_k)
+        terms = [t for t in query.lower().split() if t]
+        embedder = self.embedder or embed_text
+        qv = embedder(query, self.dim)
+        if self.lexical_index is not None and self.ivf_index is not None:
+            fused = retrieval.hybrid_indexed(
+                self.lexical_index, self.ivf_index, terms, qv,
+                k_each=k_each, fuse_k=fuse_k, nprobe=nprobe,
+                id_col="fragment_id",
+            )
+        else:
+            sim = F.round(
+                cosine_similarity_col(
+                    F.col("embedding"), F.lit(qv).cast("array<double>")
+                ),
+                6,
+            )
+            dense = (
+                self.embeddings.select(
+                    F.col("fragment_id").alias("id"), sim.alias("sim")
+                )
+                .orderBy(F.desc("sim"), F.asc("id"))
+                .limit(k_each)
+                .withColumn(
+                    "rank",
+                    F.row_number()
+                    .over(retrieval.bounded_window(
+                        F.col("sim"), F.desc("sim"), F.asc("id")
+                    ))
+                    .cast("bigint"),
+                )
+            )
+            lex = retrieval.bm25_topk(
+                self.embeddings, terms, k=k_each,
+                id_col="fragment_id", text_col="content",
+            )
+            fused = retrieval.rrf_fuse({"dense": dense, "lex": lex}, k=fuse_k)
+        return fused.orderBy("fused_rank").limit(top_k)

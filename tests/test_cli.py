@@ -97,6 +97,10 @@ def test_cli_repl_session(spark, tmp_path, capsys):
         "lazy generators yield",        # search mode query
         ":json on",
         "lazy generators yield",        # same query, JSON output
+        ":json off",
+        ":hybrid on",
+        "lazy generators yield",        # hybrid (BM25+dense RRF) search
+        ":hybrid off",
         ":rag on",
         "lazy generators yield",        # RAG generation (EchoLLM)
         ":sources",
@@ -121,6 +125,8 @@ def test_cli_repl_session(spark, tmp_path, capsys):
     assert "[ok] top_k set to 3" in out
     assert "Similarity:" in out                  # text-format search results
     assert '"similarity"' in out                 # JSON-format search results
+    assert "[ok] hybrid on" in out
+    assert "rrf=" in out                         # hybrid fused results
     assert "[ok] RAG mode on" in out
     assert "Sources:" in out                     # RAG response footer
     assert "Sources from last response:" in out  # :sources

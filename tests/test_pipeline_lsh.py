@@ -152,10 +152,10 @@ def test_no_accidental_cartesian_products(tables, spark):
     skip_prefixes = (
         "q33", "q34", "q35", "q36", "q37", "q38", "q46", "q53", "q98",
         # q99 (KMeans fit + invariant counts), q100 (fixture ingest +
-        # retrieval) and q101 (lexical index build) also execute at
-        # construction; their joins are covered by the oracle checker and
-        # their own unit tests
-        "q99", "q100", "q101",
+        # retrieval) and q101-q104 (persisted index builds / incremental
+        # adds) also execute at construction; their joins are covered by
+        # the oracle checker and their own unit tests
+        "q99", "q100", "q101", "q102", "q103", "q104",
     )
     # intentionally pairwise within a bounded block (documented O(block²)),
     # or scalar cross joins of 1-row aggregates (q85's total/Z, q89/q90's

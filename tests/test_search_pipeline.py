@@ -235,3 +235,35 @@ def test_query_optimizer_fallback():
     assert t.view_hint == "text"
     ko = query_optimizer.optimize("파이썬 함수 구현")
     assert ko.view_hint == "code" and ko.language_hint == "python"
+
+
+def test_retrieve_hybrid_indexed_matches_scan_path(corpus, spark, tmp_path_factory):
+    """RetrievalPipeline.retrieve_hybrid: the persisted-index serving path
+    (LexicalIndex + IVFIndex) must fuse identically to the scan-path
+    formulation (the q102 ≡ q90 contract, here over the real store shape)."""
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+    from ocr_vector_db_spark.plans.pipeline import RetrievalPipeline
+
+    emb = corpus["embeddings"]
+    lex_path = str(tmp_path_factory.mktemp("hyb_lex"))
+    ivf_path = str(tmp_path_factory.mktemp("hyb_ivf"))
+    LexicalIndex.build(
+        spark, emb, lex_path, n_buckets=8,
+        id_col="fragment_id", text_col="content",
+    )
+    IVFIndex.build(spark, emb, ivf_path, num_clusters=2, emb_col="embedding")
+
+    scan_pipe = RetrievalPipeline(emb, dim=32)
+    idx_pipe = RetrievalPipeline(
+        emb, dim=32,
+        lexical_index=LexicalIndex.load(spark, lex_path),
+        ivf_index=IVFIndex.load(spark, ivf_path),
+    )
+    q = "lazy generators yield"
+    cols = ["id", "rrf", "n_systems", "fused_rank"]
+    got = [tuple(r) for r in idx_pipe.retrieve_hybrid(q, top_k=5).select(*cols).collect()]
+    want = [tuple(r) for r in scan_pipe.retrieve_hybrid(q, top_k=5).select(*cols).collect()]
+    assert got == want and len(got) > 0
+    # both systems contributed to at least one fused result
+    assert any(n == 2 for _, _, n, _ in got)

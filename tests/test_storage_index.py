@@ -237,11 +237,12 @@ def test_lexical_index_incremental_add(spark, tables, tmp_path_factory):
     got = [(r.id, r.rank) for r in idx.search(terms, k=10).collect()]
     want = [(r.id, r.rank) for r in full.search(terms, k=10).collect()]
     assert got == want
-    # folded stats match the full build's exactly-counted N
+    # folded stats match the full build's EXACTLY — total_dl folds as an
+    # integer, avgdl is one double division of exact ints on both paths
     s_inc = idx.stats().head()
     s_full = full.stats().head()
     assert s_inc["n_docs"] == s_full["n_docs"]
-    assert abs(s_inc["avgdl"] - s_full["avgdl"]) < 1e-9
+    assert s_inc["avgdl"] == s_full["avgdl"]
 
 
 def test_lexical_index_add_guards_against_readd(spark, tables, tmp_path_factory):
