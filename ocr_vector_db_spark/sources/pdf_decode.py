@@ -413,6 +413,9 @@ def _interpret(content: bytes, xobjects: dict[bytes, int], objects,
                             "kind": "image",
                             "content": "pdf-image "
                             + " ".join(f"{k}={int(v)}" for k, v in sorted(props.items())),
+                            # internal: XObject ref for the raster decode
+                            # pass (stripped from extract_pdf_blocks output)
+                            "ref": ref,
                         })
             stack.clear()
     return runs, images
@@ -486,7 +489,100 @@ def extract_pdf_blocks(data: bytes) -> list[dict]:
         # interleave by vertical position (PDF y grows upward → sort desc),
         # stable for equal positions
         keyed = [(b["bbox"][1], i, b) for i, b in enumerate(text_blocks + images)]
-        out.extend(b for _, _, b in sorted(keyed, key=lambda k: (-k[0], k[1])))
+        for _, _, b in sorted(keyed, key=lambda k: (-k[0], k[1])):
+            b.pop("ref", None)
+            out.append(b)
+    return out
+
+
+# ------------------------------------------------------- image raster layer
+
+def decode_image_xobject(objects, ref: int) -> dict | None:
+    """Decode one image XObject to a raw pixel buffer.
+
+    Supports the self-contained subset: FlateDecode (or unfiltered)
+    DeviceRGB / DeviceGray at 8 bits per component — the encodings
+    `build_simple_pdf` writes and scanned-text PDFs commonly embed.
+    DCT/JPX/CCITT payloads (entropy-coded image formats) return None — those
+    need a codec library and stay behind the PyMuPDF path, exactly like the
+    reference's 3x page render (ingestion/parsers/pymupdf_parser.py:773-823)
+    needs PyMuPDF.
+
+    Returns {width, height, channels, colorspace, pixels: bytes} with
+    len(pixels) == width*height*channels (row-major, no padding at 8 bpc),
+    or None when the encoding is unsupported or the payload is malformed."""
+    dict_src, stream = objects.get(ref, (b"", None))
+    if stream is None or b"/Image" not in dict_src:
+        return None
+    props = {
+        m.group(1): float(m.group(2)) for m in _NAME_NUM_RE.finditer(dict_src)
+    }
+    width = int(props.get(b"Width", 0))
+    height = int(props.get(b"Height", 0))
+    bpc = int(props.get(b"BitsPerComponent", 8))
+    if width <= 0 or height <= 0 or bpc != 8:
+        return None
+    if b"/DeviceRGB" in dict_src:
+        colorspace, channels = "rgb", 3
+    elif b"/DeviceGray" in dict_src:
+        colorspace, channels = "gray", 1
+    else:
+        return None
+    pixels = _decode_stream(dict_src, stream)  # None for DCT/LZW/...
+    if pixels is None or len(pixels) < width * height * channels:
+        return None
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "colorspace": colorspace,
+        "pixels": pixels[: width * height * channels],
+    }
+
+
+def extract_pdf_images(data: bytes) -> list[dict]:
+    """bytes → decoded raster rows for every image drawn on a page, in the
+    multimodal asset shape (sources/multimodal.ASSET_SCHEMA): the pixel
+    buffer is the opaque `data` payload and the typed facts ride `metadata`,
+    so rows feed `multimodal.extract_features` / the OCR gate directly —
+    closing the pure-Python half of the reference's render-page-and-OCR
+    loop (pymupdf_parser.py:518-569). Unsupported encodings are skipped
+    (PyMuPDF path covers them when importable)."""
+    import hashlib
+
+    objects = _scan_objects(data)
+    out: list[dict] = []
+    for page_no, page_obj in enumerate(_page_numbers(objects)):
+        page_src = _dict_src(objects, page_obj)
+        xobjects = _xobject_map(objects, page_src)
+        parts: list[bytes] = []
+        for ref in _all_refs(page_src, b"Contents"):
+            dict_src, stream = objects.get(ref, (b"", None))
+            if stream is None:
+                continue
+            decoded = _decode_stream(dict_src, stream)
+            if decoded:
+                parts.append(decoded)
+        _, images = _interpret(
+            b"\n".join(parts), xobjects, objects, page_no, {}
+        )
+        for idx, blk in enumerate(images):
+            ref = blk.get("ref")
+            raster = decode_image_xobject(objects, ref) if ref else None
+            if raster is None:
+                continue
+            pixels = raster.pop("pixels")
+            digest = hashlib.md5(pixels).hexdigest()
+            out.append({
+                "asset_id": f"pdfimg:p{page_no}:i{idx}:{digest[:12]}",
+                "kind": "image",
+                "data": pixels,
+                "metadata": {
+                    "page": str(page_no),
+                    "bbox": ",".join(f"{v:.2f}" for v in blk["bbox"]),
+                    **{k: str(v) for k, v in raster.items()},
+                },
+            })
     return out
 
 
@@ -572,11 +668,28 @@ def build_simple_pdf(pages: list[list[dict]], compress: bool = True) -> bytes:
                 content_lines.append("ET")
             else:
                 name = f"Im{len(xobj_entries)}"
+                # real raster payload: optional caller-provided `pixels`
+                # (+ `channels`, default gray), else a deterministic
+                # gradient — so decode_image_xobject round-trips the exact
+                # bytes instead of a stub
+                channels = int(b.get("channels", 1))
+                cs = "/DeviceRGB" if channels == 3 else "/DeviceGray"
+                need = b["width"] * b["height"] * channels
+                pixels = b.get("pixels")
+                if pixels is None:
+                    wch = b["width"] * channels
+                    pixels = b"".join(
+                        bytes((c * 31 + r * 17) % 251 for c in range(wch))
+                        for r in range(b["height"])
+                    )
+                assert len(pixels) == need, "pixels must be w*h*channels bytes"
+                payload_img = zlib.compress(pixels)
                 img_objs.append(
                     f"<< /Type /XObject /Subtype /Image /Width {b['width']} "
-                    f"/Height {b['height']} /ColorSpace /DeviceGray "
-                    f"/BitsPerComponent 8 /Length 1 >>\nstream\n\x00\nendstream"
-                    .encode("latin-1")
+                    f"/Height {b['height']} /ColorSpace {cs} "
+                    f"/BitsPerComponent 8 /Filter /FlateDecode "
+                    f"/Length {len(payload_img)} >>\nstream\n".encode("latin-1")
+                    + payload_img + b"\nendstream"
                 )
                 xobj_entries.append(f"/{name} {next_obj + len(img_objs) - 1} 0 R")
                 content_lines.append(

@@ -323,3 +323,116 @@ class TestColumnPolicy:
         out = ocr_with_cache(spark, admitted, str(tmp_path / "cache"))
         assert out.count() == n_admitted
         assert n_admitted < assets.count()   # the gate must prune something
+
+
+# ------------------------------------------------------ image raster decode
+
+
+class TestImageRasterDecode:
+    def test_rgb_pixels_round_trip(self):
+        """Caller-provided RGB pixels come back byte-identical through the
+        FlateDecode image XObject — the raster layer is a real decode, not
+        a dimensions-only reference."""
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_images
+
+        w, h = 8, 5
+        pixels = bytes((x * 7 + c) % 256 for x in range(w * h) for c in range(3))
+        data = build_simple_pdf([[
+            text_block("Figure caption.", y=700),
+            {"kind": "image", "x": 72, "y": 400, "w": 160, "h": 100,
+             "width": w, "height": h, "channels": 3, "pixels": pixels},
+        ]])
+        imgs = extract_pdf_images(data)
+        assert len(imgs) == 1
+        img = imgs[0]
+        assert img["kind"] == "image" and img["data"] == pixels
+        md = img["metadata"]
+        assert (md["width"], md["height"], md["channels"], md["colorspace"]) == \
+            ("8", "5", "3", "rgb")
+        assert md["page"] == "0" and md["bbox"].startswith("72.00,400.00")
+
+    def test_default_gray_gradient_decodes(self):
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_images
+
+        data = build_simple_pdf([[
+            {"kind": "image", "x": 0, "y": 0, "w": 612, "h": 792,
+             "width": 16, "height": 4},
+        ]])
+        (img,) = extract_pdf_images(data)
+        assert len(img["data"]) == 16 * 4
+        # deterministic gradient: pixel(c, r) = (c*31 + r*17) % 251
+        assert img["data"][0] == 0 and img["data"][1] == 31
+        assert img["data"][16] == 17
+
+    def test_blocks_contract_unchanged(self):
+        """extract_pdf_blocks keeps its {page,bbox,kind,content} schema —
+        the internal XObject ref never leaks."""
+        data = build_simple_pdf([[
+            {"kind": "image", "x": 0, "y": 0, "w": 100, "h": 100,
+             "width": 4, "height": 4},
+        ]])
+        (blk,) = extract_pdf_blocks(data)
+        assert set(blk) == {"page", "bbox", "kind", "content"}
+        assert blk["content"] == "pdf-image Height=4 Width=4"
+
+    def test_unsupported_filter_skipped(self):
+        """A DCT (JPEG) image XObject is recorded as a block but yields no
+        raster row — codec formats stay behind the PyMuPDF path."""
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_images
+
+        data = build_simple_pdf([[
+            {"kind": "image", "x": 0, "y": 0, "w": 100, "h": 100,
+             "width": 4, "height": 4},
+        ]], compress=False)  # only the image object carries /FlateDecode
+        data = data.replace(b"/Filter /FlateDecode", b"/Filter /DCTDecode")
+        assert extract_pdf_images(data) == []
+        assert any(b["kind"] == "image" for b in extract_pdf_blocks(data))
+
+    def test_feeds_multimodal_feature_extraction(self, spark):
+        """Raster rows are ASSET_SCHEMA-shaped: they run straight through
+        multimodal.extract_features (Arrow-batched), and the metadata dims
+        agree with the raw buffer length."""
+        from ocr_vector_db_spark.sources.multimodal import (
+            ASSET_SCHEMA,
+            extract_features,
+        )
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_images
+
+        data = build_simple_pdf([[
+            {"kind": "image", "x": 0, "y": 500, "w": 200, "h": 100,
+             "width": 12, "height": 6},
+            {"kind": "image", "x": 0, "y": 300, "w": 200, "h": 100,
+             "width": 5, "height": 5, "channels": 3,
+             "pixels": bytes(range(75))},
+        ]])
+        rows = extract_pdf_images(data)
+        assert len(rows) == 2
+        for r in rows:
+            md = r["metadata"]
+            assert len(r["data"]) == (
+                int(md["width"]) * int(md["height"]) * int(md["channels"])
+            )
+        df = spark.createDataFrame(rows, ASSET_SCHEMA)
+        feats = {r.asset_id: r for r in extract_features(df).collect()}
+        assert len(feats) == 2
+        for r in rows:
+            assert feats[r["asset_id"]].n_bytes == len(r["data"])
+
+    def test_pymupdf_raster_parity_when_available(self):
+        """Where PyMuPDF exists, its Pixmap for the embedded image must
+        agree with the pure-Python decode on dimensions and pixel bytes."""
+        fitz = pytest.importorskip("fitz")
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_images
+
+        w, h = 6, 4
+        pixels = bytes((i * 13) % 256 for i in range(w * h))
+        data = build_simple_pdf([[
+            {"kind": "image", "x": 10, "y": 10, "w": 60, "h": 40,
+             "width": w, "height": h, "pixels": pixels},
+        ]])
+        (ours,) = extract_pdf_images(data)
+        doc = fitz.open(stream=data, filetype="pdf")
+        xref = doc[0].get_images()[0][0]
+        pix = fitz.Pixmap(doc, xref)
+        assert (pix.width, pix.height) == (w, h)
+        assert bytes(pix.samples) == ours["data"] == pixels
