@@ -16,9 +16,10 @@ no online ANN index; the scale-aware equivalents here are:
   pruning a partition-pruned scan, not a filter.
 - `knn_batch`: many-query batch mode as a blocked broadcast join (queries
   are broadcast; one slim scan of the corpus scores all queries) with a
-  TWO-PHASE top-k: a per-input-partition bounded reduce (mapInPandas, no
-  shuffle) ahead of the per-query rank, so the rank's exchange carries
-  ≤ partitions×Q×k rows — never |corpus|×|Q|.
+  TWO-PHASE top-k: the rank-limit pushes a PARTIAL WindowGroupLimit ahead
+  of the exchange (map-side per-partition top-k per query), so the shuffle
+  carries ≤ partitions×Q×k slim rows — never |corpus|×|Q| — and the
+  winners broadcast-join back for the output columns.
 
 Scoring is pure built-in expressions (functions/vector.py) — no Python in
 the hot path. Ties broken by `id_col` so results are deterministic.
@@ -143,52 +144,6 @@ def knn_ivf(
 # --------------------------------------------------------------- batch mode
 
 
-def _local_topk(
-    scored: DataFrame, query_id: str, sim_col: str, k: int
-) -> DataFrame:
-    """Per-INPUT-PARTITION top-k per query — the map-side reduce of the
-    two-phase batch KNN, no shuffle (mapInPandas preserves partitioning).
-
-    Keeps, within each input partition and query, every row whose similarity
-    ties into that partition's top-k (boundary ties are kept rather than
-    broken), so the output is a provable superset of the global top-k no
-    matter how the final rank breaks ties — pandas ordering of the id column
-    never has to agree with Spark's. Null similarities sort last (Spark's
-    DESC NULLS LAST), modeled as -inf. Output ≤ partitions × Q × (k + ties)
-    rows."""
-    import pandas as pd  # noqa: F401 — arrow batches arrive as pandas
-
-    schema = scored.schema
-    neg_inf = float("-inf")
-
-    def reduce_partition(batches):
-        best = None
-        for pdf in batches:
-            cur = (
-                pd.concat([best, pdf], ignore_index=True)
-                if best is not None
-                else pdf
-            )
-            if len(cur):
-                simf = cur[sim_col].fillna(neg_inf)
-                cur = cur.assign(__simf=simf).sort_values(
-                    [query_id, "__simf"], ascending=[True, False]
-                )
-                ranks = cur.groupby(query_id, sort=False).cumcount()
-                kth = cur.loc[ranks == k - 1, [query_id, "__simf"]].rename(
-                    columns={"__simf": "__kth"}
-                )
-                cur = cur.merge(kth, on=query_id, how="left")
-                cur = cur[
-                    cur["__kth"].isna() | (cur["__simf"] >= cur["__kth"])
-                ].drop(columns=["__simf", "__kth"])
-            best = cur
-        if best is not None and len(best):
-            yield best
-
-    return scored.mapInPandas(reduce_partition, schema)
-
-
 def knn_batch(
     corpus: DataFrame,
     queries: DataFrame,
@@ -207,15 +162,20 @@ def knn_batch(
     prunes the cross product to matching blocks and is the right call at
     full 100 TB scale.
 
-    Two-phase top-k (the default): scoring happens on a slim
+    Two-phase top-k (the default): scoring happens on a SLIM
     (query_id, corpus_id, similarity) projection — column pruning keeps the
-    scoring scan to id+embedding(+block) — then `_local_topk` reduces each
-    input partition to its own top-k per query BEFORE any exchange, so the
-    per-query rank's shuffle carries ≤ partitions × Q × k rows instead of
-    |corpus| × |Q|. The Q×k winners are then broadcast-joined back to the
-    corpus to restore the full output columns. With `pre_reduce=False` the
-    rank runs directly over the scored stream — a |corpus|×|Q|-row exchange
-    kept only as the parity baseline for tests; never use it at scale."""
+    scoring scan to id+embedding(+block), and the map-side sort orders
+    3-column rows, never full corpus rows. The rank-≤-k filter over the
+    per-query window compiles to WindowGroupLimit with a PARTIAL stage
+    (SPARK-37099, Spark ≥3.5): each input partition emits only its own
+    top-k per query BEFORE the exchange, so the shuffle carries
+    ≤ partitions × Q × k slim rows instead of |corpus| × |Q| — verified by
+    the plan-shape regression test. The Q×k winners then broadcast-join
+    back to the corpus to restore the full output columns.
+
+    With `pre_reduce=False` the rank runs over the full-width scored stream
+    (corpus columns ride through the sort/exchange) — the parity baseline
+    for tests and the shape this operator had before the slim rewrite."""
     q = queries.select(
         F.col(query_id), F.col(query_emb).alias("__q_emb"),
         *([F.col(block_col).alias("__q_block")] if block_col else []),
@@ -231,11 +191,8 @@ def knn_batch(
         return scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
-    slim = joined.select(
-        F.col(query_id), F.col(corpus_id), sim.alias("similarity")
-    )
     winners = (
-        _local_topk(slim, query_id, "similarity", k)
+        joined.select(F.col(query_id), F.col(corpus_id), sim.alias("similarity"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -93,9 +93,9 @@ def test_knn_ivf_matches_brute_force_on_full_probe(tables):
 
 
 def test_knn_batch_two_phase_matches_naive(tables):
-    """The two-phase top-k (per-partition mapInPandas reduce + rejoin) must
-    reproduce the single-window plan row-for-row, including rounded-sim
-    tie-breaks on vec_id."""
+    """The two-phase top-k (slim projection + partial WindowGroupLimit +
+    broadcast rejoin) must reproduce the full-width single-window plan
+    row-for-row, including rounded-sim tie-breaks on vec_id."""
     emb = tables["embeddings"]
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -111,7 +111,7 @@ def test_knn_batch_two_phase_matches_naive(tables):
 def test_knn_batch_two_phase_with_ties_and_duplicate_sims(spark):
     """Seeded corpus engineered so many vectors score IDENTICALLY (after
     6-dp rounding) and the tie boundary falls inside a partition's local
-    top-k — the boundary-ties-kept reduce must still match the naive rank."""
+    top-k — the map-side partial rank must still match the naive rank."""
     import random
 
     rnd = random.Random(7)

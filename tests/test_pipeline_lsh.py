@@ -128,15 +128,19 @@ def test_plan_shapes(tables, spark):
     # packing: ONE window exchange (per-shard prefix sum) feeds the rollup
     p91 = plan_of("q91_sequence_packing")
     assert p91.count("Window") == 1
-    # batch KNN: the per-partition MapInPandas reduce runs BEFORE the rank's
-    # Exchange (bounding it to parts×Q×k rows) and the winners come back via
-    # BroadcastHashJoin — the corpus×Q stream must never hit an Exchange
+    # batch KNN: the rank-limit must push a PARTIAL WindowGroupLimit below
+    # the rank's Exchange (SPARK-37099 map-side top-k per query), bounding
+    # the shuffle to parts×Q×k slim rows — never corpus×Q — and the winners
+    # come back via BroadcastHashJoin. Tree dumps print consumers above
+    # producers, so the Partial stage (producer side) must appear AFTER the
+    # shuffle exchange in the text. If a Spark upgrade ever drops the
+    # pushdown (spark.sql.optimizer.windowGroupLimitThreshold), this fails
+    # and knn_batch needs an explicit map-side reduce again.
     p34 = plan_of("q34_knn_batch_queries")
-    assert "MapInPandas" in p34 and "BroadcastHashJoin" in p34
-    # tree dumps print consumers above producers: the reduce (producer)
-    # must appear AFTER the rank's shuffle exchange in the text, i.e. be
-    # upstream of it, so the exchange only ever sees the reduced stream
-    assert p34.index("MapInPandas") > p34.index("Exchange hashpartitioning")
+    assert "BroadcastHashJoin" in p34
+    partial = p34.index(", Partial")
+    assert p34.index("WindowGroupLimit") < partial  # Final stage above
+    assert partial > p34.index("Exchange hashpartitioning")
 
 
 def test_no_accidental_cartesian_products(tables, spark):
