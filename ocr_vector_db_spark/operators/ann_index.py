@@ -140,13 +140,29 @@ class IVFIndex:
 
     # ------------------------------------------------------------ increment
 
-    def add(self, df: DataFrame, emb_col: str = "embedding") -> int:
+    def add(
+        self,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        assume_new: bool = False,
+    ) -> int:
         """Incremental index update: assign new vectors to their nearest
         EXISTING centroid (no re-clustering) and append into the partitioned
         layout. Centroid drift is handled by periodic rebuilds — the same
-        lists-don't-move contract as pgvector's ivfflat."""
+        lists-don't-move contract as pgvector's ivfflat.
+
+        Re-add guard (LexicalIndex.add parity): incoming ids anti-join
+        against the indexed ids by default so re-submitting a vector is a
+        no-op instead of a silent duplicate that would surface twice in
+        search results. Costs one distinct over the stored id column; pass
+        ``assume_new=True`` when the pipeline guarantees newness upstream.
+        Single-writer contract. Returns the number of vectors added."""
         from ocr_vector_db_spark.functions.vector import dot_col, norm_col
 
+        if not assume_new:
+            indexed = self.vectors().select(id_col).distinct()
+            df = df.join(indexed, id_col, "left_anti")
         v = F.col(emb_col).cast("array<double>")
         best_id, best_sim = None, None
         for cid, centroid in self.centroids:
@@ -159,8 +175,15 @@ class IVFIndex:
                 cond = sim > best_sim
                 best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
                 best_sim = F.when(cond, sim).otherwise(best_sim)
-        assigned = df.withColumn("cluster_id", best_id.cast("int"))
-        assigned.write.mode("append").partitionBy("cluster_id").parquet(
-            os.path.join(self.path, "vectors")
-        )
-        return assigned.count()
+        assigned = df.withColumn("cluster_id", best_id.cast("int")).cache()
+        try:
+            # materialize BEFORE the append: the anti-join above reads the
+            # vectors path, so evaluating it afterwards would see the
+            # batch's own rows and count 0 (same hazard as LexicalIndex)
+            n = assigned.count()
+            assigned.write.mode("append").partitionBy("cluster_id").parquet(
+                os.path.join(self.path, "vectors")
+            )
+            return n
+        finally:
+            assigned.unpersist()

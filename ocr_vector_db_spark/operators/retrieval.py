@@ -53,7 +53,14 @@ def bounded_window(anchor: Column, *order_cols: Column) -> Window:
     null-safe via the coalesce. `anchor` is any column of the relation (the
     score being ranked is the natural choice). Only ever use this AFTER a
     ``orderBy(...).limit(k)`` or equivalent bound; on an unbounded relation
-    it is exactly the anti-pattern the warning exists for."""
+    it is exactly the anti-pattern the warning exists for.
+
+    Version note: this leans on Catalyst NOT folding through
+    ``length(cast(col))``. A future Spark that folds it would silently
+    bring the (harmless, driver-bounded) WindowExec warning back —
+    correctness is unaffected either way, so if the warning reappears
+    after an upgrade, this helper is the place to re-derive a non-foldable
+    constant."""
     return Window.partitionBy(
         F.coalesce(F.length(anchor.cast("string")) * F.lit(0), F.lit(0))
     ).orderBy(*order_cols)

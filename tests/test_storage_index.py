@@ -314,3 +314,24 @@ def test_lexical_index_stats_swap_crash_recovery(spark, tables, tmp_path_factory
         [(10**9 + 11, "one more new doc")], "doc_id bigint, text string"))
     assert not os.path.exists(old)
     assert idx.stats().head()["n_docs"] == docs.count() + 1
+
+
+def test_ivf_add_guards_against_readd(spark, tables, tmp_path_factory):
+    """IVFIndex.add parity with LexicalIndex.add: re-submitting indexed
+    vectors is a no-op, mixed batches append only the new rows."""
+    from pyspark.sql import functions as F2
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    emb = tables["embeddings"]
+    path = str(tmp_path_factory.mktemp("ivf_guard"))
+    idx = IVFIndex.build(spark, emb, path, num_clusters=4)
+    n = idx.vectors().count()
+
+    assert idx.add(emb) == 0
+    assert idx.vectors().count() == n
+
+    new = emb.limit(1).withColumn("vec_id", F2.lit(10**9 + 1).cast("long"))
+    mixed = emb.limit(5).unionByName(new)
+    assert idx.add(mixed) == 1
+    assert idx.vectors().count() == n + 1
