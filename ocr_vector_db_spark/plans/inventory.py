@@ -4163,24 +4163,33 @@ def q99(spark, sf):
         _PLAN_MEMO[key] = b
     blocks = _PLAN_MEMO[key]
     # one fit, two thresholds: reuse the assignment as a plain block_col
+    # cache the slim survivor-id sets: four invariant actions below read
+    # s_lo — without the cache each count re-runs the whole blocked
+    # pairwise dedup pass (4x the work for identical results)
     s_lo = dedup.semantic_dedup_survivors(
         blocks, threshold=0.3, block_col="sem_cluster"
-    ).select("vec_id")
+    ).select("vec_id").cache()
     s_hi = dedup.semantic_dedup_survivors(
         blocks, threshold=0.5, block_col="sem_cluster"
-    ).select("vec_id")
-    n_total = e.count()
-    n_lo = s_lo.count()
-    n_dropped = e.join(s_lo, "vec_id", "left_anti").count()
-    min_ids = blocks.groupBy("sem_cluster").agg(F.min("vec_id").alias("vec_id"))
-    return spark.createDataFrame(
-        [(
-            n_total,
-            n_lo > 0,
-            n_lo + n_dropped == n_total,
-            min_ids.join(s_lo, "vec_id", "left_anti").count() == 0,
-            s_lo.join(s_hi, "vec_id", "left_anti").count() == 0,
-        )],
-        "n_total bigint, survivors_nonempty boolean, conservation_ok boolean, "
-        "min_ids_survive_ok boolean, monotone_ok boolean",
-    )
+    ).select("vec_id").cache()
+    try:
+        n_total = e.count()
+        n_lo = s_lo.count()
+        n_dropped = e.join(s_lo, "vec_id", "left_anti").count()
+        min_ids = blocks.groupBy("sem_cluster").agg(
+            F.min("vec_id").alias("vec_id")
+        )
+        return spark.createDataFrame(
+            [(
+                n_total,
+                n_lo > 0,
+                n_lo + n_dropped == n_total,
+                min_ids.join(s_lo, "vec_id", "left_anti").count() == 0,
+                s_lo.join(s_hi, "vec_id", "left_anti").count() == 0,
+            )],
+            "n_total bigint, survivors_nonempty boolean, conservation_ok boolean, "
+            "min_ids_survive_ok boolean, monotone_ok boolean",
+        )
+    finally:
+        s_lo.unpersist()
+        s_hi.unpersist()
