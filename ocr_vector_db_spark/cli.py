@@ -164,9 +164,14 @@ def cmd_delete(args) -> int:
 
 
 def cmd_index(args) -> int:
+    """Build BOTH persisted serving indexes from the store: the dense IVF
+    cluster layout and the sparse bucketed-postings lexical index — the
+    pair `hybrid-search --indexed` and the REPL serve from (the reference's
+    HNSW + GIN, storage/schema.py:80-118)."""
     import os
 
     from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
     from ocr_vector_db_spark.storage import EntityStore
 
     spark = _spark()
@@ -175,7 +180,33 @@ def cmd_index(args) -> int:
     idx = IVFIndex.build(spark, emb, os.path.join(args.store, "ivf"),
                          num_clusters=args.clusters)
     print(f"[index] built IVF with {len(idx.centroids)} clusters at {args.store}/ivf")
+    lex = LexicalIndex.build(
+        spark, emb, os.path.join(args.store, "lex"),
+        n_buckets=args.buckets, id_col="vec_id", text_col="content",
+    )
+    print(f"[index] built lexical index with {lex.n_buckets} buckets at {args.store}/lex")
     return 0
+
+
+def _load_serving_indexes(spark, store_dir: str):
+    """(LexicalIndex, IVFIndex) when both persisted indexes exist under the
+    store, else (None, None) — callers fall back to scan-path retrieval."""
+    import os
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+
+    try:
+        if os.path.isdir(os.path.join(store_dir, "lex")) and os.path.isdir(
+            os.path.join(store_dir, "ivf")
+        ):
+            return (
+                LexicalIndex.load(spark, os.path.join(store_dir, "lex")),
+                IVFIndex.load(spark, os.path.join(store_dir, "ivf")),
+            )
+    except Exception:
+        pass
+    return None, None
 
 
 def cmd_index_search(args) -> int:
@@ -212,6 +243,32 @@ def cmd_hybrid_search(args) -> int:
     store = EntityStore(spark, args.store)
     emb = store.read("embeddings")
     qv = embed_text(args.query, args.dim)
+
+    def show(fused, id_src):
+        rows = (
+            fused.join(emb.select(id_src.alias("id"), "content"), "id")
+            .orderBy("fused_rank")
+            .collect()
+        )
+        for r in rows:
+            print(f"  #{r.fused_rank}  rrf={r.rrf:.6f}  systems={r.n_systems}  "
+                  f"{r.id[:24]}  {r.content[:60]!r}")
+
+    if getattr(args, "indexed", False):
+        from ocr_vector_db_spark.operators.retrieval import hybrid_indexed
+
+        lex_idx, ivf_idx = _load_serving_indexes(spark, args.store)
+        if lex_idx is None:
+            print("[error] no persisted indexes under the store — "
+                  "run the `index` command first")
+            return 1
+        fused = hybrid_indexed(
+            lex_idx, ivf_idx, args.query.lower().split(), qv,
+            k_each=args.top_k * 2, fuse_k=args.fuse_k, id_col="vec_id",
+        ).limit(args.top_k)
+        show(fused, F.col("fragment_id"))
+        return 0
+
     sim = F.round(
         cosine_similarity_col(F.col("embedding"), F.lit(qv).cast("array<double>")), 6
     )
@@ -231,14 +288,7 @@ def cmd_hybrid_search(args) -> int:
         k=args.top_k * 2, id_col="doc_id", text_col="content",
     )
     fused = rrf_fuse({"dense": dense, "lex": lex}, k=args.fuse_k).limit(args.top_k)
-    rows = (
-        fused.join(emb.select(F.col("doc_id").alias("id"), "content"), "id")
-        .orderBy("fused_rank")
-        .collect()
-    )
-    for r in rows:
-        print(f"  #{r.fused_rank}  rrf={r.rrf:.6f}  systems={r.n_systems}  "
-              f"{r.id[:24]}  {r.content[:60]!r}")
+    show(fused, F.col("doc_id"))
     return 0
 
 
@@ -328,8 +378,10 @@ def cmd_repl(args, stdin=None, out=None) -> int:
 
     spark = _spark()
     store = EntityStore(spark, args.store)
+    lex_idx, ivf_idx = _load_serving_indexes(spark, args.store)
     pipe = RetrievalPipeline(
-        store.read("embeddings"), store.read("parents"), dim=args.dim
+        store.read("embeddings"), store.read("parents"), dim=args.dim,
+        lexical_index=lex_idx, ivf_index=ivf_idx, index_id_col="vec_id",
     )
     view = args.view
     language = args.language
@@ -434,7 +486,9 @@ def cmd_repl(args, stdin=None, out=None) -> int:
                 emit("[error] usage: :hybrid <on|off>")
                 continue
             hybrid_mode = _parse_toggle(cmd[1])
-            emit(f"[ok] hybrid {'on' if hybrid_mode else 'off'}")
+            served = ("persisted indexes" if pipe.lexical_index is not None
+                      else "scan path")
+            emit(f"[ok] hybrid {f'on ({served})' if hybrid_mode else 'off'}")
             continue
         if head == ":conversation":
             if len(cmd) < 2:
@@ -529,6 +583,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("index")
     common(sp)
     sp.add_argument("--clusters", type=int, default=16)
+    sp.add_argument("--buckets", type=int, default=64)
     sp.set_defaults(fn=cmd_index)
 
     sp = sub.add_parser("index-search")
@@ -543,6 +598,9 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--top-k", type=int, default=5)
     sp.add_argument("--fuse-k", type=int, default=60)
+    sp.add_argument("--indexed", action="store_true",
+                    help="serve from the persisted lex+ivf indexes "
+                         "(build with the `index` command)")
     sp.set_defaults(fn=cmd_hybrid_search)
 
     sp = sub.add_parser("pack")

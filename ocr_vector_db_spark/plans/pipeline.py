@@ -50,6 +50,7 @@ class RetrievalPipeline:
         embedder=None,
         lexical_index=None,
         ivf_index=None,
+        index_id_col: str = "fragment_id",
     ):
         self.embeddings = embeddings
         self.parents = parents
@@ -62,6 +63,10 @@ class RetrievalPipeline:
         # from the partition-pruned index layouts instead of corpus rescans
         self.lexical_index = lexical_index
         self.ivf_index = ivf_index
+        # id column name INSIDE the persisted indexes (the CLI `index`
+        # command stores fragment ids under `vec_id`); values are fragment
+        # ids either way, so fused ids join back on fragment_id
+        self.index_id_col = index_id_col
 
     def retrieve(
         self,
@@ -153,7 +158,7 @@ class RetrievalPipeline:
             fused = retrieval.hybrid_indexed(
                 self.lexical_index, self.ivf_index, terms, qv,
                 k_each=k_each, fuse_k=fuse_k, nprobe=nprobe,
-                id_col="fragment_id",
+                id_col=self.index_id_col,
             )
         else:
             sim = F.round(

@@ -71,6 +71,32 @@ def test_cli_hybrid_search_and_pack(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "[pack] shard=" in out and "avg_fill=" in out
 
+    # --indexed without indexes: clean error pointing at `index`
+    assert cli.main(["hybrid-search", "broadcast joins", "--store", store,
+                     "--dim", "16", "--indexed"]) == 1
+    assert "run the `index` command" in capsys.readouterr().out
+
+    # build both persisted indexes, then the indexed serving path works
+    assert cli.main(["index", "--store", store, "--dim", "16",
+                     "--clusters", "2", "--buckets", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "built IVF" in out and "built lexical index" in out
+
+    assert cli.main(["hybrid-search", "broadcast joins shuffles", "--store",
+                     store, "--dim", "16", "--top-k", "3", "--indexed"]) == 0
+    out = capsys.readouterr().out
+    assert "rrf=" in out and "#1" in out
+
+    # REPL auto-loads the persisted indexes for :hybrid
+    import io
+    script = ":hybrid on\nbroadcast joins shuffles\n:quit\n"
+    args = cli.build_parser().parse_args(["repl", "--store", store, "--dim", "16"])
+    buf = io.StringIO()
+    assert cli.cmd_repl(args, stdin=io.StringIO(script), out=buf) == 0
+    out = buf.getvalue()
+    assert "[ok] hybrid on (persisted indexes)" in out
+    assert "rrf=" in out
+
 
 def test_cli_repl_session(spark, tmp_path, capsys):
     """REPL parity with api/cli/repl.py: settings commands, a search, RAG
