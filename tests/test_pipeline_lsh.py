@@ -159,7 +159,7 @@ def test_no_accidental_cartesian_products(tables, spark):
         # retrieval) and q101-q104 (persisted index builds / incremental
         # adds) also execute at construction; their joins are covered by
         # the oracle checker and their own unit tests
-        "q99", "q100", "q101", "q102", "q103", "q104",
+        "q99", "q100", "q101", "q102", "q103", "q104", "q105",
     )
     # intentionally pairwise within a bounded block (documented O(block²)),
     # or scalar cross joins of 1-row aggregates (q85's total/Z, q89/q90's

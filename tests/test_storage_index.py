@@ -335,3 +335,57 @@ def test_ivf_add_guards_against_readd(spark, tables, tmp_path_factory):
     mixed = emb.limit(5).unionByName(new)
     assert idx.add(mixed) == 1
     assert idx.vectors().count() == n + 1
+
+
+def test_minhash_index_screen_matches_scan_formulation(spark, tables, tmp_path_factory):
+    """Persisted MinHash screen ≡ the in-memory banding join restricted to
+    cross-side pairs — and dedup_new gates exactly the matched batch docs."""
+    from ocr_vector_db_spark.operators import dedup
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+
+    docs = tables["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path_factory.mktemp("mh"))
+    idx = MinHashIndex.build(spark, corpus, path, num_hashes=16, bands=4,
+                             n=2, n_buckets=8)
+    idx2 = MinHashIndex.load(spark, path)
+    assert (idx2.num_hashes, idx2.bands, idx2.n, idx2.n_buckets) == (16, 4, 2, 8)
+
+    got = {(r.new_id, r.corpus_id, r.est_jaccard)
+           for r in idx2.screen(batch).collect()}
+    # scan formulation over the union, cross-side pairs only
+    allp = dedup.minhash_lsh_candidates(docs, 16, 4, 2).collect()
+    want = set()
+    for r in allp:
+        a, b = r.doc_a, r.doc_b
+        if a % 2 != b % 2:  # one side new, one side indexed
+            new, corp = (a, b) if a % 2 == 1 else (b, a)
+            want.add((new, corp, r.est_jaccard))
+    assert got == want
+
+    # the ingestion gate drops exactly the batch docs with a strong match
+    thr = 0.5
+    dup_ids = {n for n, _, j in got if j >= thr}
+    kept = {r.doc_id for r in idx2.dedup_new(batch, threshold=thr).collect()}
+    assert kept == {r.doc_id for r in batch.collect()} - dup_ids
+
+
+def test_minhash_index_add_guard_and_growth(spark, tables, tmp_path_factory):
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+
+    docs = tables["documents"]
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path_factory.mktemp("mh_add"))
+    idx = MinHashIndex.build(spark, half_a, path, num_hashes=16, bands=4,
+                             n=2, n_buckets=8)
+    n0 = idx.signatures().count()
+
+    assert idx.add(half_a) == 0  # re-add guard
+    assert idx.signatures().count() == n0
+    added = idx.add(half_b)
+    assert added == half_b.count()
+    assert idx.signatures().count() == n0 + added
+    # after accepting the batch, an identical batch fully screens out
+    assert idx.dedup_new(half_b, threshold=0.99).count() == 0
