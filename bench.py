@@ -67,6 +67,7 @@ HEADLINE = [
     "q102_hybrid_indexed",
     "q103_ivf_incremental_add",
     "q104_lexical_incremental_add",
+    "q105_minhash_incremental_screen",
 ]
 
 

@@ -149,6 +149,26 @@ def minhash_signatures(
     return sh.groupBy("doc").agg(*aggs)
 
 
+def banded_of(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band_id, band_hash) LSH banding rows from a signature table —
+    the ONE definition of the band layout, shared by the in-memory
+    candidate join and the persisted MinHashIndex."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ])).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+    return sig.select("doc", F.explode(band_structs).alias("band")).select(
+        "doc", "band.band_id", "band.band_hash"
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 16,
@@ -164,7 +184,6 @@ def minhash_lsh_candidates(
     only shuffle that touches pairs). Estimated Jaccard = fraction of agreeing
     signature slots. Returns (doc_a, doc_b, est_jaccard)."""
     assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, n, text_col, id_col).cache()
 
     # The banding join stays SLIM — (doc, band_id, band_hash) only — so the
@@ -173,19 +192,7 @@ def minhash_lsh_candidates(
     # one-row-per-doc) signature table. At 100 TB the signature table is
     # orders of magnitude smaller than the shingle explosion, and the only
     # pair-sized data in flight is the candidate id pairs themselves.
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws(",", *[
-                F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ])).alias("band_hash"),
-        )
-        for b in range(bands)
-    ])
-    banded = sig.select("doc", F.explode(band_structs).alias("band")).select(
-        "doc", "band.band_id", "band.band_hash"
-    )
+    banded = banded_of(sig, num_hashes, bands)
 
     x, y = banded.alias("x"), banded.alias("y")
     cand = (

@@ -525,7 +525,8 @@ def q18(spark, sf):
 
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> tuple[str, str]:
-    """(signature SQL, lsh-candidates SQL) mirroring operators/dedup.py."""
+    """(signature SQL, lsh-candidates SQL, cross-side screen SQL) mirroring
+    operators/dedup.py and operators/minhash_index.py."""
     slots = ",\n           ".join(
         f"MIN(substr(md5('{i}' || shingle), 1, 15)) AS mh_{i}" for i in range(num_hashes)
     )
@@ -568,11 +569,24 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> tuple[str, str]:
     )
     SELECT doc_a, doc_b, est_jaccard FROM cand
     """
+    # cross-side variant (q105): pairs between the odd-id NEW batch and the
+    # even-id INDEXED corpus only — the incremental-ingestion screen
+    cross = f"""
+    , banded AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT x.doc AS new_id, y.doc AS corpus_id,
+               ROUND(({agree}) / {float(num_hashes)}, 6) AS est_jaccard
+        FROM banded x JOIN banded y
+          ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+         AND x.doc % 2 = 1 AND y.doc % 2 = 0
+    )
+    SELECT new_id, corpus_id, est_jaccard FROM cand
+    """
     sig_select = "SELECT doc, " + ", ".join(f"mh_{i}" for i in range(num_hashes)) + " FROM sig"
-    return sig + sig_select, sig + cand
+    return sig + sig_select, sig + cand, sig + cross
 
 
-_MH_SIG_SQL, _MH_CAND_SQL = _minhash_sql(16, 4)
+_MH_SIG_SQL, _MH_CAND_SQL, _MH_CROSS_SQL = _minhash_sql(16, 4)
 
 
 @query("q19_minhash_signatures", _MH_SIG_SQL)
@@ -3681,6 +3695,34 @@ def q104(spark, sf):
         _PLAN_MEMO[key] = path
     idx = LexicalIndex.load(spark, _PLAN_MEMO[key])
     return idx.search(_BM25_TERMS, k=10)
+
+
+@query("q105_minhash_incremental_screen", _MH_CROSS_SQL)
+def q105(spark, sf):
+    """Incremental ingestion dedup: a NEW batch (odd doc ids) screens
+    against a PERSISTED MinHash index of the corpus (even doc ids) —
+    operators/minhash_index.py, the dedup sibling of q101/q103's index
+    family. Only the batch is shingled/hashed; the corpus side is an
+    equi-join against the stored bucketed band layout plus a candidates-
+    only signature join — O(batch + matches), never a corpus rescan or an
+    all-pairs term. Oracle = q20's SQL machinery restricted to cross-side
+    (new x indexed) pairs: the persisted screen must reproduce the scan
+    formulation exactly."""
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+
+    import tempfile
+
+    d = load_table(spark, sf, "documents")
+    key = (spark.sparkContext.applicationId, sf, "q105_mh_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="mhidx_")
+        MinHashIndex.build(
+            spark, d.filter(F.col("doc_id") % 2 == 0), path,
+            num_hashes=16, bands=4, n=2, n_buckets=16,
+        )
+        _PLAN_MEMO[key] = path
+    idx = MinHashIndex.load(spark, _PLAN_MEMO[key])
+    return idx.screen(d.filter(F.col("doc_id") % 2 == 1))
 
 
 @query(
