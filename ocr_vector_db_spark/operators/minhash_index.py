@@ -1,0 +1,208 @@
+"""Persisted MinHash-LSH index — the dedup sibling of LexicalIndex/IVFIndex.
+
+`dedup.minhash_lsh_candidates` (q20) self-joins one corpus's bands: the
+right tool for a one-shot dedup pass. Incremental INGESTION needs a
+different shape — every new batch must dedup against the FULL historical
+corpus, and rescanning (re-shingling, re-hashing) 100 TB of text per batch
+is not a plan. The production shape (how CCNet/RefinedWeb-style pipelines
+and the reference's pre-write `doc_id` dedup, storage/vector_store.py,
+generalize to near-dups) is a PERSISTED signature store:
+
+  build:  one shingle+hash pass → signatures (doc, mh_0..mh_{K-1}) plus
+          banding rows (doc, band_id, band_hash) written partitioned by
+          `bucket = pmod(xxhash64(band_hash), n_buckets)`;
+  add:    append the accepted batch's signatures + bands (re-add guarded);
+  screen: hash ONLY the new batch (O(batch), never O(corpus)), equi-join
+          its bands against the stored layout on (bucket, band_id,
+          band_hash) — co-partitioned by construction, and for small
+          batches the bucket column partition-prunes the read — then
+          estimate Jaccard from the two signature tables on candidates
+          only. Nothing all-pairs, nothing corpus-rescanned.
+  dedup_new: the ingestion gate — keep only batch docs with NO indexed
+          near-dup above the threshold, then `add` the survivors.
+
+Hashing is the exact scheme of dedup.minhash_signatures (md5-salted
+string-min slots), so the screen result is oracle-reproducible (q105 uses
+q20's SQL machinery restricted to cross-side pairs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators.dedup import banded_of, minhash_signatures
+
+
+class MinHashIndex:
+    def __init__(self, spark: SparkSession, path: str, num_hashes: int,
+                 bands: int, n: int, n_buckets: int):
+        self.spark = spark
+        self.path = path
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.n = n
+        self.n_buckets = n_buckets
+
+    # --------------------------------------------------------------- build
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        path: str,
+        num_hashes: int = 16,
+        bands: int = 4,
+        n: int = 2,
+        n_buckets: int = 64,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "MinHashIndex":
+        assert num_hashes % bands == 0
+        idx = cls(spark, path, num_hashes, bands, n, n_buckets)
+        sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+        idx._append(sig, overwrite=True)
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump({"num_hashes": num_hashes, "bands": bands, "n": n,
+                       "n_buckets": n_buckets}, fh)
+        return idx
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "MinHashIndex":
+        with open(os.path.join(path, "meta.json")) as fh:
+            m = json.load(fh)
+        return cls(spark, path, m["num_hashes"], m["bands"], m["n"],
+                   m["n_buckets"])
+
+    def signatures(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "signatures"))
+
+    def bands_table(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "bands"))
+
+    def _append(self, sig: DataFrame, overwrite: bool = False) -> None:
+        """Bands FIRST, signatures second — deliberately. add()'s re-add
+        anti-join reads {path}/signatures, and Spark invalidates cached
+        plans that reference a path when that path is written; writing
+        signatures first would therefore recompute `sig` for the bands
+        write WITH the batch already appended, anti-join everything away,
+        and silently write zero band rows. The bands path is not read by
+        the plan, so its write leaves the cache intact. (Crash between the
+        two appends leaves band rows whose signatures are missing: they
+        can never produce a screen hit — the signature join is inner — and
+        the re-add guard keys on signatures, so a retried add() re-appends
+        the batch cleanly; duplicate band rows collapse in screen()'s
+        dropDuplicates.)"""
+        mode = "overwrite" if overwrite else "append"
+        banded = banded_of(sig, self.num_hashes, self.bands).withColumn(
+            "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(self.n_buckets))
+        )
+        banded.write.mode(mode).partitionBy("bucket").parquet(
+            os.path.join(self.path, "bands")
+        )
+        sig.write.mode(mode).parquet(os.path.join(self.path, "signatures"))
+
+    # ------------------------------------------------------------ increment
+
+    def add(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        assume_new: bool = False,
+    ) -> int:
+        """Append a batch's signatures + bands (LexicalIndex.add parity:
+        anti-join re-add guard, `assume_new` escape, single-writer
+        contract). Returns the number of docs added."""
+        sig = minhash_signatures(docs, self.num_hashes, self.n,
+                                 text_col, id_col)
+        if not assume_new:
+            indexed = self.signatures().select("doc").distinct()
+            sig = sig.join(indexed, "doc", "left_anti")
+        sig = sig.cache()
+        try:
+            n = sig.count()  # materialize before the append (self-read)
+            self._append(sig)
+            return n
+        finally:
+            sig.unpersist()
+
+    # -------------------------------------------------------------- screen
+
+    def screen(
+        self,
+        new_docs: DataFrame,
+        threshold: float | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """(new_id, corpus_id, est_jaccard) candidates of the new batch vs
+        the INDEXED corpus. Only the batch is shingled/hashed; the corpus
+        side is two reads of the persisted layout (bands: slim equi-join
+        keyed exactly like the stored partitioning; signatures: joined on
+        candidate ids only). `threshold` filters est_jaccard >= t."""
+        new_sig = minhash_signatures(
+            new_docs, self.num_hashes, self.n, text_col, id_col
+        ).cache()
+        new_banded = banded_of(new_sig, self.num_hashes, self.bands).withColumn(
+            "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(self.n_buckets))
+        )
+        cand = (
+            new_banded.alias("x")
+            .join(self.bands_table().alias("y"),
+                  ["bucket", "band_id", "band_hash"])
+            .select(F.col("x.doc").alias("new_id"),
+                    F.col("y.doc").alias("corpus_id"))
+            .dropDuplicates(["new_id", "corpus_id"])
+        )
+        sig_a = new_sig.select(
+            F.col("doc").alias("new_id"),
+            *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(self.num_hashes)],
+        )
+        sig_b = self.signatures().select(
+            F.col("doc").alias("corpus_id"),
+            *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(self.num_hashes)],
+        )
+        agree = sum(
+            F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+            for i in range(self.num_hashes)
+        )
+        out = (
+            cand.join(sig_a, "new_id")
+            .join(sig_b, "corpus_id")
+            .withColumn(
+                "est_jaccard",
+                F.round(agree / F.lit(float(self.num_hashes)), 6),
+            )
+            .select("new_id", "corpus_id", "est_jaccard")
+        )
+        if threshold is not None:
+            out = out.filter(F.col("est_jaccard") >= threshold)
+        return out
+
+    def dedup_new(
+        self,
+        new_docs: DataFrame,
+        threshold: float = 0.8,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """The ingestion gate: batch docs with NO indexed near-dup at
+        est_jaccard >= threshold. Call `add` on the result to accept the
+        survivors into the index.
+
+        Scope: gates the batch against the CORPUS only. Near-dups WITHIN
+        the batch are the one-shot problem — run
+        `dedup.minhash_lsh_candidates` on the batch first (q20), or accept
+        that intra-batch dups resolve on the NEXT batch's screen once the
+        first copy is indexed."""
+        dupes = (
+            self.screen(new_docs, threshold, id_col, text_col)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        return new_docs.join(dupes, id_col, "left_anti")
