@@ -196,16 +196,18 @@ def _load_serving_indexes(spark, store_dir: str):
     from ocr_vector_db_spark.operators.ann_index import IVFIndex
     from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
 
-    try:
-        if os.path.isdir(os.path.join(store_dir, "lex")) and os.path.isdir(
-            os.path.join(store_dir, "ivf")
-        ):
+    if os.path.isdir(os.path.join(store_dir, "lex")) and os.path.isdir(
+        os.path.join(store_dir, "ivf")
+    ):
+        try:
             return (
                 LexicalIndex.load(spark, os.path.join(store_dir, "lex")),
                 IVFIndex.load(spark, os.path.join(store_dir, "ivf")),
             )
-    except Exception:
-        pass
+        except Exception as exc:  # corrupt index ≠ missing index: say so
+            print(f"[warn] persisted indexes exist but failed to load "
+                  f"({exc}); falling back to scan path — rebuild with "
+                  f"the `index` command")
     return None, None
 
 
@@ -265,15 +267,18 @@ def cmd_hybrid_search(args) -> int:
         fused = hybrid_indexed(
             lex_idx, ivf_idx, args.query.lower().split(), qv,
             k_each=args.top_k * 2, fuse_k=args.fuse_k, id_col="vec_id",
-        ).limit(args.top_k)
+        ).orderBy("fused_rank").limit(args.top_k)
         show(fused, F.col("fragment_id"))
         return 0
 
     sim = F.round(
         cosine_similarity_col(F.col("embedding"), F.lit(qv).cast("array<double>")), 6
     )
+    # fuse on fragment_id — the SAME id space the indexed path uses (the
+    # persisted indexes store fragment ids as vec_id), so toggling
+    # --indexed changes the serving plan, never the ranking/tie-break ids
     dense = (
-        emb.select(F.col("doc_id").alias("id"), sim.alias("sim"))
+        emb.select(F.col("fragment_id").alias("id"), sim.alias("sim"))
         .orderBy(F.desc("sim"), F.asc("id"))
         .limit(args.top_k * 2)
         .withColumn(
@@ -284,11 +289,15 @@ def cmd_hybrid_search(args) -> int:
         )
     )
     lex = bm25_topk(
-        emb.select("doc_id", "content"), args.query.split(),
-        k=args.top_k * 2, id_col="doc_id", text_col="content",
+        emb.select("fragment_id", "content"), args.query.split(),
+        k=args.top_k * 2, id_col="fragment_id", text_col="content",
     )
-    fused = rrf_fuse({"dense": dense, "lex": lex}, k=args.fuse_k).limit(args.top_k)
-    show(fused, F.col("doc_id"))
+    fused = (
+        rrf_fuse({"dense": dense, "lex": lex}, k=args.fuse_k)
+        .orderBy("fused_rank")
+        .limit(args.top_k)
+    )
+    show(fused, F.col("fragment_id"))
     return 0
 
 

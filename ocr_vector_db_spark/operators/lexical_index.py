@@ -212,8 +212,16 @@ class LexicalIndex:
             )
             old = _read_stats(self.spark, self.path).head()
             n_docs = int(old["n_docs"]) + int(new["n"])
-            # exact integer fold — see build(): incremental ≡ full rebuild
-            total_dl = int(old["total_dl"]) + int(new["s"] or 0)
+            # exact integer fold — see build(): incremental ≡ full rebuild.
+            # Indexes persisted before total_dl existed reconstruct it from
+            # avgdl·n (rounded; those stats were float-folded anyway) —
+            # the commit below upgrades them to the exact schema.
+            old_total = (
+                int(old["total_dl"])
+                if "total_dl" in old.__fields__ and old["total_dl"] is not None
+                else int(round(float(old["avgdl"]) * int(old["n_docs"])))
+            )
+            total_dl = old_total + int(new["s"] or 0)
             _commit_stats(
                 self.spark,
                 self.path,

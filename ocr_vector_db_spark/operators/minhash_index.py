@@ -64,8 +64,14 @@ class MinHashIndex:
     ) -> "MinHashIndex":
         assert num_hashes % bands == 0
         idx = cls(spark, path, num_hashes, bands, n, n_buckets)
-        sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
-        idx._append(sig, overwrite=True)
+        # cache: _append consumes sig twice (bands + signatures writes);
+        # uncached, the shingle explode + K MIN aggs would run twice
+        sig = minhash_signatures(docs, num_hashes, n, text_col, id_col).cache()
+        try:
+            sig.count()
+            idx._append(sig, overwrite=True)
+        finally:
+            sig.unpersist()
         with open(os.path.join(path, "meta.json"), "w") as fh:
             json.dump({"num_hashes": num_hashes, "bands": bands, "n": n,
                        "n_buckets": n_buckets}, fh)
@@ -145,9 +151,14 @@ class MinHashIndex:
         side is two reads of the persisted layout (bands: slim equi-join
         keyed exactly like the stored partitioning; signatures: joined on
         candidate ids only). `threshold` filters est_jaccard >= t."""
+        # no cache: the returned plan is lazy, so nothing would materialize
+        # it here, and a cache with no unpersist would leak one entry per
+        # screen() call in a long-lived ingestion loop. The plan references
+        # new_sig twice (bands + signature join) — recomputing the batch's
+        # shingle pass twice inside one job is O(batch), acceptable.
         new_sig = minhash_signatures(
             new_docs, self.num_hashes, self.n, text_col, id_col
-        ).cache()
+        )
         new_banded = banded_of(new_sig, self.num_hashes, self.bands).withColumn(
             "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(self.n_buckets))
         )

@@ -524,7 +524,7 @@ def q18(spark, sf):
     return dedup.ngram_jaccard_pairs(d, threshold=0.2, n=2, text_col="text", id_col="doc_id")
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> tuple[str, str]:
+def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> tuple[str, str, str]:
     """(signature SQL, lsh-candidates SQL, cross-side screen SQL) mirroring
     operators/dedup.py and operators/minhash_index.py."""
     slots = ",\n           ".join(

@@ -103,17 +103,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif dict(df.dtypes).get("ts") == "timestamp_ntz":
             # belt-and-braces if the conf above is ever non-settable: NTZ
-            # wall-clock == the stored instant under UTC. cast(ntz as
-            # timestamp) reads the wall clock in the SESSION tz (instant =
-            # wall - offset); from_utc_timestamp with that same tz adds the
-            # offset back, so the two cancel and the result is the wall
-            # clock pinned to UTC regardless of session timezone (verified
-            # under Asia/Seoul, America/New_York and UTC).
+            # wall-clock == the stored instant under UTC. Rebuild the epoch
+            # from the NTZ's own FIELDS (date/hour/minute/second extraction
+            # on NTZ is timezone-free) — any cast-through-session-tz
+            # round-trip mangles wall clocks inside the session zone's DST
+            # spring-forward gap (the local time doesn't exist, Spark
+            # shifts it +1h). Verified identical under America/New_York
+            # (incl. the 2024-03-10 02:30 gap and 01:30 fall-back overlap),
+            # Asia/Seoul and UTC.
             df = df.withColumn(
                 "ts",
-                F.expr(
-                    "from_utc_timestamp(cast(ts as timestamp),"
-                    " current_timezone())"
+                F.timestamp_micros(
+                    (
+                        F.unix_date(F.col("ts").cast("date")) * 86400
+                        + F.hour("ts") * 3600
+                        + F.minute("ts") * 60
+                    ).cast("bigint")
+                    * 1_000_000
+                    + (F.expr("extract(SECOND FROM ts)") * 1_000_000)
+                    .cast("bigint")
                 ),
             )
     else:

@@ -53,10 +53,28 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         body = data[m.end():end]
         sm = _STREAM_RE.search(body)
         if sm:
-            tail = body.rfind(b"endstream")
-            stream = body[sm.end():tail] if tail > sm.end() else b""
-            # spec: EOL before `endstream` is not stream data
-            stream = stream.rstrip(b"\r\n")
+            # Prefer the exact /Length slice (the spec's definition of the
+            # stream extent). The endstream heuristic is ambiguous for
+            # payloads that END in EOL bytes — ~0.8% of zlib streams end
+            # in 0x0A/0x0D (the adler32 tail is uniform), and a blanket
+            # rstrip(b"\r\n") ate those real bytes (caught by a raster
+            # round-trip regression test). Heuristic kept only for
+            # indirect-/Length dicts: strip AT MOST one EOL.
+            lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)",
+                           body[: sm.start()])
+            if lm:
+                # slice from `data` at absolute offsets: the endobj-bounded
+                # `body` can be cut short when the binary payload itself
+                # contains b"endobj"
+                start = m.end() + sm.end()
+                stream = data[start: start + int(lm.group(1))]
+            else:
+                tail = body.rfind(b"endstream")
+                stream = body[sm.end():tail] if tail > sm.end() else b""
+                if stream.endswith(b"\r\n"):
+                    stream = stream[:-2]
+                elif stream.endswith((b"\n", b"\r")):
+                    stream = stream[:-1]
             objects[num] = (body[: sm.start()], stream)
         else:
             objects[num] = (body, None)

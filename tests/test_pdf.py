@@ -418,6 +418,56 @@ class TestImageRasterDecode:
         for r in rows:
             assert feats[r["asset_id"]].n_bytes == len(r["data"])
 
+    def test_payload_ending_in_eol_bytes_survives(self):
+        """Compressed payloads ending in 0x0A/0x0D (~0.8% of zlib streams —
+        the adler32 tail is uniform) must round-trip intact: the scanner
+        slices by /Length, never by rstripping EOL bytes."""
+        import hashlib
+        import zlib
+
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_images
+
+        w, h = 8, 8
+        # seeds pre-searched so zlib.compress(pixels) ends in 0x0A or 0x0D
+        for seed in (292, 391, 489, 523):
+            pixels = (hashlib.md5(str(seed).encode()).digest() * 4)[: w * h]
+            assert zlib.compress(pixels)[-1:] in (b"\n", b"\r")
+            data = build_simple_pdf([[
+                {"kind": "image", "x": 0, "y": 0, "w": 80, "h": 80,
+                 "width": w, "height": h, "pixels": pixels},
+            ]])
+            (img,) = extract_pdf_images(data)
+            assert img["data"] == pixels
+
+    def test_payload_containing_endobj_survives(self):
+        """A pixel buffer whose COMPRESSED bytes contain b'endobj' must not
+        truncate the object scan — the /Length slice reads absolute
+        offsets from the file, not the endobj-bounded body."""
+        import zlib
+
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_images
+
+        # uncompressible payload embedding the magic words after compression
+        # is hard to construct; instead corrupt-proof the scanner by using
+        # stored (uncompressed-looking) bytes: build a PDF, then splice the
+        # image object to raw /Length bytes containing b"endobj"
+        pixels = b"ab endobj endstream cd" + bytes(range(42))
+        w, h = len(pixels), 1
+        data = build_simple_pdf([[
+            {"kind": "image", "x": 0, "y": 0, "w": 80, "h": 80,
+             "width": w, "height": h, "pixels": pixels},
+        ]])
+        payload = zlib.compress(pixels)
+        raw = data.replace(
+            b"/Filter /FlateDecode /Length " + str(len(payload)).encode()
+            + b" >>\nstream\n" + payload,
+            b"/Length " + str(len(pixels)).encode()
+            + b" >>\nstream\n" + pixels,
+        )
+        assert raw != data  # the splice matched
+        (img,) = extract_pdf_images(raw)
+        assert img["data"] == pixels
+
     def test_pymupdf_raster_parity_when_available(self):
         """Where PyMuPDF exists, its Pixmap for the embedded image must
         agree with the pure-Python decode on dimensions and pixel bytes."""

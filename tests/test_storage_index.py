@@ -389,3 +389,35 @@ def test_minhash_index_add_guard_and_growth(spark, tables, tmp_path_factory):
     assert idx.signatures().count() == n0 + added
     # after accepting the batch, an identical batch fully screens out
     assert idx.dedup_new(half_b, threshold=0.99).count() == 0
+
+
+def test_lexical_index_add_migrates_pre_total_dl_stats(spark, tables, tmp_path_factory):
+    """Indexes persisted before the exact-integer stats fold (no total_dl
+    column) must still accept add(): the fold reconstructs the total from
+    avgdl*n and the commit upgrades the schema."""
+    import os
+
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+
+    docs = tables["documents"]
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path_factory.mktemp("lex_legacy"))
+    LexicalIndex.build(spark, half_a, path, n_buckets=8)
+
+    # rewrite stats in the pre-round-5 3-column schema
+    legacy = spark.read.parquet(os.path.join(path, "stats")).select(
+        "n_docs", "avgdl", "n_buckets"
+    ).collect()[0]
+    spark.createDataFrame([tuple(legacy)],
+                          "n_docs bigint, avgdl double, n_buckets int"
+                          ).write.mode("overwrite").parquet(
+        os.path.join(path, "stats"))
+
+    idx = LexicalIndex.load(spark, path)
+    assert idx.add(half_b) == half_b.count()
+    s = idx.stats().head()
+    assert s["n_docs"] == docs.count()
+    # schema upgraded: total_dl present and consistent
+    upgraded = spark.read.parquet(os.path.join(path, "stats")).head()
+    assert int(upgraded["total_dl"]) > 0
