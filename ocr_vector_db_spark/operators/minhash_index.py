@@ -88,7 +88,23 @@ class MinHashIndex:
         return self.spark.read.parquet(os.path.join(self.path, "signatures"))
 
     def bands_table(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "bands"))
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import types as T
+
+        try:
+            return self.spark.read.parquet(os.path.join(self.path, "bands"))
+        except AnalysisException:
+            # an EMPTY build's partitionBy write leaves no files at all
+            # (nothing to infer a schema from) — synthesize the typed empty
+            # relation so screen()/add() work on a fresh index that the
+            # stream itself will populate
+            doc_t = self.signatures().schema["doc"].dataType
+            return self.spark.createDataFrame([], T.StructType([
+                T.StructField("doc", doc_t),
+                T.StructField("band_id", T.IntegerType()),
+                T.StructField("band_hash", T.StringType()),
+                T.StructField("bucket", T.LongType()),
+            ]))
 
     def _append(self, sig: DataFrame, overwrite: bool = False) -> None:
         """Bands FIRST, signatures second — deliberately. add()'s re-add

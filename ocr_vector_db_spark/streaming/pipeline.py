@@ -164,3 +164,53 @@ def stream_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_deduped(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index,
+    sink: dict[str, list],
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming ingestion with incremental near-dup gating — the streaming
+    twin of q105: each micro-batch screens against the PERSISTED MinHash
+    index (`operators/minhash_index.MinHashIndex`), only documents with no
+    indexed near-dup at est_jaccard >= threshold are accepted, and the
+    survivors' signatures are folded into the index so LATER batches (and
+    later duplicates inside the stream) screen against them too.
+
+    Scale shape per micro-batch: O(batch) hashing + a slim equi-join
+    against the stored band layout — the historical corpus is never
+    re-shingled, so batch cost is independent of how much the stream has
+    already ingested. foreachBatch gives exactly-once per micro-batch
+    semantics over the accept-then-add sequence (the index add is the
+    batch's commit; MinHashIndex's re-add guard makes a replayed batch a
+    no-op)."""
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fresh = index.dedup_new(
+            batch_df, threshold=threshold, id_col=id_col, text_col=text_col
+        ).cache()
+        try:
+            accepted = fresh.collect()
+            n_dropped = batch_df.count() - len(accepted)
+            if accepted:
+                index.add(fresh, id_col=id_col, text_col=text_col)
+            sink.setdefault("accepted", []).extend(accepted)
+            sink.setdefault("stats", []).append(
+                {"epoch": epoch_id, "accepted": len(accepted),
+                 "dropped_as_dup": n_dropped}
+            )
+        finally:
+            fresh.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -174,3 +174,56 @@ def test_ocr_cache_skips_seen_content(spark, tmp_path):
     assert out2["b1"].from_cache and out2["b1"].ocr_text == "text-4"
     assert not out2["b2"].from_cache and out2["b2"].ocr_text == "text-2"
     assert spark.read.parquet(cache).count() == 3  # only the new hash appended
+
+
+def test_stream_ingest_deduped_gates_and_grows_index(spark, tmp_path):
+    """Streaming ingestion with incremental near-dup gating: batch 1 seeds
+    the persisted MinHash index, batch 2's near-copy of a batch-1 doc is
+    dropped while its genuinely-new doc is accepted and folded in."""
+    import json as _json
+
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.streaming.pipeline import stream_ingest_deduped
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps running "
+            "through the quiet green field toward the distant river bank")
+    novel = ("completely unrelated legal filing concerning maritime salvage "
+             "rights and the apportionment of recovered cargo value")
+
+    # empty-corpus index: the stream itself populates it
+    idx_path = str(tmp_path / "mh_stream")
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    idx = MinHashIndex.build(spark, empty, idx_path, num_hashes=16, bands=4,
+                             n=2, n_buckets=8)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": base}) + "\n")
+
+    schema = "doc_id long, text string"
+    sink: dict = {}
+    q = stream_ingest_deduped(
+        spark, spark.readStream.schema(schema).json(str(src)), idx, sink,
+        threshold=0.6,
+    )
+    q.awaitTermination(60)
+    assert [r.doc_id for r in sink["accepted"]] == [1]
+
+    # batch 2: a near-copy of doc 1 (one word changed) + a novel doc
+    with open(src / "b2.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 2,
+                              "text": base.replace("river", "ocean")}) + "\n")
+        fh.write(_json.dumps({"doc_id": 3, "text": novel}) + "\n")
+    sink2: dict = {}
+    q = stream_ingest_deduped(
+        spark, spark.readStream.schema(schema).json(str(src)), idx, sink2,
+        threshold=0.6,
+    )
+    q.awaitTermination(60)
+    # doc 1 re-screens out (already indexed), doc 2 gates as a near-dup,
+    # doc 3 is accepted and now indexed
+    accepted = {r.doc_id for r in sink2["accepted"]}
+    assert accepted == {3}
+    assert idx.signatures().filter("doc = 3").count() == 1
+    assert idx.signatures().filter("doc = 2").count() == 0
