@@ -138,6 +138,21 @@ class IVFIndex:
             total += len(exact)
         return hits / total if total else 1.0
 
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self) -> int:
+        """Collapse each cluster partition to one file after many add()
+        appends (OPTIMIZE analogue; see operators/index_maint.py). Returns
+        the vector row count. Single-writer contract."""
+        from ocr_vector_db_spark.operators.index_maint import (
+            compact_partitioned,
+        )
+
+        return compact_partitioned(
+            self.spark, os.path.join(self.path, "vectors"),
+            "cluster_id", max(len(self.centroids), 1),
+        )
+
     # ------------------------------------------------------------ increment
 
     def add(

@@ -236,6 +236,21 @@ class LexicalIndex:
         finally:
             toks.unpersist()
 
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self) -> int:
+        """Collapse each postings bucket to one file after many add()
+        appends (OPTIMIZE analogue; see operators/index_maint.py). Returns
+        the postings row count. Single-writer contract."""
+        from ocr_vector_db_spark.operators.index_maint import (
+            compact_partitioned,
+        )
+
+        return compact_partitioned(
+            self.spark, os.path.join(self.path, "postings"),
+            "bucket", self.n_buckets,
+        )
+
     # -------------------------------------------------------------- search
 
     def postings(self) -> DataFrame:

@@ -153,6 +153,27 @@ class MinHashIndex:
         finally:
             sig.unpersist()
 
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self) -> int:
+        """Collapse each band bucket to one file and the signature table to
+        a bounded file count after many add() appends (OPTIMIZE analogue;
+        see operators/index_maint.py). Returns the signature row count.
+        Single-writer contract."""
+        from ocr_vector_db_spark.operators.index_maint import (
+            compact_partitioned,
+            compact_plain,
+        )
+
+        compact_partitioned(
+            self.spark, os.path.join(self.path, "bands"),
+            "bucket", self.n_buckets,
+        )
+        return compact_plain(
+            self.spark, os.path.join(self.path, "signatures"),
+            max(self.n_buckets // 4, 1),
+        )
+
     # -------------------------------------------------------------- screen
 
     def screen(

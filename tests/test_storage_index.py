@@ -421,3 +421,58 @@ def test_lexical_index_add_migrates_pre_total_dl_stats(spark, tables, tmp_path_f
     # schema upgraded: total_dl present and consistent
     upgraded = spark.read.parquet(os.path.join(path, "stats")).head()
     assert int(upgraded["total_dl"]) > 0
+
+
+def test_index_compaction_bounds_files_and_preserves_results(spark, tables, tmp_path_factory):
+    """After several incremental adds the partitioned layouts fragment into
+    one file per (add, partition); compact() collapses each partition dir
+    to one file and search results are unchanged."""
+    from ocr_vector_db_spark.operators.index_maint import parquet_file_count
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+
+    docs = tables["documents"]
+    path = str(tmp_path_factory.mktemp("lex_compact"))
+    idx = LexicalIndex.build(
+        spark, docs.filter(F.col("doc_id") % 4 == 0), path, n_buckets=8)
+    for m in (1, 2, 3):
+        idx.add(docs.filter(F.col("doc_id") % 4 == m))
+
+    terms = ["distributed", "data"]
+    before = [(r.id, r.bm25, r.rank) for r in idx.search(terms, k=10).collect()]
+    postings = f"{path}/postings"
+    frag_files = parquet_file_count(postings)
+    n_rows = idx.postings().count()
+
+    assert idx.compact() == n_rows
+    assert parquet_file_count(postings) <= 8 < frag_files
+    after = [(r.id, r.bm25, r.rank) for r in idx.search(terms, k=10).collect()]
+    assert after == before
+
+
+def test_minhash_and_ivf_compaction(spark, tables, tmp_path_factory):
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.index_maint import parquet_file_count
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+
+    docs = tables["documents"]
+    emb = tables["embeddings"]
+
+    mh_path = str(tmp_path_factory.mktemp("mh_compact"))
+    mh = MinHashIndex.build(spark, docs.filter(F.col("doc_id") % 2 == 0),
+                            mh_path, 16, 4, 2, 8)
+    mh.add(docs.filter(F.col("doc_id") % 2 == 1))
+    n_sigs = mh.signatures().count()
+    assert mh.compact() == n_sigs
+    assert parquet_file_count(f"{mh_path}/bands") <= 8
+    assert mh.signatures().count() == n_sigs
+
+    ivf_path = str(tmp_path_factory.mktemp("ivf_compact"))
+    ivf = IVFIndex.build(spark, emb.filter(F.col("vec_id") < 400), ivf_path,
+                         num_clusters=4)
+    ivf.add(emb.filter(F.col("vec_id") >= 400))
+    n_vecs = ivf.vectors().count()
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 450).head().embedding]
+    before = [r.vec_id for r in ivf.search(qv, k=5, nprobe=4).collect()]
+    assert ivf.compact() == n_vecs
+    assert parquet_file_count(f"{ivf_path}/vectors") <= 4
+    assert [r.vec_id for r in ivf.search(qv, k=5, nprobe=4).collect()] == before
