@@ -37,6 +37,13 @@ from pyspark.sql import functions as F
 from ocr_vector_db_spark.operators.dedup import banded_of, minhash_signatures
 
 
+def _error_condition(exc) -> str | None:
+    """Spark 4 renamed getErrorClass → getCondition (FutureWarning);
+    support both."""
+    get = getattr(exc, "getCondition", None) or exc.getErrorClass
+    return get()
+
+
 class MinHashIndex:
     def __init__(self, spark: SparkSession, path: str, num_hashes: int,
                  bands: int, n: int, n_buckets: int):
@@ -93,11 +100,18 @@ class MinHashIndex:
 
         try:
             return self.spark.read.parquet(os.path.join(self.path, "bands"))
-        except AnalysisException:
+        except AnalysisException as exc:
             # an EMPTY build's partitionBy write leaves no files at all
             # (nothing to infer a schema from) — synthesize the typed empty
             # relation so screen()/add() work on a fresh index that the
-            # stream itself will populate
+            # stream itself will populate. ONLY those two error classes
+            # qualify: any other read failure (corrupt layout, lost swap)
+            # must raise — an empty bands table silently disables the
+            # dedup gate, which is far worse than crashing.
+            if _error_condition(exc) not in (
+                "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+            ):
+                raise
             doc_t = self.signatures().schema["doc"].dataType
             return self.spark.createDataFrame([], T.StructType([
                 T.StructField("doc", doc_t),
@@ -160,15 +174,25 @@ class MinHashIndex:
         a bounded file count after many add() appends (OPTIMIZE analogue;
         see operators/index_maint.py). Returns the signature row count.
         Single-writer contract."""
+        from pyspark.errors import AnalysisException
+
         from ocr_vector_db_spark.operators.index_maint import (
             compact_partitioned,
             compact_plain,
         )
 
-        compact_partitioned(
-            self.spark, os.path.join(self.path, "bands"),
-            "bucket", self.n_buckets,
-        )
+        try:
+            compact_partitioned(
+                self.spark, os.path.join(self.path, "bands"),
+                "bucket", self.n_buckets,
+            )
+        except AnalysisException as exc:
+            # an empty build leaves no band files (see bands_table) —
+            # nothing to compact; anything else must surface
+            if _error_condition(exc) not in (
+                "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+            ):
+                raise
         return compact_plain(
             self.spark, os.path.join(self.path, "signatures"),
             max(self.n_buckets // 4, 1),

@@ -167,7 +167,6 @@ def stream_ingest(
 
 
 def stream_ingest_deduped(
-    spark: SparkSession,
     docs_stream: DataFrame,
     index,
     sink: dict[str, list],
@@ -176,38 +175,59 @@ def stream_ingest_deduped(
     text_col: str = "text",
 ):
     """Streaming ingestion with incremental near-dup gating — the streaming
-    twin of q105: each micro-batch screens against the PERSISTED MinHash
-    index (`operators/minhash_index.MinHashIndex`), only documents with no
-    indexed near-dup at est_jaccard >= threshold are accepted, and the
-    survivors' signatures are folded into the index so LATER batches (and
-    later duplicates inside the stream) screen against them too.
+    twin of q105. Each micro-batch:
 
-    Scale shape per micro-batch: O(batch) hashing + a slim equi-join
-    against the stored band layout — the historical corpus is never
-    re-shingled, so batch cost is independent of how much the stream has
-    already ingested. foreachBatch gives exactly-once per micro-batch
-    semantics over the accept-then-add sequence (the index add is the
-    batch's commit; MinHashIndex's re-add guard makes a replayed batch a
-    no-op)."""
+      1. dedups WITHIN itself (LSH banding over the batch, one-hop greedy
+         keep-min — without this, a backfill arriving as ONE availableNow
+         micro-batch would accept every near-dup pair wholesale, since the
+         persisted index only knows about PREVIOUS batches);
+      2. screens the survivors against the PERSISTED MinHash index
+         (`operators/minhash_index.MinHashIndex`) — only docs with no
+         indexed near-dup at est_jaccard >= threshold are accepted;
+      3. folds the accepted docs' signatures into the index so later
+         batches screen against them too.
+
+    Scale shape per micro-batch: O(batch) hashing + the batch's own
+    banding join + a slim equi-join against the stored band layout — the
+    historical corpus is never re-shingled, so batch cost is independent
+    of how much the stream has already ingested. foreachBatch gives
+    exactly-once per micro-batch semantics over the accept-then-add
+    sequence (the index add is the batch's commit; MinHashIndex's re-add
+    guard makes a replayed batch a no-op)."""
+    from ocr_vector_db_spark.operators.dedup import minhash_lsh_candidates
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        fresh = index.dedup_new(
-            batch_df, threshold=threshold, id_col=id_col, text_col=text_col
-        ).cache()
+        batch_df = batch_df.cache()  # three consumers: count, intra, screen
         try:
-            accepted = fresh.collect()
-            n_dropped = batch_df.count() - len(accepted)
-            if accepted:
-                index.add(fresh, id_col=id_col, text_col=text_col)
-            sink.setdefault("accepted", []).extend(accepted)
-            sink.setdefault("stats", []).append(
-                {"epoch": epoch_id, "accepted": len(accepted),
-                 "dropped_as_dup": n_dropped}
-            )
+            n_in = batch_df.count()
+            # 1. intra-batch: drop any doc with a lower-id near-dup in the
+            # same batch (same keep-min convention as dedup_exact)
+            intra = minhash_lsh_candidates(
+                batch_df, index.num_hashes, index.bands, index.n,
+                text_col=text_col, id_col=id_col,
+            ).filter(F.col("est_jaccard") >= threshold)
+            doomed = intra.select(F.col("doc_b").alias(id_col)).distinct()
+            batch_kept = batch_df.join(doomed, id_col, "left_anti")
+            # 2+3. screen vs the index, accept + fold in the survivors
+            fresh = index.dedup_new(
+                batch_kept, threshold=threshold,
+                id_col=id_col, text_col=text_col,
+            ).cache()
+            try:
+                accepted = fresh.collect()
+                if accepted:
+                    index.add(fresh, id_col=id_col, text_col=text_col)
+                sink.setdefault("accepted", []).extend(accepted)
+                sink.setdefault("stats", []).append(
+                    {"epoch": epoch_id, "accepted": len(accepted),
+                     "dropped_as_dup": n_in - len(accepted)}
+                )
+            finally:
+                fresh.unpersist()
         finally:
-            fresh.unpersist()
+            batch_df.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(per_batch)

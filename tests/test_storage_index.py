@@ -476,3 +476,29 @@ def test_minhash_and_ivf_compaction(spark, tables, tmp_path_factory):
     assert ivf.compact() == n_vecs
     assert parquet_file_count(f"{ivf_path}/vectors") <= 4
     assert [r.vec_id for r in ivf.search(qv, k=5, nprobe=4).collect()] == before
+
+
+def test_compact_swap_crash_recovery(spark, tables, tmp_path_factory):
+    """A compact swap that died between its two renames (live dir gone,
+    __old present) self-heals on the next swap/compact, and search results
+    survive."""
+    import os
+
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+
+    docs = tables["documents"]
+    path = str(tmp_path_factory.mktemp("lex_swapcrash"))
+    idx = LexicalIndex.build(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=8)
+    idx.add(docs.filter(F.col("doc_id") % 2 == 1))
+    terms = ["distributed", "data"]
+    before = [(r.id, r.bm25) for r in idx.search(terms, k=10).collect()]
+
+    # simulate the crash window: postings renamed aside, new copy never in
+    postings = os.path.join(path, "postings")
+    os.rename(postings, postings + "__old")
+    n = idx.compact()  # recovery rename + full compaction
+    assert n > 0 and os.path.isdir(postings)
+    assert not os.path.exists(postings + "__old")
+    after = [(r.id, r.bm25) for r in idx.search(terms, k=10).collect()]
+    assert after == before

@@ -204,26 +204,31 @@ def test_stream_ingest_deduped_gates_and_grows_index(spark, tmp_path):
     schema = "doc_id long, text string"
     sink: dict = {}
     q = stream_ingest_deduped(
-        spark, spark.readStream.schema(schema).json(str(src)), idx, sink,
+        spark.readStream.schema(schema).json(str(src)), idx, sink,
         threshold=0.6,
     )
     q.awaitTermination(60)
     assert [r.doc_id for r in sink["accepted"]] == [1]
 
-    # batch 2: a near-copy of doc 1 (one word changed) + a novel doc
+    # batch 2: a near-copy of doc 1 (one word changed), a novel doc, AND an
+    # intra-batch near-copy of that novel doc — same micro-batch
     with open(src / "b2.json", "w") as fh:
         fh.write(_json.dumps({"doc_id": 2,
                               "text": base.replace("river", "ocean")}) + "\n")
         fh.write(_json.dumps({"doc_id": 3, "text": novel}) + "\n")
+        fh.write(_json.dumps({"doc_id": 4, "text": novel}) + "\n")
     sink2: dict = {}
     q = stream_ingest_deduped(
-        spark, spark.readStream.schema(schema).json(str(src)), idx, sink2,
+        spark.readStream.schema(schema).json(str(src)), idx, sink2,
         threshold=0.6,
     )
     q.awaitTermination(60)
-    # doc 1 re-screens out (already indexed), doc 2 gates as a near-dup,
+    # doc 1 re-screens out (already indexed), doc 2 gates as a near-dup of
+    # the corpus, doc 4 gates as an INTRA-batch near-dup of doc 3 (keep-min),
     # doc 3 is accepted and now indexed
     accepted = {r.doc_id for r in sink2["accepted"]}
     assert accepted == {3}
     assert idx.signatures().filter("doc = 3").count() == 1
     assert idx.signatures().filter("doc = 2").count() == 0
+    assert idx.signatures().filter("doc = 4").count() == 0
+    assert sink2["stats"][-1]["dropped_as_dup"] == 3  # docs 1, 2, 4
