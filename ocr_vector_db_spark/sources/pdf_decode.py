@@ -60,15 +60,27 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             # rstrip(b"\r\n") ate those real bytes (caught by a raster
             # round-trip regression test). Heuristic kept only for
             # indirect-/Length dicts: strip AT MOST one EOL.
-            lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)",
+            # (?![0-9]) anchors the number end so an indirect multi-digit
+            # reference `/Length 123 0 R` can't backtrack into a bogus
+            # direct match of "12" (the lookahead alone rejects only the
+            # full number, letting the engine shorten the group).
+            lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)",
                            body[: sm.start()])
+            stream = None
             if lm:
                 # slice from `data` at absolute offsets: the endobj-bounded
                 # `body` can be cut short when the binary payload itself
                 # contains b"endobj"
                 start = m.end() + sm.end()
-                stream = data[start: start + int(lm.group(1))]
-            else:
+                n = int(lm.group(1))
+                candidate = data[start: start + n]
+                # Trust the slice only if what follows is (optional EOL +)
+                # `endstream` — a wrong /Length (e.g. a stale value after
+                # an incremental update) otherwise truncates the payload.
+                tail = data[start + n: start + n + 16]
+                if re.match(rb"(\r\n|\r|\n|\s)*endstream", tail):
+                    stream = candidate
+            if stream is None:
                 tail = body.rfind(b"endstream")
                 stream = body[sm.end():tail] if tail > sm.end() else b""
                 if stream.endswith(b"\r\n"):

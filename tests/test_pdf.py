@@ -88,6 +88,41 @@ class TestPdfDecode:
         assert extract_pdf_blocks(b"not a pdf at all") == []
 
 
+class TestStreamLengthScan:
+    """/Length slicing in _scan_objects: direct values are exact, indirect
+    refs (including multi-digit ones, which the old regex backtracked into)
+    and stale direct values fall back to the endstream heuristic."""
+
+    PAYLOAD = b"BT /F1 12 Tf 72 700 Td (indirect length payload) Tj ET"
+
+    def _scan(self, length_token: bytes):
+        from ocr_vector_db_spark.sources.pdf_decode import _scan_objects
+        data = (
+            b"%PDF-1.4\n"
+            b"5 0 obj\n<< /Length " + length_token + b" >>\nstream\n"
+            + self.PAYLOAD + b"\nendstream\nendobj\n"
+            b"10 0 obj\n" + str(len(self.PAYLOAD)).encode() + b"\nendobj\n"
+        )
+        return _scan_objects(data)[5][1]
+
+    def test_direct_length_exact(self):
+        assert self._scan(str(len(self.PAYLOAD)).encode()) == self.PAYLOAD
+
+    def test_indirect_multidigit_length_uses_heuristic(self):
+        # `/Length 10 0 R`: the old regex backtracked (\d+) to "1" (and
+        # "/Length 123 0 R" to "12"), slicing a 1-byte stream. Must fall
+        # back to the endstream heuristic and recover the full payload.
+        assert self._scan(b"10 0 R") == self.PAYLOAD
+
+    def test_indirect_threedigit_length_uses_heuristic(self):
+        assert self._scan(b"123 0 R") == self.PAYLOAD
+
+    def test_stale_direct_length_falls_back(self):
+        # A wrong direct /Length (not followed by endstream at the claimed
+        # offset) must not truncate the payload.
+        assert self._scan(b"5") == self.PAYLOAD
+
+
 KO_TEXT = "파이썬 데코레이터는 함수를 감싸서\n동작을 확장한다"
 
 
