@@ -18,6 +18,8 @@ files exercises the streaming path synchronously.
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -141,38 +143,91 @@ def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
+class ParquetTableSink:
+    """Multi-table executor-side sink for `stream_ingest`: each table's
+    epoch slice lands in `{path}/{table}/epoch_id={N}` (overwrite mode →
+    a replayed micro-batch rewrites its own epoch directory, no driver
+    materialization, no duplicate rows)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, table: str, df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            posixpath.join(self.path, table, f"epoch_id={epoch_id}")
+        )
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        p = posixpath.join(self.path, table)
+        return spark.read.option("basePath", p).parquet(p)
+
+
+def _start_foreach_batch(stream_df: DataFrame, per_batch, checkpoint: str | None):
+    """availableNow foreachBatch runner. With `checkpoint`, a restarted
+    query resumes after the last committed epoch (epoch ids stay
+    monotone across runs — what the per-epoch sink layouts key on)
+    instead of replaying every input file as a fresh epoch 0."""
+    writer = stream_df.writeStream.foreachBatch(per_batch)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()
+
+
 def stream_ingest(
     spark: SparkSession,
     files_stream: DataFrame,
-    sink: dict[str, list],
+    sink,
     dim: int = 64,
+    checkpoint: str | None = None,
 ):
     """Incremental ingest: each micro-batch of (source_path, content, fmt)
-    rows runs the batch ingest stages; results land in `sink` (a dict of
-    lists for tests; production points this at parquet/Delta appends)."""
+    rows runs the batch ingest stages; each output table goes through the
+    `sink` writer seam (`write(table, df, epoch_id)`) — production uses
+    `ParquetTableSink` so fragment/embedding rows are written entirely
+    executor-side; tests may inject a collecting double."""
     from ocr_vector_db_spark.sources.ingest import ingest
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         out = ingest(spark, batch_df, dim=dim)
-        sink.setdefault("fragments", []).extend(out["fragments"].collect())
-        sink.setdefault("embeddings", []).extend(out["embeddings"].collect())
+        sink.write("fragments", out["fragments"], epoch_id)
+        sink.write("embeddings", out["embeddings"], epoch_id)
 
-    return (
-        files_stream.writeStream.foreachBatch(per_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach_batch(files_stream, per_batch, checkpoint)
+
+
+class ParquetAcceptedSink:
+    """Executor-side accepted-docs sink for `stream_ingest_deduped`.
+
+    Each epoch's accepted rows are written to `{path}/epoch_id={N}` with
+    overwrite mode: the write is fully distributed (no document row ever
+    touches the driver), and a replayed micro-batch — foreachBatch re-runs
+    the last uncommitted epoch after a crash — overwrites its own epoch
+    directory instead of appending duplicates. `read` reassembles the whole
+    accepted corpus with `epoch_id` as a discovered partition column."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, accepted: DataFrame, epoch_id: int) -> None:
+        accepted.write.mode("overwrite").parquet(
+            posixpath.join(self.path, f"epoch_id={epoch_id}")
+        )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self.path).parquet(self.path)
 
 
 def stream_ingest_deduped(
     docs_stream: DataFrame,
     index,
-    sink: dict[str, list],
+    accepted_sink,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stats: list | None = None,
+    checkpoint: str | None = None,
 ):
     """Streaming ingestion with incremental near-dup gating — the streaming
     twin of q105. Each micro-batch:
@@ -191,9 +246,15 @@ def stream_ingest_deduped(
     banding join + a slim equi-join against the stored band layout — the
     historical corpus is never re-shingled, so batch cost is independent
     of how much the stream has already ingested. foreachBatch gives
-    exactly-once per micro-batch semantics over the accept-then-add
+    exactly-once per micro-batch semantics over the write-then-add
     sequence (the index add is the batch's commit; MinHashIndex's re-add
-    guard makes a replayed batch a no-op)."""
+    guard makes a replayed batch a no-op).
+
+    `accepted_sink` is the writer seam: any object with
+    `write(accepted_df, epoch_id)`. Production uses `ParquetAcceptedSink`
+    (distributed per-epoch overwrite — document rows never reach the
+    driver); tests may inject a collecting double. Only the per-epoch
+    counters land driver-side, in the optional `stats` list."""
     from ocr_vector_db_spark.operators.dedup import minhash_lsh_candidates
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -216,21 +277,21 @@ def stream_ingest_deduped(
                 id_col=id_col, text_col=text_col,
             ).cache()
             try:
-                accepted = fresh.collect()
-                if accepted:
+                n_accepted = fresh.count()
+                if n_accepted:
+                    # sink first, index second: both sides are replay-safe
+                    # (per-epoch overwrite / re-add guard), and this order
+                    # means an indexed doc is always present in the sink.
+                    accepted_sink.write(fresh, epoch_id)
                     index.add(fresh, id_col=id_col, text_col=text_col)
-                sink.setdefault("accepted", []).extend(accepted)
-                sink.setdefault("stats", []).append(
-                    {"epoch": epoch_id, "accepted": len(accepted),
-                     "dropped_as_dup": n_in - len(accepted)}
-                )
+                if stats is not None:
+                    stats.append(
+                        {"epoch": epoch_id, "accepted": n_accepted,
+                         "dropped_as_dup": n_in - n_accepted}
+                    )
             finally:
                 fresh.unpersist()
         finally:
             batch_df.unpersist()
 
-    return (
-        docs_stream.writeStream.foreachBatch(per_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_foreach_batch(docs_stream, per_batch, checkpoint)

@@ -70,7 +70,10 @@ def test_stream_stream_join_within_lag(spark, tmp_path):
 
 def test_streaming_ingest_foreachbatch(spark, tmp_path):
     from ocr_vector_db_spark.sources.ingest import FILES_SCHEMA
-    from ocr_vector_db_spark.streaming.pipeline import stream_ingest
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetTableSink,
+        stream_ingest,
+    )
 
     src = tmp_path / "docs_stream"
     src.mkdir()
@@ -82,12 +85,16 @@ def test_streaming_ingest_foreachbatch(spark, tmp_path):
         fh.write(json.dumps(doc) + "\n")
 
     files_stream = spark.readStream.schema(FILES_SCHEMA).json(str(src))
-    sink: dict = {}
+    sink = ParquetTableSink(str(tmp_path / "ingest_sink"))
     q = stream_ingest(spark, files_stream, sink, dim=16)
     q.awaitTermination(60)
-    assert sink.get("fragments"), "streamed file should produce fragments"
-    assert sink.get("embeddings")
-    assert all(len(e.embedding) == 16 for e in sink["embeddings"])
+    # assert on the FILES the executor-side sink wrote, not driver lists
+    fragments = sink.read(spark, "fragments").collect()
+    embeddings = sink.read(spark, "embeddings").collect()
+    assert fragments, "streamed file should produce fragments"
+    assert embeddings
+    assert all(len(e.embedding) == 16 for e in embeddings)
+    assert all(e.epoch_id == 0 for e in embeddings)  # discovered partition col
 
 
 def test_multimodal_features(spark):
@@ -183,7 +190,10 @@ def test_stream_ingest_deduped_gates_and_grows_index(spark, tmp_path):
     import json as _json
 
     from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
-    from ocr_vector_db_spark.streaming.pipeline import stream_ingest_deduped
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
 
     base = ("the quick brown fox jumps over the lazy dog and keeps running "
             "through the quiet green field toward the distant river bank")
@@ -202,13 +212,16 @@ def test_stream_ingest_deduped_gates_and_grows_index(spark, tmp_path):
         fh.write(_json.dumps({"doc_id": 1, "text": base}) + "\n")
 
     schema = "doc_id long, text string"
-    sink: dict = {}
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted"))
+    ckpt = str(tmp_path / "ckpt")
+    stats: list = []
     q = stream_ingest_deduped(
         spark.readStream.schema(schema).json(str(src)), idx, sink,
-        threshold=0.6,
+        threshold=0.6, stats=stats, checkpoint=ckpt,
     )
     q.awaitTermination(60)
-    assert [r.doc_id for r in sink["accepted"]] == [1]
+    # assert on the executor-written parquet, not driver-side lists
+    assert [r.doc_id for r in sink.read(spark).collect()] == [1]
 
     # batch 2: a near-copy of doc 1 (one word changed), a novel doc, AND an
     # intra-batch near-copy of that novel doc — same micro-batch
@@ -217,18 +230,24 @@ def test_stream_ingest_deduped_gates_and_grows_index(spark, tmp_path):
                               "text": base.replace("river", "ocean")}) + "\n")
         fh.write(_json.dumps({"doc_id": 3, "text": novel}) + "\n")
         fh.write(_json.dumps({"doc_id": 4, "text": novel}) + "\n")
-    sink2: dict = {}
+    stats2: list = []
     q = stream_ingest_deduped(
-        spark.readStream.schema(schema).json(str(src)), idx, sink2,
-        threshold=0.6,
+        spark.readStream.schema(schema).json(str(src)), idx, sink,
+        threshold=0.6, stats=stats2, checkpoint=ckpt,
     )
     q.awaitTermination(60)
-    # doc 1 re-screens out (already indexed), doc 2 gates as a near-dup of
-    # the corpus, doc 4 gates as an INTRA-batch near-dup of doc 3 (keep-min),
-    # doc 3 is accepted and now indexed
-    accepted = {r.doc_id for r in sink2["accepted"]}
-    assert accepted == {3}
+    # The checkpoint resumes the restarted query AFTER batch 1's file, so
+    # b2 arrives as epoch 1. doc 2 gates as a near-dup of the corpus,
+    # doc 4 gates as an INTRA-batch near-dup of doc 3 (keep-min), doc 3
+    # is accepted and now indexed.
+    accepted_rows = sink.read(spark).collect()
+    assert {(r.doc_id, r.epoch_id) for r in accepted_rows} == {(1, 0), (3, 1)}
     assert idx.signatures().filter("doc = 3").count() == 1
     assert idx.signatures().filter("doc = 2").count() == 0
     assert idx.signatures().filter("doc = 4").count() == 0
-    assert sink2["stats"][-1]["dropped_as_dup"] == 3  # docs 1, 2, 4
+    assert stats2[-1]["dropped_as_dup"] == 2  # docs 2, 4
+    # scale guard: accepted docs are written distributed, never collected
+    import inspect
+
+    from ocr_vector_db_spark.streaming import pipeline as _p
+    assert ".collect()" not in inspect.getsource(_p)
