@@ -71,9 +71,15 @@ class IVFIndex:
         ).fit(fit_on)
         assigned = model.transform(feat).drop("__f")
 
-        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
-            os.path.join(path, "vectors")
+        from ocr_vector_db_spark.operators.index_maint import (
+            commit_generation,
+            init_generation,
         )
+
+        vec_path = os.path.join(path, "vectors")
+        n_gen, dest = init_generation(spark, vec_path)
+        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(dest)
+        commit_generation(spark, vec_path, n_gen)
         centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
         with open(os.path.join(path, "centroids.json"), "w") as fh:
             json.dump(centroids, fh)
@@ -88,7 +94,11 @@ class IVFIndex:
     # -------------------------------------------------------------- search
 
     def vectors(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "vectors"))
+        from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+        return self.spark.read.parquet(
+            current_gen_dir(self.spark, os.path.join(self.path, "vectors"))
+        )
 
     def probe_clusters(self, query_vector: list[float], nprobe: int) -> list[int]:
         ranked = sorted(self.centroids, key=lambda c: (-_cos(c[1], query_vector), c[0]))
@@ -196,8 +206,12 @@ class IVFIndex:
             # vectors path, so evaluating it afterwards would see the
             # batch's own rows and count 0 (same hazard as LexicalIndex)
             n = assigned.count()
+            from ocr_vector_db_spark.operators.index_maint import (
+                current_gen_dir,
+            )
+
             assigned.write.mode("append").partitionBy("cluster_id").parquet(
-                os.path.join(self.path, "vectors")
+                current_gen_dir(self.spark, os.path.join(self.path, "vectors"))
             )
             return n
         finally:

@@ -5,68 +5,127 @@ long-lived index accumulates one small parquet file per (add, partition) —
 the classic small-files problem. `compact_partitioned` is the OPTIMIZE
 analogue (EntityStore.compact for partitioned index layouts): rewrite the
 table hash-repartitioned BY its partition column, so each partition
-directory collapses to one file, then swap directories.
+directory collapses to one file.
 
-The swap goes through the Hadoop FileSystem API (works on local/HDFS;
-object-store rename is copy+delete) and follows the `_commit_stats`
-ordering: the old directory is renamed aside — never deleted — before the
-new one moves in, so every crash point leaves a complete copy on disk
-(`{path}` or `{path}__old`; `swap_dir` self-heals the latter on the next
-call). The swap is crash-RECOVERABLE, not atomic: a reader hitting the
-window between the two renames sees a missing path until the next
-maintenance call. Single-writer contract, same as the indexes' add()."""
+Publication is READER-ATOMIC via generation pointers (the Iceberg/Delta
+snapshot idea reduced to its minimum): a table path holds generation
+directories `gen-000001/, gen-000002/, …` plus zero-byte commit markers
+`gen-000001.committed`. Readers resolve the highest marker whose data dir
+exists and read that directory; writers build the NEXT generation off to
+the side and publish it with a single atomic marker create. There is no
+rename of live data, hence no crash point at which a reader can observe a
+missing or half-swapped path — a reader sees either generation N or N+1,
+both complete. GC keeps the newest two generations so a reader that
+resolved N just before the N+1 commit can still finish its scan; the
+N-1 data is removed only then. Crash before the marker leaves an orphan
+gen dir that the next compaction simply overwrites.
+
+A path with data files but no committed generation is a legacy flat
+layout and resolves to itself, so pre-generation indexes stay readable;
+their first compaction migrates them into `gen-000001`.
+
+All filesystem operations go through the Hadoop FileSystem API
+(local/HDFS; on object stores the single marker create is still the
+commit point). Single-writer contract, same as the indexes' add().
+"""
 
 from __future__ import annotations
 
 import os
+import posixpath
+import re
 
 from pyspark.sql import SparkSession
 
+_GEN_DIR_RE = re.compile(r"gen-(\d{6})$")
+_GEN_MARK_RE = re.compile(r"gen-(\d{6})\.committed$")
 
-def swap_dir(spark: SparkSession, tmp: str, final: str) -> None:
-    """Replace directory `final` with `tmp` via rename-aside:
 
-      0. if `final` is missing but `final__old` exists (a prior swap died
-         mid-flight), restore it first — self-healing;
-      1. rename `final` → `final__old`   (crash → old copy recoverable)
-      2. rename `tmp` → `final`          (crash → old copy recoverable)
-      3. delete `final__old`
+def _gen_name(n: int) -> str:
+    return f"gen-{n:06d}"
 
-    Hadoop FileSystem signals most failures by RETURNING false rather than
-    throwing — every rename/delete return is checked and raised on, so a
-    failed step can never masquerade as a successful compaction."""
+
+def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(final).getFileSystem(spark._jsc.hadoopConfiguration())
-    old = final + "__old"
-    recover_dir(spark, final)
-    if fs.exists(hpath(old)):
-        if not fs.delete(hpath(old), True):  # stale — `final` exists
-            raise IOError(f"delete of stale {old} failed")
-    if fs.exists(hpath(final)):
-        if not fs.rename(hpath(final), hpath(old)):
-            raise IOError(f"rename {final} -> {old} failed")
-    if not fs.rename(hpath(tmp), hpath(final)):
-        raise IOError(
-            f"rename {tmp} -> {final} failed; previous data is at {old}"
-        )
-    if fs.exists(hpath(old)) and not fs.delete(hpath(old), True):
-        raise IOError(f"cleanup delete of {old} failed")
+    return hpath, hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
 
 
-def recover_dir(spark: SparkSession, final: str) -> None:
-    """Step 0 of the swap discipline: if `final` is missing but
-    `final__old` exists (a prior swap died between its two renames),
-    restore the old copy. Runs before every read in the compact path and
-    at the start of swap_dir — a crashed maintenance pass self-heals on
-    the next one."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(final).getFileSystem(spark._jsc.hadoopConfiguration())
-    old = final + "__old"
-    if not fs.exists(hpath(final)) and fs.exists(hpath(old)):
-        if not fs.rename(hpath(old), hpath(final)):
-            raise IOError(f"recovery rename {old} -> {final} failed")
+def committed_generations(spark: SparkSession, path: str) -> list[int]:
+    """Sorted generation numbers that have BOTH a commit marker and their
+    data directory present under `path`."""
+    hpath, fs = _fs(spark, path)
+    if not fs.exists(hpath(path)):
+        return []
+    names = {st.getPath().getName() for st in fs.listStatus(hpath(path))}
+    out = []
+    for name in names:
+        m = _GEN_MARK_RE.fullmatch(name)
+        if m and _gen_name(int(m.group(1))) in names:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def current_gen_dir(spark: SparkSession, path: str) -> str:
+    """The readable data directory: latest committed generation, or `path`
+    itself for a legacy flat layout (no committed generations)."""
+    gens = committed_generations(spark, path)
+    return posixpath.join(path, _gen_name(gens[-1])) if gens else path
+
+
+def next_gen_dir(spark: SparkSession, path: str) -> tuple[int, str]:
+    gens = committed_generations(spark, path)
+    n = (gens[-1] if gens else 0) + 1
+    return n, posixpath.join(path, _gen_name(n))
+
+
+def commit_generation(spark: SparkSession, path: str, n: int) -> None:
+    """Publish generation `n` with a single atomic marker create — the
+    commit point of every build/compaction. Readers resolving before this
+    call see the previous generation; after it, the new one."""
+    hpath, fs = _fs(spark, path)
+    out = fs.create(hpath(posixpath.join(path, _gen_name(n) + ".committed")),
+                    True)
+    out.close()
+
+
+def init_generation(spark: SparkSession, path: str) -> tuple[int, str]:
+    """Fresh-build target: clears any previous layout at `path` and returns
+    (1, gen-000001 dir). The caller writes data there, then calls
+    `commit_generation(spark, path, 1)`."""
+    hpath, fs = _fs(spark, path)
+    if fs.exists(hpath(path)) and not fs.delete(hpath(path), True):
+        raise IOError(f"clearing {path} for rebuild failed")
+    return 1, posixpath.join(path, _gen_name(1))
+
+
+def gc_generations(spark: SparkSession, path: str, keep: int = 2) -> None:
+    """Remove superseded layouts: all but the newest `keep` committed
+    generations (markers + data), and — once at least `keep` generations
+    exist — any legacy flat data left directly under `path`. Never touches
+    the newest generation or an uncommitted (in-flight) gen dir newer than
+    the latest commit."""
+    gens = committed_generations(spark, path)
+    if not gens:
+        return
+    hpath, fs = _fs(spark, path)
+    drop = set(gens[:-keep]) if len(gens) > keep else set()
+    latest = gens[-1]
+    for st in fs.listStatus(hpath(path)):
+        name = st.getPath().getName()
+        md, mm = _GEN_DIR_RE.fullmatch(name), _GEN_MARK_RE.fullmatch(name)
+        if md or mm:
+            n = int((md or mm).group(1))
+            # uncommitted orphans OLDER than the live gen are dead weight;
+            # a NEWER uncommitted dir is a compaction in flight — keep it
+            if n in drop or (md and n not in gens and n < latest):
+                if not fs.delete(st.getPath(), True):
+                    raise IOError(f"GC delete of {name} under {path} failed")
+        elif len(gens) >= keep:
+            # legacy flat layout remnants (part files / partition dirs /
+            # _SUCCESS), at least `keep` compactions old by construction
+            if not fs.delete(st.getPath(), True):
+                raise IOError(f"GC delete of flat {name} under {path} failed")
 
 
 def compact_partitioned(
@@ -75,35 +134,47 @@ def compact_partitioned(
     partition_col: str,
     num_partitions: int,
 ) -> int:
-    """Rewrite a partitioned parquet dir so each partition directory holds
+    """Rewrite a partitioned parquet table so each partition directory holds
     ONE file (hash repartition by the partition column guarantees every
-    partition value lands in exactly one task). Returns the row count
-    (materialized pre-swap, so a failed rewrite leaves the original)."""
-    recover_dir(spark, path)
-    df = spark.read.parquet(path).repartition(num_partitions, partition_col)
-    tmp = path + "__compact"
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    swap_dir(spark, tmp, path)
+    partition value lands in exactly one task), published as a new
+    generation. Returns the row count (materialized pre-commit, so a failed
+    rewrite leaves the previous generation live)."""
+    src = current_gen_dir(spark, path)
+    df = spark.read.parquet(src).repartition(num_partitions, partition_col)
+    n_gen, dest = next_gen_dir(spark, path)
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(dest)
+    n = spark.read.parquet(dest).count()
+    commit_generation(spark, path, n_gen)
+    gc_generations(spark, path)
     return n
 
 
 def compact_plain(spark: SparkSession, path: str, num_files: int = 1) -> int:
-    """Rewrite an unpartitioned parquet dir at `num_files` granularity."""
-    recover_dir(spark, path)
-    df = spark.read.parquet(path).coalesce(num_files)
-    tmp = path + "__compact"
-    df.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    swap_dir(spark, tmp, path)
+    """Rewrite an unpartitioned parquet table at `num_files` granularity,
+    published as a new generation."""
+    src = current_gen_dir(spark, path)
+    df = spark.read.parquet(src).coalesce(num_files)
+    n_gen, dest = next_gen_dir(spark, path)
+    df.write.mode("overwrite").parquet(dest)
+    n = spark.read.parquet(dest).count()
+    commit_generation(spark, path, n_gen)
+    gc_generations(spark, path)
     return n
 
 
 def parquet_file_count(path: str) -> int:
-    """Number of data files under a (possibly partitioned) parquet dir —
-    local-fs helper for tests and maintenance reporting."""
+    """Number of data files in the LIVE layout of a (possibly generational,
+    possibly partitioned) parquet table — local-fs helper for tests and
+    maintenance triggers."""
+    gens = sorted(
+        int(m.group(1))
+        for m in (_GEN_MARK_RE.fullmatch(f) for f in (
+            os.listdir(path) if os.path.isdir(path) else []))
+        if m and os.path.isdir(os.path.join(path, _gen_name(int(m.group(1)))))
+    )
+    root = os.path.join(path, _gen_name(gens[-1])) if gens else path
     total = 0
-    for root, _dirs, files in os.walk(path):
+    for _r, _dirs, files in os.walk(root):
         total += sum(1 for f in files
                      if f.endswith(".parquet") and not f.startswith("."))
     return total

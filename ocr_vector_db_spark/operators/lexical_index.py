@@ -63,56 +63,39 @@ def _postings_of(toks: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def _read_stats(spark: SparkSession, path: str) -> DataFrame:
-    """Latest-committed stats read: `stats` normally; if a crashed swap left
-    only `stats__old` (the previous committed version), read that instead.
-    Together with `_commit_stats`'s ordering this makes every crash point
-    recoverable."""
-    from pyspark.errors import AnalysisException
+    """Latest-committed stats read: resolve the current generation of the
+    1-row stats table (see operators/index_maint.py — the commit marker is
+    atomic, so there is always exactly one readable committed version)."""
+    from ocr_vector_db_spark.operators.index_maint import current_gen_dir
 
-    last_err: Exception | None = None
-    for name in ("stats", "stats__old"):
-        try:
-            return spark.read.parquet(os.path.join(path, name))
-        except AnalysisException as e:  # path-not-found → try fallback
-            last_err = e
-    raise last_err
+    return spark.read.parquet(
+        current_gen_dir(spark, os.path.join(path, "stats"))
+    )
 
 
 def _commit_stats(spark: SparkSession, path: str, new_stats: DataFrame) -> None:
-    """Crash-safe replacement of the 1-row stats table: write a complete new
-    copy, then rename-swap so a committed version is readable at every
-    crash point (`_read_stats` holds the matching fallback):
-
-      0. if `stats` is missing but `stats__old` exists (a previous swap
-         died mid-flight), restore it first;
-      1. write `stats__tmp`            (crash → `stats` intact)
-      2. rename `stats` → `stats__old` (crash → `stats__old` read)
-      3. rename `stats__tmp` → `stats` (crash → `stats__old` read)
-      4. delete `stats__old`
-
-    Renames go through the Hadoop FileSystem API so the swap works on any
-    Spark-supported filesystem (atomic on HDFS/local; on object stores
-    rename is copy+delete — still recoverable, just not atomic).
+    """Crash-safe replacement of the 1-row stats table: write the complete
+    new copy as the NEXT generation of `{path}/stats`, publish it with a
+    single atomic marker create, GC superseded generations. No live data is
+    ever renamed or deleted before its replacement is committed, so every
+    crash point (and every concurrent read) sees a complete committed
+    version — the previous one until the marker lands, the new one after.
 
     Single-writer contract: concurrent `add()` calls are NOT supported —
     the read-fold-commit cycle is not transactional, so a concurrent
     writer's fold can be lost (last commit wins). Serialize index updates
     (the reference's ingest path is likewise a single batch writer)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    tmp, cur, old = (
-        os.path.join(path, n) for n in ("stats__tmp", "stats", "stats__old")
+    from ocr_vector_db_spark.operators.index_maint import (
+        commit_generation,
+        gc_generations,
+        next_gen_dir,
     )
-    if not fs.exists(hpath(cur)) and fs.exists(hpath(old)):
-        fs.rename(hpath(old), hpath(cur))
-    new_stats.write.mode("overwrite").parquet(tmp)
-    if fs.exists(hpath(old)):
-        fs.delete(hpath(old), True)  # stale duplicate — `stats` exists
-    if fs.exists(hpath(cur)):
-        fs.rename(hpath(cur), hpath(old))
-    fs.rename(hpath(tmp), hpath(cur))
-    fs.delete(hpath(old), True)
+
+    stats_root = os.path.join(path, "stats")
+    n, dest = next_gen_dir(spark, stats_root)
+    new_stats.write.mode("overwrite").parquet(dest)
+    commit_generation(spark, stats_root, n)
+    gc_generations(spark, stats_root)
 
 
 class LexicalIndex:
@@ -137,10 +120,18 @@ class LexicalIndex:
         `n_buckets` trades pruning granularity against file count: at
         100 TB use O(1k) buckets so a 5-term query reads ≤ 5 buckets
         (~0.5% of postings) while each bucket stays multi-file splittable."""
+        from ocr_vector_db_spark.operators.index_maint import (
+            commit_generation,
+            init_generation,
+        )
+
         toks = _tokenized(docs, id_col, text_col)
+        postings_root = os.path.join(path, "postings")
+        n_gen, dest = init_generation(spark, postings_root)
         _postings_of(toks, n_buckets).write.mode("overwrite").partitionBy(
             "bucket"
-        ).parquet(os.path.join(path, "postings"))
+        ).parquet(dest)
+        commit_generation(spark, postings_root, n_gen)
         # stats over ALL docs — a zero-token doc contributes dl=0 to avgdl
         # and counts in N, matching the scan path's semantics exactly (the
         # explode above would silently drop it). total_dl is kept as an
@@ -152,10 +143,10 @@ class LexicalIndex:
             F.count("*").alias("n"), F.sum("dl").alias("s")
         ).head()
         n, total = int(row["n"]), int(row["s"] or 0)
-        spark.createDataFrame(
+        _commit_stats(spark, path, spark.createDataFrame(
             [(n, total / n if n else 0.0, n_buckets, total)],
             "n_docs bigint, avgdl double, n_buckets int, total_dl bigint",
-        ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+        ))
         return cls(spark, path, n_buckets)
 
     @classmethod
@@ -205,10 +196,14 @@ class LexicalIndex:
             new = toks.select(F.size("__ws").alias("dl")).agg(
                 F.count("*").alias("n"), F.sum("dl").alias("s")
             ).head()
+            from ocr_vector_db_spark.operators.index_maint import (
+                current_gen_dir,
+            )
+
             _postings_of(toks, self.n_buckets).write.mode(
                 "append"
             ).partitionBy("bucket").parquet(
-                os.path.join(self.path, "postings")
+                current_gen_dir(self.spark, os.path.join(self.path, "postings"))
             )
             old = _read_stats(self.spark, self.path).head()
             n_docs = int(old["n_docs"]) + int(new["n"])
@@ -254,7 +249,11 @@ class LexicalIndex:
     # -------------------------------------------------------------- search
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "postings"))
+        from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+        return self.spark.read.parquet(
+            current_gen_dir(self.spark, os.path.join(self.path, "postings"))
+        )
 
     def stats(self) -> DataFrame:
         return _read_stats(self.spark, self.path).select("n_docs", "avgdl")

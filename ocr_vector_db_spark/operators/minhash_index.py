@@ -91,15 +91,20 @@ class MinHashIndex:
         return cls(spark, path, m["num_hashes"], m["bands"], m["n"],
                    m["n_buckets"])
 
+    def _table_dir(self, name: str) -> str:
+        from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+        return current_gen_dir(self.spark, os.path.join(self.path, name))
+
     def signatures(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "signatures"))
+        return self.spark.read.parquet(self._table_dir("signatures"))
 
     def bands_table(self) -> DataFrame:
         from pyspark.errors import AnalysisException
         from pyspark.sql import types as T
 
         try:
-            return self.spark.read.parquet(os.path.join(self.path, "bands"))
+            return self.spark.read.parquet(self._table_dir("bands"))
         except AnalysisException as exc:
             # an EMPTY build's partitionBy write leaves no files at all
             # (nothing to infer a schema from) — synthesize the typed empty
@@ -132,15 +137,35 @@ class MinHashIndex:
         can never produce a screen hit — the signature join is inner — and
         the re-add guard keys on signatures, so a retried add() re-appends
         the batch cleanly; duplicate band rows collapse in screen()'s
-        dropDuplicates.)"""
+        dropDuplicates.)
+
+        Layout versioning: build() targets a fresh generation-1 directory
+        per table and publishes it with an atomic commit marker; add()
+        appends INTO the live generation (see operators/index_maint.py —
+        compaction publishes later generations the same way, so readers
+        never see a half-swapped path)."""
+        from ocr_vector_db_spark.operators.index_maint import (
+            commit_generation,
+            init_generation,
+        )
+
+        bands_root = os.path.join(self.path, "bands")
+        sigs_root = os.path.join(self.path, "signatures")
+        if overwrite:
+            _, bands_dest = init_generation(self.spark, bands_root)
+            _, sigs_dest = init_generation(self.spark, sigs_root)
+        else:
+            bands_dest = self._table_dir("bands")
+            sigs_dest = self._table_dir("signatures")
         mode = "overwrite" if overwrite else "append"
         banded = banded_of(sig, self.num_hashes, self.bands).withColumn(
             "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(self.n_buckets))
         )
-        banded.write.mode(mode).partitionBy("bucket").parquet(
-            os.path.join(self.path, "bands")
-        )
-        sig.write.mode(mode).parquet(os.path.join(self.path, "signatures"))
+        banded.write.mode(mode).partitionBy("bucket").parquet(bands_dest)
+        sig.write.mode(mode).parquet(sigs_dest)
+        if overwrite:
+            commit_generation(self.spark, bands_root, 1)
+            commit_generation(self.spark, sigs_root, 1)
 
     # ------------------------------------------------------------ increment
 

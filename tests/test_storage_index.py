@@ -273,12 +273,14 @@ def test_lexical_index_add_guards_against_readd(spark, tables, tmp_path_factory)
     assert idx.stats().head()["n_docs"] == n_docs + 1
 
 
-def test_lexical_index_stats_swap_crash_recovery(spark, tables, tmp_path_factory):
-    """Every crash point of the stats rename-swap leaves a readable
-    committed version, and the next add() self-heals the layout."""
+def test_lexical_index_stats_commit_crash_recovery(spark, tables, tmp_path_factory):
+    """Every crash point of the stats generation commit leaves a readable
+    committed version, and the next add() folds on top of it correctly."""
     import os
-    import shutil
 
+    from ocr_vector_db_spark.operators.index_maint import (
+        committed_generations,
+    )
     from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
 
     docs = tables["documents"]
@@ -287,32 +289,28 @@ def test_lexical_index_stats_swap_crash_recovery(spark, tables, tmp_path_factory
     path = str(tmp_path_factory.mktemp("lex_crash"))
     idx = LexicalIndex.build(spark, half_a, path, n_buckets=8)
     s0 = idx.stats().head()
+    stats_root = os.path.join(path, "stats")
+    assert committed_generations(spark, stats_root) == [1]
 
-    cur, old, tmp = (os.path.join(path, n)
-                     for n in ("stats", "stats__old", "stats__tmp"))
-
-    # crash between step 2 and 3: `stats` renamed away, new copy not yet in
-    os.rename(cur, old)
-    assert LexicalIndex.load(spark, path).n_buckets == 8  # fallback read
-    s_fallback = idx.stats().head()
-    assert s_fallback["n_docs"] == s0["n_docs"]
-
-    # plus a half-written stats__tmp from the dead writer
-    os.makedirs(tmp, exist_ok=True)
-    with open(os.path.join(tmp, "part-00000.parquet"), "wb") as f:
+    # crash point: a dead writer left a half-written, UNCOMMITTED next
+    # generation (garbage content) — reads still serve the committed one
+    orphan = os.path.join(stats_root, "gen-000002")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
         f.write(b"\x00garbage")
+    assert LexicalIndex.load(spark, path).n_buckets == 8
+    assert idx.stats().head()["n_docs"] == s0["n_docs"]
 
-    # next add() recovers the committed version, then commits its own fold
+    # next add() overwrites the orphan as the real gen-2 and commits it
     added = idx.add(half_b)
     assert added == half_b.count()
-    assert os.path.isdir(cur) and not os.path.exists(old)
+    assert committed_generations(spark, stats_root) == [1, 2]
     assert idx.stats().head()["n_docs"] == docs.count()
 
-    # leftover stale stats__old alongside a live `stats` is cleaned up too
-    shutil.copytree(cur, old)
+    # a further fold commits gen-3 and GC trims to the newest two
     idx.add(spark.createDataFrame(
         [(10**9 + 11, "one more new doc")], "doc_id bigint, text string"))
-    assert not os.path.exists(old)
+    assert committed_generations(spark, stats_root) == [2, 3]
     assert idx.stats().head()["n_docs"] == docs.count() + 1
 
 
@@ -405,10 +403,18 @@ def test_lexical_index_add_migrates_pre_total_dl_stats(spark, tables, tmp_path_f
     path = str(tmp_path_factory.mktemp("lex_legacy"))
     LexicalIndex.build(spark, half_a, path, n_buckets=8)
 
-    # rewrite stats in the pre-round-5 3-column schema
-    legacy = spark.read.parquet(os.path.join(path, "stats")).select(
+    # rewrite stats in the pre-round-5 3-column schema, as a pre-generation
+    # FLAT layout (such an index predates the generation pointers too) —
+    # this also exercises the legacy-flat read fallback
+    import shutil
+
+    from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+    from ocr_vector_db_spark.operators.lexical_index import _read_stats
+
+    legacy = _read_stats(spark, path).select(
         "n_docs", "avgdl", "n_buckets"
     ).collect()[0]
+    shutil.rmtree(os.path.join(path, "stats"))
     spark.createDataFrame([tuple(legacy)],
                           "n_docs bigint, avgdl double, n_buckets int"
                           ).write.mode("overwrite").parquet(
@@ -418,8 +424,10 @@ def test_lexical_index_add_migrates_pre_total_dl_stats(spark, tables, tmp_path_f
     assert idx.add(half_b) == half_b.count()
     s = idx.stats().head()
     assert s["n_docs"] == docs.count()
-    # schema upgraded: total_dl present and consistent
-    upgraded = spark.read.parquet(os.path.join(path, "stats")).head()
+    # schema upgraded: total_dl present and consistent, committed as gen-1
+    upgraded = spark.read.parquet(
+        current_gen_dir(spark, os.path.join(path, "stats"))
+    ).head()
     assert int(upgraded["total_dl"]) > 0
 
 
@@ -478,27 +486,114 @@ def test_minhash_and_ivf_compaction(spark, tables, tmp_path_factory):
     assert [r.vec_id for r in ivf.search(qv, k=5, nprobe=4).collect()] == before
 
 
-def test_compact_swap_crash_recovery(spark, tables, tmp_path_factory):
-    """A compact swap that died between its two renames (live dir gone,
-    __old present) self-heals on the next swap/compact, and search results
-    survive."""
+def _compact_crash_points(spark, path, partition_col=None, num_partitions=1):
+    """Run compact_partitioned/compact_plain step by step, yielding a label
+    after every crash point, so a test can assert reads stay correct at
+    each one: (a) new generation fully written but uncommitted, (b) marker
+    committed but GC not yet run, (c) GC done."""
+    from ocr_vector_db_spark.operators.index_maint import (
+        commit_generation,
+        current_gen_dir,
+        gc_generations,
+        next_gen_dir,
+    )
+
+    src = current_gen_dir(spark, path)
+    df = spark.read.parquet(src)
+    n_gen, dest = next_gen_dir(spark, path)
+    if partition_col is not None:
+        df.repartition(num_partitions, partition_col).write.mode(
+            "overwrite").partitionBy(partition_col).parquet(dest)
+    else:
+        df.coalesce(num_partitions).write.mode("overwrite").parquet(dest)
+    yield "uncommitted"
+    commit_generation(spark, path, n_gen)
+    yield "committed"
+    gc_generations(spark, path)
+    yield "gced"
+
+
+def test_compaction_reader_atomic_all_indexes(spark, tables, tmp_path_factory):
+    """Generation-pointer swap: at EVERY crash point of a compaction —
+    new gen written but unpublished / marker committed / GC done — reads
+    of all three persisted indexes serve the exact same results. There is
+    no window in which a reader can observe a missing or partial layout."""
     import os
 
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+
+    docs, emb = tables["documents"], tables["embeddings"]
+
+    # lexical
+    lex_path = str(tmp_path_factory.mktemp("lex_atomic"))
+    lex = LexicalIndex.build(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), lex_path, n_buckets=8)
+    lex.add(docs.filter(F.col("doc_id") % 2 == 1))
+    terms = ["distributed", "data"]
+    want = [(r.id, r.bm25, r.rank) for r in lex.search(terms, k=10).collect()]
+    for step in _compact_crash_points(
+            spark, os.path.join(lex_path, "postings"), "bucket", 8):
+        got = [(r.id, r.bm25, r.rank) for r in lex.search(terms, k=10).collect()]
+        assert got == want, f"lexical search drifted at crash point {step}"
+
+    # IVF
+    ivf_path = str(tmp_path_factory.mktemp("ivf_atomic"))
+    ivf = IVFIndex.build(spark, emb.filter(F.col("vec_id") < 400), ivf_path,
+                         num_clusters=4)
+    ivf.add(emb.filter(F.col("vec_id") >= 400))
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 450).head().embedding]
+    want_ivf = [r.vec_id for r in ivf.search(qv, k=5, nprobe=4).collect()]
+    for step in _compact_crash_points(
+            spark, os.path.join(ivf_path, "vectors"), "cluster_id", 4):
+        got = [r.vec_id for r in ivf.search(qv, k=5, nprobe=4).collect()]
+        assert got == want_ivf, f"IVF search drifted at crash point {step}"
+
+    # MinHash (two tables: partitioned bands + plain signatures)
+    mh_path = str(tmp_path_factory.mktemp("mh_atomic"))
+    mh = MinHashIndex.build(spark, docs.filter(F.col("doc_id") % 2 == 0),
+                            mh_path, 16, 4, 2, 8)
+    mh.add(docs.filter(F.col("doc_id") % 2 == 1))
+    probe = docs.filter(F.col("doc_id") % 7 == 0).limit(20)
+    want_mh = {(r.new_id, r.corpus_id) for r in mh.screen(probe, 0.5).collect()}
+    for table, pcol, n in (("bands", "bucket", 8), ("signatures", None, 2)):
+        for step in _compact_crash_points(
+                spark, os.path.join(mh_path, table), pcol, n):
+            got = {(r.new_id, r.corpus_id)
+                   for r in mh.screen(probe, 0.5).collect()}
+            assert got == want_mh, \
+                f"MinHash screen drifted at {table} crash point {step}"
+
+
+def test_compact_crash_recovery_orphan_generation(spark, tables, tmp_path_factory):
+    """A compaction that died before publishing its marker leaves an orphan
+    generation dir: reads keep serving the live generation, and the next
+    compact() overwrites the orphan, commits, and GCs — no manual repair."""
+    import os
+
+    from ocr_vector_db_spark.operators.index_maint import (
+        committed_generations,
+        current_gen_dir,
+    )
     from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
 
     docs = tables["documents"]
-    path = str(tmp_path_factory.mktemp("lex_swapcrash"))
+    path = str(tmp_path_factory.mktemp("lex_gencrash"))
     idx = LexicalIndex.build(
         spark, docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=8)
     idx.add(docs.filter(F.col("doc_id") % 2 == 1))
     terms = ["distributed", "data"]
     before = [(r.id, r.bm25) for r in idx.search(terms, k=10).collect()]
 
-    # simulate the crash window: postings renamed aside, new copy never in
+    # simulate the crash: half-written next generation, never committed
     postings = os.path.join(path, "postings")
-    os.rename(postings, postings + "__old")
-    n = idx.compact()  # recovery rename + full compaction
-    assert n > 0 and os.path.isdir(postings)
-    assert not os.path.exists(postings + "__old")
-    after = [(r.id, r.bm25) for r in idx.search(terms, k=10).collect()]
-    assert after == before
+    orphan = os.path.join(postings, "gen-000002")
+    idx.postings().limit(3).write.mode("overwrite").parquet(orphan)
+    assert current_gen_dir(spark, postings).endswith("gen-000001")
+    assert [(r.id, r.bm25) for r in idx.search(terms, k=10).collect()] == before
+
+    n = idx.compact()  # overwrites the orphan as the real gen-2, commits
+    assert n > 0
+    assert committed_generations(spark, postings) == [1, 2]
+    assert [(r.id, r.bm25) for r in idx.search(terms, k=10).collect()] == before
