@@ -181,7 +181,11 @@ class IVFIndex:
         against the indexed ids by default so re-submitting a vector is a
         no-op instead of a silent duplicate that would surface twice in
         search results. Costs one distinct over the stored id column; pass
-        ``assume_new=True`` when the pipeline guarantees newness upstream.
+        ``assume_new=True`` when the pipeline guarantees newness upstream
+        — for per-epoch streaming adds, delegate replay safety to
+        `index_maint.EpochLedger` (the pattern
+        `streaming.pipeline.stream_ingest_deduped` implements) so the
+        corpus-sized anti-join is paid only on crashed-epoch retries.
         Single-writer contract. Returns the number of vectors added."""
         from ocr_vector_db_spark.functions.vector import dot_col, norm_col
 

@@ -162,6 +162,73 @@ def compact_plain(spark: SparkSession, path: str, num_files: int = 1) -> int:
     return n
 
 
+class EpochLedger:
+    """Replay-safety bookkeeping for streaming index ingestion.
+
+    The indexes' add() re-add guard anti-joins each batch against the FULL
+    stored id set — at a 10⁹-doc corpus that is a billion-row distinct per
+    micro-batch paid solely for replay safety. This ledger moves replay
+    safety to two zero-byte marker files per epoch (atomic creates, same
+    primitive as the generation pointers), so the steady-state add can run
+    `assume_new=True` with no corpus-sized read at all:
+
+      epoch ≤ committed()                → replayed epoch: skip entirely;
+      committed() < epoch ≤ started()    → a prior attempt died between
+                                           mark_started and mark_committed,
+                                           so the index MAY hold part of
+                                           this batch: run the guarded
+                                           (anti-join) add for THIS batch
+                                           only — the expensive path is
+                                           paid only on crash replay;
+      epoch > started()                  → first attempt: mark_started,
+                                           add(assume_new=True),
+                                           mark_committed.
+
+    Marker layout: `{path}/started-{n:012d}` / `{path}/committed-{n:012d}`;
+    readers take the max of each kind, commit GCs older markers. Epoch ids
+    must be monotone per ledger (Structured Streaming's batchId under a
+    checkpoint is). Single-writer contract, like the indexes."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _names(self) -> set[str]:
+        hpath, fs = _fs(self.spark, self.path)
+        if not fs.exists(hpath(self.path)):
+            return set()
+        return {st.getPath().getName() for st in fs.listStatus(hpath(self.path))}
+
+    def _max_of(self, kind: str) -> int:
+        pat = re.compile(rf"{kind}-(\d{{12}})$")
+        ns = [int(m.group(1)) for m in map(pat.fullmatch, self._names()) if m]
+        return max(ns) if ns else -1
+
+    def started(self) -> int:
+        return self._max_of("started")
+
+    def committed(self) -> int:
+        return self._max_of("committed")
+
+    def _touch(self, name: str) -> None:
+        hpath, fs = _fs(self.spark, self.path)
+        out = fs.create(hpath(posixpath.join(self.path, name)), True)
+        out.close()
+
+    def mark_started(self, epoch: int) -> None:
+        self._touch(f"started-{epoch:012d}")
+
+    def mark_committed(self, epoch: int) -> None:
+        self._touch(f"committed-{epoch:012d}")
+        # GC every marker older than this epoch (both kinds)
+        hpath, fs = _fs(self.spark, self.path)
+        pat = re.compile(r"(?:started|committed)-(\d{12})$")
+        for name in self._names():
+            m = pat.fullmatch(name)
+            if m and int(m.group(1)) < epoch:
+                fs.delete(hpath(posixpath.join(self.path, name)), False)
+
+
 def parquet_file_count(path: str) -> int:
     """Number of data files in the LIVE layout of a (possibly generational,
     possibly partitioned) parquet table — local-fs helper for tests and

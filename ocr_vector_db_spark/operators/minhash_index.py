@@ -178,7 +178,13 @@ class MinHashIndex:
     ) -> int:
         """Append a batch's signatures + bands (LexicalIndex.add parity:
         anti-join re-add guard, `assume_new` escape, single-writer
-        contract). Returns the number of docs added."""
+        contract). Returns the number of docs added.
+
+        The default guard reads the stored id set per call — O(corpus).
+        Streaming ingestion at scale should pass ``assume_new=True`` and
+        delegate replay safety to `index_maint.EpochLedger` (see
+        `streaming.pipeline.stream_ingest_deduped`), which pays the
+        guarded anti-join only when retrying a crashed epoch."""
         sig = minhash_signatures(docs, self.num_hashes, self.n,
                                  text_col, id_col)
         if not assume_new:

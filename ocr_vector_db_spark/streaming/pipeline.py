@@ -228,6 +228,9 @@ def stream_ingest_deduped(
     text_col: str = "text",
     stats: list | None = None,
     checkpoint: str | None = None,
+    ledger=None,
+    compact_every: int | None = None,
+    compact_max_files: int | None = None,
 ):
     """Streaming ingestion with incremental near-dup gating — the streaming
     twin of q105. Each micro-batch:
@@ -254,11 +257,47 @@ def stream_ingest_deduped(
     `write(accepted_df, epoch_id)`. Production uses `ParquetAcceptedSink`
     (distributed per-epoch overwrite — document rows never reach the
     driver); tests may inject a collecting double. Only the per-epoch
-    counters land driver-side, in the optional `stats` list."""
+    counters land driver-side, in the optional `stats` list.
+
+    `ledger` (an `index_maint.EpochLedger`, requires `checkpoint` so epoch
+    ids are monotone across restarts) moves replay safety from the index's
+    per-batch full-corpus re-add anti-join to two tiny epoch markers: a
+    fully committed epoch replays as a no-op, the steady-state add runs
+    `assume_new=True` (no corpus-sized read — the dedup gate itself
+    guarantees content newness), and only an epoch whose prior attempt
+    died mid-add pays the guarded anti-join, once.
+
+    `compact_every` (epochs) / `compact_max_files` (live data files,
+    local-fs trigger — use compact_every on HDFS/object stores) bound the
+    small-files accumulation of long streams by running `index.compact()`
+    inline; the generation-pointer publish keeps concurrent readers
+    correct throughout."""
+    import os as _os
+
     from ocr_vector_db_spark.operators.dedup import minhash_lsh_candidates
+    from ocr_vector_db_spark.operators.index_maint import parquet_file_count
+
+    def maybe_compact(epoch_id: int) -> None:
+        due = (
+            compact_every is not None
+            and (epoch_id + 1) % compact_every == 0
+        ) or (
+            compact_max_files is not None
+            and parquet_file_count(_os.path.join(index.path, "bands"))
+            > compact_max_files
+        )
+        if due:
+            index.compact()
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if ledger is not None and epoch_id <= ledger.committed():
+            return  # replayed, fully committed epoch: no-op
+        guarded = ledger is not None and epoch_id <= ledger.started()
+        if ledger is not None:
+            ledger.mark_started(epoch_id)
         if batch_df.isEmpty():
+            if ledger is not None:
+                ledger.mark_committed(epoch_id)
             return
         batch_df = batch_df.cache()  # three consumers: count, intra, screen
         try:
@@ -280,10 +319,17 @@ def stream_ingest_deduped(
                 n_accepted = fresh.count()
                 if n_accepted:
                     # sink first, index second: both sides are replay-safe
-                    # (per-epoch overwrite / re-add guard), and this order
-                    # means an indexed doc is always present in the sink.
+                    # (per-epoch overwrite / re-add guard or ledger), and
+                    # this order means an indexed doc is always in the sink.
                     accepted_sink.write(fresh, epoch_id)
-                    index.add(fresh, id_col=id_col, text_col=text_col)
+                    index.add(
+                        fresh, id_col=id_col, text_col=text_col,
+                        # steady-state ledger mode: the gate already proved
+                        # newness; only a crashed epoch's retry re-guards
+                        assume_new=ledger is not None and not guarded,
+                    )
+                if ledger is not None:
+                    ledger.mark_committed(epoch_id)
                 if stats is not None:
                     stats.append(
                         {"epoch": epoch_id, "accepted": n_accepted,
@@ -293,5 +339,6 @@ def stream_ingest_deduped(
                 fresh.unpersist()
         finally:
             batch_df.unpersist()
+        maybe_compact(epoch_id)
 
     return _start_foreach_batch(docs_stream, per_batch, checkpoint)

@@ -251,3 +251,145 @@ def test_stream_ingest_deduped_gates_and_grows_index(spark, tmp_path):
 
     from ocr_vector_db_spark.streaming import pipeline as _p
     assert ".collect()" not in inspect.getsource(_p)
+
+
+def test_stream_ingest_ledger_replay_noop_and_assume_new(spark, tmp_path):
+    """EpochLedger mode: the steady-state add runs assume_new=True (no
+    full-corpus re-add anti-join in the plan), and a replayed epoch —
+    the same file re-delivered as an already-committed epoch id — is a
+    complete no-op (index untouched, add never invoked)."""
+    import json as _json
+
+    from ocr_vector_db_spark.operators.index_maint import EpochLedger
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    idx = MinHashIndex.build(spark, empty, str(tmp_path / "mh"), 16, 4, 2, 8)
+    ledger = EpochLedger(spark, str(tmp_path / "ledger"))
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted"))
+
+    add_calls: list = []
+    orig_add = idx.add
+
+    def spy_add(docs, **kw):
+        add_calls.append(kw.get("assume_new"))
+        return orig_add(docs, **kw)
+
+    idx.add = spy_add
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        fh.write(_json.dumps({
+            "doc_id": 1,
+            "text": "a genuinely novel document about estuary sediment "
+                    "transport measured across four tidal cycles"}) + "\n")
+    schema = "doc_id long, text string"
+
+    q = stream_ingest_deduped(
+        spark.readStream.schema(schema).json(str(src)), idx, sink,
+        threshold=0.6, ledger=ledger,
+    )
+    q.awaitTermination(60)
+    assert add_calls == [True]  # steady state: no corpus anti-join
+    assert idx.signatures().count() == 1
+    assert ledger.committed() == 0
+
+    # no checkpoint → the restarted stream re-delivers the same file as
+    # epoch 0 again: an exact replay of a committed epoch. Must be a no-op.
+    q = stream_ingest_deduped(
+        spark.readStream.schema(schema).json(str(src)), idx, sink,
+        threshold=0.6, ledger=ledger,
+    )
+    q.awaitTermination(60)
+    assert add_calls == [True]  # add never ran again
+    assert idx.signatures().count() == 1
+
+    # crash-replay path: an epoch marked started but never committed (a
+    # prior attempt died mid-add) retries with the GUARDED anti-join add
+    idx2 = MinHashIndex.build(spark, empty, str(tmp_path / "mh2"), 16, 4, 2, 8)
+    ledger2 = EpochLedger(spark, str(tmp_path / "ledger2"))
+    ledger2.mark_started(0)  # the dead attempt's trace
+    add_calls2: list = []
+    orig_add2 = idx2.add
+
+    def spy_add2(docs, **kw):
+        add_calls2.append(kw.get("assume_new"))
+        return orig_add2(docs, **kw)
+
+    idx2.add = spy_add2
+    q = stream_ingest_deduped(
+        spark.readStream.schema(schema).json(str(src)), idx2,
+        ParquetAcceptedSink(str(tmp_path / "accepted2")),
+        threshold=0.6, ledger=ledger2,
+    )
+    q.awaitTermination(60)
+    assert add_calls2 == [False]  # guarded retry, exactly once
+    assert idx2.signatures().count() == 1
+    assert ledger2.committed() == 0
+
+
+def test_stream_ingest_auto_compaction_bounds_files(spark, tmp_path):
+    """Long streams with per-epoch adds fragment the index into one file
+    per (epoch, partition); compact_every keeps the live file count
+    bounded while screen results stay exact throughout."""
+    import json as _json
+
+    from ocr_vector_db_spark.operators.index_maint import (
+        EpochLedger,
+        parquet_file_count,
+    )
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
+
+    texts = [
+        "orbital mechanics of low thrust transfers between lagrange points",
+        "fermentation kinetics of sourdough cultures at varying hydration",
+        "load balancing strategies for anycast routed content networks",
+        "comparative anatomy of cephalopod photoreceptor arrangements",
+        "amortized analysis of splay tree access sequences in practice",
+        "watershed management policy in semi arid river basins today",
+    ]
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    idx = MinHashIndex.build(spark, empty, str(tmp_path / "mh"), 16, 4, 2, 4)
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted"))
+    ledger = EpochLedger(spark, str(tmp_path / "ledger"))
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, t in enumerate(texts):
+        with open(src / f"d{i}.json", "w") as fh:
+            fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    q = stream_ingest_deduped(
+        stream, idx, sink, threshold=0.6,
+        ledger=ledger, checkpoint=str(tmp_path / "ck"),
+        compact_every=2,
+    )
+    q.awaitTermination(120)
+
+    assert idx.signatures().count() == len(texts)  # all distinct → accepted
+    # one file per epoch would be ≥ 6 signature files; compaction at every
+    # 2nd epoch bounds the live layout
+    assert parquet_file_count(str(tmp_path / "mh" / "signatures")) <= 2
+    assert parquet_file_count(str(tmp_path / "mh" / "bands")) <= 4
+    # screens stay exact after compaction: a near-copy of an indexed doc
+    # gates out, a novel doc passes
+    probe = spark.createDataFrame(
+        [(100, texts[2].replace("today", "now")),
+         (101, "entirely new subject matter on alpine lichen growth")],
+        "doc_id bigint, text string",
+    )
+    kept = {r.doc_id for r in idx.dedup_new(probe, threshold=0.6).collect()}
+    assert kept == {101}
