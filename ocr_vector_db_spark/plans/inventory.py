@@ -3725,6 +3725,54 @@ def q105(spark, sf):
     return idx.screen(d.filter(F.col("doc_id") % 2 == 1))
 
 
+_Q106_QUERY_IDS = [0, 7, 23, 42]
+
+
+@query(
+    "q106_ivf_recall_tradeoff",
+    f"""
+    SELECT (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id IN ({', '.join(str(i) for i in _Q106_QUERY_IDS)}))
+           AS n_queries,
+           true AS full_probe_exact,
+           true AS monotone_ok,
+           true AS nprobe1_positive
+    """,
+)
+def q106(spark, sf):
+    """The recall/nprobe tradeoff that mirrors pgvector's `ivfflat.probes`
+    knob (reference storage/schema.py:38-41): measured recall@10 of the
+    persisted IVF index vs exact brute force at nprobe = 1, half, full.
+    The cluster assignment isn't SQL-reproducible, so — like q99/q46 —
+    the driver checks an invariant row:
+      n_queries          grounded in the data: the probe set must exist
+      full_probe_exact   recall == 1.0 at nprobe = num_clusters (probing
+                         every partition IS brute force over the layout;
+                         an assignment or pruning bug breaks equality)
+      monotone_ok        recall(1) ≤ recall(half) ≤ recall(full): probing
+                         more clusters can only add candidates — a probe-
+                         ranking bug flips this
+      nprobe1_positive   each query vector is itself a corpus member, so
+                         its own cluster must return it → recall@10 ≥ 0.1
+                         even at nprobe=1."""
+    idx = _ivf_index_for(spark, sf)
+    e = load_table(spark, sf, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id").isin(_Q106_QUERY_IDS))
+        .orderBy("vec_id").collect()
+    ]
+    full = len(idx.centroids)
+    r1 = idx.recall_at_k(e, qvs, k=10, nprobe=1)
+    rh = idx.recall_at_k(e, qvs, k=10, nprobe=max(full // 2, 1))
+    rf = idx.recall_at_k(e, qvs, k=10, nprobe=full)
+    return spark.createDataFrame(
+        [(len(qvs), rf == 1.0, r1 <= rh <= rf, r1 > 0.0)],
+        "n_queries bigint, full_probe_exact boolean, monotone_ok boolean, "
+        "nprobe1_positive boolean",
+    )
+
+
 @query(
     "q91_sequence_packing",
     r"""
