@@ -570,14 +570,45 @@ def decode_image_xobject(objects, ref: int) -> dict | None:
     }
 
 
+def jpeg_image_xobject(objects, ref: int) -> dict | None:
+    """DCTDecode passthrough: per the PDF spec (ISO 32000-1 §7.4.8) the
+    stream bytes of a /DCTDecode image XObject ARE a complete JPEG/JFIF
+    file — an OCR/vision provider accepts them as-is, so no JPEG decoder
+    is needed to feed the multimodal seam (the reference hands PyMuPDF
+    rasters to the same provider, pymupdf_parser.py:773-823). Returns
+    {width, height, jpeg: bytes} (dimensions from the image dict — the
+    spec requires them to match the JPEG's) or None when the object is
+    not a DCTDecode image or the payload lacks the JPEG SOI marker."""
+    dict_src, stream = objects.get(ref, (b"", None))
+    if (
+        stream is None
+        or b"/Image" not in dict_src
+        or b"/DCTDecode" not in dict_src
+    ):
+        return None
+    if not stream.startswith(b"\xff\xd8"):  # JPEG SOI — malformed otherwise
+        return None
+    props = {
+        m.group(1): float(m.group(2)) for m in _NAME_NUM_RE.finditer(dict_src)
+    }
+    width = int(props.get(b"Width", 0))
+    height = int(props.get(b"Height", 0))
+    if width <= 0 or height <= 0:
+        return None
+    return {"width": width, "height": height, "jpeg": stream}
+
+
 def extract_pdf_images(data: bytes) -> list[dict]:
     """bytes → decoded raster rows for every image drawn on a page, in the
     multimodal asset shape (sources/multimodal.ASSET_SCHEMA): the pixel
     buffer is the opaque `data` payload and the typed facts ride `metadata`,
     so rows feed `multimodal.extract_features` / the OCR gate directly —
     closing the pure-Python half of the reference's render-page-and-OCR
-    loop (pymupdf_parser.py:518-569). Unsupported encodings are skipped
-    (PyMuPDF path covers them when importable)."""
+    loop (pymupdf_parser.py:518-569). FlateDecode rasters decode to raw
+    pixels (metadata format=raw); DCTDecode images pass their stream bytes
+    through verbatim as ready-to-send JPEG (metadata format=jpeg — no
+    decoder needed, see jpeg_image_xobject). Other encodings (JPX/CCITT/
+    LZW) are skipped; the PyMuPDF path covers them when importable."""
     import hashlib
 
     objects = _scan_objects(data)
@@ -598,19 +629,27 @@ def extract_pdf_images(data: bytes) -> list[dict]:
         )
         for idx, blk in enumerate(images):
             ref = blk.get("ref")
-            raster = decode_image_xobject(objects, ref) if ref else None
-            if raster is None:
+            if not ref:
                 continue
-            pixels = raster.pop("pixels")
-            digest = hashlib.md5(pixels).hexdigest()
+            raster = decode_image_xobject(objects, ref)
+            if raster is not None:
+                payload = raster.pop("pixels")
+                facts = {"format": "raw", **raster}
+            else:
+                jpg = jpeg_image_xobject(objects, ref)
+                if jpg is None:
+                    continue
+                payload = jpg.pop("jpeg")
+                facts = {"format": "jpeg", "media_type": "image/jpeg", **jpg}
+            digest = hashlib.md5(payload).hexdigest()
             out.append({
                 "asset_id": f"pdfimg:p{page_no}:i{idx}:{digest[:12]}",
                 "kind": "image",
-                "data": pixels,
+                "data": payload,
                 "metadata": {
                     "page": str(page_no),
                     "bbox": ",".join(f"{v:.2f}" for v in blk["bbox"]),
-                    **{k: str(v) for k, v in raster.items()},
+                    **{k: str(v) for k, v in facts.items()},
                 },
             })
     return out
@@ -698,6 +737,28 @@ def build_simple_pdf(pages: list[list[dict]], compress: bool = True) -> bytes:
                 content_lines.append("ET")
             else:
                 name = f"Im{len(xobj_entries)}"
+                if b.get("jpeg") is not None:
+                    # entropy-coded fixture: a /DCTDecode XObject whose
+                    # stream is the caller's JPEG bytes verbatim (what a
+                    # scanner-produced PDF embeds) — exercises the
+                    # jpeg_image_xobject passthrough
+                    jpeg = b["jpeg"]
+                    img_objs.append(
+                        f"<< /Type /XObject /Subtype /Image "
+                        f"/Width {b['width']} /Height {b['height']} "
+                        f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                        f"/Filter /DCTDecode "
+                        f"/Length {len(jpeg)} >>\nstream\n".encode("latin-1")
+                        + jpeg + b"\nendstream"
+                    )
+                    xobj_entries.append(
+                        f"/{name} {next_obj + len(img_objs) - 1} 0 R"
+                    )
+                    content_lines.append(
+                        f"q {b['w']} 0 0 {b['h']} {b['x']} {b['y']} cm "
+                        f"/{name} Do Q"
+                    )
+                    continue
                 # real raster payload: optional caller-provided `pixels`
                 # (+ `channels`, default gray), else a deterministic
                 # gradient — so decode_image_xobject round-trips the exact

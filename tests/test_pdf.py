@@ -453,6 +453,88 @@ class TestImageRasterDecode:
         for r in rows:
             assert feats[r["asset_id"]].n_bytes == len(r["data"])
 
+    def test_dctdecode_jpeg_passthrough_asset(self):
+        """A /DCTDecode image XObject's stream bytes ARE a complete JPEG
+        (ISO 32000-1 §7.4.8): they pass through verbatim as an image/jpeg
+        asset with the dict-declared dimensions — no JPEG decoder needed
+        for the OCR/vision seam."""
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_images
+
+        jpeg = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01"
+                b"\x00\x01\x00\x00" + bytes(range(64)) + b"\xff\xd9")
+        data = build_simple_pdf([[
+            text_block("Scan page caption.", y=700),
+            {"kind": "image", "x": 50, "y": 200, "w": 300, "h": 200,
+             "width": 24, "height": 16, "jpeg": jpeg},
+        ]])
+        (img,) = extract_pdf_images(data)
+        assert img["data"] == jpeg  # byte-identical passthrough
+        md = img["metadata"]
+        assert md["format"] == "jpeg" and md["media_type"] == "image/jpeg"
+        assert (md["width"], md["height"]) == ("24", "16")
+        assert md["page"] == "0"
+        # the block layer still records it as an image block
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_blocks
+        assert any(b["kind"] == "image" for b in extract_pdf_blocks(data))
+
+    def test_jpeg_and_raw_rasters_coexist_and_feed_multimodal(self, spark):
+        """One page mixing a FlateDecode raster and a DCTDecode JPEG: both
+        land as ASSET_SCHEMA rows (format=raw / format=jpeg) and run
+        through multimodal.extract_features unchanged."""
+        from ocr_vector_db_spark.sources.multimodal import (
+            ASSET_SCHEMA,
+            extract_features,
+        )
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_images
+
+        jpeg = b"\xff\xd8\xff\xe0 fake entropy payload \xff\xd9"
+        data = build_simple_pdf([[
+            {"kind": "image", "x": 0, "y": 500, "w": 200, "h": 100,
+             "width": 6, "height": 4},
+            {"kind": "image", "x": 0, "y": 300, "w": 200, "h": 100,
+             "width": 10, "height": 8, "jpeg": jpeg},
+        ]])
+        rows = extract_pdf_images(data)
+        fmts = sorted(r["metadata"]["format"] for r in rows)
+        assert fmts == ["jpeg", "raw"]
+        df = spark.createDataFrame(rows, ASSET_SCHEMA)
+        feats = {r.asset_id: r for r in extract_features(df).collect()}
+        for r in rows:
+            assert feats[r["asset_id"]].n_bytes == len(r["data"])
+
+    def test_jpeg_without_soi_is_skipped(self):
+        """A /DCTDecode stream that is not JPEG-shaped (no SOI marker) is
+        dropped, not emitted as a bogus asset."""
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_images
+
+        data = build_simple_pdf([[
+            {"kind": "image", "x": 0, "y": 0, "w": 100, "h": 100,
+             "width": 4, "height": 4, "jpeg": b"not a jpeg at all"},
+        ]])
+        assert extract_pdf_images(data) == []
+
+    def test_jpeg_dimensions_pymupdf_parity(self):
+        """PyMuPDF parity gate (skips without fitz): a real JPEG generated
+        by fitz embeds through the fixture and the passthrough's declared
+        dimensions match what fitz reads back from the extracted bytes."""
+        fitz = pytest.importorskip("fitz")
+
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_images
+
+        pm = fitz.Pixmap(fitz.csRGB, fitz.IRect(0, 0, 24, 16))
+        pm.clear_with(90)
+        jpeg = pm.tobytes("jpeg")
+        data = build_simple_pdf([[
+            {"kind": "image", "x": 0, "y": 0, "w": 240, "h": 160,
+             "width": 24, "height": 16, "jpeg": jpeg},
+        ]])
+        (img,) = extract_pdf_images(data)
+        assert img["data"] == jpeg
+        back = fitz.Pixmap(img["data"])
+        assert (back.width, back.height) == (
+            int(img["metadata"]["width"]), int(img["metadata"]["height"])
+        )
+
     def test_payload_ending_in_eol_bytes_survives(self):
         """Compressed payloads ending in 0x0A/0x0D (~0.8% of zlib streams —
         the adler32 tail is uniform) must round-trip intact: the scanner
