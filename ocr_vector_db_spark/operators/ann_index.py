@@ -81,14 +81,22 @@ class IVFIndex:
         assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(dest)
         commit_generation(spark, vec_path, n_gen)
         centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-        with open(os.path.join(path, "centroids.json"), "w") as fh:
-            json.dump(centroids, fh)
+        from ocr_vector_db_spark.operators.index_maint import write_small_file
+
+        # Hadoop FS, not open(): keeps the index layout local/HDFS-portable
+        write_small_file(spark, os.path.join(path, "centroids.json"),
+                         json.dumps(centroids).encode("utf-8"))
         return cls(spark, path, centroids)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
-        with open(os.path.join(path, "centroids.json")) as fh:
-            centroids = [(int(i), v) for i, v in json.load(fh)]
+        from ocr_vector_db_spark.operators.index_maint import read_small_file
+
+        centroids = [
+            (int(i), v) for i, v in json.loads(
+                read_small_file(spark, os.path.join(path, "centroids.json"))
+            )
+        ]
         return cls(spark, path, centroids)
 
     # -------------------------------------------------------------- search

@@ -162,6 +162,29 @@ def compact_plain(spark: SparkSession, path: str, num_files: int = 1) -> int:
     return n
 
 
+def write_small_file(spark: SparkSession, path: str, data: bytes) -> None:
+    """Write a small metadata file (index meta/centroids) through the
+    Hadoop FileSystem API so the index layouts stay local/HDFS-portable —
+    a plain open() would silently pin the index to the local filesystem."""
+    hpath, fs = _fs(spark, path)
+    out = fs.create(hpath(path), True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def read_small_file(spark: SparkSession, path: str) -> bytes:
+    hpath, fs = _fs(spark, path)
+    inp = fs.open(hpath(path))
+    try:
+        return bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(inp)
+        )
+    finally:
+        inp.close()
+
+
 class EpochLedger:
     """Replay-safety bookkeeping for streaming index ingestion.
 

@@ -176,6 +176,16 @@ def knn_batch(
     With `pre_reduce=False` the rank runs over the full-width scored stream
     (corpus columns ride through the sort/exchange) — the parity baseline
     for tests and the shape this operator had before the slim rewrite."""
+    # The restore join re-attaches (query_id, similarity, rank) onto the
+    # corpus columns — a corpus already carrying any of those names would
+    # make the select ambiguous and silently mislabel output, so fail fast.
+    reserved = {query_id, "similarity", "rank"}
+    clash = reserved & set(corpus.columns)
+    if clash:
+        raise ValueError(
+            f"knn_batch: corpus columns {sorted(clash)} collide with the "
+            f"output columns ({sorted(reserved)}); rename them first"
+        )
     q = queries.select(
         F.col(query_id), F.col(query_emb).alias("__q_emb"),
         *([F.col(block_col).alias("__q_block")] if block_col else []),

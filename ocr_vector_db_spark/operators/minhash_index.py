@@ -79,15 +79,24 @@ class MinHashIndex:
             idx._append(sig, overwrite=True)
         finally:
             sig.unpersist()
-        with open(os.path.join(path, "meta.json"), "w") as fh:
-            json.dump({"num_hashes": num_hashes, "bands": bands, "n": n,
-                       "n_buckets": n_buckets}, fh)
+        # Hadoop FS, not open(): the data layout is already fs-portable
+        # (local/HDFS); the meta file must not pin the index to local disk
+        from ocr_vector_db_spark.operators.index_maint import write_small_file
+
+        write_small_file(
+            spark, os.path.join(path, "meta.json"),
+            json.dumps({"num_hashes": num_hashes, "bands": bands, "n": n,
+                        "n_buckets": n_buckets}).encode("utf-8"),
+        )
         return idx
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "MinHashIndex":
-        with open(os.path.join(path, "meta.json")) as fh:
-            m = json.load(fh)
+        from ocr_vector_db_spark.operators.index_maint import read_small_file
+
+        m = json.loads(
+            read_small_file(spark, os.path.join(path, "meta.json"))
+        )
         return cls(spark, path, m["num_hashes"], m["bands"], m["n"],
                    m["n_buckets"])
 

@@ -142,6 +142,22 @@ def test_knn_batch_two_phase_with_ties_and_duplicate_sims(spark):
     assert got == want and len(got) == 21
 
 
+def test_knn_batch_rejects_reserved_column_collisions(spark):
+    """A corpus already carrying `similarity`, `rank`, or the query-id
+    name would make the restore join's select ambiguous and silently
+    mislabel output — knn_batch must fail fast instead."""
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id bigint, embedding array<double>"
+    )
+    for bad in ("similarity", "rank", "query_id"):
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0], 9.9)],
+            f"vec_id bigint, embedding array<double>, {bad} double",
+        )
+        with pytest.raises(ValueError, match=bad):
+            knn.knn_batch(corpus, queries, 3)
+
+
 def test_knn_batch_blocked_two_phase(spark):
     """block_col pruning composes with the two-phase reduce: candidates are
     restricted to matching blocks on both paths."""
