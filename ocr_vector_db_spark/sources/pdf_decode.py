@@ -17,10 +17,12 @@ PDF spec directly:
 Coverage is the simple-PDF subset PLUS CID-keyed fonts with /ToUnicode
 CMaps: Type0/Identity-H show strings (the encoding every Korean/CJK PDF in
 the reference's corpus uses) decode through the font's bfchar/bfrange map
-to Unicode, exactly as PyMuPDF resolves them. Still out of scope: object
-streams, encryption, CID fonts WITHOUT a ToUnicode map (no unicode info
-exists in the file; PyMuPDF shows U+FFFD there too) — `decode_pdf` in
-parsers.py first tries PyMuPDF if importable and falls back here.
+to Unicode, exactly as PyMuPDF resolves them. Also handled: /ObjStm object
+streams (the PDF 1.5+ compressed-object layout), /LZWDecode, and the
+TIFF/PNG predictors of §7.4.4.4 on Flate/LZW streams. Still out of scope:
+encryption and CID fonts WITHOUT a ToUnicode map (no unicode info exists
+in the file; PyMuPDF shows U+FFFD there too) — `decode_pdf` in parsers.py
+first tries PyMuPDF if importable and falls back here.
 
 Output block schema matches parse_pdf_blocks() input:
     {page: int, bbox: [x0, y0, x1, y1], kind: 'text'|'image', content: str}
@@ -90,7 +92,38 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             objects[num] = (body[: sm.start()], stream)
         else:
             objects[num] = (body, None)
+    _expand_object_streams(objects)
     return objects
+
+
+def _expand_object_streams(objects) -> None:
+    """Inline the contents of /ObjStm object streams (ISO 32000-1 §7.5.7,
+    the PDF 1.5+ layout where most non-stream objects live compressed):
+    the decoded stream is `/N` (objnum, offset) integer pairs followed by
+    the serialized objects at `/First` + offset. Each contained object
+    joins the map as a plain (body, None) entry, so the page-tree walk and
+    font/CMap loads see them exactly like top-level objects. A top-level
+    object with the same number wins (it is the incremental update)."""
+    for num in list(objects):
+        src, stream = objects[num]
+        if b"/ObjStm" not in src or stream is None:
+            continue
+        data = _decode_stream(src, stream)
+        mn = re.search(rb"/N\s+(\d+)", src)
+        mf = re.search(rb"/First\s+(\d+)", src)
+        if data is None or not (mn and mf):
+            continue
+        n, first = int(mn.group(1)), int(mf.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+                 for i in range(n)]
+        for i, (objnum, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < n else len(data)
+            body = data[first + off: end]
+            if objnum not in objects:
+                objects[objnum] = (body, None)
 
 
 def _dict_src(objects, num: int) -> bytes:
@@ -111,15 +144,132 @@ def _all_refs(src: bytes, key: bytes) -> list[int]:
     return [one] if one is not None else []
 
 
+def _decode_parms(dict_src: bytes) -> dict:
+    """Predictor parameters from /DecodeParms (dict or 1-element array)."""
+    m = re.search(rb"/DecodeParms\s*\[?\s*<<(.*?)>>", dict_src, re.S)
+    src = m.group(1) if m else b""
+
+    def num(key: bytes, default: int) -> int:
+        mm = re.search(rb"/" + key + rb"\s+(\d+)", src)
+        return int(mm.group(1)) if mm else default
+
+    return {
+        "predictor": num(b"Predictor", 1),
+        "columns": num(b"Columns", 1),
+        "colors": num(b"Colors", 1),
+        "early_change": num(b"EarlyChange", 1),
+    }
+
+
+def _apply_predictor(data: bytes, predictor: int, columns: int,
+                     colors: int) -> bytes:
+    """Undo the TIFF (2) / PNG (10-15) predictors of ISO 32000-1 §7.4.4.4
+    at 8 bits per component — the form every Flate/LZW-predicted PDF
+    stream in practice uses (xref streams, predicted image rasters)."""
+    if predictor <= 1:
+        return data
+    bpp = colors          # bytes per pixel at 8 bpc
+    row_len = columns * colors
+    if row_len <= 0:
+        return data
+    if predictor == 2:    # TIFF horizontal differencing
+        out = bytearray(data)
+        for r0 in range(0, len(out) - row_len + 1, row_len):
+            for j in range(bpp, row_len):
+                out[r0 + j] = (out[r0 + j] + out[r0 + j - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: every row is prefixed by its filter-type byte
+    out = bytearray()
+    prev = bytearray(row_len)
+    stride = row_len + 1
+    i = 0
+    while i + stride <= len(data):
+        ft = data[i]
+        row = bytearray(data[i + 1: i + stride])
+        i += stride
+        if ft == 1:       # Sub
+            for j in range(bpp, row_len):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:     # Up
+            for j in range(row_len):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:     # Average
+            for j in range(row_len):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:     # Paeth
+            for j in range(row_len):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes | None:
+    """PDF-variant LZW (ISO 32000-1 §7.4.4.2): MSB-first 9→12-bit codes,
+    256 = clear table, 257 = end of data, `early_change` widens the code
+    size one entry early (the spec default). Returns None on malformed
+    input rather than raising — callers treat it like any other
+    undecodable stream."""
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, None
+    out = bytearray()
+    bitbuf = nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width, prev = 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):     # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            prev = entry
+            if (len(table) + early_change >= (1 << width) - 1
+                    and width < 12):
+                width += 1
+    return bytes(out)    # tolerated: EOD marker missing at end of data
+
+
 def _decode_stream(dict_src: bytes, stream: bytes) -> bytes | None:
     if b"/FlateDecode" in dict_src:
         try:
-            return zlib.decompress(stream)
+            data = zlib.decompress(stream)
         except zlib.error:
             return None
-    if b"/Filter" in dict_src:   # unsupported filter (DCT, LZW, …)
+    elif b"/LZWDecode" in dict_src:
+        parms = _decode_parms(dict_src)
+        data = _lzw_decode(stream, parms["early_change"])
+        if data is None:
+            return None
+    elif b"/Filter" in dict_src:   # unsupported filter (DCT, JPX, CCITT…)
         return None
-    return stream
+    else:
+        return stream
+    p = _decode_parms(dict_src)
+    return _apply_predictor(data, p["predictor"], p["columns"], p["colors"])
 
 
 def _page_numbers(objects) -> list[int]:
@@ -530,11 +680,12 @@ def extract_pdf_blocks(data: bytes) -> list[dict]:
 def decode_image_xobject(objects, ref: int) -> dict | None:
     """Decode one image XObject to a raw pixel buffer.
 
-    Supports the self-contained subset: FlateDecode (or unfiltered)
-    DeviceRGB / DeviceGray at 8 bits per component — the encodings
-    `build_simple_pdf` writes and scanned-text PDFs commonly embed.
-    DCT/JPX/CCITT payloads (entropy-coded image formats) return None — those
-    need a codec library and stay behind the PyMuPDF path, exactly like the
+    Supports the self-contained subset: FlateDecode / LZWDecode (with
+    TIFF/PNG predictors) or unfiltered DeviceRGB / DeviceGray at 8 bits
+    per component — the encodings `build_simple_pdf` writes and
+    scanned-text PDFs commonly embed. DCT payloads pass through verbatim
+    as JPEG (`jpeg_image_xobject`); JPX/CCITT return None — those need a
+    codec library and stay behind the PyMuPDF path, exactly like the
     reference's 3x page render (ingestion/parsers/pymupdf_parser.py:773-823)
     needs PyMuPDF.
 

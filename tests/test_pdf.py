@@ -123,6 +123,216 @@ class TestStreamLengthScan:
         assert self._scan(b"5") == self.PAYLOAD
 
 
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Test-local PDF-variant LZW encoder (MSB-first, 9→12-bit codes,
+    clear=256/EOD=257, early width change) — the inverse of _lzw_decode."""
+    bits: list[tuple[int, int]] = []
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    bits.append((256, width))
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - early_change and width < 12:
+            width += 1
+        if next_code >= 4096 - early_change:  # table full → reset
+            bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        bits.append((table[w], width))
+    bits.append((257, width))
+    buf = n = 0
+    out = bytearray()
+    for code, wd in bits:
+        buf = (buf << wd) | code
+        n += wd
+        while n >= 8:
+            out.append((buf >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        out.append((buf << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+class TestFiltersAndObjectStreams:
+    """LZWDecode, TIFF/PNG predictors, and /ObjStm expansion — the PDF
+    1.5-era structures real-world files use (ISO 32000-1 §7.4.4, §7.5.7)."""
+
+    def test_lzw_spec_example_vector(self):
+        # the worked LZW example of the PDF reference (§7.4.4.2):
+        # "-----A---B" encodes to these 9 bytes
+        from ocr_vector_db_spark.sources.pdf_decode import _lzw_decode
+
+        assert _lzw_decode(
+            b"\x80\x0b\x60\x50\x22\x0c\x0c\x85\x01"
+        ) == b"-----A---B"
+
+    def test_lzw_round_trip_with_width_growth(self):
+        import random
+
+        from ocr_vector_db_spark.sources.pdf_decode import _lzw_decode
+
+        rnd = random.Random(11)
+        # enough distinct bigrams to push the code width past 9 and 10 bits
+        data = bytes(rnd.randrange(256) for _ in range(6000))
+        assert _lzw_decode(_lzw_encode(data)) == data
+        # compressible data exercises long table entries + the KwKwK case
+        rep = (b"abcabcabd" * 400) + b"aaaaaaaaaaaaaaaa"
+        assert _lzw_decode(_lzw_encode(rep)) == rep
+
+    def test_png_predictors_all_filter_types(self):
+        from ocr_vector_db_spark.sources.pdf_decode import _apply_predictor
+
+        w, colors = 6, 3
+        rows = [bytes((r * 31 + c * 7) % 256 for c in range(w * colors))
+                for r in range(5)]
+        raw = b"".join(rows)
+
+        def png_encode(filter_type: int) -> bytes:
+            bpp, row_len = colors, w * colors
+            out = bytearray()
+            prev = bytearray(row_len)
+            for row in rows:
+                enc = bytearray(row)
+                if filter_type == 1:
+                    for j in range(row_len - 1, bpp - 1, -1):
+                        enc[j] = (enc[j] - row[j - bpp]) & 0xFF
+                elif filter_type == 2:
+                    for j in range(row_len):
+                        enc[j] = (enc[j] - prev[j]) & 0xFF
+                elif filter_type == 3:
+                    for j in range(row_len):
+                        left = row[j - bpp] if j >= bpp else 0
+                        enc[j] = (enc[j] - ((left + prev[j]) >> 1)) & 0xFF
+                elif filter_type == 4:
+                    for j in range(row_len):
+                        a = row[j - bpp] if j >= bpp else 0
+                        b = prev[j]
+                        c = prev[j - bpp] if j >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pr = a if (pa <= pb and pa <= pc) else (
+                            b if pb <= pc else c)
+                        enc[j] = (enc[j] - pr) & 0xFF
+                out += bytes([filter_type]) + enc
+                prev = bytearray(row)
+            return bytes(out)
+
+        for ft in (0, 1, 2, 3, 4):
+            assert _apply_predictor(png_encode(ft), 10 + ft, w, colors) == raw
+
+    def test_tiff_predictor(self):
+        from ocr_vector_db_spark.sources.pdf_decode import _apply_predictor
+
+        w, colors = 5, 3
+        raw = bytes((i * 13) % 256 for i in range(w * colors * 3))
+        enc = bytearray(raw)
+        row_len = w * colors
+        for r0 in range(0, len(enc), row_len):
+            for j in range(row_len - 1, colors - 1, -1):
+                enc[r0 + j] = (enc[r0 + j] - enc[r0 + j - colors]) & 0xFF
+        assert _apply_predictor(bytes(enc), 2, w, colors) == raw
+
+    def test_predicted_flate_image_raster(self):
+        """An image XObject whose Flate stream carries PNG predictor 12
+        (/DecodeParms) decodes to the original pixels."""
+        import zlib as _zlib
+
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            _scan_objects,
+            decode_image_xobject,
+        )
+
+        w, h, colors = 4, 3, 3
+        pixels = bytes((i * 11) % 256 for i in range(w * h * colors))
+        row_len = w * colors
+        # PNG Up filter per row (type 2 → predictor tag 12 covers 10-15)
+        enc = bytearray()
+        prev = bytearray(row_len)
+        for r0 in range(0, len(pixels), row_len):
+            row = pixels[r0:r0 + row_len]
+            enc += b"\x02" + bytes((row[j] - prev[j]) & 0xFF
+                                   for j in range(row_len))
+            prev = bytearray(row)
+        payload = _zlib.compress(bytes(enc))
+        data = (
+            b"%PDF-1.5\n7 0 obj\n<< /Type /XObject /Subtype /Image "
+            b"/Width 4 /Height 3 /ColorSpace /DeviceRGB "
+            b"/BitsPerComponent 8 /Filter /FlateDecode "
+            b"/DecodeParms << /Predictor 12 /Colors 3 /Columns 4 >> "
+            b"/Length " + str(len(payload)).encode() + b" >>\nstream\n"
+            + payload + b"\nendstream\nendobj\n"
+        )
+        raster = decode_image_xobject(_scan_objects(data), 7)
+        assert raster is not None and raster["pixels"] == pixels
+
+    def _objstm_pdf(self) -> bytes:
+        import zlib as _zlib
+
+        inner = [
+            (2, b"<< /Type /Catalog /Pages 3 0 R >>"),
+            (3, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+            (4, b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+                b"/Contents 5 0 R /Resources << /Font << /F1 << /Type /Font "
+                b"/Subtype /Type1 /BaseFont /Helvetica >> >> >> >>"),
+        ]
+        offsets, bodies, pos = [], [], 0
+        for num, body in inner:
+            offsets.append((num, pos))
+            bodies.append(body)
+            pos += len(body) + 1
+        header = " ".join(f"{n} {o}" for n, o in offsets).encode() + b"\n"
+        payload_raw = header + b"\n".join(bodies) + b"\n"
+        payload = _zlib.compress(payload_raw)
+        content = b"BT /F1 12 Tf 72 700 Td (Hello from an object stream) Tj ET"
+        return (
+            b"%PDF-1.5\n"
+            b"1 0 obj\n<< /Type /ObjStm /N 3 /First "
+            + str(len(header)).encode()
+            + b" /Filter /FlateDecode /Length "
+            + str(len(payload)).encode()
+            + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+            b"5 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+        )
+
+    def test_object_stream_page_tree_extracts_text(self):
+        """Catalog/pages/page packed in a compressed /ObjStm (how PDF 1.5+
+        writers emit them) — the page-tree walk and text extraction must
+        see them exactly like top-level objects."""
+        data = self._objstm_pdf()
+        blocks = extract_pdf_blocks(data)
+        assert len(blocks) == 1
+        assert blocks[0]["content"] == "Hello from an object stream"
+        assert blocks[0]["page"] == 0
+
+    def test_lzw_content_stream_extracts_text(self):
+        content = b"BT /F1 12 Tf 72 700 Td (LZW compressed content) Tj ET"
+        payload = _lzw_encode(content)
+        data = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 << /Type /Font "
+            b"/Subtype /Type1 /BaseFont /Helvetica >> >> >> >>\nendobj\n"
+            b"4 0 obj\n<< /Filter /LZWDecode /Length "
+            + str(len(payload)).encode()
+            + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+        )
+        blocks = extract_pdf_blocks(data)
+        assert len(blocks) == 1
+        assert blocks[0]["content"] == "LZW compressed content"
+
+
 KO_TEXT = "파이썬 데코레이터는 함수를 감싸서\n동작을 확장한다"
 
 
