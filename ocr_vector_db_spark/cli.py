@@ -301,6 +301,61 @@ def cmd_hybrid_search(args) -> int:
     return 0
 
 
+def cmd_stream_ingest(args) -> int:
+    """Incremental near-dup-gated ingestion — the streaming extension of
+    the reference's re-runnable CLI ingest loop (api/cli/ingest.py): each
+    run drains the JSON document files under --source (one `{"doc_id": N,
+    "text": ...}` per line), dedups each micro-batch within itself,
+    screens survivors against the store's PERSISTED MinHash index, and
+    folds accepted docs in so later batches (and later runs) screen
+    against them too.
+
+    Accepted rows land distributed under `{store}/accepted/epoch_id=N`
+    (never collected to the driver); the checkpoint makes re-runs
+    incremental (a re-run with nothing new is a no-op), the epoch ledger
+    makes crash replays safe without per-batch corpus-sized re-add
+    guards, and `--compact-every` bounds the index's file count."""
+    import os
+
+    from ocr_vector_db_spark.operators.index_maint import EpochLedger
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
+
+    spark = _spark()
+    mh_path = os.path.join(args.store, "mhidx")
+    if os.path.exists(os.path.join(mh_path, "meta.json")):
+        idx = MinHashIndex.load(spark, mh_path)
+    else:
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        idx = MinHashIndex.build(
+            spark, empty, mh_path, num_hashes=args.num_hashes,
+            bands=args.bands, n=2, n_buckets=args.buckets,
+        )
+    stats: list = []
+    q = stream_ingest_deduped(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", args.files_per_batch)
+        .json(args.source),
+        idx,
+        ParquetAcceptedSink(os.path.join(args.store, "accepted")),
+        threshold=args.threshold,
+        stats=stats,
+        checkpoint=os.path.join(args.store, "stream_checkpoint"),
+        ledger=EpochLedger(spark, os.path.join(mh_path, "_epochs")),
+        compact_every=args.compact_every,
+    )
+    q.awaitTermination()
+    acc = sum(s["accepted"] for s in stats)
+    drop = sum(s["dropped_as_dup"] for s in stats)
+    print(f"[stream-ingest] {len(stats)} micro-batches: accepted {acc}, "
+          f"dropped {drop} near-dups; accepted rows under "
+          f"{args.store}/accepted")
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack stored fragments into token-budget training sequences, per
     language shard; prints the per-shard pack summary."""
@@ -611,6 +666,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="serve from the persisted lex+ivf indexes "
                          "(build with the `index` command)")
     sp.set_defaults(fn=cmd_hybrid_search)
+
+    sp = sub.add_parser("stream-ingest")
+    common(sp)
+    sp.add_argument("--source", required=True,
+                    help="directory of JSON-lines doc files "
+                         '({"doc_id": N, "text": ...} per line)')
+    sp.add_argument("--threshold", type=float, default=0.8)
+    sp.add_argument("--num-hashes", type=int, default=16)
+    sp.add_argument("--bands", type=int, default=4)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--files-per-batch", type=int, default=64)
+    sp.add_argument("--compact-every", type=int, default=32)
+    sp.set_defaults(fn=cmd_stream_ingest)
 
     sp = sub.add_parser("pack")
     common(sp)

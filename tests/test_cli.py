@@ -98,6 +98,43 @@ def test_cli_hybrid_search_and_pack(spark, tmp_path, capsys):
     assert "rrf=" in out
 
 
+def test_cli_stream_ingest_gates_and_resumes(spark, tmp_path, capsys):
+    """stream-ingest drains the source dir through the persisted MinHash
+    gate; a second run with a near-dup + a novel doc accepts only the
+    novel one, and a third run with nothing new is a no-op."""
+    import json as _json
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps running "
+            "through the quiet green field toward the distant river bank")
+    novel = ("completely unrelated legal filing concerning maritime salvage "
+             "rights and the apportionment of recovered cargo value")
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    with open(src / "a.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": base}) + "\n")
+
+    argv = ["stream-ingest", "--store", store, "--source", str(src),
+            "--threshold", "0.6", "--buckets", "8"]
+    assert cli.main(argv) == 0
+    assert "accepted 1, dropped 0" in capsys.readouterr().out
+
+    with open(src / "b.json", "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 2, "text": base.replace("river", "ocean")}) + "\n")
+        fh.write(_json.dumps({"doc_id": 3, "text": novel}) + "\n")
+    assert cli.main(argv) == 0
+    assert "accepted 1, dropped 1" in capsys.readouterr().out
+
+    # nothing new → checkpointed re-run is a no-op
+    assert cli.main(argv) == 0
+    assert "0 micro-batches" in capsys.readouterr().out
+
+    accepted = spark.read.option("basePath", f"{store}/accepted").parquet(
+        f"{store}/accepted")
+    assert {r.doc_id for r in accepted.collect()} == {1, 3}
+
+
 def test_cli_repl_session(spark, tmp_path, capsys):
     """REPL parity with api/cli/repl.py: settings commands, a search, RAG
     toggle mid-session, :sources after a generation, :clear-history, :quit."""
