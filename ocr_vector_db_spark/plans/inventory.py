@@ -3725,6 +3725,80 @@ def q105(spark, sf):
     return idx.screen(d.filter(F.col("doc_id") % 2 == 1))
 
 
+@query(
+    "q107_pdf_modern_structures",
+    """
+    SELECT * FROM (VALUES
+        ('/corpus/lzw.pdf', 'text', 75, 'LZW compressed content streams'),
+        ('/corpus/objstm.pdf', 'text', 73, 'Object streams pack the catalo'),
+        ('/corpus/predicted.pdf', 'image_raw', 72,
+         'c52a38cfc40938e9693950ba8eed4a83'),
+        ('/corpus/scan.pdf', 'image_jpeg', 70,
+         '79b61015c194082562e6c006c5d005df')
+    ) AS t(source_path, item, n, detail)
+    """,
+)
+def q107(spark, sf):
+    """The PDF 1.5-era structures real-world files use, end-to-end and
+    distributed (golden VALUES oracle, like q86): an /ObjStm-packed page
+    tree and an /LZWDecode content stream through the full parse path
+    (mapInPandas, parsers.parse_pdf), plus a /Predictor 12 Flate raster
+    (decoded to exact pixels — md5 is the literal of the input buffer)
+    and a /DCTDecode image (verbatim JPEG passthrough) through the
+    distributed asset extractor `ingest.pdf_image_assets`. Reference
+    parity: PyMuPDF handles all four transparently
+    (ingestion/parsers/pymupdf_parser.py:180-242,518-569)."""
+    from ocr_vector_db_spark.sources.ingest import (
+        parse_pdf_segments,
+        pdf_files_df,
+        pdf_image_assets,
+    )
+    from ocr_vector_db_spark.sources.pdf_decode import (
+        build_objstm_pdf,
+        build_simple_pdf,
+    )
+
+    objstm = build_objstm_pdf(
+        "Object streams pack the catalog and page tree into one "
+        "compressed stream."
+    )
+    lzw = build_simple_pdf([[
+        {"kind": "text", "x": 72, "y": 700, "size": 12,
+         "text": "LZW compressed content streams decode through the pure "
+                 "Python inflate path."},
+    ]], compress="lzw")
+    w, h = 6, 4
+    pixels = bytes((i * 11) % 256 for i in range(w * h * 3))
+    predicted = build_simple_pdf([[
+        {"kind": "image", "x": 0, "y": 400, "w": 120, "h": 80,
+         "width": w, "height": h, "channels": 3,
+         "pixels": pixels, "predictor": 12},
+    ]])
+    jpeg = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01"
+            b"\x00\x00" + bytes(range(48)) + b"\xff\xd9")
+    scan = build_simple_pdf([[
+        {"kind": "image", "x": 0, "y": 300, "w": 200, "h": 150,
+         "width": 20, "height": 15, "jpeg": jpeg},
+    ]])
+
+    texts = parse_pdf_segments(pdf_files_df(spark, [
+        ("/corpus/objstm.pdf", objstm), ("/corpus/lzw.pdf", lzw),
+    ])).select(
+        "source_path", F.lit("text").alias("item"),
+        F.length("content").cast("int").alias("n"),
+        F.substring("content", 1, 30).alias("detail"),
+    )
+    assets = pdf_image_assets(pdf_files_df(spark, [
+        ("/corpus/predicted.pdf", predicted), ("/corpus/scan.pdf", scan),
+    ])).select(
+        "source_path",
+        F.concat(F.lit("image_"), F.col("metadata")["format"]).alias("item"),
+        F.length("data").cast("int").alias("n"),
+        F.md5("data").alias("detail"),
+    )
+    return texts.unionByName(assets).orderBy("source_path")
+
+
 _Q106_QUERY_IDS = [0, 7, 23, 42]
 
 

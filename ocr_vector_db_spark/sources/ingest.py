@@ -153,6 +153,39 @@ def parse_pdf_segments(files: DataFrame, enable_auto_ocr: bool = False,
     return files.mapInPandas(run, SEGMENT_SCHEMA)
 
 
+PDF_ASSET_SCHEMA = T.StructType([
+    T.StructField("source_path", T.StringType(), False),
+    T.StructField("asset_id", T.StringType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("data", T.BinaryType(), False),
+    T.StructField("metadata",
+                  T.MapType(T.StringType(), T.StringType()), True),
+])
+
+
+def pdf_image_assets(files: DataFrame) -> DataFrame:
+    """Binary PDFs → drawn-image asset rows, distributed (mapInPandas,
+    one document per input row): FlateDecode rasters as raw pixel buffers,
+    DCTDecode images as verbatim JPEG bytes (pdf_decode.extract_pdf_images).
+    Output is `source_path` + the multimodal ASSET_SCHEMA columns, so it
+    feeds `multimodal.extract_features` / `ocr_policy.gate_assets_for_ocr`
+    directly — the distributed form of the reference's render-page-and-OCR
+    loop (pymupdf_parser.py:518-569,773-823)."""
+    from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_images
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, data in zip(pdf["source_path"], pdf["data"]):
+                for asset in extract_pdf_images(bytes(data)):
+                    rows.append({"source_path": path, **asset})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PDF_ASSET_SCHEMA.fields]
+            )
+
+    return files.mapInPandas(run, PDF_ASSET_SCHEMA)
+
+
 def _fragment_rows(
     doc_id: str, source_path: str, segs: list[dict], **unitizer_kwargs
 ) -> list[dict]:

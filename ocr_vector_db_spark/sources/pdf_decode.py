@@ -808,6 +808,98 @@ def extract_pdf_images(data: bytes) -> list[dict]:
 
 # ------------------------------------------------------------ fixture writer
 
+def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF-variant LZW encoder — fixture-writer support (the inverse of
+    `_lzw_decode`, same §7.4.4.2 rules: MSB-first 9→12-bit codes,
+    clear=256/EOD=257, early width change). Lets tests and golden queries
+    emit /LZWDecode streams without any codec library."""
+    bits: list[tuple[int, int]] = []
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    bits.append((256, width))
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - early_change and width < 12:
+            width += 1
+        if next_code >= 4096 - early_change:  # table full → reset
+            bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        bits.append((table[w], width))
+    bits.append((257, width))
+    buf = n = 0
+    out = bytearray()
+    for code, wd in bits:
+        buf = (buf << wd) | code
+        n += wd
+        while n >= 8:
+            out.append((buf >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        out.append((buf << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+def png_predict_up(pixels: bytes, columns: int, colors: int) -> bytes:
+    """Forward PNG Up-filter (type 2) over 8-bpc rows — fixture-writer
+    support for /Predictor 12 streams (the inverse of _apply_predictor's
+    Up branch)."""
+    row_len = columns * colors
+    out = bytearray()
+    prev = bytearray(row_len)
+    for r0 in range(0, len(pixels), row_len):
+        row = pixels[r0: r0 + row_len]
+        out += b"\x02" + bytes((row[j] - prev[j]) & 0xFF
+                               for j in range(len(row)))
+        prev = bytearray(row)
+    return bytes(out)
+
+
+def build_objstm_pdf(text: str, x: float = 72, y: float = 700,
+                     size: float = 12) -> bytes:
+    """Single-page fixture in the PDF 1.5+ layout: catalog/pages/page
+    packed into a Flate-compressed /ObjStm object stream, content stream
+    top-level — what modern PDF writers emit and `_expand_object_streams`
+    decodes."""
+    inner = [
+        (2, b"<< /Type /Catalog /Pages 3 0 R >>"),
+        (3, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (4, b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 5 0 R /Resources << /Font << /F1 << /Type /Font "
+            b"/Subtype /Type1 /BaseFont /Helvetica >> >> >> >>"),
+    ]
+    offsets, bodies, pos = [], [], 0
+    for num, body in inner:
+        offsets.append((num, pos))
+        bodies.append(body)
+        pos += len(body) + 1
+    header = " ".join(f"{n} {o}" for n, o in offsets).encode() + b"\n"
+    payload = zlib.compress(header + b"\n".join(bodies) + b"\n")
+    esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    content = (
+        f"BT /F1 {size} Tf {x} {y} Td ({esc}) Tj ET".encode("latin-1")
+    )
+    return (
+        b"%PDF-1.5\n"
+        b"1 0 obj\n<< /Type /ObjStm /N 3 /First "
+        + str(len(header)).encode()
+        + b" /Filter /FlateDecode /Length "
+        + str(len(payload)).encode()
+        + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+
+
 def _tounicode_cmap(chars: set[str]) -> bytes:
     """Minimal spec-shaped ToUnicode CMap: 2-byte Identity codespace, one
     bfchar entry per used char (code = the char's BMP codepoint — the
@@ -827,12 +919,18 @@ def _tounicode_cmap(chars: set[str]) -> bytes:
     ).encode("latin-1")
 
 
-def build_simple_pdf(pages: list[list[dict]], compress: bool = True) -> bytes:
+def build_simple_pdf(pages: list[list[dict]],
+                     compress: bool | str = True) -> bytes:
     """Deterministic minimal PDF writer for fixtures/tests (no library).
 
     `pages` = list of pages; each page a list of blocks:
       {'kind': 'text', 'text': str, 'x': float, 'y': float, 'size': float}
       {'kind': 'image', 'x', 'y', 'w', 'h', 'width': px, 'height': px}
+        (+ optional 'pixels'/'channels', 'predictor': 12 for a PNG-Up
+        predicted Flate raster, or 'jpeg': bytes for a /DCTDecode stream)
+
+    `compress`: True = FlateDecode content streams, "lzw" = LZWDecode,
+    False = stored.
 
     Text containing non-Latin-1 characters (Korean, CJK, …) is emitted the
     way real-world PDFs carry it: a Type0 /Identity-H font whose show
@@ -925,11 +1023,23 @@ def build_simple_pdf(pages: list[list[dict]], compress: bool = True) -> bytes:
                         for r in range(b["height"])
                     )
                 assert len(pixels) == need, "pixels must be w*h*channels bytes"
-                payload_img = zlib.compress(pixels)
+                if b.get("predictor") == 12:
+                    # PNG Up-predicted raster (+ /DecodeParms), the layout
+                    # real scanners/optimizers commonly emit
+                    payload_img = zlib.compress(
+                        png_predict_up(pixels, b["width"], channels)
+                    )
+                    parms = (
+                        f" /DecodeParms << /Predictor 12 /Colors {channels}"
+                        f" /Columns {b['width']} >>"
+                    )
+                else:
+                    payload_img = zlib.compress(pixels)
+                    parms = ""
                 img_objs.append(
                     f"<< /Type /XObject /Subtype /Image /Width {b['width']} "
                     f"/Height {b['height']} /ColorSpace {cs} "
-                    f"/BitsPerComponent 8 /Filter /FlateDecode "
+                    f"/BitsPerComponent 8 /Filter /FlateDecode{parms} "
                     f"/Length {len(payload_img)} >>\nstream\n".encode("latin-1")
                     + payload_img + b"\nendstream"
                 )
@@ -938,7 +1048,10 @@ def build_simple_pdf(pages: list[list[dict]], compress: bool = True) -> bytes:
                     f"q {b['w']} 0 0 {b['h']} {b['x']} {b['y']} cm /{name} Do Q"
                 )
         content = "\n".join(content_lines).encode("latin-1")
-        if compress:
+        if compress == "lzw":
+            payload = lzw_encode(content)
+            stream_dict = f"<< /Length {len(payload)} /Filter /LZWDecode >>"
+        elif compress:
             payload = zlib.compress(content)
             stream_dict = f"<< /Length {len(payload)} /Filter /FlateDecode >>"
         else:

@@ -123,43 +123,7 @@ class TestStreamLengthScan:
         assert self._scan(b"5") == self.PAYLOAD
 
 
-def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
-    """Test-local PDF-variant LZW encoder (MSB-first, 9→12-bit codes,
-    clear=256/EOD=257, early width change) — the inverse of _lzw_decode."""
-    bits: list[tuple[int, int]] = []
-    table = {bytes([i]): i for i in range(256)}
-    next_code, width = 258, 9
-    bits.append((256, width))
-    w = b""
-    for ch in data:
-        wc = w + bytes([ch])
-        if wc in table:
-            w = wc
-            continue
-        bits.append((table[w], width))
-        table[wc] = next_code
-        next_code += 1
-        if next_code >= (1 << width) - early_change and width < 12:
-            width += 1
-        if next_code >= 4096 - early_change:  # table full → reset
-            bits.append((256, width))
-            table = {bytes([i]): i for i in range(256)}
-            next_code, width = 258, 9
-        w = bytes([ch])
-    if w:
-        bits.append((table[w], width))
-    bits.append((257, width))
-    buf = n = 0
-    out = bytearray()
-    for code, wd in bits:
-        buf = (buf << wd) | code
-        n += wd
-        while n >= 8:
-            out.append((buf >> (n - 8)) & 0xFF)
-            n -= 8
-    if n:
-        out.append((buf << (8 - n)) & 0xFF)
-    return bytes(out)
+from ocr_vector_db_spark.sources.pdf_decode import lzw_encode as _lzw_encode
 
 
 class TestFiltersAndObjectStreams:
@@ -274,63 +238,68 @@ class TestFiltersAndObjectStreams:
         raster = decode_image_xobject(_scan_objects(data), 7)
         assert raster is not None and raster["pixels"] == pixels
 
-    def _objstm_pdf(self) -> bytes:
-        import zlib as _zlib
-
-        inner = [
-            (2, b"<< /Type /Catalog /Pages 3 0 R >>"),
-            (3, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
-            (4, b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
-                b"/Contents 5 0 R /Resources << /Font << /F1 << /Type /Font "
-                b"/Subtype /Type1 /BaseFont /Helvetica >> >> >> >>"),
-        ]
-        offsets, bodies, pos = [], [], 0
-        for num, body in inner:
-            offsets.append((num, pos))
-            bodies.append(body)
-            pos += len(body) + 1
-        header = " ".join(f"{n} {o}" for n, o in offsets).encode() + b"\n"
-        payload_raw = header + b"\n".join(bodies) + b"\n"
-        payload = _zlib.compress(payload_raw)
-        content = b"BT /F1 12 Tf 72 700 Td (Hello from an object stream) Tj ET"
-        return (
-            b"%PDF-1.5\n"
-            b"1 0 obj\n<< /Type /ObjStm /N 3 /First "
-            + str(len(header)).encode()
-            + b" /Filter /FlateDecode /Length "
-            + str(len(payload)).encode()
-            + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n"
-            b"5 0 obj\n<< /Length " + str(len(content)).encode()
-            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
-        )
-
     def test_object_stream_page_tree_extracts_text(self):
         """Catalog/pages/page packed in a compressed /ObjStm (how PDF 1.5+
         writers emit them) — the page-tree walk and text extraction must
         see them exactly like top-level objects."""
-        data = self._objstm_pdf()
-        blocks = extract_pdf_blocks(data)
+        from ocr_vector_db_spark.sources.pdf_decode import build_objstm_pdf
+
+        blocks = extract_pdf_blocks(
+            build_objstm_pdf("Hello from an object stream")
+        )
         assert len(blocks) == 1
         assert blocks[0]["content"] == "Hello from an object stream"
         assert blocks[0]["page"] == 0
 
     def test_lzw_content_stream_extracts_text(self):
-        content = b"BT /F1 12 Tf 72 700 Td (LZW compressed content) Tj ET"
-        payload = _lzw_encode(content)
-        data = (
-            b"%PDF-1.4\n"
-            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
-            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
-            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Contents 4 0 R /Resources << /Font << /F1 << /Type /Font "
-            b"/Subtype /Type1 /BaseFont /Helvetica >> >> >> >>\nendobj\n"
-            b"4 0 obj\n<< /Filter /LZWDecode /Length "
-            + str(len(payload)).encode()
-            + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+        data = build_simple_pdf(
+            [[text_block("LZW compressed content")]], compress="lzw"
         )
         blocks = extract_pdf_blocks(data)
         assert len(blocks) == 1
         assert blocks[0]["content"] == "LZW compressed content"
+
+    def test_predictor_fixture_option_round_trips(self):
+        """build_simple_pdf's predictor=12 image form emits /DecodeParms +
+        an Up-filtered Flate stream that decodes to the exact pixels."""
+        from ocr_vector_db_spark.sources.pdf_decode import extract_pdf_images
+
+        w, h = 6, 4
+        pixels = bytes((i * 11) % 256 for i in range(w * h * 3))
+        data = build_simple_pdf([[
+            {"kind": "image", "x": 0, "y": 400, "w": 120, "h": 80,
+             "width": w, "height": h, "channels": 3,
+             "pixels": pixels, "predictor": 12},
+        ]])
+        assert b"/DecodeParms" in data
+        (img,) = extract_pdf_images(data)
+        assert img["data"] == pixels
+
+    def test_pdf_image_assets_distributed(self, spark):
+        """ingest.pdf_image_assets: distributed (mapInPandas) asset
+        extraction over binary PDF rows — raw raster and JPEG passthrough
+        rows come back with source_path attached."""
+        from ocr_vector_db_spark.sources.ingest import (
+            pdf_files_df,
+            pdf_image_assets,
+        )
+
+        raster_pdf = build_simple_pdf([[
+            {"kind": "image", "x": 0, "y": 0, "w": 100, "h": 100,
+             "width": 4, "height": 4},
+        ]])
+        jpeg = b"\xff\xd8\xff\xe0 payload \xff\xd9"
+        jpeg_pdf = build_simple_pdf([[
+            {"kind": "image", "x": 0, "y": 0, "w": 100, "h": 100,
+             "width": 8, "height": 8, "jpeg": jpeg},
+        ]])
+        files = pdf_files_df(spark, [("/a.pdf", raster_pdf),
+                                     ("/b.pdf", jpeg_pdf)])
+        rows = {r.source_path: r for r in pdf_image_assets(files).collect()}
+        assert rows["/a.pdf"].metadata["format"] == "raw"
+        assert len(rows["/a.pdf"].data) == 16
+        assert rows["/b.pdf"].metadata["format"] == "jpeg"
+        assert bytes(rows["/b.pdf"].data) == jpeg
 
 
 KO_TEXT = "파이썬 데코레이터는 함수를 감싸서\n동작을 확장한다"
