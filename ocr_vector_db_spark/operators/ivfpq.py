@@ -115,28 +115,132 @@ class IVFPQIndex:
             "cluster_id",
             pq.encode_col(F.col("__residual")).alias("pq_codes"),
         )
-        codes.write.mode("overwrite").partitionBy("cluster_id").parquet(
-            os.path.join(path, "codes")
+        from ocr_vector_db_spark.operators.index_maint import (
+            commit_generation,
+            init_generation,
+            write_small_file,
         )
-        with open(os.path.join(path, "meta.json"), "w") as fh:
-            json.dump(
-                {"dim": dim, "m": m, "centroids": centroids, "codebooks": pq.codebooks},
-                fh,
-            )
+
+        codes_root = os.path.join(path, "codes")
+        n_gen, dest = init_generation(spark, codes_root)
+        codes.write.mode("overwrite").partitionBy("cluster_id").parquet(dest)
+        commit_generation(spark, codes_root, n_gen)
+        write_small_file(
+            spark, os.path.join(path, "meta.json"),
+            json.dumps({"dim": dim, "m": m, "centroids": centroids,
+                        "codebooks": pq.codebooks}).encode("utf-8"),
+        )
         return cls(spark, path, centroids, pq)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFPQIndex":
-        with open(os.path.join(path, "meta.json")) as fh:
-            meta = json.load(fh)
+        from ocr_vector_db_spark.operators.index_maint import read_small_file
+
+        meta = json.loads(
+            read_small_file(spark, os.path.join(path, "meta.json"))
+        )
         pq = PQIndex(meta["dim"], meta["m"], meta["codebooks"])
         centroids = [(int(i), v) for i, v in meta["centroids"]]
         return cls(spark, path, centroids, pq)
 
+    # ------------------------------------------------------------ increment
+
+    def _residual_codes(self, df: DataFrame, emb_col: str,
+                        id_col: str) -> DataFrame:
+        """(id, cluster_id, pq_codes) for new vectors against the FROZEN
+        quantizers: nearest existing centroid by squared L2 (the metric the
+        coarse KMeans assigned with), residual encoded with the existing
+        codebooks — shared by add(); build() trains fresh quantizers."""
+        v = F.col(emb_col).cast("array<double>")
+        best_id, best_d = None, None
+        for cid, centroid in self.centroids:
+            c = F.array(*[F.lit(float(x)) for x in centroid])
+            d = F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            if best_id is None:
+                best_id, best_d = F.lit(cid), d
+            else:
+                cond = d < best_d
+                best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
+                best_d = F.when(cond, d).otherwise(best_d)
+        cent_df = self.spark.createDataFrame(
+            [(cid, vec) for cid, vec in self.centroids],
+            ["cluster_id", "__centroid"],
+        )
+        return (
+            df.withColumn("cluster_id", best_id.cast("int"))
+            .join(F.broadcast(cent_df), "cluster_id")
+            .withColumn(
+                "__residual",
+                F.zip_with(v, F.col("__centroid").cast("array<double>"),
+                           lambda a, b: a - b),
+            )
+            .select(
+                id_col, "cluster_id",
+                self.pq.encode_col(F.col("__residual")).alias("pq_codes"),
+            )
+        )
+
+    def add(
+        self,
+        df: DataFrame,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        assume_new: bool = False,
+    ) -> int:
+        """Incremental index update with FROZEN quantizers — the ivfflat
+        lists-don't-move contract applied twice: coarse centroids AND the
+        residual codebooks stay fixed (periodic rebuild handles drift),
+        so an added vector's ADC distances stay comparable with the
+        existing codes. Assign nearest existing centroid, encode the
+        residual, append into the cluster-partitioned layout.
+
+        Re-add guard / ``assume_new`` escape / EpochLedger delegation:
+        IVFIndex.add parity. Single-writer contract. Returns the number
+        of vectors added."""
+        from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+        if not assume_new:
+            indexed = self.codes().select(id_col).distinct()
+            df = df.join(indexed, id_col, "left_anti")
+        codes = self._residual_codes(df, emb_col, id_col).cache()
+        try:
+            # materialize BEFORE the append: the anti-join above reads the
+            # codes path (same self-read hazard as IVFIndex.add)
+            n = codes.count()
+            codes.write.mode("append").partitionBy("cluster_id").parquet(
+                current_gen_dir(self.spark, os.path.join(self.path, "codes"))
+            )
+            return n
+        finally:
+            codes.unpersist()
+
+    # ---------------------------------------------------------- maintenance
+
+    def compact(self) -> int:
+        """Collapse each cluster partition to one file after many add()
+        appends (OPTIMIZE analogue; generation-pointer publish, see
+        operators/index_maint.py). Returns the code row count.
+        Single-writer contract."""
+        from ocr_vector_db_spark.operators.index_maint import (
+            compact_partitioned,
+        )
+
+        return compact_partitioned(
+            self.spark, os.path.join(self.path, "codes"),
+            "cluster_id", max(len(self.centroids), 1),
+        )
+
     # -------------------------------------------------------------- search
 
     def codes(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "codes"))
+        from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+        return self.spark.read.parquet(
+            current_gen_dir(self.spark, os.path.join(self.path, "codes"))
+        )
 
     def probe_clusters(self, query: list[float], nprobe: int) -> list[int]:
         ranked = sorted(self.centroids, key=lambda c: (-_cos(c[1], query), c[0]))

@@ -3799,6 +3799,57 @@ def q107(spark, sf):
     return texts.unionByName(assets).orderBy("source_path")
 
 
+@query(
+    "q108_ivfpq_incremental_add",
+    """
+    SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+           CAST(1 AS BIGINT) AS top1_vec_id,
+           CAST(1.0 AS DOUBLE) AS top1_similarity,
+           1 AS recall_ok, true AS sorted_ok,
+           (SELECT COUNT(*) FROM embeddings) AS n_codes,
+           CAST(0 AS BIGINT) AS readd_added
+    """,
+)
+def q108(spark, sf):
+    """Incremental compressed-index update: IVFPQIndex.build on HALF the
+    corpus (even vec_ids), IVFPQIndex.add on the rest — new vectors
+    assigned to their nearest FROZEN centroid and their residuals encoded
+    with the FROZEN codebooks (the ivfflat lists-don't-move contract
+    applied to both quantizer levels; q103's dense sibling). The quantizers
+    aren't SQL-reproducible, so the gate checks invariants: the query is
+    the exact embedding of vec 1 — an ADDED (odd) vector — so top-1 must
+    be vec 1 at similarity 1.0 (proving the append landed in the cluster
+    layout AND is served), recall@10 vs the exact scan >= floor, output
+    sorted, code count == corpus count (conservation), and a re-submitted
+    batch adds 0 (re-add guard)."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ivfpq import IVFPQIndex
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q108_ivfpq_inc_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="ivfpqinc_")
+        idx = IVFPQIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path, dim=64,
+            num_clusters=8, m=8, k=16,
+        )
+        idx.add(e.filter(F.col("vec_id") % 2 == 1))
+        _PLAN_MEMO[key] = path
+    idx = IVFPQIndex.load(spark, _PLAN_MEMO[key])
+    qv = _query_vec(spark, sf, 1)
+    results = idx.search(
+        qv, 10, nprobe=len(idx.centroids), corpus=e, refine=8
+    ).select("vec_id", "label", "similarity")
+    exact = knn.knn_brute_force(e, qv, 10)
+    inv = _ann_invariants(results, exact)
+    n_codes = idx.codes().count()
+    readd = idx.add(e.filter(F.col("vec_id") % 2 == 1))  # guard no-op
+    return inv.withColumn(
+        "n_codes", F.lit(n_codes).cast("bigint")
+    ).withColumn("readd_added", F.lit(readd).cast("bigint"))
+
+
 _Q106_QUERY_IDS = [0, 7, 23, 42]
 
 

@@ -45,6 +45,37 @@ def test_search_probes_prune_partitions(ivfpq, tables):
     assert any(r.vec_id == 7 for r in rows)
 
 
+def test_incremental_add_guard_compact_and_serving(spark, tables, tmp_path_factory):
+    """build(evens) + add(odds) with frozen quantizers: conservation,
+    re-add guard, an added vector served at similarity 1.0, and a
+    compaction (generation publish) that changes nothing."""
+    emb = tables["embeddings"]
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    odds = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path_factory.mktemp("ivfpq_inc"))
+    idx = IVFPQIndex.build(spark, evens, path, dim=64, num_clusters=4,
+                           m=8, k=16)
+    n0 = idx.codes().count()
+    added = idx.add(odds)
+    assert added == odds.count()
+    assert idx.codes().count() == n0 + added
+    assert idx.add(odds) == 0  # re-add guard
+
+    # an ADDED vector is served: exact self-query → top-1 at sim 1.0
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head().embedding]
+    top = idx.search(qv, 5, nprobe=4, corpus=emb, refine=8).head()
+    assert top.vec_id == 7 and abs(top.similarity - 1.0) < 1e-6
+
+    # reload from disk (Hadoop-FS meta) and compact: results unchanged
+    idx2 = IVFPQIndex.load(spark, path)
+    before = [r.vec_id for r in
+              idx2.search(qv, 5, nprobe=4, corpus=emb, refine=8).collect()]
+    assert idx2.compact() == n0 + added
+    after = [r.vec_id for r in
+             idx2.search(qv, 5, nprobe=4, corpus=emb, refine=8).collect()]
+    assert after == before
+
+
 def test_refined_search_exact_top1_and_recall(ivfpq, tables):
     emb = tables["embeddings"]
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head().embedding]
