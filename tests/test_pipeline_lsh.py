@@ -141,6 +141,13 @@ def test_plan_shapes(tables, spark):
     partial = p34.index(", Partial")
     assert p34.index("WindowGroupLimit") < partial  # Final stage above
     assert partial > p34.index("Exchange hashpartitioning")
+    # MinHash index screen: the batch side broadcasts (the stored corpus
+    # bands/signatures never shuffle — O(batch) per screen, the whole point
+    # of the persisted index), and dynamic partition pruning restricts the
+    # bands scan to the batch's own buckets
+    p105 = plan_of("q105_minhash_incremental_screen")
+    assert "SortMergeJoin" not in p105 and "ShuffledHashJoin" not in p105
+    assert "dynamicpruning" in p105.lower()
 
 
 def test_no_accidental_cartesian_products(tables, spark):
