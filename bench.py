@@ -68,6 +68,12 @@ HEADLINE = [
     "q103_ivf_incremental_add",
     "q104_lexical_incremental_add",
     "q105_minhash_incremental_screen",
+    # round 6 additions: recall instrumentation, modern-PDF decode path,
+    # IVF-PQ incremental serving, hot-group-safe components
+    "q106_ivf_recall_tradeoff",
+    "q107_pdf_modern_structures",
+    "q108_ivfpq_incremental_add",
+    "q109_neardup_components_collapsed",
 ]
 
 

@@ -228,6 +228,49 @@ def cmd_index_search(args) -> int:
 
 
 
+def cmd_maintain(args) -> int:
+    """Compact every persisted index under the store and GC superseded
+    generations — the operational twin of the reference's post-load
+    `ensure_indexes()` (api/use_cases/ingest.py:203), run on a schedule
+    instead of per-ingest. Readers stay live throughout: each compact
+    publishes a new generation behind an atomic commit marker and keeps
+    the previous one until GC, so a query started mid-maintain still
+    resolves a complete layout."""
+    import os
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.index_maint import parquet_file_count
+    from ocr_vector_db_spark.operators.ivfpq import IVFPQIndex
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+
+    kinds = {
+        "ivf": (IVFIndex, ["vectors"]),
+        "lex": (LexicalIndex, ["postings", "stats"]),
+        "minhash": (MinHashIndex, ["bands", "signatures"]),
+        "ivfpq": (IVFPQIndex, ["codes"]),
+    }
+    spark = _spark()
+    found = 0
+    for name, (cls, layouts) in kinds.items():
+        root = os.path.join(args.store, name)
+        if not os.path.isdir(root):
+            continue
+        found += 1
+        before = {l: parquet_file_count(os.path.join(root, l)) for l in layouts}
+        idx = cls.load(spark, root)
+        rows = idx.compact()
+        after = {l: parquet_file_count(os.path.join(root, l)) for l in layouts}
+        detail = ", ".join(
+            f"{l}: {before[l]}→{after[l]} files" for l in layouts
+        )
+        print(f"[maintain] {name}: {rows} rows compacted ({detail})")
+    if not found:
+        print(f"[maintain] no persisted indexes under {args.store} "
+              f"(expected {'/'.join(kinds)} subdirs)")
+    return 0
+
+
 def cmd_hybrid_search(args) -> int:
     """Sparse (BM25 over fragment content) + dense (cosine) top-k, RRF-fused
     — the hybrid recipe the dense-only `search` command is one half of."""
@@ -656,6 +699,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--top-k", type=int, default=10)
     sp.add_argument("--nprobe", type=int, default=3)
     sp.set_defaults(fn=cmd_index_search)
+
+    sp = sub.add_parser("maintain")
+    common(sp)
+    sp.set_defaults(fn=cmd_maintain)
 
     sp = sub.add_parser("hybrid-search")
     sp.add_argument("query")

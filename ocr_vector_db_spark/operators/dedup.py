@@ -185,7 +185,15 @@ def minhash_lsh_candidates(
     signature slots. Returns (doc_a, doc_b, est_jaccard)."""
     assert num_hashes % bands == 0
     sig = minhash_signatures(df, num_hashes, n, text_col, id_col).cache()
+    return candidates_from_signatures(sig, num_hashes, bands)
 
+
+def candidates_from_signatures(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) candidate pairs from a signature table —
+    the band self-join half of `minhash_lsh_candidates`, split out so the
+    collapsed-components path can run it over representatives only."""
     # The banding join stays SLIM — (doc, band_id, band_hash) only — so the
     # pair-generating shuffle carries 3 columns, not the whole signature.
     # Signatures re-attach afterwards via two joins against the (small,
@@ -420,6 +428,82 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def minhash_neardup_components(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    collapse_identical: bool = True,
+) -> DataFrame:
+    """(doc_id, component_id, is_canonical) near-dup clusters, hot-group-safe.
+
+    The q56 shape (`minhash_lsh_candidates` → `connected_components`)
+    materializes m² candidate pairs inside every band bucket. At 100 TB the
+    dominant bucket pathology is not hash collisions but IDENTICAL content:
+    one boilerplate page duplicated 10⁶ times yields 10¹² pairs on a single
+    reducer before the threshold filter can discard anything. This operator
+    collapses documents with identical full signatures to one representative
+    (the group's min id) BEFORE the band self-join, runs pair generation and
+    the transitive closure over representatives only, then maps members back
+    through their representative — pair volume drops from Σ m_g² to the
+    collision structure of the DISTINCT signatures.
+
+    Exactness (regression-tested against the uncollapsed path, and
+    oracle-tied via q109 ≡ q56):
+    - Members of an identical-signature group agree on every band, so in the
+      uncollapsed graph they are pairwise candidates at est_jaccard = 1.0 ≥
+      any threshold ≤ 1 — the group is always fully connected and lands in
+      its representative's component.
+    - An inter-group edge's est_jaccard depends only on the two signatures,
+      so it survives collapse verbatim.
+    - Min-label of a component = min doc id in it = min over its groups'
+      minima = min over its representatives — the label CC computes on the
+      collapsed graph.
+    - Output membership: a doc appears iff it has ≥1 qualifying partner —
+      i.e. its group has ≥2 members (identical partner) or its
+      representative gained a CC label from an inter-group edge.
+    """
+    assert num_hashes % bands == 0 and threshold <= 1.0
+    # cached: the shingle explosion behind the signatures is the expensive
+    # scan; both consumers below (group map + band join) reuse one pass
+    # (MEMORY_AND_DISK, so an over-memory signature table spills, not OOMs)
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col).cache()
+    if not collapse_identical:
+        pairs = candidates_from_signatures(sig, num_hashes, bands)
+        comp = connected_components(pairs.filter(F.col("est_jaccard") >= threshold))
+        return comp.select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("component_id"),
+            (F.col("id") == F.col("comp")).alias("is_canonical"),
+        )
+
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    groups = sig.groupBy(*mh_cols).agg(
+        F.min("doc").alias("rep"), F.count("*").alias("n_members")
+    ).cache()
+    # slim doc → (rep, group size) map; one shuffle on the signature key
+    member = sig.join(groups, mh_cols).select("doc", "rep", "n_members")
+    rep_sig = groups.select(F.col("rep").alias("doc"), *mh_cols).cache()
+
+    pairs = candidates_from_signatures(rep_sig, num_hashes, bands)
+    comp = connected_components(
+        pairs.filter(F.col("est_jaccard") >= threshold)
+    ).withColumnRenamed("id", "rep")
+    out = (
+        member.join(comp, "rep", "left")
+        .filter(F.col("comp").isNotNull() | (F.col("n_members") >= 2))
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.coalesce(F.col("comp"), F.col("rep")).alias("component_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component_id"))
+    )
+    return out
 
 
 def kmeans_blocks(

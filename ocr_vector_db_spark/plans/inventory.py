@@ -4408,3 +4408,23 @@ def q99(spark, sf):
     finally:
         s_lo.unpersist()
         s_hi.unpersist()
+
+
+@query("q109_neardup_components_collapsed", _COMPONENTS_SQL)
+def q109(spark, sf):
+    """Hot-group-safe near-dup clustering: documents with IDENTICAL MinHash
+    signatures collapse to their min-id representative BEFORE the LSH band
+    self-join, the transitive closure runs over representatives only, and
+    members rejoin through the slim doc→rep map. Row-for-row identical to
+    q56's uncollapsed closure (same recursive-CTE oracle) — collapsing
+    changes the candidate-pair volume (Σ m_g² per identical group → the
+    collision structure of DISTINCT signatures), never the answer. This is
+    the shape that survives the 100 TB bucket pathology: one boilerplate
+    page duplicated 10⁶ times is one band row, not 10¹² pairs. Reference
+    parity: the dedupe intent of the content_hash unique index
+    (storage/schema.py:166-228) lifted to near-dup clusters."""
+    d = load_table(spark, sf, "documents")
+    return dedup.minhash_neardup_components(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id",
+        threshold=0.5, collapse_identical=True,
+    )

@@ -86,6 +86,15 @@ def test_cli_hybrid_search_and_pack(spark, tmp_path, capsys):
                      store, "--dim", "16", "--top-k", "3", "--indexed"]) == 0
     out = capsys.readouterr().out
     assert "rrf=" in out and "#1" in out
+    baseline = out
+
+    # maintain compacts both indexes in place; indexed serving unchanged
+    assert cli.main(["maintain", "--store", store, "--dim", "16"]) == 0
+    out = capsys.readouterr().out
+    assert "[maintain] ivf:" in out and "[maintain] lex:" in out
+    assert cli.main(["hybrid-search", "broadcast joins shuffles", "--store",
+                     store, "--dim", "16", "--top-k", "3", "--indexed"]) == 0
+    assert capsys.readouterr().out == baseline
 
     # REPL auto-loads the persisted indexes for :hybrid
     import io

@@ -210,6 +210,46 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert not any({c.doc_a, c.doc_b} == {1, 3} for c in cands)
 
 
+def test_minhash_components_collapsed_matches_uncollapsed(spark, tables):
+    """The hot-group-safe collapsed path must be row-for-row identical to
+    the plain candidates→closure path — on the sf corpus AND on a synthetic
+    hot corpus (one text duplicated 200×), where it must also shrink the
+    band self-join to the distinct-signature level (0 representative pairs
+    instead of 200·199/2 within the identical group)."""
+    kw = dict(num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id")
+
+    d = tables["documents"].limit(400)
+    a = {tuple(r) for r in dedup.minhash_neardup_components(
+        d, collapse_identical=True, **kw).collect()}
+    b = {tuple(r) for r in dedup.minhash_neardup_components(
+        d, collapse_identical=False, **kw).collect()}
+    assert a == b and len(a) > 0
+
+    hot = "identical boilerplate page repeated across the corpus " * 4
+    rows = [(i, hot) for i in range(1, 201)] + [
+        (201, hot + " tail variation token"),
+        (202, "completely different content words nothing shared here " * 4),
+    ]
+    hd = spark.createDataFrame(rows, ["doc_id", "text"])
+    ca = {tuple(r) for r in dedup.minhash_neardup_components(
+        hd, collapse_identical=True, **kw).collect()}
+    cb = {tuple(r) for r in dedup.minhash_neardup_components(
+        hd, collapse_identical=False, **kw).collect()}
+    assert ca == cb
+    # every member of the identical group lands in component 1
+    assert all(any(r == (i, 1, i == 1) for r in ca) for i in range(1, 201))
+
+    # pair volume: representatives only — the 200-member group contributes
+    # ONE row to the band join, so candidate pairs among representatives
+    # can't exceed the distinct-signature pair count (3 sigs → ≤ 3 pairs),
+    # vs 19900+ intra-group pairs on the uncollapsed path
+    sig = dedup.minhash_signatures(hd, 16, 2, "text", "doc_id")
+    mh = [f"mh_{i}" for i in range(16)]
+    reps = sig.groupBy(*mh).agg(F.min("doc").alias("doc")).select("doc", *mh)
+    assert dedup.candidates_from_signatures(reps, 16, 4).count() <= 3
+    assert dedup.candidates_from_signatures(sig, 16, 4).count() >= 19900
+
+
 def test_simhash_duplicates(spark):
     rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zzz yyy xxx www qqq")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
