@@ -146,15 +146,74 @@ class IVFIndex:
         nprobe: int = 3,
         id_col: str = "vec_id",
     ) -> float:
-        """Measured recall vs exact brute force — the tuning loop for
-        (num_clusters, nprobe), standing in for pgvector's ef_search knob."""
-        hits = total = 0
-        for qv in queries:
-            exact = {r[id_col] for r in knn_brute_force(corpus, qv, k, id_col=id_col).collect()}
-            approx = {r[id_col] for r in self.search(qv, k, nprobe, id_col=id_col).collect()}
-            hits += len(exact & approx)
-            total += len(exact)
-        return hits / total if total else 1.0
+        """Measured recall vs exact brute force — the tuning knob for
+        (num_clusters, nprobe), standing in for pgvector's ef_search.
+
+        Thin wrapper over `recall_sweep` — see there for the batched shape."""
+        return self.recall_sweep(corpus, queries, k, [nprobe], id_col)[nprobe]
+
+    def recall_sweep(
+        self,
+        corpus: DataFrame,
+        queries: list[list[float]],
+        k: int = 10,
+        nprobes: list[int] | None = None,
+        id_col: str = "vec_id",
+    ) -> dict[int, float]:
+        """Recall@k for EVERY nprobe setting in one distributed pass.
+
+        The exact baseline is ONE `knn_batch` over the corpus; the pruned
+        side is ONE `knn_batch` over the index layout with each (setting,
+        query) pair exploded to its probed clusters (`block_col` join, the
+        setting encoded into the query id) — two Spark jobs TOTAL for the
+        whole sweep, where a per-query driver loop ran 2·|queries|·|settings|
+        (a tuning sweep over thousands of queries must be distributed, not
+        driver-iterated). Both sides share `knn_batch`'s scoring expression
+        and (sim desc, id) tie-break, so at nprobe = num_clusters the pruned
+        side IS the baseline and recall is exactly 1.0 by construction —
+        any deviation is a cluster-assignment or pruning bug."""
+        from ocr_vector_db_spark.operators.knn import knn_batch
+
+        nprobes = sorted(set(nprobes or [3]))
+        spark = corpus.sparkSession
+        qrows = [(qi, [float(x) for x in qv]) for qi, qv in enumerate(queries)]
+        if not qrows:
+            return {np_: 1.0 for np_ in nprobes}
+        qschema = "query_id int, embedding array<double>"
+        qdf = spark.createDataFrame(qrows, qschema)
+        exact = knn_batch(
+            corpus.select(id_col, "embedding"), qdf, k, corpus_id=id_col,
+            ids_only=True,
+        ).select("query_id", id_col).localCheckpoint()
+        total = exact.count()
+
+        # qid' = setting * STRIDE + qi keeps one window partition per
+        # (setting, query) through a single knn_batch call
+        stride = len(qrows)
+        probe_rows = [
+            (si * stride + qi, qv, cid)
+            for si, np_ in enumerate(nprobes)
+            for qi, qv in qrows
+            for cid in self.probe_clusters(qv, np_)
+        ]
+        pdf = spark.createDataFrame(probe_rows, qschema + ", cluster_id int")
+        approx = knn_batch(
+            self.vectors().select(id_col, "embedding", "cluster_id"),
+            pdf, k, corpus_id=id_col, block_col="cluster_id", ids_only=True,
+        ).select(
+            (F.col("query_id") % stride).alias("query_id"),
+            F.floor(F.col("query_id") / stride).cast("int").alias("__si"),
+            F.col(id_col),
+        )
+        hits = {
+            r["__si"]: r["hits"]
+            for r in exact.join(approx, ["query_id", id_col])
+            .groupBy("__si").agg(F.count("*").alias("hits")).collect()
+        }
+        return {
+            np_: (hits.get(si, 0) / total if total else 1.0)
+            for si, np_ in enumerate(nprobes)
+        }
 
     # ---------------------------------------------------------- maintenance
 

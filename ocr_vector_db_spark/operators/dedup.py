@@ -506,6 +506,49 @@ def minhash_neardup_components(
     return out
 
 
+def minhash_dropped_ids(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One column (`id_col`): ids with a LOWER-id near-dup at est_jaccard ≥
+    threshold — the keep-min drop set (the doc_b side of
+    `minhash_lsh_candidates`), computed hot-group-safe.
+
+    Same collapse argument as `minhash_neardup_components`: every member of
+    an identical-signature group except its min-id representative has the
+    representative as a lower identical partner → dropped outright, no
+    pairs materialized; a representative r has a lower partner iff some
+    OTHER group with est ≥ threshold has min id < r — and a group's min id
+    IS its representative, so that reduces to r being the doc_b of a
+    representative-level candidate pair. Equivalence to the uncollapsed
+    formulation is a regression test."""
+    assert num_hashes % bands == 0 and threshold <= 1.0
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
+    groups = sig.groupBy(*mh_cols).agg(F.min("doc").alias("rep")).cache()
+    non_reps = (
+        sig.join(groups, mh_cols)
+        .filter(F.col("doc") != F.col("rep"))
+        .select("doc")
+    )
+    rep_sig = groups.select(F.col("rep").alias("doc"), *mh_cols)
+    doomed_reps = (
+        candidates_from_signatures(rep_sig, num_hashes, bands)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("doc_b").alias("doc"))
+    )
+    return (
+        non_reps.unionByName(doomed_reps)
+        .distinct()
+        .select(F.col("doc").alias(id_col))
+    )
+
+
 def kmeans_blocks(
     df: DataFrame,
     num_clusters: int,

@@ -305,6 +305,9 @@ class IVFPQIndex:
         emb_col: str = "embedding",
         refine: int = 4,
     ) -> float:
+        """Test-instrumentation recall (per-query loop — see
+        `PQIndex.recall_at_k`; the distributed sweep form lives on
+        `IVFIndex.recall_sweep`)."""
         hits = total = 0
         for qv in queries:
             exact = {

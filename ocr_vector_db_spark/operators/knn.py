@@ -154,6 +154,7 @@ def knn_batch(
     query_id: str = "query_id",
     block_col: str | None = None,
     pre_reduce: bool = True,
+    ids_only: bool = False,
 ) -> DataFrame:
     """Top-k corpus rows per query row (`corpus_id` must be unique).
 
@@ -175,7 +176,12 @@ def knn_batch(
 
     With `pre_reduce=False` the rank runs over the full-width scored stream
     (corpus columns ride through the sort/exchange) — the parity baseline
-    for tests and the shape this operator had before the slim rewrite."""
+    for tests and the shape this operator had before the slim rewrite.
+
+    `ids_only=True` returns the slim winners (query_id, corpus_id,
+    similarity, rank) WITHOUT the restore join — for consumers like recall
+    measurement that only compare id sets, skipping the second corpus
+    scan. Implies the pre-reduce plan."""
     # The restore join re-attaches (query_id, similarity, rank) onto the
     # corpus columns — a corpus already carrying any of those names would
     # make the select ambiguous and silently mislabel output, so fail fast.
@@ -196,7 +202,7 @@ def knn_batch(
         joined = corpus.crossJoin(F.broadcast(q))
     sim = F.round(cosine_similarity_col(F.col(corpus_emb), F.col("__q_emb")), SIM_PRECISION)
     w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.col(corpus_id))
-    if not pre_reduce:
+    if not pre_reduce and not ids_only:
         scored = joined.withColumn("similarity", sim).drop("__q_emb", "__q_block")
         return scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
@@ -206,5 +212,7 @@ def knn_batch(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    if ids_only:
+        return winners
     out_cols = [c for c in corpus.columns] + [query_id, "similarity", "rank"]
     return corpus.join(F.broadcast(winners), corpus_id).select(*out_cols)

@@ -214,6 +214,10 @@ class PQIndex:
     def recall_at_k(self, df: DataFrame, queries: list[list[float]], kk: int = 10,
                     id_col: str = "vec_id", emb_col: str = "embedding",
                     refine: int = 4) -> float:
+        """Test-instrumentation recall (per-query loop — the ADC distance
+        table is a query-specific literal, so each query is its own plan).
+        For sweeps over many queries/settings use the distributed
+        `IVFIndex.recall_sweep`; batch serving goes through `knn_batch`."""
         encoded = self.encode(df, emb_col).cache()
         hits = total = 0
         for qv in queries:

@@ -274,7 +274,7 @@ def stream_ingest_deduped(
     correct throughout."""
     import os as _os
 
-    from ocr_vector_db_spark.operators.dedup import minhash_lsh_candidates
+    from ocr_vector_db_spark.operators.dedup import minhash_dropped_ids
     from ocr_vector_db_spark.operators.index_maint import parquet_file_count
 
     def maybe_compact(epoch_id: int) -> None:
@@ -303,12 +303,13 @@ def stream_ingest_deduped(
         try:
             n_in = batch_df.count()
             # 1. intra-batch: drop any doc with a lower-id near-dup in the
-            # same batch (same keep-min convention as dedup_exact)
-            intra = minhash_lsh_candidates(
+            # same batch (same keep-min convention as dedup_exact). The
+            # hot-group-safe form: a backfill batch of 10⁶ copies of one
+            # page collapses to one band row instead of 10¹² pairs
+            doomed = minhash_dropped_ids(
                 batch_df, index.num_hashes, index.bands, index.n,
-                text_col=text_col, id_col=id_col,
-            ).filter(F.col("est_jaccard") >= threshold)
-            doomed = intra.select(F.col("doc_b").alias(id_col)).distinct()
+                text_col=text_col, id_col=id_col, threshold=threshold,
+            )
             batch_kept = batch_df.join(doomed, id_col, "left_anti")
             # 2+3. screen vs the index, accept + fold in the survivors
             fresh = index.dedup_new(

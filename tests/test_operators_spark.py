@@ -249,6 +249,17 @@ def test_minhash_components_collapsed_matches_uncollapsed(spark, tables):
     assert dedup.candidates_from_signatures(reps, 16, 4).count() <= 3
     assert dedup.candidates_from_signatures(sig, 16, 4).count() >= 19900
 
+    # the keep-min drop set (streaming gate's intra-batch rule) must also
+    # match its uncollapsed formulation on both corpora
+    for frame in (d, hd):
+        collapsed = {r[0] for r in dedup.minhash_dropped_ids(
+            frame, 16, 4, 2, "text", "doc_id", 0.5).collect()}
+        plain = {r[0] for r in dedup.minhash_lsh_candidates(frame, 16, 4, 2)
+                 .filter(F.col("est_jaccard") >= 0.5)
+                 .select("doc_b").distinct().collect()}
+        assert collapsed == plain
+    assert 1 not in collapsed and {2, 200} <= collapsed  # hot corpus
+
 
 def test_simhash_duplicates(spark):
     rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zzz yyy xxx www qqq")]
