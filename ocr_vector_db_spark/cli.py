@@ -248,6 +248,7 @@ def cmd_maintain(args) -> int:
         "ivf": (IVFIndex, ["vectors"]),
         "lex": (LexicalIndex, ["postings", "stats"]),
         "minhash": (MinHashIndex, ["bands", "signatures"]),
+        "mhidx": (MinHashIndex, ["bands", "signatures"]),  # stream-ingest's
         "ivfpq": (IVFPQIndex, ["codes"]),
     }
     spark = _spark()

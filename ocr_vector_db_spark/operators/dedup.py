@@ -430,6 +430,78 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, comp) exactly like `connected_components`, via alternating
+    large-star / small-star rounds (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) — O(log² n) rounds regardless of
+    component DIAMETER, where min-label propagation needs diameter rounds.
+    This is the variant `connected_components`' docstring defers to: a
+    paraphrase chain A~B~C~…~Z (each link a near-dup pair, ends unrelated)
+    is one component of diameter |chain|, and min-label at its default
+    round budget silently under-merges it (regression-shown in tests on a
+    200-link chain); star contraction closes it in ~8 rounds.
+
+    Each round is two groupBy+join passes over the (symmetrized) edge set:
+      large-star: every node's LARGER neighbors re-attach to the minimum
+                  of its neighborhood (incl. itself);
+      small-star: every node and its smaller neighbors attach to that
+                  minimum.
+    The edge set is distinct + localCheckpoint-ed per round (lineage stays
+    O(1)); convergence = the round was a no-op, at which point the graph
+    is a star forest rooted at component minima and labels read off the
+    edges directly."""
+
+    def star_half(e: DataFrame, large: bool) -> DataFrame:
+        nbr = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        if not large:
+            nbr = nbr.filter(F.col("v") <= F.col("u"))
+        mn = (
+            nbr.groupBy("u").agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        joined = nbr.join(mn, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+                joined.select("u", F.col("m").alias("v"))
+            )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_e = e.count()
+    for _ in range(max_iter):
+        new = star_half(star_half(e, large=True), large=False).localCheckpoint()
+        n_new = new.count()
+        stable = n_new == n_e and new.exceptAll(e).isEmpty()
+        e, n_e = new, n_new
+        if stable:
+            break
+    roots = e.select(F.col("v").alias("id")).distinct().withColumn("comp", F.col("id"))
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+        .unionByName(roots)
+        # at convergence this is already 1 row/node (star forest: children
+        # point at their root, roots self-label); min() additionally keeps
+        # the output well-formed if max_iter ran out mid-contraction
+        .groupBy("id").agg(F.min("comp").alias("comp"))
+    )
+
+
 def minhash_neardup_components(
     df: DataFrame,
     num_hashes: int = 16,
@@ -439,8 +511,14 @@ def minhash_neardup_components(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     collapse_identical: bool = True,
+    cc: str = "label",
 ) -> DataFrame:
     """(doc_id, component_id, is_canonical) near-dup clusters, hot-group-safe.
+
+    `cc` picks the transitive-closure engine: "label" (min-label
+    propagation, rounds = component diameter) or "star" (large-star/
+    small-star contraction, O(log² n) rounds — the pick when duplicate
+    chains can be long). Both produce identical components.
 
     The q56 shape (`minhash_lsh_candidates` → `connected_components`)
     materializes m² candidate pairs inside every band bucket. At 100 TB the
@@ -469,13 +547,14 @@ def minhash_neardup_components(
       representative gained a CC label from an inter-group edge.
     """
     assert num_hashes % bands == 0 and threshold <= 1.0
+    close = {"label": connected_components, "star": connected_components_star}[cc]
     # cached: the shingle explosion behind the signatures is the expensive
     # scan; both consumers below (group map + band join) reuse one pass
     # (MEMORY_AND_DISK, so an over-memory signature table spills, not OOMs)
     sig = minhash_signatures(df, num_hashes, n, text_col, id_col).cache()
     if not collapse_identical:
         pairs = candidates_from_signatures(sig, num_hashes, bands)
-        comp = connected_components(pairs.filter(F.col("est_jaccard") >= threshold))
+        comp = close(pairs.filter(F.col("est_jaccard") >= threshold))
         return comp.select(
             F.col("id").alias("doc_id"),
             F.col("comp").alias("component_id"),
@@ -491,7 +570,7 @@ def minhash_neardup_components(
     rep_sig = groups.select(F.col("rep").alias("doc"), *mh_cols).cache()
 
     pairs = candidates_from_signatures(rep_sig, num_hashes, bands)
-    comp = connected_components(
+    comp = close(
         pairs.filter(F.col("est_jaccard") >= threshold)
     ).withColumnRenamed("id", "rep")
     out = (

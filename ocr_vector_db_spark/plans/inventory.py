@@ -4432,3 +4432,19 @@ def q109(spark, sf):
         d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id",
         threshold=0.5, collapse_identical=True,
     )
+
+
+@query("q110_neardup_components_star", _COMPONENTS_SQL)
+def q110(spark, sf):
+    """q109's collapsed clustering with the large-star/small-star closure
+    (Kiveris et al., SoCC'14) instead of min-label propagation: O(log² n)
+    contraction rounds regardless of component DIAMETER, where min-label
+    needs diameter rounds — the engine to pick when near-dups chain
+    (A~B~C~… paraphrase chains, each link similar, ends unrelated).
+    Same recursive-CTE oracle as q56/q109: three independent closure
+    implementations must agree row-for-row on the same pair graph."""
+    d = load_table(spark, sf, "documents")
+    return dedup.minhash_neardup_components(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id",
+        threshold=0.5, collapse_identical=True, cc="star",
+    )

@@ -143,6 +143,16 @@ def test_cli_stream_ingest_gates_and_resumes(spark, tmp_path, capsys):
         f"{store}/accepted")
     assert {r.doc_id for r in accepted.collect()} == {1, 3}
 
+    # maintain finds the stream-ingest layout; the gate still screens
+    # correctly post-compaction (a re-run of the near-dup stays dropped)
+    assert cli.main(["maintain", "--store", store, "--dim", "16"]) == 0
+    assert "[maintain] mhidx:" in capsys.readouterr().out
+    with open(src / "c.json", "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 4, "text": base.replace("quick", "rapid")}) + "\n")
+    assert cli.main(argv) == 0
+    assert "accepted 0, dropped 1" in capsys.readouterr().out
+
 
 def test_cli_repl_session(spark, tmp_path, capsys):
     """REPL parity with api/cli/repl.py: settings commands, a search, RAG

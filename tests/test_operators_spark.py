@@ -261,6 +261,38 @@ def test_minhash_components_collapsed_matches_uncollapsed(spark, tables):
     assert 1 not in collapsed and {2, 200} <= collapsed  # hot corpus
 
 
+def test_connected_components_star_matches_and_beats_label(spark, tables):
+    """Star contraction must produce the same components as min-label on a
+    shallow graph (the minhash pair graph), and must fully merge a
+    200-link chain — diameter 200 — that min-label's default 30-round
+    budget provably cannot (its label only travels one hop per round)."""
+    d = tables["documents"].limit(400)
+    pairs = dedup.minhash_lsh_candidates(d, 16, 4, 2).filter(
+        F.col("est_jaccard") >= 0.5
+    ).cache()
+    a = {(r.id, r.comp) for r in dedup.connected_components(pairs).collect()}
+    b = {(r.id, r.comp) for r in dedup.connected_components_star(pairs).collect()}
+    assert a == b and len(a) > 0
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["doc_a", "doc_b"]
+    )
+    star = {(r.id, r.comp)
+            for r in dedup.connected_components_star(chain).collect()}
+    assert star == {(i, 0) for i in range(201)}
+    label = dedup.connected_components(chain).collect()
+    assert any(r.comp != 0 for r in label)  # the documented diameter limit
+
+    # the closure engines are interchangeable inside the collapsed
+    # components operator
+    kw = dict(num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id")
+    sa = {tuple(r) for r in dedup.minhash_neardup_components(
+        d, cc="star", **kw).collect()}
+    sb = {tuple(r) for r in dedup.minhash_neardup_components(
+        d, cc="label", **kw).collect()}
+    assert sa == sb
+
+
 def test_simhash_duplicates(spark):
     rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zzz yyy xxx www qqq")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
