@@ -74,6 +74,7 @@ HEADLINE = [
     "q107_pdf_modern_structures",
     "q108_ivfpq_incremental_add",
     "q109_neardup_components_collapsed",
+    "q111_ivf_semantic_screen",
 ]
 
 

@@ -138,6 +138,71 @@ class IVFIndex:
             pruned = pruned.filter(where)
         return knn_brute_force(pruned, query_vector, k, emb_col=emb_col, id_col=id_col)
 
+    def screen_near_dups(
+        self,
+        batch: DataFrame,
+        threshold: float,
+        nprobe: int | None = None,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ) -> DataFrame:
+        """(id_col, dup_of, similarity): each batch vector's nearest STORED
+        vector, kept when similarity ≥ threshold — the embedding-level
+        ingestion dedup gate (SemDeDup applied at ingest instead of over
+        the resting corpus), the dense sibling of `MinHashIndex.screen`.
+
+        Fully distributed, O(batch × probed-slice) — the batch is never
+        driver-iterated and the stored layout never reshuffles:
+          1. cluster assignment: batch × broadcast centroid table (tiny by
+             construction), rank top-nprobe clusters per batch vector with
+             the same (cosine desc, cluster_id) order as `probe_clusters`;
+          2. pruned scoring: `knn_batch(k=1, block_col="cluster_id",
+             ids_only=True)` over the partition-pruned cluster layout;
+          3. threshold filter.
+        `nprobe=None` probes every cluster, making the screen EXACT
+        max-cosine against the store — q111's oracle-parity setting;
+        production sets nprobe « num_clusters like any IVF serve (flags
+        are then a subset of the exact screen's: a probed-slice neighbor
+        that reaches the threshold reaches it globally too)."""
+        from ocr_vector_db_spark.operators.knn import SIM_PRECISION, knn_batch
+        from ocr_vector_db_spark.functions.vector import cosine_similarity_col
+        from pyspark.sql import Window
+
+        nprobe = len(self.centroids) if nprobe is None else nprobe
+        cent = batch.sparkSession.createDataFrame(
+            [(cid, [float(x) for x in v]) for cid, v in self.centroids],
+            "cluster_id int, __c_emb array<double>",
+        )
+        b = batch.select(
+            F.col(id_col).alias("__b_id"), F.col(emb_col).alias("__b_emb")
+        )
+        w = Window.partitionBy("__b_id").orderBy(
+            F.desc("__c_sim"), F.col("cluster_id")
+        )
+        probes = (
+            b.crossJoin(F.broadcast(cent))
+            .withColumn(
+                "__c_sim",
+                F.round(
+                    cosine_similarity_col(F.col("__b_emb"), F.col("__c_emb")),
+                    SIM_PRECISION,
+                ),
+            )
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= nprobe)
+            .select("__b_id", "__b_emb", "cluster_id")
+        )
+        top1 = knn_batch(
+            self.vectors().select(id_col, "embedding", "cluster_id"),
+            probes, 1, corpus_id=id_col, query_id="__b_id",
+            query_emb="__b_emb", block_col="cluster_id", ids_only=True,
+        )
+        return top1.filter(F.col("similarity") >= threshold).select(
+            F.col("__b_id").alias(id_col),
+            F.col(id_col).alias("dup_of"),
+            "similarity",
+        )
+
     def recall_at_k(
         self,
         corpus: DataFrame,

@@ -4448,3 +4448,59 @@ def q110(spark, sf):
         d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id",
         threshold=0.5, collapse_identical=True, cc="star",
     )
+
+
+@query(
+    "q111_ivf_semantic_screen",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+    b AS (SELECT * FROM e WHERE vec_id % 10 = 1),
+    sims AS (
+        SELECT b.vec_id, s.vec_id AS dup_of,
+               ROUND(list_dot_product(b.v, s.v)
+                     / (sqrt(list_dot_product(b.v, b.v))
+                        * sqrt(list_dot_product(s.v, s.v))), 6) AS similarity
+        FROM b CROSS JOIN s
+    ),
+    ranked AS (
+        SELECT vec_id, dup_of, similarity,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY similarity DESC, dup_of) AS rn
+        FROM sims
+    )
+    SELECT vec_id, dup_of, similarity FROM ranked WHERE rn = 1 AND similarity >= 0.3
+    """,
+)
+def q111(spark, sf):
+    """Embedding-level ingestion dedup gate: an incoming batch (the 10%
+    vec_id ≡ 1 mod 10 slice — ingest batches are small next to the store)
+    is screened against the persisted IVF store (built on the even half)
+    for its nearest STORED neighbor; similarity ≥ 0.3 flags it as a
+    semantic duplicate with its duplicate-of attribution — SemDeDup applied
+    at ingest instead of over the resting corpus, the dense sibling of the
+    MinHash screen (q105). Cluster assignment is a broadcast crossJoin
+    against the tiny centroid table and scoring is knn_batch(k=1) over the
+    partition-pruned layout, so the per-batch cost is O(batch ×
+    probed-slice). Full probe here = exact max-cosine vs the store, which
+    is what the oracle's cross join computes; production prunes with
+    nprobe « num_clusters (flag subset relation unit-tested)."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q111_ivf_even_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="ivfscreen_")
+        # 32 clusters: scoring parallelism tracks the cluster-partitioned
+        # layout (one scan split per dir at this size), and finer cells
+        # tighten production pruning; full probe stays exact regardless
+        IVFIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path, num_clusters=32
+        )
+        _PLAN_MEMO[key] = path
+    idx = IVFIndex.load(spark, _PLAN_MEMO[key])
+    return idx.screen_near_dups(
+        e.filter(F.col("vec_id") % 10 == 1), threshold=0.3
+    )

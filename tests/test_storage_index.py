@@ -89,6 +89,39 @@ def test_ivf_index_persist_prune_recall(spark, tables, tmp_path_factory):
     assert idx2.recall_at_k(emb, [qv], k=10, nprobe=2) >= 0.3
 
 
+def test_ivf_semantic_screen(spark, tables, tmp_path_factory):
+    """screen_near_dups invariants: a stored vector screened against its
+    own store flags itself at similarity 1.0 (top-1 is identity); flags at
+    nprobe=1 are a subset of the exact full-probe flags (a probed-slice
+    neighbor over the threshold is over it globally); and every full-probe
+    attribution IS the true nearest stored neighbor."""
+    emb = tables["embeddings"]
+    stored = emb.filter(F.col("vec_id") % 2 == 0)
+    path = str(tmp_path_factory.mktemp("ivfscreen"))
+    idx = IVFIndex.build(spark, stored, path, num_clusters=4)
+
+    self_hits = idx.screen_near_dups(stored, threshold=0.999).collect()
+    assert {r.vec_id for r in self_hits} == {r.vec_id for r in stored.collect()}
+    assert all(r.dup_of == r.vec_id and r.similarity == 1.0 for r in self_hits)
+
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    full = idx.screen_near_dups(batch, threshold=0.3)
+    pruned = idx.screen_near_dups(batch, threshold=0.3, nprobe=1)
+    full_ids = {r.vec_id for r in full.collect()}
+    assert {r.vec_id for r in pruned.collect()} <= full_ids and full_ids
+
+    # full probe ≡ exact nearest stored neighbor (knn_batch ground truth)
+    from ocr_vector_db_spark.operators.knn import knn_batch
+    exact = knn_batch(
+        stored.select("vec_id", "embedding"),
+        batch.select(F.col("vec_id").alias("query_id"), "embedding"),
+        1, ids_only=True,
+    ).filter(F.col("similarity") >= 0.3)
+    assert {(r.query_id, r.vec_id, r.similarity) for r in exact.collect()} == {
+        (r.vec_id, r.dup_of, r.similarity) for r in full.collect()
+    }
+
+
 def test_ivf_filtered_search(spark, tables, tmp_path_factory):
     """Filtered ANN (pgvector's WHERE + ORDER BY embedding combo): the
     predicate applies inside the probed clusters — every hit satisfies it,
