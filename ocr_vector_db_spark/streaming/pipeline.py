@@ -231,6 +231,9 @@ def stream_ingest_deduped(
     ledger=None,
     compact_every: int | None = None,
     compact_max_files: int | None = None,
+    semantic_index=None,
+    semantic_threshold: float = 0.85,
+    embedder=None,
 ):
     """Streaming ingestion with incremental near-dup gating — the streaming
     twin of q105. Each micro-batch:
@@ -242,7 +245,20 @@ def stream_ingest_deduped(
       2. screens the survivors against the PERSISTED MinHash index
          (`operators/minhash_index.MinHashIndex`) — only docs with no
          indexed near-dup at est_jaccard >= threshold are accepted;
-      3. folds the accepted docs' signatures into the index so later
+      3. optionally (when `semantic_index`, a built `IVFIndex` over
+         (id_col, "embedding") rows, is given) embeds the text-level
+         survivors (`embedder`: text Column → array Column; defaults to
+         the deterministic harness embedder at the index's dim) and drops
+         any doc whose nearest STORED vector reaches
+         `semantic_threshold` — `IVFIndex.screen_near_dups`, SemDeDup at
+         ingest. Accepted rows then carry their `embedding` column into
+         the sink and fold into BOTH indexes. Caveat (documented, not
+         hidden): two textually-unrelated but semantically-identical docs
+         arriving in the SAME micro-batch both pass (the dense screen
+         sees only previous batches); a periodic
+         `semantic_dedup_survivors` sweep over the accepted store is the
+         batch-side complement;
+      4. folds the accepted docs' signatures into the index so later
          batches screen against them too.
 
     Scale shape per micro-batch: O(batch) hashing + the batch's own
@@ -276,6 +292,11 @@ def stream_ingest_deduped(
 
     from ocr_vector_db_spark.operators.dedup import minhash_dropped_ids
     from ocr_vector_db_spark.operators.index_maint import parquet_file_count
+
+    if semantic_index is not None and embedder is None:
+        from ocr_vector_db_spark.functions.vector import embed_udf
+
+        embedder = embed_udf(len(semantic_index.centroids[0][1]))
 
     def maybe_compact(epoch_id: int) -> None:
         due = (
@@ -315,29 +336,47 @@ def stream_ingest_deduped(
             fresh = index.dedup_new(
                 batch_kept, threshold=threshold,
                 id_col=id_col, text_col=text_col,
-            ).cache()
-            try:
-                n_accepted = fresh.count()
-                if n_accepted:
-                    # sink first, index second: both sides are replay-safe
-                    # (per-epoch overwrite / re-add guard or ledger), and
-                    # this order means an indexed doc is always in the sink.
-                    accepted_sink.write(fresh, epoch_id)
-                    index.add(
-                        fresh, id_col=id_col, text_col=text_col,
-                        # steady-state ledger mode: the gate already proved
-                        # newness; only a crashed epoch's retry re-guards
-                        assume_new=ledger is not None and not guarded,
+            )
+            if semantic_index is not None:
+                emb = fresh.withColumn("embedding", embedder(F.col(text_col)))
+                flagged = semantic_index.screen_near_dups(
+                    emb, semantic_threshold, id_col=id_col,
+                ).select(id_col)
+                fresh = emb.join(flagged, id_col, "left_anti")
+            # localCheckpoint, NOT cache: fresh's plan scans the index
+            # layouts it was screened against, and the index adds below
+            # append to those paths — Spark invalidates (and lazily
+            # re-executes) cached plans whose source files changed, so a
+            # cached `fresh` re-screens against the just-grown index and
+            # silently evaluates empty for every consumer after the first
+            # add. The checkpoint pins the accepted rows themselves.
+            fresh = fresh.localCheckpoint()
+            # (checkpoint blocks are freed when `fresh` is GC'd)
+            n_accepted = fresh.count()
+            if n_accepted:
+                # sink first, index second: both sides are replay-safe
+                # (per-epoch overwrite / re-add guard or ledger), and
+                # this order means an indexed doc is always in the sink.
+                accepted_sink.write(fresh, epoch_id)
+                assume_new = ledger is not None and not guarded
+                index.add(
+                    fresh, id_col=id_col, text_col=text_col,
+                    # steady-state ledger mode: the gate already proved
+                    # newness; only a crashed epoch's retry re-guards
+                    assume_new=assume_new,
+                )
+                if semantic_index is not None:
+                    semantic_index.add(
+                        fresh.select(id_col, "embedding"),
+                        id_col=id_col, assume_new=assume_new,
                     )
-                if ledger is not None:
-                    ledger.mark_committed(epoch_id)
-                if stats is not None:
-                    stats.append(
-                        {"epoch": epoch_id, "accepted": n_accepted,
-                         "dropped_as_dup": n_in - n_accepted}
-                    )
-            finally:
-                fresh.unpersist()
+            if ledger is not None:
+                ledger.mark_committed(epoch_id)
+            if stats is not None:
+                stats.append(
+                    {"epoch": epoch_id, "accepted": n_accepted,
+                     "dropped_as_dup": n_in - n_accepted}
+                )
         finally:
             batch_df.unpersist()
         maybe_compact(epoch_id)

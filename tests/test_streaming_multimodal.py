@@ -253,6 +253,85 @@ def test_stream_ingest_deduped_gates_and_grows_index(spark, tmp_path):
     assert ".collect()" not in inspect.getsource(_p)
 
 
+def test_stream_ingest_semantic_gate(spark, tmp_path):
+    """Dual-gate streaming ingest: a doc that sails through the MinHash
+    gate (no indexed text resembles it) is still dropped when its
+    EMBEDDING already lives in the dense store — SemDeDup at ingest.
+    Survivors fold into BOTH indexes, so a later near-copy is caught by
+    whichever gate sees it first."""
+    import json as _json
+
+    from ocr_vector_db_spark.functions.vector import embed_text
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
+
+    t_a = ("distributed query planners split logical plans into physical "
+           "stages before scheduling them across executor slots")
+    t_b = ("the archive of maritime weather observations spans two hundred "
+           "years of handwritten logbook entries from merchant vessels")
+    t_c = ("knitting patterns for alpine sweaters favor circular needles "
+           "and stranded colorwork in traditional nordic motifs")
+
+    mh = MinHashIndex.build(
+        spark, spark.createDataFrame([], "doc_id bigint, text string"),
+        str(tmp_path / "mh"), num_hashes=16, bands=4, n=2, n_buckets=8,
+    )
+    # the dense store already holds t_b's EMBEDDING under an unrelated id
+    # (e.g. the same content previously ingested from another modality) —
+    # the MinHash index has never seen t_b's text
+    ivf = IVFIndex.build(
+        spark,
+        spark.createDataFrame(
+            [(100, embed_text(t_b)), (101, embed_text("seed filler row"))],
+            "doc_id bigint, embedding array<double>",
+        ),
+        str(tmp_path / "ivf"), num_clusters=2,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": t_a}) + "\n")
+        fh.write(_json.dumps({"doc_id": 2, "text": t_b}) + "\n")
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted"))
+    ckpt = str(tmp_path / "ckpt")
+    stats: list = []
+    args = dict(threshold=0.6, semantic_index=ivf, semantic_threshold=0.95,
+                checkpoint=ckpt)
+    q = stream_ingest_deduped(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        mh, sink, stats=stats, **args,
+    )
+    q.awaitTermination(60)
+    # doc 2 passed the text gate but its embedding sits in the store at
+    # similarity 1.0 → dropped; doc 1 accepted WITH its embedding column
+    assert {r.doc_id for r in sink.read(spark).collect()} == {1}
+    assert "embedding" in sink.read(spark).columns
+    assert stats[-1] == {"epoch": 0, "accepted": 1, "dropped_as_dup": 1}
+    assert {r.doc_id for r in ivf.vectors().collect()} == {100, 101, 1}
+    assert mh.signatures().filter("doc = 1").count() == 1
+
+    # batch 2: a near-copy of doc 1 (text gate catches it — doc 1 is now
+    # in the MinHash index) and a genuinely novel doc (passes both)
+    with open(src / "b2.json", "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 3, "text": t_a.replace("executor", "worker")}) + "\n")
+        fh.write(_json.dumps({"doc_id": 4, "text": t_c}) + "\n")
+    stats2: list = []
+    q = stream_ingest_deduped(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        mh, sink, stats=stats2, **args,
+    )
+    q.awaitTermination(60)
+    assert {r.doc_id for r in sink.read(spark).collect()} == {1, 4}
+    assert stats2[-1] == {"epoch": 1, "accepted": 1, "dropped_as_dup": 1}
+    assert {r.doc_id for r in ivf.vectors().collect()} == {100, 101, 1, 4}
+
+
 def test_stream_ingest_ledger_replay_noop_and_assume_new(spark, tmp_path):
     """EpochLedger mode: the steady-state add runs assume_new=True (no
     full-corpus re-add anti-join in the plan), and a replayed epoch —
