@@ -164,3 +164,56 @@ def test_parse_filter_json_never_widens_schema(raw):
         assert isinstance(v, str) and v == v.lower()
     if "view" in out:
         assert out["view"] in ALLOWED_VIEWS
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=1500), st.sampled_from([0, 1]))
+def test_lzw_round_trip(data, early_change):
+    """LZW encoder/decoder round-trip on arbitrary bytes, both EarlyChange
+    settings — the fixture encoder and the reader's decoder must agree on
+    the code-width schedule bit-for-bit or real PDFs decode as garbage."""
+    from ocr_vector_db_spark.sources.pdf_decode import _lzw_decode, lzw_encode
+
+    assert _lzw_decode(lzw_encode(data, early_change), early_change) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),   # columns
+    st.integers(min_value=1, max_value=4),    # colors
+    st.integers(min_value=1, max_value=6),    # rows
+    st.randoms(use_true_random=False),
+)
+def test_png_up_predictor_round_trip(columns, colors, rows, rnd):
+    """Forward Up-filter then _apply_predictor recovers the raster exactly
+    for any (columns, colors, rows) geometry."""
+    from ocr_vector_db_spark.sources.pdf_decode import (
+        _apply_predictor,
+        png_predict_up,
+    )
+
+    pixels = bytes(rnd.randrange(256) for _ in range(rows * columns * colors))
+    assert _apply_predictor(
+        png_predict_up(pixels, columns, colors), 12, columns, colors
+    ) == pixels
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=6),
+    st.randoms(use_true_random=False),
+)
+def test_tiff_predictor_round_trip(columns, colors, rows, rnd):
+    """TIFF horizontal differencing (encoded inline: the §7.4.4.4 forward
+    transform) then _apply_predictor(predictor=2) recovers the raster."""
+    from ocr_vector_db_spark.sources.pdf_decode import _apply_predictor
+
+    pixels = bytes(rnd.randrange(256) for _ in range(rows * columns * colors))
+    bpp, row_len = colors, columns * colors
+    enc = bytearray(pixels)
+    for r0 in range(0, len(enc), row_len):
+        for j in range(row_len - 1, bpp - 1, -1):
+            enc[r0 + j] = (pixels[r0 + j] - pixels[r0 + j - bpp]) & 0xFF
+    assert _apply_predictor(bytes(enc), 2, columns, colors) == pixels
