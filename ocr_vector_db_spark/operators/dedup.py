@@ -561,13 +561,25 @@ def minhash_neardup_components(
             (F.col("id") == F.col("comp")).alias("is_canonical"),
         )
 
-    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
-    groups = sig.groupBy(*mh_cols).agg(
+    # group on a 32-byte md5 of the 16-slot signature, not the 16 raw
+    # columns: the grouping/join shuffles carry ~32 B keys instead of
+    # ~240 B — at 10⁹ docs that is the difference between a 32 GB and a
+    # 240 GB key shuffle (md5-keyed identity is the repo-wide id
+    # convention: content_hash/doc_id derive the same way)
+    sig_key = F.md5(F.concat_ws("\x1f", *[
+        f"mh_{i}" for i in range(num_hashes)
+    ])).alias("__sk")
+    sig = sig.select("*", sig_key)
+    groups = sig.groupBy("__sk").agg(
         F.min("doc").alias("rep"), F.count("*").alias("n_members")
     ).cache()
-    # slim doc → (rep, group size) map; one shuffle on the signature key
-    member = sig.join(groups, mh_cols).select("doc", "rep", "n_members")
-    rep_sig = groups.select(F.col("rep").alias("doc"), *mh_cols).cache()
+    # slim doc → (rep, group size) map; one shuffle on the 32-byte key
+    member = sig.select("doc", "__sk").join(groups, "__sk").select(
+        "doc", "rep", "n_members"
+    )
+    rep_sig = sig.join(
+        groups.select(F.col("rep").alias("doc")), "doc", "left_semi"
+    ).drop("__sk").cache()
 
     pairs = candidates_from_signatures(rep_sig, num_hashes, bands)
     comp = close(
@@ -608,14 +620,20 @@ def minhash_dropped_ids(
     formulation is a regression test."""
     assert num_hashes % bands == 0 and threshold <= 1.0
     sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
-    mh_cols = [f"mh_{i}" for i in range(num_hashes)]
-    groups = sig.groupBy(*mh_cols).agg(F.min("doc").alias("rep")).cache()
+    # md5 signature key, not the 16 raw columns — see
+    # minhash_neardup_components for the shuffle-width rationale
+    sig = sig.select("*", F.md5(F.concat_ws("\x1f", *[
+        f"mh_{i}" for i in range(num_hashes)
+    ])).alias("__sk"))
+    groups = sig.groupBy("__sk").agg(F.min("doc").alias("rep")).cache()
     non_reps = (
-        sig.join(groups, mh_cols)
+        sig.select("doc", "__sk").join(groups, "__sk")
         .filter(F.col("doc") != F.col("rep"))
         .select("doc")
     )
-    rep_sig = groups.select(F.col("rep").alias("doc"), *mh_cols)
+    rep_sig = sig.join(
+        groups.select(F.col("rep").alias("doc")), "doc", "left_semi"
+    ).drop("__sk")
     doomed_reps = (
         candidates_from_signatures(rep_sig, num_hashes, bands)
         .filter(F.col("est_jaccard") >= threshold)
