@@ -148,6 +148,13 @@ def test_plan_shapes(tables, spark):
     p105 = plan_of("q105_minhash_incremental_screen")
     assert "SortMergeJoin" not in p105 and "ShuffledHashJoin" not in p105
     assert "dynamicpruning" in p105.lower()
+    # dense screen (semantic gate): the IVF vectors scan must carry a
+    # dynamicpruningexpression on cluster_id — a pruned-probe screen reads
+    # only the probed cluster dirs of the 100 TB layout, never the whole
+    # store — and the stored side never shuffles (batch side broadcasts)
+    p111 = plan_of("q111_ivf_semantic_screen")
+    assert "dynamicpruningexpression(cluster_id" in p111
+    assert "SortMergeJoin" not in p111 and "ShuffledHashJoin" not in p111
 
 
 def test_no_accidental_cartesian_products(tables, spark):
