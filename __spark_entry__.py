@@ -113,7 +113,10 @@ _DRIVER_GREEN = {
     "q97_training_pipeline_e2e", "q99_semdedup_kmeans_invariants",
     "q100_self_query_llm_golden", "q101_bm25_lexical_index",
     # r05 greens (driver-verified in CORRECTNESS_r05.json): the four round-5
-    # index queries — so round 6's q106 rotates to the front
+    # index queries — so round 6's additions (q106-q111: IVF recall sweep,
+    # modern-PDF structures, IVF-PQ incremental, collapsed components, star
+    # closure, semantic screen) stay PENDING and sort to the driver's
+    # first-50 window for their first driver verdict
     "q102_hybrid_indexed", "q103_ivf_incremental_add",
     "q104_lexical_incremental_add", "q105_minhash_incremental_screen",
 }
