@@ -236,7 +236,11 @@ class IVFIndex:
         driver-iterated). Both sides share `knn_batch`'s scoring expression
         and (sim desc, id) tie-break, so at nprobe = num_clusters the pruned
         side IS the baseline and recall is exactly 1.0 by construction —
-        any deviation is a cluster-assignment or pruning bug."""
+        any deviation is a cluster-assignment or pruning bug. Probe RANKING
+        stays driver-side over the in-memory centroid table (centroids fit
+        by construction); if |queries| × num_clusters outgrows driver
+        comfort, swap in `screen_near_dups`' broadcast-crossJoin
+        assignment — same ordering, fully distributed."""
         from ocr_vector_db_spark.operators.knn import knn_batch
 
         nprobes = sorted(set(nprobes or [3]))
@@ -253,15 +257,27 @@ class IVFIndex:
         total = exact.count()
 
         # qid' = setting * STRIDE + qi keeps one window partition per
-        # (setting, query) through a single knn_batch call
+        # (setting, query) through a single knn_batch call. Only SLIM
+        # (qid', cluster_id) int pairs leave the driver — each query's
+        # embedding ships ONCE in qdf and re-attaches via a broadcast
+        # join, instead of being replicated |settings|×nprobe times
+        # driver-side (a 10k-query × 3-setting × nprobe-64 sweep would
+        # otherwise materialize ~2M full vectors in the driver).
         stride = len(qrows)
-        probe_rows = [
-            (si * stride + qi, qv, cid)
-            for si, np_ in enumerate(nprobes)
-            for qi, qv in qrows
-            for cid in self.probe_clusters(qv, np_)
-        ]
-        pdf = spark.createDataFrame(probe_rows, qschema + ", cluster_id int")
+        pairs = spark.createDataFrame(
+            [
+                (si * stride + qi, cid)
+                for si, np_ in enumerate(nprobes)
+                for qi, qv in qrows
+                for cid in self.probe_clusters(qv, np_)
+            ],
+            "query_id int, cluster_id int",
+        )
+        pdf = (
+            pairs.withColumn("__qi", F.col("query_id") % stride)
+            .join(F.broadcast(qdf.withColumnRenamed("query_id", "__qi")), "__qi")
+            .drop("__qi")
+        )
         approx = knn_batch(
             self.vectors().select(id_col, "embedding", "cluster_id"),
             pdf, k, corpus_id=id_col, block_col="cluster_id", ids_only=True,
