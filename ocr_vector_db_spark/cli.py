@@ -258,13 +258,21 @@ def cmd_maintain(args) -> int:
         if not os.path.isdir(root):
             continue
         found += 1
-        before = {l: parquet_file_count(os.path.join(root, l)) for l in layouts}
+
+        def counts() -> dict:
+            try:  # local-fs helper; on HDFS/object stores just skip the stat
+                return {l: parquet_file_count(os.path.join(root, l))
+                        for l in layouts}
+            except OSError:
+                return {}
+
+        before = counts()
         idx = cls.load(spark, root)
         rows = idx.compact()
-        after = {l: parquet_file_count(os.path.join(root, l)) for l in layouts}
+        after = counts()
         detail = ", ".join(
             f"{l}: {before[l]}→{after[l]} files" for l in layouts
-        )
+        ) if before and after else "file counts n/a on this filesystem"
         print(f"[maintain] {name}: {rows} rows compacted ({detail})")
     if not found:
         print(f"[maintain] no persisted indexes under {args.store} "
@@ -345,6 +353,42 @@ def cmd_hybrid_search(args) -> int:
     return 0
 
 
+def cmd_semantic_index(args) -> int:
+    """Build the dense ingestion-gate index (`{store}/semidx`) from the
+    accepted stream corpus: embeds every accepted doc's text with the
+    harness embedder and clusters into an IVF layout over (doc_id,
+    embedding). `stream-ingest --semantic` then screens each incoming
+    micro-batch against it (SemDeDup at ingest, q111's serving shape) and
+    folds survivors in incrementally — rebuild periodically for centroid
+    drift, like any IVF tier."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.functions.vector import embed_udf
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    spark = _spark()
+    acc_path = os.path.join(args.store, "accepted")
+    if not os.path.isdir(acc_path):
+        print("[error] no accepted corpus under the store — "
+              "run `stream-ingest` first")
+        return 1
+    docs = (spark.read.option("basePath", acc_path)
+            .option("mergeSchema", "true").parquet(acc_path))
+    vecs = docs.select(
+        "doc_id", embed_udf(args.dim)(F.col("text")).alias("embedding")
+    )
+    n = vecs.count()
+    k = max(2, min(args.clusters, n))
+    idx = IVFIndex.build(
+        spark, vecs, os.path.join(args.store, "semidx"), num_clusters=k
+    )
+    print(f"[semantic-index] built {len(idx.centroids)}-cluster gate index "
+          f"over {n} accepted docs at {args.store}/semidx")
+    return 0
+
+
 def cmd_stream_ingest(args) -> int:
     """Incremental near-dup-gated ingestion — the streaming extension of
     the reference's re-runnable CLI ingest loop (api/cli/ingest.py): each
@@ -378,6 +422,16 @@ def cmd_stream_ingest(args) -> int:
             spark, empty, mh_path, num_hashes=args.num_hashes,
             bands=args.bands, n=2, n_buckets=args.buckets,
         )
+    sem_idx = None
+    if getattr(args, "semantic", False):
+        from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+        sem_path = os.path.join(args.store, "semidx")
+        if not os.path.exists(os.path.join(sem_path, "centroids.json")):
+            print("[error] --semantic needs the dense gate index — "
+                  "run the `semantic-index` command first")
+            return 1
+        sem_idx = IVFIndex.load(spark, sem_path)
     stats: list = []
     q = stream_ingest_deduped(
         spark.readStream.schema("doc_id long, text string")
@@ -390,6 +444,8 @@ def cmd_stream_ingest(args) -> int:
         checkpoint=os.path.join(args.store, "stream_checkpoint"),
         ledger=EpochLedger(spark, os.path.join(mh_path, "_epochs")),
         compact_every=args.compact_every,
+        semantic_index=sem_idx,
+        semantic_threshold=args.semantic_threshold,
     )
     q.awaitTermination()
     acc = sum(s["accepted"] for s in stats)
@@ -726,7 +782,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--buckets", type=int, default=64)
     sp.add_argument("--files-per-batch", type=int, default=64)
     sp.add_argument("--compact-every", type=int, default=32)
+    sp.add_argument("--semantic", action="store_true",
+                    help="also screen each batch against the dense gate "
+                         "index (build with `semantic-index`)")
+    sp.add_argument("--semantic-threshold", type=float, default=0.95)
     sp.set_defaults(fn=cmd_stream_ingest)
+
+    sp = sub.add_parser("semantic-index")
+    common(sp)
+    sp.add_argument("--clusters", type=int, default=32)
+    sp.set_defaults(fn=cmd_semantic_index)
 
     sp = sub.add_parser("pack")
     common(sp)

@@ -216,7 +216,14 @@ class ParquetAcceptedSink:
         )
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", self.path).parquet(self.path)
+        # mergeSchema: epochs accepted before a semantic gate was enabled
+        # lack the embedding column — a mixed-schema corpus must still
+        # reassemble (missing columns read as null)
+        return (
+            spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(self.path)
+        )
 
 
 def stream_ingest_deduped(

@@ -153,6 +153,29 @@ def test_cli_stream_ingest_gates_and_resumes(spark, tmp_path, capsys):
     assert cli.main(argv) == 0
     assert "accepted 0, dropped 1" in capsys.readouterr().out
 
+    # --semantic without the gate index: clean error pointing at the command
+    sem_argv = argv + ["--semantic", "--semantic-threshold", "0.99"]
+    assert cli.main(sem_argv) == 1
+    assert "semantic-index" in capsys.readouterr().out
+
+    # build the dense gate from the accepted corpus, then the dual-gated
+    # stream accepts a novel doc and writes its embedding to the sink
+    assert cli.main(["semantic-index", "--store", store, "--dim", "16",
+                     "--clusters", "4"]) == 0
+    assert "built" in capsys.readouterr().out
+    with open(src / "d.json", "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 5,
+             "text": "orbital mechanics lecture notes covering hohmann "
+                     "transfers and delta-v budgeting for lunar missions"})
+            + "\n")
+    assert cli.main(sem_argv) == 0
+    assert "accepted 1, dropped 0" in capsys.readouterr().out
+    accepted = (spark.read.option("basePath", f"{store}/accepted")
+                .option("mergeSchema", "true").parquet(f"{store}/accepted"))
+    assert {r.doc_id for r in accepted.collect()} == {1, 3, 5}
+    assert "embedding" in accepted.columns  # dual-gated epoch carries it
+
 
 def test_cli_repl_session(spark, tmp_path, capsys):
     """REPL parity with api/cli/repl.py: settings commands, a search, RAG
