@@ -249,6 +249,7 @@ def cmd_maintain(args) -> int:
         "lex": (LexicalIndex, ["postings", "stats"]),
         "minhash": (MinHashIndex, ["bands", "signatures"]),
         "mhidx": (MinHashIndex, ["bands", "signatures"]),  # stream-ingest's
+        "semidx": (IVFIndex, ["vectors"]),  # the dense ingestion gate
         "ivfpq": (IVFPQIndex, ["codes"]),
     }
     spark = _spark()

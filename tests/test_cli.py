@@ -176,6 +176,10 @@ def test_cli_stream_ingest_gates_and_resumes(spark, tmp_path, capsys):
     assert {r.doc_id for r in accepted.collect()} == {1, 3, 5}
     assert "embedding" in accepted.columns  # dual-gated epoch carries it
 
+    # maintain now also compacts the dense gate layout
+    assert cli.main(["maintain", "--store", store, "--dim", "16"]) == 0
+    assert "[maintain] semidx:" in capsys.readouterr().out
+
 
 def test_cli_repl_session(spark, tmp_path, capsys):
     """REPL parity with api/cli/repl.py: settings commands, a search, RAG
