@@ -381,6 +381,10 @@ def cmd_semantic_index(args) -> int:
         "doc_id", embed_udf(args.dim)(F.col("text")).alias("embedding")
     )
     n = vecs.count()
+    if n < 2:
+        print("[error] the dense gate needs >= 2 accepted docs to cluster "
+              f"(found {n}) — ingest more first")
+        return 1
     k = max(2, min(args.clusters, n))
     idx = IVFIndex.build(
         spark, vecs, os.path.join(args.store, "semidx"), num_clusters=k

@@ -345,7 +345,13 @@ def stream_ingest_deduped(
                 id_col=id_col, text_col=text_col,
             )
             if semantic_index is not None:
-                emb = fresh.withColumn("embedding", embedder(F.col(text_col)))
+                # a stream that already carries an `embedding` column
+                # (multimodal sources embed upstream) screens with its own
+                # vectors; otherwise the harness embedder derives them —
+                # never silently overwrite source-provided embeddings
+                emb = fresh if "embedding" in fresh.columns else (
+                    fresh.withColumn("embedding", embedder(F.col(text_col)))
+                )
                 flagged = semantic_index.screen_near_dups(
                     emb, semantic_threshold, id_col=id_col,
                 ).select(id_col)
