@@ -36,6 +36,83 @@ def _cos(a: list[float], b: list[float]) -> float:
     return dot / (na * nb) if na and nb else 0.0
 
 
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    emb_col: str = "embedding",
+    metric: str = "cosine",
+    out_col: str = "cluster_id",
+    keep_centroid: str | None = None,
+) -> DataFrame:
+    """df + `out_col`: each row's nearest centroid, as a BROADCAST JOIN +
+    window argmin — the scale-safe form of nearest-centroid assignment.
+
+    The naive form (a chained ``F.when`` comparing every centroid in turn)
+    builds an O(num_clusters)-deep Catalyst expression tree; at the
+    ~180k clusters a 100 TB corpus needs (SCALING.md: num_clusters ≈ √N)
+    that blows analysis time/stack long before any data moves. This shape
+    instead crossJoins the (tiny by construction — centroids fit in memory,
+    that's what makes them centroids) broadcast centroid table and takes a
+    row_number argmin per input row, so the PLAN is constant-size no matter
+    how many clusters exist; the same shape `screen_near_dups` always used.
+
+    metric: ``cosine`` (argmax cosine — IVFIndex's assignment metric) or
+    ``l2`` (argmin squared L2 — what KMeans assigned with, IVF-PQ's
+    residual metric). Ties break to the smallest cluster_id, identical to
+    both the old strict-comparison chains and `probe_clusters`' ordering.
+    Zero-vector centroids score with norm 1.0 (legacy guard). Rows are
+    keyed by a transient `monotonically_increasing_id`, so `df` needs no
+    unique id column.
+
+    `keep_centroid`: also return the winning centroid's array under this
+    column name (saves IVF-PQ's residual path a second join)."""
+    from ocr_vector_db_spark.functions.vector import dot_col, norm_col
+
+    spark = df.sparkSession
+    reserved = {"__cid", "__c_emb", "__c_norm", "__row_id", "__score", "__rk"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"assign_nearest_centroid: df columns {sorted(clash)} collide "
+            "with internal columns; rename them first"
+        )
+    cent = spark.createDataFrame(
+        [
+            (int(cid), [float(x) for x in v],
+             math.sqrt(sum(float(x) * float(x) for x in v)) or 1.0)
+            for cid, v in centroids
+        ],
+        "__cid int, __c_emb array<double>, __c_norm double",
+    )
+    v = F.col(emb_col).cast("array<double>")
+    if metric == "cosine":
+        score = dot_col(v, F.col("__c_emb")) / (norm_col(v) * F.col("__c_norm"))
+        order = [F.desc("__score"), F.col("__cid")]
+    elif metric == "l2":
+        score = F.aggregate(
+            F.zip_with(v, F.col("__c_emb"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        order = [F.asc("__score"), F.col("__cid")]
+    else:
+        raise ValueError(f"unknown metric {metric!r} (cosine|l2)")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__row_id").orderBy(*order)
+    out = [*df.columns, F.col("__cid").cast("int").alias(out_col)]
+    if keep_centroid is not None:
+        out.append(F.col("__c_emb").alias(keep_centroid))
+    return (
+        df.withColumn("__row_id", F.monotonically_increasing_id())
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__score", score)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(*out)
+    )
+
+
 class IVFIndex:
     def __init__(self, spark: SparkSession, path: str,
                  centroids: list[tuple[int, list[float]]] | None = None):
@@ -334,25 +411,18 @@ class IVFIndex:
         `index_maint.EpochLedger` (the pattern
         `streaming.pipeline.stream_ingest_deduped` implements) so the
         corpus-sized anti-join is paid only on crashed-epoch retries.
-        Single-writer contract. Returns the number of vectors added."""
-        from ocr_vector_db_spark.functions.vector import dot_col, norm_col
 
+        Assignment is the broadcast-centroid join + window argmin
+        (`assign_nearest_centroid`) — constant-size plan at any
+        num_clusters, where the previous chained-CASE-WHEN form broke
+        Catalyst analysis at the ~180k-cluster 100 TB target.
+        Single-writer contract. Returns the number of vectors added."""
         if not assume_new:
             indexed = self.vectors().select(id_col).distinct()
             df = df.join(indexed, id_col, "left_anti")
-        v = F.col(emb_col).cast("array<double>")
-        best_id, best_sim = None, None
-        for cid, centroid in self.centroids:
-            c = F.array(*[F.lit(float(x)) for x in centroid])
-            cn = math.sqrt(sum(x * x for x in centroid)) or 1.0
-            sim = dot_col(v, c) / (norm_col(v) * F.lit(cn))
-            if best_id is None:
-                best_id, best_sim = F.lit(cid), sim
-            else:
-                cond = sim > best_sim
-                best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
-                best_sim = F.when(cond, sim).otherwise(best_sim)
-        assigned = df.withColumn("cluster_id", best_id.cast("int")).cache()
+        assigned = assign_nearest_centroid(
+            df, self.centroids, emb_col=emb_col, metric="cosine"
+        ).cache()
         try:
             # materialize BEFORE the append: the anti-join above reads the
             # vectors path, so evaluating it afterwards would see the
