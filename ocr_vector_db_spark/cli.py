@@ -252,19 +252,21 @@ def cmd_maintain(args) -> int:
         "semidx": (IVFIndex, ["vectors"]),  # the dense ingestion gate
         "ivfpq": (IVFPQIndex, ["codes"]),
     }
+    from ocr_vector_db_spark.operators.index_maint import fs_exists
+
     spark = _spark()
     found = 0
     for name, (cls, layouts) in kinds.items():
         root = os.path.join(args.store, name)
-        if not os.path.isdir(root):
+        if not fs_exists(spark, root):
             continue
         found += 1
 
         def counts() -> dict:
-            try:  # local-fs helper; on HDFS/object stores just skip the stat
-                return {l: parquet_file_count(os.path.join(root, l))
+            try:  # Hadoop-FS stat; purely informational, never fail maintain
+                return {l: parquet_file_count(os.path.join(root, l), spark)
                         for l in layouts}
-            except OSError:
+            except Exception:
                 return {}
 
         before = counts()
@@ -369,9 +371,11 @@ def cmd_semantic_index(args) -> int:
     from ocr_vector_db_spark.functions.vector import embed_udf
     from ocr_vector_db_spark.operators.ann_index import IVFIndex
 
+    from ocr_vector_db_spark.operators.index_maint import fs_exists
+
     spark = _spark()
     acc_path = os.path.join(args.store, "accepted")
-    if not os.path.isdir(acc_path):
+    if not fs_exists(spark, acc_path):
         print("[error] no accepted corpus under the store — "
               "run `stream-ingest` first")
         return 1
@@ -410,7 +414,7 @@ def cmd_stream_ingest(args) -> int:
     guards, and `--compact-every` bounds the index's file count."""
     import os
 
-    from ocr_vector_db_spark.operators.index_maint import EpochLedger
+    from ocr_vector_db_spark.operators.index_maint import EpochLedger, fs_exists
     from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
     from ocr_vector_db_spark.streaming.pipeline import (
         ParquetAcceptedSink,
@@ -419,7 +423,9 @@ def cmd_stream_ingest(args) -> int:
 
     spark = _spark()
     mh_path = os.path.join(args.store, "mhidx")
-    if os.path.exists(os.path.join(mh_path, "meta.json")):
+    # Hadoop-FS probes, not os.path: the store may live on HDFS/object
+    # storage where a local stat always says "missing"
+    if fs_exists(spark, os.path.join(mh_path, "meta.json")):
         idx = MinHashIndex.load(spark, mh_path)
     else:
         empty = spark.createDataFrame([], "doc_id bigint, text string")
@@ -432,7 +438,7 @@ def cmd_stream_ingest(args) -> int:
         from ocr_vector_db_spark.operators.ann_index import IVFIndex
 
         sem_path = os.path.join(args.store, "semidx")
-        if not os.path.exists(os.path.join(sem_path, "centroids.json")):
+        if not fs_exists(spark, os.path.join(sem_path, "centroids.json")):
             print("[error] --semantic needs the dense gate index — "
                   "run the `semantic-index` command first")
             return 1
@@ -451,6 +457,9 @@ def cmd_stream_ingest(args) -> int:
         compact_every=args.compact_every,
         semantic_index=sem_idx,
         semantic_threshold=args.semantic_threshold,
+        semantic_intra_nprobe=(
+            getattr(args, "semantic_intra_nprobe", 2) or None
+        ),
     )
     q.awaitTermination()
     acc = sum(s["accepted"] for s in stats)
@@ -791,6 +800,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also screen each batch against the dense gate "
                          "index (build with `semantic-index`)")
     sp.add_argument("--semantic-threshold", type=float, default=0.95)
+    sp.add_argument("--semantic-intra-nprobe", type=int, default=2,
+                    help="cluster probes for the intra-batch dense pass; "
+                         "0 = exact all-pairs within each micro-batch")
     sp.set_defaults(fn=cmd_stream_ingest)
 
     sp = sub.add_parser("semantic-index")

@@ -215,6 +215,95 @@ class IVFIndex:
             pruned = pruned.filter(where)
         return knn_brute_force(pruned, query_vector, k, emb_col=emb_col, id_col=id_col)
 
+    def _probe_assignments(
+        self,
+        batch: DataFrame,
+        nprobe: int | None,
+        id_col: str,
+        emb_col: str,
+    ) -> DataFrame:
+        """(__b_id, __b_emb, cluster_id): each batch vector's top-`nprobe`
+        clusters, distributed — batch × broadcast-centroid crossJoin ranked
+        with the same (cosine desc, cluster_id) order as `probe_clusters`.
+        `nprobe=None` assigns every cluster. Shared by `screen_near_dups`
+        (store screen) and `dense_dropped_ids` (intra-batch pass)."""
+        from ocr_vector_db_spark.operators.knn import SIM_PRECISION
+        from ocr_vector_db_spark.functions.vector import cosine_similarity_col
+        from pyspark.sql import Window
+
+        nprobe = len(self.centroids) if nprobe is None else nprobe
+        cent = batch.sparkSession.createDataFrame(
+            [(cid, [float(x) for x in v]) for cid, v in self.centroids],
+            "cluster_id int, __c_emb array<double>",
+        )
+        b = batch.select(
+            F.col(id_col).alias("__b_id"), F.col(emb_col).alias("__b_emb")
+        )
+        w = Window.partitionBy("__b_id").orderBy(
+            F.desc("__c_sim"), F.col("cluster_id")
+        )
+        return (
+            b.crossJoin(F.broadcast(cent))
+            .withColumn(
+                "__c_sim",
+                F.round(
+                    cosine_similarity_col(F.col("__b_emb"), F.col("__c_emb")),
+                    SIM_PRECISION,
+                ),
+            )
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= nprobe)
+            .select("__b_id", "__b_emb", "cluster_id")
+        )
+
+    def dense_dropped_ids(
+        self,
+        batch: DataFrame,
+        threshold: float,
+        nprobe: int | None = 2,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ) -> DataFrame:
+        """One column (`id_col`): batch ids with a LOWER-id near-dup in the
+        SAME batch at cosine ≥ threshold — the dense sibling of
+        `dedup.minhash_dropped_ids`, closing the dual-gate same-batch blind
+        spot (two textually-unrelated but semantically-identical docs in
+        one micro-batch: `screen_near_dups` sees only PREVIOUS batches, so
+        without this pass both would be accepted).
+
+        Blocked by the index's own centroids: each vector pairs only with
+        batch-mates sharing one of its top-`nprobe` clusters — the same
+        O(batch²/num_clusters) bound as any SemDeDup cluster block, never
+        a raw batch² self-join. `nprobe=None` probes every cluster, making
+        the pass EXACT all-pairs (the oracle-parity setting, q112);
+        production keeps nprobe small — near-identical vectors rank their
+        clusters near-identically, so true dups share a probed cluster.
+        Keep-min convention (the survivor is the smallest id), matching
+        every other dedup drop set."""
+        from ocr_vector_db_spark.operators.knn import SIM_PRECISION
+        from ocr_vector_db_spark.functions.vector import cosine_similarity_col
+
+        probes = self._probe_assignments(batch, nprobe, id_col, emb_col)
+        a = probes.select(
+            F.col("__b_id").alias("__ida"), F.col("__b_emb").alias("__emba"),
+            "cluster_id",
+        )
+        b = probes.select(
+            F.col("__b_id").alias("__idb"), F.col("__b_emb").alias("__embb"),
+            "cluster_id",
+        )
+        sim = F.round(
+            cosine_similarity_col(F.col("__emba"), F.col("__embb")),
+            SIM_PRECISION,
+        )
+        return (
+            a.join(b, "cluster_id")
+            .filter(F.col("__ida") > F.col("__idb"))
+            .filter(sim >= threshold)
+            .select(F.col("__ida").alias(id_col))
+            .distinct()
+        )
+
     def screen_near_dups(
         self,
         batch: DataFrame,
@@ -241,34 +330,9 @@ class IVFIndex:
         production sets nprobe « num_clusters like any IVF serve (flags
         are then a subset of the exact screen's: a probed-slice neighbor
         that reaches the threshold reaches it globally too)."""
-        from ocr_vector_db_spark.operators.knn import SIM_PRECISION, knn_batch
-        from ocr_vector_db_spark.functions.vector import cosine_similarity_col
-        from pyspark.sql import Window
+        from ocr_vector_db_spark.operators.knn import knn_batch
 
-        nprobe = len(self.centroids) if nprobe is None else nprobe
-        cent = batch.sparkSession.createDataFrame(
-            [(cid, [float(x) for x in v]) for cid, v in self.centroids],
-            "cluster_id int, __c_emb array<double>",
-        )
-        b = batch.select(
-            F.col(id_col).alias("__b_id"), F.col(emb_col).alias("__b_emb")
-        )
-        w = Window.partitionBy("__b_id").orderBy(
-            F.desc("__c_sim"), F.col("cluster_id")
-        )
-        probes = (
-            b.crossJoin(F.broadcast(cent))
-            .withColumn(
-                "__c_sim",
-                F.round(
-                    cosine_similarity_col(F.col("__b_emb"), F.col("__c_emb")),
-                    SIM_PRECISION,
-                ),
-            )
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= nprobe)
-            .select("__b_id", "__b_emb", "cluster_id")
-        )
+        probes = self._probe_assignments(batch, nprobe, id_col, emb_col)
         top1 = knn_batch(
             self.vectors().select(id_col, "embedding", "cluster_id"),
             probes, 1, corpus_id=id_col, query_id="__b_id",
@@ -278,6 +342,34 @@ class IVFIndex:
             F.col("__b_id").alias(id_col),
             F.col(id_col).alias("dup_of"),
             "similarity",
+        )
+
+    def _probe_rank(self, qdf: DataFrame, max_np: int) -> DataFrame:
+        """(query_id, embedding, cluster_id, __rk): every query's clusters
+        ranked 1..max_np executor-side — `probe_clusters`' (cosine desc,
+        cluster_id) order as a broadcast crossJoin + window, for sweeps
+        too large to rank on the driver. UNROUNDED cosine: both sides fold
+        the dot/norm sums left-to-right in double, so the ordering (and
+        hence every probe set) bit-matches the driver ranking."""
+        from ocr_vector_db_spark.functions.vector import cosine_similarity_col
+        from pyspark.sql import Window
+
+        cent = qdf.sparkSession.createDataFrame(
+            [(cid, [float(x) for x in v]) for cid, v in self.centroids],
+            "cluster_id int, __c_emb array<double>",
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("__c_sim"), F.col("cluster_id")
+        )
+        return (
+            qdf.crossJoin(F.broadcast(cent))
+            .withColumn(
+                "__c_sim",
+                cosine_similarity_col(F.col("embedding"), F.col("__c_emb")),
+            )
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_np)
+            .select("query_id", "embedding", "cluster_id", "__rk")
         )
 
     def recall_at_k(
@@ -301,6 +393,7 @@ class IVFIndex:
         k: int = 10,
         nprobes: list[int] | None = None,
         id_col: str = "vec_id",
+        distributed_probes: bool = False,
     ) -> dict[int, float]:
         """Recall@k for EVERY nprobe setting in one distributed pass.
 
@@ -313,11 +406,16 @@ class IVFIndex:
         driver-iterated). Both sides share `knn_batch`'s scoring expression
         and (sim desc, id) tie-break, so at nprobe = num_clusters the pruned
         side IS the baseline and recall is exactly 1.0 by construction —
-        any deviation is a cluster-assignment or pruning bug. Probe RANKING
-        stays driver-side over the in-memory centroid table (centroids fit
-        by construction); if |queries| × num_clusters outgrows driver
-        comfort, swap in `screen_near_dups`' broadcast-crossJoin
-        assignment — same ordering, fully distributed."""
+        any deviation is a cluster-assignment or pruning bug.
+
+        Probe ranking: by default driver-side over the in-memory centroid
+        table (centroids fit by construction). `distributed_probes=True`
+        swaps in the broadcast-crossJoin ranking `_probe_assignments`
+        uses — ONE window ranks every (query, centroid) pair executor-side
+        and each setting filters its rank prefix, so a 10⁵-query sweep
+        never materializes |queries| × nprobe pairs in the driver.
+        Identical probe sets (same (cosine desc, cluster_id) order;
+        results equality is regression-tested)."""
         from ocr_vector_db_spark.operators.knn import knn_batch
 
         nprobes = sorted(set(nprobes or [3]))
@@ -341,20 +439,32 @@ class IVFIndex:
         # driver-side (a 10k-query × 3-setting × nprobe-64 sweep would
         # otherwise materialize ~2M full vectors in the driver).
         stride = len(qrows)
-        pairs = spark.createDataFrame(
-            [
-                (si * stride + qi, cid)
-                for si, np_ in enumerate(nprobes)
-                for qi, qv in qrows
-                for cid in self.probe_clusters(qv, np_)
-            ],
-            "query_id int, cluster_id int",
-        )
-        pdf = (
-            pairs.withColumn("__qi", F.col("query_id") % stride)
-            .join(F.broadcast(qdf.withColumnRenamed("query_id", "__qi")), "__qi")
-            .drop("__qi")
-        )
+        if distributed_probes:
+            ranked = self._probe_rank(qdf, max(nprobes))
+            pdf = None
+            for si, np_ in enumerate(nprobes):
+                part = ranked.filter(F.col("__rk") <= np_).select(
+                    (F.lit(si * stride) + F.col("query_id"))
+                    .cast("int").alias("query_id"),
+                    "cluster_id", "embedding",
+                )
+                pdf = part if pdf is None else pdf.unionByName(part)
+        else:
+            pairs = spark.createDataFrame(
+                [
+                    (si * stride + qi, cid)
+                    for si, np_ in enumerate(nprobes)
+                    for qi, qv in qrows
+                    for cid in self.probe_clusters(qv, np_)
+                ],
+                "query_id int, cluster_id int",
+            )
+            pdf = (
+                pairs.withColumn("__qi", F.col("query_id") % stride)
+                .join(F.broadcast(qdf.withColumnRenamed("query_id", "__qi")),
+                      "__qi")
+                .drop("__qi")
+            )
         approx = knn_batch(
             self.vectors().select(id_col, "embedding", "cluster_id"),
             pdf, k, corpus_id=id_col, block_col="cluster_id", ids_only=True,

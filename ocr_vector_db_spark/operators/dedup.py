@@ -639,11 +639,22 @@ def minhash_dropped_ids(
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("doc_b").alias("doc"))
     )
-    return (
+    out = (
         non_reps.unionByName(doomed_reps)
         .distinct()
         .select(F.col("doc").alias(id_col))
     )
+    # This runs once per MICRO-BATCH inside stream_ingest_deduped: every
+    # call's input differs, so the `groups` cache entry is a fresh plan the
+    # cache manager can never dedup — a long-running stream would accumulate
+    # cached RDDs bounded only by LRU pressure. Materialize the (slim,
+    # batch-bounded id list) result eagerly, then release the cache; the
+    # checkpoint blocks free themselves when the result is GC'd. (The
+    # batch-side minhash_neardup_components keeps its caches: repeated calls
+    # there share ONE cache entry per logical plan, so nothing accumulates.)
+    out = out.localCheckpoint()
+    groups.unpersist()
+    return out
 
 
 def kmeans_blocks(

@@ -174,6 +174,14 @@ def write_small_file(spark: SparkSession, path: str, data: bytes) -> None:
         out.close()
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — the portable
+    preflight for index layouts (an os.path check would report False for
+    every valid index on HDFS/object stores)."""
+    hpath, fs = _fs(spark, path)
+    return bool(fs.exists(hpath(path)))
+
+
 def read_small_file(spark: SparkSession, path: str) -> bytes:
     hpath, fs = _fs(spark, path)
     inp = fs.open(hpath(path))
@@ -252,19 +260,38 @@ class EpochLedger:
                 fs.delete(hpath(posixpath.join(self.path, name)), False)
 
 
-def parquet_file_count(path: str) -> int:
+def parquet_file_count(path: str, spark: SparkSession | None = None) -> int:
     """Number of data files in the LIVE layout of a (possibly generational,
-    possibly partitioned) parquet table — local-fs helper for tests and
-    maintenance triggers."""
-    gens = sorted(
-        int(m.group(1))
-        for m in (_GEN_MARK_RE.fullmatch(f) for f in (
-            os.listdir(path) if os.path.isdir(path) else []))
-        if m and os.path.isdir(os.path.join(path, _gen_name(int(m.group(1)))))
-    )
-    root = os.path.join(path, _gen_name(gens[-1])) if gens else path
+    possibly partitioned) parquet table — the stat behind maintenance
+    triggers like `stream_ingest_deduped(compact_max_files=...)`.
+
+    Goes through the Hadoop FileSystem API like every other index-layout
+    operation, so the trigger works on HDFS/object stores, not just local
+    disk (the round-6 straggler). `spark` defaults to the active session;
+    with no session at all (bare scripts), a local-fs os.walk fallback
+    keeps the old behavior."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:  # sessionless fallback: local filesystem only
+        gens = sorted(
+            int(m.group(1))
+            for m in (_GEN_MARK_RE.fullmatch(f) for f in (
+                os.listdir(path) if os.path.isdir(path) else []))
+            if m and os.path.isdir(os.path.join(path, _gen_name(int(m.group(1)))))
+        )
+        root = os.path.join(path, _gen_name(gens[-1])) if gens else path
+        total = 0
+        for _r, _dirs, files in os.walk(root):
+            total += sum(1 for f in files
+                         if f.endswith(".parquet") and not f.startswith("."))
+        return total
+    hpath, fs = _fs(spark, path)
+    if not fs.exists(hpath(path)):
+        return 0
+    root = current_gen_dir(spark, path)
+    it = fs.listFiles(hpath(root), True)  # recursive
     total = 0
-    for _r, _dirs, files in os.walk(root):
-        total += sum(1 for f in files
-                     if f.endswith(".parquet") and not f.startswith("."))
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.endswith(".parquet") and not name.startswith("."):
+            total += 1
     return total

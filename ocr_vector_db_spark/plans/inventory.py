@@ -4504,3 +4504,46 @@ def q111(spark, sf):
     return idx.screen_near_dups(
         e.filter(F.col("vec_id") % 10 == 1), threshold=0.3
     )
+
+
+@query(
+    "q112_dense_dropped_intra_batch",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT * FROM e WHERE vec_id % 10 = 1)
+    SELECT DISTINCT a.vec_id
+    FROM b a JOIN b bb ON a.vec_id > bb.vec_id
+    WHERE ROUND(list_dot_product(a.v, bb.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.3
+    """,
+)
+def q112(spark, sf):
+    """Intra-batch dense drop set: ids in the incoming batch (q111's
+    vec_id ≡ 1 mod 10 slice) that have a LOWER-id near-dup in the SAME
+    batch at cosine ≥ 0.3 — `IVFIndex.dense_dropped_ids`, the dense twin
+    of `minhash_dropped_ids` and the piece that closes the streaming dual
+    gate's same-batch blind spot (`screen_near_dups` only sees PREVIOUS
+    batches). Blocked by the persisted gate index's centroids: pairs form
+    only inside shared probed clusters, an O(batch²/num_clusters) bound
+    instead of a raw batch² self-join. Full probe here = exact all-pairs,
+    which is what the oracle's self-join computes; production keeps
+    nprobe small (blocked ≡ exact for true near-identicals —
+    regression-tested in test_streaming_multimodal)."""
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q111_ivf_even_path")
+    if key not in _PLAN_MEMO:
+        # same persisted gate index as q111 (built on the even half)
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ivfscreen_")
+        IVFIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path, num_clusters=32
+        )
+        _PLAN_MEMO[key] = path
+    idx = IVFIndex.load(spark, _PLAN_MEMO[key])
+    return idx.dense_dropped_ids(
+        e.filter(F.col("vec_id") % 10 == 1), threshold=0.3, nprobe=None
+    )

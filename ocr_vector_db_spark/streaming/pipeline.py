@@ -225,6 +225,15 @@ class ParquetAcceptedSink:
             .parquet(self.path)
         )
 
+    def read_epoch(self, spark: SparkSession, epoch_id: int) -> DataFrame | None:
+        """One epoch's accepted rows, or None if that epoch never reached
+        the sink — the crash-repair read (Hadoop-FS probe, so repair works
+        on HDFS/object stores like every other index operation)."""
+        from ocr_vector_db_spark.operators.index_maint import fs_exists
+
+        p = posixpath.join(self.path, f"epoch_id={epoch_id}")
+        return spark.read.parquet(p) if fs_exists(spark, p) else None
+
 
 def stream_ingest_deduped(
     docs_stream: DataFrame,
@@ -240,6 +249,7 @@ def stream_ingest_deduped(
     compact_max_files: int | None = None,
     semantic_index=None,
     semantic_threshold: float = 0.85,
+    semantic_intra_nprobe: int | None = 2,
     embedder=None,
 ):
     """Streaming ingestion with incremental near-dup gating — the streaming
@@ -255,16 +265,16 @@ def stream_ingest_deduped(
       3. optionally (when `semantic_index`, a built `IVFIndex` over
          (id_col, "embedding") rows, is given) embeds the text-level
          survivors (`embedder`: text Column → array Column; defaults to
-         the deterministic harness embedder at the index's dim) and drops
-         any doc whose nearest STORED vector reaches
+         the deterministic harness embedder at the index's dim; a stream
+         already carrying an `embedding` column uses its own vectors,
+         dimension-checked row-by-row against the index), runs the
+         INTRA-BATCH dense pass (`IVFIndex.dense_dropped_ids`, blocked by
+         the gate's centroids at `semantic_intra_nprobe` probes — the
+         dense twin of step 1, closing the same-batch blind spot), then
+         drops any survivor whose nearest STORED vector reaches
          `semantic_threshold` — `IVFIndex.screen_near_dups`, SemDeDup at
          ingest. Accepted rows then carry their `embedding` column into
-         the sink and fold into BOTH indexes. Caveat (documented, not
-         hidden): two textually-unrelated but semantically-identical docs
-         arriving in the SAME micro-batch both pass (the dense screen
-         sees only previous batches); a periodic
-         `semantic_dedup_survivors` sweep over the accepted store is the
-         batch-side complement;
+         the sink and fold into BOTH indexes;
       4. folds the accepted docs' signatures into the index so later
          batches screen against them too.
 
@@ -291,7 +301,8 @@ def stream_ingest_deduped(
     died mid-add pays the guarded anti-join, once.
 
     `compact_every` (epochs) / `compact_max_files` (live data files,
-    local-fs trigger — use compact_every on HDFS/object stores) bound the
+    counted through the Hadoop FS API so the trigger works on HDFS/object
+    stores too) bound the
     small-files accumulation of long streams by running `index.compact()`
     inline; the generation-pointer publish keeps concurrent readers
     correct throughout."""
@@ -311,8 +322,9 @@ def stream_ingest_deduped(
             and (epoch_id + 1) % compact_every == 0
         ) or (
             compact_max_files is not None
-            and parquet_file_count(_os.path.join(index.path, "bands"))
-            > compact_max_files
+            and parquet_file_count(
+                _os.path.join(index.path, "bands"), index.spark
+            ) > compact_max_files
         )
         if due:
             index.compact()
@@ -345,13 +357,38 @@ def stream_ingest_deduped(
                 id_col=id_col, text_col=text_col,
             )
             if semantic_index is not None:
-                # a stream that already carries an `embedding` column
-                # (multimodal sources embed upstream) screens with its own
-                # vectors; otherwise the harness embedder derives them —
-                # never silently overwrite source-provided embeddings
-                emb = fresh if "embedding" in fresh.columns else (
-                    fresh.withColumn("embedding", embedder(F.col(text_col)))
+                dim = len(semantic_index.centroids[0][1])
+                if "embedding" in fresh.columns:
+                    # a stream that already carries an `embedding` column
+                    # (multimodal sources embed upstream) screens with its
+                    # own vectors — never silently overwrite them. Guard
+                    # the dimension row-by-row at zero job cost: a
+                    # mismatched vector would otherwise zip_with-pad with
+                    # nulls, evaluate null similarity, and silently pass
+                    # the gate instead of erroring.
+                    emb = fresh.withColumn(
+                        "embedding",
+                        F.when(
+                            F.size("embedding") == dim, F.col("embedding")
+                        ).otherwise(F.raise_error(F.concat(
+                            F.lit("semantic gate: source embedding has "),
+                            F.size("embedding").cast("string"),
+                            F.lit(f" dims, index expects {dim}"),
+                        ))),
+                    )
+                else:
+                    emb = fresh.withColumn(
+                        "embedding", embedder(F.col(text_col))
+                    )
+                # intra-batch pass (the dense twin of minhash_dropped_ids
+                # above): the store screen below sees only PREVIOUS
+                # batches, so same-batch semantic dups must be dropped
+                # here, blocked by the gate index's own centroids
+                intra = semantic_index.dense_dropped_ids(
+                    emb, semantic_threshold, nprobe=semantic_intra_nprobe,
+                    id_col=id_col,
                 )
+                emb = emb.join(intra, id_col, "left_anti")
                 flagged = semantic_index.screen_near_dups(
                     emb, semantic_threshold, id_col=id_col,
                 ).select(id_col)
@@ -382,6 +419,26 @@ def stream_ingest_deduped(
                     semantic_index.add(
                         fresh.select(id_col, "embedding"),
                         id_col=id_col, assume_new=assume_new,
+                    )
+            if guarded and semantic_index is not None:
+                # Crash-window repair: a prior attempt may have died
+                # BETWEEN the text index.add and semantic_index.add. On
+                # this replay dedup_new drops the already-text-indexed
+                # docs (est_jaccard 1.0 vs themselves), `fresh` comes
+                # back empty, and the normal path above never re-adds
+                # their vectors — the epoch would be permanently absent
+                # from the dense gate. Re-derive the dense add from the
+                # epoch's own sink rows with the guarded anti-join (a
+                # no-op for vectors that did land). Only crashed-epoch
+                # retries pay this read.
+                epoch_rows = getattr(accepted_sink, "read_epoch", None)
+                epoch_rows = epoch_rows and epoch_rows(
+                    batch_df.sparkSession, epoch_id
+                )
+                if epoch_rows is not None and "embedding" in epoch_rows.columns:
+                    semantic_index.add(
+                        epoch_rows.select(id_col, "embedding"),
+                        id_col=id_col, assume_new=False,
                     )
             if ledger is not None:
                 ledger.mark_committed(epoch_id)

@@ -192,3 +192,27 @@ def test_ivfpq_search_plan_stays_small_at_production_params(spark, tmp_path):
     )[:10]
     got = [(r.pq_distance, r.vec_id) for r in rows]
     assert got == [(d, vid) for d, vid in exp]
+
+
+# ----------------------------------- recall_sweep: distributed probe ranking
+
+
+def test_recall_sweep_distributed_probes_matches_driver_ranking(
+    spark, tmp_path
+):
+    """`distributed_probes=True` moves probe ranking from the driver loop
+    to the broadcast-crossJoin window; the probe sets (and hence every
+    recall number) must be identical."""
+    rng = np.random.default_rng(31)
+    X = rng.normal(size=(200, 16))
+    df = _vec_df(spark, X)
+    idx = IVFIndex.build(spark, df, str(tmp_path / "ivf"), num_clusters=8)
+    queries = [[float(x) for x in q] for q in rng.normal(size=(12, 16))]
+    nprobes = [1, 3, 8]
+    driver = idx.recall_sweep(df, queries, k=10, nprobes=nprobes)
+    dist = idx.recall_sweep(
+        df, queries, k=10, nprobes=nprobes, distributed_probes=True
+    )
+    assert dist == driver
+    assert driver[8] == 1.0  # full probe is exact by construction
+    assert driver[1] <= driver[3] <= driver[8]

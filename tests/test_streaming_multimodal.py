@@ -472,3 +472,208 @@ def test_stream_ingest_auto_compaction_bounds_files(spark, tmp_path):
     )
     kept = {r.doc_id for r in idx.dedup_new(probe, threshold=0.6).collect()}
     assert kept == {101}
+
+
+def test_dense_dropped_ids_blocked_matches_exact(spark, tmp_path):
+    """IVFIndex.dense_dropped_ids: keep-min intra-batch dense drop set;
+    the centroid-blocked (nprobe=2) pass agrees with the exact all-pairs
+    (nprobe=None) pass when dups are true near-identicals."""
+    from ocr_vector_db_spark.functions.vector import embed_text
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    ivf = IVFIndex.build(
+        spark,
+        spark.createDataFrame(
+            [(100, embed_text("seed one")), (101, embed_text("seed two"))],
+            "vec_id bigint, embedding array<double>",
+        ),
+        str(tmp_path / "ivf"), num_clusters=2,
+    )
+    e = embed_text("identical content")
+    batch = spark.createDataFrame(
+        [(10, e), (11, e), (12, embed_text("something else entirely"))],
+        "vec_id bigint, embedding array<double>",
+    )
+    exact = {r.vec_id for r in
+             ivf.dense_dropped_ids(batch, 0.95, nprobe=None).collect()}
+    blocked = {r.vec_id for r in
+               ivf.dense_dropped_ids(batch, 0.95, nprobe=2).collect()}
+    assert exact == blocked == {11}  # keep-min: 10 survives
+
+
+def test_stream_ingest_dense_gate_drops_same_batch_semantic_dups(
+    spark, tmp_path
+):
+    """Round-6 blind spot, closed: two TEXTUALLY-disjoint docs carrying
+    IDENTICAL source embeddings arrive in ONE micro-batch — the store
+    screen sees only previous batches, so only the intra-batch dense pass
+    can catch them. Only the min-id doc may survive."""
+    import json as _json
+
+    from ocr_vector_db_spark.functions.vector import embed_text
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
+
+    mh = MinHashIndex.build(
+        spark, spark.createDataFrame([], "doc_id bigint, text string"),
+        str(tmp_path / "mh"), num_hashes=16, bands=4, n=2, n_buckets=8,
+    )
+    ivf = IVFIndex.build(
+        spark,
+        spark.createDataFrame(
+            [(100, embed_text("seed one")), (101, embed_text("seed two"))],
+            "doc_id bigint, embedding array<double>",
+        ),
+        str(tmp_path / "ivf"), num_clusters=2,
+    )
+    # same vector, textually unrelated content (an upstream multimodal
+    # embedder can map different surface text to one embedding)
+    shared = embed_text("the shared semantic payload")
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        fh.write(_json.dumps({
+            "doc_id": 7, "text": "maritime salvage law in the north sea",
+            "embedding": shared}) + "\n")
+        fh.write(_json.dumps({
+            "doc_id": 5, "text": "alpine knitting with stranded colorwork",
+            "embedding": shared}) + "\n")
+    stats: list = []
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted"))
+    q = stream_ingest_deduped(
+        spark.readStream
+        .schema("doc_id long, text string, embedding array<double>")
+        .json(str(src)),
+        mh, sink, threshold=0.6, stats=stats,
+        checkpoint=str(tmp_path / "ckpt"),
+        semantic_index=ivf, semantic_threshold=0.95,
+    )
+    q.awaitTermination(60)
+    assert {r.doc_id for r in sink.read(spark).collect()} == {5}  # keep-min
+    assert stats[-1] == {"epoch": 0, "accepted": 1, "dropped_as_dup": 1}
+    assert {r.doc_id for r in ivf.vectors().collect()} == {100, 101, 5}
+
+
+def test_stream_ingest_repairs_dense_gate_after_crash_between_adds(
+    spark, tmp_path
+):
+    """ADVICE crash window: a prior attempt died BETWEEN the MinHash
+    index.add and semantic_index.add. On the guarded replay the text gate
+    drops the whole batch (est_jaccard 1.0 vs itself), so the dense add
+    must be re-derived from the epoch's sink rows — without the repair the
+    epoch's vectors would be permanently absent from the dense gate."""
+    import json as _json
+
+    from ocr_vector_db_spark.functions.vector import embed_text
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.index_maint import EpochLedger
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
+
+    text = ("estuary sediment transport measured across four tidal cycles "
+            "with calibrated acoustic doppler profilers")
+    mh = MinHashIndex.build(
+        spark, spark.createDataFrame([], "doc_id bigint, text string"),
+        str(tmp_path / "mh"), num_hashes=16, bands=4, n=2, n_buckets=8,
+    )
+    ivf = IVFIndex.build(
+        spark,
+        spark.createDataFrame(
+            [(100, embed_text("seed one")), (101, embed_text("seed two"))],
+            "doc_id bigint, embedding array<double>",
+        ),
+        str(tmp_path / "ivf"), num_clusters=2,
+    )
+    ledger = EpochLedger(spark, str(tmp_path / "ledger"))
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted"))
+
+    # simulate the dead attempt: sink written, text index folded, dense
+    # index NOT — crash before semantic_index.add, before mark_committed
+    accepted = spark.createDataFrame(
+        [(1, text, embed_text(text))],
+        "doc_id long, text string, embedding array<double>",
+    )
+    sink.write(accepted, 0)
+    mh.add(accepted.select("doc_id", "text"))
+    ledger.mark_started(0)
+    assert {r.doc_id for r in ivf.vectors().collect()} == {100, 101}
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": text}) + "\n")
+    # no checkpoint → the file re-delivers as epoch 0: the guarded retry
+    q = stream_ingest_deduped(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        mh, sink, threshold=0.6, ledger=ledger,
+        semantic_index=ivf, semantic_threshold=0.95,
+    )
+    q.awaitTermination(60)
+    # the dense gate now holds epoch 0's vector; nothing duplicated
+    assert {r.doc_id for r in ivf.vectors().collect()} == {100, 101, 1}
+    assert ivf.vectors().filter("doc_id = 1").count() == 1
+    assert mh.signatures().filter("doc = 1").count() == 1
+    assert ledger.committed() == 0
+
+    # a fully-committed epoch replay stays a total no-op (repair included)
+    q = stream_ingest_deduped(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        mh, sink, threshold=0.6, ledger=ledger,
+        semantic_index=ivf, semantic_threshold=0.95,
+    )
+    q.awaitTermination(60)
+    assert ivf.vectors().filter("doc_id = 1").count() == 1
+
+
+def test_stream_ingest_semantic_gate_rejects_dim_mismatch(spark, tmp_path):
+    """ADVICE: a source-provided embedding whose dimension disagrees with
+    the gate index must fail loudly — zip_with would null-pad, similarity
+    would evaluate null, and every dup would silently pass the gate."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from ocr_vector_db_spark.functions.vector import embed_text
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
+
+    mh = MinHashIndex.build(
+        spark, spark.createDataFrame([], "doc_id bigint, text string"),
+        str(tmp_path / "mh"), num_hashes=16, bands=4, n=2, n_buckets=8,
+    )
+    ivf = IVFIndex.build(
+        spark,
+        spark.createDataFrame(
+            [(100, embed_text("seed one")), (101, embed_text("seed two"))],
+            "doc_id bigint, embedding array<double>",
+        ),
+        str(tmp_path / "ivf"), num_clusters=2,
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        fh.write(_json.dumps({
+            "doc_id": 1, "text": "some novel content here",
+            "embedding": [0.5, 0.5, 0.5]}) + "\n")  # 3 dims vs index's 64
+    q = stream_ingest_deduped(
+        spark.readStream
+        .schema("doc_id long, text string, embedding array<double>")
+        .json(str(src)),
+        mh, ParquetAcceptedSink(str(tmp_path / "accepted")),
+        threshold=0.6, checkpoint=str(tmp_path / "ckpt"),
+        semantic_index=ivf, semantic_threshold=0.95,
+    )
+    with _pytest.raises(Exception, match="semantic gate|USER_RAISED"):
+        q.awaitTermination(60)
+        raise AssertionError("expected the stream to fail on dim mismatch")
