@@ -113,30 +113,45 @@ _DRIVER_GREEN = {
     "q97_training_pipeline_e2e", "q99_semdedup_kmeans_invariants",
     "q100_self_query_llm_golden", "q101_bm25_lexical_index",
     # r05 greens (driver-verified in CORRECTNESS_r05.json): the four round-5
-    # index queries — so round 6's additions (q106-q111: IVF recall sweep,
-    # modern-PDF structures, IVF-PQ incremental, collapsed components, star
-    # closure, semantic screen) stay PENDING and sort to the driver's
-    # first-50 window for their first driver verdict
+    # index queries
     "q102_hybrid_indexed", "q103_ivf_incremental_add",
     "q104_lexical_incremental_add", "q105_minhash_incremental_screen",
+    # r06 greens (driver-verified in CORRECTNESS_r06.json): all six round-6
+    # queries got first-round verdicts — so round 7's additions (q112
+    # intra-batch dense gate, q113 dangling-redistribute PageRank) stay
+    # PENDING and sort to the front of the driver's first-50 window
+    "q106_ivf_recall_tradeoff", "q107_pdf_modern_structures",
+    "q108_ivfpq_incremental_add", "q109_neardup_components_collapsed",
+    "q110_neardup_components_star", "q111_ivf_semantic_screen",
 }
 
-# Exactly the 50 names CORRECTNESS_r05.json re-verified (q102-q105 + q01-q46)
-# — the freshest verdicts, rotated to the BACK so the stale r03/r04 greens
-# (q47-q101, last verified 2-3 rounds ago) re-enter the driver's first-50
-# window right after the new queries.
+# Exactly the 50 names CORRECTNESS_r06.json verified (q106-q111 + q47-q89 +
+# q101) — the freshest verdicts, rotated to the BACK of the registration.
 _GREEN_FRESH = {
-    "q102_hybrid_indexed", "q103_ivf_incremental_add",
-    "q104_lexical_incremental_add", "q105_minhash_incremental_screen",
+    "q101_bm25_lexical_index",
+    "q106_ivf_recall_tradeoff", "q107_pdf_modern_structures",
+    "q108_ivfpq_incremental_add", "q109_neardup_components_collapsed",
+    "q110_neardup_components_star", "q111_ivf_semantic_screen",
 } | {n for n in _DRIVER_GREEN
-     if n.startswith("q0")
-     or n[1:3].isdigit() and n[1:3] <= "46" and n[3] == "_"}
+     if n[1:3].isdigit() and "47" <= n[1:3] <= "89" and n[3] == "_"}
+
+# Within the stale tier, oldest verdicts first: q90-q100 were last verified
+# in r03/r04 (everything else stale is r05), so they must reach the first-50
+# window this round to keep every verdict within the ~3-round discipline.
+_STALE_OLDEST = {
+    "q90_hybrid_rrf_fusion", "q91_sequence_packing",
+    "q92_semantic_dedup_survivors", "q93_duplicate_ngram_coverage",
+    "q94_rerank_stub_topk", "q95_bpe_pair_counts", "q96_quality_deciles",
+    "q97_training_pipeline_e2e", "q98_rag_prompt_golden",
+    "q99_semdedup_kmeans_invariants", "q100_self_query_llm_golden",
+}
 
 
 def _driver_order(names):
     pending = sorted(n for n in names if n not in _DRIVER_GREEN)
     stale = [n for n in names
              if n in _DRIVER_GREEN and n not in _GREEN_FRESH]
+    stale.sort(key=lambda n: n not in _STALE_OLDEST)  # stable within tiers
     fresh = [n for n in names if n in _GREEN_FRESH]
     return pending + stale + fresh
 

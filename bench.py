@@ -75,6 +75,12 @@ HEADLINE = [
     "q108_ivfpq_incremental_add",
     "q109_neardup_components_collapsed",
     "q111_ivf_semantic_screen",
+    # round 7 additions: the star-contraction closure (tracked against
+    # q109's min-label closure so the label-vs-star cost ratio is visible
+    # round-over-round — the evidence for making cc="star" the scale
+    # default) and the intra-batch dense gate pass
+    "q110_neardup_components_star",
+    "q112_dense_dropped_intra_batch",
 ]
 
 

@@ -2838,6 +2838,89 @@ def q75(spark, sf):
     )
 
 
+def _pagerank_dangling_sql(iterations: int = 5, scale: int = 9) -> str:
+    """Unrolled PageRank WITH dangling-mass redistribution: the DIRECTED
+    (doc_a → doc_b) near-dup pairs leave every max-id-only node with
+    out-degree 0; each iteration their decimal-summed rank is shared to
+    the whole node universe as share = dangling_mass/n, mirroring
+    graph.py::pagerank(dangling='redistribute') float-op for float-op."""
+    s = scale
+    step = (
+        "dm{j} AS (\n"
+        "        SELECT ROUND(COALESCE(CAST(SUM(CAST(p.rank AS\n"
+        "                   DECIMAL(28,{s}))) AS DOUBLE), CAST(0.0 AS DOUBLE))\n"
+        "                 / (SELECT n FROM nn), {s}) AS share\n"
+        "        FROM pr{j} p LEFT JOIN deg d ON p.id = d.id\n"
+        "        WHERE d.id IS NULL\n"
+        "    ),\n"
+        "    pr{k} AS (\n"
+        "        SELECT nd.id,\n"
+        "               ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)\n"
+        "                     + CAST(0.85 AS DOUBLE)\n"
+        "                       * (COALESCE(agg.s, CAST(0.0 AS DOUBLE))\n"
+        "                          + (SELECT share FROM dm{j})), {s}) AS rank\n"
+        "        FROM nodes nd LEFT JOIN (\n"
+        "            SELECT e.dst AS id,\n"
+        "                   CAST(SUM(CAST(ROUND(p.rank / d.deg, {s})\n"
+        "                       AS DECIMAL(28,{s}))) AS DOUBLE) AS s\n"
+        "            FROM pr{j} p JOIN deg d ON p.id = d.id\n"
+        "            JOIN edges e ON e.src = p.id\n"
+        "            GROUP BY e.dst\n"
+        "        ) agg ON nd.id = agg.id\n"
+        "    )"
+    )
+    steps = ",\n    ".join(
+        step.format(k=i + 1, j=i, s=s) for i in range(iterations)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED ({_MH_CAND_SQL}),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+    ),
+    deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+        )
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (
+        SELECT id, ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), {s}) AS rank
+        FROM nodes
+    ),
+    {steps}
+    SELECT id AS doc_id, ROUND(rank, 6) AS pagerank FROM pr{iterations}
+    """
+
+
+@query("q113_pagerank_dangling_redistribute", _pagerank_dangling_sql(5))
+def q113(spark, sf):
+    """q75's PageRank on the DIRECTED (unsymmetrized) near-dup pair list —
+    every node that only ever appears as doc_b has out-degree 0, so this
+    exercises `pagerank(dangling='redistribute')`: per iteration the
+    dangling nodes' decimal-summed rank is spread to every node as
+    dangling_mass/n (Brin & Page's handling), keeping total mass at ~1
+    instead of leaking it. The default mode refuses dangling graphs
+    loudly (unit-tested); this query pins the redistribution arithmetic
+    to a 5-iteration unrolled-CTE oracle. Scale shape: unchanged from
+    q75 — the dangling share is a 1-row aggregate crossJoined broadcast,
+    no extra wide shuffle per iteration."""
+    from ocr_vector_db_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id"
+    ).filter(F.col("est_jaccard") >= 0.5)
+    pairs = pairs.localCheckpoint(eager=False)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    pr = pagerank(edges, iterations=5, dangling="redistribute")
+    return pr.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("pagerank")
+    )
+
+
 def _zorder_sql() -> str:
     from ocr_vector_db_spark.operators.layout import bucketize_expr, morton_expr
 
