@@ -283,7 +283,16 @@ class IVFIndex:
         from ocr_vector_db_spark.operators.knn import SIM_PRECISION
         from ocr_vector_db_spark.functions.vector import cosine_similarity_col
 
-        probes = self._probe_assignments(batch, nprobe, id_col, emb_col)
+        if nprobe is None or nprobe >= len(self.centroids):
+            # exact mode: ONE block — probing every cluster would replicate
+            # each pair num_clusters times (same pairs, x32 the cosine work)
+            probes = batch.select(
+                F.col(id_col).alias("__b_id"),
+                F.col(emb_col).alias("__b_emb"),
+                F.lit(0).alias("cluster_id"),
+            )
+        else:
+            probes = self._probe_assignments(batch, nprobe, id_col, emb_col)
         a = probes.select(
             F.col("__b_id").alias("__ida"), F.col("__b_emb").alias("__emba"),
             "cluster_id",

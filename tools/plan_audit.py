@@ -78,6 +78,18 @@ AUDITS = [
      "the band self-join runs over identical-signature REPRESENTATIVES "
      "only; members rejoin through the slim doc->rep map, so a duplicated-"
      "boilerplate hot group contributes one band row, not m² pairs"),
+    ("q53_ivfpq_search",
+     "ADC distance tables ship as a BroadcastHashJoin keyed on cluster_id "
+     "over ONE partition-pruned codes scan — constant plan size at any "
+     "(nprobe, m, k), where inlined literal tables were O(nprobe*m*k)"),
+    ("q112_dense_dropped_intra_batch",
+     "intra-batch pairs form only inside shared probed centroid clusters "
+     "(equi-join on cluster_id after the broadcast-centroid ranking) — "
+     "O(batch²/num_clusters), never an unblocked batch² self-join"),
+    ("q113_pagerank_dangling_redistribute",
+     "the dangling-mass share is a 1-row aggregate broadcast-crossJoined "
+     "onto the node universe — per iteration still one rank shuffle + one "
+     "dst hash-agg, no extra wide shuffle for dangling handling"),
 ]
 
 KEY_LINE = re.compile(
