@@ -297,6 +297,135 @@ class IVFPQIndex:
         cand = corpus.filter(F.col(id_col).isin(cand_ids))
         return knn_brute_force(cand, query, k, emb_col=emb_col, id_col=id_col)
 
+    def search_batch(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = 2,
+        id_col: str = "vec_id",
+        query_id: str = "query_id",
+        query_emb: str = "embedding",
+        corpus: DataFrame | None = None,
+        corpus_emb: str = "embedding",
+        refine: int = 4,
+    ) -> DataFrame:
+        """Top-k per query over the compressed layout — MANY queries, ONE
+        plan (`knn_batch`'s role for the IVF-PQ tier). `search` serves a
+        single query with driver-computed tables; a serving tier batching
+        thousands of queries must not loop driver-built plans, so here
+        every stage is executor-side:
+
+          1. probe ranking: queries × broadcast centroid table, row_number
+             top-nprobe per query — `probe_clusters`' exact (cosine desc,
+             cluster_id) order, computed distributed;
+          2. ADC tables per (query, cluster) pair: the residual zip_withs
+             the joined centroid, each subspace's K distances evaluate
+             against the LITERAL codebook (the same constant-size m·k·w
+             HOF expressions `encode_col` uses) — bit-identical values to
+             `search`'s driver-computed tables (equality-tested);
+          3. scoring: ONE pruned codes scan broadcast-joins the slim
+             (query_id, cluster_id, tables) pairs on cluster_id; per row
+             the distance is m element_at lookups, same fold order as
+             `search`, so distances are bit-identical;
+          4. per-query top-k: rank window over the slim
+             (query_id, id, distance) projection (partial WindowGroupLimit
+             bounds each partition before the exchange, knn_batch's shape);
+          5. optional batched exact refine: the ≤ |Q|·k·refine heads
+             broadcast back onto the raw corpus (one scan for ALL queries,
+             vs `search`'s per-query id-pushdown), exact cosine against
+             the query embedding re-attached AFTER the rank window — the
+             embedding never rides through the scoring shuffle.
+
+        Broadcast budget: |Q|·nprobe·(m·k·8 B) for the tables pairs —
+        ~1.6 MB at (Q=100, nprobe=8, m=8, k=16), ~200 MB at the extreme
+        (Q=100, nprobe=64, m=16, k=256); beyond that, shard the query
+        batch (each shard is this same one-plan call). Returns
+        (query_id, id_col, pq_distance|similarity, rank)."""
+        from pyspark.sql import Window
+
+        from ocr_vector_db_spark.functions.vector import cosine_similarity_col
+        from ocr_vector_db_spark.operators.knn import SIM_PRECISION
+        from ocr_vector_db_spark.operators.pq import PQIndex, _sub_slices
+
+        spark = queries.sparkSession
+        cent = spark.createDataFrame(
+            [(cid, [float(x) for x in v]) for cid, v in self.centroids],
+            "cluster_id int, __c_emb array<double>",
+        )
+        q = queries.select(
+            F.col(query_id),
+            F.col(query_emb).cast("array<double>").alias("__q_emb"),
+        )
+        wp = Window.partitionBy(query_id).orderBy(
+            F.desc("__c_sim"), F.col("cluster_id")
+        )
+        pairs = (
+            q.crossJoin(F.broadcast(cent))
+            .withColumn(
+                "__c_sim",
+                cosine_similarity_col(F.col("__q_emb"), F.col("__c_emb")),
+            )
+            .withColumn("__rk", F.row_number().over(wp))
+            .filter(F.col("__rk") <= nprobe)
+            .withColumn(
+                "__resid",
+                F.zip_with(F.col("__q_emb"), F.col("__c_emb"),
+                           lambda a, b: a - b),
+            )
+        )
+
+        def _tbl(mi: int, start: int, width: int):
+            sub = F.slice(F.col("__resid"), start, width)
+            return F.transform(
+                self.pq._codebook_lit(mi), lambda c: PQIndex._dist2(sub, c)
+            )
+
+        tables = F.array(*[
+            _tbl(mi, start, width)
+            for mi, (start, width) in enumerate(_sub_slices(self.pq.dim, self.pq.m))
+        ])
+        probe_tables = pairs.select(
+            F.col(query_id), F.col("cluster_id"), tables.alias("__tables")
+        )
+        expr = F.lit(0.0)
+        for mi in range(self.pq.m):
+            expr = expr + F.element_at(
+                F.element_at(F.col("__tables"), mi + 1),
+                F.element_at(F.col("pq_codes"), mi + 1) + 1,
+            )
+        scored = (
+            self.codes()
+            .join(F.broadcast(probe_tables), "cluster_id")
+            .select(
+                F.col(query_id), F.col(id_col),
+                F.round(expr, 6).alias("pq_distance"),
+            )
+        )
+        head_n = k if corpus is None else k * refine
+        wk = Window.partitionBy(query_id).orderBy("pq_distance", F.col(id_col))
+        heads = scored.withColumn("rank", F.row_number().over(wk)).filter(
+            F.col("rank") <= head_n
+        )
+        if corpus is None:
+            return heads
+        cand = heads.select(query_id, id_col).join(F.broadcast(q), query_id)
+        joined = corpus.withColumnRenamed(corpus_emb, "__corpus_emb").join(
+            F.broadcast(cand), id_col
+        )
+        sim = F.round(
+            cosine_similarity_col(F.col("__corpus_emb"), F.col("__q_emb")),
+            SIM_PRECISION,
+        )
+        wr = Window.partitionBy(query_id).orderBy(
+            F.desc("similarity"), F.col(id_col)
+        )
+        return (
+            joined.withColumn("similarity", sim)
+            .select(query_id, id_col, "similarity")
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+        )
+
     def recall_at_k(
         self,
         corpus: DataFrame,

@@ -3938,6 +3938,84 @@ def q108(spark, sf):
     ).withColumn("readd_added", F.lit(readd).cast("bigint"))
 
 
+@query(
+    "q114_ivfpq_batch_serving",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id IN (0, 7, 23, 42)) AS n_queries,
+           true AS k_rows_each, true AS self_top1, true AS batch_eq_serving
+    """,
+)
+def q114(spark, sf):
+    """Batched IVF-PQ serving: `search_batch` answers MANY queries in ONE
+    plan — executor-side probe ranking (broadcast centroid crossJoin +
+    window), executor-side ADC tables (residuals against the literal
+    codebook, never driver-computed per query), one pruned codes scan
+    joined on cluster_id, per-query two-phase top-k, batched exact refine.
+    The quantizers aren't SQL-reproducible, so the gate checks invariants
+    over q108's incrementally-built index (build evens + add odds):
+      n_queries         grounded: the query vectors must exist
+      k_rows_each       every query returns exactly k rows
+      self_top1         each corpus-drawn query ranks ITSELF first at
+                        similarity 1.0 through full probe + refine
+      batch_eq_serving  the batched rows (id, similarity, rank) equal the
+                        per-query `search` loop's, query for query — the
+                        strongest check: both paths share distance math
+                        bit-for-bit, so any probe/table/window divergence
+                        flips this column."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ivfpq import IVFPQIndex
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q108_ivfpq_inc_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="ivfpqinc_")
+        idx = IVFPQIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path, dim=64,
+            num_clusters=8, m=8, k=16,
+        )
+        idx.add(e.filter(F.col("vec_id") % 2 == 1))
+        n_codes = idx.codes().count()
+        readd = idx.add(e.filter(F.col("vec_id") % 2 == 1))
+        _PLAN_MEMO[key] = (path, n_codes, readd)
+    idx = IVFPQIndex.load(spark, _PLAN_MEMO[key][0])
+
+    qids = [0, 7, 23, 42]
+    qdf = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    full = len(idx.centroids)
+    batch = idx.search_batch(
+        qdf, 10, nprobe=full, corpus=e, refine=8
+    ).select("query_id", "vec_id", "similarity", "rank")
+    got = {(r.query_id, r.rank): (r.vec_id, r.similarity)
+           for r in batch.collect()}  # bounded: |Q|·k = 40 rows
+    qvecs = {r.query_id: list(r.embedding) for r in qdf.collect()}
+    eq = True
+    for qid in qids:
+        single = idx.search(
+            qvecs[qid], 10, nprobe=full, corpus=e, refine=8
+        ).collect()
+        for rk, r in enumerate(single, start=1):
+            if got.get((qid, rk)) != (r.vec_id, r.similarity):
+                eq = False
+    per_q = {}
+    for (qid, _rk) in got:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    return spark.createDataFrame(
+        [(
+            len(qvecs),
+            all(per_q.get(qid) == 10 for qid in qids),
+            all(got.get((qid, 1)) == (qid, 1.0) for qid in qids),
+            eq,
+        )],
+        "n_queries bigint, k_rows_each boolean, self_top1 boolean, "
+        "batch_eq_serving boolean",
+    )
+
+
 _Q106_QUERY_IDS = [0, 7, 23, 42]
 
 

@@ -90,3 +90,61 @@ def test_refined_search_exact_top1_and_recall(ivfpq, tables):
     # probing everything degrades gracefully toward exact search
     rec_all = ivfpq.recall_at_k(emb, queries[:1], k=10, nprobe=6, refine=8)
     assert rec_all >= rec - 0.2
+
+
+def test_search_batch_matches_per_query_search(ivfpq, spark, tables):
+    """The batched serving path (executor-side probe ranking + ADC tables)
+    must reproduce the single-query path bit-for-bit: same probe sets,
+    same pq_distances, same refined similarities, same ids — for every
+    query and at more than one nprobe."""
+    emb = tables["embeddings"]
+    qids = [0, 7, 23, 42, 311]
+    qrows = {r.vec_id: [float(x) for x in r.embedding]
+             for r in emb.filter(F.col("vec_id").isin(qids)).collect()}
+    qdf = spark.createDataFrame(
+        [(i, qrows[i]) for i in qids],
+        "query_id bigint, embedding array<double>",
+    )
+    for nprobe in (2, 6):
+        # code-only (no refine): compare (id, pq_distance) per query
+        batch = {
+            (r.query_id, r.rank): (r.vec_id, r.pq_distance)
+            for r in ivfpq.search_batch(qdf, 5, nprobe=nprobe).collect()
+        }
+        for qid in qids:
+            single = ivfpq.search(qrows[qid], 5, nprobe=nprobe).collect()
+            for rk, r in enumerate(single, start=1):
+                assert batch[(qid, rk)] == (r.vec_id, r.pq_distance), (
+                    nprobe, qid, rk)
+
+    # refined: compare (id, similarity) per query
+    batch = {
+        (r.query_id, r.rank): (r.vec_id, r.similarity)
+        for r in ivfpq.search_batch(
+            qdf, 5, nprobe=3, corpus=emb, refine=4
+        ).collect()
+    }
+    for qid in qids:
+        single = ivfpq.search(
+            qrows[qid], 5, nprobe=3, corpus=emb, refine=4
+        ).collect()
+        for rk, r in enumerate(single, start=1):
+            assert batch[(qid, rk)] == (r.vec_id, r.similarity), (qid, rk)
+    # every query drawn from the corpus must find itself first
+    for qid in qids:
+        assert batch[(qid, 1)] == (qid, 1.0)
+
+
+def test_search_batch_is_one_plan_no_driver_loop(ivfpq, spark, tables):
+    """Plan shape: one codes scan + broadcast joins; no per-query unions,
+    no CartesianProduct beyond the bounded centroid/1-row broadcasts."""
+    emb = tables["embeddings"]
+    qdf = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = (
+        ivfpq.search_batch(qdf, 5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("Union") == 0  # one scan, not per-query branches
