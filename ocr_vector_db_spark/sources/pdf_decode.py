@@ -18,8 +18,11 @@ Coverage is the simple-PDF subset PLUS CID-keyed fonts with /ToUnicode
 CMaps: Type0/Identity-H show strings (the encoding every Korean/CJK PDF in
 the reference's corpus uses) decode through the font's bfchar/bfrange map
 to Unicode, exactly as PyMuPDF resolves them. Also handled: /ObjStm object
-streams (the PDF 1.5+ compressed-object layout), /LZWDecode, and the
-TIFF/PNG predictors of §7.4.4.4 on Flate/LZW streams. Still out of scope:
+streams (the PDF 1.5+ compressed-object layout), /LZWDecode, the TIFF/PNG
+predictors of §7.4.4.4 on Flate/LZW streams, the text filters
+/ASCIIHexDecode, /ASCII85Decode and /RunLengthDecode, and multi-member
+filter CHAINS (`/Filter [/ASCII85Decode /FlateDecode]`, decoded in array
+order, Table-6 abbreviations accepted). Still out of scope:
 encryption and CID fonts WITHOUT a ToUnicode map (no unicode info exists
 in the file; PyMuPDF shows U+FFFD there too) — `decode_pdf` in parsers.py
 first tries PyMuPDF if importable and falls back here.
@@ -253,21 +256,145 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes | None:
     return bytes(out)    # tolerated: EOD marker missing at end of data
 
 
-def _decode_stream(dict_src: bytes, stream: bytes) -> bytes | None:
-    if b"/FlateDecode" in dict_src:
-        try:
-            data = zlib.decompress(stream)
-        except zlib.error:
+def _ascii_hex_decode(data: bytes) -> bytes | None:
+    """/ASCIIHexDecode (ISO 32000-1 §7.4.2): hex pairs, whitespace ignored,
+    `>` is EOD, a dangling final digit is padded with 0."""
+    out = bytearray()
+    hi = -1
+    for b in data:
+        if b == 0x3E:              # '>'
+            break
+        if b in b" \t\r\n\x0c\x00":
+            continue
+        c = chr(b)
+        if c not in "0123456789abcdefABCDEF":
             return None
-    elif b"/LZWDecode" in dict_src:
-        parms = _decode_parms(dict_src)
-        data = _lzw_decode(stream, parms["early_change"])
+        v = int(c, 16)
+        if hi < 0:
+            hi = v
+        else:
+            out.append(hi * 16 + v)
+            hi = -1
+    if hi >= 0:
+        out.append(hi * 16)
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes | None:
+    """/ASCII85Decode (ISO 32000-1 §7.4.3): base-85 groups of 5 chars →
+    4 bytes, `z` = a zero group, `~>` is EOD, whitespace ignored; a final
+    partial group of k chars yields k-1 bytes."""
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end != -1:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for b in data:
+        if b in b" \t\r\n\x0c\x00":
+            continue
+        if b == 0x7A:              # 'z'
+            if group:
+                return None        # z inside a group is malformed
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 33 <= b <= 117:     # '!' … 'u'
+            return None
+        group.append(b - 33)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            if n > 0xFFFFFFFF:
+                return None
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            return None            # 1 leftover char encodes nothing
+        k = len(group)
+        group += [84] * (5 - k)    # pad with 'u'
+        n = 0
+        for g in group:
+            n = n * 85 + g
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _run_length_decode(data: bytes) -> bytes | None:
+    """/RunLengthDecode (ISO 32000-1 §7.4.5): length byte L — L < 128
+    copies the next L+1 bytes literally, L > 128 repeats the next byte
+    257-L times, L == 128 is EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        l = data[i]
+        i += 1
+        if l == 128:
+            return bytes(out)
+        if l < 128:
+            if i + l + 1 > len(data):
+                return None
+            out += data[i: i + l + 1]
+            i += l + 1
+        else:
+            if i >= len(data):
+                return None
+            out += bytes([data[i]]) * (257 - l)
+            i += 1
+    return bytes(out)              # tolerated: EOD marker missing
+
+
+# canonical names + the ISO 32000-1 Table 6 abbreviations
+_TEXT_FILTERS = {
+    b"FlateDecode": "flate", b"Fl": "flate",
+    b"LZWDecode": "lzw", b"LZW": "lzw",
+    b"ASCIIHexDecode": "ahx", b"AHx": "ahx",
+    b"ASCII85Decode": "a85", b"A85": "a85",
+    b"RunLengthDecode": "rl", b"RL": "rl",
+}
+
+
+def _filter_chain(dict_src: bytes) -> list[bytes]:
+    """The /Filter entry as an ordered name list — a bare name or an
+    array (`/Filter [/ASCII85Decode /FlateDecode]` means: the stored
+    bytes are ASCII85 OVER Flate; decode in array order)."""
+    m = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", dict_src)
+    if not m:
+        return []
+    return re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+
+
+def _decode_stream(dict_src: bytes, stream: bytes) -> bytes | None:
+    """Apply the stream's full filter CHAIN in order. Supported:
+    Flate, LZW, ASCIIHex, ASCII85, RunLength (+ Table-6 abbreviations);
+    anything else in the chain (DCT, JPX, CCITT, Crypt) returns None —
+    rasters with those codecs are handled by their dedicated paths
+    (`jpeg_image_xobject`) or by PyMuPDF when importable."""
+    names = _filter_chain(dict_src)
+    if not names:
+        return stream
+    data = stream
+    for name in names:
+        kind = _TEXT_FILTERS.get(name)
+        if kind == "flate":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                return None
+        elif kind == "lzw":
+            data = _lzw_decode(data, _decode_parms(dict_src)["early_change"])
+        elif kind == "ahx":
+            data = _ascii_hex_decode(data)
+        elif kind == "a85":
+            data = _ascii85_decode(data)
+        elif kind == "rl":
+            data = _run_length_decode(data)
+        else:                      # unsupported filter (DCT, JPX, CCITT…)
+            return None
         if data is None:
             return None
-    elif b"/Filter" in dict_src:   # unsupported filter (DCT, JPX, CCITT…)
-        return None
-    else:
-        return stream
     p = _decode_parms(dict_src)
     return _apply_predictor(data, p["predictor"], p["columns"], p["colors"])
 
@@ -808,6 +935,39 @@ def extract_pdf_images(data: bytes) -> list[dict]:
 
 # ------------------------------------------------------------ fixture writer
 
+def run_length_encode(data: bytes) -> bytes:
+    """/RunLengthDecode-compatible encoder (fixtures/tests): runs of ≥3
+    identical bytes emit (257-n, byte); everything else goes in literal
+    spans of ≤128; 128 terminates (EOD)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit = bytearray()
+
+    def flush() -> None:
+        j = 0
+        while j < len(lit):
+            span = lit[j: j + 128]
+            out.append(len(span) - 1)
+            out.extend(span)
+            j += 128
+        lit.clear()
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush()
+            out.append(257 - run)
+            out.append(data[i])
+        else:
+            lit += data[i: i + run]
+        i += run
+    flush()
+    out.append(128)
+    return bytes(out)
+
+
 def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
     """PDF-variant LZW encoder — fixture-writer support (the inverse of
     `_lzw_decode`, same §7.4.4.2 rules: MSB-first 9→12-bit codes,
@@ -1051,6 +1211,21 @@ def build_simple_pdf(pages: list[list[dict]],
         if compress == "lzw":
             payload = lzw_encode(content)
             stream_dict = f"<< /Length {len(payload)} /Filter /LZWDecode >>"
+        elif compress == "a85":
+            # filter CHAIN: stored bytes are ASCII85 over Flate; stdlib
+            # a85encode is the independent encoder the decoder must invert
+            import base64
+
+            payload = base64.a85encode(zlib.compress(content)) + b"~>"
+            stream_dict = (
+                f"<< /Length {len(payload)} "
+                f"/Filter [/ASCII85Decode /FlateDecode] >>"
+            )
+        elif compress == "rl":
+            payload = run_length_encode(content)
+            stream_dict = (
+                f"<< /Length {len(payload)} /Filter /RunLengthDecode >>"
+            )
         elif compress:
             payload = zlib.compress(content)
             stream_dict = f"<< /Length {len(payload)} /Filter /FlateDecode >>"

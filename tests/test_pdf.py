@@ -782,3 +782,103 @@ class TestImageRasterDecode:
         pix = fitz.Pixmap(doc, xref)
         assert (pix.width, pix.height) == (w, h)
         assert bytes(pix.samples) == ours["data"] == pixels
+
+
+class TestTextFilters:
+    """ASCIIHex / ASCII85 / RunLength decoders + filter CHAINS
+    (ISO 32000-1 §7.4.2, §7.4.3, §7.4.5; Table 6 abbreviations)."""
+
+    def test_ascii_hex_whitespace_eod_and_odd_pad(self):
+        from ocr_vector_db_spark.sources.pdf_decode import _ascii_hex_decode
+
+        assert _ascii_hex_decode(b"48 65 6C\n6C 6F>") == b"Hello"
+        assert _ascii_hex_decode(b"7>") == b"\x70"   # odd digit pads with 0
+        assert _ascii_hex_decode(b"48xx>") is None   # non-hex is malformed
+        # independent encoder: binascii
+        import binascii
+
+        data = bytes(range(256))
+        assert _ascii_hex_decode(binascii.hexlify(data) + b">") == data
+
+    def test_ascii85_stdlib_round_trip_z_and_partials(self):
+        import base64
+        import random
+
+        from ocr_vector_db_spark.sources.pdf_decode import _ascii85_decode
+
+        rnd = random.Random(13)
+        for ln in (0, 1, 2, 3, 4, 5, 63, 1024):
+            data = bytes(rnd.randrange(256) for _ in range(ln))
+            enc = base64.a85encode(data)
+            assert _ascii85_decode(enc + b"~>") == data, ln
+        # the z shortcut for an all-zero group (a85encode emits it)
+        assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+        zeros = base64.a85encode(b"\x00" * 8)
+        assert b"z" in zeros and _ascii85_decode(zeros + b"~>") == b"\x00" * 8
+        # whitespace anywhere; <~ prefix tolerated
+        assert _ascii85_decode(b"<~ 87 cUR ~>") == _ascii85_decode(b"87cUR~>")
+        assert _ascii85_decode(b"a~>") is None       # 1 leftover char
+        assert _ascii85_decode(b"\x80\x80\x80\x80\x80~>") is None
+
+    def test_run_length_round_trip_and_spec_semantics(self):
+        import random
+
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            _run_length_decode,
+            run_length_encode,
+        )
+
+        # spec semantics: literal span, repeat span, EOD
+        assert _run_length_decode(b"\x02abc\xfex\x80") == b"abcxxx"
+        assert _run_length_decode(b"\x00Q\x80tail-ignored") == b"Q"
+        assert _run_length_decode(b"\x05ab") is None  # truncated literal
+        rnd = random.Random(17)
+        for _ in range(20):
+            data = bytes(
+                rnd.choice(b"aab") for _ in range(rnd.randrange(0, 700))
+            )
+            assert _run_length_decode(run_length_encode(data)) == data
+
+    def test_filter_chain_parsing_and_abbreviations(self):
+        from ocr_vector_db_spark.sources.pdf_decode import _filter_chain
+
+        assert _filter_chain(b"<< /Length 3 >>") == []
+        assert _filter_chain(b"<< /Filter /FlateDecode >>") == [b"FlateDecode"]
+        assert _filter_chain(
+            b"<< /Filter [/ASCII85Decode /FlateDecode] /Length 9 >>"
+        ) == [b"ASCII85Decode", b"FlateDecode"]
+        assert _filter_chain(b"<< /Filter [/AHx /RL] >>") == [b"AHx", b"RL"]
+
+    def test_decode_stream_chain_and_unsupported(self):
+        import base64
+        import zlib
+
+        from ocr_vector_db_spark.sources.pdf_decode import _decode_stream
+
+        content = b"BT /F1 12 Tf 72 720 Td (chained) Tj ET" * 9
+        payload = base64.a85encode(zlib.compress(content)) + b"~>"
+        d = b"<< /Filter [/ASCII85Decode /FlateDecode] >>"
+        assert _decode_stream(d, payload) == content
+        # any unsupported member poisons the whole chain -> None
+        assert _decode_stream(
+            b"<< /Filter [/ASCII85Decode /JPXDecode] >>", payload
+        ) is None
+        assert _decode_stream(b"<< /Filter /DCTDecode >>", b"\xff\xd8") is None
+
+    def test_parse_pdf_reads_a85_and_rl_content_streams(self, spark):
+        """End-to-end: fixture PDFs whose content streams are ASCII85-over-
+        Flate chains / RunLength encoded parse to the same text blocks as
+        the stored form."""
+        from ocr_vector_db_spark.sources.parsers import parse_pdf
+        from ocr_vector_db_spark.sources.pdf_decode import build_simple_pdf
+
+        pages = [[
+            {"kind": "text",
+             "text": "Chained filters carry this paragraph of prose, long "
+                     "enough to clear the minimum block length gate easily.",
+             "x": 72, "y": 700, "size": 12},
+        ]]
+        expect = parse_pdf(build_simple_pdf(pages, compress=False))
+        got_a85 = parse_pdf(build_simple_pdf(pages, compress="a85"))
+        got_rl = parse_pdf(build_simple_pdf(pages, compress="rl"))
+        assert expect and got_a85 == expect and got_rl == expect
