@@ -115,10 +115,17 @@ def assign_nearest_centroid(
 
 class IVFIndex:
     def __init__(self, spark: SparkSession, path: str,
-                 centroids: list[tuple[int, list[float]]] | None = None):
+                 centroids: list[tuple[int, list[float]]] | None = None,
+                 l1: list[tuple[int, list[float]]] | None = None,
+                 l2_to_l1: list[int] | None = None):
         self.spark = spark
         self.path = path
         self.centroids = centroids or []
+        # optional hierarchical coarse layer (see build(l1_branches=...)):
+        # l1 = the branch centroids (≈ √num_clusters, always tiny);
+        # l2_to_l1[cid] = the branch each cluster centroid belongs to
+        self.l1 = l1 or []
+        self.l2_to_l1 = l2_to_l1 or []
 
     # --------------------------------------------------------------- build
 
@@ -133,10 +140,27 @@ class IVFIndex:
         seed: int = 42,
         sample_fraction: float | None = None,
         max_iter: int = 20,
+        l1_branches: int | None = None,
     ) -> "IVFIndex":
         """Fit KMeans (optionally on a sample — at 100 TB you fit on ~1M
         sampled vectors, then assign everything in one distributed pass),
-        write the corpus partitioned by cluster_id, persist centroids."""
+        write the corpus partitioned by cluster_id, persist centroids.
+
+        `l1_branches`: also fit a HIERARCHICAL coarse layer — a seeded
+        in-memory KMeans over the cluster centroids themselves (they are
+        driver-resident by construction), giving a two-level quantizer à
+        la IMI/hierarchical-kmeans. At the 100 TB target
+        (num_clusters ≈ 180k), the flat forms hit two walls this layer
+        removes: probe ranking compares the query to every one of 180k
+        centroids (~10⁸ flops/query driver-side), and distributed
+        assignment would broadcast a ~1.1 GB centroid table to every
+        executor. With √-sized branches (≈ √180k ≈ 430), ranking costs
+        |L1| + branches·(num_clusters/|L1|) comparisons and assignment
+        joins a PARQUET centroid table partitioned by l1_id — nothing
+        num_clusters-sized is ever broadcast or driver-looped. Probing
+        all branches reproduces the flat ranking exactly (q115's
+        invariant); fewer branches is the standard recall/latency knob
+        ABOVE nprobe."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -163,18 +187,61 @@ class IVFIndex:
         # Hadoop FS, not open(): keeps the index layout local/HDFS-portable
         write_small_file(spark, os.path.join(path, "centroids.json"),
                          json.dumps(centroids).encode("utf-8"))
-        return cls(spark, path, centroids)
+
+        l1: list[tuple[int, list[float]]] = []
+        l2_to_l1: list[int] = []
+        if l1_branches:
+            import numpy as np
+
+            from ocr_vector_db_spark.operators.pq import _lloyd
+
+            C = np.asarray([c for _, c in centroids], dtype=np.float64)
+            k1 = min(l1_branches, len(centroids))
+            rng = np.random.default_rng(seed)
+            B = _lloyd(C, k1, rng, max_iter)
+            d2 = ((C[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            l2_to_l1 = [int(b) for b in d2.argmin(axis=1)]
+            l1 = [(i, [float(x) for x in b]) for i, b in enumerate(B)]
+            write_small_file(
+                spark, os.path.join(path, "hier.json"),
+                json.dumps({"l1": l1, "map": l2_to_l1}).encode("utf-8"),
+            )
+            # the L2 centroid table as parquet PARTITIONED BY l1_id — the
+            # distributed-assignment side: executors join (row, branch)
+            # against only the probed branches' centroid partitions, so
+            # no num_clusters-sized broadcast ever ships
+            cent_df = spark.createDataFrame(
+                [(l2_to_l1[cid], cid, vec) for cid, vec in centroids],
+                "l1_id int, cluster_id int, centroid array<double>",
+            )
+            cent_path = os.path.join(path, "centroids_l2")
+            cn_gen, cdest = init_generation(spark, cent_path)
+            cent_df.repartition(1).write.mode("overwrite").partitionBy(
+                "l1_id"
+            ).parquet(cdest)
+            commit_generation(spark, cent_path, cn_gen)
+        return cls(spark, path, centroids, l1, l2_to_l1)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
-        from ocr_vector_db_spark.operators.index_maint import read_small_file
+        from ocr_vector_db_spark.operators.index_maint import (
+            fs_exists,
+            read_small_file,
+        )
 
         centroids = [
             (int(i), v) for i, v in json.loads(
                 read_small_file(spark, os.path.join(path, "centroids.json"))
             )
         ]
-        return cls(spark, path, centroids)
+        l1, l2_to_l1 = [], []
+        if fs_exists(spark, os.path.join(path, "hier.json")):
+            hier = json.loads(
+                read_small_file(spark, os.path.join(path, "hier.json"))
+            )
+            l1 = [(int(i), v) for i, v in hier["l1"]]
+            l2_to_l1 = [int(b) for b in hier["map"]]
+        return cls(spark, path, centroids, l1, l2_to_l1)
 
     # -------------------------------------------------------------- search
 
@@ -185,9 +252,118 @@ class IVFIndex:
             current_gen_dir(self.spark, os.path.join(self.path, "vectors"))
         )
 
-    def probe_clusters(self, query_vector: list[float], nprobe: int) -> list[int]:
-        ranked = sorted(self.centroids, key=lambda c: (-_cos(c[1], query_vector), c[0]))
+    def probe_clusters(
+        self,
+        query_vector: list[float],
+        nprobe: int,
+        branches: int | None = None,
+    ) -> list[int]:
+        """nprobe nearest cluster ids, (cosine desc, cluster_id) order.
+
+        `branches` (hierarchical indexes only): rank the tiny L1 layer
+        first and consider only clusters inside the top-`branches`
+        branches — |L1| + branches·(num_clusters/|L1|) comparisons
+        instead of num_clusters. branches ≥ |L1| reproduces the flat
+        ranking exactly (every cluster is considered, same order)."""
+        cand = self.centroids
+        if branches and self.l1:
+            ranked_b = sorted(
+                self.l1, key=lambda c: (-_cos(c[1], query_vector), c[0])
+            )
+            keep = {bid for bid, _ in ranked_b[:branches]}
+            cand = [(cid, v) for cid, v in self.centroids
+                    if self.l2_to_l1[cid] in keep]
+        ranked = sorted(cand, key=lambda c: (-_cos(c[1], query_vector), c[0]))
         return [cid for cid, _ in ranked[:nprobe]]
+
+    def centroids_l2_df(self) -> DataFrame:
+        """The (l1_id, cluster_id, centroid) parquet table of a
+        hierarchical index — the distributed-assignment side that replaces
+        any num_clusters-sized broadcast."""
+        from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+        return self.spark.read.parquet(
+            current_gen_dir(self.spark, os.path.join(self.path, "centroids_l2"))
+        )
+
+    def assign_clusters_hier(
+        self,
+        df: DataFrame,
+        branches: int,
+        emb_col: str = "embedding",
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """df + cluster_id via the TWO-LEVEL quantizer, fully distributed:
+
+          1. row × broadcast L1 (≈ √num_clusters rows — always tiny),
+             row_number keeps each row's top-`branches` branches;
+          2. equi-join against the parquet L2 centroid table on l1_id —
+             a shuffle join that touches only the probed branches'
+             centroid rows; NOTHING num_clusters-sized is broadcast,
+             driver-ranked, or inlined into the plan;
+          3. score the surviving (row, centroid) candidates with the same
+             metric expressions as `assign_nearest_centroid`, window
+             argmin per row.
+
+        branches ≥ |L1| considers every centroid — exactly the flat
+        assignment (equality-tested); smaller `branches` is the IMI-style
+        approximation whose recall is measured like any nprobe knob."""
+        from ocr_vector_db_spark.functions.vector import dot_col, norm_col
+        from pyspark.sql import Window
+
+        if not self.l1:
+            raise ValueError("not a hierarchical index (build with l1_branches)")
+        reserved = {"__row_id", "__b_sim", "__brk", "__score", "__rk",
+                    "l1_id", "cluster_id", "centroid", "__l1_emb"}
+        clash = reserved & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"assign_clusters_hier: df columns {sorted(clash)} collide "
+                "with internal columns; rename them first"
+            )
+        l1df = self.spark.createDataFrame(
+            [(bid, [float(x) for x in v]) for bid, v in self.l1],
+            "l1_id int, __l1_emb array<double>",
+        )
+        from ocr_vector_db_spark.functions.vector import cosine_similarity_col
+
+        v = F.col(emb_col).cast("array<double>")
+        wb = Window.partitionBy("__row_id").orderBy(
+            F.desc("__b_sim"), F.col("l1_id")
+        )
+        branch_probes = (
+            df.withColumn("__row_id", F.monotonically_increasing_id())
+            .crossJoin(F.broadcast(l1df))
+            .withColumn("__b_sim", cosine_similarity_col(v, F.col("__l1_emb")))
+            .withColumn("__brk", F.row_number().over(wb))
+            .filter(F.col("__brk") <= branches)
+            .drop("__l1_emb", "__b_sim", "__brk")
+        )
+        cand = branch_probes.join(self.centroids_l2_df(), "l1_id")
+        c = F.col("centroid")
+        if metric == "cosine":
+            cn = F.sqrt(F.aggregate(
+                c, F.lit(0.0), lambda acc, x: acc + x * x
+            ))
+            # zero-norm guard, matching assign_nearest_centroid's `or 1.0`
+            cn = F.when(cn != 0.0, cn).otherwise(F.lit(1.0))
+            score = dot_col(v, c) / (norm_col(v) * cn)
+            order = [F.desc("__score"), F.col("cluster_id")]
+        elif metric == "l2":
+            score = F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            order = [F.asc("__score"), F.col("cluster_id")]
+        else:
+            raise ValueError(f"unknown metric {metric!r} (cosine|l2)")
+        w = Window.partitionBy("__row_id").orderBy(*order)
+        return (
+            cand.withColumn("__score", score)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(*df.columns, F.col("cluster_id").cast("int"))
+        )
 
     def search(
         self,
@@ -197,6 +373,7 @@ class IVFIndex:
         emb_col: str = "embedding",
         id_col: str = "vec_id",
         where=None,
+        branches: int | None = None,
     ) -> DataFrame:
         """Pruned exact search: `cluster_id IN (...)` prunes parquet
         partitions (check .explain: PartitionFilters, not PushedFilters).
@@ -208,8 +385,12 @@ class IVFIndex:
         on the pruned scan. Note the pgvector caveat applies here too:
         filtering after cluster pruning can return < k rows when matches
         live outside the probed clusters — raise nprobe for selective
-        filters."""
-        probes = self.probe_clusters(query_vector, nprobe)
+        filters.
+
+        `branches` (hierarchical indexes): rank only the top-`branches`
+        L1 branches' clusters when choosing probes — the second
+        recall/latency knob above nprobe; see `probe_clusters`."""
+        probes = self.probe_clusters(query_vector, nprobe, branches)
         pruned = self.vectors().filter(F.col("cluster_id").isin(probes))
         if where is not None:
             pruned = pruned.filter(where)
@@ -515,6 +696,7 @@ class IVFIndex:
         emb_col: str = "embedding",
         id_col: str = "vec_id",
         assume_new: bool = False,
+        branches: int | None = None,
     ) -> int:
         """Incremental index update: assign new vectors to their nearest
         EXISTING centroid (no re-clustering) and append into the partitioned
@@ -534,14 +716,23 @@ class IVFIndex:
         Assignment is the broadcast-centroid join + window argmin
         (`assign_nearest_centroid`) — constant-size plan at any
         num_clusters, where the previous chained-CASE-WHEN form broke
-        Catalyst analysis at the ~180k-cluster 100 TB target.
+        Catalyst analysis at the ~180k-cluster 100 TB target. Passing
+        `branches` on a hierarchical index routes through
+        `assign_clusters_hier` instead (two-level: broadcast L1 + parquet
+        L2 join) — past the ~GB centroid-broadcast budget, that is the
+        only shape left; serve those vectors with the same `branches`.
         Single-writer contract. Returns the number of vectors added."""
         if not assume_new:
             indexed = self.vectors().select(id_col).distinct()
             df = df.join(indexed, id_col, "left_anti")
-        assigned = assign_nearest_centroid(
-            df, self.centroids, emb_col=emb_col, metric="cosine"
-        ).cache()
+        if branches and self.l1:
+            assigned = self.assign_clusters_hier(
+                df, branches, emb_col=emb_col, metric="cosine"
+            ).cache()
+        else:
+            assigned = assign_nearest_centroid(
+                df, self.centroids, emb_col=emb_col, metric="cosine"
+            ).cache()
         try:
             # materialize BEFORE the append: the anti-join above reads the
             # vectors path, so evaluating it afterwards would see the

@@ -4016,6 +4016,93 @@ def q114(spark, sf):
     )
 
 
+@query(
+    "q115_ivf_hierarchical_quantizer",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id IN (0, 7, 23, 42)) AS n_queries,
+           true AS probes_eq_flat, true AS assign_eq_flat,
+           true AS served_self_top1
+    """,
+)
+def q115(spark, sf):
+    """Two-level (hierarchical) coarse quantizer — the shape that clears
+    the LAST flat-IVF ceiling at 100 TB (SCALING.md: 180k clusters ≈
+    1.1 GB of centroids — too big to broadcast to executors or rank
+    per-query on the driver). `build(l1_branches=…)` fits a tiny L1 layer
+    over the cluster centroids and persists the L2 centroids as parquet
+    PARTITIONED BY l1_id; probe ranking costs |L1| + branches·(k2/|L1|)
+    comparisons and distributed assignment becomes broadcast-L1 + an
+    equi-join against the centroid table — nothing num_clusters-sized
+    ships anywhere. KMeans isn't SQL-reproducible, so the gate checks
+    invariants:
+      n_queries        grounded: the probe vectors exist
+      probes_eq_flat   probing ALL branches reproduces the flat ranking
+                       exactly for every sample query and nprobe ∈ {1,5,32}
+      assign_eq_flat   the distributed two-level assignment at all
+                       branches ≡ the flat broadcast-argmin, row for row
+                       (a 10% corpus slice, compared distributed)
+      served_self_top1 a vector ADDED through the branch-pruned hier
+                       assignment is served back at similarity 1.0."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ann_index import (
+        IVFIndex,
+        assign_nearest_centroid,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q115_hier_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="ivfhier_")
+        idx = IVFIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path,
+            num_clusters=32, l1_branches=6,
+        )
+        # one-time facts of the memoized layout: the hier-routed add and
+        # its serving check (added under branches=2, served at full probe)
+        probe = e.filter(F.col("vec_id") % 2 == 1).limit(1)
+        idx.add(
+            probe.select("vec_id", "embedding"),
+            assume_new=True, branches=2,
+        )
+        pid, pvec = probe.select("vec_id", "embedding").head()
+        top = idx.search(list(pvec), 1, nprobe=32, branches=6).head()
+        served = bool(top.vec_id == pid and top.similarity == 1.0)
+        _PLAN_MEMO[key] = (path, served)
+    path, served = _PLAN_MEMO[key]
+    idx = IVFIndex.load(spark, path)
+
+    qids = [0, 7, 23, 42]
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    probes_eq = all(
+        idx.probe_clusters(qv, np_, branches=len(idx.l1))
+        == idx.probe_clusters(qv, np_)
+        for qv in qvecs.values() for np_ in (1, 5, 32)
+    )
+    batch = e.filter(F.col("vec_id") % 10 == 3).select("vec_id", "embedding")
+    flat = assign_nearest_centroid(batch, idx.centroids).select(
+        "vec_id", F.col("cluster_id").alias("flat_cid")
+    )
+    hier = idx.assign_clusters_hier(batch, branches=len(idx.l1)).select(
+        "vec_id", F.col("cluster_id").alias("hier_cid")
+    )
+    mismatches = (
+        flat.join(hier, "vec_id", "full_outer")
+        .filter(
+            ~(F.col("flat_cid").eqNullSafe(F.col("hier_cid")))
+        ).count()
+    )
+    return spark.createDataFrame(
+        [(len(qvecs), probes_eq, mismatches == 0, served)],
+        "n_queries bigint, probes_eq_flat boolean, assign_eq_flat boolean, "
+        "served_self_top1 boolean",
+    )
+
+
 _Q106_QUERY_IDS = [0, 7, 23, 42]
 
 

@@ -216,3 +216,103 @@ def test_recall_sweep_distributed_probes_matches_driver_ranking(
     assert dist == driver
     assert driver[8] == 1.0  # full probe is exact by construction
     assert driver[1] <= driver[3] <= driver[8]
+
+
+# --------------------------------------- hierarchical (two-level) quantizer
+
+
+def test_hierarchical_probe_and_assignment_match_flat(spark, tmp_path):
+    """A two-level index probing ALL branches must reproduce the flat
+    ranking and the flat assignment bit-for-bit; the hier layer loads
+    back from disk; adds routed through the hier assignment are served."""
+    rng = np.random.default_rng(41)
+    X = rng.normal(size=(300, 12))
+    df = _vec_df(spark, X)
+    path = str(tmp_path / "hier")
+    idx = IVFIndex.build(spark, df, path, num_clusters=24, l1_branches=5)
+    assert len(idx.l1) == 5 and len(idx.l2_to_l1) == 24
+
+    idx2 = IVFIndex.load(spark, path)
+    assert idx2.l1 == idx.l1 and idx2.l2_to_l1 == idx.l2_to_l1
+
+    queries = [[float(x) for x in q] for q in rng.normal(size=(8, 12))]
+    for q in queries:
+        # all branches == flat ranking, exactly
+        assert idx.probe_clusters(q, 6, branches=5) == idx.probe_clusters(q, 6)
+        # pruned branches: a legal subset of the branch-filtered clusters
+        pruned = idx.probe_clusters(q, 6, branches=2)
+        assert 0 < len(pruned) <= 6
+        ranked_b = sorted(idx.l1, key=lambda c: (
+            -float(np.dot(c[1], q)
+                   / (np.linalg.norm(c[1]) * np.linalg.norm(q))), c[0]))
+        keep = {bid for bid, _ in ranked_b[:2]}
+        assert all(idx.l2_to_l1[cid] in keep for cid in pruned)
+
+    batch = _vec_df(spark, rng.normal(size=(40, 12)), ids=range(1000, 1040))
+    flat = {
+        r.vec_id: r.cluster_id
+        for r in assign_nearest_centroid(batch, idx.centroids).collect()
+    }
+    hier = {
+        r.vec_id: r.cluster_id
+        for r in idx.assign_clusters_hier(batch, branches=5).collect()
+    }
+    assert hier == flat  # all branches => every centroid considered
+
+    # add through the hier path; full-probe search still serves it exactly
+    n = idx.add(batch, assume_new=True, branches=2)
+    assert n == 40
+    qv = [float(x) for x in batch.filter(F.col("vec_id") == 1000)
+          .head().embedding]
+    top = idx.search(qv, 1, nprobe=24, branches=5).collect()
+    assert top[0].vec_id == 1000 and top[0].similarity == 1.0
+
+
+def test_hierarchical_assignment_scales_without_centroid_broadcast(
+    spark, tmp_path
+):
+    """At a 4-digit cluster count the hier assignment must read the L2
+    centroids from the partitioned PARQUET table (a join, not a
+    num_clusters-sized broadcast/plan literal), analyze fast, and agree
+    with a numpy two-level reference."""
+    rng = np.random.default_rng(43)
+    dim, k2, k1, b = 8, 1024, 32, 4
+    cents = _rand_centroids(k2, dim, seed=3)
+    C = np.array([c for _, c in cents])
+    B = np.array([c for _, c in _rand_centroids(k1, dim, seed=4)])
+    l2_to_l1 = [int(i) for i in
+                ((C[:, None, :] - B[None, :, :]) ** 2).sum(2).argmin(1)]
+    idx = IVFIndex(
+        spark, str(tmp_path / "h2"), cents,
+        l1=[(i, [float(x) for x in v]) for i, v in enumerate(B)],
+        l2_to_l1=l2_to_l1,
+    )
+    spark.createDataFrame(
+        [(l2_to_l1[cid], cid, v) for cid, v in cents],
+        "l1_id int, cluster_id int, centroid array<double>",
+    ).write.mode("overwrite").partitionBy("l1_id").parquet(
+        str(tmp_path / "h2" / "centroids_l2")
+    )
+
+    X = rng.normal(size=(25, dim))
+    df = _vec_df(spark, X)
+    t0 = time.time()
+    out = idx.assign_clusters_hier(df, branches=b)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    analyze_s = time.time() - t0
+    assert analyze_s < 30
+    assert plan.count("CASE WHEN") < 10
+    # the L2 table arrives via a parquet scan join, not plan literals
+    assert "ReadSchema: struct<cluster_id:int,centroid:array<double>>" in plan
+
+    got = {r.vec_id: r.cluster_id for r in out.collect()}
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    exp = {}
+    for i, x in enumerate(X):
+        xn = x / np.linalg.norm(x)
+        branches = np.argsort(-(Bn @ xn))[:b]
+        cand = [cid for cid in range(k2) if l2_to_l1[cid] in set(branches)]
+        sims = Cn[cand] @ xn
+        exp[i] = cand[int(np.argmax(sims))]
+    assert got == exp

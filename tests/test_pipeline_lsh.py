@@ -174,10 +174,10 @@ def test_no_accidental_cartesian_products(tables, spark):
         # adds) also execute at construction; their joins are covered by
         # the oracle checker and their own unit tests
         "q99", "q100", "q101", "q102", "q103", "q104", "q105",
-        # q114 collects its bounded invariant rows at construction (the
-        # batch-vs-serving equality check); its plan shapes are asserted
-        # directly in test_ivfpq.py::test_search_batch_is_one_plan
-        "q114",
+        # q114/q115 collect their bounded invariant rows at construction
+        # (batch-vs-serving / hier-vs-flat equality checks); their plan
+        # shapes are asserted directly in test_ivfpq.py / test_ann_scale.py
+        "q114", "q115",
     )
     # intentionally pairwise within a bounded block (documented O(block²)),
     # scalar cross joins of 1-row aggregates (q85's total/Z, q89/q90's
