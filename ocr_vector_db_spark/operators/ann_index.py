@@ -402,30 +402,58 @@ class IVFIndex:
         nprobe: int | None,
         id_col: str,
         emb_col: str,
+        branches: int | None = None,
     ) -> DataFrame:
         """(__b_id, __b_emb, cluster_id): each batch vector's top-`nprobe`
         clusters, distributed — batch × broadcast-centroid crossJoin ranked
         with the same (cosine desc, cluster_id) order as `probe_clusters`.
         `nprobe=None` assigns every cluster. Shared by `screen_near_dups`
-        (store screen) and `dense_dropped_ids` (intra-batch pass)."""
+        (store screen) and `dense_dropped_ids` (intra-batch pass).
+
+        `branches` (hierarchical indexes): candidate clusters come from a
+        broadcast-L1 ranking + an equi-join against the parquet L2
+        centroid table instead of broadcasting every centroid — the same
+        ceiling-clearing shape as `assign_clusters_hier`, here keeping
+        top-`nprobe` instead of top-1. branches ≥ |L1| ≡ the flat form."""
         from ocr_vector_db_spark.operators.knn import SIM_PRECISION
         from ocr_vector_db_spark.functions.vector import cosine_similarity_col
         from pyspark.sql import Window
 
         nprobe = len(self.centroids) if nprobe is None else nprobe
-        cent = batch.sparkSession.createDataFrame(
-            [(cid, [float(x) for x in v]) for cid, v in self.centroids],
-            "cluster_id int, __c_emb array<double>",
-        )
         b = batch.select(
             F.col(id_col).alias("__b_id"), F.col(emb_col).alias("__b_emb")
         )
         w = Window.partitionBy("__b_id").orderBy(
             F.desc("__c_sim"), F.col("cluster_id")
         )
+        if branches and self.l1:
+            l1df = self.spark.createDataFrame(
+                [(bid, [float(x) for x in v]) for bid, v in self.l1],
+                "l1_id int, __l1_emb array<double>",
+            )
+            wb = Window.partitionBy("__b_id").orderBy(
+                F.desc("__b_sim"), F.col("l1_id")
+            )
+            cand = (
+                b.crossJoin(F.broadcast(l1df))
+                .withColumn(
+                    "__b_sim",
+                    cosine_similarity_col(F.col("__b_emb"), F.col("__l1_emb")),
+                )
+                .withColumn("__brk", F.row_number().over(wb))
+                .filter(F.col("__brk") <= branches)
+                .select("__b_id", "__b_emb", "l1_id")
+                .join(self.centroids_l2_df(), "l1_id")
+                .withColumnRenamed("centroid", "__c_emb")
+            )
+        else:
+            cent = batch.sparkSession.createDataFrame(
+                [(cid, [float(x) for x in v]) for cid, v in self.centroids],
+                "cluster_id int, __c_emb array<double>",
+            )
+            cand = b.crossJoin(F.broadcast(cent))
         return (
-            b.crossJoin(F.broadcast(cent))
-            .withColumn(
+            cand.withColumn(
                 "__c_sim",
                 F.round(
                     cosine_similarity_col(F.col("__b_emb"), F.col("__c_emb")),
@@ -444,6 +472,7 @@ class IVFIndex:
         nprobe: int | None = 2,
         id_col: str = "vec_id",
         emb_col: str = "embedding",
+        branches: int | None = None,
     ) -> DataFrame:
         """One column (`id_col`): batch ids with a LOWER-id near-dup in the
         SAME batch at cosine ≥ threshold — the dense sibling of
@@ -473,7 +502,9 @@ class IVFIndex:
                 F.lit(0).alias("cluster_id"),
             )
         else:
-            probes = self._probe_assignments(batch, nprobe, id_col, emb_col)
+            probes = self._probe_assignments(
+                batch, nprobe, id_col, emb_col, branches
+            )
         a = probes.select(
             F.col("__b_id").alias("__ida"), F.col("__b_emb").alias("__emba"),
             "cluster_id",
@@ -501,6 +532,7 @@ class IVFIndex:
         nprobe: int | None = None,
         id_col: str = "vec_id",
         emb_col: str = "embedding",
+        branches: int | None = None,
     ) -> DataFrame:
         """(id_col, dup_of, similarity): each batch vector's nearest STORED
         vector, kept when similarity ≥ threshold — the embedding-level
@@ -519,10 +551,17 @@ class IVFIndex:
         max-cosine against the store — q111's oracle-parity setting;
         production sets nprobe « num_clusters like any IVF serve (flags
         are then a subset of the exact screen's: a probed-slice neighbor
-        that reaches the threshold reaches it globally too)."""
+        that reaches the threshold reaches it globally too).
+
+        `branches` (hierarchical indexes): candidate clusters per batch
+        vector come from the broadcast-L1 ranking + L2 parquet join
+        instead of broadcasting every centroid — the screen stays
+        executor-bounded past the single-broadcast centroid ceiling.
+        branches ≥ |L1| reproduces the flat assignment exactly."""
         from ocr_vector_db_spark.operators.knn import knn_batch
 
-        probes = self._probe_assignments(batch, nprobe, id_col, emb_col)
+        probes = self._probe_assignments(batch, nprobe, id_col, emb_col,
+                                         branches)
         top1 = knn_batch(
             self.vectors().select(id_col, "embedding", "cluster_id"),
             probes, 1, corpus_id=id_col, query_id="__b_id",

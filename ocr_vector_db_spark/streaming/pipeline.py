@@ -250,6 +250,7 @@ def stream_ingest_deduped(
     semantic_index=None,
     semantic_threshold: float = 0.85,
     semantic_intra_nprobe: int | None = 2,
+    semantic_branches: int | None = None,
     embedder=None,
 ):
     """Streaming ingestion with incremental near-dup gating — the streaming
@@ -273,8 +274,11 @@ def stream_ingest_deduped(
          dense twin of step 1, closing the same-batch blind spot), then
          drops any survivor whose nearest STORED vector reaches
          `semantic_threshold` — `IVFIndex.screen_near_dups`, SemDeDup at
-         ingest. Accepted rows then carry their `embedding` column into
-         the sink and fold into BOTH indexes;
+         ingest. `semantic_branches` routes every dense-gate assignment
+         (intra pass, store screen, fold-in add) through a hierarchical
+         gate index's L1→L2 join so nothing num_clusters-sized is ever
+         broadcast inside the stream. Accepted rows then carry their
+         `embedding` column into the sink and fold into BOTH indexes;
       4. folds the accepted docs' signatures into the index so later
          batches screen against them too.
 
@@ -386,11 +390,12 @@ def stream_ingest_deduped(
                 # here, blocked by the gate index's own centroids
                 intra = semantic_index.dense_dropped_ids(
                     emb, semantic_threshold, nprobe=semantic_intra_nprobe,
-                    id_col=id_col,
+                    id_col=id_col, branches=semantic_branches,
                 )
                 emb = emb.join(intra, id_col, "left_anti")
                 flagged = semantic_index.screen_near_dups(
                     emb, semantic_threshold, id_col=id_col,
+                    branches=semantic_branches,
                 ).select(id_col)
                 fresh = emb.join(flagged, id_col, "left_anti")
             # localCheckpoint, NOT cache: fresh's plan scans the index
@@ -419,6 +424,7 @@ def stream_ingest_deduped(
                     semantic_index.add(
                         fresh.select(id_col, "embedding"),
                         id_col=id_col, assume_new=assume_new,
+                        branches=semantic_branches,
                     )
             if guarded and semantic_index is not None:
                 # Crash-window repair: a prior attempt may have died
@@ -439,6 +445,7 @@ def stream_ingest_deduped(
                     semantic_index.add(
                         epoch_rows.select(id_col, "embedding"),
                         id_col=id_col, assume_new=False,
+                        branches=semantic_branches,
                     )
             if ledger is not None:
                 ledger.mark_committed(epoch_id)

@@ -316,3 +316,58 @@ def test_hierarchical_assignment_scales_without_centroid_broadcast(
         sims = Cn[cand] @ xn
         exp[i] = cand[int(np.argmax(sims))]
     assert got == exp
+
+
+def test_hierarchical_dense_gate_screens_match_flat(spark, tmp_path):
+    """The dual-gate screens (`screen_near_dups` store screen and
+    `dense_dropped_ids` intra-batch pass) accept `branches` so a
+    hierarchical index never broadcasts its full centroid table inside
+    the streaming gate. branches == |L1| must reproduce the flat
+    screens row-for-row, and the branch path must source L2 centroids
+    from the parquet table (a join), not a broadcast/plan literal."""
+    rng = np.random.default_rng(47)
+    X = rng.normal(size=(300, 12))
+    df = _vec_df(spark, X)
+    path = str(tmp_path / "hgate")
+    idx = IVFIndex.build(spark, df, path, num_clusters=24, l1_branches=5)
+
+    # batch: 10 near-copies of stored vectors + 10 fresh, plus one
+    # intra-batch pair (ids 2020/2021 identical to each other only)
+    near = X[:10] + rng.normal(scale=1e-4, size=(10, 12))
+    fresh = rng.normal(size=(10, 12))
+    pair = rng.normal(size=(1, 12))
+    batch = _vec_df(
+        spark,
+        np.vstack([near, fresh, pair, pair]),
+        ids=range(2000, 2022),
+    )
+
+    flat_screen = {
+        (r.vec_id, r.dup_of)
+        for r in idx.screen_near_dups(batch, 0.98, nprobe=4).collect()
+    }
+    hier_screen = {
+        (r.vec_id, r.dup_of)
+        for r in idx.screen_near_dups(
+            batch, 0.98, nprobe=4, branches=5
+        ).collect()
+    }
+    assert hier_screen == flat_screen and len(flat_screen) >= 10
+
+    flat_drop = {
+        r.vec_id for r in idx.dense_dropped_ids(batch, 0.98, nprobe=4).collect()
+    }
+    hier_drop = {
+        r.vec_id
+        for r in idx.dense_dropped_ids(
+            batch, 0.98, nprobe=4, branches=5
+        ).collect()
+    }
+    assert hier_drop == flat_drop and 2021 in flat_drop
+
+    # plan shape: branch path reads the L2 parquet table
+    plan = (
+        idx.screen_near_dups(batch, 0.98, nprobe=4, branches=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReadSchema: struct<cluster_id:int,centroid:array<double>>" in plan

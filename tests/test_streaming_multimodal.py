@@ -677,3 +677,69 @@ def test_stream_ingest_semantic_gate_rejects_dim_mismatch(spark, tmp_path):
     with _pytest.raises(Exception, match="semantic gate|USER_RAISED"):
         q.awaitTermination(60)
         raise AssertionError("expected the stream to fail on dim mismatch")
+
+
+def test_stream_ingest_hierarchical_dense_gate(spark, tmp_path):
+    """`semantic_branches`: the dual-gate stream runs a HIERARCHICAL
+    dense-gate index through the L1→L2 join on every assignment (intra
+    pass, store screen, fold-in add) — nothing num_clusters-sized is
+    broadcast inside the stream. With branches == |L1| the gating
+    decisions match the flat screens: an intra-batch semantic dup and a
+    stored-embedding dup both drop, the novel doc survives and folds in."""
+    import json as _json
+
+    from ocr_vector_db_spark.functions.vector import embed_text
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
+
+    mh = MinHashIndex.build(
+        spark, spark.createDataFrame([], "doc_id bigint, text string"),
+        str(tmp_path / "mh"), num_hashes=16, bands=4, n=2, n_buckets=8,
+    )
+    stored = embed_text("previously ingested payload")
+    seeds = [(100, stored)] + [
+        (101 + i, embed_text(f"seed filler {i}")) for i in range(7)
+    ]
+    ivf = IVFIndex.build(
+        spark,
+        spark.createDataFrame(seeds, "doc_id bigint, embedding array<double>"),
+        str(tmp_path / "ivf"), num_clusters=4, l1_branches=2,
+    )
+    assert ivf.l1  # genuinely hierarchical
+
+    shared = embed_text("the shared semantic payload")
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        # 7/5: same-batch semantic dup pair (keep-min → 5 survives the
+        # intra pass); 6: embedding already in the store → store screen
+        # drops it; 5 is also novel vs the store → accepted
+        fh.write(_json.dumps({
+            "doc_id": 7, "text": "maritime salvage law in the north sea",
+            "embedding": shared}) + "\n")
+        fh.write(_json.dumps({
+            "doc_id": 5, "text": "alpine knitting with stranded colorwork",
+            "embedding": shared}) + "\n")
+        fh.write(_json.dumps({
+            "doc_id": 6, "text": "orbit transfers between lagrange points",
+            "embedding": stored}) + "\n")
+    stats: list = []
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted"))
+    q = stream_ingest_deduped(
+        spark.readStream
+        .schema("doc_id long, text string, embedding array<double>")
+        .json(str(src)),
+        mh, sink, threshold=0.6, stats=stats,
+        checkpoint=str(tmp_path / "ckpt"),
+        semantic_index=ivf, semantic_threshold=0.95,
+        semantic_intra_nprobe=4, semantic_branches=2,
+    )
+    q.awaitTermination(60)
+    assert {r.doc_id for r in sink.read(spark).collect()} == {5}
+    assert stats[-1] == {"epoch": 0, "accepted": 1, "dropped_as_dup": 2}
+    got = {r.doc_id for r in ivf.vectors().collect()}
+    assert got == {100, 101, 102, 103, 104, 105, 106, 107, 5}
