@@ -390,11 +390,14 @@ def cmd_semantic_index(args) -> int:
               f"(found {n}) — ingest more first")
         return 1
     k = max(2, min(args.clusters, n))
+    l1 = getattr(args, "l1_branches", None)
     idx = IVFIndex.build(
-        spark, vecs, os.path.join(args.store, "semidx"), num_clusters=k
+        spark, vecs, os.path.join(args.store, "semidx"), num_clusters=k,
+        l1_branches=(min(l1, k) if l1 else None),
     )
-    print(f"[semantic-index] built {len(idx.centroids)}-cluster gate index "
-          f"over {n} accepted docs at {args.store}/semidx")
+    hier = f" ({len(idx.l1)} L1 branches)" if idx.l1 else ""
+    print(f"[semantic-index] built {len(idx.centroids)}-cluster gate "
+          f"index{hier} over {n} accepted docs at {args.store}/semidx")
     return 0
 
 
@@ -460,6 +463,7 @@ def cmd_stream_ingest(args) -> int:
         semantic_intra_nprobe=(
             getattr(args, "semantic_intra_nprobe", 2) or None
         ),
+        semantic_branches=getattr(args, "semantic_branches", None),
     )
     q.awaitTermination()
     acc = sum(s["accepted"] for s in stats)
@@ -803,11 +807,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--semantic-intra-nprobe", type=int, default=2,
                     help="cluster probes for the intra-batch dense pass; "
                          "0 = exact all-pairs within each micro-batch")
+    sp.add_argument("--semantic-branches", type=int, default=None,
+                    help="L1 branches to probe when the gate index is "
+                         "hierarchical (semantic-index --l1-branches); "
+                         "routes every dense-gate assignment through the "
+                         "L1->L2 join instead of a full centroid broadcast")
     sp.set_defaults(fn=cmd_stream_ingest)
 
     sp = sub.add_parser("semantic-index")
     common(sp)
     sp.add_argument("--clusters", type=int, default=32)
+    sp.add_argument("--l1-branches", type=int, default=None,
+                    help="also fit a hierarchical coarse layer with this "
+                         "many L1 branches (clamped to --clusters) — use "
+                         "with stream-ingest --semantic-branches at large "
+                         "cluster counts")
     sp.set_defaults(fn=cmd_semantic_index)
 
     sp = sub.add_parser("pack")

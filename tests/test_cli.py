@@ -180,6 +180,24 @@ def test_cli_stream_ingest_gates_and_resumes(spark, tmp_path, capsys):
     assert cli.main(["maintain", "--store", store, "--dim", "16"]) == 0
     assert "[maintain] semidx:" in capsys.readouterr().out
 
+    # hierarchical gate: rebuild with an L1 layer, then stream with
+    # --semantic-branches so every dense-gate assignment routes through
+    # the L1->L2 join (no full centroid broadcast in the stream)
+    assert cli.main(["semantic-index", "--store", store, "--dim", "16",
+                     "--clusters", "4", "--l1-branches", "2"]) == 0
+    assert "L1 branches" in capsys.readouterr().out
+    with open(src / "e.json", "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 6,
+             "text": "sourdough fermentation kinetics at varying hydration "
+                     "levels measured across repeated overnight proofs"})
+            + "\n")
+    assert cli.main(sem_argv + ["--semantic-branches", "2"]) == 0
+    assert "accepted 1, dropped 0" in capsys.readouterr().out
+    accepted = (spark.read.option("basePath", f"{store}/accepted")
+                .option("mergeSchema", "true").parquet(f"{store}/accepted"))
+    assert {r.doc_id for r in accepted.collect()} == {1, 3, 5, 6}
+
 
 def test_cli_repl_session(spark, tmp_path, capsys):
     """REPL parity with api/cli/repl.py: settings commands, a search, RAG
