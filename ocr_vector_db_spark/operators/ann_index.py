@@ -573,26 +573,55 @@ class IVFIndex:
             "similarity",
         )
 
-    def _probe_rank(self, qdf: DataFrame, max_np: int) -> DataFrame:
+    def _probe_rank(
+        self, qdf: DataFrame, max_np: int, branches: int | None = None
+    ) -> DataFrame:
         """(query_id, embedding, cluster_id, __rk): every query's clusters
         ranked 1..max_np executor-side — `probe_clusters`' (cosine desc,
         cluster_id) order as a broadcast crossJoin + window, for sweeps
         too large to rank on the driver. UNROUNDED cosine: both sides fold
         the dot/norm sums left-to-right in double, so the ordering (and
-        hence every probe set) bit-matches the driver ranking."""
+        hence every probe set) bit-matches the driver ranking.
+
+        `branches` (hierarchical indexes): candidates come from the
+        broadcast-L1 ranking + L2 parquet join (`probe_clusters`' hier
+        path, distributed), so nothing num_clusters-sized is broadcast."""
         from ocr_vector_db_spark.functions.vector import cosine_similarity_col
         from pyspark.sql import Window
 
-        cent = qdf.sparkSession.createDataFrame(
-            [(cid, [float(x) for x in v]) for cid, v in self.centroids],
-            "cluster_id int, __c_emb array<double>",
-        )
+        if branches and self.l1:
+            l1df = self.spark.createDataFrame(
+                [(bid, [float(x) for x in v]) for bid, v in self.l1],
+                "l1_id int, __l1_emb array<double>",
+            )
+            wb = Window.partitionBy("query_id").orderBy(
+                F.desc("__b_sim"), F.col("l1_id")
+            )
+            cand = (
+                qdf.crossJoin(F.broadcast(l1df))
+                .withColumn(
+                    "__b_sim",
+                    cosine_similarity_col(
+                        F.col("embedding"), F.col("__l1_emb")
+                    ),
+                )
+                .withColumn("__brk", F.row_number().over(wb))
+                .filter(F.col("__brk") <= branches)
+                .select("query_id", "embedding", "l1_id")
+                .join(self.centroids_l2_df(), "l1_id")
+                .withColumnRenamed("centroid", "__c_emb")
+            )
+        else:
+            cent = qdf.sparkSession.createDataFrame(
+                [(cid, [float(x) for x in v]) for cid, v in self.centroids],
+                "cluster_id int, __c_emb array<double>",
+            )
+            cand = qdf.crossJoin(F.broadcast(cent))
         w = Window.partitionBy("query_id").orderBy(
             F.desc("__c_sim"), F.col("cluster_id")
         )
         return (
-            qdf.crossJoin(F.broadcast(cent))
-            .withColumn(
+            cand.withColumn(
                 "__c_sim",
                 cosine_similarity_col(F.col("embedding"), F.col("__c_emb")),
             )
@@ -623,6 +652,7 @@ class IVFIndex:
         nprobes: list[int] | None = None,
         id_col: str = "vec_id",
         distributed_probes: bool = False,
+        branches: int | None = None,
     ) -> dict[int, float]:
         """Recall@k for EVERY nprobe setting in one distributed pass.
 
@@ -644,14 +674,68 @@ class IVFIndex:
         and each setting filters its rank prefix, so a 10⁵-query sweep
         never materializes |queries| × nprobe pairs in the driver.
         Identical probe sets (same (cosine desc, cluster_id) order;
-        results equality is regression-tested)."""
+        results equality is regression-tested).
+
+        `branches` (hierarchical indexes): restrict every setting's probes
+        to the top-`branches` L1 branches — at branches < |L1| the full
+        probe is no longer exact (clusters outside the probed branches
+        never score), so recall at nprobe = num_clusters measures the
+        branch pruning itself; `branch_recall_sweep` sweeps that knob."""
+        nprobes = sorted(set(nprobes or [3]))
+        rec = self._settings_recall(
+            corpus, queries, k, [(np_, branches) for np_ in nprobes],
+            id_col, distributed_probes,
+        )
+        return {np_: rec[si] for si, np_ in enumerate(nprobes)}
+
+    def branch_recall_sweep(
+        self,
+        corpus: DataFrame,
+        queries: list[list[float]],
+        k: int = 10,
+        nprobe: int | None = None,
+        branches_list: list[int] | None = None,
+        id_col: str = "vec_id",
+        distributed_probes: bool = False,
+    ) -> dict[int, float]:
+        """Recall@k for EVERY `branches` setting of a hierarchical index in
+        one batched pass — the tuning sweep for the SECOND knob the
+        two-level quantizer adds above nprobe (how many L1 branches to
+        descend). `nprobe=None` probes every cluster the branch prefix
+        reaches, isolating the branch-pruning loss: at branches = |L1| the
+        candidate set is every cluster, so recall is exactly 1.0 by
+        construction — the hier twin of `recall_sweep`'s full-probe
+        invariant. Same two-job shape as `recall_sweep` (one exact
+        baseline, one multi-setting pruned pass)."""
+        if not self.l1:
+            raise ValueError("not a hierarchical index (build with "
+                             "l1_branches)")
+        bl = sorted(set(branches_list or [1, len(self.l1)]))
+        np_ = len(self.centroids) if nprobe is None else nprobe
+        rec = self._settings_recall(
+            corpus, queries, k, [(np_, b) for b in bl], id_col,
+            distributed_probes,
+        )
+        return {b: rec[si] for si, b in enumerate(bl)}
+
+    def _settings_recall(
+        self,
+        corpus: DataFrame,
+        queries: list[list[float]],
+        k: int,
+        settings: list[tuple[int, int | None]],
+        id_col: str,
+        distributed_probes: bool,
+    ) -> list[float]:
+        """Recall@k per (nprobe, branches) setting, index-aligned with
+        `settings`. ONE exact `knn_batch` baseline + ONE pruned `knn_batch`
+        with every setting's probes unioned in — two Spark jobs total."""
         from ocr_vector_db_spark.operators.knn import knn_batch
 
-        nprobes = sorted(set(nprobes or [3]))
         spark = corpus.sparkSession
         qrows = [(qi, [float(x) for x in qv]) for qi, qv in enumerate(queries)]
         if not qrows:
-            return {np_: 1.0 for np_ in nprobes}
+            return [1.0] * len(settings)
         qschema = "query_id int, embedding array<double>"
         qdf = spark.createDataFrame(qrows, qschema)
         exact = knn_batch(
@@ -669,10 +753,9 @@ class IVFIndex:
         # otherwise materialize ~2M full vectors in the driver).
         stride = len(qrows)
         if distributed_probes:
-            ranked = self._probe_rank(qdf, max(nprobes))
             pdf = None
-            for si, np_ in enumerate(nprobes):
-                part = ranked.filter(F.col("__rk") <= np_).select(
+            for si, (np_, br) in enumerate(settings):
+                part = self._probe_rank(qdf, np_, branches=br).select(
                     (F.lit(si * stride) + F.col("query_id"))
                     .cast("int").alias("query_id"),
                     "cluster_id", "embedding",
@@ -682,9 +765,9 @@ class IVFIndex:
             pairs = spark.createDataFrame(
                 [
                     (si * stride + qi, cid)
-                    for si, np_ in enumerate(nprobes)
+                    for si, (np_, br) in enumerate(settings)
                     for qi, qv in qrows
-                    for cid in self.probe_clusters(qv, np_)
+                    for cid in self.probe_clusters(qv, np_, br)
                 ],
                 "query_id int, cluster_id int",
             )
@@ -707,10 +790,10 @@ class IVFIndex:
             for r in exact.join(approx, ["query_id", id_col])
             .groupBy("__si").agg(F.count("*").alias("hits")).collect()
         }
-        return {
-            np_: (hits.get(si, 0) / total if total else 1.0)
-            for si, np_ in enumerate(nprobes)
-        }
+        return [
+            hits.get(si, 0) / total if total else 1.0
+            for si in range(len(settings))
+        ]
 
     # ---------------------------------------------------------- maintenance
 

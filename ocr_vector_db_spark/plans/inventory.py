@@ -4103,6 +4103,72 @@ def q115(spark, sf):
     )
 
 
+def _hier_index_for(spark, sf):
+    """Session-memoized hierarchical IVFIndex over the FULL embeddings
+    table (q116) — distinct from q115's layout, which routes an odd-id
+    probe vector through the hier add and so no longer mirrors the
+    corpus the recall baseline scans."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    key = (spark.sparkContext.applicationId, sf, "q116_hier_path")
+    if key not in _PLAN_MEMO:
+        e = load_table(spark, sf, "embeddings")
+        path = tempfile.mkdtemp(prefix="ivfhier_full_")
+        IVFIndex.build(spark, e, path, num_clusters=24, l1_branches=6)
+        _PLAN_MEMO[key] = path
+    return IVFIndex.load(spark, _PLAN_MEMO[key])
+
+
+@query(
+    "q116_hier_branch_recall",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id IN (0, 7, 23, 42)) AS n_queries,
+           true AS full_branch_exact, true AS monotone_ok,
+           true AS flat_parity
+    """,
+)
+def q116(spark, sf):
+    """The tuning sweep for the SECOND recall/latency knob the two-level
+    quantizer adds above nprobe (q106's): how many L1 branches to descend.
+    `branch_recall_sweep` measures recall@10 for every branches setting in
+    the same two-job batched shape as `recall_sweep` (one exact baseline,
+    one multi-setting pruned pass — settings encoded into query ids, never
+    a per-setting driver loop). KMeans isn't SQL-reproducible, so — like
+    q106/q115 — the driver checks an invariant row:
+      n_queries          grounded: the probe vectors exist
+      full_branch_exact  recall == 1.0 at branches = |L1| with a full
+                         probe (every cluster reachable → brute force
+                         over the layout by construction)
+      monotone_ok        recall(1) ≤ recall(half) ≤ recall(full):
+                         descending more branches only adds candidates
+      flat_parity        recall_sweep(branches=|L1|) ≡ the flat
+                         recall_sweep dict — the hier probe restriction
+                         at all branches is the identity."""
+    idx = _hier_index_for(spark, sf)
+    e = load_table(spark, sf, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id").isin([0, 7, 23, 42]))
+        .orderBy("vec_id").collect()
+    ]
+    nb = len(idx.l1)
+    half = max(nb // 2, 1)
+    sweep = idx.branch_recall_sweep(e, qvs, k=10,
+                                    branches_list=[1, half, nb])
+    flat = idx.recall_sweep(e, qvs, k=10, nprobes=[1, len(idx.centroids)])
+    hier = idx.recall_sweep(e, qvs, k=10, nprobes=[1, len(idx.centroids)],
+                            branches=nb)
+    return spark.createDataFrame(
+        [(len(qvs), sweep[nb] == 1.0,
+          sweep[1] <= sweep[half] <= sweep[nb], hier == flat)],
+        "n_queries bigint, full_branch_exact boolean, monotone_ok boolean, "
+        "flat_parity boolean",
+    )
+
+
 _Q106_QUERY_IDS = [0, 7, 23, 42]
 
 

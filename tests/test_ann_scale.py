@@ -371,3 +371,43 @@ def test_hierarchical_dense_gate_screens_match_flat(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ReadSchema: struct<cluster_id:int,centroid:array<double>>" in plan
+
+
+def test_branch_recall_sweep_invariants_and_distributed_parity(
+    spark, tmp_path
+):
+    """`branch_recall_sweep`: the batched tuning sweep for the hier knob.
+    Full-branch recall is exactly 1.0 by construction, recall is monotone
+    in branches, a flat-parity `recall_sweep(branches=|L1|)` matches the
+    flat sweep, and the distributed-probes path reproduces the driver
+    ranking's numbers identically."""
+    rng = np.random.default_rng(53)
+    X = rng.normal(size=(250, 16))
+    df = _vec_df(spark, X)
+    idx = IVFIndex.build(
+        spark, df, str(tmp_path / "hbrs"), num_clusters=20, l1_branches=5
+    )
+    queries = [[float(x) for x in q] for q in rng.normal(size=(10, 16))]
+
+    sweep = idx.branch_recall_sweep(df, queries, k=10,
+                                    branches_list=[1, 2, 5])
+    assert sweep[5] == 1.0  # all branches -> every cluster -> exact
+    assert 0.0 <= sweep[1] <= sweep[2] <= sweep[5]
+
+    dist = idx.branch_recall_sweep(df, queries, k=10,
+                                   branches_list=[1, 2, 5],
+                                   distributed_probes=True)
+    assert dist == sweep
+
+    flat = idx.recall_sweep(df, queries, k=10, nprobes=[1, 4, 20])
+    hier = idx.recall_sweep(df, queries, k=10, nprobes=[1, 4, 20],
+                            branches=5)
+    assert hier == flat  # branches == |L1| reproduces the flat probes
+    hier_d = idx.recall_sweep(df, queries, k=10, nprobes=[1, 4, 20],
+                              branches=5, distributed_probes=True)
+    assert hier_d == flat
+
+    with pytest.raises(ValueError, match="hierarchical"):
+        IVFIndex.build(
+            spark, df, str(tmp_path / "flatrs"), num_clusters=8
+        ).branch_recall_sweep(df, queries)
