@@ -4169,6 +4169,104 @@ def q116(spark, sf):
     )
 
 
+_NGRAM_TOKS_CTE = r"""
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               struct_extract(u.p, 1) AS tok_a,
+               struct_extract(u.p, 2) AS tok_b
+        FROM toks, LATERAL unnest(list_zip(tk[1:len(tk)-1], tk[2:])) AS u(p)
+    ),
+    uni AS MATERIALIZED (
+        SELECT u.t AS tok, COUNT(*) AS cnt
+        FROM toks, LATERAL unnest(tk) AS u(t) GROUP BY u.t
+    )
+"""
+
+
+@query(
+    "q117_pmi_collocations",
+    f"""
+    WITH {_NGRAM_TOKS_CTE},
+    bgc AS (
+        SELECT tok_a, tok_b, COUNT(*) AS pair_count
+        FROM bg GROUP BY tok_a, tok_b
+    ),
+    tot AS (
+        SELECT CAST((SELECT SUM(cnt) FROM uni) AS DOUBLE) AS n_tok,
+               CAST((SELECT COUNT(*) FROM bg) AS DOUBLE) AS n_pairs
+    )
+    SELECT tok_a, tok_b, pair_count,
+           ROUND(ln(CAST(pair_count AS DOUBLE)) - ln(n_pairs)
+                 - ln(CAST(ua.cnt AS DOUBLE)) - ln(CAST(ub.cnt AS DOUBLE))
+                 + 2.0 * ln(n_tok), 6) AS pmi
+    FROM bgc JOIN uni ua ON bgc.tok_a = ua.tok
+             JOIN uni ub ON bgc.tok_b = ub.tok
+             CROSS JOIN tot
+    WHERE pair_count >= 5
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT 100
+    """,
+)
+def q117(spark, sf):
+    """PMI collocation mining (Church & Hanks, 1990): the corpus's
+    strongest adjacent token pairs by pointwise mutual information —
+    phrase-vocabulary induction for tokenizer training. Bigrams come from
+    zipping each doc's filtered token array against itself shifted by one
+    (per-row, shuffle-free — no window, no positional self-join); counts
+    are two aggs; the Heaps'-sized unigram table broadcasts onto the
+    already-aggregated bigram counts; top-k is TakeOrderedAndProject.
+    min_count=5 floors the hapax-pair PMI explosion."""
+    from ocr_vector_db_spark.operators import ngram_lm
+
+    d = load_table(spark, sf, "documents")
+    return ngram_lm.pmi_collocations(d, min_count=5, top_k=100)
+
+
+@query(
+    "q118_bigram_cross_entropy",
+    f"""
+    WITH {_NGRAM_TOKS_CTE},
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    bgc AS (
+        SELECT tok_a, tok_b, COUNT(*) AS cab
+        FROM bg GROUP BY tok_a, tok_b
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               ROUND(-ln(CAST(bgc.cab + 1 AS DOUBLE)
+                         / (CAST(ua.cnt AS DOUBLE) + v.v)), 6) AS nlp
+        FROM bg JOIN bgc USING (tok_a, tok_b)
+                JOIN uni ua ON bg.tok_a = ua.tok
+                CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q118(spark, sf):
+    """Per-document cross-entropy under the corpus's add-one-smoothed
+    BIGRAM LM, p(b|a) = (c(ab)+1)/(c(a)+V) — the distributed stand-in
+    for CCNet's KenLM perplexity filter (Wenzek et al., 2020), one rung
+    above q82's unigram model: word-order-aware, so shuffled boilerplate
+    that fools a unigram LM scores high here. The per-doc scoring join
+    is a shuffle equi-join on the pair key (bigram vocab is NOT
+    broadcastable at corpus scale; stopword-pair skew is AQE's job);
+    unigram context counts broadcast; per-row -ln p rounds to 6 dp
+    before the decimal sum so the average is order-independent."""
+    from ocr_vector_db_spark.operators import ngram_lm
+
+    d = load_table(spark, sf, "documents")
+    return ngram_lm.bigram_cross_entropy(d)
+
+
 _Q106_QUERY_IDS = [0, 7, 23, 42]
 
 

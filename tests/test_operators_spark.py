@@ -600,3 +600,40 @@ def test_rerank_stub_is_deterministic_and_bounded(spark):
         key=lambda t: (t[0], -t[1]), reverse=True)[:5]
     assert [(r.ce_score, r.id) for r in out] == [(h, i) for h, i in exp]
     assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_ngram_lm_bigrams_and_scoring(spark):
+    """adjacent_bigrams: position-exact pairs after empty-token removal;
+    <2-token docs contribute nothing. PMI floors hapax pairs via
+    min_count; the bigram LM scores repeated boilerplate LOWER
+    cross-entropy than a one-off sentence."""
+    from ocr_vector_db_spark.operators import ngram_lm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick -- brown FOX!"),
+            (2, "solo"),
+            (3, ""),
+            (4, "the quick brown fox"),
+            (5, "the quick brown fox"),
+            (6, "zebra quark flux vortex"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bg = ngram_lm.adjacent_bigrams(docs)
+    got = {(r.doc_id, r.tok_a, r.tok_b) for r in bg.collect()}
+    assert (1, "the", "quick") in got and (1, "quick", "brown") in got
+    assert not any(d in (2, 3) for d, _, _ in got)
+    assert len([1 for d, _, _ in got if d == 1]) == 3  # punctuation skipped
+
+    pmi = ngram_lm.pmi_collocations(docs, min_count=3, top_k=10).collect()
+    pairs = {(r.tok_a, r.tok_b) for r in pmi}
+    # the 3x repeated phrase survives the floor; the hapax chain doesn't
+    assert ("quick", "brown") in pairs
+    assert ("zebra", "quark") not in pairs
+    assert all(pmi[i].pmi >= pmi[i + 1].pmi for i in range(len(pmi) - 1))
+
+    ce = {r.doc_id: r.avg_neg_logprob
+          for r in ngram_lm.bigram_cross_entropy(docs).collect()}
+    assert set(ce) == {1, 4, 5, 6}  # no-bigram docs emit no row
+    assert ce[4] == ce[5] < ce[6]  # boilerplate scores lower than novelty
