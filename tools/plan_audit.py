@@ -90,6 +90,18 @@ AUDITS = [
      "the dangling-mass share is a 1-row aggregate broadcast-crossJoined "
      "onto the node universe — per iteration still one rank shuffle + one "
      "dst hash-agg, no extra wide shuffle for dangling handling"),
+    ("q117_pmi_collocations",
+     "bigrams form per-row (Generate over the shifted-array zip — no "
+     "window, no positional self-join); the Heaps'-sized unigram table "
+     "arrives as TWO BroadcastHashJoins onto the aggregated pair counts; "
+     "top-k is TakeOrderedAndProject, never a global Sort"),
+    ("q118_bigram_cross_entropy",
+     "the per-doc LM scoring join keys on the (tok_a, tok_b) pair — "
+     "broadcast at bench scale, degrading to a shuffle equi-join (never "
+     "wider) when the bigram table outgrows the threshold at corpus "
+     "scale; unigram context counts always broadcast; the per-doc "
+     "average is a partial_-combined hash agg over pre-rounded decimal "
+     "terms"),
 ]
 
 KEY_LINE = re.compile(
