@@ -113,6 +113,185 @@ def assign_nearest_centroid(
     )
 
 
+def fit_hier_layer(
+    spark: SparkSession,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    l1_branches: int,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> tuple[list[tuple[int, list[float]]], list[int]]:
+    """Fit + persist the two-level coarse layer under `path` — shared by
+    IVFIndex and IVFPQIndex (same layout, same invariants): a seeded
+    in-memory KMeans over the cluster centroids themselves gives the tiny
+    L1; `hier.json` carries (l1, cluster→branch map); the L2 centroid
+    table lands as parquet PARTITIONED BY l1_id — the
+    distributed-assignment side: executors join (row, branch) against
+    only the probed branches' centroid partitions, so no
+    num_clusters-sized broadcast ever ships. Returns (l1, l2_to_l1)."""
+    import numpy as np
+
+    from ocr_vector_db_spark.operators.index_maint import (
+        commit_generation,
+        init_generation,
+        write_small_file,
+    )
+    from ocr_vector_db_spark.operators.pq import _lloyd
+
+    C = np.asarray([c for _, c in centroids], dtype=np.float64)
+    k1 = min(l1_branches, len(centroids))
+    rng = np.random.default_rng(seed)
+    B = _lloyd(C, k1, rng, max_iter)
+    d2 = ((C[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+    l2_to_l1 = [int(b) for b in d2.argmin(axis=1)]
+    l1 = [(i, [float(x) for x in b]) for i, b in enumerate(B)]
+    write_small_file(
+        spark, os.path.join(path, "hier.json"),
+        json.dumps({"l1": l1, "map": l2_to_l1}).encode("utf-8"),
+    )
+    cent_df = spark.createDataFrame(
+        [(l2_to_l1[cid], cid, vec) for cid, vec in centroids],
+        "l1_id int, cluster_id int, centroid array<double>",
+    )
+    cent_path = os.path.join(path, "centroids_l2")
+    cn_gen, cdest = init_generation(spark, cent_path)
+    cent_df.repartition(1).write.mode("overwrite").partitionBy(
+        "l1_id"
+    ).parquet(cdest)
+    commit_generation(spark, cent_path, cn_gen)
+    return l1, l2_to_l1
+
+
+def load_hier_layer(
+    spark: SparkSession, path: str
+) -> tuple[list[tuple[int, list[float]]], list[int]]:
+    """(l1, l2_to_l1) from `path`/hier.json, or ([], []) for flat
+    indexes."""
+    from ocr_vector_db_spark.operators.index_maint import (
+        fs_exists,
+        read_small_file,
+    )
+
+    if not fs_exists(spark, os.path.join(path, "hier.json")):
+        return [], []
+    hier = json.loads(read_small_file(spark, os.path.join(path, "hier.json")))
+    return (
+        [(int(i), v) for i, v in hier["l1"]],
+        [int(b) for b in hier["map"]],
+    )
+
+
+def hier_centroids_df(spark: SparkSession, path: str) -> DataFrame:
+    """The (l1_id, cluster_id, centroid) parquet table of a hierarchical
+    index — the distributed-assignment side that replaces any
+    num_clusters-sized broadcast."""
+    from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+    return spark.read.parquet(
+        current_gen_dir(spark, os.path.join(path, "centroids_l2"))
+    )
+
+
+def rank_branches(
+    l1: list[tuple[int, list[float]]], query_vector: list[float]
+) -> list[int]:
+    """Branch ids by (cosine desc, l1_id) — the driver-side L1 ranking
+    every hier probe path shares."""
+    return [
+        bid for bid, _ in
+        sorted(l1, key=lambda c: (-_cos(c[1], query_vector), c[0]))
+    ]
+
+
+def assign_clusters_hier_df(
+    df: DataFrame,
+    l1: list[tuple[int, list[float]]],
+    l2df: DataFrame,
+    branches: int,
+    emb_col: str = "embedding",
+    metric: str = "cosine",
+    keep_centroid: str | None = None,
+) -> DataFrame:
+    """df + cluster_id via a TWO-LEVEL quantizer, fully distributed — the
+    engine under `IVFIndex.assign_clusters_hier` and IVFPQIndex's hier
+    residual assignment:
+
+      1. row × broadcast L1 (≈ √num_clusters rows — always tiny),
+         row_number keeps each row's top-`branches` branches;
+      2. equi-join against the parquet L2 centroid table on l1_id —
+         a shuffle join that touches only the probed branches'
+         centroid rows; NOTHING num_clusters-sized is broadcast,
+         driver-ranked, or inlined into the plan;
+      3. score the surviving (row, centroid) candidates with the same
+         metric expressions as `assign_nearest_centroid`, window
+         argmin per row.
+
+    `keep_centroid` appends the winning centroid under that name (for
+    residual encoding, no second join). branches ≥ |L1| considers every
+    centroid — exactly the flat assignment (equality-tested)."""
+    from pyspark.sql import Window
+
+    from ocr_vector_db_spark.functions.vector import (
+        cosine_similarity_col,
+        dot_col,
+        norm_col,
+    )
+
+    reserved = {"__row_id", "__b_sim", "__brk", "__score", "__rk",
+                "l1_id", "cluster_id", "centroid", "__l1_emb"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"assign_clusters_hier: df columns {sorted(clash)} collide "
+            "with internal columns; rename them first"
+        )
+    spark = df.sparkSession
+    l1df = spark.createDataFrame(
+        [(bid, [float(x) for x in v]) for bid, v in l1],
+        "l1_id int, __l1_emb array<double>",
+    )
+    v = F.col(emb_col).cast("array<double>")
+    wb = Window.partitionBy("__row_id").orderBy(
+        F.desc("__b_sim"), F.col("l1_id")
+    )
+    branch_probes = (
+        df.withColumn("__row_id", F.monotonically_increasing_id())
+        .crossJoin(F.broadcast(l1df))
+        .withColumn("__b_sim", cosine_similarity_col(v, F.col("__l1_emb")))
+        .withColumn("__brk", F.row_number().over(wb))
+        .filter(F.col("__brk") <= branches)
+        .drop("__l1_emb", "__b_sim", "__brk")
+    )
+    cand = branch_probes.join(l2df, "l1_id")
+    c = F.col("centroid")
+    if metric == "cosine":
+        cn = F.sqrt(F.aggregate(
+            c, F.lit(0.0), lambda acc, x: acc + x * x
+        ))
+        # zero-norm guard, matching assign_nearest_centroid's `or 1.0`
+        cn = F.when(cn != 0.0, cn).otherwise(F.lit(1.0))
+        score = dot_col(v, c) / (norm_col(v) * cn)
+        order = [F.desc("__score"), F.col("cluster_id")]
+    elif metric == "l2":
+        score = F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        order = [F.asc("__score"), F.col("cluster_id")]
+    else:
+        raise ValueError(f"unknown metric {metric!r} (cosine|l2)")
+    w = Window.partitionBy("__row_id").orderBy(*order)
+    out = [*df.columns, F.col("cluster_id").cast("int")]
+    if keep_centroid is not None:
+        out.append(F.col("centroid").alias(keep_centroid))
+    return (
+        cand.withColumn("__score", score)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(*out)
+    )
+
+
 class IVFIndex:
     def __init__(self, spark: SparkSession, path: str,
                  centroids: list[tuple[int, list[float]]] | None = None,
@@ -191,35 +370,9 @@ class IVFIndex:
         l1: list[tuple[int, list[float]]] = []
         l2_to_l1: list[int] = []
         if l1_branches:
-            import numpy as np
-
-            from ocr_vector_db_spark.operators.pq import _lloyd
-
-            C = np.asarray([c for _, c in centroids], dtype=np.float64)
-            k1 = min(l1_branches, len(centroids))
-            rng = np.random.default_rng(seed)
-            B = _lloyd(C, k1, rng, max_iter)
-            d2 = ((C[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
-            l2_to_l1 = [int(b) for b in d2.argmin(axis=1)]
-            l1 = [(i, [float(x) for x in b]) for i, b in enumerate(B)]
-            write_small_file(
-                spark, os.path.join(path, "hier.json"),
-                json.dumps({"l1": l1, "map": l2_to_l1}).encode("utf-8"),
+            l1, l2_to_l1 = fit_hier_layer(
+                spark, path, centroids, l1_branches, seed, max_iter
             )
-            # the L2 centroid table as parquet PARTITIONED BY l1_id — the
-            # distributed-assignment side: executors join (row, branch)
-            # against only the probed branches' centroid partitions, so
-            # no num_clusters-sized broadcast ever ships
-            cent_df = spark.createDataFrame(
-                [(l2_to_l1[cid], cid, vec) for cid, vec in centroids],
-                "l1_id int, cluster_id int, centroid array<double>",
-            )
-            cent_path = os.path.join(path, "centroids_l2")
-            cn_gen, cdest = init_generation(spark, cent_path)
-            cent_df.repartition(1).write.mode("overwrite").partitionBy(
-                "l1_id"
-            ).parquet(cdest)
-            commit_generation(spark, cent_path, cn_gen)
         return cls(spark, path, centroids, l1, l2_to_l1)
 
     @classmethod
@@ -234,13 +387,7 @@ class IVFIndex:
                 read_small_file(spark, os.path.join(path, "centroids.json"))
             )
         ]
-        l1, l2_to_l1 = [], []
-        if fs_exists(spark, os.path.join(path, "hier.json")):
-            hier = json.loads(
-                read_small_file(spark, os.path.join(path, "hier.json"))
-            )
-            l1 = [(int(i), v) for i, v in hier["l1"]]
-            l2_to_l1 = [int(b) for b in hier["map"]]
+        l1, l2_to_l1 = load_hier_layer(spark, path)
         return cls(spark, path, centroids, l1, l2_to_l1)
 
     # -------------------------------------------------------------- search
@@ -267,10 +414,7 @@ class IVFIndex:
         ranking exactly (every cluster is considered, same order)."""
         cand = self.centroids
         if branches and self.l1:
-            ranked_b = sorted(
-                self.l1, key=lambda c: (-_cos(c[1], query_vector), c[0])
-            )
-            keep = {bid for bid, _ in ranked_b[:branches]}
+            keep = set(rank_branches(self.l1, query_vector)[:branches])
             cand = [(cid, v) for cid, v in self.centroids
                     if self.l2_to_l1[cid] in keep]
         ranked = sorted(cand, key=lambda c: (-_cos(c[1], query_vector), c[0]))
@@ -280,11 +424,7 @@ class IVFIndex:
         """The (l1_id, cluster_id, centroid) parquet table of a
         hierarchical index — the distributed-assignment side that replaces
         any num_clusters-sized broadcast."""
-        from ocr_vector_db_spark.operators.index_maint import current_gen_dir
-
-        return self.spark.read.parquet(
-            current_gen_dir(self.spark, os.path.join(self.path, "centroids_l2"))
-        )
+        return hier_centroids_df(self.spark, self.path)
 
     def assign_clusters_hier(
         self,
@@ -308,61 +448,11 @@ class IVFIndex:
         branches ≥ |L1| considers every centroid — exactly the flat
         assignment (equality-tested); smaller `branches` is the IMI-style
         approximation whose recall is measured like any nprobe knob."""
-        from ocr_vector_db_spark.functions.vector import dot_col, norm_col
-        from pyspark.sql import Window
-
         if not self.l1:
             raise ValueError("not a hierarchical index (build with l1_branches)")
-        reserved = {"__row_id", "__b_sim", "__brk", "__score", "__rk",
-                    "l1_id", "cluster_id", "centroid", "__l1_emb"}
-        clash = reserved & set(df.columns)
-        if clash:
-            raise ValueError(
-                f"assign_clusters_hier: df columns {sorted(clash)} collide "
-                "with internal columns; rename them first"
-            )
-        l1df = self.spark.createDataFrame(
-            [(bid, [float(x) for x in v]) for bid, v in self.l1],
-            "l1_id int, __l1_emb array<double>",
-        )
-        from ocr_vector_db_spark.functions.vector import cosine_similarity_col
-
-        v = F.col(emb_col).cast("array<double>")
-        wb = Window.partitionBy("__row_id").orderBy(
-            F.desc("__b_sim"), F.col("l1_id")
-        )
-        branch_probes = (
-            df.withColumn("__row_id", F.monotonically_increasing_id())
-            .crossJoin(F.broadcast(l1df))
-            .withColumn("__b_sim", cosine_similarity_col(v, F.col("__l1_emb")))
-            .withColumn("__brk", F.row_number().over(wb))
-            .filter(F.col("__brk") <= branches)
-            .drop("__l1_emb", "__b_sim", "__brk")
-        )
-        cand = branch_probes.join(self.centroids_l2_df(), "l1_id")
-        c = F.col("centroid")
-        if metric == "cosine":
-            cn = F.sqrt(F.aggregate(
-                c, F.lit(0.0), lambda acc, x: acc + x * x
-            ))
-            # zero-norm guard, matching assign_nearest_centroid's `or 1.0`
-            cn = F.when(cn != 0.0, cn).otherwise(F.lit(1.0))
-            score = dot_col(v, c) / (norm_col(v) * cn)
-            order = [F.desc("__score"), F.col("cluster_id")]
-        elif metric == "l2":
-            score = F.aggregate(
-                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            order = [F.asc("__score"), F.col("cluster_id")]
-        else:
-            raise ValueError(f"unknown metric {metric!r} (cosine|l2)")
-        w = Window.partitionBy("__row_id").orderBy(*order)
-        return (
-            cand.withColumn("__score", score)
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select(*df.columns, F.col("cluster_id").cast("int"))
+        return assign_clusters_hier_df(
+            df, self.l1, self.centroids_l2_df(), branches,
+            emb_col=emb_col, metric=metric,
         )
 
     def search(

@@ -50,11 +50,17 @@ class IVFPQIndex:
     """Coarse KMeans quantizer + per-subspace PQ codebook over residuals."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 centroids: list[tuple[int, list[float]]], pq: PQIndex):
+                 centroids: list[tuple[int, list[float]]], pq: PQIndex,
+                 l1: list[tuple[int, list[float]]] | None = None,
+                 l2_to_l1: list[int] | None = None):
         self.spark = spark
         self.path = path
         self.centroids = centroids
         self.pq = pq
+        # optional hierarchical coarse layer — IVFIndex parity (same
+        # hier.json + centroids_l2 parquet layout via fit_hier_layer)
+        self.l1 = l1 or []
+        self.l2_to_l1 = l2_to_l1 or []
 
     # --------------------------------------------------------------- build
 
@@ -73,6 +79,7 @@ class IVFPQIndex:
         seed: int = 42,
         sample_fraction: float | None = None,
         sample_limit: int = 65536,
+        l1_branches: int | None = None,
     ) -> "IVFPQIndex":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -132,7 +139,15 @@ class IVFPQIndex:
             json.dumps({"dim": dim, "m": m, "centroids": centroids,
                         "codebooks": pq.codebooks}).encode("utf-8"),
         )
-        return cls(spark, path, centroids, pq)
+        l1: list[tuple[int, list[float]]] = []
+        l2_to_l1: list[int] = []
+        if l1_branches:
+            from ocr_vector_db_spark.operators.ann_index import fit_hier_layer
+
+            l1, l2_to_l1 = fit_hier_layer(
+                spark, path, centroids, l1_branches, seed
+            )
+        return cls(spark, path, centroids, pq, l1, l2_to_l1)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFPQIndex":
@@ -143,12 +158,15 @@ class IVFPQIndex:
         )
         pq = PQIndex(meta["dim"], meta["m"], meta["codebooks"])
         centroids = [(int(i), v) for i, v in meta["centroids"]]
-        return cls(spark, path, centroids, pq)
+        from ocr_vector_db_spark.operators.ann_index import load_hier_layer
+
+        l1, l2_to_l1 = load_hier_layer(spark, path)
+        return cls(spark, path, centroids, pq, l1, l2_to_l1)
 
     # ------------------------------------------------------------ increment
 
-    def _residual_codes(self, df: DataFrame, emb_col: str,
-                        id_col: str) -> DataFrame:
+    def _residual_codes(self, df: DataFrame, emb_col: str, id_col: str,
+                        branches: int | None = None) -> DataFrame:
         """(id, cluster_id, pq_codes) for new vectors against the FROZEN
         quantizers: nearest existing centroid by squared L2 (the metric the
         coarse KMeans assigned with), residual encoded with the existing
@@ -158,17 +176,30 @@ class IVFPQIndex:
         join + window argmin, constant-size plan at any num_clusters (the
         chained-CASE-WHEN form this replaces broke Catalyst analysis at
         the 180k-cluster 100 TB target); the winning centroid rides along
-        so the residual needs no second join."""
+        so the residual needs no second join. `branches` (hierarchical
+        indexes) swaps in `assign_clusters_hier_df` — broadcast-L1 + L2
+        parquet join, clearing the full-centroid broadcast past the same
+        180k target; branches ≥ |L1| ≡ the flat assignment."""
         from ocr_vector_db_spark.operators.ann_index import (
+            assign_clusters_hier_df,
             assign_nearest_centroid,
+            hier_centroids_df,
         )
 
-        v = F.col(emb_col).cast("array<double>")
-        return (
-            assign_nearest_centroid(
+        if branches and self.l1:
+            assigned = assign_clusters_hier_df(
+                df, self.l1, hier_centroids_df(self.spark, self.path),
+                branches, emb_col=emb_col, metric="l2",
+                keep_centroid="__centroid",
+            )
+        else:
+            assigned = assign_nearest_centroid(
                 df, self.centroids, emb_col=emb_col, metric="l2",
                 keep_centroid="__centroid",
             )
+        v = F.col(emb_col).cast("array<double>")
+        return (
+            assigned
             .withColumn(
                 "__residual",
                 F.zip_with(v, F.col("__centroid").cast("array<double>"),
@@ -186,6 +217,7 @@ class IVFPQIndex:
         emb_col: str = "embedding",
         id_col: str = "vec_id",
         assume_new: bool = False,
+        branches: int | None = None,
     ) -> int:
         """Incremental index update with FROZEN quantizers — the ivfflat
         lists-don't-move contract applied twice: coarse centroids AND the
@@ -202,7 +234,7 @@ class IVFPQIndex:
         if not assume_new:
             indexed = self.codes().select(id_col).distinct()
             df = df.join(indexed, id_col, "left_anti")
-        codes = self._residual_codes(df, emb_col, id_col).cache()
+        codes = self._residual_codes(df, emb_col, id_col, branches).cache()
         try:
             # materialize BEFORE the append: the anti-join above reads the
             # codes path (same self-read hazard as IVFIndex.add)
@@ -239,8 +271,20 @@ class IVFPQIndex:
             current_gen_dir(self.spark, os.path.join(self.path, "codes"))
         )
 
-    def probe_clusters(self, query: list[float], nprobe: int) -> list[int]:
-        ranked = sorted(self.centroids, key=lambda c: (-_cos(c[1], query), c[0]))
+    def probe_clusters(self, query: list[float], nprobe: int,
+                       branches: int | None = None) -> list[int]:
+        """nprobe nearest cluster ids, (cosine desc, cluster_id) order —
+        `IVFIndex.probe_clusters` parity incl. the hier `branches` knob
+        (rank the tiny L1 first, consider only its top branches'
+        clusters; branches ≥ |L1| ≡ the flat ranking)."""
+        cand = self.centroids
+        if branches and self.l1:
+            from ocr_vector_db_spark.operators.ann_index import rank_branches
+
+            keep = set(rank_branches(self.l1, query)[:branches])
+            cand = [(cid, v) for cid, v in self.centroids
+                    if self.l2_to_l1[cid] in keep]
+        ranked = sorted(cand, key=lambda c: (-_cos(c[1], query), c[0]))
         return [cid for cid, _ in ranked[:nprobe]]
 
     def _residual_tables(self, query: list[float], cid: int) -> list[list[float]]:
@@ -257,8 +301,11 @@ class IVFPQIndex:
         corpus: DataFrame | None = None,
         emb_col: str = "embedding",
         refine: int = 4,
+        branches: int | None = None,
     ) -> DataFrame:
         """Approximate top-k; pass `corpus` to exact-re-rank k*refine heads.
+        `branches` (hierarchical indexes): probe ranking descends only the
+        top L1 branches — `IVFIndex.search` parity.
 
         One job: ONE partition-pruned scan of the probed clusters, scoring
         against the per-cluster ADC distance tables shipped as a BROADCAST
@@ -270,7 +317,7 @@ class IVFPQIndex:
         shuffle. Distances across clusters are comparable because every
         table measures the same thing — squared L2 of (query - centroid_c)
         to the shared residual codebook."""
-        probes = self.probe_clusters(query, nprobe)
+        probes = self.probe_clusters(query, nprobe, branches)
         tdf = self.spark.createDataFrame(
             [(cid, self._residual_tables(query, cid)) for cid in probes],
             "cluster_id int, __tables array<array<double>>",
@@ -308,6 +355,7 @@ class IVFPQIndex:
         corpus: DataFrame | None = None,
         corpus_emb: str = "embedding",
         refine: int = 4,
+        branches: int | None = None,
     ) -> DataFrame:
         """Top-k per query over the compressed layout — MANY queries, ONE
         plan (`knn_batch`'s role for the IVF-PQ tier). `search` serves a
@@ -339,7 +387,11 @@ class IVFPQIndex:
         Broadcast budget: |Q|·nprobe·(m·k·8 B) for the tables pairs —
         ~1.6 MB at (Q=100, nprobe=8, m=8, k=16), ~200 MB at the extreme
         (Q=100, nprobe=64, m=16, k=256); beyond that, shard the query
-        batch (each shard is this same one-plan call). Returns
+        batch (each shard is this same one-plan call). `branches`
+        (hierarchical indexes): stage 1's candidates come from the
+        broadcast-L1 ranking + L2 parquet join instead of a full-centroid
+        broadcast — the same ceiling-clearing shape as
+        `IVFIndex._probe_assignments`; branches ≥ |L1| ≡ flat. Returns
         (query_id, id_col, pq_distance|similarity, rank)."""
         from pyspark.sql import Window
 
@@ -348,20 +400,48 @@ class IVFPQIndex:
         from ocr_vector_db_spark.operators.pq import PQIndex, _sub_slices
 
         spark = queries.sparkSession
-        cent = spark.createDataFrame(
-            [(cid, [float(x) for x in v]) for cid, v in self.centroids],
-            "cluster_id int, __c_emb array<double>",
-        )
         q = queries.select(
             F.col(query_id),
             F.col(query_emb).cast("array<double>").alias("__q_emb"),
         )
+        if branches and self.l1:
+            # hierarchical candidate generation (IVFIndex._probe_assignments
+            # parity): broadcast-L1 ranking + L2 parquet join — nothing
+            # num_clusters-sized ships. branches >= |L1| == the flat form.
+            from ocr_vector_db_spark.operators.ann_index import (
+                hier_centroids_df,
+            )
+
+            l1df = spark.createDataFrame(
+                [(bid, [float(x) for x in v]) for bid, v in self.l1],
+                "l1_id int, __l1_emb array<double>",
+            )
+            wb = Window.partitionBy(query_id).orderBy(
+                F.desc("__b_sim"), F.col("l1_id")
+            )
+            cand = (
+                q.crossJoin(F.broadcast(l1df))
+                .withColumn(
+                    "__b_sim",
+                    cosine_similarity_col(F.col("__q_emb"), F.col("__l1_emb")),
+                )
+                .withColumn("__brk", F.row_number().over(wb))
+                .filter(F.col("__brk") <= branches)
+                .select(query_id, "__q_emb", "l1_id")
+                .join(hier_centroids_df(self.spark, self.path), "l1_id")
+                .withColumnRenamed("centroid", "__c_emb")
+            )
+        else:
+            cent = spark.createDataFrame(
+                [(cid, [float(x) for x in v]) for cid, v in self.centroids],
+                "cluster_id int, __c_emb array<double>",
+            )
+            cand = q.crossJoin(F.broadcast(cent))
         wp = Window.partitionBy(query_id).orderBy(
             F.desc("__c_sim"), F.col("cluster_id")
         )
         pairs = (
-            q.crossJoin(F.broadcast(cent))
-            .withColumn(
+            cand.withColumn(
                 "__c_sim",
                 cosine_similarity_col(F.col("__q_emb"), F.col("__c_emb")),
             )

@@ -148,3 +148,56 @@ def test_search_batch_is_one_plan_no_driver_loop(ivfpq, spark, tables):
     )
     assert "CartesianProduct" not in plan
     assert plan.count("Union") == 0  # one scan, not per-query branches
+
+
+def test_hierarchical_ivfpq_matches_flat(spark, tables, tmp_path_factory):
+    """IVF-PQ with the two-level coarse layer (IVFIndex parity): load
+    round-trips the L1, probe ranking / incremental residual assignment /
+    single-query search / batched serving at branches == |L1| all
+    reproduce the flat index bit-for-bit, and the hier assignment plan
+    reads the L2 parquet table instead of broadcasting every centroid."""
+    path = str(tmp_path_factory.mktemp("ivfpq_h"))
+    emb = tables["embeddings"]
+    evens = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = IVFPQIndex.build(
+        spark, evens, path, dim=64, num_clusters=6, m=8, k=16,
+        l1_branches=3,
+    )
+    assert len(idx.l1) == 3 and len(idx.l2_to_l1) == 6
+
+    again = IVFPQIndex.load(spark, path)
+    assert again.l1 == idx.l1 and again.l2_to_l1 == idx.l2_to_l1
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 8).head().embedding]
+    for np_ in (1, 3, 6):
+        assert idx.probe_clusters(qv, np_, branches=3) == \
+            idx.probe_clusters(qv, np_)
+
+    # incremental add routed through the hier L2 join == flat assignment
+    odds = emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 100))
+    flat_codes = {
+        (r.vec_id, r.cluster_id, tuple(r.pq_codes))
+        for r in idx._residual_codes(odds, "embedding", "vec_id").collect()
+    }
+    hier_plan_df = idx._residual_codes(odds, "embedding", "vec_id", branches=3)
+    hier_codes = {
+        (r.vec_id, r.cluster_id, tuple(r.pq_codes))
+        for r in hier_plan_df.collect()
+    }
+    assert hier_codes == flat_codes and len(flat_codes) == 50
+    plan = hier_plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<cluster_id:int,centroid:array<double>>" in plan
+
+    n = idx.add(odds, assume_new=True, branches=3)
+    assert n == 50
+    flat_rows = idx.search(qv, 5, nprobe=6).collect()
+    hier_rows = idx.search(qv, 5, nprobe=6, branches=3).collect()
+    assert [tuple(r) for r in hier_rows] == [tuple(r) for r in flat_rows]
+
+    qdf = emb.filter(F.col("vec_id").isin([8, 9, 42])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat_b = idx.search_batch(qdf, 5, nprobe=6).collect()
+    hier_b = idx.search_batch(qdf, 5, nprobe=6, branches=3).collect()
+    assert sorted(tuple(r) for r in hier_b) == \
+        sorted(tuple(r) for r in flat_b)
