@@ -81,6 +81,11 @@ HEADLINE = [
     # default) and the intra-batch dense gate pass
     "q110_neardup_components_star",
     "q112_dense_dropped_intra_batch",
+    # round 7 additions: the hierarchical branch-recall sweep (two-job
+    # batched tuning for the L1-descent knob) and the n-gram corpus ops
+    "q116_hier_branch_recall",
+    "q117_pmi_collocations",
+    "q118_bigram_cross_entropy",
 ]
 
 

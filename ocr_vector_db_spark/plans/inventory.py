@@ -4156,11 +4156,19 @@ def q116(spark, sf):
     ]
     nb = len(idx.l1)
     half = max(nb // 2, 1)
-    sweep = idx.branch_recall_sweep(e, qvs, k=10,
-                                    branches_list=[1, half, nb])
-    flat = idx.recall_sweep(e, qvs, k=10, nprobes=[1, len(idx.centroids)])
-    hier = idx.recall_sweep(e, qvs, k=10, nprobes=[1, len(idx.centroids)],
-                            branches=nb)
+    full = len(idx.centroids)
+    # ALL seven (nprobe, branches) settings through ONE _settings_recall
+    # call — one exact baseline + one multi-setting pruned pass (2 jobs
+    # for the whole gate, vs 6 when the three public sweeps run apart)
+    rec = idx._settings_recall(
+        e, qvs, 10,
+        [(full, 1), (full, half), (full, nb),
+         (1, None), (full, None), (1, nb), (full, nb)],
+        "vec_id", False,
+    )
+    sweep = {1: rec[0], half: rec[1], nb: rec[2]}
+    flat = {1: rec[3], full: rec[4]}
+    hier = {1: rec[5], full: rec[6]}
     return spark.createDataFrame(
         [(len(qvs), sweep[nb] == 1.0,
           sweep[1] <= sweep[half] <= sweep[nb], hier == flat)],
