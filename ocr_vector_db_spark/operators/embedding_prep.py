@@ -1,0 +1,87 @@
+"""Corpus-level embedding preprocessing: per-dimension standardization.
+
+Embedding corpora routinely arrive with anisotropic dimensions (a few
+high-variance axes dominate cosine similarity — the "common direction"
+pathology); standardizing each dimension against the corpus mean/std and
+re-normalizing to unit length is the cheap whitening step that makes
+cosine-based ANN/dedup behave (Mu & Viswanath, "All-but-the-Top", ICLR
+2018 motivates the family; this is the diagonal version).
+
+Scale shape (100 TB):
+  * Stats are ONE posexplode + hash agg — dim rows out, decimal sums so
+    the per-dimension mean/second-moment are exact and order-independent
+    under any partitioning (the q82 discipline applied per dimension).
+  * Applying is map-side only: the (mu, sd) vectors fold in as 2×dim
+    literals (constant plan at any corpus size), the per-row math is
+    zip_with/transform/aggregate — whole-stage codegen, no UDF, no
+    second shuffle, no join.
+  * Dimensions must be non-constant (sd > 0) — a constant dimension has
+    no standardized direction; the sequential definition divides by zero
+    there and so does this one. Validate upstream if in doubt.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dim_stats(
+    df: DataFrame, emb_col: str = "embedding"
+) -> list[tuple[float, float]]:
+    """[(mean, std)] per dimension, exact-decimal-summed (engine- and
+    partitioning-independent); std = sqrt(E[v²] − mean²), population
+    form, computed on IEEE doubles identical to the SQL twin's."""
+    ex = df.select(
+        F.posexplode(F.col(emb_col).cast("array<double>")).alias("i", "v")
+    )
+    rows = (
+        ex.groupBy("i")
+        .agg(
+            (
+                F.sum(F.round(F.col("v"), 9).cast("decimal(28,9)"))
+                .cast("double") / F.count("*")
+            ).alias("mu"),
+            (
+                F.sum(
+                    F.round(F.col("v") * F.col("v"), 12)
+                    .cast("decimal(38,12)")
+                ).cast("double") / F.count("*")
+            ).alias("m2"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    return [(r.mu, math.sqrt(r.m2 - r.mu * r.mu)) for r in rows]
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    stats: list[tuple[float, float]] | None = None,
+) -> DataFrame:
+    """(id_col, unit_std): each embedding standardized per dimension
+    against the corpus stats ((v − mu)/sd), then re-normalized to unit
+    L2 and rounded to 6 dp — ready for cosine ANN/dedup. Pass `stats`
+    to reuse a precomputed (or training-corpus) profile; by default the
+    profile is fit on `df` itself (one agg, dim rows)."""
+    stats = stats if stats is not None else dim_stats(df, emb_col)
+    mu = F.array(*[F.lit(m) for m, _ in stats])
+    sd = F.array(*[F.lit(s) for _, s in stats])
+    v = F.col(emb_col).cast("array<double>")
+    z = F.zip_with(F.zip_with(v, mu, lambda a, b: a - b), sd,
+                   lambda a, b: a / b)
+    nrm = F.sqrt(F.aggregate(F.col("__z"), F.lit(0.0),
+                             lambda acc, x: acc + x * x))
+    return (
+        df.select(id_col, z.alias("__z"))
+        .withColumn("__nrm", nrm)
+        .select(
+            id_col,
+            F.transform(
+                F.col("__z"), lambda x: F.round(x / F.col("__nrm"), 6)
+            ).alias("unit_std"),
+        )
+    )

@@ -4198,6 +4198,79 @@ _NGRAM_TOKS_CTE = r"""
 
 
 @query(
+    "q119_weighted_sample",
+    r"""
+    WITH t AS (
+        SELECT doc_id, n_chars AS weight,
+               ln((('0x' || substr(md5('es#' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                   + 0.5) / 4503599627370496.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, ROUND(k, 6) AS es_key
+    FROM t ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def q119(spark, sf):
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis A-ES as a top-k): key = ln(u)/w with a salted-md5 uniform,
+    the 50 largest keys are a sample with inclusion ∝ n_chars — the
+    training-mix draw that stays IDENTICAL across engines, re-runs, and
+    repartitions because the randomness is a pure function of the row
+    key. No reservoir state, no corpus shuffle: one scored scan +
+    TakeOrderedAndProject."""
+    from ocr_vector_db_spark.operators import sampling
+
+    d = load_table(spark, sf, "documents")
+    return sampling.weighted_sample(d, 50, "n_chars")
+
+
+@query(
+    "q120_standardized_embeddings",
+    r"""
+    WITH vals AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT i,
+               CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               CAST(SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS m2
+        FROM vals GROUP BY i
+    ),
+    z AS (
+        SELECT vec_id, i, (v - mu) / sqrt(m2 - mu * mu) AS z
+        FROM vals JOIN stats USING (i)
+    ),
+    arr AS (SELECT vec_id, list(z ORDER BY i) AS zs FROM z GROUP BY vec_id),
+    n AS (SELECT vec_id, zs, sqrt(list_dot_product(zs, zs)) AS nrm FROM arr)
+    SELECT vec_id, generate_subscripts(zs, 1) AS i,
+           ROUND(unnest(zs) / nrm, 6) AS zval
+    FROM n
+    """,
+)
+def q120(spark, sf):
+    """Per-dimension corpus standardization + unit re-normalization of
+    the embedding table (diagonal whitening — the cheap fix for
+    anisotropic dimensions dominating cosine). Stats are ONE
+    posexplode+agg with exact decimal sums (dim rows out); applying is
+    map-side zip_with/transform against 2×dim literal vectors — no
+    second shuffle, no join, constant plan at any corpus size. (The
+    operator returns (vec_id, unit_std array); the gate explodes to
+    1-based (vec_id, i, zval) rows because the driver compare hashes
+    scalars, not float arrays.)"""
+    from ocr_vector_db_spark.operators import embedding_prep
+
+    e = load_table(spark, sf, "embeddings")
+    return embedding_prep.standardize_embeddings(e).select(
+        "vec_id", F.posexplode("unit_std").alias("i", "zval")
+    ).select("vec_id", (F.col("i") + 1).alias("i"), "zval")
+
+
+@query(
     "q117_pmi_collocations",
     f"""
     WITH {_NGRAM_TOKS_CTE},

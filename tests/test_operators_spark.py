@@ -637,3 +637,51 @@ def test_ngram_lm_bigrams_and_scoring(spark):
           for r in ngram_lm.bigram_cross_entropy(docs).collect()}
     assert set(ce) == {1, 4, 5, 6}  # no-bigram docs emit no row
     assert ce[4] == ce[5] < ce[6]  # boilerplate scores lower than novelty
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """A-ES top-k: deterministic across calls, excludes non-positive
+    weights, and a dominating weight is always selected."""
+    from ocr_vector_db_spark.operators import sampling
+
+    rows = [(i, 1) for i in range(200)] + [(900, 10**9), (901, 0), (902, -5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    s1 = sampling.weighted_sample(df, 20, "w").collect()
+    s2 = sampling.weighted_sample(df, 20, "w").collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]
+    ids = {r.doc_id for r in s1}
+    assert len(s1) == 20 and 900 in ids  # w=1e9: key ~ 0, always on top
+    assert not ids & {901, 902}  # non-positive weights excluded
+    # a different salt draws a different sample (same determinism)
+    s3 = sampling.weighted_sample(df, 20, "w", salt="other").collect()
+    assert {r.doc_id for r in s3} != ids or s3 != s1
+
+
+def test_standardize_embeddings_unit_norm_and_centered(spark):
+    """Standardized corpus: every output vector is unit-L2 (pre-round),
+    each dimension's mean is ~0 across the corpus, and a precomputed
+    stats profile reproduces the fit-on-self output."""
+    import numpy as np
+
+    from ocr_vector_db_spark.operators import embedding_prep
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(loc=[5.0, -2.0, 0.5, 0.0], scale=[10.0, 0.1, 1.0, 2.0],
+                   size=(100, 4))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r.vec_id: r.unit_std
+           for r in embedding_prep.standardize_embeddings(df).collect()}
+    Z = np.array([out[i] for i in range(100)])
+    assert np.allclose((Z ** 2).sum(axis=1), 1.0, atol=1e-4)
+    # standardization removed the per-dim offset/scale imbalance: each
+    # dim's corpus mean is near 0 relative to its spread
+    assert np.abs(Z.mean(axis=0)).max() < 0.05
+
+    stats = embedding_prep.dim_stats(df)
+    again = {r.vec_id: r.unit_std
+             for r in embedding_prep.standardize_embeddings(
+                 df, stats=stats).collect()}
+    assert again == out
