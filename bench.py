@@ -86,6 +86,8 @@ HEADLINE = [
     "q116_hier_branch_recall",
     "q117_pmi_collocations",
     "q118_bigram_cross_entropy",
+    "q119_weighted_sample",
+    "q120_standardized_embeddings",
 ]
 
 
