@@ -4271,6 +4271,76 @@ def q120(spark, sf):
 
 
 @query(
+    "q121_pdf_encrypted",
+    """
+    SELECT * FROM (VALUES
+        ('/corpus/enc_r2.pdf', 'text', 104,
+         'Legacy 40 bit RC4 encryption d'),
+        ('/corpus/enc_r3.pdf', 'text', 41,
+         '한국어 스캔 문서는 128비트 RC4 표준 암호화를 사'),
+        ('/corpus/enc_img.pdf', 'image_raw', 72,
+         '3ae0ee5c1c6faec7545384df0f844b0f')
+    ) AS t(source_path, item, n, detail)
+    """,
+)
+def q121(spark, sf):
+    """RC4-encrypted PDFs (ISO 32000-1 §7.6.2-7.6.4 Standard security
+    handler, the legacy scheme that dominates scanned/OCR corpora)
+    end-to-end and distributed, golden VALUES oracle like q86/q107:
+    a revision-2 40-bit file and a revision-3 128-bit Flate+CID-Korean
+    file through the full parse path (mapInPandas, parsers.parse_pdf →
+    per-object RC4 keys derived from the empty user password), plus an
+    encrypted raw raster through `ingest.pdf_image_assets` (md5 pins the
+    decrypted pixel buffer). Reference parity: PyMuPDF opens these
+    transparently (and is preferred when importable, as on every PDF
+    path); the pure-Python twin is `pdf_decode._maybe_decrypt`."""
+    from ocr_vector_db_spark.sources.ingest import (
+        parse_pdf_segments,
+        pdf_files_df,
+        pdf_image_assets,
+    )
+    from ocr_vector_db_spark.sources.pdf_decode import (
+        build_simple_pdf,
+        encrypt_pdf_rc4,
+    )
+
+    r2 = encrypt_pdf_rc4(build_simple_pdf([[
+        {"kind": "text", "x": 72, "y": 700, "size": 12,
+         "text": "Legacy 40 bit RC4 encryption decodes through the "
+                 "standard security handler with the empty user "
+                 "password."},
+    ]]), r=2, nbits=40)
+    r3 = encrypt_pdf_rc4(build_simple_pdf([[
+        {"kind": "text", "x": 72, "y": 700, "size": 12,
+         "text": "한국어 스캔 문서는 128비트 RC4 표준 암호화를 "
+                 "사용하는 경우가 많다."},
+    ]], compress=True), r=3, nbits=128)
+    w, h = 6, 4
+    pixels = bytes((i * 7) % 256 for i in range(w * h * 3))
+    img = encrypt_pdf_rc4(build_simple_pdf([[
+        {"kind": "image", "x": 0, "y": 400, "w": 120, "h": 80,
+         "width": w, "height": h, "channels": 3, "pixels": pixels},
+    ]]))
+
+    texts = parse_pdf_segments(pdf_files_df(spark, [
+        ("/corpus/enc_r2.pdf", r2), ("/corpus/enc_r3.pdf", r3),
+    ])).select(
+        "source_path", F.lit("text").alias("item"),
+        F.length("content").cast("int").alias("n"),
+        F.substring("content", 1, 30).alias("detail"),
+    )
+    assets = pdf_image_assets(pdf_files_df(spark, [
+        ("/corpus/enc_img.pdf", img),
+    ])).select(
+        "source_path",
+        F.concat(F.lit("image_"), F.col("metadata")["format"]).alias("item"),
+        F.length("data").cast("int").alias("n"),
+        F.md5("data").alias("detail"),
+    )
+    return texts.unionByName(assets).orderBy("source_path")
+
+
+@query(
     "q117_pmi_collocations",
     f"""
     WITH {_NGRAM_TOKS_CTE},

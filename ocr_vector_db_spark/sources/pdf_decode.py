@@ -20,12 +20,16 @@ the reference's corpus uses) decode through the font's bfchar/bfrange map
 to Unicode, exactly as PyMuPDF resolves them. Also handled: /ObjStm object
 streams (the PDF 1.5+ compressed-object layout), /LZWDecode, the TIFF/PNG
 predictors of §7.4.4.4 on Flate/LZW streams, the text filters
-/ASCIIHexDecode, /ASCII85Decode and /RunLengthDecode, and multi-member
+/ASCIIHexDecode, /ASCII85Decode and /RunLengthDecode, multi-member
 filter CHAINS (`/Filter [/ASCII85Decode /FlateDecode]`, decoded in array
-order, Table-6 abbreviations accepted). Still out of scope:
-encryption and CID fonts WITHOUT a ToUnicode map (no unicode info exists
-in the file; PyMuPDF shows U+FFFD there too) — `decode_pdf` in parsers.py
-first tries PyMuPDF if importable and falls back here.
+order, Table-6 abbreviations accepted), and Standard-security-handler
+ENCRYPTION at revisions 2/3 (RC4 40–128-bit, §7.6.2-7.6.4 — the legacy
+scheme that dominates scanned/OCR corpora; empty user password, the
+corpus norm). Still out of scope: AES encryption (V≥4; no stdlib
+primitive), password-protected user passwords, and CID fonts WITHOUT a
+ToUnicode map (no unicode info exists in the file; PyMuPDF shows U+FFFD
+there too) — `decode_pdf` in parsers.py first tries PyMuPDF if
+importable and falls back here.
 
 Output block schema matches parse_pdf_blocks() input:
     {page: int, bbox: [x0, y0, x1, y1], kind: 'text'|'image', content: str}
@@ -95,8 +99,166 @@ def _scan_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             objects[num] = (body[: sm.start()], stream)
         else:
             objects[num] = (body, None)
+    # decrypt BEFORE ObjStm expansion: object streams are themselves
+    # encrypted, and objects inlined from one are covered by the
+    # container's decryption (ISO 32000-1 §7.6.2 Note 2)
+    _maybe_decrypt(data, objects)
     _expand_object_streams(objects)
     return objects
+
+
+# ----------------------------------------------- standard security handler
+# ISO 32000-1 §7.6.2-7.6.4: RC4 ("ARC4") with the Standard handler at
+# revision 2 (40-bit) and 3 (up to 128-bit) — the legacy encryption that
+# dominates scanned/OCR corpora. V4/V5 (AES) is detected and left alone
+# (PyMuPDF handles it when importable; no AES primitive in the stdlib).
+
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray()
+    i = j = 0
+    for b in data:
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out.append(b ^ S[(S[i] + S[j]) & 0xFF])
+    return bytes(out)
+
+
+def _std_file_key(o: bytes, p: int, id0: bytes, r: int, nbytes: int,
+                  user_pw: bytes = b"") -> bytes:
+    """Algorithm 2: the file encryption key from the (empty by default)
+    user password."""
+    import hashlib
+    import struct
+
+    pw = (user_pw + _PAD)[:32]
+    h = hashlib.md5(pw + o[:32] + struct.pack("<i", p) + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:nbytes]).digest()
+    return h[:nbytes]
+
+
+def _obj_key(key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    import hashlib
+
+    ext = key + bytes([
+        num & 0xFF, (num >> 8) & 0xFF, (num >> 16) & 0xFF,
+        gen & 0xFF, (gen >> 8) & 0xFF,
+    ])
+    return hashlib.md5(ext).digest()[: min(len(key) + 5, 16)]
+
+
+def _string_value(src: bytes, key: bytes) -> bytes | None:
+    """The byte value of `/key (literal)` or `/key <hex>` in a dict —
+    binary-safe literal parsing (nesting + escapes), unlike the text-side
+    `_decode_literal`."""
+    m = re.search(re.escape(key) + rb"\s*(\(|<)", src)
+    if not m:
+        return None
+    i = m.end()
+    if m.group(1) == b"<":
+        end = src.find(b">", i)
+        if end < 0:
+            return None
+        hexs = re.sub(rb"\s", b"", src[i:end])
+        if len(hexs) % 2:
+            hexs += b"0"
+        try:
+            return bytes.fromhex(hexs.decode("ascii"))
+        except ValueError:
+            return None
+    out = bytearray()
+    depth = 1
+    esc = {ord("n"): 10, ord("r"): 13, ord("t"): 9, ord("b"): 8,
+           ord("f"): 12}
+    while i < len(src):
+        c = src[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= len(src):
+                break
+            c2 = src[i]
+            if c2 in esc:
+                out.append(esc[c2])
+            elif 0x30 <= c2 <= 0x37:  # \ooo octal, 1-3 digits
+                oct_digits = [c2 - 0x30]
+                while (len(oct_digits) < 3 and i + 1 < len(src)
+                       and 0x30 <= src[i + 1] <= 0x37):
+                    i += 1
+                    oct_digits.append(src[i] - 0x30)
+                v = 0
+                for d in oct_digits:
+                    v = v * 8 + d
+                out.append(v & 0xFF)
+            else:
+                out.append(c2)  # \( \) \\ and unknown escapes: literal
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return bytes(out)
+            out.append(c)
+        else:
+            out.append(c)
+        i += 1
+    return None
+
+
+def _maybe_decrypt(data: bytes, objects: dict) -> None:
+    """Detect a Standard-handler /Encrypt dict and RC4-decrypt every
+    stream in place (per-object keys, generation 0 — the scanner's
+    assumption throughout). No-op for unencrypted files, non-Standard
+    handlers, and V>=4 (AES). The default empty user password is the
+    scanned-corpus norm; XRef streams stay plaintext per spec."""
+    enc = None
+    for m in re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data):
+        enc = int(m.group(1))
+    if enc is None or enc not in objects:
+        return
+    src = objects[enc][0]
+    if b"/Standard" not in src:
+        return
+    vm = re.search(rb"/V\s+(\d+)", src)
+    if vm and int(vm.group(1)) >= 4:
+        return  # AES territory — out of scope for the pure-Python path
+    rm = re.search(rb"/R\s+(\d+)", src)
+    pm = re.search(rb"/P\s+(-?\d+)", src)
+    o = _string_value(src, b"/O")
+    if not (rm and pm and o):
+        return
+    r = int(rm.group(1))
+    lm = re.search(rb"/Length\s+(\d+)", src)
+    nbytes = (int(lm.group(1)) // 8) if lm else 5
+    id0 = b""
+    for m in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", data):
+        id0 = bytes.fromhex(m.group(1).decode("ascii"))
+    # wrap P to signed 32-bit (files store it either way)
+    p = int(pm.group(1))
+    if p > 0x7FFFFFFF:
+        p -= 0x100000000
+    key = _std_file_key(o, p, id0, r, nbytes)
+    for num, (osrc, stream) in objects.items():
+        if stream is None or num == enc:
+            continue
+        if re.search(rb"/Type\s*/XRef\b", osrc):
+            continue  # cross-reference streams are never encrypted
+        objects[num] = (osrc, _rc4(_obj_key(key, num), stream))
 
 
 def _expand_object_streams(objects) -> None:
@@ -1292,5 +1454,81 @@ def build_simple_pdf(pages: list[list[dict]],
     out += (
         f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode("latin-1")
+    return bytes(out)
+
+
+def encrypt_pdf_rc4(
+    data: bytes,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
+    r: int = 3,
+    nbits: int = 128,
+) -> bytes:
+    """Fixture-side Standard-handler encryption (ISO 32000-1 §7.6.3,
+    Algorithms 2/3/4/5): RC4-encrypt every stream in `data` with
+    per-object keys and append the /Encrypt dict + /ID trailer entries.
+    RC4 is length-preserving, so streams are substituted IN PLACE and the
+    original xref offsets stay valid. r=2 forces 40-bit keys per spec;
+    r=3 honors `nbits` (default 128). The inverse of `_maybe_decrypt`
+    (round-trip-tested)."""
+    import hashlib
+
+    assert r in (2, 3)
+    nbytes = 5 if r == 2 else nbits // 8
+    id0 = hashlib.md5(b"fixture-id" + data[:64]).digest()
+    p = -44  # print + modify denied, the common scanned-corpus value
+
+    # Algorithm 3: /O from the owner password
+    h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:nbytes]
+    o = _rc4(okey, (user_pw + _PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+
+    key = _std_file_key(o, p, id0, r, nbytes, user_pw)
+
+    # Algorithm 4/5: /U (validation value; unused by our reader but real)
+    if r == 2:
+        u = _rc4(key, _PAD)
+    else:
+        u = _rc4(key, hashlib.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16
+
+    out = bytearray(data)
+    max_num = 0
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        max_num = max(max_num, num)
+        end = data.find(b"endobj", m.end())
+        if end < 0:
+            continue
+        body = data[m.end():end]
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            continue
+        lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)",
+                       body[: sm.start()])
+        if not lm:
+            continue
+        start = m.end() + sm.end()
+        n = int(lm.group(1))
+        out[start: start + n] = _rc4(_obj_key(key, num), data[start: start + n])
+
+    enc_num = max_num + 1
+    out += (
+        f"{enc_num} 0 obj\n<< /Filter /Standard /V {1 if r == 2 else 2} "
+        f"/R {r} /Length {nbytes * 8} /P {p} /O <{o.hex()}> /U <{u.hex()}> "
+        f">>\nendobj\n"
+    ).encode("latin-1")
+    out += (
+        f"trailer\n<< /Encrypt {enc_num} 0 R "
+        f"/ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
     ).encode("latin-1")
     return bytes(out)

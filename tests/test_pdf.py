@@ -882,3 +882,83 @@ class TestTextFilters:
         got_a85 = parse_pdf(build_simple_pdf(pages, compress="a85"))
         got_rl = parse_pdf(build_simple_pdf(pages, compress="rl"))
         assert expect and got_a85 == expect and got_rl == expect
+
+
+class TestEncryption:
+    """Standard security handler (RC4, R2/R3): encrypted fixtures decode
+    block-identically to their plaintext twins across the feature matrix
+    (plain text, Flate+CID, ObjStm, image rasters)."""
+
+    def _plain(self):
+        from ocr_vector_db_spark.sources.pdf_decode import build_simple_pdf
+
+        return build_simple_pdf([[
+            {"kind": "text",
+             "text": "hello encrypted world of scanned corpora and long "
+                     "paragraphs that survive the block merge threshold",
+             "x": 72, "y": 700, "size": 12},
+        ]])
+
+    def test_rc4_roundtrip_r2_and_r3(self):
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            encrypt_pdf_rc4,
+            extract_pdf_blocks,
+        )
+
+        plain = self._plain()
+        base = extract_pdf_blocks(plain)
+        assert base and "hello encrypted" in base[0]["content"]
+        for r, bits in ((2, 40), (3, 128)):
+            enc = encrypt_pdf_rc4(plain, r=r, nbits=bits)
+            assert b"hello" not in enc  # ciphertext, not a no-op
+            assert extract_pdf_blocks(enc) == base
+
+    def test_encrypted_cid_flate_and_objstm(self):
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_objstm_pdf,
+            build_simple_pdf,
+            encrypt_pdf_rc4,
+            extract_pdf_blocks,
+        )
+
+        ko = build_simple_pdf([[
+            {"kind": "text", "text": "한국어 암호화 문서 본문 단락",
+             "x": 72, "y": 700, "size": 12},
+        ]], compress=True)
+        assert extract_pdf_blocks(encrypt_pdf_rc4(ko)) == \
+            extract_pdf_blocks(ko)
+
+        ob = build_objstm_pdf("object stream body text long enough to "
+                              "pass the minimum block length filter")
+        assert extract_pdf_blocks(encrypt_pdf_rc4(ob)) == \
+            extract_pdf_blocks(ob)
+
+    def test_encrypted_image_raster_pixels_identical(self):
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            encrypt_pdf_rc4,
+            extract_pdf_images,
+        )
+
+        pixels = bytes(range(48))  # 4x4 RGB
+        plain = build_simple_pdf([[
+            {"kind": "image", "x": 100, "y": 300, "w": 120, "h": 90,
+             "width": 4, "height": 4, "channels": 3, "pixels": pixels},
+        ]])
+        base = extract_pdf_images(plain)
+        got = extract_pdf_images(encrypt_pdf_rc4(plain))
+        assert got == base and base[0]["data"] == pixels
+
+    def test_user_password_protected_yields_no_text(self):
+        """Our reader derives the key from the EMPTY user password (the
+        scanned-corpus norm); a file locked with a real user password
+        must not silently decode to garbage text."""
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            encrypt_pdf_rc4,
+            extract_pdf_blocks,
+        )
+
+        enc = encrypt_pdf_rc4(self._plain(), user_pw=b"secret")
+        blocks = extract_pdf_blocks(enc)
+        assert not any("hello encrypted" in b.get("content", "")
+                       for b in blocks)
