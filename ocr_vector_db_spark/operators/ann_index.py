@@ -142,7 +142,14 @@ def fit_hier_layer(
     k1 = min(l1_branches, len(centroids))
     rng = np.random.default_rng(seed)
     B = _lloyd(C, k1, rng, max_iter)
-    d2 = ((C[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+    # expansion form ||c||² − 2c·b + ||b||²: an (n, k1) matrix, never the
+    # (n, k1, dim) broadcast intermediate — at the documented 180k-cluster
+    # target the 3-D form is ~half a TB of driver memory, this is ~600 MB
+    d2 = (
+        (C * C).sum(axis=1)[:, None]
+        - 2.0 * (C @ B.T)
+        + (B * B).sum(axis=1)[None, :]
+    )
     l2_to_l1 = [int(b) for b in d2.argmin(axis=1)]
     l1 = [(i, [float(x) for x in b]) for i, b in enumerate(B)]
     write_small_file(
@@ -203,6 +210,58 @@ def rank_branches(
     ]
 
 
+def hier_branch_candidates(
+    df: DataFrame,
+    l1: list[tuple[int, list[float]]],
+    l2df: DataFrame,
+    branches: int,
+    part_col: str,
+    emb_col: str,
+    metric: str = "cosine",
+) -> DataFrame:
+    """df × its top-`branches` L1 branches, joined to the L2 parquet
+    centroid table — the shared candidate-generation stage under every
+    hierarchical path (assignment, dense-gate probes, distributed sweep
+    ranking, IVF-PQ batched serving). Nothing num_clusters-sized is
+    broadcast: L1 is ≈ √num_clusters rows, the L2 table arrives via a
+    parquet equi-join on l1_id touching only the probed branches'
+    partitions. Output = df's columns + (l1_id, cluster_id, centroid).
+
+    L1 branches rank with the SAME metric that will score the candidates
+    downstream (cosine desc / squared-L2 asc, l1_id tie-break) — a
+    cosine-ranked L1 over an L2-assigned space would prune the branch
+    holding the true nearest centroid for unnormalized data."""
+    from pyspark.sql import Window
+
+    from ocr_vector_db_spark.functions.vector import cosine_similarity_col
+
+    l1df = df.sparkSession.createDataFrame(
+        [(bid, [float(x) for x in v]) for bid, v in l1],
+        "l1_id int, __l1_emb array<double>",
+    )
+    v = F.col(emb_col).cast("array<double>")
+    if metric == "cosine":
+        bscore = cosine_similarity_col(v, F.col("__l1_emb"))
+        border = [F.desc("__b_sim"), F.col("l1_id")]
+    elif metric == "l2":
+        bscore = F.aggregate(
+            F.zip_with(v, F.col("__l1_emb"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        border = [F.asc("__b_sim"), F.col("l1_id")]
+    else:
+        raise ValueError(f"unknown metric {metric!r} (cosine|l2)")
+    wb = Window.partitionBy(part_col).orderBy(*border)
+    return (
+        df.crossJoin(F.broadcast(l1df))
+        .withColumn("__b_sim", bscore)
+        .withColumn("__brk", F.row_number().over(wb))
+        .filter(F.col("__brk") <= branches)
+        .drop("__l1_emb", "__b_sim", "__brk")
+        .join(l2df, "l1_id")
+    )
+
+
 def assign_clusters_hier_df(
     df: DataFrame,
     l1: list[tuple[int, list[float]]],
@@ -231,11 +290,7 @@ def assign_clusters_hier_df(
     centroid — exactly the flat assignment (equality-tested)."""
     from pyspark.sql import Window
 
-    from ocr_vector_db_spark.functions.vector import (
-        cosine_similarity_col,
-        dot_col,
-        norm_col,
-    )
+    from ocr_vector_db_spark.functions.vector import dot_col, norm_col
 
     reserved = {"__row_id", "__b_sim", "__brk", "__score", "__rk",
                 "l1_id", "cluster_id", "centroid", "__l1_emb"}
@@ -245,24 +300,11 @@ def assign_clusters_hier_df(
             f"assign_clusters_hier: df columns {sorted(clash)} collide "
             "with internal columns; rename them first"
         )
-    spark = df.sparkSession
-    l1df = spark.createDataFrame(
-        [(bid, [float(x) for x in v]) for bid, v in l1],
-        "l1_id int, __l1_emb array<double>",
-    )
     v = F.col(emb_col).cast("array<double>")
-    wb = Window.partitionBy("__row_id").orderBy(
-        F.desc("__b_sim"), F.col("l1_id")
+    cand = hier_branch_candidates(
+        df.withColumn("__row_id", F.monotonically_increasing_id()),
+        l1, l2df, branches, "__row_id", emb_col, metric,
     )
-    branch_probes = (
-        df.withColumn("__row_id", F.monotonically_increasing_id())
-        .crossJoin(F.broadcast(l1df))
-        .withColumn("__b_sim", cosine_similarity_col(v, F.col("__l1_emb")))
-        .withColumn("__brk", F.row_number().over(wb))
-        .filter(F.col("__brk") <= branches)
-        .drop("__l1_emb", "__b_sim", "__brk")
-    )
-    cand = branch_probes.join(l2df, "l1_id")
     c = F.col("centroid")
     if metric == "cosine":
         cn = F.sqrt(F.aggregate(
@@ -517,25 +559,10 @@ class IVFIndex:
             F.desc("__c_sim"), F.col("cluster_id")
         )
         if branches and self.l1:
-            l1df = self.spark.createDataFrame(
-                [(bid, [float(x) for x in v]) for bid, v in self.l1],
-                "l1_id int, __l1_emb array<double>",
-            )
-            wb = Window.partitionBy("__b_id").orderBy(
-                F.desc("__b_sim"), F.col("l1_id")
-            )
-            cand = (
-                b.crossJoin(F.broadcast(l1df))
-                .withColumn(
-                    "__b_sim",
-                    cosine_similarity_col(F.col("__b_emb"), F.col("__l1_emb")),
-                )
-                .withColumn("__brk", F.row_number().over(wb))
-                .filter(F.col("__brk") <= branches)
-                .select("__b_id", "__b_emb", "l1_id")
-                .join(self.centroids_l2_df(), "l1_id")
-                .withColumnRenamed("centroid", "__c_emb")
-            )
+            cand = hier_branch_candidates(
+                b, self.l1, self.centroids_l2_df(), branches,
+                "__b_id", "__b_emb",
+            ).withColumnRenamed("centroid", "__c_emb")
         else:
             cent = batch.sparkSession.createDataFrame(
                 [(cid, [float(x) for x in v]) for cid, v in self.centroids],
@@ -680,27 +707,10 @@ class IVFIndex:
         from pyspark.sql import Window
 
         if branches and self.l1:
-            l1df = self.spark.createDataFrame(
-                [(bid, [float(x) for x in v]) for bid, v in self.l1],
-                "l1_id int, __l1_emb array<double>",
-            )
-            wb = Window.partitionBy("query_id").orderBy(
-                F.desc("__b_sim"), F.col("l1_id")
-            )
-            cand = (
-                qdf.crossJoin(F.broadcast(l1df))
-                .withColumn(
-                    "__b_sim",
-                    cosine_similarity_col(
-                        F.col("embedding"), F.col("__l1_emb")
-                    ),
-                )
-                .withColumn("__brk", F.row_number().over(wb))
-                .filter(F.col("__brk") <= branches)
-                .select("query_id", "embedding", "l1_id")
-                .join(self.centroids_l2_df(), "l1_id")
-                .withColumnRenamed("centroid", "__c_emb")
-            )
+            cand = hier_branch_candidates(
+                qdf, self.l1, self.centroids_l2_df(), branches,
+                "query_id", "embedding",
+            ).withColumnRenamed("centroid", "__c_emb")
         else:
             cent = qdf.sparkSession.createDataFrame(
                 [(cid, [float(x) for x in v]) for cid, v in self.centroids],
@@ -843,14 +853,26 @@ class IVFIndex:
         # otherwise materialize ~2M full vectors in the driver).
         stride = len(qrows)
         if distributed_probes:
-            pdf = None
+            # ONE ranking pass per DISTINCT branches value (the candidate
+            # set depends only on branches): rank at the group's max
+            # nprobe, then each member setting filters its rank prefix —
+            # recall_sweep's settings share one branches value, so its
+            # historical rank-once shape is preserved.
+            by_branches: dict[int | None, list[tuple[int, int]]] = {}
             for si, (np_, br) in enumerate(settings):
-                part = self._probe_rank(qdf, np_, branches=br).select(
-                    (F.lit(si * stride) + F.col("query_id"))
-                    .cast("int").alias("query_id"),
-                    "cluster_id", "embedding",
+                by_branches.setdefault(br, []).append((si, np_))
+            pdf = None
+            for br, members in by_branches.items():
+                ranked = self._probe_rank(
+                    qdf, max(np_ for _, np_ in members), branches=br
                 )
-                pdf = part if pdf is None else pdf.unionByName(part)
+                for si, np_ in members:
+                    part = ranked.filter(F.col("__rk") <= np_).select(
+                        (F.lit(si * stride) + F.col("query_id"))
+                        .cast("int").alias("query_id"),
+                        "cluster_id", "embedding",
+                    )
+                    pdf = part if pdf is None else pdf.unionByName(part)
         else:
             pairs = spark.createDataFrame(
                 [

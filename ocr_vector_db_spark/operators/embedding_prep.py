@@ -53,7 +53,11 @@ def dim_stats(
         .orderBy("i")
         .collect()
     )
-    return [(r.mu, math.sqrt(r.m2 - r.mu * r.mu)) for r in rows]
+    # max(0, ·): the independently rounded sums can push m2 − mu² a few
+    # ulps negative for a near-constant dimension — clamp instead of
+    # crashing math.sqrt (sd == 0 then surfaces via the documented
+    # non-constant-dimension contract, not a driver ValueError)
+    return [(r.mu, math.sqrt(max(0.0, r.m2 - r.mu * r.mu))) for r in rows]
 
 
 def standardize_embeddings(
@@ -75,6 +79,10 @@ def standardize_embeddings(
                    lambda a, b: a / b)
     nrm = F.sqrt(F.aggregate(F.col("__z"), F.lit(0.0),
                              lambda acc, x: acc + x * x))
+    # zero-norm guard (assign_nearest_centroid's `or 1.0` discipline): a
+    # row equal to the corpus mean standardizes to the zero vector —
+    # emit it as zeros, not a silent all-null array from x/0
+    nrm = F.when(nrm != 0.0, nrm).otherwise(F.lit(1.0))
     return (
         df.select(id_col, z.alias("__z"))
         .withColumn("__nrm", nrm)

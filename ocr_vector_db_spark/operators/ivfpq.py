@@ -405,32 +405,18 @@ class IVFPQIndex:
             F.col(query_emb).cast("array<double>").alias("__q_emb"),
         )
         if branches and self.l1:
-            # hierarchical candidate generation (IVFIndex._probe_assignments
-            # parity): broadcast-L1 ranking + L2 parquet join — nothing
+            # hierarchical candidate generation (shared with IVFIndex):
+            # broadcast-L1 ranking + L2 parquet join — nothing
             # num_clusters-sized ships. branches >= |L1| == the flat form.
             from ocr_vector_db_spark.operators.ann_index import (
+                hier_branch_candidates,
                 hier_centroids_df,
             )
 
-            l1df = spark.createDataFrame(
-                [(bid, [float(x) for x in v]) for bid, v in self.l1],
-                "l1_id int, __l1_emb array<double>",
-            )
-            wb = Window.partitionBy(query_id).orderBy(
-                F.desc("__b_sim"), F.col("l1_id")
-            )
-            cand = (
-                q.crossJoin(F.broadcast(l1df))
-                .withColumn(
-                    "__b_sim",
-                    cosine_similarity_col(F.col("__q_emb"), F.col("__l1_emb")),
-                )
-                .withColumn("__brk", F.row_number().over(wb))
-                .filter(F.col("__brk") <= branches)
-                .select(query_id, "__q_emb", "l1_id")
-                .join(hier_centroids_df(self.spark, self.path), "l1_id")
-                .withColumnRenamed("centroid", "__c_emb")
-            )
+            cand = hier_branch_candidates(
+                q, self.l1, hier_centroids_df(self.spark, self.path),
+                branches, query_id, "__q_emb",
+            ).withColumnRenamed("centroid", "__c_emb")
         else:
             cent = spark.createDataFrame(
                 [(cid, [float(x) for x in v]) for cid, v in self.centroids],

@@ -90,6 +90,9 @@ def pmi_collocations(
     row-level. Scalars N_tok/N_pairs fold in as literals from the
     vocab-sized aggregates."""
     bg = adjacent_bigrams(docs, text_col, id_col)
+    # cached for three consumers (n_tok agg + two broadcast joins) and
+    # RELEASED before returning — the result below is localCheckpoint-
+    # materialized (≤ top_k rows), so repeated calls leak nothing
     uni = _unigram_counts(docs, text_col, id_col).cache()
     n_tok = float(uni.agg(F.sum("cnt")).head()[0])
     bgc = (
@@ -115,13 +118,16 @@ def pmi_collocations(
         + F.lit(2.0) * F.log(F.lit(n_tok)),
         6,
     )
-    return (
+    out = (
         bgc.join(F.broadcast(ua), "tok_a")
         .join(F.broadcast(ub), "tok_b")
         .select("tok_a", "tok_b", "pair_count", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "tok_a", "tok_b")
         .limit(top_k)
+        .localCheckpoint()
     )
+    uni.unpersist()
+    return out
 
 
 def bigram_cross_entropy(
@@ -141,7 +147,12 @@ def bigram_cross_entropy(
     rounded to 6 dp BEFORE the decimal sum so the per-doc average is
     order-independent and engine-reproducible (q82's discipline)."""
     bg = adjacent_bigrams(docs, text_col, id_col)
-    uni = _unigram_counts(docs, text_col, id_col).cache()
+    # deliberately uncached: the result below is corpus-sized (one row
+    # per doc), so a checkpoint-then-unpersist would materialize the
+    # whole output just to free the vocab table — recomputing the
+    # Heaps'-sized unigram agg once (count here, join below) is cheaper
+    # than pinning it for the session (q117's leak finding)
+    uni = _unigram_counts(docs, text_col, id_col)
     v = float(uni.count())
     bgc = bg.groupBy("tok_a", "tok_b").agg(F.count("*").alias("__cab"))
     ua = uni.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("__ca"))

@@ -4163,12 +4163,12 @@ def q116(spark, sf):
     rec = idx._settings_recall(
         e, qvs, 10,
         [(full, 1), (full, half), (full, nb),
-         (1, None), (full, None), (1, nb), (full, nb)],
+         (1, None), (full, None), (1, nb)],
         "vec_id", False,
     )
     sweep = {1: rec[0], half: rec[1], nb: rec[2]}
     flat = {1: rec[3], full: rec[4]}
-    hier = {1: rec[5], full: rec[6]}
+    hier = {1: rec[5], full: rec[2]}  # (full, nb) already at index 2
     return spark.createDataFrame(
         [(len(qvs), sweep[nb] == 1.0,
           sweep[1] <= sweep[half] <= sweep[nb], hier == flat)],
@@ -4246,7 +4246,10 @@ def q119(spark, sf):
         FROM vals JOIN stats USING (i)
     ),
     arr AS (SELECT vec_id, list(z ORDER BY i) AS zs FROM z GROUP BY vec_id),
-    n AS (SELECT vec_id, zs, sqrt(list_dot_product(zs, zs)) AS nrm FROM arr)
+    n AS (SELECT vec_id, zs,
+                 CASE WHEN list_dot_product(zs, zs) = 0 THEN 1.0
+                      ELSE sqrt(list_dot_product(zs, zs)) END AS nrm
+          FROM arr)
     SELECT vec_id, generate_subscripts(zs, 1) AS i,
            ROUND(unnest(zs) / nrm, 6) AS zval
     FROM n

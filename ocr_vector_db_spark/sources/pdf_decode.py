@@ -253,6 +253,26 @@ def _maybe_decrypt(data: bytes, objects: dict) -> None:
     if p > 0x7FFFFFFF:
         p -= 0x100000000
     key = _std_file_key(o, p, id0, r, nbytes)
+    # Algorithm 6: validate the derived key against /U BEFORE touching any
+    # stream — a non-empty user password (or an /ID form the regex above
+    # didn't parse) would otherwise RC4 every stream into silent garbage
+    # that flows downstream as document content. On mismatch the file is
+    # left encrypted: Flate streams then fail to inflate and pages yield
+    # no blocks, the honest "cannot decode" outcome.
+    u = _string_value(src, b"/U")
+    if u is None:
+        return
+    if r == 2:
+        if _rc4(key, _PAD) != u[:32]:
+            return
+    else:
+        import hashlib
+
+        expect = _rc4(key, hashlib.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            expect = _rc4(bytes(b ^ i for b in key), expect)
+        if expect != u[:16]:
+            return
     for num, (osrc, stream) in objects.items():
         if stream is None or num == enc:
             continue

@@ -411,3 +411,29 @@ def test_branch_recall_sweep_invariants_and_distributed_parity(
         IVFIndex.build(
             spark, df, str(tmp_path / "flatrs"), num_clusters=8
         ).branch_recall_sweep(df, queries)
+
+
+def test_hier_branch_candidates_rank_l1_by_assignment_metric(spark):
+    """The L1 branch ranking must use the SAME metric that scores the
+    candidates downstream: for unnormalized data, a cosine-ranked L1
+    over an L2-assigned space prunes the branch holding the true
+    nearest centroid (review finding, round 7)."""
+    from ocr_vector_db_spark.operators.ann_index import (
+        hier_branch_candidates,
+    )
+
+    # x=(100,0): L2-nearest branch is (90,30) [d²=1000 vs ~9803], but the
+    # cosine-nearest branch is (1,0) [cos 1.0 vs 0.9487]
+    l1 = [(0, [90.0, 30.0]), (1, [1.0, 0.0])]
+    l2df = spark.createDataFrame(
+        [(0, 10, [100.0, 1.0]), (1, 20, [0.9, 0.1])],
+        "l1_id int, cluster_id int, centroid array<double>",
+    )
+    df = spark.createDataFrame([(1, [100.0, 0.0])],
+                               "rid bigint, emb array<double>")
+    by_l2 = hier_branch_candidates(df, l1, l2df, 1, "rid", "emb",
+                                   metric="l2")
+    assert {r.cluster_id for r in by_l2.collect()} == {10}
+    by_cos = hier_branch_candidates(df, l1, l2df, 1, "rid", "emb",
+                                    metric="cosine")
+    assert {r.cluster_id for r in by_cos.collect()} == {20}

@@ -959,6 +959,7 @@ class TestEncryption:
         )
 
         enc = encrypt_pdf_rc4(self._plain(), user_pw=b"secret")
-        blocks = extract_pdf_blocks(enc)
-        assert not any("hello encrypted" in b.get("content", "")
-                       for b in blocks)
+        # the /U check (Algorithm 6) rejects the empty-password key, the
+        # file stays ENCRYPTED, and the ciphertext content stream yields
+        # no text runs — not silently-decrypted garbage
+        assert extract_pdf_blocks(enc) == []
