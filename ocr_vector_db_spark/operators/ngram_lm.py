@@ -73,6 +73,7 @@ def pmi_collocations(
     top_k: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """(tok_a, tok_b, pair_count, pmi): the corpus's strongest adjacent
     collocations by pointwise mutual information,
@@ -124,9 +125,14 @@ def pmi_collocations(
         .select("tok_a", "tok_b", "pair_count", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "tok_a", "tok_b")
         .limit(top_k)
-        .localCheckpoint()
     )
-    uni.unpersist()
+    if materialize:
+        # eager: pin the (≤ top_k-row) result and release the cache —
+        # repeated calls leak nothing. materialize=False hands back the
+        # LAZY plan (uni stays cached for its consumers) for plan
+        # inspection / further composition.
+        out = out.localCheckpoint()
+        uni.unpersist()
     return out
 
 

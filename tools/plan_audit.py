@@ -129,7 +129,16 @@ def main() -> None:
         "",
     ]
     for name, why in AUDITS:
-        df = QUERIES[name](spark, sf_dir)
+        if name == "q117_pmi_collocations":
+            # the query materializes (localCheckpoint) so its returned
+            # frame is an RDD scan — audit the LAZY operator plan instead
+            from ocr_vector_db_spark.operators import ngram_lm
+            from ocr_vector_db_spark.session import load_tables
+
+            docs = load_tables(spark, sf_dir)["documents"]
+            df = ngram_lm.pmi_collocations(docs, materialize=False)
+        else:
+            df = QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         exchanges = plan.count("Exchange")
         lines = [
