@@ -155,6 +155,26 @@ def test_plan_shapes(tables, spark):
     p111 = plan_of("q111_ivf_semantic_screen")
     assert "dynamicpruningexpression(cluster_id" in p111
     assert "SortMergeJoin" not in p111 and "ShuffledHashJoin" not in p111
+    # PMI: bigrams via the per-row zip (Generate), unigram table arrives
+    # as TWO broadcasts onto the aggregated pair counts, heap top-k
+    from ocr_vector_db_spark.operators import ngram_lm
+    from ocr_vector_db_spark.session import load_tables as _lt
+
+    p117 = (
+        ngram_lm.pmi_collocations(_lt(spark, sf_dir)["documents"],
+                                  materialize=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in p117 and "Generate" in p117
+    assert p117.count("BroadcastHashJoin") >= 2
+    # A-ES weighted sample: scored scan + heap top-k, zero shuffles
+    p119 = plan_of("q119_weighted_sample")
+    assert "TakeOrderedAndProject" in p119
+    assert "Exchange hashpartitioning" not in p119
+    # standardization: stats fold in as literals — applying is map-side
+    # (the ONLY exchange is the pre-collected stats agg, nothing joins)
+    p120 = plan_of("q120_standardized_embeddings")
+    assert "Join" not in p120
 
 
 def test_no_accidental_cartesian_products(tables, spark):
