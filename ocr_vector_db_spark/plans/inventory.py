@@ -4994,9 +4994,12 @@ def q109(spark, sf):
     parity: the dedupe intent of the content_hash unique index
     (storage/schema.py:166-228) lifted to near-dup clusters."""
     d = load_table(spark, sf, "documents")
+    # cc="label" pinned: the operator's scale DEFAULT is the star closure
+    # (round-7 flip), but this entry keeps the min-label engine benched so
+    # the label-vs-star cost ratio stays visible round-over-round
     return dedup.minhash_neardup_components(
         d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id",
-        threshold=0.5, collapse_identical=True,
+        threshold=0.5, collapse_identical=True, cc="label",
     )
 
 
