@@ -4351,6 +4351,102 @@ def q121(spark, sf):
 
 
 @query(
+    "q122_ivfpq_hierarchical",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id IN (0, 8, 24, 42)) AS n_queries,
+           true AS probes_eq_flat, true AS codes_eq_flat,
+           true AS batch_eq_flat, true AS served_self_top1
+    """,
+)
+def q122(spark, sf):
+    """The two-level coarse quantizer on the COMPRESSED tier (q115's
+    IVF-PQ sibling): `IVFPQIndex.build(l1_branches=…)` shares the raw
+    tier's hier layout (hier.json + L2 parquet partitioned by l1_id), so
+    neither probe ranking nor the residual assignment ever touches a
+    num_clusters-sized broadcast. Quantizers aren't SQL-reproducible —
+    invariant gate like q108/q115:
+      n_queries        grounded: the probe vectors exist
+      probes_eq_flat   branch ranking at branches = |L1| reproduces the
+                       flat probe ranking for every sample query and
+                       nprobe ∈ {1, 3, full}
+      codes_eq_flat    hier residual assignment (L1 broadcast + L2
+                       parquet join, squared-L2 both levels) encodes a
+                       held-out batch to EXACTLY the flat path's
+                       (cluster_id, pq_codes), row for row
+      batch_eq_flat    `search_batch(branches=|L1|)` ≡ the flat batched
+                       serving, bit-identical distances
+      served_self_top1 a vector ADDED through the branch-pruned hier
+                       assignment is served back at similarity 1.0 by
+                       the refined search."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ivfpq import IVFPQIndex
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q122_ivfpqh_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="ivfpqh_")
+        idx = IVFPQIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path,
+            dim=64, num_clusters=8, m=8, k=16, l1_branches=3,
+        )
+        # one-time facts of the memoized layout: the hier-routed add and
+        # its serving check (added under branches=2, refined full probe)
+        probe = (e.filter(F.col("vec_id") % 2 == 1)
+                 .select("vec_id", "embedding").limit(1))
+        idx.add(probe, assume_new=True, branches=2)
+        pid, pvec = probe.head()
+        top = idx.search(list(pvec), 1, nprobe=8, branches=3,
+                         corpus=e, refine=4).head()
+        served = bool(top.vec_id == pid and top.similarity == 1.0)
+        _PLAN_MEMO[key] = (path, served)
+    path, served = _PLAN_MEMO[key]
+    idx = IVFPQIndex.load(spark, path)
+
+    qids = [0, 8, 24, 42]
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    probes_eq = all(
+        idx.probe_clusters(qv, np_, branches=len(idx.l1))
+        == idx.probe_clusters(qv, np_)
+        for qv in qvecs.values() for np_ in (1, 3, 8)
+    )
+    held_out = (e.filter(F.col("vec_id") % 10 == 3)
+                .select("vec_id", "embedding"))
+    flat_codes = {
+        (r.vec_id, r.cluster_id, tuple(r.pq_codes))
+        for r in idx._residual_codes(
+            held_out, "embedding", "vec_id").collect()
+    }
+    hier_codes = {
+        (r.vec_id, r.cluster_id, tuple(r.pq_codes))
+        for r in idx._residual_codes(
+            held_out, "embedding", "vec_id", branches=len(idx.l1)
+        ).collect()
+    }
+    qdf = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat_b = sorted(
+        tuple(r) for r in idx.search_batch(qdf, 5, nprobe=8).collect()
+    )
+    hier_b = sorted(
+        tuple(r)
+        for r in idx.search_batch(qdf, 5, nprobe=8,
+                                  branches=len(idx.l1)).collect()
+    )
+    return spark.createDataFrame(
+        [(len(qvecs), probes_eq, hier_codes == flat_codes,
+          hier_b == flat_b, served)],
+        "n_queries bigint, probes_eq_flat boolean, codes_eq_flat boolean, "
+        "batch_eq_flat boolean, served_self_top1 boolean",
+    )
+
+
+@query(
     "q117_pmi_collocations",
     f"""
     WITH {_NGRAM_TOKS_CTE},
