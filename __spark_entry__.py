@@ -117,11 +117,12 @@ _DRIVER_GREEN = {
     "q102_hybrid_indexed", "q103_ivf_incremental_add",
     "q104_lexical_incremental_add", "q105_minhash_incremental_screen",
     # r06 greens (driver-verified in CORRECTNESS_r06.json): all six round-6
-    # queries got first-round verdicts — so round 7's TEN additions
+    # queries got first-round verdicts — so round 7's ELEVEN additions
     # (q112 intra-batch dense gate, q113 dangling PageRank, q114 batched
     # IVF-PQ serving, q115 hierarchical quantizer, q116 branch-recall
     # sweep, q117 PMI, q118 bigram LM, q119 A-ES sampling, q120 embedding
-    # standardization, q121 encrypted PDFs) stay PENDING and sort to the
+    # standardization, q121 encrypted PDFs, q122 hierarchical IVF-PQ)
+    # stay PENDING and sort to the
     # front of the driver's first-50 window
     "q106_ivf_recall_tradeoff", "q107_pdf_modern_structures",
     "q108_ivfpq_incremental_add", "q109_neardup_components_collapsed",
