@@ -4284,6 +4284,8 @@ def q120(spark, sf):
     "q121_pdf_encrypted",
     """
     SELECT * FROM (VALUES
+        ('/corpus/enc_aes.pdf', 'text', 89,
+         'Modern V4 AESV2 files carry AE'),
         ('/corpus/enc_r2.pdf', 'text', 104,
          'Legacy 40 bit RC4 encryption d'),
         ('/corpus/enc_r3.pdf', 'text', 41,
@@ -4294,16 +4296,19 @@ def q120(spark, sf):
     """,
 )
 def q121(spark, sf):
-    """RC4-encrypted PDFs (ISO 32000-1 §7.6.2-7.6.4 Standard security
-    handler, the legacy scheme that dominates scanned/OCR corpora)
+    """Encrypted PDFs (ISO 32000-1 §7.6.2-7.6.4 Standard security
+    handler — together the schemes that dominate scanned/OCR corpora)
     end-to-end and distributed, golden VALUES oracle like q86/q107:
-    a revision-2 40-bit file and a revision-3 128-bit Flate+CID-Korean
-    file through the full parse path (mapInPandas, parsers.parse_pdf →
-    per-object RC4 keys derived from the empty user password), plus an
-    encrypted raw raster through `ingest.pdf_image_assets` (md5 pins the
-    decrypted pixel buffer). Reference parity: PyMuPDF opens these
-    transparently (and is preferred when importable, as on every PDF
-    path); the pure-Python twin is `pdf_decode._maybe_decrypt`."""
+    a revision-2 40-bit RC4 file, a revision-3 128-bit RC4
+    Flate+CID-Korean file, and a V4/R4 /AESV2 file (AES-128-CBC streams
+    through the pure-Python FIPS-197 core) through the full parse path
+    (mapInPandas, parsers.parse_pdf → per-object keys derived from the
+    empty user password, validated against /U before any stream is
+    touched), plus an encrypted raw raster through
+    `ingest.pdf_image_assets` (md5 pins the decrypted pixel buffer).
+    Reference parity: PyMuPDF opens these transparently (and is
+    preferred when importable, as on every PDF path); the pure-Python
+    twin is `pdf_decode._maybe_decrypt`."""
     from ocr_vector_db_spark.sources.ingest import (
         parse_pdf_segments,
         pdf_files_df,
@@ -4311,9 +4316,15 @@ def q121(spark, sf):
     )
     from ocr_vector_db_spark.sources.pdf_decode import (
         build_simple_pdf,
+        encrypt_pdf_aes,
         encrypt_pdf_rc4,
     )
 
+    aes = encrypt_pdf_aes(build_simple_pdf([[
+        {"kind": "text", "x": 72, "y": 700, "size": 12,
+         "text": "Modern V4 AESV2 files carry AES-128-CBC streams "
+                 "decoded by the pure Python FIPS-197 core."},
+    ]]))
     r2 = encrypt_pdf_rc4(build_simple_pdf([[
         {"kind": "text", "x": 72, "y": 700, "size": 12,
          "text": "Legacy 40 bit RC4 encryption decodes through the "
@@ -4333,7 +4344,8 @@ def q121(spark, sf):
     ]]))
 
     texts = parse_pdf_segments(pdf_files_df(spark, [
-        ("/corpus/enc_r2.pdf", r2), ("/corpus/enc_r3.pdf", r3),
+        ("/corpus/enc_aes.pdf", aes), ("/corpus/enc_r2.pdf", r2),
+        ("/corpus/enc_r3.pdf", r3),
     ])).select(
         "source_path", F.lit("text").alias("item"),
         F.length("content").cast("int").alias("n"),

@@ -23,13 +23,15 @@ predictors of §7.4.4.4 on Flate/LZW streams, the text filters
 /ASCIIHexDecode, /ASCII85Decode and /RunLengthDecode, multi-member
 filter CHAINS (`/Filter [/ASCII85Decode /FlateDecode]`, decoded in array
 order, Table-6 abbreviations accepted), and Standard-security-handler
-ENCRYPTION at revisions 2/3 (RC4 40–128-bit, §7.6.2-7.6.4 — the legacy
-scheme that dominates scanned/OCR corpora; empty user password, the
-corpus norm). Still out of scope: AES encryption (V≥4; no stdlib
-primitive), password-protected user passwords, and CID fonts WITHOUT a
-ToUnicode map (no unicode info exists in the file; PyMuPDF shows U+FFFD
-there too) — `decode_pdf` in parsers.py first tries PyMuPDF if
-importable and falls back here.
+ENCRYPTION: revisions 2/3 (RC4 40–128-bit) AND V4/R4 with the /AESV2
+crypt filter (AES-128-CBC, pure-Python FIPS-197 core validated against
+the Appendix C.1 vector) — together the schemes that dominate
+scanned/OCR corpora; empty user password (the corpus norm), derived
+keys validated against /U before any stream is touched. Still out of
+scope: V5/AESV3 (AES-256), password-protected user passwords, and CID
+fonts WITHOUT a ToUnicode map (no unicode info exists in the file;
+PyMuPDF shows U+FFFD there too) — `decode_pdf` in parsers.py first
+tries PyMuPDF if importable and falls back here.
 
 Output block schema matches parse_pdf_blocks() input:
     {page: int, bbox: [x0, y0, x1, y1], kind: 'text'|'image', content: str}
@@ -136,29 +138,175 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+# -- AES-128 (FIPS-197), pure Python — the AESV2 crypt filter of V4 files.
+# Validated against the Appendix C.1 test vector (test_pdf.py). Throughput
+# is fixture-grade (~1 MB/s); real encrypted corpora go through PyMuPDF
+# when importable, exactly like every other PDF path.
+
+
+def _aes_tables():
+    exp = [0] * 510
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        xt = ((x << 1) ^ 0x1B) & 0xFF if x & 0x80 else (x << 1)
+        x ^= xt  # multiply by the generator 3
+    for i in range(255, 510):
+        exp[i] = exp[i - 255]
+
+    def rotl8(b: int, n: int) -> int:
+        return ((b << n) | (b >> (8 - n))) & 0xFF
+
+    sbox = [0] * 256
+    inv_s = [0] * 256
+    for a in range(256):
+        b = 0 if a == 0 else exp[255 - log[a]]
+        s = b ^ rotl8(b, 1) ^ rotl8(b, 2) ^ rotl8(b, 3) ^ rotl8(b, 4) ^ 0x63
+        sbox[a] = s
+        inv_s[s] = a
+
+    def gmul(a: int, b: int) -> int:
+        if a == 0 or b == 0:
+            return 0
+        return exp[log[a] + log[b]]
+
+    return sbox, inv_s, gmul
+
+
+_AES_SBOX, _AES_INV_SBOX, _GMUL = _aes_tables()
+
+
+def _aes_round_keys(key: bytes) -> list[list[list[int]]]:
+    rcon = 1
+    w = [list(key[i:i + 4]) for i in range(0, 16, 4)]
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [_AES_SBOX[b] for b in t]
+            t[0] ^= rcon
+            rcon = ((rcon << 1) ^ 0x1B) & 0xFF if rcon & 0x80 else rcon << 1
+        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+    return [w[4 * r:4 * r + 4] for r in range(11)]
+
+
+def _aes_block(block: bytes, rks, encrypt: bool) -> bytes:
+    # state is column-major: state[col][row]
+    state = [list(block[i:i + 4]) for i in range(0, 16, 4)]
+
+    def add_rk(rk):
+        for c in range(4):
+            for r in range(4):
+                state[c][r] ^= rk[c][r]
+
+    if encrypt:
+        add_rk(rks[0])
+        for rnd in range(1, 11):
+            for c in range(4):
+                for r in range(4):
+                    state[c][r] = _AES_SBOX[state[c][r]]
+            for r in range(1, 4):  # ShiftRows: row r rotates left by r
+                row = [state[c][r] for c in range(4)]
+                row = row[r:] + row[:r]
+                for c in range(4):
+                    state[c][r] = row[c]
+            if rnd != 10:
+                for c in range(4):
+                    a = [state[c][r] for r in range(4)]
+                    state[c][0] = _GMUL(a[0], 2) ^ _GMUL(a[1], 3) ^ a[2] ^ a[3]
+                    state[c][1] = a[0] ^ _GMUL(a[1], 2) ^ _GMUL(a[2], 3) ^ a[3]
+                    state[c][2] = a[0] ^ a[1] ^ _GMUL(a[2], 2) ^ _GMUL(a[3], 3)
+                    state[c][3] = _GMUL(a[0], 3) ^ a[1] ^ a[2] ^ _GMUL(a[3], 2)
+            add_rk(rks[rnd])
+    else:
+        add_rk(rks[10])
+        for rnd in range(9, -1, -1):
+            for r in range(1, 4):  # InvShiftRows: row r rotates right by r
+                row = [state[c][r] for c in range(4)]
+                row = row[-r:] + row[:-r]
+                for c in range(4):
+                    state[c][r] = row[c]
+            for c in range(4):
+                for r in range(4):
+                    state[c][r] = _AES_INV_SBOX[state[c][r]]
+            add_rk(rks[rnd])
+            if rnd != 0:
+                for c in range(4):
+                    a = [state[c][r] for r in range(4)]
+                    state[c][0] = (_GMUL(a[0], 14) ^ _GMUL(a[1], 11)
+                                   ^ _GMUL(a[2], 13) ^ _GMUL(a[3], 9))
+                    state[c][1] = (_GMUL(a[0], 9) ^ _GMUL(a[1], 14)
+                                   ^ _GMUL(a[2], 11) ^ _GMUL(a[3], 13))
+                    state[c][2] = (_GMUL(a[0], 13) ^ _GMUL(a[1], 9)
+                                   ^ _GMUL(a[2], 14) ^ _GMUL(a[3], 11))
+                    state[c][3] = (_GMUL(a[0], 11) ^ _GMUL(a[1], 13)
+                                   ^ _GMUL(a[2], 9) ^ _GMUL(a[3], 14))
+    return bytes(state[c][r] for c in range(4) for r in range(4))
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """IV + CBC ciphertext with the spec's always-pad (1..16 bytes, each
+    byte = pad length) — the AESV2 stream layout (§7.6.2)."""
+    rks = _aes_round_keys(key)
+    pad = 16 - (len(data) % 16)
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _aes_block(blk, rks, True)
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
+    """Inverse of `_aes_cbc_encrypt`; None for malformed ciphertext."""
+    if len(data) < 32 or len(data) % 16:
+        return None
+    rks = _aes_round_keys(key)
+    prev = data[:16]
+    out = bytearray()
+    for i in range(16, len(data), 16):
+        blk = data[i:i + 16]
+        out += bytes(a ^ b for a, b in zip(_aes_block(blk, rks, False), prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        return None
+    return bytes(out[:-pad])
+
+
 def _std_file_key(o: bytes, p: int, id0: bytes, r: int, nbytes: int,
-                  user_pw: bytes = b"") -> bytes:
+                  user_pw: bytes = b"",
+                  encrypt_metadata: bool = True) -> bytes:
     """Algorithm 2: the file encryption key from the (empty by default)
-    user password."""
+    user password. R4 with /EncryptMetadata false appends ffffffff."""
     import hashlib
     import struct
 
     pw = (user_pw + _PAD)[:32]
-    h = hashlib.md5(pw + o[:32] + struct.pack("<i", p) + id0).digest()
+    seed = pw + o[:32] + struct.pack("<i", p) + id0
+    if r >= 4 and not encrypt_metadata:
+        seed += b"\xff\xff\xff\xff"
+    h = hashlib.md5(seed).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:nbytes]).digest()
     return h[:nbytes]
 
 
-def _obj_key(key: bytes, num: int, gen: int = 0) -> bytes:
-    """Algorithm 1: the per-object RC4 key."""
+def _obj_key(key: bytes, num: int, gen: int = 0, aes: bool = False) -> bytes:
+    """Algorithm 1: the per-object key (AESV2 appends the 'sAlT' marker)."""
     import hashlib
 
     ext = key + bytes([
         num & 0xFF, (num >> 8) & 0xFF, (num >> 16) & 0xFF,
         gen & 0xFF, (gen >> 8) & 0xFF,
     ])
+    if aes:
+        ext += b"sAlT"
     return hashlib.md5(ext).digest()[: min(len(key) + 5, 16)]
 
 
@@ -235,8 +383,19 @@ def _maybe_decrypt(data: bytes, objects: dict) -> None:
     if b"/Standard" not in src:
         return
     vm = re.search(rb"/V\s+(\d+)", src)
-    if vm and int(vm.group(1)) >= 4:
-        return  # AES territory — out of scope for the pure-Python path
+    v = int(vm.group(1)) if vm else 1
+    aes = False
+    if v >= 4:
+        # V4 names its stream scheme via crypt filters: /AESV2 is the
+        # AES-128-CBC path implemented here; /V2 inside /CF is RC4 with
+        # per-object keys (same as V2); V5/AESV3 (AES-256) stays out of
+        # scope for the pure-Python path
+        if v >= 5:
+            return
+        if b"/AESV2" in src:
+            aes = True
+        elif b"/V2" not in src:
+            return
     rm = re.search(rb"/R\s+(\d+)", src)
     pm = re.search(rb"/P\s+(-?\d+)", src)
     o = _string_value(src, b"/O")
@@ -245,6 +404,9 @@ def _maybe_decrypt(data: bytes, objects: dict) -> None:
     r = int(rm.group(1))
     lm = re.search(rb"/Length\s+(\d+)", src)
     nbytes = (int(lm.group(1)) // 8) if lm else 5
+    if aes:
+        nbytes = 16  # AESV2 is AES-128 regardless of the outer /Length
+    enc_meta = not re.search(rb"/EncryptMetadata\s+false", src)
     id0 = b""
     for m in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", data):
         id0 = bytes.fromhex(m.group(1).decode("ascii"))
@@ -252,7 +414,7 @@ def _maybe_decrypt(data: bytes, objects: dict) -> None:
     p = int(pm.group(1))
     if p > 0x7FFFFFFF:
         p -= 0x100000000
-    key = _std_file_key(o, p, id0, r, nbytes)
+    key = _std_file_key(o, p, id0, r, nbytes, encrypt_metadata=enc_meta)
     # Algorithm 6: validate the derived key against /U BEFORE touching any
     # stream — a non-empty user password (or an /ID form the regex above
     # didn't parse) would otherwise RC4 every stream into silent garbage
@@ -278,7 +440,11 @@ def _maybe_decrypt(data: bytes, objects: dict) -> None:
             continue
         if re.search(rb"/Type\s*/XRef\b", osrc):
             continue  # cross-reference streams are never encrypted
-        objects[num] = (osrc, _rc4(_obj_key(key, num), stream))
+        if aes:
+            dec = _aes_cbc_decrypt(_obj_key(key, num, aes=True), stream)
+            objects[num] = (osrc, dec if dec is not None else b"")
+        else:
+            objects[num] = (osrc, _rc4(_obj_key(key, num), stream))
 
 
 def _expand_object_streams(objects) -> None:
@@ -1546,6 +1712,89 @@ def encrypt_pdf_rc4(
         f"{enc_num} 0 obj\n<< /Filter /Standard /V {1 if r == 2 else 2} "
         f"/R {r} /Length {nbytes * 8} /P {p} /O <{o.hex()}> /U <{u.hex()}> "
         f">>\nendobj\n"
+    ).encode("latin-1")
+    out += (
+        f"trailer\n<< /Encrypt {enc_num} 0 R "
+        f"/ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
+    ).encode("latin-1")
+    return bytes(out)
+
+
+def encrypt_pdf_aes(
+    data: bytes,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
+) -> bytes:
+    """Fixture-side V4/R4 AESV2 encryption (AES-128-CBC crypt filter,
+    §7.6.2): every stream becomes IV + CBC ciphertext with the spec's
+    always-pad, its direct /Length is patched (AES changes stream
+    lengths, unlike RC4), and the /Encrypt dict (+/CF /StdCF /AESV2) and
+    /ID land in an appended trailer. IVs are deterministic (md5 of the
+    object number + plaintext) so fixtures are byte-stable. The inverse
+    of `_maybe_decrypt`'s AES path (round-trip-tested)."""
+    import hashlib
+
+    nbytes = 16
+    id0 = hashlib.md5(b"fixture-id-aes" + data[:64]).digest()
+    p = -44
+
+    h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    for _ in range(50):
+        h = hashlib.md5(h).digest()
+    okey = h[:nbytes]
+    o = _rc4(okey, (user_pw + _PAD)[:32])
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+
+    key = _std_file_key(o, p, id0, 4, nbytes, user_pw)
+
+    u = _rc4(key, hashlib.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u = u + b"\x00" * 16
+
+    pieces: list[bytes] = []
+    cursor = 0
+    max_num = 0
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        max_num = max(max_num, num)
+        end = data.find(b"endobj", m.end())
+        if end < 0:
+            continue
+        body = data[m.end():end]
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            continue
+        lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)",
+                       body[: sm.start()])
+        if not lm:
+            continue
+        start = m.end() + sm.end()
+        n = int(lm.group(1))
+        iv = hashlib.md5(f"iv:{num}:".encode("ascii")
+                         + data[start: start + n]).digest()
+        enc = _aes_cbc_encrypt(
+            _obj_key(key, num, aes=True), iv, data[start: start + n]
+        )
+        dict_src = body[: sm.start()]
+        patched = (
+            dict_src[: lm.start(1)]
+            + str(len(enc)).encode("ascii")
+            + dict_src[lm.end(1):]
+        )
+        pieces.append(data[cursor:m.end()])
+        pieces.append(patched + b"stream\n" + enc + b"\nendstream\n")
+        cursor = end  # continue from "endobj"
+    pieces.append(data[cursor:])
+    out = bytearray(b"".join(pieces))
+
+    enc_num = max_num + 1
+    out += (
+        f"{enc_num} 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+        f"/StmF /StdCF /StrF /StdCF "
+        f"/P {p} /O <{o.hex()}> /U <{u.hex()}> >>\nendobj\n"
     ).encode("latin-1")
     out += (
         f"trailer\n<< /Encrypt {enc_num} 0 R "

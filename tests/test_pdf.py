@@ -963,3 +963,58 @@ class TestEncryption:
         # file stays ENCRYPTED, and the ciphertext content stream yields
         # no text runs — not silently-decrypted garbage
         assert extract_pdf_blocks(enc) == []
+
+    def test_aes_core_fips197_vector(self):
+        """The pure-Python AES-128 core must reproduce FIPS-197 Appendix
+        C.1 exactly, both directions."""
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            _aes_block,
+            _aes_round_keys,
+        )
+
+        key = bytes(range(16))
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+        rks = _aes_round_keys(key)
+        assert _aes_block(pt, rks, True) == ct
+        assert _aes_block(ct, rks, False) == pt
+
+    def test_aesv2_roundtrip_matrix(self):
+        """V4/R4 AESV2 fixtures decode block-identically to plaintext
+        across text, Flate+CID, ObjStm, and raster; a user-password-
+        locked file is refused by the /U check."""
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_objstm_pdf,
+            build_simple_pdf,
+            encrypt_pdf_aes,
+            extract_pdf_blocks,
+            extract_pdf_images,
+        )
+
+        plain = self._plain()
+        enc = encrypt_pdf_aes(plain)
+        assert b"hello" not in enc
+        assert extract_pdf_blocks(enc) == extract_pdf_blocks(plain)
+
+        ko = build_simple_pdf([[
+            {"kind": "text", "text": "한국어 AES 암호화 문서 본문 단락",
+             "x": 72, "y": 700, "size": 12},
+        ]], compress=True)
+        assert extract_pdf_blocks(encrypt_pdf_aes(ko)) == \
+            extract_pdf_blocks(ko)
+
+        ob = build_objstm_pdf("object stream body text long enough to "
+                              "pass the minimum block length filter")
+        assert extract_pdf_blocks(encrypt_pdf_aes(ob)) == \
+            extract_pdf_blocks(ob)
+
+        pixels = bytes(range(48))
+        pimg = build_simple_pdf([[
+            {"kind": "image", "x": 100, "y": 300, "w": 120, "h": 90,
+             "width": 4, "height": 4, "channels": 3, "pixels": pixels},
+        ]])
+        got = extract_pdf_images(encrypt_pdf_aes(pimg))
+        assert got == extract_pdf_images(pimg) and got[0]["data"] == pixels
+
+        assert extract_pdf_blocks(
+            encrypt_pdf_aes(plain, user_pw=b"secret")) == []
