@@ -4286,6 +4286,8 @@ def q120(spark, sf):
     SELECT * FROM (VALUES
         ('/corpus/enc_aes.pdf', 'text', 89,
          'Modern V4 AESV2 files carry AE'),
+        ('/corpus/enc_aes256.pdf', 'text', 78,
+         'PDF 2.0 files wrap an AES-256 '),
         ('/corpus/enc_r2.pdf', 'text', 104,
          'Legacy 40 bit RC4 encryption d'),
         ('/corpus/enc_r3.pdf', 'text', 41,
@@ -4300,8 +4302,11 @@ def q121(spark, sf):
     handler — together the schemes that dominate scanned/OCR corpora)
     end-to-end and distributed, golden VALUES oracle like q86/q107:
     a revision-2 40-bit RC4 file, a revision-3 128-bit RC4
-    Flate+CID-Korean file, and a V4/R4 /AESV2 file (AES-128-CBC streams
-    through the pure-Python FIPS-197 core) through the full parse path
+    Flate+CID-Korean file, a V4/R4 /AESV2 file (AES-128-CBC streams
+    through the pure-Python FIPS-197 core), and a V5/R6 /AESV3 file
+    (PDF 2.0: Algorithm-2.B password hash validated against /U, file
+    key unwrapped from /UE, AES-256-CBC streams) through the full
+    parse path
     (mapInPandas, parsers.parse_pdf → per-object keys derived from the
     empty user password, validated against /U before any stream is
     touched), plus an encrypted raw raster through
@@ -4317,6 +4322,7 @@ def q121(spark, sf):
     from ocr_vector_db_spark.sources.pdf_decode import (
         build_simple_pdf,
         encrypt_pdf_aes,
+        encrypt_pdf_aes256,
         encrypt_pdf_rc4,
     )
 
@@ -4324,6 +4330,11 @@ def q121(spark, sf):
         {"kind": "text", "x": 72, "y": 700, "size": 12,
          "text": "Modern V4 AESV2 files carry AES-128-CBC streams "
                  "decoded by the pure Python FIPS-197 core."},
+    ]]))
+    aes256 = encrypt_pdf_aes256(build_simple_pdf([[
+        {"kind": "text", "x": 72, "y": 700, "size": 12,
+         "text": "PDF 2.0 files wrap an AES-256 file key behind the "
+                 "Algorithm 2.B password hash."},
     ]]))
     r2 = encrypt_pdf_rc4(build_simple_pdf([[
         {"kind": "text", "x": 72, "y": 700, "size": 12,
@@ -4344,8 +4355,8 @@ def q121(spark, sf):
     ]]))
 
     texts = parse_pdf_segments(pdf_files_df(spark, [
-        ("/corpus/enc_aes.pdf", aes), ("/corpus/enc_r2.pdf", r2),
-        ("/corpus/enc_r3.pdf", r3),
+        ("/corpus/enc_aes.pdf", aes), ("/corpus/enc_aes256.pdf", aes256),
+        ("/corpus/enc_r2.pdf", r2), ("/corpus/enc_r3.pdf", r3),
     ])).select(
         "source_path", F.lit("text").alias("item"),
         F.length("content").cast("int").alias("n"),

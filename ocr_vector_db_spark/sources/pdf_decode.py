@@ -23,15 +23,17 @@ predictors of §7.4.4.4 on Flate/LZW streams, the text filters
 /ASCIIHexDecode, /ASCII85Decode and /RunLengthDecode, multi-member
 filter CHAINS (`/Filter [/ASCII85Decode /FlateDecode]`, decoded in array
 order, Table-6 abbreviations accepted), and Standard-security-handler
-ENCRYPTION: revisions 2/3 (RC4 40–128-bit) AND V4/R4 with the /AESV2
-crypt filter (AES-128-CBC, pure-Python FIPS-197 core validated against
-the Appendix C.1 vector) — together the schemes that dominate
-scanned/OCR corpora; empty user password (the corpus norm), derived
-keys validated against /U before any stream is touched. Still out of
-scope: V5/AESV3 (AES-256), password-protected user passwords, and CID
-fonts WITHOUT a ToUnicode map (no unicode info exists in the file;
-PyMuPDF shows U+FFFD there too) — `decode_pdf` in parsers.py first
-tries PyMuPDF if importable and falls back here.
+ENCRYPTION across the whole Standard-handler ladder — revisions 2/3
+(RC4 40–128-bit), V4/R4 /AESV2 (AES-128-CBC), and V5/R6 /AESV3
+(PDF 2.0 AES-256: Algorithm-2.B password hash, /UE-wrapped file key).
+The AES core is pure Python, validated against the FIPS-197 Appendix
+C.1/C.3 vectors, with a T-table fast path for the KDF's bulk
+encryption; every derived key is validated against /U BEFORE any
+stream is touched (empty user password, the corpus norm). Still out of
+scope: password-protected user passwords and CID fonts WITHOUT a
+ToUnicode map (no unicode info exists in the file; PyMuPDF shows
+U+FFFD there too) — `decode_pdf` in parsers.py first tries PyMuPDF if
+importable and falls back here.
 
 Output block schema matches parse_pdf_blocks() input:
     {page: int, bbox: [x0, y0, x1, y1], kind: 'text'|'image', content: str}
@@ -179,21 +181,29 @@ _AES_SBOX, _AES_INV_SBOX, _GMUL = _aes_tables()
 
 
 def _aes_round_keys(key: bytes) -> list[list[list[int]]]:
+    """Key expansion for AES-128 (Nk=4, 10 rounds) and AES-256 (Nk=8,
+    14 rounds — the extra SubWord at i % 8 == 4 per FIPS-197 §5.2)."""
+    nk = len(key) // 4
+    assert nk in (4, 8)
+    nr = {4: 10, 8: 14}[nk]
     rcon = 1
-    w = [list(key[i:i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    w = [list(key[i:i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_AES_SBOX[b] for b in t]
             t[0] ^= rcon
             rcon = ((rcon << 1) ^ 0x1B) & 0xFF if rcon & 0x80 else rcon << 1
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [w[4 * r:4 * r + 4] for r in range(11)]
+        elif nk == 8 and i % nk == 4:
+            t = [_AES_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [w[4 * r:4 * r + 4] for r in range(nr + 1)]
 
 
 def _aes_block(block: bytes, rks, encrypt: bool) -> bytes:
     # state is column-major: state[col][row]
+    nr = len(rks) - 1
     state = [list(block[i:i + 4]) for i in range(0, 16, 4)]
 
     def add_rk(rk):
@@ -203,7 +213,7 @@ def _aes_block(block: bytes, rks, encrypt: bool) -> bytes:
 
     if encrypt:
         add_rk(rks[0])
-        for rnd in range(1, 11):
+        for rnd in range(1, nr + 1):
             for c in range(4):
                 for r in range(4):
                     state[c][r] = _AES_SBOX[state[c][r]]
@@ -212,7 +222,7 @@ def _aes_block(block: bytes, rks, encrypt: bool) -> bytes:
                 row = row[r:] + row[:r]
                 for c in range(4):
                     state[c][r] = row[c]
-            if rnd != 10:
+            if rnd != nr:
                 for c in range(4):
                     a = [state[c][r] for r in range(4)]
                     state[c][0] = _GMUL(a[0], 2) ^ _GMUL(a[1], 3) ^ a[2] ^ a[3]
@@ -221,8 +231,8 @@ def _aes_block(block: bytes, rks, encrypt: bool) -> bytes:
                     state[c][3] = _GMUL(a[0], 3) ^ a[1] ^ a[2] ^ _GMUL(a[3], 2)
             add_rk(rks[rnd])
     else:
-        add_rk(rks[10])
-        for rnd in range(9, -1, -1):
+        add_rk(rks[nr])
+        for rnd in range(nr - 1, -1, -1):
             for r in range(1, 4):  # InvShiftRows: row r rotates right by r
                 row = [state[c][r] for c in range(4)]
                 row = row[-r:] + row[:-r]
@@ -246,17 +256,85 @@ def _aes_block(block: bytes, rks, encrypt: bool) -> bytes:
     return bytes(state[c][r] for c in range(4) for r in range(4))
 
 
+def _aes_enc_tables():
+    """T-tables (SubBytes+ShiftRows+MixColumns fused into four 32-bit
+    lookups per column) — the classic software-AES speedup; the
+    Algorithm-2.B KDF encrypts ~8k blocks per invocation, which the
+    simple byte-loop form does ~5× slower (cross-checked against
+    `_aes_block` in the tests)."""
+    t0 = [0] * 256
+    t1 = [0] * 256
+    t2 = [0] * 256
+    t3 = [0] * 256
+    for x in range(256):
+        s = _AES_SBOX[x]
+        s2 = _GMUL(s, 2)
+        s3 = _GMUL(s, 3)
+        t0[x] = (s2 << 24) | (s << 16) | (s << 8) | s3
+        t1[x] = (s3 << 24) | (s2 << 16) | (s << 8) | s
+        t2[x] = (s << 24) | (s3 << 16) | (s2 << 8) | s
+        t3[x] = (s << 24) | (s << 16) | (s3 << 8) | s2
+    return t0, t1, t2, t3
+
+
+_AES_T = _aes_enc_tables()
+
+
+def _rk_words(rks) -> list[list[int]]:
+    """Round keys as one 32-bit word per column (row0 in the high byte)."""
+    return [
+        [(rk[c][0] << 24) | (rk[c][1] << 16) | (rk[c][2] << 8) | rk[c][3]
+         for c in range(4)]
+        for rk in rks
+    ]
+
+
+def _aes_encrypt_block_fast(block: bytes, rkw: list[list[int]]) -> bytes:
+    t0, t1, t2, t3 = _AES_T
+    sbox = _AES_SBOX
+    nr = len(rkw) - 1
+    w = [
+        ((block[4 * c] << 24) | (block[4 * c + 1] << 16)
+         | (block[4 * c + 2] << 8) | block[4 * c + 3]) ^ rkw[0][c]
+        for c in range(4)
+    ]
+    for rnd in range(1, nr):
+        rk = rkw[rnd]
+        w = [
+            t0[(w[c] >> 24) & 0xFF]
+            ^ t1[(w[(c + 1) % 4] >> 16) & 0xFF]
+            ^ t2[(w[(c + 2) % 4] >> 8) & 0xFF]
+            ^ t3[w[(c + 3) % 4] & 0xFF]
+            ^ rk[c]
+            for c in range(4)
+        ]
+    rk = rkw[nr]
+    out = bytearray(16)
+    for c in range(4):
+        v = (
+            (sbox[(w[c] >> 24) & 0xFF] << 24)
+            | (sbox[(w[(c + 1) % 4] >> 16) & 0xFF] << 16)
+            | (sbox[(w[(c + 2) % 4] >> 8) & 0xFF] << 8)
+            | sbox[w[(c + 3) % 4] & 0xFF]
+        ) ^ rk[c]
+        out[4 * c] = (v >> 24) & 0xFF
+        out[4 * c + 1] = (v >> 16) & 0xFF
+        out[4 * c + 2] = (v >> 8) & 0xFF
+        out[4 * c + 3] = v & 0xFF
+    return bytes(out)
+
+
 def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """IV + CBC ciphertext with the spec's always-pad (1..16 bytes, each
     byte = pad length) — the AESV2 stream layout (§7.6.2)."""
-    rks = _aes_round_keys(key)
+    rkw = _rk_words(_aes_round_keys(key))
     pad = 16 - (len(data) % 16)
     data = data + bytes([pad]) * pad
     out = bytearray(iv)
     prev = iv
     for i in range(0, len(data), 16):
         blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
-        prev = _aes_block(blk, rks, True)
+        prev = _aes_encrypt_block_fast(blk, rkw)
         out += prev
     return bytes(out)
 
@@ -276,6 +354,49 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
     if not 1 <= pad <= 16:
         return None
     return bytes(out[:-pad])
+
+
+def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes,
+                 encrypt: bool) -> bytes:
+    """CBC without padding or an embedded IV — the form the R6 KDF and
+    the /UE//OE key wrapping use (data length must be a block multiple)."""
+    rks = _aes_round_keys(key)
+    out = bytearray()
+    prev = iv
+    if encrypt:
+        rkw = _rk_words(rks)
+        for i in range(0, len(data), 16):
+            blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+            prev = _aes_encrypt_block_fast(blk, rkw)
+            out += prev
+    else:
+        for i in range(0, len(data), 16):
+            blk = data[i:i + 16]
+            out += bytes(
+                a ^ b for a, b in zip(_aes_block(blk, rks, False), prev)
+            )
+            prev = blk
+    return bytes(out)
+
+
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 password hash: an iterated
+    SHA-256/384/512 schedule keyed by AES-128-CBC of the running state.
+    (256 ≡ 1 mod 3, so the spec's big-endian-mod-3 of E's first 16 bytes
+    equals the byte-sum mod 3.) Round-trip/self-consistency tested; real
+    R6 corpora additionally go through PyMuPDF when importable."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _aes_cbc_raw(k[:16], k[16:32], k1, True)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def _std_file_key(o: bytes, p: int, id0: bytes, r: int, nbytes: int,
@@ -385,13 +506,32 @@ def _maybe_decrypt(data: bytes, objects: dict) -> None:
     vm = re.search(rb"/V\s+(\d+)", src)
     v = int(vm.group(1)) if vm else 1
     aes = False
+    if v >= 5:
+        # V5/R6 (PDF 2.0, /AESV3): the file key is wrapped in /UE, the
+        # password check is the Algorithm-2.B hash against /U — no
+        # per-object keys, streams are AES-256-CBC under the file key
+        u = _string_value(src, b"/U")
+        ue = _string_value(src, b"/UE")
+        if not (b"/AESV3" in src and u and ue and len(u) >= 48
+                and len(ue) >= 32):
+            return
+        vsalt, ksalt = u[32:40], u[40:48]
+        if _hash_2b(b"", vsalt, b"") != u[:32]:
+            return  # non-empty user password — leave the file encrypted
+        fkey = _aes_cbc_raw(_hash_2b(b"", ksalt, b""), b"\x00" * 16,
+                            ue[:32], False)
+        for num, (osrc, stream) in objects.items():
+            if stream is None or num == enc:
+                continue
+            if re.search(rb"/Type\s*/XRef\b", osrc):
+                continue
+            dec = _aes_cbc_decrypt(fkey, stream)
+            objects[num] = (osrc, dec if dec is not None else b"")
+        return
     if v >= 4:
         # V4 names its stream scheme via crypt filters: /AESV2 is the
         # AES-128-CBC path implemented here; /V2 inside /CF is RC4 with
-        # per-object keys (same as V2); V5/AESV3 (AES-256) stays out of
-        # scope for the pure-Python path
-        if v >= 5:
-            return
+        # per-object keys (same as V2)
         if b"/AESV2" in src:
             aes = True
         elif b"/V2" not in src:
@@ -1795,6 +1935,89 @@ def encrypt_pdf_aes(
         f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
         f"/StmF /StdCF /StrF /StdCF "
         f"/P {p} /O <{o.hex()}> /U <{u.hex()}> >>\nendobj\n"
+    ).encode("latin-1")
+    out += (
+        f"trailer\n<< /Encrypt {enc_num} 0 R "
+        f"/ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
+    ).encode("latin-1")
+    return bytes(out)
+
+
+def encrypt_pdf_aes256(
+    data: bytes,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
+) -> bytes:
+    """Fixture-side V5/R6 AESV3 encryption (ISO 32000-2 / PDF 2.0):
+    streams become IV + AES-256-CBC ciphertext under ONE file key (no
+    per-object derivation in V5); /U carries the Algorithm-2.B user hash
+    + validation/key salts, /UE wraps the file key under the
+    key-salt-derived intermediate, /O//OE the owner-side twins (hashed
+    over the 48-byte /U per spec), /Perms the ECB-sealed permissions.
+    Deterministic salts/IVs keep fixtures byte-stable. The inverse of
+    `_maybe_decrypt`'s V5 branch (round-trip-tested)."""
+    import hashlib
+    import struct
+
+    fkey = hashlib.sha256(b"fixture-filekey" + data[:64]).digest()
+    id0 = hashlib.md5(b"fixture-id-aes256" + data[:64]).digest()
+    p = -44
+    vsalt = hashlib.md5(b"vs" + id0).digest()[:8]
+    ksalt = hashlib.md5(b"ks" + id0).digest()[:8]
+    u = _hash_2b(user_pw, vsalt, b"") + vsalt + ksalt
+    ue = _aes_cbc_raw(_hash_2b(user_pw, ksalt, b""), b"\x00" * 16,
+                      fkey, True)
+    ovsalt = hashlib.md5(b"ovs" + id0).digest()[:8]
+    oksalt = hashlib.md5(b"oks" + id0).digest()[:8]
+    o = _hash_2b(owner_pw, ovsalt, u) + ovsalt + oksalt
+    oe = _aes_cbc_raw(_hash_2b(owner_pw, oksalt, u), b"\x00" * 16,
+                      fkey, True)
+    perms_blk = (struct.pack("<i", p) + b"\xff\xff\xff\xff" + b"T"
+                 + b"adb" + b"fixd")
+    perms = _aes_block(perms_blk, _aes_round_keys(fkey), True)
+
+    pieces: list[bytes] = []
+    cursor = 0
+    max_num = 0
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        max_num = max(max_num, num)
+        end = data.find(b"endobj", m.end())
+        if end < 0:
+            continue
+        body = data[m.end():end]
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            continue
+        lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)",
+                       body[: sm.start()])
+        if not lm:
+            continue
+        start = m.end() + sm.end()
+        n = int(lm.group(1))
+        iv = hashlib.md5(f"iv256:{num}:".encode("ascii")
+                         + data[start: start + n]).digest()
+        enc = _aes_cbc_encrypt(fkey, iv, data[start: start + n])
+        dict_src = body[: sm.start()]
+        patched = (
+            dict_src[: lm.start(1)]
+            + str(len(enc)).encode("ascii")
+            + dict_src[lm.end(1):]
+        )
+        pieces.append(data[cursor:m.end()])
+        pieces.append(patched + b"stream\n" + enc + b"\nendstream\n")
+        cursor = end
+    pieces.append(data[cursor:])
+    out = bytearray(b"".join(pieces))
+
+    enc_num = max_num + 1
+    out += (
+        f"{enc_num} 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 "
+        f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        f"/StmF /StdCF /StrF /StdCF /P {p} "
+        f"/U <{u.hex()}> /UE <{ue.hex()}> "
+        f"/O <{o.hex()}> /OE <{oe.hex()}> /Perms <{perms.hex()}> "
+        f">>\nendobj\n"
     ).encode("latin-1")
     out += (
         f"trailer\n<< /Encrypt {enc_num} 0 R "

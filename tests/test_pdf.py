@@ -1018,3 +1018,48 @@ class TestEncryption:
 
         assert extract_pdf_blocks(
             encrypt_pdf_aes(plain, user_pw=b"secret")) == []
+
+    def test_aes256_core_and_fast_path(self):
+        """FIPS-197 C.3 (AES-256) and T-table/simple-path agreement on
+        random blocks for both key sizes."""
+        import random
+
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            _aes_block,
+            _aes_encrypt_block_fast,
+            _aes_round_keys,
+            _rk_words,
+        )
+
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        k256 = bytes(range(32))
+        c256 = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+        rks = _aes_round_keys(k256)
+        assert _aes_block(pt, rks, True) == c256
+        assert _aes_block(c256, rks, False) == pt
+
+        rnd = random.Random(7)
+        for klen in (16, 32):
+            key = bytes(rnd.randrange(256) for _ in range(klen))
+            rk = _aes_round_keys(key)
+            rkw = _rk_words(rk)
+            for _ in range(10):
+                blk = bytes(rnd.randrange(256) for _ in range(16))
+                assert _aes_encrypt_block_fast(blk, rkw) == \
+                    _aes_block(blk, rk, True)
+
+    def test_aes256_v5_roundtrip_and_wrong_password(self):
+        """V5/R6 (AESV3): the Algorithm-2.B user hash validates against
+        /U, the file key unwraps from /UE, streams decode to the exact
+        plaintext blocks; a user-password-locked file is refused."""
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            encrypt_pdf_aes256,
+            extract_pdf_blocks,
+        )
+
+        plain = self._plain()
+        enc = encrypt_pdf_aes256(plain)
+        assert b"hello" not in enc
+        assert extract_pdf_blocks(enc) == extract_pdf_blocks(plain)
+        assert extract_pdf_blocks(
+            encrypt_pdf_aes256(plain, user_pw=b"secret")) == []
