@@ -1776,14 +1776,17 @@ def q60(spark, sf):
     """,
 )
 def q61(spark, sf):
-    """Decile assignment via ntile over a deterministic total order —
-    the quantile-bucketing used for quality-score stratification. A global
-    window is a single-partition sort; at 100 TB swap to approx_percentile
-    cutpoints + a join, same output contract (documented trade)."""
+    """Decile assignment over a deterministic total order — the
+    quantile-bucketing used for quality-score stratification.  Identical
+    output to ``ntile(10) OVER (ORDER BY ...)`` (the oracle), but computed
+    with the TeraSort pattern (operators/ranking.py): ONE range-partition
+    shuffle + per-partition offsets instead of an Exchange SinglePartition —
+    the last global-sort plan in the inventory, now scale-safe."""
+    from ocr_vector_db_spark.operators.ranking import exact_ntile
+
     o = load_table(spark, sf, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.withColumn("decile", F.ntile(10).over(w))
+        exact_ntile(o, ["o_totalprice", "o_orderkey"], 10, out_col="decile")
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),

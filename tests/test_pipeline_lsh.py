@@ -175,6 +175,26 @@ def test_plan_shapes(tables, spark):
     # (the ONLY exchange is the pre-collected stats agg, nothing joins)
     p120 = plan_of("q120_standardized_embeddings")
     assert "Join" not in p120
+    # deciles: NO global sort over the full relation (no ntile window, no
+    # global=true Sort over the scan) — the TeraSort path: one range
+    # exchange, reused by the offsets branch, offsets arrive broadcast.
+    # The only SinglePartition exchange feeds the ~num_partitions-row
+    # counts aggregate, never the corpus.
+    p61 = plan_of("q61_ntile_deciles")
+    assert "ntile" not in p61
+    assert "hashpartitioning(_bid" in p61  # the one full-data shuffle
+    assert "BroadcastHashJoin" in p61  # offsets arrive broadcast
+    import re as _re
+
+    # no global sort anywhere (Sort [...], true = the single-task funnel);
+    # the only SinglePartition exchange is the <=B-row offsets prefix-sum
+    # inside the broadcast subtree
+    assert not _re.search(r"Sort \[[^\]]*\], true", p61)
+    assert p61.count("Exchange SinglePartition") <= 1
+    if "Exchange SinglePartition" in p61:
+        assert p61.index("Exchange SinglePartition") > p61.index(
+            "BroadcastExchange"
+        )
 
 
 def test_no_accidental_cartesian_products(tables, spark):

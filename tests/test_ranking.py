@@ -1,0 +1,124 @@
+"""operators/ranking.py — distributed exact global rank / ntile.
+
+Parity oracle: Spark's own windowed row_number/ntile (the single-partition
+plan the operator replaces) on the same data, every edge: n < buckets,
+n % buckets != 0, duplicate sort values (tie-broken by id), multi-partition
+inputs, and the plan shape (no global sort, exchange reuse).
+"""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators.ranking import (
+    exact_ntile,
+    global_row_number,
+    ntile_from_rank,
+)
+
+
+def _windowed(df, keys, n):
+    w = Window.orderBy(*keys)
+    return df.withColumn("bucket", F.ntile(n).over(w))
+
+
+@pytest.mark.parametrize("n_rows,n_buckets", [(7, 10), (10, 10), (103, 10),
+                                              (1000, 7), (1, 3)])
+def test_exact_ntile_matches_window(spark, n_rows, n_buckets):
+    df = (
+        spark.range(n_rows)
+        .withColumn("val", (F.col("id") * 37 % 11).cast("double"))  # heavy ties
+        .repartition(5)
+    )
+    keys = ["val", "id"]
+    got = {
+        (r.id, r.bucket)
+        for r in exact_ntile(df, keys, n_buckets, num_partitions=4).collect()
+    }
+    want = {(r.id, r.bucket) for r in _windowed(df, keys, n_buckets).collect()}
+    assert got == want
+
+
+def test_global_row_number_matches_window(spark):
+    df = spark.range(257).withColumn("val", (F.col("id") % 13).cast("double"))
+    got = {
+        (r.id, r.rn, r.tot)
+        for r in global_row_number(
+            df, ["val", "id"], out_col="rn", total_col="tot",
+            num_partitions=6,
+        ).collect()
+    }
+    w = Window.orderBy("val", "id")
+    want = {
+        (r.id, r.rn, 257)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_ntile_from_rank_closed_form(spark):
+    # exhaustive vs Python reference for every (n, buckets) pair in range
+    rows = []
+    for n in range(1, 40):
+        for b in (3, 10):
+            q, r = divmod(n, b)
+            for rn in range(1, n + 1):
+                if q == 0 or rn <= r * (q + 1):
+                    want = -(-rn // (q + 1))
+                else:
+                    want = r + -(-(rn - r * (q + 1)) // q)
+                rows.append((n, b, rn, want))
+    df = spark.createDataFrame(rows, "n bigint, b int, rn bigint, want int")
+    bad = (
+        df.withColumn(
+            "got",
+            F.when(F.col("b") == 3,
+                   ntile_from_rank(F.col("rn"), F.col("n"), 3))
+            .otherwise(ntile_from_rank(F.col("rn"), F.col("n"), 10)),
+        )
+        .filter(F.col("got") != F.col("want"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ranking_plan_no_global_sort(spark):
+    import re
+
+    df = spark.range(100).withColumn("val", F.col("id").cast("double"))
+    plan = (
+        exact_ntile(df, ["val", "id"], 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert not re.search(r"Sort \[[^\]]*\], true", plan)
+    assert plan.count("hashpartitioning(_bid") >= 1
+    # the only SinglePartition exchange is the bounded (<= n_buckets rows)
+    # offsets prefix-sum, living inside the broadcast subtree
+    assert plan.count("Exchange SinglePartition") <= 1
+    if "Exchange SinglePartition" in plan:
+        assert plan.index("Exchange SinglePartition") > plan.index(
+            "BroadcastExchange"
+        )
+
+
+def test_ranking_all_equal_keys_degenerate(spark):
+    # pathological: every leading key identical → one bucket, still exact
+    df = spark.range(25).withColumn("val", F.lit(1.0))
+    got = {(r.id, r.bucket)
+           for r in exact_ntile(df, ["val", "id"], 4).collect()}
+    want = {(r.id, r.bucket)
+            for r in _windowed(df, ["val", "id"], 4).collect()}
+    assert got == want
+
+
+def test_ranking_null_keys_sort_first(spark):
+    df = spark.range(40).withColumn(
+        "val",
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise((F.col("id") % 5).cast("double")),
+    )
+    got = {(r.id, r.bucket)
+           for r in exact_ntile(df, ["val", "id"], 10).collect()}
+    want = {(r.id, r.bucket)
+            for r in _windowed(df, ["val", "id"], 10).collect()}
+    assert got == want
