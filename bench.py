@@ -88,6 +88,17 @@ HEADLINE = [
     "q118_bigram_cross_entropy",
     "q119_weighted_sample",
     "q120_standardized_embeddings",
+    # round 8 additions: the rest of the round-7 set — dangling PageRank,
+    # batched IVF-PQ serving, the hierarchical quantizer serving tier
+    # (q115/q122: the designated 100-TB serving shape, cost-tracked
+    # round-over-round), encrypted-PDF decode — plus the cutpoint-bucketed
+    # exact deciles (q61, this round's global-sort removal)
+    "q61_ntile_deciles",
+    "q113_pagerank_dangling_redistribute",
+    "q114_ivfpq_batch_serving",
+    "q115_ivf_hierarchical_quantizer",
+    "q121_pdf_encrypted",
+    "q122_ivfpq_hierarchical",
 ]
 
 
