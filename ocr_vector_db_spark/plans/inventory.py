@@ -1779,9 +1779,11 @@ def q61(spark, sf):
     """Decile assignment over a deterministic total order — the
     quantile-bucketing used for quality-score stratification.  Identical
     output to ``ntile(10) OVER (ORDER BY ...)`` (the oracle), but computed
-    with the TeraSort pattern (operators/ranking.py): ONE range-partition
-    shuffle + per-partition offsets instead of an Exchange SinglePartition —
-    the last global-sort plan in the inventory, now scale-safe."""
+    with the cutpoint pattern (operators/ranking.py): ONE hash shuffle on a
+    derived range-bucket id (recomputed deterministically per branch — no
+    exchange reuse) + broadcast per-bucket offsets instead of an Exchange
+    SinglePartition — the last global-sort plan in the inventory, now
+    scale-safe."""
     from ocr_vector_db_spark.operators.ranking import exact_ntile
 
     o = load_table(spark, sf, "orders")

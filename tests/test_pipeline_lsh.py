@@ -176,8 +176,9 @@ def test_plan_shapes(tables, spark):
     p120 = plan_of("q120_standardized_embeddings")
     assert "Join" not in p120
     # deciles: NO global sort over the full relation (no ntile window, no
-    # global=true Sort over the scan) — the TeraSort path: one range
-    # exchange, reused by the offsets branch, offsets arrive broadcast.
+    # global=true Sort over the scan) — the cutpoint path: one hash shuffle
+    # on the derived _bid bucket id (recomputed deterministically per
+    # branch, no exchange reuse needed), offsets arrive broadcast.
     # The only SinglePartition exchange feeds the ~num_partitions-row
     # counts aggregate, never the corpus.
     p61 = plan_of("q61_ntile_deciles")

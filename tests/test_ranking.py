@@ -122,3 +122,83 @@ def test_ranking_null_keys_sort_first(spark):
     want = {(r.id, r.bucket)
             for r in _windowed(df, ["val", "id"], 10).collect()}
     assert got == want
+
+def test_ranking_string_key_rejected(spark):
+    # a string leading key's lexical order differs from its double-cast
+    # order ('10' < '9' lexically) — must raise, not silently mis-rank
+    df = spark.range(20).withColumn("val", F.col("id").cast("string"))
+    with pytest.raises(TypeError, match="leading sort key"):
+        exact_ntile(df, ["val", "id"], 4)
+    with pytest.raises(TypeError, match="leading sort key"):
+        global_row_number(df, ["val", "id"])
+
+
+def test_ranking_date_key_supported(spark):
+    df = spark.range(60).withColumn(
+        "d", F.date_add(F.lit("2020-01-01"), (F.col("id") * 13 % 40).cast("int"))
+    )
+    got = {(r.id, r.bucket)
+           for r in exact_ntile(df, ["d", "id"], 5, num_partitions=4).collect()}
+    want = {(r.id, r.bucket) for r in _windowed(df, ["d", "id"], 5).collect()}
+    assert got == want
+
+
+def test_ranking_timestamp_key_supported(spark):
+    df = spark.range(60).withColumn(
+        "ts", F.timestamp_seconds(1_500_000_000 + F.col("id") * 977 % 50)
+    )
+    got = {(r.id, r.bucket)
+           for r in exact_ntile(df, ["ts", "id"], 5, num_partitions=4).collect()}
+    want = {(r.id, r.bucket) for r in _windowed(df, ["ts", "id"], 5).collect()}
+    assert got == want
+
+
+def test_ranking_helper_name_collision_rejected(spark):
+    df = spark.range(10).withColumn("_bid", F.col("id") * 2)
+    with pytest.raises(ValueError, match="_bid"):
+        global_row_number(df, ["id"])
+    df2 = spark.range(10).withColumn("_grn", F.col("id") * 2)
+    with pytest.raises(ValueError, match="_grn"):
+        exact_ntile(df2, ["id"], 4)
+
+
+def test_ranking_bucket_count_clamped(spark):
+    # a cluster-sized shuffle-partition config must not balloon the O(B)
+    # cutpoint comparison chain past MAX_RANGE_BUCKETS terms
+    from ocr_vector_db_spark.operators.ranking import MAX_RANGE_BUCKETS
+
+    df = spark.range(5000).withColumn("val", F.col("id").cast("double"))
+    out = global_row_number(df, ["val", "id"], num_partitions=100_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # percentile_approx dedupes ties, so each of the two _bid branches
+    # (rank + counts) carries <= B-1 comparison terms
+    assert plan.count(">= ") <= 2 * MAX_RANGE_BUCKETS
+    # and the answer is still exact
+    got = {(r.id, r.rn) for r in out.collect()}
+    w = Window.orderBy("val", "id")
+    want = {(r.id, r.rn)
+            for r in df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert got == want
+
+
+def test_ntile_from_rank_exact_beyond_double_precision(spark):
+    # counts beyond 2^52: double-routed ceil would round; bigint div must not
+    big = 2**60
+    df = spark.createDataFrame(
+        [(big, big), (big - 1, big), (1, big), (big // 2, big)],
+        "rn bigint, tot bigint",
+    )
+    rows = {
+        (r.rn, r.got)
+        for r in df.withColumn(
+            "got", ntile_from_rank(F.col("rn"), F.col("tot"), 10)
+        ).collect()
+    }
+    q, rem = divmod(big, 10)  # rem == 6 for 2^60
+
+    def ref(rn):
+        if rn <= rem * (q + 1):
+            return -(-rn // (q + 1))
+        return rem + -(-(rn - rem * (q + 1)) // q)
+
+    assert rows == {(rn, ref(rn)) for rn in (big, big - 1, 1, big // 2)}
