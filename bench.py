@@ -164,15 +164,26 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # The driver's artifact keeps only the last ~2000 chars of stdout, so
+    # the final JSON line must be compact enough to survive whole: shorten
+    # each query name to its qNN prefix ("ingest_200docs" -> "ingest") and
+    # drop the spaces. Full names are mirrored on stderr above (one
+    # "# name: Ns" line per query) for human reading.
+    short = {
+        (k.split("_", 1)[0] if k.startswith("q") else "ingest"): v
+        for k, v in timings.items()
+    }
+    assert len(short) == len(timings), "qNN prefixes must stay unique"
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": short,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 
