@@ -99,6 +99,11 @@ HEADLINE = [
     "q115_ivf_hierarchical_quantizer",
     "q121_pdf_encrypted",
     "q122_ivfpq_hierarchical",
+    # round 9 additions: the persisted incremental bigram LM (build+add+
+    # compact happen once in the untimed warmup via the session memo, like
+    # the q101-q105 indexes; timed runs measure the partition-pruned
+    # score_batch serving path, tracked against q118's refit cost)
+    "q123_ngram_lm_incremental",
 ]
 
 

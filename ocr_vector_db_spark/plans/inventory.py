@@ -4552,6 +4552,60 @@ def q118(spark, sf):
     return ngram_lm.bigram_cross_entropy(d)
 
 
+@query(
+    "q123_ngram_lm_incremental",
+    # the oracle is q118's refit SQL verbatim: an incrementally-built
+    # persisted LM must score byte-identically to a full refit
+    f"""
+    WITH {_NGRAM_TOKS_CTE},
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    bgc AS (
+        SELECT tok_a, tok_b, COUNT(*) AS cab
+        FROM bg GROUP BY tok_a, tok_b
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               ROUND(-ln(CAST(bgc.cab + 1 AS DOUBLE)
+                         / (CAST(ua.cnt AS DOUBLE) + v.v)), 6) AS nlp
+        FROM bg JOIN bgc USING (tok_a, tok_b)
+                JOIN uni ua ON bg.tok_a = ua.tok
+                CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q123(spark, sf):
+    """Incremental LM index (operators/ngram_lm_index.py, the LM sibling
+    of q104's LexicalIndex): build the persisted bigram LM on HALF the
+    corpus, add() the rest (bucketed count-row appends + exact integer
+    vocab/total folds), compact() once (count folding is read-time, so
+    compaction must not change a single score), then score the whole
+    corpus against the PERSISTED counts — only the batch's own buckets of
+    the pair/unigram tables are read (partition-pruned scans). Oracle =
+    q118's refit SQL over the full corpus: build(A)+add(B) must score
+    byte-identically to a refit on A∪B — CCNet-style LM filtering served
+    from a stable index instead of a per-batch re-count."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ngram_lm_index import NgramLMIndex
+
+    d = load_table(spark, sf, "documents")
+    key = (spark.sparkContext.applicationId, sf, "q123_lm_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="lmidx_")
+        idx = NgramLMIndex.build(
+            spark, d.filter(F.col("doc_id") % 2 == 0), path, n_buckets=16
+        )
+        idx.add(d.filter(F.col("doc_id") % 2 == 1))
+        idx.compact()
+        _PLAN_MEMO[key] = path
+    idx = NgramLMIndex.load(spark, _PLAN_MEMO[key])
+    return idx.score_batch(d)
+
+
 _Q106_QUERY_IDS = [0, 7, 23, 42]
 
 
