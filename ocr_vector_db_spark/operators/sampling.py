@@ -42,6 +42,36 @@ def es_key_col(id_col: Column, weight: Column, salt: str = "es") -> Column:
     return F.log(u) / weight.cast("double")
 
 
+def fold_sample(
+    current: DataFrame | None,
+    batch: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "es",
+) -> DataFrame:
+    """One A-ES fold step: the weighted top-k of `current ∪ batch`, where
+    `current` is a previous fold's (id, weight, …) output (or None for
+    the first batch). EXACTLY the sample `weighted_sample` draws over the
+    union of every folded batch, because (a) the key is a pure function
+    of (id, weight) — recomputed from the stored columns, no precision
+    carried between folds — and (b) A-ES selection is an associative
+    top-k: top_k(A ∪ B) ⊆ top_k(top_k(A) ∪ B). Per-fold cost is
+    O(batch + k); the historical stream is never rescanned.
+
+    Duplicate ids across folds (a replayed epoch, an id re-delivered)
+    collapse via dropDuplicates(id) — the key is id-deterministic, so the
+    rows are identical and the fold is idempotent. An id re-appearing
+    with a DIFFERENT weight is a caller bug (which weight the sample
+    keeps is then nondeterministic, as in any keyed upsert)."""
+    u = batch.select(F.col(id_col), F.col(weight_col).alias("weight"))
+    if current is not None:
+        u = current.select(id_col, "weight").unionByName(u)
+    return weighted_sample(
+        u.dropDuplicates([id_col]), k, "weight", id_col=id_col, salt=salt
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,
@@ -65,3 +95,54 @@ def weighted_sample(
         .limit(k)
         .select(id_col, "weight", F.round("__k", 6).alias("es_key"))
     )
+
+
+class RunningSample:
+    """Persisted running A-ES sample for streams — the stateful twin the
+    module docstring promises: a k-row (id, weight, es_key) table under
+    generation pointers (`operators/index_maint.py`), folded once per
+    epoch with `fold_sample`. State is k rows regardless of how much the
+    stream has ingested; every fold is one O(batch + k) job plus a k-row
+    generation publish. Replay-safe: folds are idempotent (id-dedup +
+    id-deterministic keys), so a crashed epoch's retry re-folds harmlessly.
+    Single-writer contract, like every index in this repo."""
+
+    def __init__(self, spark, path: str, k: int, weight_col: str,
+                 id_col: str = "doc_id", salt: str = "es"):
+        self.spark = spark
+        self.path = path
+        self.k = k
+        self.weight_col = weight_col
+        self.id_col = id_col
+        self.salt = salt
+
+    def current(self) -> DataFrame | None:
+        """The latest committed sample (None before the first fold)."""
+        from ocr_vector_db_spark.operators.index_maint import (
+            committed_generations,
+            current_gen_dir,
+        )
+
+        if not committed_generations(self.spark, self.path):
+            return None
+        return self.spark.read.parquet(current_gen_dir(self.spark, self.path))
+
+    def fold(self, batch: DataFrame) -> None:
+        """Fold one accepted batch and publish the new sample as the next
+        generation (atomic marker commit; readers always see a complete
+        k-row sample — the previous one until the marker lands)."""
+        from ocr_vector_db_spark.operators.index_maint import (
+            commit_generation,
+            gc_generations,
+            next_gen_dir,
+        )
+
+        new = fold_sample(
+            self.current(), batch, self.k, self.weight_col,
+            id_col=self.id_col, salt=self.salt,
+        )
+        n_gen, dest = next_gen_dir(self.spark, self.path)
+        # ≤ k rows: one file
+        new.coalesce(1).write.mode("overwrite").parquet(dest)
+        commit_generation(self.spark, self.path, n_gen)
+        gc_generations(self.spark, self.path)

@@ -252,6 +252,7 @@ def stream_ingest_deduped(
     semantic_intra_nprobe: int | None = 2,
     semantic_branches: int | None = None,
     embedder=None,
+    sample=None,
 ):
     """Streaming ingestion with incremental near-dup gating — the streaming
     twin of q105. Each micro-batch:
@@ -309,7 +310,16 @@ def stream_ingest_deduped(
     stores too) bound the
     small-files accumulation of long streams by running `index.compact()`
     inline; the generation-pointer publish keeps concurrent readers
-    correct throughout."""
+    correct throughout.
+
+    `sample` (an `operators/sampling.RunningSample`) maintains a running
+    A-ES weighted sample of the ACCEPTED stream: each epoch's survivors
+    fold into the persisted k-row state (`fold_sample` — exactly the
+    sample `weighted_sample` would draw over every accepted doc so far,
+    at O(batch + k) per epoch). Folds are id-idempotent, so replays are
+    harmless; a crashed epoch's guarded retry re-folds from the epoch's
+    own sink rows, closing the same crash window the semantic repair
+    does."""
     import os as _os
 
     from ocr_vector_db_spark.operators.dedup import minhash_dropped_ids
@@ -426,6 +436,21 @@ def stream_ingest_deduped(
                         id_col=id_col, assume_new=assume_new,
                         branches=semantic_branches,
                     )
+                if sample is not None:
+                    sample.fold(fresh)
+            if guarded and sample is not None:
+                # Same crash window as the semantic repair below: a prior
+                # attempt may have died between the sink write and the
+                # sample fold; on retry `fresh` is empty (dedup_new drops
+                # the indexed docs), so re-fold from the epoch's own sink
+                # rows. Folds are id-idempotent — a no-op if it did land.
+                epoch_rows = getattr(accepted_sink, "read_epoch", None)
+                epoch_rows = epoch_rows and epoch_rows(
+                    batch_df.sparkSession, epoch_id
+                )
+                if (epoch_rows is not None
+                        and sample.weight_col in epoch_rows.columns):
+                    sample.fold(epoch_rows)
             if guarded and semantic_index is not None:
                 # Crash-window repair: a prior attempt may have died
                 # BETWEEN the text index.add and semantic_index.add. On

@@ -685,3 +685,38 @@ def test_standardize_embeddings_unit_norm_and_centered(spark):
              for r in embedding_prep.standardize_embeddings(
                  df, stats=stats).collect()}
     assert again == out
+
+
+def test_fold_sample_equals_union_draw(spark, tmp_path):
+    """Streaming A-ES fold: folding per-batch top-k state over N batches
+    yields EXACTLY weighted_sample over the union — same rows, same keys
+    — and re-folding a batch (replay) is a no-op."""
+    from ocr_vector_db_spark.operators import sampling
+
+    batches = [
+        spark.createDataFrame(
+            [(i, (i * 7) % 13 + 1) for i in range(lo, hi)],
+            "doc_id bigint, w bigint",
+        )
+        for lo, hi in [(0, 70), (70, 150), (150, 260)]
+    ]
+    folded = None
+    for b in batches:
+        folded = sampling.fold_sample(folded, b, 25, "w")
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    want = [tuple(r) for r in sampling.weighted_sample(union, 25, "w").collect()]
+    assert [tuple(r) for r in folded.collect()] == want
+
+    refold = sampling.fold_sample(folded, batches[1], 25, "w")  # replay
+    assert [tuple(r) for r in refold.collect()] == want
+
+    # persisted state: RunningSample folds across instances and survives
+    # reload; state is always <= k rows
+    rs = sampling.RunningSample(spark, str(tmp_path / "s"), 25, "w")
+    assert rs.current() is None
+    for b in batches[:2]:
+        rs.fold(b)
+    rs2 = sampling.RunningSample(spark, str(tmp_path / "s"), 25, "w")
+    rs2.fold(batches[2])
+    assert [tuple(r) for r in rs2.current().collect()] == want
+    assert rs2.current().count() == 25

@@ -743,3 +743,96 @@ def test_stream_ingest_hierarchical_dense_gate(spark, tmp_path):
     assert stats[-1] == {"epoch": 0, "accepted": 1, "dropped_as_dup": 2}
     got = {r.doc_id for r in ivf.vectors().collect()}
     assert got == {100, 101, 102, 103, 104, 105, 106, 107, 5}
+
+
+def test_stream_ingest_running_sample(spark, tmp_path):
+    """Streaming A-ES fold wired into the ingest gate: after N epochs the
+    persisted RunningSample equals weighted_sample over the ACCEPTED
+    corpus exactly; a crashed epoch's guarded retry re-folds from the
+    epoch's own sink rows (id-idempotent, so never a double count)."""
+    import json as _json
+
+    from ocr_vector_db_spark.operators import sampling
+    from ocr_vector_db_spark.operators.index_maint import EpochLedger
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
+
+    texts = {
+        i: f"document {i} with distinct prose about topic {i * 37} and "
+           f"sufficient words {'x' * (i % 5)} to hash on"
+        for i in range(1, 7)
+    }
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    idx = MinHashIndex.build(spark, empty, str(tmp_path / "mh"), 16, 4, 2, 8)
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted"))
+    rs = sampling.RunningSample(spark, str(tmp_path / "sample"), 3, "w")
+    ledger = EpochLedger(spark, str(tmp_path / "ledger"))
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, w long"
+
+    # three epochs of two docs each; weight = 10*id so the draw is spread
+    for e, ids in enumerate([(1, 2), (3, 4), (5, 6)]):
+        with open(src / f"b{e}.json", "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps(
+                    {"doc_id": i, "text": texts[i], "w": 10 * i}) + "\n")
+        q = stream_ingest_deduped(
+            spark.readStream.schema(schema).json(str(src)), idx, sink,
+            threshold=0.6, checkpoint=ckpt, ledger=ledger, sample=rs,
+        )
+        q.awaitTermination(60)
+
+    accepted = sink.read(spark)
+    assert accepted.count() == 6  # all distinct — nothing gated
+    want = [tuple(r) for r in
+            sampling.weighted_sample(accepted, 3, "w").collect()]
+    assert [tuple(r) for r in rs.current().collect()] == want
+
+    # crash window: a prior attempt wrote the sink rows and grew the index
+    # but died BEFORE the sample fold (and the ledger commit). On the
+    # guarded retry `fresh` comes back empty (dedup_new drops the already-
+    # indexed docs), so the normal fold never runs — the repair must
+    # re-fold from the epoch's own sink slice.
+    rs2 = sampling.RunningSample(spark, str(tmp_path / "sample2"), 3, "w")
+    ledger2 = EpochLedger(spark, str(tmp_path / "ledger2"))
+    idx2 = MinHashIndex.build(
+        spark, empty, str(tmp_path / "mh2"), 16, 4, 2, 8,
+    )
+    sink2 = ParquetAcceptedSink(str(tmp_path / "accepted2"))
+    src2 = tmp_path / "docs2"
+    src2.mkdir()
+    ckpt2 = str(tmp_path / "ckpt2")
+    for e, ids in enumerate([(1, 2), (3, 4)]):
+        with open(src2 / f"b{e}.json", "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps(
+                    {"doc_id": i, "text": texts[i], "w": 10 * i}) + "\n")
+        q = stream_ingest_deduped(
+            spark.readStream.schema(schema).json(str(src2)), idx2, sink2,
+            threshold=0.6, checkpoint=ckpt2, ledger=ledger2, sample=rs2,
+        )
+        q.awaitTermination(60)
+    # the dead attempt's trace for epoch 2: sink written, index grown,
+    # started marked — sample NOT folded, commit never reached
+    e2 = spark.createDataFrame(
+        [(i, texts[i], 10 * i) for i in (5, 6)],
+        "doc_id bigint, text string, w bigint",
+    )
+    sink2.write(e2, 2)
+    idx2.add(e2)
+    ledger2.mark_started(2)
+    with open(src2 / "b2.json", "w") as fh:
+        for i in (5, 6):
+            fh.write(_json.dumps(
+                {"doc_id": i, "text": texts[i], "w": 10 * i}) + "\n")
+    q = stream_ingest_deduped(
+        spark.readStream.schema(schema).json(str(src2)), idx2, sink2,
+        threshold=0.6, checkpoint=ckpt2, ledger=ledger2, sample=rs2,
+    )
+    q.awaitTermination(60)
+    assert [tuple(r) for r in rs2.current().collect()] == want
