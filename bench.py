@@ -104,6 +104,10 @@ HEADLINE = [
     # the q101-q105 indexes; timed runs measure the partition-pruned
     # score_batch serving path, tracked against q118's refit cost)
     "q123_ngram_lm_incremental",
+    # the whitened-serving invariant gate (standardized IVF build is
+    # memoized in warmup; timed runs measure the layout-equality +
+    # recall + self-serve checks against the persisted profile)
+    "q124_ivf_standardized",
 ]
 
 

@@ -338,7 +338,8 @@ class IVFIndex:
     def __init__(self, spark: SparkSession, path: str,
                  centroids: list[tuple[int, list[float]]] | None = None,
                  l1: list[tuple[int, list[float]]] | None = None,
-                 l2_to_l1: list[int] | None = None):
+                 l2_to_l1: list[int] | None = None,
+                 std_stats: list[tuple[float, float]] | None = None):
         self.spark = spark
         self.path = path
         self.centroids = centroids or []
@@ -347,6 +348,36 @@ class IVFIndex:
         # l2_to_l1[cid] = the branch each cluster centroid belongs to
         self.l1 = l1 or []
         self.l2_to_l1 = l2_to_l1 or []
+        # optional per-dimension (mu, sd) whitening profile (see
+        # build(standardize=True)): when set, every vector entering the
+        # index — layout, adds, queries, screens — passes through the SAME
+        # standardize-and-renormalize transform, so the index serves
+        # cosine in the whitened space symmetrically
+        self.std_stats = std_stats or []
+
+    # ------------------------------------------------- standardization seam
+
+    def _std_df(self, df: DataFrame, emb_col: str) -> DataFrame:
+        """Batch entry point: rewrite `emb_col` through the persisted
+        profile (no-op for non-standardized indexes). Applied at every
+        PUBLIC batch surface (add / dense_dropped_ids / screen_near_dups /
+        recall baselines); internal helpers then see index-space vectors
+        and never re-transform."""
+        if not self.std_stats:
+            return df
+        from ocr_vector_db_spark.operators.embedding_prep import standardize_col
+
+        return df.withColumn(emb_col, standardize_col(F.col(emb_col),
+                                                      self.std_stats))
+
+    def _std_vec(self, v: list[float]) -> list[float]:
+        """Query entry point — the driver twin of `_std_df` (bit-matches
+        the layout transform, so a corpus member queries itself at 1.0)."""
+        if not self.std_stats:
+            return [float(x) for x in v]
+        from ocr_vector_db_spark.operators.embedding_prep import standardize_vec
+
+        return standardize_vec(v, self.std_stats)
 
     # --------------------------------------------------------------- build
 
@@ -362,6 +393,7 @@ class IVFIndex:
         sample_fraction: float | None = None,
         max_iter: int = 20,
         l1_branches: int | None = None,
+        standardize: bool = False,
     ) -> "IVFIndex":
         """Fit KMeans (optionally on a sample — at 100 TB you fit on ~1M
         sampled vectors, then assign everything in one distributed pass),
@@ -381,10 +413,31 @@ class IVFIndex:
         num_clusters-sized is ever broadcast or driver-looped. Probing
         all branches reproduces the flat ranking exactly (q115's
         invariant); fewer branches is the standard recall/latency knob
-        ABOVE nprobe."""
+        ABOVE nprobe.
+
+        `standardize`: whiten the corpus first (q120's per-dimension
+        (v−mu)/sd + unit renorm, `operators/embedding_prep.py`) and
+        persist the (mu, sd) profile WITH the index (`standardize.json`):
+        the layout stores standardized vectors, and every public
+        query/add/screen/recall entry applies the same profile
+        symmetrically (`_std_df`/`_std_vec`), so callers keep handing in
+        raw vectors. One extra dim-rows stats agg at build; at serve the
+        transform folds into the query projection. Flag-off indexes carry
+        no profile and behave byte-identically to before."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        std_stats: list[tuple[float, float]] = []
+        if standardize:
+            from ocr_vector_db_spark.operators.embedding_prep import (
+                dim_stats,
+                standardize_col,
+            )
+
+            std_stats = dim_stats(df, emb_col)
+            df = df.withColumn(
+                emb_col, standardize_col(F.col(emb_col), std_stats)
+            )
         feat = df.withColumn("__f", array_to_vector(F.col(emb_col).cast("array<double>")))
         fit_on = feat.sample(sample_fraction, seed=seed) if sample_fraction else feat
         model = KMeans(
@@ -415,7 +468,12 @@ class IVFIndex:
             l1, l2_to_l1 = fit_hier_layer(
                 spark, path, centroids, l1_branches, seed, max_iter
             )
-        return cls(spark, path, centroids, l1, l2_to_l1)
+        if std_stats:
+            write_small_file(
+                spark, os.path.join(path, "standardize.json"),
+                json.dumps(std_stats).encode("utf-8"),
+            )
+        return cls(spark, path, centroids, l1, l2_to_l1, std_stats)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
@@ -430,7 +488,14 @@ class IVFIndex:
             )
         ]
         l1, l2_to_l1 = load_hier_layer(spark, path)
-        return cls(spark, path, centroids, l1, l2_to_l1)
+        std_stats: list[tuple[float, float]] = []
+        std_path = os.path.join(path, "standardize.json")
+        if fs_exists(spark, std_path):
+            std_stats = [
+                (float(m), float(s))
+                for m, s in json.loads(read_small_file(spark, std_path))
+            ]
+        return cls(spark, path, centroids, l1, l2_to_l1, std_stats)
 
     # -------------------------------------------------------------- search
 
@@ -453,7 +518,21 @@ class IVFIndex:
         first and consider only clusters inside the top-`branches`
         branches — |L1| + branches·(num_clusters/|L1|) comparisons
         instead of num_clusters. branches ≥ |L1| reproduces the flat
-        ranking exactly (every cluster is considered, same order)."""
+        ranking exactly (every cluster is considered, same order).
+
+        Takes a RAW vector (standardized indexes transform it here);
+        internal callers that already hold an index-space vector use
+        `_probe_clusters_idx`."""
+        return self._probe_clusters_idx(
+            self._std_vec(query_vector), nprobe, branches
+        )
+
+    def _probe_clusters_idx(
+        self,
+        query_vector: list[float],
+        nprobe: int,
+        branches: int | None = None,
+    ) -> list[int]:
         cand = self.centroids
         if branches and self.l1:
             keep = set(rank_branches(self.l1, query_vector)[:branches])
@@ -489,12 +568,16 @@ class IVFIndex:
 
         branches ≥ |L1| considers every centroid — exactly the flat
         assignment (equality-tested); smaller `branches` is the IMI-style
-        approximation whose recall is measured like any nprobe knob."""
+        approximation whose recall is measured like any nprobe knob.
+
+        Takes RAW vectors (standardized indexes transform here — callers
+        already holding index-space vectors, like `add`, go through
+        `assign_clusters_hier_df` directly)."""
         if not self.l1:
             raise ValueError("not a hierarchical index (build with l1_branches)")
         return assign_clusters_hier_df(
-            df, self.l1, self.centroids_l2_df(), branches,
-            emb_col=emb_col, metric=metric,
+            self._std_df(df, emb_col), self.l1, self.centroids_l2_df(),
+            branches, emb_col=emb_col, metric=metric,
         )
 
     def search(
@@ -522,11 +605,12 @@ class IVFIndex:
         `branches` (hierarchical indexes): rank only the top-`branches`
         L1 branches' clusters when choosing probes — the second
         recall/latency knob above nprobe; see `probe_clusters`."""
-        probes = self.probe_clusters(query_vector, nprobe, branches)
+        qv = self._std_vec(query_vector)  # raw → index space, ONCE
+        probes = self._probe_clusters_idx(qv, nprobe, branches)
         pruned = self.vectors().filter(F.col("cluster_id").isin(probes))
         if where is not None:
             pruned = pruned.filter(where)
-        return knn_brute_force(pruned, query_vector, k, emb_col=emb_col, id_col=id_col)
+        return knn_brute_force(pruned, qv, k, emb_col=emb_col, id_col=id_col)
 
     def _probe_assignments(
         self,
@@ -610,6 +694,7 @@ class IVFIndex:
         from ocr_vector_db_spark.operators.knn import SIM_PRECISION
         from ocr_vector_db_spark.functions.vector import cosine_similarity_col
 
+        batch = self._std_df(batch, emb_col)  # raw → index space
         if nprobe is None or nprobe >= len(self.centroids):
             # exact mode: ONE block — probing every cluster would replicate
             # each pair num_clusters times (same pairs, x32 the cosine work)
@@ -677,6 +762,7 @@ class IVFIndex:
         branches ≥ |L1| reproduces the flat assignment exactly."""
         from ocr_vector_db_spark.operators.knn import knn_batch
 
+        batch = self._std_df(batch, emb_col)  # raw → index space
         probes = self._probe_assignments(batch, nprobe, id_col, emb_col,
                                          branches)
         top1 = knn_batch(
@@ -833,7 +919,13 @@ class IVFIndex:
         from ocr_vector_db_spark.operators.knn import knn_batch
 
         spark = corpus.sparkSession
-        qrows = [(qi, [float(x) for x in qv]) for qi, qv in enumerate(queries)]
+        # standardized indexes: both sides of the recall compare move into
+        # index space — the exact baseline scores the standardized corpus
+        # (the layout IS that corpus, so full-probe recall stays 1.0 by
+        # construction) and each query standardizes ONCE here (the probe
+        # rankers below receive index-space vectors and never re-transform)
+        corpus = self._std_df(corpus, "embedding")
+        qrows = [(qi, self._std_vec(qv)) for qi, qv in enumerate(queries)]
         if not qrows:
             return [1.0] * len(settings)
         qschema = "query_id int, embedding array<double>"
@@ -879,7 +971,7 @@ class IVFIndex:
                     (si * stride + qi, cid)
                     for si, (np_, br) in enumerate(settings)
                     for qi, qv in qrows
-                    for cid in self.probe_clusters(qv, np_, br)
+                    for cid in self._probe_clusters_idx(qv, np_, br)
                 ],
                 "query_id int, cluster_id int",
             )
@@ -956,12 +1048,16 @@ class IVFIndex:
         L2 join) — past the ~GB centroid-broadcast budget, that is the
         only shape left; serve those vectors with the same `branches`.
         Single-writer contract. Returns the number of vectors added."""
+        df = self._std_df(df, emb_col)  # raw → index space
         if not assume_new:
             indexed = self.vectors().select(id_col).distinct()
             df = df.join(indexed, id_col, "left_anti")
         if branches and self.l1:
-            assigned = self.assign_clusters_hier(
-                df, branches, emb_col=emb_col, metric="cosine"
+            # df is already index-space: use the non-standardizing form
+            # (the public assign_clusters_hier would transform again)
+            assigned = assign_clusters_hier_df(
+                df, self.l1, self.centroids_l2_df(), branches,
+                emb_col=emb_col, metric="cosine",
             ).cache()
         else:
             assigned = assign_nearest_centroid(

@@ -60,6 +60,48 @@ def dim_stats(
     return [(r.mu, math.sqrt(max(0.0, r.m2 - r.mu * r.mu))) for r in rows]
 
 
+def standardize_col(col, stats: list[tuple[float, float]]):
+    """The standardize-and-renormalize transform as ONE Column expression
+    over an already-computed `col` holding the z-scored array — kept as a
+    module-level helper so every consumer (the q120 operator below and
+    `ann_index.IVFIndex(standardize=True)`'s layout/query/add/screen
+    paths) evaluates the IDENTICAL IEEE ops: left-fold sum of squares,
+    sqrt, zero-norm → 1.0 guard, per-element divide, ROUND HALF_UP to
+    6 dp. `col` is the raw embedding column; `stats` the (mu, sd)
+    profile."""
+    mu = F.array(*[F.lit(m) for m, _ in stats])
+    sd = F.array(*[F.lit(s) for _, s in stats])
+    v = col.cast("array<double>")
+    z = F.zip_with(F.zip_with(v, mu, lambda a, b: a - b), sd,
+                   lambda a, b: a / b)
+    nrm = F.sqrt(F.aggregate(z, F.lit(0.0), lambda acc, x: acc + x * x))
+    # zero-norm guard (assign_nearest_centroid's `or 1.0` discipline): a
+    # row equal to the corpus mean standardizes to the zero vector —
+    # emit it as zeros, not a silent all-null array from x/0
+    nrm = F.when(nrm != 0.0, nrm).otherwise(F.lit(1.0))
+    return F.transform(z, lambda x: F.round(x / nrm, 6))
+
+
+def standardize_vec(v: list[float], stats: list[tuple[float, float]]) -> list[float]:
+    """Driver-side twin of `standardize_col` for a single query vector —
+    the same IEEE ops in the same order (left-fold norm, HALF_UP round
+    via the double's shortest decimal repr, exactly Spark's
+    BigDecimal.valueOf path), so standardizing a corpus member here
+    bit-matches its stored layout row."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    z = [(float(x) - m) / s for x, (m, s) in zip(v, stats)]
+    acc = 0.0
+    for x in z:
+        acc = acc + x * x
+    nrm = math.sqrt(acc) or 1.0
+    six = Decimal("0.000001")
+    return [
+        float(Decimal(repr(x / nrm)).quantize(six, rounding=ROUND_HALF_UP))
+        for x in z
+    ]
+
+
 def standardize_embeddings(
     df: DataFrame,
     emb_col: str = "embedding",
@@ -72,24 +114,6 @@ def standardize_embeddings(
     to reuse a precomputed (or training-corpus) profile; by default the
     profile is fit on `df` itself (one agg, dim rows)."""
     stats = stats if stats is not None else dim_stats(df, emb_col)
-    mu = F.array(*[F.lit(m) for m, _ in stats])
-    sd = F.array(*[F.lit(s) for _, s in stats])
-    v = F.col(emb_col).cast("array<double>")
-    z = F.zip_with(F.zip_with(v, mu, lambda a, b: a - b), sd,
-                   lambda a, b: a / b)
-    nrm = F.sqrt(F.aggregate(F.col("__z"), F.lit(0.0),
-                             lambda acc, x: acc + x * x))
-    # zero-norm guard (assign_nearest_centroid's `or 1.0` discipline): a
-    # row equal to the corpus mean standardizes to the zero vector —
-    # emit it as zeros, not a silent all-null array from x/0
-    nrm = F.when(nrm != 0.0, nrm).otherwise(F.lit(1.0))
-    return (
-        df.select(id_col, z.alias("__z"))
-        .withColumn("__nrm", nrm)
-        .select(
-            id_col,
-            F.transform(
-                F.col("__z"), lambda x: F.round(x / F.col("__nrm"), 6)
-            ).alias("unit_std"),
-        )
+    return df.select(
+        id_col, standardize_col(F.col(emb_col), stats).alias("unit_std")
     )

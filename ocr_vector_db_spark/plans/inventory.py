@@ -4606,6 +4606,72 @@ def q123(spark, sf):
     return idx.score_batch(d)
 
 
+@query(
+    "q124_ivf_standardized",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+           true AS layout_matches_q120,
+           true AS full_probe_exact,
+           true AS self_served_at_one
+    """,
+)
+def q124(spark, sf):
+    """Whitened-space ANN serving: `IVFIndex.build(standardize=True)`
+    persists q120's (mu, sd) profile WITH the index and applies it to
+    layout, queries, adds and screens symmetrically. Quantizers aren't
+    SQL-reproducible — invariant row like q106/q115:
+      n_vectors            grounded: the whole corpus is indexed
+      layout_matches_q120  the stored vectors equal the q120 operator's
+                           output row-for-row (one profile, one transform
+                           definition — `embedding_prep.standardize_col`)
+      full_probe_exact     recall@10 == 1.0 at nprobe = num_clusters:
+                           both recall sides move into index space, so
+                           probing every partition IS brute force over
+                           the whitened layout
+      self_served_at_one   a corpus member queried RAW returns itself at
+                           similarity exactly 1.0 — the driver-side query
+                           transform (`standardize_vec`) bit-matches the
+                           distributed layout transform."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.embedding_prep import (
+        standardize_embeddings,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q124_std_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="ivfstd_")
+        IVFIndex.build(spark, e, path, num_clusters=8, standardize=True)
+        _PLAN_MEMO[key] = path
+    idx = IVFIndex.load(spark, _PLAN_MEMO[key])
+
+    n_vectors = e.count()
+    want = standardize_embeddings(e).select(
+        F.col("vec_id"), F.col("unit_std").alias("embedding")
+    )
+    layout_ok = (
+        idx.vectors().select("vec_id", "embedding")
+        .exceptAll(want).count() == 0
+        and idx.vectors().count() == n_vectors
+    )
+    qids = [0, 7, 23, 42]
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id").isin(qids)).orderBy("vec_id").collect()
+    ]
+    rec = idx.recall_sweep(e, qvs, k=10, nprobes=[len(idx.centroids)])
+    full_ok = rec[len(idx.centroids)] == 1.0
+    top = idx.search(qvs[1], 1, nprobe=len(idx.centroids)).head()
+    self_ok = bool(top.vec_id == 7 and top.similarity == 1.0)
+    return spark.createDataFrame(
+        [(n_vectors, layout_ok, full_ok, self_ok)],
+        "n_vectors bigint, layout_matches_q120 boolean, "
+        "full_probe_exact boolean, self_served_at_one boolean",
+    )
+
+
 _Q106_QUERY_IDS = [0, 7, 23, 42]
 
 

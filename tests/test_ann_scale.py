@@ -437,3 +437,73 @@ def test_hier_branch_candidates_rank_l1_by_assignment_metric(spark):
     by_cos = hier_branch_candidates(df, l1, l2df, 1, "rid", "emb",
                                     metric="cosine")
     assert {r.cluster_id for r in by_cos.collect()} == {20}
+
+
+# ------------------------------------------- standardized (whitened) index
+
+
+def test_standardized_index_symmetric_and_exact(spark, tmp_path):
+    """build(standardize=True): the layout stores exactly q120's
+    standardized vectors, queries/adds/screens transform through the SAME
+    persisted profile (a corpus member queries itself at 1.0), full-probe
+    recall stays 1.0 by construction, and a flag-off index carries no
+    profile and behaves as before."""
+    from ocr_vector_db_spark.operators.embedding_prep import (
+        standardize_embeddings,
+    )
+
+    rng = np.random.default_rng(17)
+    # anisotropic on purpose: dim 0 dominates raw cosine
+    X = rng.normal(size=(240, 8)) * np.array([50, 1, 1, 1, 1, 1, 1, 0.2])
+    df = _vec_df(spark, X)
+    idx = IVFIndex.build(
+        spark, df, str(tmp_path / "ivf_std"), num_clusters=6,
+        standardize=True,
+    )
+    # profile persists with the index and survives load()
+    idx = IVFIndex.load(spark, str(tmp_path / "ivf_std"))
+    assert len(idx.std_stats) == 8
+
+    # layout == q120's operator output, row for row
+    want = {r.vec_id: tuple(r.unit_std)
+            for r in standardize_embeddings(df).collect()}
+    got = {r.vec_id: tuple(r.embedding) for r in idx.vectors().collect()}
+    assert got == want
+
+    # a corpus member served back at exactly 1.0: the driver-side query
+    # transform bit-matches the layout transform
+    top = idx.search([float(x) for x in X[7]], 1, nprobe=6).head()
+    assert top.vec_id == 7 and top.similarity == 1.0
+
+    # full-probe recall is 1.0 (both recall sides moved into index space)
+    queries = [[float(x) for x in q] for q in X[:6]]
+    rec = idx.recall_sweep(df, queries, k=5, nprobes=[1, 6])
+    assert rec[6] == 1.0 and rec[1] <= rec[6]
+
+    # add() standardizes: a raw held-out vector lands in index space and
+    # serves back at 1.0
+    Y = rng.normal(size=(1, 8)) * np.array([50, 1, 1, 1, 1, 1, 1, 0.2])
+    idx.add(_vec_df(spark, Y, ids=[900]))
+    top = idx.search([float(x) for x in Y[0]], 1, nprobe=6).head()
+    assert top.vec_id == 900 and top.similarity == 1.0
+
+    # screens standardize symmetrically: the SAME raw vector re-screened
+    # is an exact dup of its stored standardized row
+    flagged = idx.screen_near_dups(
+        _vec_df(spark, Y, ids=[901]), threshold=0.999999
+    ).collect()
+    assert [(r.vec_id, r.dup_of) for r in flagged] == [(901, 900)]
+    # and the intra-batch dense pass sees whitened space too
+    two = np.vstack([Y[0], Y[0] * 1.000001])
+    dropped = idx.dense_dropped_ids(
+        _vec_df(spark, two, ids=[10, 11]), threshold=0.9999, nprobe=None
+    ).collect()
+    assert [r.vec_id for r in dropped] == [11]
+
+    # flag-off: no profile file, no profile in memory
+    idx2 = IVFIndex.build(
+        spark, df, str(tmp_path / "ivf_raw"), num_clusters=6
+    )
+    assert idx2.std_stats == []
+    from ocr_vector_db_spark.operators.index_maint import fs_exists
+    assert not fs_exists(spark, str(tmp_path / "ivf_raw/standardize.json"))
