@@ -108,6 +108,9 @@ HEADLINE = [
     # memoized in warmup; timed runs measure the layout-equality +
     # recall + self-serve checks against the persisted profile)
     "q124_ivf_standardized",
+    # the Group 4 fax decode path (distributed mapInPandas parse + T.6
+    # codec raster, golden-pinned)
+    "q125_pdf_ccitt_raster",
 ]
 
 

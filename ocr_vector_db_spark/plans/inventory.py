@@ -3888,6 +3888,61 @@ def q107(spark, sf):
 
 
 @query(
+    "q125_pdf_ccitt_raster",
+    """
+    SELECT * FROM (VALUES
+        ('/corpus/fax.pdf', 'image_raw', 4800,
+         'd1464215e65acab691e7959f55dd1e2e'),
+        ('/corpus/fax.pdf', 'text', 67, 'CCITT Group 4 fax rasters deco')
+    ) AS t(source_path, item, n, detail)
+    ORDER BY item
+    """,
+)
+def q125(spark, sf):
+    """The scanned-fax raster codec, end-to-end and distributed (golden
+    VALUES oracle, q107's pattern): a /CCITTFaxDecode K -1 (Group 4 MMR)
+    bilevel image decodes through the pure-Python ITU-T T.6 codec
+    (`sources/ccitt.py`) inside the distributed asset extractor
+    `ingest.pdf_image_assets` — pixel-exact (md5 is the literal of the
+    semantic gray buffer, black=0) — while the same page's text rides the
+    normal parse path. Reference parity: PyMuPDF decodes CCITT rasters
+    transparently (ingestion/parsers/pymupdf_parser.py:518-569); this
+    closes the last real-world raster codec on the pure-Python path."""
+    from ocr_vector_db_spark.sources.ingest import (
+        parse_pdf_segments,
+        pdf_files_df,
+        pdf_image_assets,
+    )
+    from ocr_vector_db_spark.sources.pdf_decode import build_simple_pdf
+
+    w, h = 120, 40
+    pix = bytes(
+        1 if (x % 7 == 0 or y == 20) else 0
+        for y in range(h) for x in range(w)
+    )
+    fax = build_simple_pdf([[
+        {"kind": "text", "x": 50, "y": 700, "size": 12,
+         "text": "CCITT Group 4 fax rasters decode through the pure "
+                 "Python T.6 codec."},
+        {"kind": "image", "x": 50, "y": 300, "w": 240, "h": 80,
+         "width": w, "height": h, "ccitt": True, "pixels": pix},
+    ]])
+    files = pdf_files_df(spark, [("/corpus/fax.pdf", fax)])
+    texts = parse_pdf_segments(files).select(
+        "source_path", F.lit("text").alias("item"),
+        F.length("content").cast("int").alias("n"),
+        F.substring("content", 1, 30).alias("detail"),
+    )
+    assets = pdf_image_assets(files).select(
+        "source_path",
+        F.concat(F.lit("image_"), F.col("metadata")["format"]).alias("item"),
+        F.length("data").cast("int").alias("n"),
+        F.md5("data").alias("detail"),
+    )
+    return assets.unionByName(texts).orderBy("item")
+
+
+@query(
     "q108_ivfpq_incremental_add",
     """
     SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,

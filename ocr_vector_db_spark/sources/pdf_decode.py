@@ -1299,10 +1299,11 @@ def decode_image_xobject(objects, ref: int) -> dict | None:
     TIFF/PNG predictors) or unfiltered DeviceRGB / DeviceGray at 8 bits
     per component — the encodings `build_simple_pdf` writes and
     scanned-text PDFs commonly embed. DCT payloads pass through verbatim
-    as JPEG (`jpeg_image_xobject`); JPX/CCITT return None — those need a
-    codec library and stay behind the PyMuPDF path, exactly like the
-    reference's 3x page render (ingestion/parsers/pymupdf_parser.py:773-823)
-    needs PyMuPDF.
+    as JPEG (`jpeg_image_xobject`); CCITT Group 4 decodes via the T.6
+    codec (`ccitt_image_xobject`); JPX and CCITT Group 3 return None —
+    those stay behind the PyMuPDF path, exactly like the reference's 3x
+    page render (ingestion/parsers/pymupdf_parser.py:773-823) needs
+    PyMuPDF.
 
     Returns {width, height, channels, colorspace, pixels: bytes} with
     len(pixels) == width*height*channels (row-major, no padding at 8 bpc),
@@ -1364,6 +1365,61 @@ def jpeg_image_xobject(objects, ref: int) -> dict | None:
     return {"width": width, "height": height, "jpeg": stream}
 
 
+def ccitt_image_xobject(objects, ref: int) -> dict | None:
+    """Decode a /CCITTFaxDecode Group 4 image XObject to 8-bit gray
+    pixels via the pure-Python T.6 codec (`sources/ccitt.py`) — the
+    raster codec scanned-OCR PDFs actually embed. Supports the K < 0
+    (pure 2-D MMR) form with /Columns, /Rows, /EncodedByteAlign;
+    K ≥ 0 (Group 3) and filter chains stay on the PyMuPDF path, like the
+    reference (ingestion/parsers/pymupdf_parser.py:518-569).
+
+    /BlackIs1 is accepted but does not affect the output: it only flips
+    how decoded runs would be PACKED into 1-bit samples, and this path
+    emits semantic pixels directly (black → 0, white → 255 — the image
+    every viewer shows either way). Returns the decode_image_xobject
+    raster dict shape, or None when unsupported/malformed."""
+    from ocr_vector_db_spark.sources.ccitt import CCITTError, decode_g4
+
+    dict_src, stream = objects.get(ref, (b"", None))
+    if stream is None or b"/Image" not in dict_src:
+        return None
+    names = _filter_chain(dict_src)
+    if names not in ([b"CCITTFaxDecode"], [b"CCF"]):
+        return None
+    m = re.search(rb"/DecodeParms\s*\[?\s*<<(.*?)>>", dict_src, re.S)
+    parms = m.group(1) if m else b""
+    km = re.search(rb"/K\s+(-?\d+)", parms)
+    if km is None or int(km.group(1)) >= 0:
+        return None  # G3 (1-D / mixed) is PyMuPDF-only
+    cm = re.search(rb"/Columns\s+(\d+)", parms)
+    columns = int(cm.group(1)) if cm else 1728
+    rm = re.search(rb"/Rows\s+(\d+)", parms)
+    props = {
+        p.group(1): float(p.group(2)) for p in _NAME_NUM_RE.finditer(dict_src)
+    }
+    height = int(props.get(b"Height", 0))
+    rows = int(rm.group(1)) if rm else (height or None)
+    byte_align = bool(re.search(rb"/EncodedByteAlign\s+true", parms))
+    if columns <= 0:
+        return None
+    try:
+        pix = decode_g4(stream, columns, rows=rows, byte_align=byte_align)
+    except CCITTError:
+        return None
+    n_rows = len(pix) // columns
+    if n_rows == 0:
+        return None
+    # semantic bits (1 = black) → 8-bit gray the multimodal seam expects
+    gray = bytes(0 if p else 255 for p in pix)
+    return {
+        "width": columns,
+        "height": n_rows,
+        "channels": 1,
+        "colorspace": "gray",
+        "pixels": gray,
+    }
+
+
 def extract_pdf_images(data: bytes) -> list[dict]:
     """bytes → decoded raster rows for every image drawn on a page, in the
     multimodal asset shape (sources/multimodal.ASSET_SCHEMA): the pixel
@@ -1373,8 +1429,10 @@ def extract_pdf_images(data: bytes) -> list[dict]:
     loop (pymupdf_parser.py:518-569). FlateDecode rasters decode to raw
     pixels (metadata format=raw); DCTDecode images pass their stream bytes
     through verbatim as ready-to-send JPEG (metadata format=jpeg — no
-    decoder needed, see jpeg_image_xobject). Other encodings (JPX/CCITT/
-    LZW) are skipped; the PyMuPDF path covers them when importable."""
+    decoder needed, see jpeg_image_xobject); CCITT Group 4 rasters decode
+    through the pure-Python T.6 codec (ccitt_image_xobject, format=raw).
+    Other encodings (JPX, CCITT Group 3) are skipped; the PyMuPDF path
+    covers them when importable."""
     import hashlib
 
     objects = _scan_objects(data)
@@ -1397,7 +1455,8 @@ def extract_pdf_images(data: bytes) -> list[dict]:
             ref = blk.get("ref")
             if not ref:
                 continue
-            raster = decode_image_xobject(objects, ref)
+            raster = (decode_image_xobject(objects, ref)
+                      or ccitt_image_xobject(objects, ref))
             if raster is not None:
                 payload = raster.pop("pixels")
                 facts = {"format": "raw", **raster}
@@ -1647,6 +1706,32 @@ def build_simple_pdf(pages: list[list[dict]],
                         f"/Filter /DCTDecode "
                         f"/Length {len(jpeg)} >>\nstream\n".encode("latin-1")
                         + jpeg + b"\nendstream"
+                    )
+                    xobj_entries.append(
+                        f"/{name} {next_obj + len(img_objs) - 1} 0 R"
+                    )
+                    content_lines.append(
+                        f"q {b['w']} 0 0 {b['h']} {b['x']} {b['y']} cm "
+                        f"/{name} Do Q"
+                    )
+                    continue
+                if b.get("ccitt"):
+                    # scanned-fax fixture: a Group 4 (/CCITTFaxDecode K -1)
+                    # bilevel raster — `pixels` is w*h bytes, nonzero =
+                    # black, encoded with the T.6 twin (sources/ccitt.py)
+                    from ocr_vector_db_spark.sources.ccitt import encode_g4
+
+                    pix = b["pixels"]
+                    assert len(pix) == b["width"] * b["height"]
+                    payload_img = encode_g4(pix, b["width"], b["height"])
+                    img_objs.append(
+                        f"<< /Type /XObject /Subtype /Image "
+                        f"/Width {b['width']} /Height {b['height']} "
+                        f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                        f"/Filter /CCITTFaxDecode /DecodeParms << /K -1 "
+                        f"/Columns {b['width']} /Rows {b['height']} >> "
+                        f"/Length {len(payload_img)} >>\nstream\n"
+                        .encode("latin-1") + payload_img + b"\nendstream"
                     )
                     xobj_entries.append(
                         f"/{name} {next_obj + len(img_objs) - 1} 0 R"

@@ -1063,3 +1063,110 @@ class TestEncryption:
         assert extract_pdf_blocks(enc) == extract_pdf_blocks(plain)
         assert extract_pdf_blocks(
             encrypt_pdf_aes256(plain, user_pw=b"secret")) == []
+
+
+class TestCCITT:
+    """ITU-T T.6 (Group 4) codec + /CCITTFaxDecode raster path."""
+
+    def test_known_bitstreams_pin_the_code_tables(self):
+        """Hand-computed encodings against the published tables: an
+        all-white row is one V0 bit; a single black origin pixel is
+        horizontal mode = 001 + white-term-0 (00110101) + black-term-1
+        (010); EOFB is two EOLs."""
+        from ocr_vector_db_spark.sources.ccitt import encode_g4
+
+        bits = "".join(
+            f"{b:08b}" for b in encode_g4(b"\x00" * 24, 8, 3)
+        )
+        assert bits.startswith("111" + "000000000001" * 2)
+
+        one_black = b"\x01" + b"\x00" * 7
+        bits = "".join(f"{b:08b}" for b in encode_g4(one_black, 8, 1))
+        # H + white run 0 + black run 1, then V0 closes the row at b1
+        assert bits.startswith("001" + "00110101" + "010" + "1"
+                               + "000000000001" * 2)
+
+    def test_round_trips_structured_and_random(self):
+        """Encoder and decoder are exact mirrors across densities, widths
+        spanning the make-up code ranges (incl. > 2560), and
+        EncodedByteAlign."""
+        import numpy as np
+
+        from ocr_vector_db_spark.sources.ccitt import decode_g4, encode_g4
+
+        rng = np.random.default_rng(5)
+        cases = [(1, 1), (5, 7), (64, 3), (130, 9), (257, 4), (1728, 2),
+                 (31, 31)]
+        for w, h in cases:
+            for density in (0.02, 0.5, 0.98):
+                pix = (rng.random((h, w)) < density).astype("u1").tobytes()
+                for ba in (False, True):
+                    enc = encode_g4(pix, w, h, byte_align=ba)
+                    assert decode_g4(enc, w, byte_align=ba) == pix
+                    assert decode_g4(enc, w, rows=h, byte_align=ba) == pix
+        # make-up codes past 1728 and the 2560 extension loop
+        big = bytearray(2800 * 2)
+        big[2700:2800] = b"\x01" * 100
+        big[2800 + 50:] = b"\x01" * (2800 - 50)
+        enc = encode_g4(bytes(big), 2800, 2)
+        assert decode_g4(enc, 2800) == bytes(big)
+
+    def test_ccitt_xobject_and_asset_extraction(self):
+        """A /CCITTFaxDecode K -1 image XObject decodes to 8-bit gray
+        semantic pixels (black=0) through extract_pdf_images; G3 (K >= 0)
+        and non-CCITT objects are left to the PyMuPDF path."""
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            extract_pdf_images,
+        )
+
+        w, h = 120, 40
+        pix = bytes(
+            1 if (x % 7 == 0 or y == 20) else 0
+            for y in range(h) for x in range(w)
+        )
+        pdf = build_simple_pdf([[
+            {"kind": "text", "text": "scanned page", "x": 50, "y": 700,
+             "size": 12},
+            {"kind": "image", "x": 50, "y": 300, "w": 240, "h": 80,
+             "width": w, "height": h, "ccitt": True, "pixels": pix},
+        ]])
+        imgs = extract_pdf_images(pdf)
+        assert len(imgs) == 1
+        md = imgs[0]["metadata"]
+        assert (md["format"], md["colorspace"], md["width"], md["height"]) \
+            == ("raw", "gray", "120", "40")
+        assert imgs[0]["data"] == bytes(0 if p else 255 for p in pix)
+
+        # K >= 0 (Group 3) stays unsupported → no asset row
+        g3 = pdf.replace(b"/K -1", b"/K 0")
+        assert extract_pdf_images(g3) == []
+        # BlackIs1 does not change the semantic output
+        b1 = pdf.replace(b"/K -1", b"/K -1 /BlackIs1 true")
+        assert extract_pdf_images(b1)[0]["data"] == imgs[0]["data"]
+
+    def test_pymupdf_ccitt_parity_when_available(self):
+        """PyMuPDF parity gate (skips without fitz): the G4 raster our
+        codec decodes must match what fitz rasterizes from the same
+        embedded stream."""
+        fitz = pytest.importorskip("fitz")
+
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            extract_pdf_images,
+        )
+
+        w, h = 64, 24
+        pix = bytes(1 if (x + y) % 9 < 3 else 0
+                    for y in range(h) for x in range(w))
+        pdf = build_simple_pdf([[
+            {"kind": "image", "x": 50, "y": 300, "w": 128, "h": 48,
+             "width": w, "height": h, "ccitt": True, "pixels": pix},
+        ]])
+        ours = extract_pdf_images(pdf)[0]["data"]
+        doc = fitz.open(stream=pdf, filetype="pdf")
+        xref = doc.get_page_images(0)[0][0]
+        pm = fitz.Pixmap(doc, xref)
+        if pm.colorspace and pm.colorspace.n > 1:
+            pm = fitz.Pixmap(fitz.csGRAY, pm)
+        assert bytes(pm.samples) == ours
