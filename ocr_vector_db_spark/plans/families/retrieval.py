@@ -1,0 +1,1948 @@
+"""Hybrid retrieval, persisted indexes, packing, semantic dedup, LLM-pipeline extensions (q89-q125).
+
+Split from the former monolithic plans/inventory.py (round 9); the
+registry, engine-portability rules and shared helpers live in
+`plans/families/core.py`, and `plans/inventory.py` re-exports the maps.
+Registration order is preserved by the hub's import order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ocr_vector_db_spark.functions import text_analysis as ta  # noqa: F401
+from ocr_vector_db_spark.functions import validators  # noqa: F401
+from ocr_vector_db_spark.functions.chunking import chunk_fixed_col  # noqa: F401
+from ocr_vector_db_spark.operators import (  # noqa: F401
+    dedup,
+    grouping,
+    knn,
+    metrics,
+)
+from ocr_vector_db_spark.plans.families.core import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    _PLAN_MEMO,
+    _sql_dsum,
+    dsum,
+    query,
+)
+from ocr_vector_db_spark.session import load_table  # noqa: F401
+from ocr_vector_db_spark.plans.families.nonsql import (  # noqa: F401
+    _COMPONENTS_SQL,
+    _ann_invariants,
+    _fixture_store,
+)
+from ocr_vector_db_spark.plans.families.vector import (  # noqa: F401
+    _COS,
+    _MH_CROSS_SQL,
+    _query_vec,
+)
+
+# =====================================================================
+# Hybrid retrieval, sequence packing, semantic dedup
+# =====================================================================
+
+_BM25_TERMS = ["vector", "hash", "spark"]
+
+
+def _bm25_scored_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of operators/retrieval.bm25_scores — literals emitted with
+    repr() so both engines evaluate the exact same doubles, and the per-term
+    contribution is rounded+decimal-summed like the Spark side."""
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    c1 = repr(k1 + 1.0)
+    c2 = repr(1.0 - b)
+    idf = "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    tf_part = f"(tf * {c1}) / (tf + {k1!r} * ({c2} + {b!r} * dl / avgdl))"
+    return f"""
+    base AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    d AS (SELECT id, CAST(len(ws) AS BIGINT) AS dl, ws FROM base),
+    posting AS (
+        SELECT id, dl, unnest(list_filter(ws, w -> w IN ({in_list}))) AS term
+        FROM d
+    ),
+    tf AS (SELECT id, dl, term, COUNT(*) AS tf FROM posting GROUP BY id, dl, term),
+    dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM d),
+    scored AS (
+        SELECT tf.id,
+               ROUND({_sql_dsum(f'({idf}) * ({tf_part})')}, 6) AS bm25
+        FROM tf JOIN dfx USING (term) CROSS JOIN stats
+        GROUP BY tf.id
+    )"""
+
+
+@query(
+    "q89_bm25_topk",
+    f"""
+    WITH {_bm25_scored_sql(_BM25_TERMS)}
+    SELECT id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS rank
+    FROM scored ORDER BY bm25 DESC, id LIMIT 10
+    """,
+)
+def q89(spark, sf):
+    """BM25 lexical top-k — the sparse half of hybrid search (the reference
+    retrieves dense-only, retrieval/search.py:89-116; its keyword optimizer
+    retrieval/query_optimizer.py rewrites queries but still searches by
+    embedding). Postings are pre-filtered to the query's terms BEFORE the
+    explode, corpus stats ride a 1-row broadcast cross join, per-term df a
+    ≤|query|-row broadcast join: one corpus-wide shuffle (the (doc,term) tf
+    agg), top-k is TakeOrderedAndProject."""
+    from ocr_vector_db_spark.operators import retrieval
+
+    d = load_table(spark, sf, "documents")
+    return retrieval.bm25_topk(d, _BM25_TERMS, k=10)
+
+
+@query(
+    "q101_bm25_lexical_index",
+    f"""
+    WITH {_bm25_scored_sql(_BM25_TERMS)}
+    SELECT id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS rank
+    FROM scored ORDER BY bm25 DESC, id LIMIT 10
+    """,
+)
+def q101(spark, sf):
+    """Indexed BM25 — q89's scoring served from a PERSISTED bucketed
+    postings layout (operators/lexical_index.py, the sparse twin of
+    IVFIndex): build writes (term, id, tf, dl) partitioned by
+    pmod(xxhash64(term), n_buckets) + a 1-row stats table; search
+    partition-prunes to the query terms' buckets, so per-query work is
+    O(matching postings) instead of a corpus rescan. Same oracle as q89 —
+    the indexed and scan formulations must score identically."""
+    return _lexical_index_for(spark, sf).search(_BM25_TERMS, k=10)
+
+
+# Shared by q90 (scan-path) and q102 (persisted-index path): the two
+# formulations must fuse byte-identically, like q101 ≡ q89.
+_HYBRID_ORACLE_SQL = f"""
+    WITH {_bm25_scored_sql(_BM25_TERMS)},
+    lex AS (
+        SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS rank
+        FROM scored QUALIFY rank <= 20
+    ),
+    dense AS (
+        SELECT e.vec_id AS id,
+               CAST(ROW_NUMBER() OVER (ORDER BY {_COS} DESC, e.vec_id) AS BIGINT) AS rank
+        FROM embeddings e
+        CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+        QUALIFY rank <= 20
+    ),
+    u AS (
+        SELECT id, CAST(rank AS DOUBLE) AS rank FROM dense
+        UNION ALL
+        SELECT id, CAST(rank AS DOUBLE) AS rank FROM lex
+    ),
+    fused AS (
+        SELECT id, ROUND({_sql_dsum('1.0 / (60.0 + rank)')}, 6) AS rrf,
+               COUNT(*) AS n_systems
+        FROM u GROUP BY id
+    )
+    SELECT id, rrf, n_systems,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS fused_rank
+    FROM fused
+    """
+
+
+@query("q90_hybrid_rrf_fusion", _HYBRID_ORACLE_SQL)
+def q90(spark, sf):
+    """Hybrid search: BM25 (sparse) top-20 + cosine (dense) top-20 fused by
+    reciprocal-rank fusion, rrf = Σ 1/(60+rank) (Cormack et al., SIGIR'09) —
+    the Elasticsearch/Vespa/Weaviate hybrid recipe the reference's dense-only
+    retriever (retrieval/search.py) is one half of. The fusion input is two
+    driver-bounded top-k lists, so the union+agg is KB-scale no matter the
+    corpus; the dense half is TakeOrderedAndProject over one scan, the
+    sparse half is q89's plan."""
+    from ocr_vector_db_spark.functions.vector import cosine_similarity_col
+    from ocr_vector_db_spark.operators import retrieval
+
+    d = load_table(spark, sf, "documents")
+    e = load_table(spark, sf, "embeddings")
+    qv = _query_vec(spark, sf, 0)
+    sim = F.round(
+        cosine_similarity_col(
+            F.col("embedding"), F.lit(qv).cast("array<double>")
+        ),
+        6,
+    )
+    dense = (
+        e.select(F.col("vec_id").alias("id"), sim.alias("sim"))
+        .orderBy(F.desc("sim"), F.asc("id"))
+        .limit(20)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(retrieval.bounded_window(F.col("sim"), F.desc("sim"), F.asc("id")))
+            .cast("bigint"),
+        )
+    )
+    lex = retrieval.bm25_topk(d, _BM25_TERMS, k=20)
+    return retrieval.rrf_fuse({"dense": dense, "lex": lex}, k=60)
+
+
+def _lexical_index_for(spark, sf):
+    """Session-memoized LexicalIndex over `documents` (shared q101/q102)."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+
+    key = (spark.sparkContext.applicationId, sf, "q101_index_path")
+    if key not in _PLAN_MEMO:
+        d = load_table(spark, sf, "documents")
+        path = tempfile.mkdtemp(prefix="lexidx_")
+        LexicalIndex.build(spark, d, path, n_buckets=16)
+        _PLAN_MEMO[key] = path  # build once per session, like a real index
+    return LexicalIndex.load(spark, _PLAN_MEMO[key])
+
+
+def _ivf_index_for(spark, sf, num_clusters: int = 8):
+    """Session-memoized persisted IVFIndex over `embeddings` (q102)."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    key = (spark.sparkContext.applicationId, sf, "q102_ivf_path")
+    if key not in _PLAN_MEMO:
+        e = load_table(spark, sf, "embeddings")
+        path = tempfile.mkdtemp(prefix="ivfidx_")
+        IVFIndex.build(spark, e, path, num_clusters=num_clusters)
+        _PLAN_MEMO[key] = path
+    return IVFIndex.load(spark, _PLAN_MEMO[key])
+
+
+@query("q102_hybrid_indexed", _HYBRID_ORACLE_SQL)
+def q102(spark, sf):
+    """q90's hybrid retrieval served from the PERSISTED indexes instead of
+    corpus rescans — the reference's production serving shape (GIN + HNSW
+    behind one query, storage/schema.py:80-118). Sparse half: LexicalIndex
+    postings buckets (partition-pruned to the query's terms); dense half:
+    IVFIndex cluster partitions with a full probe (exactly equal to brute
+    force, served from the partitioned layout; production sets
+    nprobe « num_clusters). Same oracle as q90, byte-identical — the
+    indexed and scan paths must fuse identically, like q101 ≡ q89."""
+    from ocr_vector_db_spark.operators import retrieval
+
+    lex_idx = _lexical_index_for(spark, sf)
+    ivf_idx = _ivf_index_for(spark, sf)
+    qv = _query_vec(spark, sf, 0)
+    return retrieval.hybrid_indexed(
+        lex_idx, ivf_idx, _BM25_TERMS, qv, k_each=20, fuse_k=60
+    )
+
+
+@query(
+    "q103_ivf_incremental_add",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label, {_COS} AS similarity
+    FROM embeddings e, q
+    ORDER BY similarity DESC, e.vec_id LIMIT 10
+    """,
+)
+def q103(spark, sf):
+    """Incremental dense index update: IVFIndex.build on HALF the corpus,
+    IVFIndex.add on the rest (new vectors assigned to their nearest
+    EXISTING centroid, appended into the partitioned layout — pgvector's
+    ivfflat lists-don't-move contract), then a full-probe search. Oracle =
+    exact brute-force KNN over the WHOLE corpus (q16's SQL): the updated
+    index must serve every added vector exactly, proving the append landed
+    in the cluster layout and the search sees both halves."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    key = (spark.sparkContext.applicationId, sf, "q103_ivf_inc_path")
+    if key not in _PLAN_MEMO:
+        e = load_table(spark, sf, "embeddings")
+        path = tempfile.mkdtemp(prefix="ivfinc_")
+        idx = IVFIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path, num_clusters=8
+        )
+        idx.add(e.filter(F.col("vec_id") % 2 == 1))
+        _PLAN_MEMO[key] = path
+    idx = IVFIndex.load(spark, _PLAN_MEMO[key])
+    qv = _query_vec(spark, sf, 0)
+    return idx.search(qv, 10, nprobe=len(idx.centroids)).select(
+        "vec_id", "label", "similarity"
+    )
+
+
+@query(
+    "q104_lexical_incremental_add",
+    f"""
+    WITH {_bm25_scored_sql(_BM25_TERMS)}
+    SELECT id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS rank
+    FROM scored ORDER BY bm25 DESC, id LIMIT 10
+    """,
+)
+def q104(spark, sf):
+    """Incremental sparse index update: LexicalIndex.build on HALF the
+    corpus, LexicalIndex.add on the rest (bucketed postings append + exact
+    integer stats fold), then search. Oracle = q89's scan-path BM25 over
+    the WHOLE corpus: build(A)+add(B) must score byte-identically to
+    build(A∪B) — df derives at query time, N folds as a count, and avgdl
+    is one double division of exact integer totals on both paths."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
+
+    key = (spark.sparkContext.applicationId, sf, "q104_lex_inc_path")
+    if key not in _PLAN_MEMO:
+        d = load_table(spark, sf, "documents")
+        path = tempfile.mkdtemp(prefix="lexinc_")
+        idx = LexicalIndex.build(
+            spark, d.filter(F.col("doc_id") % 2 == 0), path, n_buckets=16
+        )
+        idx.add(d.filter(F.col("doc_id") % 2 == 1))
+        _PLAN_MEMO[key] = path
+    idx = LexicalIndex.load(spark, _PLAN_MEMO[key])
+    return idx.search(_BM25_TERMS, k=10)
+
+
+@query("q105_minhash_incremental_screen", _MH_CROSS_SQL)
+def q105(spark, sf):
+    """Incremental ingestion dedup: a NEW batch (odd doc ids) screens
+    against a PERSISTED MinHash index of the corpus (even doc ids) —
+    operators/minhash_index.py, the dedup sibling of q101/q103's index
+    family. Only the batch is shingled/hashed; the corpus side is an
+    equi-join against the stored bucketed band layout plus a candidates-
+    only signature join — O(batch + matches), never a corpus rescan or an
+    all-pairs term. Oracle = q20's SQL machinery restricted to cross-side
+    (new x indexed) pairs: the persisted screen must reproduce the scan
+    formulation exactly."""
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+
+    import tempfile
+
+    d = load_table(spark, sf, "documents")
+    key = (spark.sparkContext.applicationId, sf, "q105_mh_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="mhidx_")
+        MinHashIndex.build(
+            spark, d.filter(F.col("doc_id") % 2 == 0), path,
+            num_hashes=16, bands=4, n=2, n_buckets=16,
+        )
+        _PLAN_MEMO[key] = path
+    idx = MinHashIndex.load(spark, _PLAN_MEMO[key])
+    return idx.screen(d.filter(F.col("doc_id") % 2 == 1))
+
+
+@query(
+    "q107_pdf_modern_structures",
+    """
+    SELECT * FROM (VALUES
+        ('/corpus/lzw.pdf', 'text', 75, 'LZW compressed content streams'),
+        ('/corpus/objstm.pdf', 'text', 73, 'Object streams pack the catalo'),
+        ('/corpus/predicted.pdf', 'image_raw', 72,
+         'c52a38cfc40938e9693950ba8eed4a83'),
+        ('/corpus/scan.pdf', 'image_jpeg', 70,
+         '79b61015c194082562e6c006c5d005df')
+    ) AS t(source_path, item, n, detail)
+    """,
+)
+def q107(spark, sf):
+    """The PDF 1.5-era structures real-world files use, end-to-end and
+    distributed (golden VALUES oracle, like q86): an /ObjStm-packed page
+    tree and an /LZWDecode content stream through the full parse path
+    (mapInPandas, parsers.parse_pdf), plus a /Predictor 12 Flate raster
+    (decoded to exact pixels — md5 is the literal of the input buffer)
+    and a /DCTDecode image (verbatim JPEG passthrough) through the
+    distributed asset extractor `ingest.pdf_image_assets`. Reference
+    parity: PyMuPDF handles all four transparently
+    (ingestion/parsers/pymupdf_parser.py:180-242,518-569)."""
+    from ocr_vector_db_spark.sources.ingest import (
+        parse_pdf_segments,
+        pdf_files_df,
+        pdf_image_assets,
+    )
+    from ocr_vector_db_spark.sources.pdf_decode import (
+        build_objstm_pdf,
+        build_simple_pdf,
+    )
+
+    objstm = build_objstm_pdf(
+        "Object streams pack the catalog and page tree into one "
+        "compressed stream."
+    )
+    lzw = build_simple_pdf([[
+        {"kind": "text", "x": 72, "y": 700, "size": 12,
+         "text": "LZW compressed content streams decode through the pure "
+                 "Python inflate path."},
+    ]], compress="lzw")
+    w, h = 6, 4
+    pixels = bytes((i * 11) % 256 for i in range(w * h * 3))
+    predicted = build_simple_pdf([[
+        {"kind": "image", "x": 0, "y": 400, "w": 120, "h": 80,
+         "width": w, "height": h, "channels": 3,
+         "pixels": pixels, "predictor": 12},
+    ]])
+    jpeg = (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01"
+            b"\x00\x00" + bytes(range(48)) + b"\xff\xd9")
+    scan = build_simple_pdf([[
+        {"kind": "image", "x": 0, "y": 300, "w": 200, "h": 150,
+         "width": 20, "height": 15, "jpeg": jpeg},
+    ]])
+
+    texts = parse_pdf_segments(pdf_files_df(spark, [
+        ("/corpus/objstm.pdf", objstm), ("/corpus/lzw.pdf", lzw),
+    ])).select(
+        "source_path", F.lit("text").alias("item"),
+        F.length("content").cast("int").alias("n"),
+        F.substring("content", 1, 30).alias("detail"),
+    )
+    assets = pdf_image_assets(pdf_files_df(spark, [
+        ("/corpus/predicted.pdf", predicted), ("/corpus/scan.pdf", scan),
+    ])).select(
+        "source_path",
+        F.concat(F.lit("image_"), F.col("metadata")["format"]).alias("item"),
+        F.length("data").cast("int").alias("n"),
+        F.md5("data").alias("detail"),
+    )
+    return texts.unionByName(assets).orderBy("source_path")
+
+
+@query(
+    "q125_pdf_ccitt_raster",
+    """
+    SELECT * FROM (VALUES
+        ('/corpus/fax.pdf', 'image_raw', 4800,
+         'd1464215e65acab691e7959f55dd1e2e'),
+        ('/corpus/fax.pdf', 'text', 67, 'CCITT Group 4 fax rasters deco')
+    ) AS t(source_path, item, n, detail)
+    ORDER BY item
+    """,
+)
+def q125(spark, sf):
+    """The scanned-fax raster codec, end-to-end and distributed (golden
+    VALUES oracle, q107's pattern): a /CCITTFaxDecode K -1 (Group 4 MMR)
+    bilevel image decodes through the pure-Python ITU-T T.6 codec
+    (`sources/ccitt.py`) inside the distributed asset extractor
+    `ingest.pdf_image_assets` — pixel-exact (md5 is the literal of the
+    semantic gray buffer, black=0) — while the same page's text rides the
+    normal parse path. Reference parity: PyMuPDF decodes CCITT rasters
+    transparently (ingestion/parsers/pymupdf_parser.py:518-569); this
+    closes the last real-world raster codec on the pure-Python path."""
+    from ocr_vector_db_spark.sources.ingest import (
+        parse_pdf_segments,
+        pdf_files_df,
+        pdf_image_assets,
+    )
+    from ocr_vector_db_spark.sources.pdf_decode import build_simple_pdf
+
+    w, h = 120, 40
+    pix = bytes(
+        1 if (x % 7 == 0 or y == 20) else 0
+        for y in range(h) for x in range(w)
+    )
+    fax = build_simple_pdf([[
+        {"kind": "text", "x": 50, "y": 700, "size": 12,
+         "text": "CCITT Group 4 fax rasters decode through the pure "
+                 "Python T.6 codec."},
+        {"kind": "image", "x": 50, "y": 300, "w": 240, "h": 80,
+         "width": w, "height": h, "ccitt": True, "pixels": pix},
+    ]])
+    files = pdf_files_df(spark, [("/corpus/fax.pdf", fax)])
+    texts = parse_pdf_segments(files).select(
+        "source_path", F.lit("text").alias("item"),
+        F.length("content").cast("int").alias("n"),
+        F.substring("content", 1, 30).alias("detail"),
+    )
+    assets = pdf_image_assets(files).select(
+        "source_path",
+        F.concat(F.lit("image_"), F.col("metadata")["format"]).alias("item"),
+        F.length("data").cast("int").alias("n"),
+        F.md5("data").alias("detail"),
+    )
+    return assets.unionByName(texts).orderBy("item")
+
+
+@query(
+    "q108_ivfpq_incremental_add",
+    """
+    SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,
+           CAST(1 AS BIGINT) AS top1_vec_id,
+           CAST(1.0 AS DOUBLE) AS top1_similarity,
+           1 AS recall_ok, true AS sorted_ok,
+           (SELECT COUNT(*) FROM embeddings) AS n_codes,
+           CAST(0 AS BIGINT) AS readd_added
+    """,
+)
+def q108(spark, sf):
+    """Incremental compressed-index update: IVFPQIndex.build on HALF the
+    corpus (even vec_ids), IVFPQIndex.add on the rest — new vectors
+    assigned to their nearest FROZEN centroid and their residuals encoded
+    with the FROZEN codebooks (the ivfflat lists-don't-move contract
+    applied to both quantizer levels; q103's dense sibling). The quantizers
+    aren't SQL-reproducible, so the gate checks invariants: the query is
+    the exact embedding of vec 1 — an ADDED (odd) vector — so top-1 must
+    be vec 1 at similarity 1.0 (proving the append landed in the cluster
+    layout AND is served), recall@10 vs the exact scan >= floor, output
+    sorted, code count == corpus count (conservation), and a re-submitted
+    batch adds 0 (re-add guard)."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ivfpq import IVFPQIndex
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q108_ivfpq_inc_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="ivfpqinc_")
+        idx = IVFPQIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path, dim=64,
+            num_clusters=8, m=8, k=16,
+        )
+        idx.add(e.filter(F.col("vec_id") % 2 == 1))
+        # one-time maintenance facts of this memoized index — the code
+        # count after the add and the guard's no-op result are properties
+        # of the persisted layout, identical on every re-execution, so
+        # they join the memo instead of re-running a guarded add per call
+        n_codes = idx.codes().count()
+        readd = idx.add(e.filter(F.col("vec_id") % 2 == 1))  # guard no-op
+        _PLAN_MEMO[key] = (path, n_codes, readd)
+    path, n_codes, readd = _PLAN_MEMO[key]
+    idx = IVFPQIndex.load(spark, path)
+    qv = _query_vec(spark, sf, 1)
+    results = idx.search(
+        qv, 10, nprobe=len(idx.centroids), corpus=e, refine=8
+    ).select("vec_id", "label", "similarity")
+    exact = knn.knn_brute_force(e, qv, 10)
+    inv = _ann_invariants(results, exact)
+    return inv.withColumn(
+        "n_codes", F.lit(n_codes).cast("bigint")
+    ).withColumn("readd_added", F.lit(readd).cast("bigint"))
+
+
+@query(
+    "q114_ivfpq_batch_serving",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id IN (0, 7, 23, 42)) AS n_queries,
+           true AS k_rows_each, true AS self_top1, true AS batch_eq_serving
+    """,
+)
+def q114(spark, sf):
+    """Batched IVF-PQ serving: `search_batch` answers MANY queries in ONE
+    plan — executor-side probe ranking (broadcast centroid crossJoin +
+    window), executor-side ADC tables (residuals against the literal
+    codebook, never driver-computed per query), one pruned codes scan
+    joined on cluster_id, per-query two-phase top-k, batched exact refine.
+    The quantizers aren't SQL-reproducible, so the gate checks invariants
+    over q108's incrementally-built index (build evens + add odds):
+      n_queries         grounded: the query vectors must exist
+      k_rows_each       every query returns exactly k rows
+      self_top1         each corpus-drawn query ranks ITSELF first at
+                        similarity 1.0 through full probe + refine
+      batch_eq_serving  the batched rows (id, similarity, rank) equal the
+                        per-query `search` loop's, query for query — the
+                        strongest check: both paths share distance math
+                        bit-for-bit, so any probe/table/window divergence
+                        flips this column."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ivfpq import IVFPQIndex
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q108_ivfpq_inc_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="ivfpqinc_")
+        idx = IVFPQIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path, dim=64,
+            num_clusters=8, m=8, k=16,
+        )
+        idx.add(e.filter(F.col("vec_id") % 2 == 1))
+        n_codes = idx.codes().count()
+        readd = idx.add(e.filter(F.col("vec_id") % 2 == 1))
+        _PLAN_MEMO[key] = (path, n_codes, readd)
+    idx = IVFPQIndex.load(spark, _PLAN_MEMO[key][0])
+
+    qids = [0, 7, 23, 42]
+    qdf = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    full = len(idx.centroids)
+    batch = idx.search_batch(
+        qdf, 10, nprobe=full, corpus=e, refine=8
+    ).select("query_id", "vec_id", "similarity", "rank")
+    got = {(r.query_id, r.rank): (r.vec_id, r.similarity)
+           for r in batch.collect()}  # bounded: |Q|·k = 40 rows
+    qvecs = {r.query_id: list(r.embedding) for r in qdf.collect()}
+    eq = True
+    for qid in qids:
+        single = idx.search(
+            qvecs[qid], 10, nprobe=full, corpus=e, refine=8
+        ).collect()
+        for rk, r in enumerate(single, start=1):
+            if got.get((qid, rk)) != (r.vec_id, r.similarity):
+                eq = False
+    per_q = {}
+    for (qid, _rk) in got:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    return spark.createDataFrame(
+        [(
+            len(qvecs),
+            all(per_q.get(qid) == 10 for qid in qids),
+            all(got.get((qid, 1)) == (qid, 1.0) for qid in qids),
+            eq,
+        )],
+        "n_queries bigint, k_rows_each boolean, self_top1 boolean, "
+        "batch_eq_serving boolean",
+    )
+
+
+@query(
+    "q115_ivf_hierarchical_quantizer",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id IN (0, 7, 23, 42)) AS n_queries,
+           true AS probes_eq_flat, true AS assign_eq_flat,
+           true AS served_self_top1
+    """,
+)
+def q115(spark, sf):
+    """Two-level (hierarchical) coarse quantizer — the shape that clears
+    the LAST flat-IVF ceiling at 100 TB (SCALING.md: 180k clusters ≈
+    1.1 GB of centroids — too big to broadcast to executors or rank
+    per-query on the driver). `build(l1_branches=…)` fits a tiny L1 layer
+    over the cluster centroids and persists the L2 centroids as parquet
+    PARTITIONED BY l1_id; probe ranking costs |L1| + branches·(k2/|L1|)
+    comparisons and distributed assignment becomes broadcast-L1 + an
+    equi-join against the centroid table — nothing num_clusters-sized
+    ships anywhere. KMeans isn't SQL-reproducible, so the gate checks
+    invariants:
+      n_queries        grounded: the probe vectors exist
+      probes_eq_flat   probing ALL branches reproduces the flat ranking
+                       exactly for every sample query and nprobe ∈ {1,5,32}
+      assign_eq_flat   the distributed two-level assignment at all
+                       branches ≡ the flat broadcast-argmin, row for row
+                       (a 10% corpus slice, compared distributed)
+      served_self_top1 a vector ADDED through the branch-pruned hier
+                       assignment is served back at similarity 1.0."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ann_index import (
+        IVFIndex,
+        assign_nearest_centroid,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q115_hier_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="ivfhier_")
+        idx = IVFIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path,
+            num_clusters=32, l1_branches=6,
+        )
+        # one-time facts of the memoized layout: the hier-routed add and
+        # its serving check (added under branches=2, served at full probe)
+        probe = e.filter(F.col("vec_id") % 2 == 1).limit(1)
+        idx.add(
+            probe.select("vec_id", "embedding"),
+            assume_new=True, branches=2,
+        )
+        pid, pvec = probe.select("vec_id", "embedding").head()
+        top = idx.search(list(pvec), 1, nprobe=32, branches=6).head()
+        served = bool(top.vec_id == pid and top.similarity == 1.0)
+        _PLAN_MEMO[key] = (path, served)
+    path, served = _PLAN_MEMO[key]
+    idx = IVFIndex.load(spark, path)
+
+    qids = [0, 7, 23, 42]
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    probes_eq = all(
+        idx.probe_clusters(qv, np_, branches=len(idx.l1))
+        == idx.probe_clusters(qv, np_)
+        for qv in qvecs.values() for np_ in (1, 5, 32)
+    )
+    batch = e.filter(F.col("vec_id") % 10 == 3).select("vec_id", "embedding")
+    flat = assign_nearest_centroid(batch, idx.centroids).select(
+        "vec_id", F.col("cluster_id").alias("flat_cid")
+    )
+    hier = idx.assign_clusters_hier(batch, branches=len(idx.l1)).select(
+        "vec_id", F.col("cluster_id").alias("hier_cid")
+    )
+    mismatches = (
+        flat.join(hier, "vec_id", "full_outer")
+        .filter(
+            ~(F.col("flat_cid").eqNullSafe(F.col("hier_cid")))
+        ).count()
+    )
+    return spark.createDataFrame(
+        [(len(qvecs), probes_eq, mismatches == 0, served)],
+        "n_queries bigint, probes_eq_flat boolean, assign_eq_flat boolean, "
+        "served_self_top1 boolean",
+    )
+
+
+def _hier_index_for(spark, sf):
+    """Session-memoized hierarchical IVFIndex over the FULL embeddings
+    table (q116) — distinct from q115's layout, which routes an odd-id
+    probe vector through the hier add and so no longer mirrors the
+    corpus the recall baseline scans."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    key = (spark.sparkContext.applicationId, sf, "q116_hier_path")
+    if key not in _PLAN_MEMO:
+        e = load_table(spark, sf, "embeddings")
+        path = tempfile.mkdtemp(prefix="ivfhier_full_")
+        IVFIndex.build(spark, e, path, num_clusters=24, l1_branches=6)
+        _PLAN_MEMO[key] = path
+    return IVFIndex.load(spark, _PLAN_MEMO[key])
+
+
+@query(
+    "q116_hier_branch_recall",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id IN (0, 7, 23, 42)) AS n_queries,
+           true AS full_branch_exact, true AS monotone_ok,
+           true AS flat_parity
+    """,
+)
+def q116(spark, sf):
+    """The tuning sweep for the SECOND recall/latency knob the two-level
+    quantizer adds above nprobe (q106's): how many L1 branches to descend.
+    `branch_recall_sweep` measures recall@10 for every branches setting in
+    the same two-job batched shape as `recall_sweep` (one exact baseline,
+    one multi-setting pruned pass — settings encoded into query ids, never
+    a per-setting driver loop). KMeans isn't SQL-reproducible, so — like
+    q106/q115 — the driver checks an invariant row:
+      n_queries          grounded: the probe vectors exist
+      full_branch_exact  recall == 1.0 at branches = |L1| with a full
+                         probe (every cluster reachable → brute force
+                         over the layout by construction)
+      monotone_ok        recall(1) ≤ recall(half) ≤ recall(full):
+                         descending more branches only adds candidates
+      flat_parity        recall_sweep(branches=|L1|) ≡ the flat
+                         recall_sweep dict — the hier probe restriction
+                         at all branches is the identity."""
+    idx = _hier_index_for(spark, sf)
+    e = load_table(spark, sf, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id").isin([0, 7, 23, 42]))
+        .orderBy("vec_id").collect()
+    ]
+    nb = len(idx.l1)
+    half = max(nb // 2, 1)
+    full = len(idx.centroids)
+    # ALL seven (nprobe, branches) settings through ONE _settings_recall
+    # call — one exact baseline + one multi-setting pruned pass (2 jobs
+    # for the whole gate, vs 6 when the three public sweeps run apart)
+    rec = idx._settings_recall(
+        e, qvs, 10,
+        [(full, 1), (full, half), (full, nb),
+         (1, None), (full, None), (1, nb)],
+        "vec_id", False,
+    )
+    sweep = {1: rec[0], half: rec[1], nb: rec[2]}
+    flat = {1: rec[3], full: rec[4]}
+    hier = {1: rec[5], full: rec[2]}  # (full, nb) already at index 2
+    return spark.createDataFrame(
+        [(len(qvs), sweep[nb] == 1.0,
+          sweep[1] <= sweep[half] <= sweep[nb], hier == flat)],
+        "n_queries bigint, full_branch_exact boolean, monotone_ok boolean, "
+        "flat_parity boolean",
+    )
+
+
+_NGRAM_TOKS_CTE = r"""
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               struct_extract(u.p, 1) AS tok_a,
+               struct_extract(u.p, 2) AS tok_b
+        FROM toks, LATERAL unnest(list_zip(tk[1:len(tk)-1], tk[2:])) AS u(p)
+    ),
+    uni AS MATERIALIZED (
+        SELECT u.t AS tok, COUNT(*) AS cnt
+        FROM toks, LATERAL unnest(tk) AS u(t) GROUP BY u.t
+    )
+"""
+
+
+@query(
+    "q119_weighted_sample",
+    r"""
+    WITH t AS (
+        SELECT doc_id, n_chars AS weight,
+               ln((('0x' || substr(md5('es#' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                   + 0.5) / 4503599627370496.0)
+                   / CAST(n_chars AS DOUBLE) AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, ROUND(k, 6) AS es_key
+    FROM t ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def q119(spark, sf):
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis A-ES as a top-k): key = ln(u)/w with a salted-md5 uniform,
+    the 50 largest keys are a sample with inclusion ∝ n_chars — the
+    training-mix draw that stays IDENTICAL across engines, re-runs, and
+    repartitions because the randomness is a pure function of the row
+    key. No reservoir state, no corpus shuffle: one scored scan +
+    TakeOrderedAndProject."""
+    from ocr_vector_db_spark.operators import sampling
+
+    d = load_table(spark, sf, "documents")
+    return sampling.weighted_sample(d, 50, "n_chars")
+
+
+@query(
+    "q120_standardized_embeddings",
+    r"""
+    WITH vals AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT i,
+               CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               CAST(SUM(CAST(ROUND(v * v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS m2
+        FROM vals GROUP BY i
+    ),
+    z AS (
+        SELECT vec_id, i, (v - mu) / sqrt(m2 - mu * mu) AS z
+        FROM vals JOIN stats USING (i)
+    ),
+    arr AS (SELECT vec_id, list(z ORDER BY i) AS zs FROM z GROUP BY vec_id),
+    n AS (SELECT vec_id, zs,
+                 CASE WHEN list_dot_product(zs, zs) = 0 THEN 1.0
+                      ELSE sqrt(list_dot_product(zs, zs)) END AS nrm
+          FROM arr)
+    SELECT vec_id, generate_subscripts(zs, 1) AS i,
+           ROUND(unnest(zs) / nrm, 6) AS zval
+    FROM n
+    """,
+)
+def q120(spark, sf):
+    """Per-dimension corpus standardization + unit re-normalization of
+    the embedding table (diagonal whitening — the cheap fix for
+    anisotropic dimensions dominating cosine). Stats are ONE
+    posexplode+agg with exact decimal sums (dim rows out); applying is
+    map-side zip_with/transform against 2×dim literal vectors — no
+    second shuffle, no join, constant plan at any corpus size. (The
+    operator returns (vec_id, unit_std array); the gate explodes to
+    1-based (vec_id, i, zval) rows because the driver compare hashes
+    scalars, not float arrays.)"""
+    from ocr_vector_db_spark.operators import embedding_prep
+
+    e = load_table(spark, sf, "embeddings")
+    # the stats profile of a static corpus is a fit artifact — memoize it
+    # like the index builds so repeated serving pays only the apply pass
+    key = (spark.sparkContext.applicationId, sf, "q120_stats")
+    if key not in _PLAN_MEMO:
+        _PLAN_MEMO[key] = embedding_prep.dim_stats(e)
+    return embedding_prep.standardize_embeddings(
+        e, stats=_PLAN_MEMO[key]
+    ).select(
+        "vec_id", F.posexplode("unit_std").alias("i", "zval")
+    ).select("vec_id", (F.col("i") + 1).alias("i"), "zval")
+
+
+@query(
+    "q121_pdf_encrypted",
+    """
+    SELECT * FROM (VALUES
+        ('/corpus/enc_aes.pdf', 'text', 89,
+         'Modern V4 AESV2 files carry AE'),
+        ('/corpus/enc_aes256.pdf', 'text', 78,
+         'PDF 2.0 files wrap an AES-256 '),
+        ('/corpus/enc_r2.pdf', 'text', 104,
+         'Legacy 40 bit RC4 encryption d'),
+        ('/corpus/enc_r3.pdf', 'text', 41,
+         '한국어 스캔 문서는 128비트 RC4 표준 암호화를 사'),
+        ('/corpus/enc_img.pdf', 'image_raw', 72,
+         '3ae0ee5c1c6faec7545384df0f844b0f')
+    ) AS t(source_path, item, n, detail)
+    """,
+)
+def q121(spark, sf):
+    """Encrypted PDFs (ISO 32000-1 §7.6.2-7.6.4 Standard security
+    handler — together the schemes that dominate scanned/OCR corpora)
+    end-to-end and distributed, golden VALUES oracle like q86/q107:
+    a revision-2 40-bit RC4 file, a revision-3 128-bit RC4
+    Flate+CID-Korean file, a V4/R4 /AESV2 file (AES-128-CBC streams
+    through the pure-Python FIPS-197 core), and a V5/R6 /AESV3 file
+    (PDF 2.0: Algorithm-2.B password hash validated against /U, file
+    key unwrapped from /UE, AES-256-CBC streams) through the full
+    parse path
+    (mapInPandas, parsers.parse_pdf → per-object keys derived from the
+    empty user password, validated against /U before any stream is
+    touched), plus an encrypted raw raster through
+    `ingest.pdf_image_assets` (md5 pins the decrypted pixel buffer).
+    Reference parity: PyMuPDF opens these transparently (and is
+    preferred when importable, as on every PDF path); the pure-Python
+    twin is `pdf_decode._maybe_decrypt`."""
+    from ocr_vector_db_spark.sources.ingest import (
+        parse_pdf_segments,
+        pdf_files_df,
+        pdf_image_assets,
+    )
+    from ocr_vector_db_spark.sources.pdf_decode import (
+        build_simple_pdf,
+        encrypt_pdf_aes,
+        encrypt_pdf_aes256,
+        encrypt_pdf_rc4,
+    )
+
+    aes = encrypt_pdf_aes(build_simple_pdf([[
+        {"kind": "text", "x": 72, "y": 700, "size": 12,
+         "text": "Modern V4 AESV2 files carry AES-128-CBC streams "
+                 "decoded by the pure Python FIPS-197 core."},
+    ]]))
+    aes256 = encrypt_pdf_aes256(build_simple_pdf([[
+        {"kind": "text", "x": 72, "y": 700, "size": 12,
+         "text": "PDF 2.0 files wrap an AES-256 file key behind the "
+                 "Algorithm 2.B password hash."},
+    ]]))
+    r2 = encrypt_pdf_rc4(build_simple_pdf([[
+        {"kind": "text", "x": 72, "y": 700, "size": 12,
+         "text": "Legacy 40 bit RC4 encryption decodes through the "
+                 "standard security handler with the empty user "
+                 "password."},
+    ]]), r=2, nbits=40)
+    r3 = encrypt_pdf_rc4(build_simple_pdf([[
+        {"kind": "text", "x": 72, "y": 700, "size": 12,
+         "text": "한국어 스캔 문서는 128비트 RC4 표준 암호화를 "
+                 "사용하는 경우가 많다."},
+    ]], compress=True), r=3, nbits=128)
+    w, h = 6, 4
+    pixels = bytes((i * 7) % 256 for i in range(w * h * 3))
+    img = encrypt_pdf_rc4(build_simple_pdf([[
+        {"kind": "image", "x": 0, "y": 400, "w": 120, "h": 80,
+         "width": w, "height": h, "channels": 3, "pixels": pixels},
+    ]]))
+
+    texts = parse_pdf_segments(pdf_files_df(spark, [
+        ("/corpus/enc_aes.pdf", aes), ("/corpus/enc_aes256.pdf", aes256),
+        ("/corpus/enc_r2.pdf", r2), ("/corpus/enc_r3.pdf", r3),
+    ])).select(
+        "source_path", F.lit("text").alias("item"),
+        F.length("content").cast("int").alias("n"),
+        F.substring("content", 1, 30).alias("detail"),
+    )
+    assets = pdf_image_assets(pdf_files_df(spark, [
+        ("/corpus/enc_img.pdf", img),
+    ])).select(
+        "source_path",
+        F.concat(F.lit("image_"), F.col("metadata")["format"]).alias("item"),
+        F.length("data").cast("int").alias("n"),
+        F.md5("data").alias("detail"),
+    )
+    return texts.unionByName(assets).orderBy("source_path")
+
+
+@query(
+    "q122_ivfpq_hierarchical",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id IN (0, 8, 24, 42)) AS n_queries,
+           true AS probes_eq_flat, true AS codes_eq_flat,
+           true AS batch_eq_flat, true AS served_self_top1
+    """,
+)
+def q122(spark, sf):
+    """The two-level coarse quantizer on the COMPRESSED tier (q115's
+    IVF-PQ sibling): `IVFPQIndex.build(l1_branches=…)` shares the raw
+    tier's hier layout (hier.json + L2 parquet partitioned by l1_id), so
+    neither probe ranking nor the residual assignment ever touches a
+    num_clusters-sized broadcast. Quantizers aren't SQL-reproducible —
+    invariant gate like q108/q115:
+      n_queries        grounded: the probe vectors exist
+      probes_eq_flat   branch ranking at branches = |L1| reproduces the
+                       flat probe ranking for every sample query and
+                       nprobe ∈ {1, 3, full}
+      codes_eq_flat    hier residual assignment (L1 broadcast + L2
+                       parquet join, squared-L2 both levels) encodes a
+                       held-out batch to EXACTLY the flat path's
+                       (cluster_id, pq_codes), row for row
+      batch_eq_flat    `search_batch(branches=|L1|)` ≡ the flat batched
+                       serving, bit-identical distances
+      served_self_top1 a vector ADDED through the branch-pruned hier
+                       assignment is served back at similarity 1.0 by
+                       the refined search."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ivfpq import IVFPQIndex
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q122_ivfpqh_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="ivfpqh_")
+        idx = IVFPQIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path,
+            dim=64, num_clusters=8, m=8, k=16, l1_branches=3,
+        )
+        # one-time facts of the memoized layout: the hier-routed add and
+        # its serving check (added under branches=2, refined full probe)
+        probe = (e.filter(F.col("vec_id") % 2 == 1)
+                 .select("vec_id", "embedding").limit(1))
+        idx.add(probe, assume_new=True, branches=2)
+        pid, pvec = probe.head()
+        top = idx.search(list(pvec), 1, nprobe=8, branches=3,
+                         corpus=e, refine=4).head()
+        served = bool(top.vec_id == pid and top.similarity == 1.0)
+        _PLAN_MEMO[key] = (path, served)
+    path, served = _PLAN_MEMO[key]
+    idx = IVFPQIndex.load(spark, path)
+
+    qids = [0, 8, 24, 42]
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    probes_eq = all(
+        idx.probe_clusters(qv, np_, branches=len(idx.l1))
+        == idx.probe_clusters(qv, np_)
+        for qv in qvecs.values() for np_ in (1, 3, 8)
+    )
+    held_out = (e.filter(F.col("vec_id") % 10 == 3)
+                .select("vec_id", "embedding"))
+    flat_codes = {
+        (r.vec_id, r.cluster_id, tuple(r.pq_codes))
+        for r in idx._residual_codes(
+            held_out, "embedding", "vec_id").collect()
+    }
+    hier_codes = {
+        (r.vec_id, r.cluster_id, tuple(r.pq_codes))
+        for r in idx._residual_codes(
+            held_out, "embedding", "vec_id", branches=len(idx.l1)
+        ).collect()
+    }
+    qdf = e.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flat_b = sorted(
+        tuple(r) for r in idx.search_batch(qdf, 5, nprobe=8).collect()
+    )
+    hier_b = sorted(
+        tuple(r)
+        for r in idx.search_batch(qdf, 5, nprobe=8,
+                                  branches=len(idx.l1)).collect()
+    )
+    return spark.createDataFrame(
+        [(len(qvecs), probes_eq, hier_codes == flat_codes,
+          hier_b == flat_b, served)],
+        "n_queries bigint, probes_eq_flat boolean, codes_eq_flat boolean, "
+        "batch_eq_flat boolean, served_self_top1 boolean",
+    )
+
+
+@query(
+    "q117_pmi_collocations",
+    f"""
+    WITH {_NGRAM_TOKS_CTE},
+    bgc AS (
+        SELECT tok_a, tok_b, COUNT(*) AS pair_count
+        FROM bg GROUP BY tok_a, tok_b
+    ),
+    tot AS (
+        SELECT CAST((SELECT SUM(cnt) FROM uni) AS DOUBLE) AS n_tok,
+               CAST((SELECT COUNT(*) FROM bg) AS DOUBLE) AS n_pairs
+    )
+    SELECT tok_a, tok_b, pair_count,
+           ROUND(ln(CAST(pair_count AS DOUBLE)) - ln(n_pairs)
+                 - ln(CAST(ua.cnt AS DOUBLE)) - ln(CAST(ub.cnt AS DOUBLE))
+                 + 2.0 * ln(n_tok), 6) AS pmi
+    FROM bgc JOIN uni ua ON bgc.tok_a = ua.tok
+             JOIN uni ub ON bgc.tok_b = ub.tok
+             CROSS JOIN tot
+    WHERE pair_count >= 5
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT 100
+    """,
+)
+def q117(spark, sf):
+    """PMI collocation mining (Church & Hanks, 1990): the corpus's
+    strongest adjacent token pairs by pointwise mutual information —
+    phrase-vocabulary induction for tokenizer training. Bigrams come from
+    zipping each doc's filtered token array against itself shifted by one
+    (per-row, shuffle-free — no window, no positional self-join); counts
+    are two aggs; the Heaps'-sized unigram table broadcasts onto the
+    already-aggregated bigram counts; top-k is TakeOrderedAndProject.
+    min_count=5 floors the hapax-pair PMI explosion."""
+    from ocr_vector_db_spark.operators import ngram_lm
+
+    d = load_table(spark, sf, "documents")
+    return ngram_lm.pmi_collocations(d, min_count=5, top_k=100)
+
+
+@query(
+    "q118_bigram_cross_entropy",
+    f"""
+    WITH {_NGRAM_TOKS_CTE},
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    bgc AS (
+        SELECT tok_a, tok_b, COUNT(*) AS cab
+        FROM bg GROUP BY tok_a, tok_b
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               ROUND(-ln(CAST(bgc.cab + 1 AS DOUBLE)
+                         / (CAST(ua.cnt AS DOUBLE) + v.v)), 6) AS nlp
+        FROM bg JOIN bgc USING (tok_a, tok_b)
+                JOIN uni ua ON bg.tok_a = ua.tok
+                CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q118(spark, sf):
+    """Per-document cross-entropy under the corpus's add-one-smoothed
+    BIGRAM LM, p(b|a) = (c(ab)+1)/(c(a)+V) — the distributed stand-in
+    for CCNet's KenLM perplexity filter (Wenzek et al., 2020), one rung
+    above q82's unigram model: word-order-aware, so shuffled boilerplate
+    that fools a unigram LM scores high here. The per-doc scoring join
+    is a shuffle equi-join on the pair key (bigram vocab is NOT
+    broadcastable at corpus scale; stopword-pair skew is AQE's job);
+    unigram context counts broadcast; per-row -ln p rounds to 6 dp
+    before the decimal sum so the average is order-independent."""
+    from ocr_vector_db_spark.operators import ngram_lm
+
+    d = load_table(spark, sf, "documents")
+    return ngram_lm.bigram_cross_entropy(d)
+
+
+@query(
+    "q123_ngram_lm_incremental",
+    # the oracle is q118's refit SQL verbatim: an incrementally-built
+    # persisted LM must score byte-identically to a full refit
+    f"""
+    WITH {_NGRAM_TOKS_CTE},
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+    bgc AS (
+        SELECT tok_a, tok_b, COUNT(*) AS cab
+        FROM bg GROUP BY tok_a, tok_b
+    ),
+    scored AS (
+        SELECT bg.doc_id,
+               ROUND(-ln(CAST(bgc.cab + 1 AS DOUBLE)
+                         / (CAST(ua.cnt AS DOUBLE) + v.v)), 6) AS nlp
+        FROM bg JOIN bgc USING (tok_a, tok_b)
+                JOIN uni ua ON bg.tok_a = ua.tok
+                CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q123(spark, sf):
+    """Incremental LM index (operators/ngram_lm_index.py, the LM sibling
+    of q104's LexicalIndex): build the persisted bigram LM on HALF the
+    corpus, add() the rest (bucketed count-row appends + exact integer
+    vocab/total folds), compact() once (count folding is read-time, so
+    compaction must not change a single score), then score the whole
+    corpus against the PERSISTED counts — only the batch's own buckets of
+    the pair/unigram tables are read (partition-pruned scans). Oracle =
+    q118's refit SQL over the full corpus: build(A)+add(B) must score
+    byte-identically to a refit on A∪B — CCNet-style LM filtering served
+    from a stable index instead of a per-batch re-count."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ngram_lm_index import NgramLMIndex
+
+    d = load_table(spark, sf, "documents")
+    key = (spark.sparkContext.applicationId, sf, "q123_lm_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="lmidx_")
+        idx = NgramLMIndex.build(
+            spark, d.filter(F.col("doc_id") % 2 == 0), path, n_buckets=16
+        )
+        idx.add(d.filter(F.col("doc_id") % 2 == 1))
+        idx.compact()
+        _PLAN_MEMO[key] = path
+    idx = NgramLMIndex.load(spark, _PLAN_MEMO[key])
+    return idx.score_batch(d)
+
+
+@query(
+    "q124_ivf_standardized",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+           true AS layout_matches_q120,
+           true AS full_probe_exact,
+           true AS self_served_at_one
+    """,
+)
+def q124(spark, sf):
+    """Whitened-space ANN serving: `IVFIndex.build(standardize=True)`
+    persists q120's (mu, sd) profile WITH the index and applies it to
+    layout, queries, adds and screens symmetrically. Quantizers aren't
+    SQL-reproducible — invariant row like q106/q115:
+      n_vectors            grounded: the whole corpus is indexed
+      layout_matches_q120  the stored vectors equal the q120 operator's
+                           output row-for-row (one profile, one transform
+                           definition — `embedding_prep.standardize_col`)
+      full_probe_exact     recall@10 == 1.0 at nprobe = num_clusters:
+                           both recall sides move into index space, so
+                           probing every partition IS brute force over
+                           the whitened layout
+      self_served_at_one   a corpus member queried RAW returns itself at
+                           similarity exactly 1.0 — the driver-side query
+                           transform (`standardize_vec`) bit-matches the
+                           distributed layout transform."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.embedding_prep import (
+        standardize_embeddings,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q124_std_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="ivfstd_")
+        IVFIndex.build(spark, e, path, num_clusters=8, standardize=True)
+        _PLAN_MEMO[key] = path
+    idx = IVFIndex.load(spark, _PLAN_MEMO[key])
+
+    n_vectors = e.count()
+    want = standardize_embeddings(e).select(
+        F.col("vec_id"), F.col("unit_std").alias("embedding")
+    )
+    layout_ok = (
+        idx.vectors().select("vec_id", "embedding")
+        .exceptAll(want).count() == 0
+        and idx.vectors().count() == n_vectors
+    )
+    qids = [0, 7, 23, 42]
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id").isin(qids)).orderBy("vec_id").collect()
+    ]
+    rec = idx.recall_sweep(e, qvs, k=10, nprobes=[len(idx.centroids)])
+    full_ok = rec[len(idx.centroids)] == 1.0
+    top = idx.search(qvs[1], 1, nprobe=len(idx.centroids)).head()
+    self_ok = bool(top.vec_id == 7 and top.similarity == 1.0)
+    return spark.createDataFrame(
+        [(n_vectors, layout_ok, full_ok, self_ok)],
+        "n_vectors bigint, layout_matches_q120 boolean, "
+        "full_probe_exact boolean, self_served_at_one boolean",
+    )
+
+
+_Q106_QUERY_IDS = [0, 7, 23, 42]
+
+
+@query(
+    "q106_ivf_recall_tradeoff",
+    f"""
+    SELECT (SELECT COUNT(*) FROM embeddings
+            WHERE vec_id IN ({', '.join(str(i) for i in _Q106_QUERY_IDS)}))
+           AS n_queries,
+           true AS full_probe_exact,
+           true AS monotone_ok,
+           true AS nprobe1_positive
+    """,
+)
+def q106(spark, sf):
+    """The recall/nprobe tradeoff that mirrors pgvector's `ivfflat.probes`
+    knob (reference storage/schema.py:38-41): measured recall@10 of the
+    persisted IVF index vs exact brute force at nprobe = 1, half, full.
+    The cluster assignment isn't SQL-reproducible, so — like q99/q46 —
+    the driver checks an invariant row:
+      n_queries          grounded in the data: the probe set must exist
+      full_probe_exact   recall == 1.0 at nprobe = num_clusters (probing
+                         every partition IS brute force over the layout;
+                         an assignment or pruning bug breaks equality)
+      monotone_ok        recall(1) ≤ recall(half) ≤ recall(full): probing
+                         more clusters can only add candidates — a probe-
+                         ranking bug flips this
+      nprobe1_positive   each query vector is itself a corpus member, so
+                         its own cluster must return it → recall@10 ≥ 0.1
+                         even at nprobe=1."""
+    idx = _ivf_index_for(spark, sf)
+    e = load_table(spark, sf, "embeddings")
+    qvs = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id").isin(_Q106_QUERY_IDS))
+        .orderBy("vec_id").collect()
+    ]
+    full = len(idx.centroids)
+    sweep = idx.recall_sweep(e, qvs, k=10, nprobes=[1, max(full // 2, 1), full])
+    r1, rh, rf = sweep[1], sweep[max(full // 2, 1)], sweep[full]
+    return spark.createDataFrame(
+        [(len(qvs), rf == 1.0, r1 <= rh <= rf, r1 > 0.0)],
+        "n_queries bigint, full_probe_exact boolean, monotone_ok boolean, "
+        "nprobe1_positive boolean",
+    )
+
+
+@query(
+    "q91_sequence_packing",
+    r"""
+    WITH t AS (
+        SELECT lang || '#' || CAST(
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+                   AS VARCHAR) AS shard,
+               doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, doc_id, tokens,
+               SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM t
+    ),
+    p AS (
+        SELECT shard, tokens,
+               CAST(floor((cum_tokens - tokens) / 256.0) AS BIGINT) AS pack_id
+        FROM c
+    )
+    SELECT shard, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS pack_tokens,
+           ROUND(SUM(tokens) / 256.0, 6) AS fill_ratio
+    FROM p GROUP BY shard, pack_id
+    """,
+)
+def q91(spark, sf):
+    """Sequence packing: contiguous greedy assignment of each shard's
+    documents into 256-token training packs (pack = floor of the prefix sum
+    before the doc / budget), rolled up to per-pack fill stats. ONE window
+    (per-shard prefix sum, no global sort) + one hash agg — the
+    document-boundary packing a pretraining pipeline runs as its final hop.
+    The shard key is salted into 4 sub-shards (md5(doc_id) mod 4) so window
+    partitions stay bounded when the natural key is low-cardinality — the
+    100-TB guard; see operators/packing.py for the scale notes."""
+    from ocr_vector_db_spark.operators import packing
+
+    d = load_table(spark, sf, "documents")
+    packed = packing.pack_documents(d, budget=256, shard_col="lang", sub_shards=4)
+    return packing.pack_stats(packed, budget=256)
+
+
+@query(
+    "q92_semantic_dedup_survivors",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT s.vec_id, s.label FROM e s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM e b
+        WHERE b.label = s.label AND b.vec_id < s.vec_id
+          AND ROUND(list_dot_product(s.v, b.v)
+                    / (sqrt(list_dot_product(s.v, s.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    )
+    """,
+)
+def q92(spark, sf):
+    """SemDeDup (Abbas et al., 2023) survivors: within each cluster (label
+    as the k-means block), keep only documents with NO higher-priority
+    (lower-id) neighbor at cosine ≥ 0.3 — the pairwise greedy rule, not
+    transitive closure. Candidates from the blocked self-join (q22's
+    pattern), survivors via one left-anti join; never all-pairs."""
+    e = load_table(spark, sf, "embeddings")
+    return dedup.semantic_dedup_survivors(
+        e, threshold=0.3, block_col="label"
+    ).select("vec_id", "label")
+
+
+@query(
+    "q93_duplicate_ngram_coverage",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, unnest(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(range(1, len(t) - 1),
+                                     i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                 ELSE [] END) AS shingle
+        FROM toks
+    ),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc AS doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           ROUND(SUM(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS dup_coverage
+    FROM sh JOIN freq USING (shingle)
+    GROUP BY sh.doc
+    """,
+)
+def q93(spark, sf):
+    """Duplicate n-gram coverage (3-grams at test scale; 13 in production —
+    Lee et al. 2022's exact-substring screening): fraction of each doc's
+    distinct shingles shared with any other doc. Inverted-index formulation —
+    the one big shuffle is the shingle-df join; integer counts keep every
+    aggregate exact. See operators/dedup.py::duplicate_ngram_coverage."""
+    d = load_table(spark, sf, "documents")
+    return dedup.duplicate_ngram_coverage(d, n=3)
+
+
+@query(
+    "q94_rerank_stub_topk",
+    f"""
+    WITH {_bm25_scored_sql(_BM25_TERMS)},
+    cand AS (SELECT id FROM scored ORDER BY bm25 DESC, id LIMIT 50),
+    ce AS (
+        SELECT c.id,
+               substr(md5('vector hash spark' || '|' || d.text), 1, 8) AS ce_score
+        FROM cand c JOIN documents d ON d.doc_id = c.id
+    )
+    SELECT id, ce_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY ce_score DESC, id) AS BIGINT) AS rank
+    FROM ce ORDER BY ce_score DESC, id LIMIT 10
+    """,
+)
+def q94(spark, sf):
+    """Two-stage retrieve-then-rerank: BM25 top-50 (the O(corpus) stage) →
+    cross-encoder rerank → top-10. The expensive pairwise scorer only ever
+    sees the driver-bounded candidate set — the shape that makes
+    cross-encoders affordable at any corpus size. Scorer here is the
+    deterministic md5 stub (hex-string key, oracle-checkable); a real model
+    drops in as a Pandas-UDF batch scorer without touching the plan.
+    See operators/retrieval.py::rerank_topk."""
+    from ocr_vector_db_spark.operators import retrieval
+
+    d = load_table(spark, sf, "documents")
+    cand = retrieval.bm25_topk(d, _BM25_TERMS, k=50).select("id")
+    with_text = cand.join(
+        d.select(F.col("doc_id").alias("id"), "text"), "id"
+    )
+    return retrieval.rerank_topk(
+        with_text, retrieval.md5_stub_scorer(" ".join(_BM25_TERMS)), k=10
+    )
+
+
+@query(
+    "q95_bpe_pair_counts",
+    """
+    WITH w AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        FROM documents
+    ),
+    p AS (
+        SELECT unnest(list_transform(range(1, length(word)),
+                                     i -> word[i:i+1])) AS pair
+        FROM w WHERE length(word) >= 2
+    )
+    SELECT pair, COUNT(*) AS cnt
+    FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
+    """,
+)
+def q95(spark, sf):
+    """Adjacent-symbol pair counts — the inner loop of BPE tokenizer
+    training (the first merge = the argmax of exactly this table; Sennrich
+    et al. 2016). Explode words → explode in-word character bigrams →
+    hash agg: the shuffle carries one row per distinct pair per partition
+    (≤ 36² for lowercase alnum), not per occurrence — the same map-side
+    combine discipline as q65's Zipf scan."""
+    d = load_table(spark, sf, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(50)
+    )
+
+
+@query(
+    "q96_quality_deciles",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(length(text) AS DOUBLE) AS n,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> list_contains(['the','a','and','of','to','in','is','it','that','for'], t))) AS DOUBLE) AS stop,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}\-]', '', 'g')) AS DOUBLE) AS punct
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, lang,
+               CASE WHEN n = 0 THEN 0.0 ELSE ROUND(
+                   0.5 * least(n / 500.0, 1.0)
+                 + 0.3 * (CASE WHEN ntok > 0 THEN least(stop / ntok * 5.0, 1.0) ELSE 0.0 END)
+                 + 0.2 * (1.0 - least(punct / n * 10.0, 1.0)), 6) END AS quality
+        FROM t
+    ),
+    d AS (
+        SELECT lang, quality,
+               CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS BIGINT) AS decile
+        FROM q
+    )
+    SELECT lang, decile, COUNT(*) AS n_docs,
+           MIN(quality) AS min_q, MAX(quality) AS max_q
+    FROM d GROUP BY lang, decile
+    """,
+)
+def q96(spark, sf):
+    """Per-language quality deciles — the bucketing behind quality-curriculum
+    sampling and threshold sweeps (pick the keep-fraction by decile, not by a
+    global magic score). ntile(10) window per lang (one shuffle on lang,
+    per-partition sort) + per-decile rollup; the quality score is q24's exact
+    single-pass expression."""
+    d = load_table(spark, sf, "documents")
+    q = d.select(
+        "doc_id", "lang", ta.quality_score_col(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        q.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+        )
+    )
+
+
+@query(
+    "q97_training_pipeline_e2e",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               CAST(length(text) AS DOUBLE) AS n,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS ntok,
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                    t -> list_contains(['the','a','and','of','to','in','is','it','that','for'], t))) AS DOUBLE) AS stop,
+               CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}\-]', '', 'g')) AS DOUBLE) AS punct
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, lang, text FROM t
+        WHERE CASE WHEN n = 0 THEN 0.0 ELSE ROUND(
+                  0.5 * least(n / 500.0, 1.0)
+                + 0.3 * (CASE WHEN ntok > 0 THEN least(stop / ntok * 5.0, 1.0) ELSE 0.0 END)
+                + 0.2 * (1.0 - least(punct / n * 10.0, 1.0)), 6) END >= 0.6
+    ),
+    keep AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               MIN(doc_id) AS doc_id
+        FROM gated GROUP BY 1
+    ),
+    deduped AS (
+        SELECT g.doc_id, g.lang, g.text FROM gated g
+        JOIN keep k ON g.doc_id = k.doc_id
+    ),
+    split_assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 4
+                   AS sub_shard,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+        FROM deduped
+    ),
+    packed AS (
+        SELECT split, lang, sub_shard, tokens,
+               CAST(floor((SUM(tokens) OVER (PARTITION BY split, lang, sub_shard
+                               ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - tokens) / 256.0) AS BIGINT) AS pack_id
+        FROM split_assigned
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           COUNT(DISTINCT CONCAT(sub_shard, ':', pack_id)) AS n_packs,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY split, lang
+    """,
+)
+def q97(spark, sf):
+    """The full training-data pipeline as ONE lazy plan — quality gate
+    (q24's score ≥ 0.6) → exact dedup (min-id per normalized-text
+    fingerprint) → deterministic md5 train/val/test split (q57's rule) →
+    per-(split, lang, sub_shard) sequence packing (q91's contiguous greedy
+    rule, salted into 4 bounded sub-shards) → stratification rollup.
+    Composition is the point: every stage is the same operator the
+    standalone queries check, and Catalyst fuses the whole chain into
+    scan → filter → dedup agg+semi-join → window → agg with no
+    materialization between stages. Shuffle inventory: fingerprint agg +
+    semi-join, one (split, lang, sub_shard) window, final rollup — nothing
+    corpus-squared anywhere."""
+    from ocr_vector_db_spark.functions.text_analysis import (
+        quality_score_col,
+        token_count_col,
+    )
+    from ocr_vector_db_spark.operators.dedup import dedup_exact
+
+    d = load_table(spark, sf, "documents")
+    gated = d.filter(quality_score_col(F.col("text")) >= 0.6)
+    deduped = dedup_exact(gated, text_col="text", id_col="doc_id")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    h = F.substring(md5, 1, 2)
+    split = F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    # Bounded sub-shard salt (md5 chars 9-16, disjoint from the split's 1-2,
+    # mod 4) — the 100-TB guard keeping each packing window partition
+    # corpus/(splits*langs*4) instead of a single-reducer sorted stream.
+    sub_shard = F.pmod(
+        F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint"), F.lit(4)
+    )
+    assigned = deduped.select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        sub_shard.alias("sub_shard"),
+        token_count_col(F.col("text")).cast("bigint").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("split", "lang", "sub_shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = assigned.withColumn(
+        "pack_id",
+        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / 256.0).cast("bigint"),
+    )
+    return packed.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("sub_shard", "pack_id").alias("n_packs"),
+        F.sum("tokens").alias("total_tokens"),
+    )
+
+
+@query(
+    "q98_rag_prompt_golden",
+    """
+    SELECT * FROM (VALUES
+        ('lazy evaluation generators', 3,
+         '[1] decorators.md|[2] decorators.md|[3] generators.md',
+         'c537cc1c2240cafdf9b13065dec3434b')
+    ) AS t(query, n_sources, citations, prompt_md5)
+    """,
+)
+def q98(spark, sf):
+    """RAG context assembly (§3.3: api/repl --rag path) driver-verified:
+    ingest the fixture corpus, retrieve top-3, assemble the prompt
+    (800-char parent previews, numbered source blocks, separator template —
+    plans/rag.py parity with retrieval/rag.py) and hash it. Deterministic
+    end-to-end (hash embedder, fixed corpus, total orderings), so the
+    oracle is a golden VALUES row — same regeneration contract as q35."""
+    import hashlib as _hashlib
+
+    from ocr_vector_db_spark.plans.pipeline import RetrievalPipeline
+    from ocr_vector_db_spark.plans.rag import build_context, format_rag_prompt
+
+    q = "lazy evaluation generators"
+    out = _fixture_store(spark, sf)
+    pipe = RetrievalPipeline(out["embeddings"], out["parents"], dim=16)
+    rows = pipe.retrieve(q, top_k=3, use_self_query=False).collect()
+    ctx = build_context(rows)
+    prompt = format_rag_prompt(q, ctx)
+    return spark.createDataFrame(
+        [(
+            q,
+            len(ctx.source_citations),
+            "|".join(ctx.source_citations),
+            _hashlib.md5(prompt.encode()).hexdigest(),
+        )],
+        "query string, n_sources int, citations string, prompt_md5 string",
+    )
+
+
+@query(
+    "q100_self_query_llm_golden",
+    """
+    SELECT * FROM (VALUES
+        ('python decorator code example', 'code', 'python',
+         CAST(2 AS BIGINT), true, true)
+    ) AS t(query, view_filter, lang_filter, n_results, fallback_same, used_llm)
+    """,
+)
+def q100(spark, sf):
+    """Stage-0 self-query through the INJECTED LLM client seam
+    (plans/self_query.py — the reference's SelfQueryRetriever chain,
+    retrieval/self_query.py:99-240): the deterministic JSON-stub client
+    extracts {view: code, lang: python} from the NL query, the filters
+    prune the fixture corpus before scoring, and a DEAD client degrades to
+    the heuristic with IDENTICAL results (the fallback ladder,
+    retrieval/pipeline.py:114-135). Deterministic end-to-end → golden
+    VALUES oracle, same contract as q98."""
+
+    class _DeadLLM:
+        model = "dead"
+
+        def complete(self, system, prompt):
+            raise ConnectionError("no backend")
+
+    from ocr_vector_db_spark.plans.pipeline import RetrievalPipeline
+    from ocr_vector_db_spark.plans.self_query import (
+        JsonStubLLM,
+        LLMSelfQuery,
+        parse_filter_json,
+    )
+
+    q = "python decorator code example"
+    out = _fixture_store(spark, sf)
+    sq = LLMSelfQuery(JsonStubLLM())
+    filters = sq(q)
+    used_llm = sq.last_error is None and filters == parse_filter_json(
+        JsonStubLLM().complete("", f"Query: {q}\nFilters:")
+    )
+    pipe = RetrievalPipeline(
+        out["embeddings"], out["parents"], dim=16, self_query=sq
+    )
+    dead = RetrievalPipeline(
+        out["embeddings"], out["parents"], dim=16,
+        self_query=LLMSelfQuery(_DeadLLM()),
+    )
+    got = [r.fragment_id for r in pipe.retrieve(q, top_k=3).collect()]
+    got_dead = [r.fragment_id for r in dead.retrieve(q, top_k=3).collect()]
+    return spark.createDataFrame(
+        [(
+            q,
+            filters.get("view", ""),
+            filters.get("lang", ""),
+            len(got),
+            got == got_dead,
+            used_llm,
+        )],
+        "query string, view_filter string, lang_filter string, "
+        "n_results bigint, fallback_same boolean, used_llm boolean",
+    )
+
+
+@query(
+    "q99_semdedup_kmeans_invariants",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings) AS n_total,
+           true AS survivors_nonempty,
+           true AS conservation_ok,
+           true AS min_ids_survive_ok,
+           true AS monotone_ok
+    """,
+)
+def q99(spark, sf):
+    """SemDeDup blocked by the paper's own KMeans clustering (Abbas et al.
+    2023 §3 — q92 uses the synthetic `label` as the block; a real corpus has
+    no labels, so this variant fits seeded k-means over the embeddings via
+    dedup.kmeans_blocks and dedups within each cluster). The cluster
+    assignment isn't SQL-reproducible, so — like q46/q53's ANN gates — the
+    driver checks an invariant row instead of the raw survivor set:
+      n_total            survivors + dropped must re-add to the corpus count
+                         (the oracle recomputes COUNT(*) independently)
+      survivors_nonempty at least one representative survives
+      conservation_ok    survivors ∩ dropped = ∅ partition of the corpus
+      min_ids_survive_ok the min-id doc of every cluster survives (it can
+                         have no lower-id neighbor — a banding/priority bug
+                         flips this)
+      monotone_ok        survivors(τ=0.3) ⊆ survivors(τ=0.5): raising the
+                         threshold can only shrink the dropped set — a
+                         threshold-comparison bug flips this."""
+    e = load_table(spark, sf, "embeddings")
+    # session-memoized seeded fit: a deployed SemDeDup fits clustering once
+    # per corpus snapshot and reuses the assignment (Abbas et al. §3 — the
+    # fit is the amortized build step, like the q101/q102 index builds);
+    # the invariant counts below still execute per call
+    key = (spark.sparkContext.applicationId, sf, "q99_sem_blocks")
+    if key not in _PLAN_MEMO:
+        b = dedup.kmeans_blocks(e, 8, out_col="sem_cluster").cache()
+        b.count()
+        _PLAN_MEMO[key] = b
+    blocks = _PLAN_MEMO[key]
+    # one fit, two thresholds: reuse the assignment as a plain block_col
+    # cache the slim survivor-id sets: four invariant actions below read
+    # s_lo — without the cache each count re-runs the whole blocked
+    # pairwise dedup pass (4x the work for identical results)
+    s_lo = dedup.semantic_dedup_survivors(
+        blocks, threshold=0.3, block_col="sem_cluster"
+    ).select("vec_id").cache()
+    s_hi = dedup.semantic_dedup_survivors(
+        blocks, threshold=0.5, block_col="sem_cluster"
+    ).select("vec_id").cache()
+    try:
+        n_total = e.count()
+        n_lo = s_lo.count()
+        n_dropped = e.join(s_lo, "vec_id", "left_anti").count()
+        min_ids = blocks.groupBy("sem_cluster").agg(
+            F.min("vec_id").alias("vec_id")
+        )
+        return spark.createDataFrame(
+            [(
+                n_total,
+                n_lo > 0,
+                n_lo + n_dropped == n_total,
+                min_ids.join(s_lo, "vec_id", "left_anti").count() == 0,
+                s_lo.join(s_hi, "vec_id", "left_anti").count() == 0,
+            )],
+            "n_total bigint, survivors_nonempty boolean, conservation_ok boolean, "
+            "min_ids_survive_ok boolean, monotone_ok boolean",
+        )
+    finally:
+        s_lo.unpersist()
+        s_hi.unpersist()
+
+
+@query("q109_neardup_components_collapsed", _COMPONENTS_SQL)
+def q109(spark, sf):
+    """Hot-group-safe near-dup clustering: documents with IDENTICAL MinHash
+    signatures collapse to their min-id representative BEFORE the LSH band
+    self-join, the transitive closure runs over representatives only, and
+    members rejoin through the slim doc→rep map. Row-for-row identical to
+    q56's uncollapsed closure (same recursive-CTE oracle) — collapsing
+    changes the candidate-pair volume (Σ m_g² per identical group → the
+    collision structure of DISTINCT signatures), never the answer. This is
+    the shape that survives the 100 TB bucket pathology: one boilerplate
+    page duplicated 10⁶ times is one band row, not 10¹² pairs. Reference
+    parity: the dedupe intent of the content_hash unique index
+    (storage/schema.py:166-228) lifted to near-dup clusters."""
+    d = load_table(spark, sf, "documents")
+    # cc="label" pinned: the operator's scale DEFAULT is the star closure
+    # (round-7 flip), but this entry keeps the min-label engine benched so
+    # the label-vs-star cost ratio stays visible round-over-round
+    return dedup.minhash_neardup_components(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id",
+        threshold=0.5, collapse_identical=True, cc="label",
+    )
+
+
+@query("q110_neardup_components_star", _COMPONENTS_SQL)
+def q110(spark, sf):
+    """q109's collapsed clustering with the large-star/small-star closure
+    (Kiveris et al., SoCC'14) instead of min-label propagation: O(log² n)
+    contraction rounds regardless of component DIAMETER, where min-label
+    needs diameter rounds — the engine to pick when near-dups chain
+    (A~B~C~… paraphrase chains, each link similar, ends unrelated).
+    Same recursive-CTE oracle as q56/q109: three independent closure
+    implementations must agree row-for-row on the same pair graph."""
+    d = load_table(spark, sf, "documents")
+    return dedup.minhash_neardup_components(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id",
+        threshold=0.5, collapse_identical=True, cc="star",
+    )
+
+
+@query(
+    "q111_ivf_semantic_screen",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+    b AS (SELECT * FROM e WHERE vec_id % 10 = 1),
+    sims AS (
+        SELECT b.vec_id, s.vec_id AS dup_of,
+               ROUND(list_dot_product(b.v, s.v)
+                     / (sqrt(list_dot_product(b.v, b.v))
+                        * sqrt(list_dot_product(s.v, s.v))), 6) AS similarity
+        FROM b CROSS JOIN s
+    ),
+    ranked AS (
+        SELECT vec_id, dup_of, similarity,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY similarity DESC, dup_of) AS rn
+        FROM sims
+    )
+    SELECT vec_id, dup_of, similarity FROM ranked WHERE rn = 1 AND similarity >= 0.3
+    """,
+)
+def q111(spark, sf):
+    """Embedding-level ingestion dedup gate: an incoming batch (the 10%
+    vec_id ≡ 1 mod 10 slice — ingest batches are small next to the store)
+    is screened against the persisted IVF store (built on the even half)
+    for its nearest STORED neighbor; similarity ≥ 0.3 flags it as a
+    semantic duplicate with its duplicate-of attribution — SemDeDup applied
+    at ingest instead of over the resting corpus, the dense sibling of the
+    MinHash screen (q105). Cluster assignment is a broadcast crossJoin
+    against the tiny centroid table and scoring is knn_batch(k=1) over the
+    partition-pruned layout, so the per-batch cost is O(batch ×
+    probed-slice). Full probe here = exact max-cosine vs the store, which
+    is what the oracle's cross join computes; production prunes with
+    nprobe « num_clusters (flag subset relation unit-tested)."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q111_ivf_even_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="ivfscreen_")
+        # 32 clusters: scoring parallelism tracks the cluster-partitioned
+        # layout (one scan split per dir at this size), and finer cells
+        # tighten production pruning; full probe stays exact regardless
+        IVFIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path, num_clusters=32
+        )
+        _PLAN_MEMO[key] = path
+    idx = IVFIndex.load(spark, _PLAN_MEMO[key])
+    return idx.screen_near_dups(
+        e.filter(F.col("vec_id") % 10 == 1), threshold=0.3
+    )
+
+
+@query(
+    "q112_dense_dropped_intra_batch",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT * FROM e WHERE vec_id % 10 = 1)
+    SELECT DISTINCT a.vec_id
+    FROM b a JOIN b bb ON a.vec_id > bb.vec_id
+    WHERE ROUND(list_dot_product(a.v, bb.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.3
+    """,
+)
+def q112(spark, sf):
+    """Intra-batch dense drop set: ids in the incoming batch (q111's
+    vec_id ≡ 1 mod 10 slice) that have a LOWER-id near-dup in the SAME
+    batch at cosine ≥ 0.3 — `IVFIndex.dense_dropped_ids`, the dense twin
+    of `minhash_dropped_ids` and the piece that closes the streaming dual
+    gate's same-batch blind spot (`screen_near_dups` only sees PREVIOUS
+    batches). Blocked by the persisted gate index's centroids: pairs form
+    only inside shared probed clusters, an O(batch²/num_clusters) bound
+    instead of a raw batch² self-join. Full probe here = exact all-pairs,
+    which is what the oracle's self-join computes; production keeps
+    nprobe small (blocked ≡ exact for true near-identicals —
+    regression-tested in test_streaming_multimodal)."""
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+
+    e = load_table(spark, sf, "embeddings")
+    key = (spark.sparkContext.applicationId, sf, "q111_ivf_even_path")
+    if key not in _PLAN_MEMO:
+        # same persisted gate index as q111 (built on the even half)
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="ivfscreen_")
+        IVFIndex.build(
+            spark, e.filter(F.col("vec_id") % 2 == 0), path, num_clusters=32
+        )
+        _PLAN_MEMO[key] = path
+    idx = IVFIndex.load(spark, _PLAN_MEMO[key])
+    return idx.dense_dropped_ids(
+        e.filter(F.col("vec_id") % 10 == 1), threshold=0.3, nprobe=None
+    )

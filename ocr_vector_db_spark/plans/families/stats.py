@@ -1,0 +1,1062 @@
+"""Corpus statistics, vector aggregation, time series (q40-q85 band).
+
+Split from the former monolithic plans/inventory.py (round 9); the
+registry, engine-portability rules and shared helpers live in
+`plans/families/core.py`, and `plans/inventory.py` re-exports the maps.
+Registration order is preserved by the hub's import order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ocr_vector_db_spark.functions import text_analysis as ta  # noqa: F401
+from ocr_vector_db_spark.functions import validators  # noqa: F401
+from ocr_vector_db_spark.functions.chunking import chunk_fixed_col  # noqa: F401
+from ocr_vector_db_spark.operators import (  # noqa: F401
+    dedup,
+    grouping,
+    knn,
+    metrics,
+)
+from ocr_vector_db_spark.plans.families.core import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    _PLAN_MEMO,
+    _sql_dsum,
+    dsum,
+    query,
+)
+from ocr_vector_db_spark.session import load_table  # noqa: F401
+from ocr_vector_db_spark.plans.families.vector import _MH_CAND_SQL  # noqa: F401
+
+# =====================================================================
+# Round-1 batch 2: corpus statistics, vector aggregation, time series
+# =====================================================================
+
+
+@query(
+    "q65_token_zipf_topk",
+    """
+    WITH w AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS cnt
+    FROM w WHERE token <> ''
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+    """,
+)
+def q65(spark, sf):
+    """Global token-frequency top-k (Zipf head): the corpus vocabulary scan
+    behind TF-IDF / BPE tokenizer training. explode -> hash agg relies on
+    map-side partial aggregation so the shuffle carries one row per distinct
+    token per partition (vocabulary-sized, ~1e6), not one per token
+    occurrence (~1e11 at 100 TB); top-k is TakeOrderedAndProject."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(50)
+    )
+
+
+_DIM = 64
+
+
+@query(
+    "q66_label_centroids",
+    f"""
+    SELECT label, CAST(r.i AS BIGINT) AS dim,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[CAST(r.i + 1 AS INT)] AS DOUBLE) * 1000000.0, 0)
+                              AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+               AS centroid
+    FROM embeddings CROSS JOIN range({_DIM}) r(i)
+    GROUP BY label, r.i
+    """,
+)
+def q66(spark, sf):
+    """Per-label centroid (elementwise mean embedding) — the class-prototype /
+    KMeans-update aggregation. One pass, one {_DIM}-column partial agg per
+    group (exact scaled-bigint sums: elements rounded to 6 dp then summed as
+    integers — order-independent like decimal but ~40% cheaper to
+    analyze+codegen and 8-byte accumulators on the wire; overflow-safe to
+    ~1e11 rows per label, see q33): the shuffle carries
+    n_labels x {_DIM} accumulators, NOT n_rows x dim exploded rows — at 100 TB
+    the posexplode formulation would shuffle 64x the table; this shuffles KB.
+    Built plan memoized per (session, sf) like q33 — the wide generated SQL
+    costs ~0.4s to parse+analyze per construction."""
+    key = (spark.sparkContext.applicationId, sf, "q66")
+    if key in _PLAN_MEMO:
+        return _PLAN_MEMO[key]
+    e = load_table(spark, sf, "embeddings")
+    e.createOrReplaceTempView("q66_embeddings")
+    # Generated-SQL construction: a 64-dim expression tree built column by
+    # column costs hundreds of Py4J round trips (~1.3s driver latency); one
+    # parse of generated SQL yields the identical plan (see q33).
+    sum_terms = ", ".join(
+        f"SUM(CAST(ROUND(CAST(embedding[{i}] AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
+        f" AS s{i}"
+        for i in range(_DIM)
+    )
+    mean_terms = ", ".join(
+        f"ROUND(CAST(s{i} AS DOUBLE) / 1000000.0 / n, 6)" for i in range(_DIM)
+    )
+    # the posexplode here runs over n_labels pre-aggregated rows (KB-scale),
+    # not the input table — input rows never explode
+    out = spark.sql(f"""
+        WITH sums AS (
+            SELECT label, COUNT(*) AS n, {sum_terms}
+            FROM q66_embeddings GROUP BY label
+        ),
+        m AS (SELECT label, posexplode(array({mean_terms})) AS (dim, centroid)
+              FROM sums)
+        SELECT label, CAST(dim AS BIGINT) AS dim, centroid FROM m
+    """)
+    _PLAN_MEMO[key] = out
+    return out
+
+
+@query(
+    "q67_user_moving_avg",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+    FROM events
+    """,
+)
+def q67(spark, sf):
+    """Trailing moving average (4-event frame) per user: the smoothing window
+    behind rate/engagement time series. One shuffle on user_id, then
+    per-partition sorted streaming frames; deterministic (ts, event_id)
+    order makes the 4-element IEEE sum identical on both engines."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mov_avg")
+    )
+
+
+@query(
+    "q68_zscore_outliers",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS ss
+        FROM events GROUP BY event_type
+    ),
+    z AS (
+        SELECT e.event_type, e.value, s.s / s.n AS mean,
+               sqrt((s.ss - s.s * s.s / s.n) / (s.n - 1)) AS std
+        FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE abs((value - mean) / std) > 2.0)
+                AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_total,
+           ROUND(COUNT(*) FILTER (WHERE abs((value - mean) / std) > 2.0)
+                 * 1.0 / COUNT(*), 6) AS outlier_rate
+    FROM z GROUP BY event_type
+    """,
+)
+def q68(spark, sf):
+    """Z-score outlier rates per event type. Moments (n, sum, sum-of-squares)
+    come from one exact decimal-sum pass — associativity-proof, unlike
+    stddev_samp's float partials — then mean/std derive identically on both
+    engines. Stats frame is tiny -> broadcast back onto the fact scan: two
+    scans, zero wide shuffles beyond the 5-group agg."""
+    e = load_table(spark, sf, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("value")).alias("s"),
+        dsum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    z = e.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        (
+            F.abs(
+                (F.col("value") - F.col("s") / F.col("n"))
+                / F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+            )
+            > 2.0
+        ).alias("is_outlier"),
+    )
+    return z.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        F.count("*").alias("n_total"),
+        F.round(
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("outlier_rate"),
+    )
+
+
+@query(
+    "q69_funnel_full_outer",
+    """
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS n_clicks FROM events
+        WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, COUNT(*) AS n_purchases FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    f AS (
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(c.n_clicks, 0) AS n_clicks,
+               COALESCE(p.n_purchases, 0) AS n_purchases
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    )
+    SELECT CASE WHEN n_clicks > 0 AND n_purchases > 0 THEN 'both'
+                WHEN n_clicks > 0 THEN 'click_only'
+                ELSE 'purchase_only' END AS segment,
+           COUNT(*) AS n_users,
+           CAST(SUM(n_clicks) AS BIGINT) AS total_clicks,
+           CAST(SUM(n_purchases) AS BIGINT) AS total_purchases
+    FROM f GROUP BY 1
+    """,
+)
+def q69(spark, sf):
+    """Funnel reconciliation via FULL OUTER join of two per-user aggregates
+    (clicks vs purchases) — the classic activity-overlap segmentation. Both
+    sides pre-aggregate before the join, so the full-outer shuffle carries
+    one row per user, not per event; same-key (user_id) partitioning is
+    reused across agg and join (one exchange, AQE-coalesced)."""
+    e = load_table(spark, sf, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id").agg(F.count("*").alias("n_clicks"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.count("*").alias("n_purchases"))
+    )
+    f = (
+        c.join(p, "user_id", "full_outer")
+        .select(
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+        )
+    )
+    seg = (
+        F.when((F.col("n_clicks") > 0) & (F.col("n_purchases") > 0), "both")
+        .when(F.col("n_clicks") > 0, "click_only")
+        .otherwise("purchase_only")
+    )
+    return f.groupBy(seg.alias("segment")).agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_clicks").alias("total_clicks"),
+        F.sum("n_purchases").alias("total_purchases"),
+    )
+
+
+def _corr_sql(x: str, y: str, name: str) -> str:
+    return f"""
+        SELECT '{name}' AS pair,
+               ROUND((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                   AS corr
+        FROM (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND({x}, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ROUND({y}, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(ROUND({x} * {y}, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(ROUND({x} * {x}, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(ROUND({y} * {y}, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+            FROM lineitem
+        )
+    """
+
+
+@query(
+    "q70_column_correlations",
+    " UNION ALL ".join(
+        [
+            _corr_sql("l_quantity", "l_extendedprice", "qty_price"),
+            _corr_sql("l_extendedprice", "l_discount", "price_discount"),
+            _corr_sql("l_quantity", "l_tax", "qty_tax"),
+        ]
+    ),
+)
+def q70(spark, sf):
+    """Pearson correlation matrix from exact moments: one scan computes all
+    five decimal sums per pair (single multi-aggregate pass — Spark's corr()
+    uses float partials whose order shifts results; moments are
+    associativity-proof). 3 pairs derive from ONE 1-row aggregate, then a
+    driver-side literal union — no second scan."""
+    li = load_table(spark, sf, "lineitem")
+
+    def moments(x, y):
+        return [
+            dsum(F.col(x)).alias(f"sx_{x}_{y}"),
+            dsum(F.col(y)).alias(f"sy_{x}_{y}"),
+            dsum(F.col(x) * F.col(y), 6).alias(f"sxy_{x}_{y}"),
+            dsum(F.col(x) * F.col(x), 6).alias(f"sxx_{x}_{y}"),
+            dsum(F.col(y) * F.col(y), 6).alias(f"syy_{x}_{y}"),
+        ]
+
+    pairs = [
+        ("l_quantity", "l_extendedprice", "qty_price"),
+        ("l_extendedprice", "l_discount", "price_discount"),
+        ("l_quantity", "l_tax", "qty_tax"),
+    ]
+    aggs = [F.count("*").alias("n")]
+    for x, y, _ in pairs:
+        aggs += moments(x, y)
+    m = li.agg(*aggs)
+
+    def corr_col(x, y, name):
+        n = F.col("n")
+        sx, sy = F.col(f"sx_{x}_{y}"), F.col(f"sy_{x}_{y}")
+        sxy, sxx, syy = (
+            F.col(f"sxy_{x}_{y}"), F.col(f"sxx_{x}_{y}"), F.col(f"syy_{x}_{y}")
+        )
+        return F.struct(
+            F.lit(name).alias("pair"),
+            F.round(
+                (n * sxy - sx * sy)
+                / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                6,
+            ).alias("corr"),
+        )
+
+    rows = F.array(*[corr_col(x, y, nm) for x, y, nm in pairs])
+    return m.select(F.explode(rows).alias("r")).select("r.pair", "r.corr")
+
+
+@query(
+    "q71_weekday_hour_profile",
+    """
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q71(spark, sf):
+    """Weekday x hour activity heatmap: calendar-function extraction
+    (ISO weekday parity between engines: Spark weekday()+1 == DuckDB isodow)
+    feeding a tiny 7x24-group agg — pure map-side combine, the shuffle
+    carries at most 168 rows per partition."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            (F.expr("weekday(ts)") + 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
+    )
+
+
+@query(
+    "q72_rank_function_suite",
+    """
+    SELECT user_id,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           ROUND(percent_rank() OVER w, 6) AS prnk,
+           ROUND(cume_dist() OVER w, 6) AS cdist,
+           lead(event_id) OVER w AS next_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    """,
+)
+def q72(spark, sf):
+    """Full ranking-function suite (rank / dense_rank / percent_rank /
+    cume_dist / lead) in ONE window spec — one shuffle on user_id, one
+    per-partition sort serves all five functions; deterministic
+    (value DESC, event_id) ordering."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return e.select(
+        "user_id",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+@query(
+    "q73_levenshtein_neardup",
+    """
+    WITH k AS (
+        SELECT doc_id, lang, CAST(n_chars / 200 AS BIGINT) AS size_bucket,
+               substr(text, 1, 40) AS head
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM k a JOIN k b
+      ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 12
+    """,
+)
+def q73(spark, sf):
+    """Edit-distance near-dup candidates with blocking: the O(n^2) distance
+    join is confined to (lang, size-bucket) blocks — an equi-join, NOT a
+    cross join — so at 100 TB each shuffle bucket holds one block's worth
+    of rows and the quadratic term is bounded per block. levenshtein() is
+    JVM whole-stage-codegen on both engines."""
+    d = load_table(spark, sf, "documents")
+    k = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 200).cast("bigint").alias("size_bucket"),
+        F.substring("text", 1, 40).alias("head"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.size_bucket") == F.col("b.size_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("a.head"), F.col("b.head")).cast("bigint"),
+        )
+        .filter(F.col("edit_dist") <= 12)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "edit_dist",
+        )
+    )
+
+
+@query(
+    "q74_time_spine_gapfill",
+    """
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+        FROM bounds
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT epoch_us(s.hour_ts::TIMESTAMP) AS hour_ts_us, COALESCE(a.n, 0) AS n_events,
+           (a.n IS NULL) AS is_gap
+    FROM spine s LEFT JOIN agg a ON s.hour_ts = a.hour_ts
+    """,
+)
+def q74(spark, sf):
+    """Dense hourly time spine with gap filling: sequence() generates the
+    spine from the global min/max (1-row agg), left-joins the hourly
+    pre-aggregate, and flags empty hours. Both join sides are hour-count
+    sized (the event side is already reduced by its group-by), so the
+    pre-agg is broadcast — the only wide shuffle is the hourly agg itself."""
+    e = load_table(spark, sf, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts")
+    )
+    agg = e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        spine.join(F.broadcast(agg), "hour_ts", "left")
+        .select(
+            F.unix_micros("hour_ts").alias("hour_ts_us"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
+def _pagerank_sql(iterations: int = 5, scale: int = 9) -> str:
+    """Unrolled fixed-iteration PageRank: no recursive aggregation needed —
+    each iteration is a plain (ranks ⋈ edges) group-by CTE, mirroring
+    operators/graph.py::pagerank's decimal-sum determinism contract."""
+    step = (
+        "pr{k} AS (\n"
+        "        SELECT e.dst AS id,\n"
+        "               ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)\n"
+        "                     + CAST(0.85 AS DOUBLE) * CAST(SUM(CAST(\n"
+        "                         ROUND(p.rank / d.deg, {s}) AS DECIMAL(28,{s})))\n"
+        "                       AS DOUBLE), {s}) AS rank\n"
+        "        FROM pr{j} p JOIN deg d ON p.id = d.id\n"
+        "        JOIN edges e ON e.src = p.id\n"
+        "        GROUP BY e.dst\n"
+        "    )"
+    )
+    steps = ",\n    ".join(
+        step.format(k=i + 1, j=i, s=scale) for i in range(iterations)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED ({_MH_CAND_SQL}),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE est_jaccard >= 0.5
+    ),
+    deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    pr0 AS (
+        SELECT id, ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), {scale}) AS rank
+        FROM deg
+    ),
+    {steps}
+    SELECT id AS doc_id, ROUND(rank, 6) AS pagerank FROM pr{iterations}
+    """
+
+
+@query("q75_pagerank_neardup_graph", _pagerank_sql(5))
+def q75(spark, sf):
+    """PageRank (5 iterations, damping 0.85) over the symmetrized MinHash-
+    LSH near-dup graph: ranks the most-connected member of each duplicate
+    cluster. Iterative driver loop; per-iteration determinism via round-9 +
+    decimal sums lets a non-recursive unrolled-CTE oracle reproduce it
+    exactly. Edges are cached and hash-partitioned once; only the
+    nodes-sized rank table moves each iteration."""
+    from ocr_vector_db_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id"
+    ).filter(F.col("est_jaccard") >= 0.5)
+    # materialize the LSH pipeline once: both union branches and every
+    # pagerank iteration read the tiny pair list, not the shingle join
+    pairs = pairs.localCheckpoint(eager=False)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    pr = pagerank(edges, iterations=5)
+    return pr.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+def _pagerank_dangling_sql(iterations: int = 5, scale: int = 9) -> str:
+    """Unrolled PageRank WITH dangling-mass redistribution: the DIRECTED
+    (doc_a → doc_b) near-dup pairs leave every max-id-only node with
+    out-degree 0; each iteration their decimal-summed rank is shared to
+    the whole node universe as share = dangling_mass/n, mirroring
+    graph.py::pagerank(dangling='redistribute') float-op for float-op."""
+    s = scale
+    step = (
+        "dm{j} AS (\n"
+        "        SELECT ROUND(COALESCE(CAST(SUM(CAST(p.rank AS\n"
+        "                   DECIMAL(28,{s}))) AS DOUBLE), CAST(0.0 AS DOUBLE))\n"
+        "                 / (SELECT n FROM nn), {s}) AS share\n"
+        "        FROM pr{j} p LEFT JOIN deg d ON p.id = d.id\n"
+        "        WHERE d.id IS NULL\n"
+        "    ),\n"
+        "    pr{k} AS (\n"
+        "        SELECT nd.id,\n"
+        "               ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)\n"
+        "                     + CAST(0.85 AS DOUBLE)\n"
+        "                       * (COALESCE(agg.s, CAST(0.0 AS DOUBLE))\n"
+        "                          + (SELECT share FROM dm{j})), {s}) AS rank\n"
+        "        FROM nodes nd LEFT JOIN (\n"
+        "            SELECT e.dst AS id,\n"
+        "                   CAST(SUM(CAST(ROUND(p.rank / d.deg, {s})\n"
+        "                       AS DECIMAL(28,{s}))) AS DOUBLE) AS s\n"
+        "            FROM pr{j} p JOIN deg d ON p.id = d.id\n"
+        "            JOIN edges e ON e.src = p.id\n"
+        "            GROUP BY e.dst\n"
+        "        ) agg ON nd.id = agg.id\n"
+        "    )"
+    )
+    steps = ",\n    ".join(
+        step.format(k=i + 1, j=i, s=s) for i in range(iterations)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED ({_MH_CAND_SQL}),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE est_jaccard >= 0.5
+    ),
+    deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+        )
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (
+        SELECT id, ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), {s}) AS rank
+        FROM nodes
+    ),
+    {steps}
+    SELECT id AS doc_id, ROUND(rank, 6) AS pagerank FROM pr{iterations}
+    """
+
+
+@query("q113_pagerank_dangling_redistribute", _pagerank_dangling_sql(5))
+def q113(spark, sf):
+    """q75's PageRank on the DIRECTED (unsymmetrized) near-dup pair list —
+    every node that only ever appears as doc_b has out-degree 0, so this
+    exercises `pagerank(dangling='redistribute')`: per iteration the
+    dangling nodes' decimal-summed rank is spread to every node as
+    dangling_mass/n (Brin & Page's handling), keeping total mass at ~1
+    instead of leaking it. The default mode refuses dangling graphs
+    loudly (unit-tested); this query pins the redistribution arithmetic
+    to a 5-iteration unrolled-CTE oracle. Scale shape: unchanged from
+    q75 — the dangling share is a 1-row aggregate crossJoined broadcast,
+    no extra wide shuffle per iteration."""
+    from ocr_vector_db_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id"
+    ).filter(F.col("est_jaccard") >= 0.5)
+    pairs = pairs.localCheckpoint(eager=False)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    pr = pagerank(edges, iterations=5, dangling="redistribute")
+    return pr.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+def _zorder_sql() -> str:
+    from ocr_vector_db_spark.operators.layout import bucketize_expr, morton_expr
+
+    xb = bucketize_expr(
+        "l_quantity",
+        "(SELECT MIN(l_quantity) FROM lineitem)",
+        "(SELECT MAX(l_quantity) FROM lineitem)",
+    )
+    yb = bucketize_expr(
+        "l_extendedprice",
+        "(SELECT MIN(l_extendedprice) FROM lineitem)",
+        "(SELECT MAX(l_extendedprice) FROM lineitem)",
+    )
+    z = morton_expr(xb, yb)
+    return f"""
+    WITH keyed AS (SELECT l_quantity, l_extendedprice, {z} AS z_key FROM lineitem)
+    SELECT CAST(FLOOR(z_key / 4096.0) AS BIGINT) AS z_tile,
+           COUNT(*) AS n,
+           ROUND(MIN(l_quantity), 6) AS min_qty, ROUND(MAX(l_quantity), 6) AS max_qty,
+           ROUND(MIN(l_extendedprice), 6) AS min_price,
+           ROUND(MAX(l_extendedprice), 6) AS max_price
+    FROM keyed GROUP BY 1
+    """
+
+
+@query("q76_zorder_tiles", _zorder_sql())
+def q76(spark, sf):
+    """Z-order (Morton) layout keys over (l_quantity, l_extendedprice),
+    aggregated per 4096-key tile: each tile's min/max spans a narrow window
+    of BOTH columns — the file-statistics pruning this layout buys at 100 TB
+    (write path: operators/layout.py::write_zordered, range-partitioned +
+    sorted by z_key). Key arithmetic is the same shifts/ands expression
+    string Spark and DuckDB both compile."""
+    from ocr_vector_db_spark.operators.layout import zorder_key
+
+    li = load_table(spark, sf, "lineitem")
+    r = li.agg(
+        F.min("l_quantity"), F.max("l_quantity"),
+        F.min("l_extendedprice"), F.max("l_extendedprice"),
+    ).head()
+    bounds = {
+        "l_quantity": (float(r[0]), float(r[1])),
+        "l_extendedprice": (float(r[2]), float(r[3])),
+    }
+    keyed = zorder_key(li, "l_quantity", "l_extendedprice", bounds=bounds)
+    return (
+        keyed.groupBy(F.floor(F.col("z_key") / 4096.0).cast("bigint").alias("z_tile"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_quantity"), 6).alias("min_qty"),
+            F.round(F.max("l_quantity"), 6).alias("max_qty"),
+            F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        )
+    )
+
+
+@query(
+    "q77_grouping_sets",
+    """
+    SELECT event_type,
+           CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(GROUPING(event_type, isodow(ts)) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, isodow(ts)), (event_type), (isodow(ts)), ())
+    """,
+)
+def q77(spark, sf):
+    """Explicit GROUPING SETS (finer than q40's rollup / q48's cube): four
+    simultaneous granularities in ONE pass — Spark expands the sets during
+    partial aggregation, so the scan happens once and the shuffle carries
+    per-set group partials; grouping_id disambiguates the NULL-keyed
+    subtotal rows exactly as GROUPING() does in the oracle."""
+    e = load_table(spark, sf, "events").select(
+        "event_type",
+        (F.expr("weekday(ts)") + 1).cast("bigint").alias("dow"),
+        "value",
+    )
+    return (
+        e.groupingSets(
+            [["event_type", "dow"], ["event_type"], ["dow"], []],
+            "event_type",
+            "dow",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select("event_type", "dow", "gid", "n", "total_value")
+    )
+
+
+@query(
+    "q78_from_json_struct",
+    """
+    SELECT CAST(FLOOR(CAST(props->>'$.k' AS INTEGER) / 10.0) AS BIGINT) AS k_bucket,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_value
+    FROM events
+    WHERE CAST(props->>'$.k' AS INTEGER) >= 20
+    GROUP BY 1
+    """,
+)
+def q78(spark, sf):
+    """Schema-projected JSON parse: from_json with an explicit struct schema
+    (vs q31's per-path get_json_object) — one parse materializes every
+    needed field, the struct is pruned by Catalyst (OptimizeJsonExprs
+    collapses unused fields), and the nested value feeds filter + bucket +
+    agg entirely in codegen."""
+    e = load_table(spark, sf, "events")
+    parsed = e.select(
+        F.from_json("props", "k INT").alias("p"), "value"
+    ).filter(F.col("p.k") >= 20)
+    return (
+        parsed.groupBy(
+            F.floor(F.col("p.k") / 10.0).cast("bigint").alias("k_bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(dsum(F.col("value")) / F.count("*"), 6).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "q79_array_hof_suite",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0.1)) AS BIGINT)
+               AS n_above,
+           ROUND(list_max(embedding::DOUBLE[]), 6) AS max_val,
+           ROUND(list_min(embedding::DOUBLE[]), 6) AS min_val,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+)
+def q79(spark, sf):
+    """Array higher-order-function suite over the embedding column: filter
+    (predicate HOF), array_max/min, size — all JVM codegen expressions, the
+    per-element work never leaves the scan stage (the pattern the vector
+    functions build on: functions/vector.py)."""
+    e = load_table(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0.1)).cast("bigint").alias("n_above"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )
+
+
+@query(
+    "q80_interval_range_window",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS events_last_hour
+    FROM events
+    """,
+)
+def q80(spark, sf):
+    """Time-interval RANGE window: per event, how many events the same user
+    fired in the trailing hour — the rate-limit / burst-detection primitive.
+    RANGE frames bound by VALUE (epoch seconds), not row count, so ties and
+    gaps are handled exactly; one shuffle on user_id, then sorted streaming
+    with a sliding frame pointer (O(n) per partition, no per-row rescan)."""
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("events_last_hour"),
+    )
+
+
+@query(
+    "q81_ordered_string_agg",
+    """
+    SELECT lang,
+           string_agg(source, ',' ORDER BY doc_id) AS sources,
+           COUNT(*) AS n
+    FROM (
+        SELECT lang, doc_id, source,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 5
+    GROUP BY lang
+    """,
+)
+def q81(spark, sf):
+    """Deterministic ordered string aggregation (string_agg ... ORDER BY):
+    top-5 doc sources per language concatenated in id order. Spark composes
+    it from collect_list(struct) + array_sort + transform + concat_ws — the
+    collect stays bounded (5 rows/group) because the window filter runs
+    FIRST; an unbounded listagg over a hot group is the thing to avoid at
+    scale."""
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    top = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    pairs = F.array_sort(F.collect_list(F.struct("doc_id", "source")))
+    return top.groupBy("lang").agg(
+        F.concat_ws(",", F.transform(pairs, lambda x: x.source)).alias("sources"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q82_unigram_cross_entropy",
+    r"""
+    WITH tk AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    vocab AS MATERIALIZED (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM tk),
+    scored AS (
+        SELECT t.doc_id,
+               ROUND(-ln(CAST(v.cnt AS DOUBLE) / n.n), 6) AS nlp
+        FROM tk t JOIN vocab v USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(nlp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q82(spark, sf):
+    """Unigram cross-entropy per document (CCNet-style perplexity filter):
+    fit the corpus unigram LM in one token agg, broadcast the vocabulary
+    (Heaps'-law sized) back onto the token stream, and average -ln p(tok)
+    per doc. Low entropy ≈ boilerplate/repetition, high ≈ noise — the
+    standard mid-band keep rule for training data. Two shuffles total
+    (vocab agg, per-doc agg); the LM join is broadcast, the token stream is
+    never re-shuffled."""
+    d = load_table(spark, sf, "documents")
+    tk = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    vocab = tk.groupBy("tok").agg(F.count("*").alias("cnt")).cache()
+    # total tokens from the (vocab-sized, cached) counts — avoids a second
+    # full tokenization pass over the corpus just for the scalar
+    n = vocab.agg(F.sum("cnt")).head()[0]
+    scored = tk.join(F.broadcast(vocab), "tok").select(
+        "doc_id",
+        F.round(-F.log(F.col("cnt").cast("double") / F.lit(n)), 6).alias("nlp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("nlp").cast("decimal(28,6)")).cast("double") / F.count("*"),
+            6,
+        ).alias("avg_neg_logprob"),
+    )
+
+
+@query(
+    "q83_scd2_versioning",
+    """
+    SELECT user_id, event_type AS state,
+           epoch_us(ts::TIMESTAMP) AS valid_from_us,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               ::TIMESTAMP) AS valid_to_us,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL) AS is_current
+    FROM events
+    """,
+)
+def q83(spark, sf):
+    """Slowly-changing-dimension (type 2) versioning: each user's event
+    stream becomes contiguous validity intervals — valid_from = change ts,
+    valid_to = next change (NULL ⇒ current row). One shuffle on the entity
+    key, then lead() over the sorted partition; the as-of join (q41) is the
+    read-side companion for point-in-time lookups against this shape."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q84_readability_stats",
+    r"""
+    WITH s AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '[.!?]+'),
+                               x -> trim(x) <> '')) AS n_sentences,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '')) AS n_words,
+               length(replace(text, ' ', '')) AS n_nonspace_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(CASE WHEN n_sentences > 0
+                      THEN CAST(n_words AS DOUBLE) / n_sentences END, 6)
+               AS words_per_sentence,
+           ROUND(CASE WHEN n_words > 0
+                      THEN CAST(n_nonspace_chars AS DOUBLE) / n_words END, 6)
+               AS chars_per_word
+    FROM s
+    """,
+)
+def q84(spark, sf):
+    """Readability / surface statistics per document (sentence length, word
+    length) — the cheap quality signals next to q24's composite score. Pure
+    per-row string expressions: map-only, zero shuffles, whole-stage
+    codegen; the CASE guards keep ANSI division safe on degenerate docs."""
+    d = load_table(spark, sf, "documents")
+    n_sent = F.size(
+        F.filter(
+            F.split("text", r"[.!?]+"), lambda x: F.trim(x) != ""
+        )
+    )
+    n_words = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    n_chars = F.length(F.regexp_replace("text", " ", ""))
+    return d.select(
+        "doc_id",
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(
+            F.when(n_sent > 0, n_words.cast("double") / n_sent), 6
+        ).alias("words_per_sentence"),
+        F.round(
+            F.when(n_words > 0, n_chars.cast("double") / n_words), 6
+        ).alias("chars_per_word"),
+    )
+
+
+@query(
+    "q85_temperature_source_remix",
+    """
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n FROM counts),
+    weighted AS (
+        SELECT source, n, total_n,
+               ROUND(POW(CAST(n AS DOUBLE) / total_n, 0.7), 6) AS w
+        FROM counts CROSS JOIN tot
+    ),
+    z AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS Z FROM weighted),
+    rates AS (
+        SELECT source, n,
+               ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                           CAST(0.5 AS DOUBLE) * total_n * w / Z / n), 6) AS rate
+        FROM weighted CROSS JOIN z
+    ),
+    kept AS (
+        SELECT d.source
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              / CAST(4294967296.0 AS DOUBLE) < r.rate
+    )
+    SELECT r.source, r.n AS n_orig, k.n_kept, r.rate
+    FROM rates r JOIN (SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source) k
+      ON r.source = k.source
+    """,
+)
+def q85(spark, sf):
+    """Temperature-based source re-mixing (alpha=0.7, half-corpus budget):
+    the training-mix construction step — up-weight tail sources, cap head
+    sources, then keep rows by a DETERMINISTIC md5-uniform draw against each
+    source's rate (a pure function of the row key: stable across engines,
+    re-runs, repartitions — q57's split-integrity property, with data-driven
+    rates). Rate computation touches only the source dimension (tiny);
+    the corpus pays one broadcast join + map-side filter, no shuffle."""
+    d = load_table(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total_n"))
+    weighted = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "w", F.round(F.pow(F.col("n").cast("double") / F.col("total_n"), 0.7), 6)
+    )
+    z = weighted.agg(
+        F.sum(F.col("w").cast("decimal(28,6)")).cast("double").alias("Z")
+    )
+    rates = weighted.crossJoin(F.broadcast(z)).withColumn(
+        "rate",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5) * F.col("total_n") * F.col("w") / F.col("Z") / F.col("n"),
+            ),
+            6,
+        ),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0)
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(u < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.select("source", F.col("n").alias("n_orig"), "rate")
+        .join(kept, "source")
+        .select("source", "n_orig", "n_kept", "rate")
+    )
+
+

@@ -58,3 +58,23 @@ def test_write_zordered_narrows_file_stats(spark, tmp_path):
     assert zx < px * 0.75
     assert zy < py * 0.75
     assert zx < 0.8 and zy < 0.8
+
+
+def test_inventory_family_split_preserves_registration():
+    """The per-family split of plans/inventory.py must register the same
+    query/oracle keys in the same order — the driver window rotation is
+    stable over registration order, so a reshuffled family import would
+    silently change which stale queries get re-verified."""
+    from ocr_vector_db_spark.plans.inventory import ORACLES, QUERIES
+
+    assert len(QUERIES) == 125 and len(ORACLES) == 125
+    keys = list(QUERIES)
+    # section anchors in the original registration order
+    assert keys[0] == "q01_pricing_summary_agg"
+    assert keys.index("q16_knn_bruteforce_cosine") == 15
+    assert keys.index("q35_ingest_pipeline") < keys.index("q40_rollup_agg")
+    assert keys.index("q86_pdf_ingest") < keys.index("q89_bm25_topk")
+    assert keys[-1] == "q112_dense_dropped_intra_batch"
+    # every registered query has an oracle (rows-only checks excepted by
+    # construction: none currently)
+    assert set(ORACLES) == set(QUERIES)
