@@ -111,6 +111,8 @@ HEADLINE = [
     # the Group 4 fax decode path (distributed mapInPandas parse + T.6
     # codec raster, golden-pinned)
     "q125_pdf_ccitt_raster",
+    # PMI served from the persisted LM counts (no refit)
+    "q126_ngram_lm_pmi_served",
 ]
 
 

@@ -86,7 +86,8 @@ def _unigram_counts_of(docs: DataFrame, text_col: str,
 class NgramLMIndex:
     """Persisted add-one-smoothed bigram LM with incremental count folds."""
 
-    STATS_SCHEMA = "vocab bigint, n_tokens bigint, n_docs bigint, n_buckets int"
+    STATS_SCHEMA = ("vocab bigint, n_tokens bigint, n_bigrams bigint, "
+                    "n_docs bigint, n_buckets int")
 
     def __init__(self, spark: SparkSession, path: str, n_buckets: int):
         self.spark = spark
@@ -132,8 +133,12 @@ class NgramLMIndex:
         # beats recomputing the token stream a third time)
         uni = idx.unigrams()
         row = uni.agg(F.count("*").alias("v"), F.sum("cnt").alias("s")).head()
+        nbg = int(
+            idx.pairs().agg(F.sum("cnt").alias("s")).head()["s"] or 0
+        )
         stats = spark.createDataFrame(
-            [(int(row["v"]), int(row["s"] or 0), docs.count(), n_buckets)],
+            [(int(row["v"]), int(row["s"] or 0), nbg, docs.count(),
+              n_buckets)],
             cls.STATS_SCHEMA,
         )
         idx._commit_stats(stats)
@@ -237,9 +242,14 @@ class NgramLMIndex:
                 )
             finally:
                 new_uni.unpersist()
-            _pair_counts_of(docs, id_col, text_col, self.n_buckets).write.mode(
-                "append"
-            ).partitionBy("bucket").parquet(self._gen("pairs"))
+            pc = _pair_counts_of(docs, id_col, text_col, self.n_buckets).cache()
+            try:
+                nbg_new = int(pc.agg(F.sum("cnt").alias("s")).head()["s"] or 0)
+                pc.write.mode("append").partitionBy("bucket").parquet(
+                    self._gen("pairs")
+                )
+            finally:
+                pc.unpersist()
             docs.select(F.col(id_col).alias("id")).write.mode("append").parquet(
                 self._gen("docs")
             )
@@ -249,6 +259,7 @@ class NgramLMIndex:
                     [(
                         int(old["vocab"]) + int(vocab_delta),
                         int(old["n_tokens"]) + int(urow["s"] or 0),
+                        int(old["n_bigrams"]) + nbg_new,
                         int(old["n_docs"]) + n_new,
                         self.n_buckets,
                     )],
@@ -293,6 +304,45 @@ class NgramLMIndex:
                 n_pairs = n
         compact_plain(self.spark, os.path.join(self.path, "docs"))
         return n_pairs
+
+    # ------------------------------------------------------------------ pmi
+
+    def pmi_topk(self, min_count: int = 5, top_k: int = 100) -> DataFrame:
+        """(tok_a, tok_b, pair_count, pmi): the corpus's strongest adjacent
+        collocations served FROM THE PERSISTED COUNTS — byte-identical to
+        `ngram_lm.pmi_collocations` on the same corpus (same ln-association
+        order, same 6-dp round), without re-tokenizing anything: one fold
+        over the pair table (corpus-level mining reads it all, but it is
+        Heaps'-bounded ≪ the corpus), the vocab-sized unigram fold
+        broadcast onto it, scalars from the 1-row stats. Incremental adds
+        keep every input exact (integer count folds), so the index-served
+        PMI tracks the corpus with no refit."""
+        st = self.stats().head()
+        n_tok = float(int(st["n_tokens"]))
+        n_pairs = float(int(st["n_bigrams"]))
+        bgc = (
+            self.pairs().groupBy("tok_a", "tok_b")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .filter(F.col("pair_count") >= min_count)
+        )
+        uni = self.unigrams().groupBy("tok").agg(F.sum("cnt").alias("cnt"))
+        ua = uni.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("__ca"))
+        ub = uni.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("__cb"))
+        pmi = F.round(
+            F.log(F.col("pair_count").cast("double"))
+            - F.log(F.lit(n_pairs))
+            - F.log(F.col("__ca").cast("double"))
+            - F.log(F.col("__cb").cast("double"))
+            + F.lit(2.0) * F.log(F.lit(n_tok)),
+            6,
+        )
+        return (
+            bgc.join(F.broadcast(ua), "tok_a")
+            .join(F.broadcast(ub), "tok_b")
+            .select("tok_a", "tok_b", "pair_count", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+            .limit(top_k)
+        )
 
     # -------------------------------------------------------------- scoring
 

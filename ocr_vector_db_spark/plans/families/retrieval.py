@@ -1167,6 +1167,13 @@ def q123(spark, sf):
     q118's refit SQL over the full corpus: build(A)+add(B) must score
     byte-identically to a refit on A∪B — CCNet-style LM filtering served
     from a stable index instead of a per-batch re-count."""
+    d = load_table(spark, sf, "documents")
+    return _lm_index_for(spark, sf).score_batch(d)
+
+
+def _lm_index_for(spark, sf):
+    """Session-memoized incremental NgramLMIndex (shared q123/q126):
+    build on evens + add odds + compact, like a deployed index."""
     import tempfile
 
     from ocr_vector_db_spark.operators.ngram_lm_index import NgramLMIndex
@@ -1181,8 +1188,23 @@ def q123(spark, sf):
         idx.add(d.filter(F.col("doc_id") % 2 == 1))
         idx.compact()
         _PLAN_MEMO[key] = path
-    idx = NgramLMIndex.load(spark, _PLAN_MEMO[key])
-    return idx.score_batch(d)
+    return NgramLMIndex.load(spark, _PLAN_MEMO[key])
+
+
+# the oracle IS q117's refit SQL: index-served PMI must reproduce the
+# refit mining byte-for-byte
+@query("q126_ngram_lm_pmi_served", None)
+def q126(spark, sf):
+    """PMI collocation mining served FROM the persisted incremental LM
+    index (q123's build+add+compact layout): one fold over the bucketed
+    pair table + broadcast unigram folds + 1-row stats scalars — no
+    re-tokenization, and incremental adds keep every count exact, so the
+    served ranking tracks the corpus with no refit. Oracle = q117's SQL
+    verbatim (registered below once q117's entry exists)."""
+    return _lm_index_for(spark, sf).pmi_topk(min_count=5, top_k=100)
+
+
+ORACLES["q126_ngram_lm_pmi_served"] = ORACLES["q117_pmi_collocations"]
 
 
 @query(

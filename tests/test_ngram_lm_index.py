@@ -36,9 +36,16 @@ def test_lm_index_incremental_equals_full_build(spark, tables, tmp_path_factory)
     full = NgramLMIndex.build(spark, docs, p_full, n_buckets=8)
 
     si, sf_ = inc.stats().head(), full.stats().head()
-    assert (si["vocab"], si["n_tokens"], si["n_docs"]) == (
-        sf_["vocab"], sf_["n_tokens"], sf_["n_docs"])
+    assert (si["vocab"], si["n_tokens"], si["n_bigrams"], si["n_docs"]) == (
+        sf_["vocab"], sf_["n_tokens"], sf_["n_bigrams"], sf_["n_docs"])
     assert _scores(inc.score_batch(docs)) == _scores(full.score_batch(docs))
+    # index-served PMI == refit PMI, exactly, through the incremental build
+    from ocr_vector_db_spark.operators.ngram_lm import pmi_collocations
+
+    got = [tuple(r) for r in inc.pmi_topk(min_count=3, top_k=20).collect()]
+    want = [tuple(r)
+            for r in pmi_collocations(docs, min_count=3, top_k=20).collect()]
+    assert got == want
 
 
 def test_lm_index_compact_folds_without_changing_scores(spark, tables,
