@@ -102,6 +102,17 @@ AUDITS = [
      "scale; unigram context counts always broadcast; the per-doc "
      "average is a partial_-combined hash agg over pre-rounded decimal "
      "terms"),
+    ("q61_ntile_deciles",
+     "exact global deciles with NO global sort: one hash shuffle on the "
+     "derived range-bucket id, per-bucket window sorts, broadcast "
+     "prefix-sum offsets; the only SinglePartition exchange feeds the "
+     "<=B-row counts aggregate, never the corpus"),
+    ("q123_ngram_lm_incremental",
+     "LM scoring served from the persisted index: both count-table scans "
+     "carry bucket INSET PartitionFilters (only the batch's buckets are "
+     "read), appended count rows fold in partial_-combined sums, context "
+     "counts broadcast, pair counts shuffle-join — no SinglePartition "
+     "exchange anywhere"),
 ]
 
 KEY_LINE = re.compile(
