@@ -401,6 +401,54 @@ def cmd_semantic_index(args) -> int:
     return 0
 
 
+def cmd_lm_index(args) -> int:
+    """Build or serve the corpus bigram LM (`{store}/lmidx`,
+    `operators/ngram_lm_index.py`): `--build` fits it over the accepted
+    stream corpus (incremental `add` folds arrive through the library
+    API); `--score FILE` cross-entropy-scores a JSONL batch of
+    {doc_id, text} rows against the persisted counts (CCNet-style LM
+    quality filtering — low = boilerplate, high = noise, keep the mid
+    band); `--pmi` prints the corpus's top collocations from the same
+    counts. Serving reads only the batch's own buckets."""
+    import os
+
+    from ocr_vector_db_spark.operators.index_maint import fs_exists
+    from ocr_vector_db_spark.operators.ngram_lm_index import NgramLMIndex
+
+    spark = _spark()
+    path = os.path.join(args.store, "lmidx")
+    if args.build:
+        acc_path = os.path.join(args.store, "accepted")
+        if not fs_exists(spark, acc_path):
+            print("[error] no accepted corpus under the store — "
+                  "run `stream-ingest` first")
+            return 1
+        docs = (spark.read.option("basePath", acc_path)
+                .option("mergeSchema", "true").parquet(acc_path))
+        idx = NgramLMIndex.build(spark, docs, path,
+                                 n_buckets=args.buckets)
+        st = idx.stats().head()
+        print(f"[lm-index] built over {st['n_docs']} docs: vocab "
+              f"{st['vocab']}, {st['n_bigrams']} bigrams at {path}")
+        return 0
+    if not fs_exists(spark, path):
+        print("[error] no LM index under the store — run "
+              "`lm-index --build` first")
+        return 1
+    idx = NgramLMIndex.load(spark, path)
+    if args.score:
+        batch = spark.read.json(args.score)
+        rows = (idx.score_batch(batch)
+                .orderBy("avg_neg_logprob").collect())
+        for r in rows:
+            print(f"{r['doc_id']}\t{r['n_bigrams']}\t{r['avg_neg_logprob']}")
+        print(f"[lm-index] scored {len(rows)} docs")
+        return 0
+    for r in idx.pmi_topk(min_count=args.min_count, top_k=args.top_k).collect():
+        print(f"{r.tok_a} {r.tok_b}\t{r.pair_count}\t{r.pmi}")
+    return 0
+
+
 def cmd_stream_ingest(args) -> int:
     """Incremental near-dup-gated ingestion — the streaming extension of
     the reference's re-runnable CLI ingest loop (api/cli/ingest.py): each
@@ -823,6 +871,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "with stream-ingest --semantic-branches at large "
                          "cluster counts")
     sp.set_defaults(fn=cmd_semantic_index)
+
+    sp = sub.add_parser("lm-index")
+    common(sp)
+    sp.add_argument("--build", action="store_true",
+                    help="(re)build the LM over the accepted corpus")
+    sp.add_argument("--score", metavar="FILE",
+                    help="JSONL of {doc_id, text}: cross-entropy per doc "
+                         "against the persisted counts")
+    sp.add_argument("--pmi", action="store_true",
+                    help="top collocations from the persisted counts "
+                         "(default action)")
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--min-count", type=int, default=5)
+    sp.add_argument("--top-k", type=int, default=50)
+    sp.set_defaults(fn=cmd_lm_index)
 
     sp = sub.add_parser("pack")
     common(sp)

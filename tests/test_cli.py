@@ -260,3 +260,56 @@ def test_cli_repl_session(spark, tmp_path, capsys):
     assert "Keywords:" in out                    # optimizer echo
     assert "[ok] conversation history cleared" in out
     assert "[error] usage: :topk <int>" in out
+
+
+def test_cli_lm_index_build_score_pmi(spark, tmp_path, capsys):
+    """lm-index builds over the accepted stream corpus, scores a JSONL
+    batch against the persisted counts, and serves PMI collocations —
+    the CLI face of NgramLMIndex."""
+    import json as _json
+
+    src = tmp_path / "lm_src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    texts = [
+        (1, "machine learning models learn from large data sets and "
+            "machine learning pipelines feed the machine learning models"),
+        (2, "maritime salvage rights concern the apportionment of "
+            "recovered cargo value across competing maritime claims"),
+    ]
+    with open(src / "a.json", "w") as fh:
+        for i, t in texts:
+            fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    assert cli.main(["stream-ingest", "--store", store, "--source",
+                     str(src), "--threshold", "0.6", "--buckets", "8"]) == 0
+    capsys.readouterr()
+
+    # no index yet → loud error
+    assert cli.main(["lm-index", "--store", store, "--pmi"]) == 1
+    assert "lm-index --build" in capsys.readouterr().out
+
+    assert cli.main(["lm-index", "--store", store, "--build",
+                     "--buckets", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "built over 2 docs" in out and "vocab" in out
+
+    # score a new batch: boilerplate-repeat vs fresh prose both get rows
+    batch = tmp_path / "batch.jsonl"
+    with open(batch, "w") as fh:
+        fh.write(_json.dumps({"doc_id": 100,
+                              "text": "machine learning models learn"}) + "\n")
+        fh.write(_json.dumps({"doc_id": 101,
+                              "text": "entirely novel zebra quartz"}) + "\n")
+    assert cli.main(["lm-index", "--store", store, "--score",
+                     str(batch)]) == 0
+    out = capsys.readouterr().out
+    assert "scored 2 docs" in out
+    lines = [l for l in out.splitlines() if "\t" in l]
+    # the in-corpus phrase scores LOWER cross-entropy than unseen prose
+    assert lines[0].startswith("100\t")
+
+    # pmi: 'machine learning' dominates by construction
+    assert cli.main(["lm-index", "--store", store, "--pmi",
+                     "--min-count", "2", "--top-k", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "machine learning" in out
