@@ -365,10 +365,11 @@ class IVFIndex:
         and never re-transform."""
         if not self.std_stats:
             return df
-        from ocr_vector_db_spark.operators.embedding_prep import standardize_col
+        from ocr_vector_db_spark.operators.embedding_prep import (
+            with_standardized,
+        )
 
-        return df.withColumn(emb_col, standardize_col(F.col(emb_col),
-                                                      self.std_stats))
+        return with_standardized(df, emb_col, emb_col, self.std_stats)
 
     def _std_vec(self, v: list[float]) -> list[float]:
         """Query entry point — the driver twin of `_std_df` (bit-matches
@@ -431,13 +432,11 @@ class IVFIndex:
         if standardize:
             from ocr_vector_db_spark.operators.embedding_prep import (
                 dim_stats,
-                standardize_col,
+                with_standardized,
             )
 
             std_stats = dim_stats(df, emb_col)
-            df = df.withColumn(
-                emb_col, standardize_col(F.col(emb_col), std_stats)
-            )
+            df = with_standardized(df, emb_col, emb_col, std_stats)
         feat = df.withColumn("__f", array_to_vector(F.col(emb_col).cast("array<double>")))
         fit_on = feat.sample(sample_fraction, seed=seed) if sample_fraction else feat
         model = KMeans(

@@ -60,30 +60,57 @@ def dim_stats(
     return [(r.mu, math.sqrt(max(0.0, r.m2 - r.mu * r.mu))) for r in rows]
 
 
-def standardize_col(col, stats: list[tuple[float, float]]):
-    """The standardize-and-renormalize transform as ONE Column expression
-    over an already-computed `col` holding the z-scored array — kept as a
-    module-level helper so every consumer (the q120 operator below and
-    `ann_index.IVFIndex(standardize=True)`'s layout/query/add/screen
-    paths) evaluates the IDENTICAL IEEE ops: left-fold sum of squares,
-    sqrt, zero-norm → 1.0 guard, per-element divide, ROUND HALF_UP to
-    6 dp. `col` is the raw embedding column; `stats` the (mu, sd)
-    profile."""
+def with_standardized(
+    df: DataFrame,
+    src_col: str,
+    dst_col: str,
+    stats: list[tuple[float, float]],
+) -> DataFrame:
+    """`df` + `dst_col` = the standardize-and-renormalize transform of
+    `src_col` — the ONE df-level definition every consumer shares (the
+    q120 operator below and `ann_index.IVFIndex(standardize=True)`'s
+    layout/add/screen paths), so they evaluate the IDENTICAL IEEE ops:
+    left-fold sum of squares, sqrt, zero-norm → 1.0 guard, per-element
+    divide, ROUND HALF_UP to 6 dp.
+
+    The z-scored array materializes ONCE through a temp column:
+    higher-order functions are interpreted (no whole-stage-codegen
+    common-subexpression elimination), so a single Column expression
+    referencing z twice — once under the norm fold, once under the
+    output transform — would compute the zip_with chain twice per row
+    (measured ~30% on the q120 bench)."""
     mu = F.array(*[F.lit(m) for m, _ in stats])
     sd = F.array(*[F.lit(s) for _, s in stats])
-    v = col.cast("array<double>")
+    v = F.col(src_col).cast("array<double>")
     z = F.zip_with(F.zip_with(v, mu, lambda a, b: a - b), sd,
                    lambda a, b: a / b)
-    nrm = F.sqrt(F.aggregate(z, F.lit(0.0), lambda acc, x: acc + x * x))
+    ztmp, ntmp = "__std_z", "__std_nrm"
+    clash = {ztmp, ntmp} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"with_standardized: input columns {sorted(clash)} collide "
+            "with internal helper names; rename them first."
+        )
+    nrm = F.sqrt(F.aggregate(F.col(ztmp), F.lit(0.0),
+                             lambda acc, x: acc + x * x))
     # zero-norm guard (assign_nearest_centroid's `or 1.0` discipline): a
     # row equal to the corpus mean standardizes to the zero vector —
     # emit it as zeros, not a silent all-null array from x/0
     nrm = F.when(nrm != 0.0, nrm).otherwise(F.lit(1.0))
-    return F.transform(z, lambda x: F.round(x / nrm, 6))
+    return (
+        df.withColumn(ztmp, z)
+        .withColumn(ntmp, nrm)
+        .withColumn(
+            dst_col,
+            F.transform(F.col(ztmp),
+                        lambda x: F.round(x / F.col(ntmp), 6)),
+        )
+        .drop(ztmp, ntmp)
+    )
 
 
 def standardize_vec(v: list[float], stats: list[tuple[float, float]]) -> list[float]:
-    """Driver-side twin of `standardize_col` for a single query vector —
+    """Driver-side twin of `with_standardized` for a single query vector —
     the same IEEE ops in the same order (left-fold norm, HALF_UP round
     via the double's shortest decimal repr, exactly Spark's
     BigDecimal.valueOf path), so standardizing a corpus member here
@@ -114,6 +141,6 @@ def standardize_embeddings(
     to reuse a precomputed (or training-corpus) profile; by default the
     profile is fit on `df` itself (one agg, dim rows)."""
     stats = stats if stats is not None else dim_stats(df, emb_col)
-    return df.select(
-        id_col, standardize_col(F.col(emb_col), stats).alias("unit_std")
-    )
+    return with_standardized(
+        df.select(id_col, emb_col), emb_col, "unit_std", stats
+    ).select(id_col, "unit_std")
