@@ -52,7 +52,8 @@ class IVFPQIndex:
     def __init__(self, spark: SparkSession, path: str,
                  centroids: list[tuple[int, list[float]]], pq: PQIndex,
                  l1: list[tuple[int, list[float]]] | None = None,
-                 l2_to_l1: list[int] | None = None):
+                 l2_to_l1: list[int] | None = None,
+                 std_stats: list[tuple[float, float]] | None = None):
         self.spark = spark
         self.path = path
         self.centroids = centroids
@@ -61,6 +62,32 @@ class IVFPQIndex:
         # hier.json + centroids_l2 parquet layout via fit_hier_layer)
         self.l1 = l1 or []
         self.l2_to_l1 = l2_to_l1 or []
+        # optional whitening profile — IVFIndex(standardize=True) parity:
+        # layout/queries/adds all pass through the same (mu, sd) transform
+        self.std_stats = std_stats or []
+
+    # ------------------------------------------------- standardization seam
+    # IVFIndex parity: public entries (search / search_batch / add /
+    # probe_clusters / recall_at_k) transform RAW inputs through the
+    # persisted profile; internal helpers then see index-space vectors.
+
+    def _std_df(self, df: DataFrame, emb_col: str) -> DataFrame:
+        if not self.std_stats:
+            return df
+        from ocr_vector_db_spark.operators.embedding_prep import (
+            with_standardized,
+        )
+
+        return with_standardized(df, emb_col, emb_col, self.std_stats)
+
+    def _std_vec(self, v: list[float]) -> list[float]:
+        if not self.std_stats:
+            return [float(x) for x in v]
+        from ocr_vector_db_spark.operators.embedding_prep import (
+            standardize_vec,
+        )
+
+        return standardize_vec(v, self.std_stats)
 
     # --------------------------------------------------------------- build
 
@@ -80,10 +107,23 @@ class IVFPQIndex:
         sample_fraction: float | None = None,
         sample_limit: int = 65536,
         l1_branches: int | None = None,
+        standardize: bool = False,
     ) -> "IVFPQIndex":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        std_stats: list[tuple[float, float]] = []
+        if standardize:
+            # whiten BEFORE the coarse quantizer so both quantization
+            # levels (and the residual codebooks) live in the same space
+            # the queries will be transformed into — IVFIndex parity
+            from ocr_vector_db_spark.operators.embedding_prep import (
+                dim_stats,
+                with_standardized,
+            )
+
+            std_stats = dim_stats(df, emb_col)
+            df = with_standardized(df, emb_col, emb_col, std_stats)
         feat = df.withColumn(
             "__f", array_to_vector(F.col(emb_col).cast("array<double>"))
         )
@@ -137,7 +177,8 @@ class IVFPQIndex:
         write_small_file(
             spark, os.path.join(path, "meta.json"),
             json.dumps({"dim": dim, "m": m, "centroids": centroids,
-                        "codebooks": pq.codebooks}).encode("utf-8"),
+                        "codebooks": pq.codebooks,
+                        "std_stats": std_stats}).encode("utf-8"),
         )
         l1: list[tuple[int, list[float]]] = []
         l2_to_l1: list[int] = []
@@ -147,7 +188,7 @@ class IVFPQIndex:
             l1, l2_to_l1 = fit_hier_layer(
                 spark, path, centroids, l1_branches, seed
             )
-        return cls(spark, path, centroids, pq, l1, l2_to_l1)
+        return cls(spark, path, centroids, pq, l1, l2_to_l1, std_stats)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFPQIndex":
@@ -161,7 +202,10 @@ class IVFPQIndex:
         from ocr_vector_db_spark.operators.ann_index import load_hier_layer
 
         l1, l2_to_l1 = load_hier_layer(spark, path)
-        return cls(spark, path, centroids, pq, l1, l2_to_l1)
+        std_stats = [
+            (float(m_), float(s_)) for m_, s_ in meta.get("std_stats", [])
+        ]
+        return cls(spark, path, centroids, pq, l1, l2_to_l1, std_stats)
 
     # ------------------------------------------------------------ increment
 
@@ -231,6 +275,7 @@ class IVFPQIndex:
         of vectors added."""
         from ocr_vector_db_spark.operators.index_maint import current_gen_dir
 
+        df = self._std_df(df, emb_col)  # raw → index space
         if not assume_new:
             indexed = self.codes().select(id_col).distinct()
             df = df.join(indexed, id_col, "left_anti")
@@ -276,7 +321,16 @@ class IVFPQIndex:
         """nprobe nearest cluster ids, (cosine desc, cluster_id) order —
         `IVFIndex.probe_clusters` parity incl. the hier `branches` knob
         (rank the tiny L1 first, consider only its top branches'
-        clusters; branches ≥ |L1| ≡ the flat ranking)."""
+        clusters; branches ≥ |L1| ≡ the flat ranking).
+
+        Takes a RAW vector (standardized indexes transform it here);
+        internal callers holding an index-space vector use
+        `_probe_clusters_idx`."""
+        return self._probe_clusters_idx(self._std_vec(query), nprobe,
+                                        branches)
+
+    def _probe_clusters_idx(self, query: list[float], nprobe: int,
+                            branches: int | None = None) -> list[int]:
         cand = self.centroids
         if branches and self.l1:
             from ocr_vector_db_spark.operators.ann_index import rank_branches
@@ -317,7 +371,8 @@ class IVFPQIndex:
         shuffle. Distances across clusters are comparable because every
         table measures the same thing — squared L2 of (query - centroid_c)
         to the shared residual codebook."""
-        probes = self.probe_clusters(query, nprobe, branches)
+        query = self._std_vec(query)  # raw → index space, ONCE
+        probes = self._probe_clusters_idx(query, nprobe, branches)
         tdf = self.spark.createDataFrame(
             [(cid, self._residual_tables(query, cid)) for cid in probes],
             "cluster_id int, __tables array<array<double>>",
@@ -341,7 +396,8 @@ class IVFPQIndex:
             r[id_col]
             for r in scored.orderBy("pq_distance", id_col).limit(k * refine).collect()
         ]
-        cand = corpus.filter(F.col(id_col).isin(cand_ids))
+        cand = self._std_df(corpus.filter(F.col(id_col).isin(cand_ids)),
+                            emb_col)
         return knn_brute_force(cand, query, k, emb_col=emb_col, id_col=id_col)
 
     def search_batch(
@@ -400,6 +456,7 @@ class IVFPQIndex:
         from ocr_vector_db_spark.operators.pq import PQIndex, _sub_slices
 
         spark = queries.sparkSession
+        queries = self._std_df(queries, query_emb)  # raw → index space
         q = queries.select(
             F.col(query_id),
             F.col(query_emb).cast("array<double>").alias("__q_emb"),
@@ -475,6 +532,7 @@ class IVFPQIndex:
         if corpus is None:
             return heads
         cand = heads.select(query_id, id_col).join(F.broadcast(q), query_id)
+        corpus = self._std_df(corpus, corpus_emb)
         joined = corpus.withColumnRenamed(corpus_emb, "__corpus_emb").join(
             F.broadcast(cand), id_col
         )
@@ -506,10 +564,14 @@ class IVFPQIndex:
         `PQIndex.recall_at_k`; the distributed sweep form lives on
         `IVFIndex.recall_sweep`)."""
         hits = total = 0
+        # standardized indexes: the exact baseline moves into index space
+        # (search transforms its own inputs, so raw corpus/queries pass in)
+        exact_corpus = self._std_df(corpus, emb_col)
         for qv in queries:
             exact = {
                 r[id_col]
-                for r in knn_brute_force(corpus, qv, k, emb_col=emb_col,
+                for r in knn_brute_force(exact_corpus, self._std_vec(qv), k,
+                                         emb_col=emb_col,
                                          id_col=id_col).collect()
             }
             approx = {

@@ -201,3 +201,59 @@ def test_hierarchical_ivfpq_matches_flat(spark, tables, tmp_path_factory):
     hier_b = idx.search_batch(qdf, 5, nprobe=6, branches=3).collect()
     assert sorted(tuple(r) for r in hier_b) == \
         sorted(tuple(r) for r in flat_b)
+
+
+def test_standardized_ivfpq_symmetric(spark, tables, tmp_path_factory):
+    """build(standardize=True): both quantization levels live in the
+    whitened space and every public entry transforms symmetrically — a
+    corpus member queried RAW refines to itself at exactly 1.0, adds
+    land in index space, batch serving matches per-query serving, and a
+    flag-off index persists no profile."""
+    e = tables["embeddings"]
+    path = str(tmp_path_factory.mktemp("ivfpq_std"))
+    IVFPQIndex.build(
+        spark, e, path, dim=64, num_clusters=6, m=8, k=16, standardize=True
+    )
+    idx = IVFPQIndex.load(spark, path)  # profile survives the meta round-trip
+    assert len(idx.std_stats) == 64
+
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 7).head().embedding]
+    top = idx.search(qv, 1, nprobe=6, corpus=e, refine=4).head()
+    assert top.vec_id == 7 and top.similarity == 1.0
+
+    # batch serving ≡ per-query serving under the same profile
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {(r.query_id, r.vec_id, r.pq_distance)
+           for r in idx.search_batch(queries, 3, nprobe=6).collect()}
+    want = set()
+    for r in queries.collect():
+        for s in idx.search([float(x) for x in r.embedding], 3,
+                            nprobe=6).collect():
+            want.add((r.query_id, s.vec_id, s.pq_distance))
+    assert got == want
+
+    # a raw held-out vector added through the frozen quantizers serves
+    # back at 1.0 (refined) — add() transformed it into index space
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    held = [float(x) for x in rng.normal(size=64)]
+    hdf = spark.createDataFrame([(9001, held)],
+                                "vec_id bigint, embedding array<double>")
+    assert idx.add(hdf) == 1
+    corpus2 = e.unionByName(hdf, allowMissingColumns=True)
+    top = idx.search(held, 1, nprobe=6, corpus=corpus2, refine=4).head()
+    assert top.vec_id == 9001 and top.similarity == 1.0
+
+    # recall against the whitened exact baseline (PQ is lossy — parity
+    # with the flag-off test's bound, not exactness)
+    rec = idx.recall_at_k(e, [qv], k=5, nprobe=6, refine=8)
+    assert rec >= 0.6, rec
+
+    # flag-off: no profile in meta
+    p2 = str(tmp_path_factory.mktemp("ivfpq_raw"))
+    IVFPQIndex.build(spark, e, p2, dim=64, num_clusters=6, m=8, k=16)
+    assert IVFPQIndex.load(spark, p2).std_stats == []
