@@ -494,6 +494,17 @@ def cmd_stream_ingest(args) -> int:
                   "run the `semantic-index` command first")
             return 1
         sem_idx = IVFIndex.load(spark, sem_path)
+    lm_gate = None
+    if getattr(args, "lm_band", None):
+        from ocr_vector_db_spark.operators.ngram_lm_index import NgramLMIndex
+
+        lm_path = os.path.join(args.store, "lmidx")
+        if not fs_exists(spark, os.path.join(lm_path, "stats")):
+            print("[error] --lm-band needs the LM index — run "
+                  "`lm-index --build` first")
+            return 1
+        lo, hi = args.lm_band
+        lm_gate = (NgramLMIndex.load(spark, lm_path), lo, hi)
     stats: list = []
     q = stream_ingest_deduped(
         spark.readStream.schema("doc_id long, text string")
@@ -512,12 +523,15 @@ def cmd_stream_ingest(args) -> int:
             getattr(args, "semantic_intra_nprobe", 2) or None
         ),
         semantic_branches=getattr(args, "semantic_branches", None),
+        lm_gate=lm_gate,
     )
     q.awaitTermination()
     acc = sum(s["accepted"] for s in stats)
     drop = sum(s["dropped_as_dup"] for s in stats)
+    lmdrop = sum(s.get("dropped_low_quality", 0) for s in stats)
+    lm_note = f", dropped {lmdrop} low-quality" if lm_gate else ""
     print(f"[stream-ingest] {len(stats)} micro-batches: accepted {acc}, "
-          f"dropped {drop} near-dups; accepted rows under "
+          f"dropped {drop} near-dups{lm_note}; accepted rows under "
           f"{args.store}/accepted")
     return 0
 
@@ -860,6 +874,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "hierarchical (semantic-index --l1-branches); "
                          "routes every dense-gate assignment through the "
                          "L1->L2 join instead of a full centroid broadcast")
+    sp.add_argument("--lm-band", nargs=2, type=float, metavar=("LO", "HI"),
+                    default=None,
+                    help="drop docs whose bigram-LM cross-entropy falls "
+                         "outside [LO, HI] (CCNet-style quality filter; "
+                         "needs `lm-index --build` first)")
     sp.set_defaults(fn=cmd_stream_ingest)
 
     sp = sub.add_parser("semantic-index")

@@ -253,6 +253,7 @@ def stream_ingest_deduped(
     semantic_branches: int | None = None,
     embedder=None,
     sample=None,
+    lm_gate=None,
 ):
     """Streaming ingestion with incremental near-dup gating — the streaming
     twin of q105. Each micro-batch:
@@ -319,7 +320,18 @@ def stream_ingest_deduped(
     at O(batch + k) per epoch). Folds are id-idempotent, so replays are
     harmless; a crashed epoch's guarded retry re-folds from the epoch's
     own sink rows, closing the same crash window the semantic repair
-    does."""
+    does.
+
+    `lm_gate` = (NgramLMIndex, lo, hi): CCNet-style LM quality filter at
+    ingest — each batch's docs score against the PERSISTED bigram LM
+    (`score_batch`: only the batch's own count buckets are read) and docs
+    whose avg_neg_logprob falls OUTSIDE [lo, hi] are dropped BEFORE the
+    dedup gates (low = boilerplate, high = noise, keep the mid band —
+    q118/q123's discipline as a streaming gate). Docs with < 2 tokens
+    carry no bigram evidence and pass through. The gate only reads the LM
+    index; accepted docs do NOT fold into it automatically (the LM is a
+    stable quality model, rebuilt/add-ed deliberately — unlike the dedup
+    indexes, which must learn every accepted doc)."""
     import os as _os
 
     from ocr_vector_db_spark.operators.dedup import minhash_dropped_ids
@@ -354,8 +366,29 @@ def stream_ingest_deduped(
                 ledger.mark_committed(epoch_id)
             return
         batch_df = batch_df.cache()  # three consumers: count, intra, screen
+        caches = [batch_df]
         try:
             n_in = batch_df.count()
+            if lm_gate is not None:
+                # LM quality band BEFORE the dedup gates: cheaper work
+                # first, and a dropped doc must not fold into any index
+                lm_idx, lo, hi = lm_gate
+                scores = lm_idx.score_batch(
+                    batch_df, id_col=id_col, text_col=text_col
+                ).select(
+                    id_col, F.col("avg_neg_logprob").alias("__nlp")
+                )
+                batch_df = (
+                    batch_df.join(scores, id_col, "left")
+                    # no-bigram docs (__nlp null) carry no evidence: pass
+                    .filter(F.col("__nlp").isNull()
+                            | F.col("__nlp").between(lo, hi))
+                    .drop("__nlp")
+                ).cache()
+                caches.append(batch_df)
+                n_quality = batch_df.count()
+            else:
+                n_quality = n_in
             # 1. intra-batch: drop any doc with a lower-id near-dup in the
             # same batch (same keep-min convention as dedup_exact). The
             # hot-group-safe form: a backfill batch of 10⁶ copies of one
@@ -475,12 +508,14 @@ def stream_ingest_deduped(
             if ledger is not None:
                 ledger.mark_committed(epoch_id)
             if stats is not None:
-                stats.append(
-                    {"epoch": epoch_id, "accepted": n_accepted,
-                     "dropped_as_dup": n_in - n_accepted}
-                )
+                entry = {"epoch": epoch_id, "accepted": n_accepted,
+                         "dropped_as_dup": n_quality - n_accepted}
+                if lm_gate is not None:
+                    entry["dropped_low_quality"] = n_in - n_quality
+                stats.append(entry)
         finally:
-            batch_df.unpersist()
+            for c in caches:
+                c.unpersist()
         maybe_compact(epoch_id)
 
     return _start_foreach_batch(docs_stream, per_batch, checkpoint)

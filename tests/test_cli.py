@@ -313,3 +313,57 @@ def test_cli_lm_index_build_score_pmi(spark, tmp_path, capsys):
                      "--min-count", "2", "--top-k", "5"]) == 0
     out = capsys.readouterr().out
     assert "machine learning" in out
+
+
+def test_cli_stream_ingest_lm_band(spark, tmp_path, capsys):
+    """stream-ingest --lm-band gates docs through the persisted LM before
+    the dedup index; the summary separates quality drops from dup drops."""
+    import json as _json
+
+    src = tmp_path / "seed_src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    prose = ("the model reads the corpus and the model scores the corpus "
+             "with calibrated statistics")
+    with open(src / "a.json", "w") as fh:
+        for i in range(5):
+            fh.write(_json.dumps(
+                {"doc_id": i, "text": prose + f" batch {i}"}) + "\n")
+    assert cli.main(["stream-ingest", "--store", store, "--source",
+                     str(src), "--threshold", "0.6", "--buckets", "8"]) == 0
+    capsys.readouterr()
+
+    # band needs the LM index first (same source dir: the store's
+    # checkpoint pins it; the new file arrives as the next epoch)
+    with open(src / "b.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 100,
+                              "text": prose + " batch fresh"}) + "\n")
+        fh.write(_json.dumps({"doc_id": 101,
+                              "text": "zq xv qj wk pf gh bn mm tt rr"}) + "\n")
+    argv = ["stream-ingest", "--store", store, "--source", str(src),
+            "--threshold", "0.6", "--buckets", "8"]
+    assert cli.main(argv + ["--lm-band", "0.0", "6.0"]) == 1
+    assert "lm-index --build" in capsys.readouterr().out
+    assert cli.main(["lm-index", "--store", store, "--build",
+                     "--buckets", "8"]) == 0
+    capsys.readouterr()
+
+    # calibrate the band between the two docs' actual scores (the small
+    # test vocab makes absolute guesses meaningless)
+    import os as _os
+
+    from ocr_vector_db_spark.operators.ngram_lm_index import NgramLMIndex
+
+    lm = NgramLMIndex.load(spark, _os.path.join(store, "lmidx"))
+    batch = spark.createDataFrame(
+        [(100, prose + " batch fresh"),
+         (101, "zq xv qj wk pf gh bn mm tt rr")],
+        "doc_id bigint, text string",
+    )
+    s = {r.doc_id: r.avg_neg_logprob for r in lm.score_batch(batch).collect()}
+    assert s[100] < s[101]
+    hi = (s[100] + s[101]) / 2
+
+    assert cli.main(argv + ["--lm-band", "0.0", str(hi)]) == 0
+    out = capsys.readouterr().out
+    assert "dropped 1 low-quality" in out

@@ -836,3 +836,59 @@ def test_stream_ingest_running_sample(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert [tuple(r) for r in rs2.current().collect()] == want
+
+
+def test_stream_ingest_lm_quality_gate(spark, tmp_path):
+    """lm_gate drops docs whose LM cross-entropy falls outside the
+    [lo, hi] band BEFORE the dedup gates (they never fold into any
+    index); no-bigram docs pass; stats separate quality drops from dup
+    drops."""
+    import json as _json
+
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.operators.ngram_lm_index import NgramLMIndex
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
+
+    # corpus LM: ordinary prose establishes the mid band
+    corpus = spark.createDataFrame(
+        [(i, "the model reads the corpus and the model scores the corpus "
+             f"with calibrated statistics batch {i}") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    lm = NgramLMIndex.build(spark, corpus, str(tmp_path / "lm"), n_buckets=8)
+    # calibrate the band from known-good prose
+    mid = lm.score_batch(corpus).agg({"avg_neg_logprob": "avg"}).head()[0]
+    lo, hi = 0.0, mid + 1.0
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    idx = MinHashIndex.build(spark, empty, str(tmp_path / "mh"), 16, 4, 2, 8)
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted"))
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        # in-band: reuses corpus phrasing → low cross-entropy, accepted
+        (1, "the model reads the corpus and the model scores the corpus"),
+        # out-of-band noise: unseen tokens → high cross-entropy, dropped
+        (2, "zq xv qj wk pf gh bn mm tt rr ee uu ii oo pp aa ss dd ff"),
+        # single token: no bigram evidence → passes the gate
+        (3, "solo"),
+    ]
+    with open(src / "b.json", "w") as fh:
+        for i, t in rows:
+            fh.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    stats: list = []
+    q = stream_ingest_deduped(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        idx, sink, threshold=0.6, stats=stats,
+        lm_gate=(lm, lo, hi),
+    )
+    q.awaitTermination(60)
+    assert {r.doc_id for r in sink.read(spark).collect()} == {1, 3}
+    assert stats[-1]["accepted"] == 2
+    assert stats[-1]["dropped_low_quality"] == 1
+    assert stats[-1]["dropped_as_dup"] == 0
+    # the noise doc never reached the dedup index
+    assert idx.signatures().filter("doc = 2").count() == 0
