@@ -60,6 +60,23 @@ def dim_stats(
     return [(r.mu, math.sqrt(max(0.0, r.m2 - r.mu * r.mu))) for r in rows]
 
 
+def validate_std_stats(stats: list[tuple[float, float]]) -> None:
+    """Refuse a whitening profile with any constant dimension (sd == 0):
+    the transform is undefined there — the distributed path would
+    silently null-poison that dimension (Spark's x/0.0 on doubles is not
+    NULL, but a 0.0/0.0 is NaN) while the driver twin raises
+    ZeroDivisionError, so the two 'bit-matched' paths would diverge.
+    Callers that persist a profile (IVFIndex/IVFPQIndex builds) validate
+    at build time and fail loudly instead."""
+    dead = [i for i, (_, sd) in enumerate(stats) if sd == 0.0]
+    if dead:
+        raise ValueError(
+            f"standardize: dimensions {dead} are constant across the "
+            "corpus (sd == 0) — whitening is undefined there; drop or "
+            "jitter those dimensions before building a standardized index."
+        )
+
+
 def with_standardized(
     df: DataFrame,
     src_col: str,

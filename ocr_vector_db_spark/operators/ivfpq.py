@@ -119,10 +119,12 @@ class IVFPQIndex:
             # the queries will be transformed into — IVFIndex parity
             from ocr_vector_db_spark.operators.embedding_prep import (
                 dim_stats,
+                validate_std_stats,
                 with_standardized,
             )
 
             std_stats = dim_stats(df, emb_col)
+            validate_std_stats(std_stats)  # constant dims: fail loudly now
             df = with_standardized(df, emb_col, emb_col, std_stats)
         feat = df.withColumn(
             "__f", array_to_vector(F.col(emb_col).cast("array<double>"))

@@ -325,7 +325,11 @@ class NgramLMIndex:
             .agg(F.sum("cnt").alias("pair_count"))
             .filter(F.col("pair_count") >= min_count)
         )
-        uni = self.unigrams().groupBy("tok").agg(F.sum("cnt").alias("cnt"))
+        # fold the unigram table ONCE, cached for its two broadcast
+        # consumers and released after the <= top_k result materializes —
+        # pmi_collocations' discipline
+        uni = (self.unigrams().groupBy("tok")
+               .agg(F.sum("cnt").alias("cnt")).cache())
         ua = uni.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("__ca"))
         ub = uni.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("__cb"))
         pmi = F.round(
@@ -336,13 +340,17 @@ class NgramLMIndex:
             + F.lit(2.0) * F.log(F.lit(n_tok)),
             6,
         )
-        return (
-            bgc.join(F.broadcast(ua), "tok_a")
-            .join(F.broadcast(ub), "tok_b")
-            .select("tok_a", "tok_b", "pair_count", pmi.alias("pmi"))
-            .orderBy(F.desc("pmi"), "tok_a", "tok_b")
-            .limit(top_k)
-        )
+        try:
+            return (
+                bgc.join(F.broadcast(ua), "tok_a")
+                .join(F.broadcast(ub), "tok_b")
+                .select("tok_a", "tok_b", "pair_count", pmi.alias("pmi"))
+                .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+                .limit(top_k)
+                .localCheckpoint()
+            )
+        finally:
+            uni.unpersist()
 
     # -------------------------------------------------------------- scoring
 
@@ -376,14 +384,17 @@ class NgramLMIndex:
             r.bucket for r in batch_pairs.select("bucket").distinct().collect()
         )
         # pair counts: prune to the batch's buckets, fold appended rows,
-        # semi-join down to the batch's own pairs (broadcast — bounded by
-        # the batch's distinct-pair count), then shuffle equi-join onto
-        # the per-doc bigram stream (refit discipline: the pair table is
-        # never broadcast; stopword-pair skew is AQE's job)
+        # semi-join down to the batch's own pairs, then shuffle equi-join
+        # onto the per-doc bigram stream (refit discipline: the pair table
+        # is never broadcast; stopword-pair skew is AQE's job). The
+        # semi-join carries NO broadcast hint: the batch's distinct-pair
+        # set is batch-sized, and the batch may be the whole corpus
+        # (q123), where a forced broadcast would ship the entire bigram
+        # vocabulary — AQE picks broadcast itself when the side is small
         cab = (
             self.pairs()
             .filter(F.col("bucket").isin(pbs))
-            .join(F.broadcast(batch_pairs.select("tok_a", "tok_b")),
+            .join(batch_pairs.select("tok_a", "tok_b"),
                   ["tok_a", "tok_b"], "left_semi")
             .groupBy("tok_a", "tok_b").agg(F.sum("cnt").alias("__cab"))
         )
@@ -398,7 +409,7 @@ class NgramLMIndex:
         ua = (
             self.unigrams()
             .filter(F.col("ubucket").isin(ubs))
-            .join(F.broadcast(batch_toks.select("tok")), "tok", "left_semi")
+            .join(batch_toks.select("tok"), "tok", "left_semi")
             .groupBy("tok").agg(F.sum("cnt").alias("__ca"))
             .select(F.col("tok").alias("tok_a"), "__ca")
         )

@@ -11,10 +11,10 @@ module closes the last real-world raster codec on the pure-Python path
 K ≥ 0 Group 3 stays PyMuPDF-only).
 
 Codec domain is SEMANTIC: `decode_g4` returns one byte per pixel with
-1 = black, and `encode_g4` takes the same — /BlackIs1 only changes how
-decoded runs would be PACKED into bits, which this representation skips
-entirely (the PDF layer maps black → gray 0 either way, the same final
-image every viewer shows).
+1 = black, and `encode_g4` takes the same. /BlackIs1 and the image's
+/Decode array are PDF-layer concerns: `pdf_decode.ccitt_image_xobject`
+maps CCITT-black → sample bit (per /BlackIs1) → gray (per /Decode),
+exactly the ISO 32000 rendering pipeline.
 
 Both directions are per-row O(changing elements) over transition lists
 (never per-pixel bit twiddling inside the mode loop), and the encoder is
@@ -261,7 +261,12 @@ def decode_g4(
                 a2 = a1 + r2
                 if a1 <= columns:
                     cur.append(a1)
-                if a2 <= columns and r2:
+                if a2 <= columns:
+                    # r2 == 0 gives a1 == a2: keep BOTH transitions — the
+                    # double toggle is a net no-op at that position, while
+                    # dropping one would invert the rest of the row (no
+                    # compliant encoder emits it mid-row, but a foreign
+                    # stream must decode right, not upside-down)
                     cur.append(a2)
                 a0, first = a2, False
             else:  # vertical

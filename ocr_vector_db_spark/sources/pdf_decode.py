@@ -1373,11 +1373,14 @@ def ccitt_image_xobject(objects, ref: int) -> dict | None:
     K ≥ 0 (Group 3) and filter chains stay on the PyMuPDF path, like the
     reference (ingestion/parsers/pymupdf_parser.py:518-569).
 
-    /BlackIs1 is accepted but does not affect the output: it only flips
-    how decoded runs would be PACKED into 1-bit samples, and this path
-    emits semantic pixels directly (black → 0, white → 255 — the image
-    every viewer shows either way). Returns the decode_image_xobject
-    raster dict shape, or None when unsupported/malformed."""
+    Polarity follows ISO 32000 exactly: a CCITT-black pixel becomes
+    sample bit 1 when /BlackIs1 is true, else 0 (the default), and the
+    sample maps to gray through the image's /Decode array (default
+    [0 1] — so the spec-default combination renders black pixels at
+    gray 0, but /BlackIs1 true WITHOUT a compensating /Decode [1 0]
+    legitimately renders the inverse, exactly as a compliant viewer
+    would). Returns the decode_image_xobject raster dict shape, or None
+    when unsupported/malformed."""
     from ocr_vector_db_spark.sources.ccitt import CCITTError, decode_g4
 
     dict_src, stream = objects.get(ref, (b"", None))
@@ -1400,6 +1403,12 @@ def ccitt_image_xobject(objects, ref: int) -> dict | None:
     height = int(props.get(b"Height", 0))
     rows = int(rm.group(1)) if rm else (height or None)
     byte_align = bool(re.search(rb"/EncodedByteAlign\s+true", parms))
+    black_is_1 = bool(re.search(rb"/BlackIs1\s+true", parms))
+    dm = re.search(
+        rb"/Decode\s*\[\s*(\d+(?:\.\d+)?)\s+(\d+(?:\.\d+)?)\s*\]",
+        dict_src,
+    )
+    decode = (float(dm.group(1)), float(dm.group(2))) if dm else (0.0, 1.0)
     if columns <= 0:
         return None
     try:
@@ -1409,8 +1418,15 @@ def ccitt_image_xobject(objects, ref: int) -> dict | None:
     n_rows = len(pix) // columns
     if n_rows == 0:
         return None
-    # semantic bits (1 = black) → 8-bit gray the multimodal seam expects
-    gray = bytes(0 if p else 255 for p in pix)
+    # codec-semantic bits (1 = black) → 1-bit sample per /BlackIs1 →
+    # gray per /Decode: the exact ISO 32000 §7.4.6/§8.9.5.2 pipeline
+    g = [
+        max(0, min(255, round(decode[0] * 255))),  # sample 0
+        max(0, min(255, round(decode[1] * 255))),  # sample 1
+    ]
+    gray = bytes(
+        g[(1 if p else 0) if black_is_1 else (0 if p else 1)] for p in pix
+    )
     return {
         "width": columns,
         "height": n_rows,

@@ -372,6 +372,11 @@ def stream_ingest_deduped(
             if lm_gate is not None:
                 # LM quality band BEFORE the dedup gates: cheaper work
                 # first, and a dropped doc must not fold into any index
+                if "__nlp" in batch_df.columns:
+                    raise ValueError(
+                        "lm_gate: input column '__nlp' collides with the "
+                        "gate's internal score column; rename it first."
+                    )
                 lm_idx, lo, hi = lm_gate
                 scores = lm_idx.score_batch(
                     batch_df, id_col=id_col, text_col=text_col

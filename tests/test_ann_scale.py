@@ -507,3 +507,23 @@ def test_standardized_index_symmetric_and_exact(spark, tmp_path):
     assert idx2.std_stats == []
     from ocr_vector_db_spark.operators.index_maint import fs_exists
     assert not fs_exists(spark, str(tmp_path / "ivf_raw/standardize.json"))
+
+
+def test_standardized_build_rejects_constant_dimension(spark, tmp_path):
+    """A constant embedding dimension (sd == 0) makes the whitening
+    transform undefined — both builds must refuse loudly at build time
+    instead of null-poisoning the layout / crashing queries later."""
+    import pytest as _pytest
+
+    from ocr_vector_db_spark.operators.ivfpq import IVFPQIndex
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(50, 4))
+    X[:, 2] = 7.0  # constant dimension
+    df = _vec_df(spark, X)
+    with _pytest.raises(ValueError, match="constant"):
+        IVFIndex.build(spark, df, str(tmp_path / "a"), num_clusters=4,
+                       standardize=True)
+    with _pytest.raises(ValueError, match="constant"):
+        IVFPQIndex.build(spark, df, str(tmp_path / "b"), dim=4,
+                         num_clusters=4, m=2, k=4, standardize=True)

@@ -1141,9 +1141,17 @@ class TestCCITT:
         # K >= 0 (Group 3) stays unsupported → no asset row
         g3 = pdf.replace(b"/K -1", b"/K 0")
         assert extract_pdf_images(g3) == []
-        # BlackIs1 does not change the semantic output
+        # ISO 32000 polarity pipeline: /BlackIs1 true with the default
+        # /Decode [0 1] legitimately renders the INVERSE (black runs
+        # become sample 1 -> gray 1.0), and a compensating /Decode [1 0]
+        # restores the original image — both exactly what a compliant
+        # viewer shows
+        inverted = bytes(255 - b for b in imgs[0]["data"])
         b1 = pdf.replace(b"/K -1", b"/K -1 /BlackIs1 true")
-        assert extract_pdf_images(b1)[0]["data"] == imgs[0]["data"]
+        assert extract_pdf_images(b1)[0]["data"] == inverted
+        b1d = b1.replace(b"/BitsPerComponent 1",
+                         b"/BitsPerComponent 1 /Decode [1 0]")
+        assert extract_pdf_images(b1d)[0]["data"] == imgs[0]["data"]
 
     def test_pymupdf_ccitt_parity_when_available(self):
         """PyMuPDF parity gate (skips without fitz): the G4 raster our
@@ -1170,3 +1178,18 @@ class TestCCITT:
         if pm.colorspace and pm.colorspace.n > 1:
             pm = fitz.Pixmap(fitz.csGRAY, pm)
         assert bytes(pm.samples) == ours
+
+    def test_foreign_zero_length_second_run_mid_row(self):
+        """A horizontal code whose second run is zero mid-row (no
+        compliant encoder emits it, a foreign stream may): the double
+        transition is a net no-op — the rest of the row must NOT invert."""
+        from ocr_vector_db_spark.sources.ccitt import _BitWriter, decode_g4
+
+        w = _BitWriter()
+        # row of 8: H(white 2, black 0) -> no-op at col 2, then
+        # H(white 2, black 4) -> cols 4..7 black
+        w.write("001"); w.write("0111"); w.write("0000110111")
+        w.write("001"); w.write("0111"); w.write("011")
+        w.write("000000000001" * 2)  # EOFB
+        out = decode_g4(w.bytes(), 8)
+        assert out == bytes([0, 0, 0, 0, 1, 1, 1, 1])
