@@ -113,6 +113,9 @@ HEADLINE = [
     "q125_pdf_ccitt_raster",
     # PMI served from the persisted LM counts (no refit)
     "q126_ngram_lm_pmi_served",
+    # the persisted Hamming-space screen (build+add+compact in warmup;
+    # timed runs measure the bucket-pruned band join + bit_count verify)
+    "q127_simhash_incremental_screen",
 ]
 
 

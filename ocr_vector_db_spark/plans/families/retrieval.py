@@ -337,6 +337,68 @@ def q105(spark, sf):
     return idx.screen(d.filter(F.col("doc_id") % 2 == 1))
 
 
+def _simhash_cross_sql(bits: int = 16, r: int = 2) -> str:
+    """q88's SQL machinery restricted to cross-side (new × indexed)
+    pairs — the oracle for the persisted SimHash screen."""
+    from ocr_vector_db_spark.operators import dedup as _dedup
+    from ocr_vector_db_spark.plans.families.vector import _simhash_sql
+
+    band_union = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {j} AS band, (simhash >> {lo}) & {(1 << w) - 1}"
+        f" AS val FROM sig"
+        for j, (lo, w) in enumerate(_dedup.simhash_band_widths(bits, r))
+    )
+    return f"""
+    WITH sig AS ({_simhash_sql(bits)}),
+    bands AS (
+        {band_union}
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM bands n
+        JOIN bands c ON n.band = c.band AND n.val = c.val
+        WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+    )
+    SELECT cand.new_id, cand.corpus_id,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand
+    JOIN sig sa ON sa.doc_id = cand.new_id
+    JOIN sig sb ON sb.doc_id = cand.corpus_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {r}
+    """
+
+
+@query("q127_simhash_incremental_screen", _simhash_cross_sql(16, 2))
+def q127(spark, sf):
+    """Incremental Hamming-space dedup: a NEW batch (odd doc ids) screens
+    against a PERSISTED SimHash index of the corpus (even doc ids) —
+    operators/simhash_index.py, the Hamming sibling of q105's MinHash
+    gate (8 bytes of state per doc, exact bit_count verification within
+    radius r). Only the batch is hashed; the corpus side is the slim
+    (bucket, band, val) equi-join against the stored pigeonhole layout +
+    a candidates-only signature join — O(batch + matches). Oracle = q88's
+    SQL restricted to cross-side pairs: the persisted screen must
+    reproduce the scan formulation exactly."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.simhash_index import SimHashIndex
+
+    d = load_table(spark, sf, "documents")
+    key = (spark.sparkContext.applicationId, sf, "q127_sh_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="shidx_")
+        idx = SimHashIndex.build(
+            spark, d.filter(F.col("doc_id") % 4 == 0), path,
+            bits=16, r=2, n_buckets=16,
+        )
+        # exercise the incremental append: the other half of the evens
+        idx.add(d.filter(F.col("doc_id") % 4 == 2))
+        idx.compact()
+        _PLAN_MEMO[key] = path
+    idx = SimHashIndex.load(spark, _PLAN_MEMO[key])
+    return idx.screen(d.filter(F.col("doc_id") % 2 == 1))
+
+
 @query(
     "q107_pdf_modern_structures",
     """

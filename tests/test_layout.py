@@ -67,7 +67,7 @@ def test_inventory_family_split_preserves_registration():
     silently change which stale queries get re-verified."""
     from ocr_vector_db_spark.plans.inventory import ORACLES, QUERIES
 
-    assert len(QUERIES) == 126 and len(ORACLES) == 126
+    assert len(QUERIES) == 127 and len(ORACLES) == 127
     keys = list(QUERIES)
     # section anchors in the original registration order
     assert keys[0] == "q01_pricing_summary_agg"

@@ -630,3 +630,66 @@ def test_compact_crash_recovery_orphan_generation(spark, tables, tmp_path_factor
     assert n > 0
     assert committed_generations(spark, postings) == [1, 2]
     assert [(r.id, r.bm25) for r in idx.search(terms, k=10).collect()] == before
+
+
+def test_simhash_index_screen_matches_scan_formulation(spark, tables,
+                                                       tmp_path_factory):
+    """Persisted SimHash screen ≡ the one-shot scan formulation restricted
+    to cross-side pairs, exactly; the band join is bucket-pruned and the
+    radius guarantee holds (every scan pair within r appears)."""
+    from ocr_vector_db_spark.operators import dedup
+    from ocr_vector_db_spark.operators.simhash_index import SimHashIndex
+
+    docs = tables["documents"]
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path_factory.mktemp("shidx"))
+    idx = SimHashIndex.build(spark, evens, path, bits=16, r=2, n_buckets=16)
+    idx = SimHashIndex.load(spark, path)
+    assert (idx.bits, idx.r, idx.n_buckets) == (16, 2, 16)
+
+    got = {(r_.new_id, r_.corpus_id, r_.hamming)
+           for r_ in idx.screen(odds).collect()}
+    scan = dedup.simhash_near_dup_pairs(docs, bits=16, r=2)
+    want = {
+        (max(r_.doc_a, r_.doc_b), min(r_.doc_a, r_.doc_b), r_.hamming)
+        for r_ in scan.collect()
+        if (r_.doc_a % 2) != (r_.doc_b % 2)
+    }
+    want = {(a if a % 2 else b, b if a % 2 else a, h)
+            for a, b, h in want}
+    assert got == want
+
+
+def test_simhash_index_add_guard_compact_and_gate(spark, tables,
+                                                  tmp_path_factory):
+    """Incremental build(A)+add(B) screens identically to build(A∪B);
+    re-adds are no-ops; compaction changes nothing; dedup_new drops
+    exactly the screened ids."""
+    from ocr_vector_db_spark.operators.simhash_index import SimHashIndex
+
+    docs = tables["documents"]
+    a = docs.filter(F.col("doc_id") % 4 == 0)
+    b = docs.filter(F.col("doc_id") % 4 == 2)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+
+    p_inc = str(tmp_path_factory.mktemp("sh_inc"))
+    inc = SimHashIndex.build(spark, a, p_inc, bits=16, r=2, n_buckets=8)
+    assert inc.add(b) == b.count()
+    assert inc.add(b) == 0  # re-add guard
+
+    p_full = str(tmp_path_factory.mktemp("sh_full"))
+    full = SimHashIndex.build(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), p_full,
+        bits=16, r=2, n_buckets=8,
+    )
+    key = lambda df: {(r.new_id, r.corpus_id, r.hamming)
+                      for r in df.collect()}
+    want = key(full.screen(odds))
+    assert key(inc.screen(odds)) == want
+    inc.compact()
+    assert key(inc.screen(odds)) == want
+
+    flagged = {r.new_id for r in inc.screen(odds).collect()}
+    kept = {r.doc_id for r in inc.dedup_new(odds).collect()}
+    assert kept == {r.doc_id for r in odds.collect()} - flagged
