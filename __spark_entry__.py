@@ -71,11 +71,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # machinery rewritten round 7) carry pre-rewrite verdicts, so both join the
 # front of the r09 window alongside the r05-stale 22.
 #
-# Round 9 adds q123 (incremental LM index), q124 (standardized IVF) and
-# q125 (CCITT G4 raster) — pending, so they sort to the very front; the
-# r09 first-50 window is then 3 pending + q29-q46 + q53 + q61 + q102-q105
-# + the oldest r06 names (local sf0.01 sweep of the exact window: 50/50
-# green this round before shipping).
+# Round 9 adds q123 (incremental LM index), q124 (standardized IVF),
+# q125 (CCITT G4 raster), q126 (index-served PMI) and q127 (persisted
+# SimHash screen) — pending, so they sort to the very front; the r09
+# first-50 window is then 5 pending + q29-q46 + q53 + q61 + q102-q105 +
+# the oldest r06 names (each verified green at sf0.01 this round before
+# shipping; the 50-name window itself swept 50/50 mid-round).
 _DRIVER_GREEN = {
     "q01_pricing_summary_agg", "q02_filter_pushdown_revenue",
     "q03_broadcast_join_star", "q04_context_left_join", "q05_global_topk",
