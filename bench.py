@@ -116,6 +116,10 @@ HEADLINE = [
     # the persisted Hamming-space screen (build+add+compact in warmup;
     # timed runs measure the bucket-pruned band join + bit_count verify)
     "q127_simhash_incremental_screen",
+    # the persisted HLL register sketch (build+add+merge folds in warmup;
+    # timed runs measure the O(m) summary aggregation — the monitoring
+    # path that replaces corpus-wide COUNT(DISTINCT) at 100 TB)
+    "q128_hll_vocab_sketch",
 ]
 
 

@@ -1,0 +1,266 @@
+"""Persisted cardinality sketches — HyperLogLog registers as an index.
+
+The quality/metrics paths (q01/q13, reference `database/repository.py`'s
+COUNT(DISTINCT …) stats) answer "how many distinct X" by shuffling the
+full key set. At 100 TB that is the wrong primitive for monitoring-grade
+questions ("how big is the token vocabulary", "how many unique doc
+fingerprints per collection"): a HyperLogLog sketch answers them with
+m = 2^p integer registers — a fixed few KB of state — built in ONE
+map-side-combinable aggregation (the groupBy key space IS the register
+space, so every task reduces its partition to ≤ m rows before the
+shuffle), mergeable across collections/epochs by a per-bucket MAX, and
+incrementally updatable without touching the corpus again.
+
+Flajolet et al., "HyperLogLog: the analysis of a near-optimal cardinality
+estimation algorithm" (AofA 2007), with the classic 64-bit-hash variant:
+
+  h      = first 16 hex chars of md5(key)      (64 bits, engine-portable)
+  bucket = first p bits                         (p ∈ {4,8,12,16}: hex-aligned)
+  rho    = leading-zero count of the remaining 64-p bits, + 1
+  register[bucket] = MAX(rho);  E = alpha_m * m^2 / sum_j 2^(-r_j)
+  small-range (E <= 2.5m, V empty registers > 0): E = m * ln(m / V)
+
+Everything is md5 + substring + regexp arithmetic, no engine-specific
+hashing, so a DuckDB oracle reproduces the registers BIT-FOR-BIT (q128):
+rho comes from hex-character arithmetic (leading '0' chars x 4 + a
+16-way nibble table), and the harmonic sum is carried as the EXACT
+integer sum(2^(rho_max - r)) in DECIMAL(38,0) — order-independent, so
+Spark's partial aggregation cannot shift it — with one double division
+at the end. The estimate is a double; registers, V, and the scaled sum
+are integers and compare exactly.
+
+Persistence mirrors the other index families (generation pointers,
+reader-atomic swap — operators/index_maint.py): registers/ holds ≤ m
+rows, meta.json pins p. `add` folds a batch by per-bucket MAX and
+publishes a NEW generation (the register table is KBs; rewrite is the
+cheap, correct move — no append/compact cycle needed). `merge` is the
+same fold across sketches, the union/intersection workhorse for
+per-collection sketches.
+
+Scale: build/add shuffle ≤ m rows after map-side combine regardless of
+corpus size; summary/estimate aggregate ≤ m rows. Nothing here is
+corpus-sized after the first projection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def _nibble_lz(first: Column) -> Column:
+    """Leading zero bits of a NON-ZERO hex digit character."""
+    return (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+
+
+def hll_bucket_rho(key: Column, p: int) -> tuple[Column, Column, int]:
+    """(bucket, rho, rho_max) for one key column under precision p.
+
+    p must be a multiple of 4 (bucket = whole hex chars) so the DuckDB
+    twin can split the same md5 string at the same character offsets.
+    """
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError(f"p must be in {{4, 8, 12, 16}}, got {p}")
+    bchars = p // 4
+    rchars = 16 - bchars  # 64-bit hash: 16 hex chars total
+    rho_max = 4 * rchars + 1
+    h = F.md5(key.cast("string"))
+    bucket = F.conv(F.substring(h, 1, bchars), 16, 10).cast("int")
+    rest = F.substring(h, bchars + 1, rchars)
+    trimmed = F.regexp_replace(rest, "^0+", "")
+    z4 = (F.lit(rchars) - F.length(trimmed)) * 4
+    rho = (
+        F.when(trimmed == "", F.lit(rho_max))
+        .otherwise(z4 + _nibble_lz(F.substring(trimmed, 1, 1)) + 1)
+        .cast("int")
+    )
+    return bucket, rho, rho_max
+
+
+def hll_registers(df: DataFrame, key: Column, p: int) -> DataFrame:
+    """(bucket int, r int) — non-empty registers only, ≤ 2^p rows.
+
+    One aggregation whose key space is the register space: partial
+    (map-side) MAX reduces every input partition to ≤ m rows before the
+    single tiny shuffle. Null keys are ignored (COUNT DISTINCT parity).
+    """
+    bucket, rho, _ = hll_bucket_rho(key, p)
+    return (
+        df.filter(key.isNotNull())
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )
+
+
+def _merge_registers(parts: list[DataFrame]) -> DataFrame:
+    u = parts[0]
+    for nxt in parts[1:]:
+        u = u.unionByName(nxt)
+    return u.groupBy("bucket").agg(F.max("r").cast("int").alias("r"))
+
+
+def hll_summary(regs: DataFrame, p: int) -> DataFrame:
+    """One-row (m, v, z_scaled, est, reg_digest) from a register table.
+
+    z_scaled = sum_j 2^(rho_max - r_j) over ALL m registers (empty ones
+    contribute 2^rho_max) as an exact DECIMAL(38,0) — the harmonic sum
+    scaled by 2^rho_max so it is integer-exact and order-independent.
+    est follows Flajolet et al. incl. the linear-counting small range;
+    reg_digest = md5 over the (bucket:r) list in bucket order, the
+    engine-portable register fingerprint.
+    """
+    m = 1 << p
+    rho_max = 4 * (16 - p // 4) + 1
+    pow_max = F.pow(F.lit(2.0), F.lit(rho_max)).cast("decimal(38,0)")
+    item = F.concat(
+        F.lpad(F.col("bucket").cast("string"), 5, "0"),
+        F.lit(":"), F.col("r").cast("string"),
+    )
+    agg = regs.agg(
+        F.count("*").alias("_n"),
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), F.lit(rho_max) - F.col("r"))
+                  .cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_zn"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(item))))
+        .alias("reg_digest"),
+    )
+    v = (F.lit(m) - F.col("_n")).cast("bigint")
+    z = (F.col("_zn") + v.cast("decimal(38,0)") * pow_max).cast("decimal(38,0)")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est_raw = (
+        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m))
+        * F.pow(F.lit(2.0), F.lit(rho_max)) / F.col("_z").cast("double")
+    )
+    est = (
+        F.when(
+            (est_raw <= F.lit(2.5) * F.lit(float(m))) & (F.col("v") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v")),
+        ).otherwise(est_raw)
+    )
+    return (
+        agg.withColumn("v", v)
+        .withColumn("_z", z)
+        .withColumn("m", F.lit(m).cast("int"))
+        .withColumn("z_scaled", F.col("_z").cast("string"))
+        .withColumn("est", F.round(est, 6))
+        .select("m", "v", "z_scaled", "est", "reg_digest")
+    )
+
+
+class HLLSketch:
+    """Persisted HLL register table under generation pointers."""
+
+    def __init__(self, spark: SparkSession, path: str, p: int):
+        self.spark = spark
+        self.path = path
+        self.p = p
+
+    # --------------------------------------------------------------- build
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        key: Column,
+        p: int = 8,
+    ) -> "HLLSketch":
+        from ocr_vector_db_spark.operators.index_maint import write_small_file
+
+        sk = cls(spark, path, p)
+        sk._publish(hll_registers(df, key, p), first=True)
+        write_small_file(
+            spark, os.path.join(path, "meta.json"),
+            json.dumps({"p": p}).encode("utf-8"),
+        )
+        return sk
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "HLLSketch":
+        from ocr_vector_db_spark.operators.index_maint import read_small_file
+
+        meta = json.loads(
+            read_small_file(spark, os.path.join(path, "meta.json"))
+        )
+        return cls(spark, path, meta["p"])
+
+    # ---------------------------------------------------------------- reads
+
+    def registers(self) -> DataFrame:
+        from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+        return self.spark.read.parquet(
+            current_gen_dir(self.spark, os.path.join(self.path, "registers"))
+        )
+
+    def summary(self) -> DataFrame:
+        return hll_summary(self.registers(), self.p)
+
+    def estimate(self) -> float:
+        return float(self.summary().head().est)
+
+    # ------------------------------------------------------------ increment
+
+    def _publish(self, regs: DataFrame, first: bool = False) -> None:
+        """Write registers as a NEW generation and swap the pointer.
+
+        The table is ≤ m rows (KBs): a full rewrite per fold is cheaper
+        and simpler than append+compact, and readers stay atomic. The
+        fold must be MATERIALIZED into the new gen dir before commit;
+        when it reads the current gen (add/merge) the self-read resolves
+        because the pointer flips only after the write completes.
+        """
+        from ocr_vector_db_spark.operators.index_maint import (
+            commit_generation,
+            gc_generations,
+            init_generation,
+            next_gen_dir,
+        )
+
+        root = os.path.join(self.path, "registers")
+        if first:
+            n, dest = init_generation(self.spark, root)
+        else:
+            n, dest = next_gen_dir(self.spark, root)
+        regs.coalesce(1).write.mode("overwrite").parquet(dest)
+        commit_generation(self.spark, root, n)
+        gc_generations(self.spark, root, keep=2)
+
+    def add(self, df: DataFrame, key: Column) -> "HLLSketch":
+        """Fold a batch in: per-bucket MAX of stored ∪ batch registers.
+
+        Idempotent by construction (MAX), so replaying a batch — the
+        crash-window case — cannot move a register. O(batch + m)."""
+        self._publish(
+            _merge_registers([self.registers(),
+                              hll_registers(df, key, self.p)])
+        )
+        return self
+
+    def merge(self, *others: "HLLSketch") -> "HLLSketch":
+        """Fold other sketches' registers into this one (same p). The
+        union estimator: registers of A ∪ B = per-bucket MAX."""
+        for o in others:
+            if o.p != self.p:
+                raise ValueError(
+                    f"precision mismatch: {self.p} vs {o.p}"
+                )
+        self._publish(
+            _merge_registers([self.registers()]
+                             + [o.registers() for o in others])
+        )
+        return self

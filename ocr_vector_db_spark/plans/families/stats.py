@@ -1060,3 +1060,115 @@ def q85(spark, sf):
     )
 
 
+
+
+# =====================================================================
+# Round-9 batch 2: persisted cardinality sketches
+# =====================================================================
+
+
+@query(
+    "q128_hll_vocab_sketch",
+    """
+    WITH tk AS (
+        SELECT tok FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    hx AS (
+        SELECT substr(md5(tok), 1, 2) AS bh,
+               substr(md5(tok), 3, 14) AS rest
+        FROM tk
+    ),
+    rr AS (
+        SELECT (strpos('0123456789abcdef', bh[1]) - 1) * 16
+               + (strpos('0123456789abcdef', bh[2]) - 1) AS bucket,
+               regexp_replace(rest, '^0+', '') AS trimmed
+        FROM hx
+    ),
+    rho AS (
+        SELECT bucket,
+               CASE WHEN trimmed = '' THEN 57
+                    ELSE (14 - length(trimmed)) * 4
+                         + CASE WHEN substr(trimmed, 1, 1) = '1' THEN 3
+                                WHEN substr(trimmed, 1, 1) IN ('2','3') THEN 2
+                                WHEN substr(trimmed, 1, 1)
+                                     IN ('4','5','6','7') THEN 1
+                                ELSE 0 END + 1
+               END AS rho
+        FROM rr
+    ),
+    regs AS (
+        SELECT bucket, CAST(MAX(rho) AS INT) AS r FROM rho GROUP BY bucket
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_filled,
+               COALESCE(SUM(CAST(POWER(2.0, 57 - r) AS DECIMAL(38,0))),
+                        CAST(0 AS DECIMAL(38,0))) AS zn,
+               md5(COALESCE(string_agg(
+                   lpad(CAST(bucket AS VARCHAR), 5, '0') || ':'
+                       || CAST(r AS VARCHAR),
+                   ',' ORDER BY bucket), '')) AS reg_digest
+        FROM regs
+    ),
+    f AS (
+        SELECT CAST(256 AS INT) AS m,
+               CAST(256 - n_filled AS BIGINT) AS v,
+               CAST(zn + CAST(256 - n_filled AS DECIMAL(38,0))
+                    * CAST(POWER(2.0, 57) AS DECIMAL(38,0))
+                    AS DECIMAL(38,0)) AS z,
+               reg_digest
+        FROM s
+    )
+    SELECT m, v, CAST(z AS VARCHAR) AS z_scaled,
+           ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                           * POWER(2.0, 57) / CAST(z AS DOUBLE)
+                           <= 2.5 * 256.0 AND v > 0
+                      THEN 256.0 * LN(256.0 / v)
+                      ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                           * POWER(2.0, 57) / CAST(z AS DOUBLE) END,
+                 6) AS est,
+           reg_digest
+    FROM f
+    """,
+)
+def q128(spark, sf):
+    """Persisted HyperLogLog vocabulary sketch (operators/sketches.py):
+    distinct-token cardinality as m=256 integer registers — built on a
+    QUARTER of the corpus, folded forward twice with `add` (per-bucket
+    MAX, generation-pointer swap) and once with `merge` from a sibling
+    sketch, then summarized. The oracle computes the registers from
+    SCRATCH over the whole corpus with the same md5-hex arithmetic, so
+    hash-matching proves build+add+merge ≡ one global pass bit-for-bit
+    (registers digest, empty-register count, exact scaled harmonic sum)
+    — the sketch property that lets 100-TB vocabulary monitoring run as
+    per-epoch O(m) folds instead of a corpus-wide COUNT(DISTINCT).
+    Reference parity: repository.py's COUNT(DISTINCT …) stat surface,
+    re-expressed as the sketch a warehouse-scale pipeline needs."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.sketches import HLLSketch
+
+    d = load_table(spark, sf, "documents")
+    tok = (
+        d.select(
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok")
+        ).filter(F.col("tok") != "")
+    )
+    key = (spark.sparkContext.applicationId, sf, "q128_hll_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="hll_")
+        sk = HLLSketch.build(
+            spark, tok.filter(F.crc32(F.col("tok")) % 4 == 0), path,
+            F.col("tok"), p=8,
+        )
+        sk.add(tok.filter(F.crc32(F.col("tok")) % 4 == 1), F.col("tok"))
+        sk.add(tok.filter(F.crc32(F.col("tok")) % 4 == 2), F.col("tok"))
+        other = HLLSketch.build(
+            spark, tok.filter(F.crc32(F.col("tok")) % 4 == 3),
+            tempfile.mkdtemp(prefix="hll_"), F.col("tok"), p=8,
+        )
+        sk.merge(other)
+        _PLAN_MEMO[key] = path
+    return HLLSketch.load(spark, _PLAN_MEMO[key]).summary()

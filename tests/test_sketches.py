@@ -41,3 +41,96 @@ def test_count_min_heavy_hitter(spark):
     assert sk is not None and len(bytes(sk)) > 0  # mergeable binary sketch
     exact = df.filter(F.col("k") == 7).count()
     assert exact == 10_040  # 10k even ids + 40 odd ids ≡ 7 (mod 500)
+
+
+# ---------------------------------------------------------------------------
+# Persisted HLL register sketch (operators/sketches.py) — exact register
+# semantics (vs a pure-Python reference), incremental/merge folds, and the
+# generation-pointer lifecycle.
+# ---------------------------------------------------------------------------
+
+def _py_registers(keys, p):
+    """Pure-Python reference for hll_registers: md5-hex arithmetic."""
+    import hashlib
+
+    bchars = p // 4
+    rchars = 16 - bchars
+    regs = {}
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        bucket = int(h[:bchars], 16)
+        rest = h[bchars:16]
+        trimmed = rest.lstrip("0")
+        if not trimmed:
+            rho = 4 * rchars + 1
+        else:
+            nib = int(trimmed[0], 16)
+            lz = 3 if nib == 1 else 2 if nib < 4 else 1 if nib < 8 else 0
+            rho = (rchars - len(trimmed)) * 4 + lz + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return sorted(regs.items())
+
+
+def test_hll_registers_match_python_reference(spark):
+    from ocr_vector_db_spark.operators.sketches import hll_registers
+
+    keys = [f"tok{i}" for i in range(500)] + ["", "0", "zzz", "한국어"]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    for p in (4, 8, 12):
+        got = sorted(
+            (r.bucket, r.r)
+            for r in hll_registers(df, F.col("k"), p).collect()
+        )
+        assert got == _py_registers(keys, p), f"p={p}"
+
+
+def test_hll_build_add_merge_equals_scratch(spark, tmp_path):
+    from ocr_vector_db_spark.operators.sketches import (
+        HLLSketch, hll_registers,
+    )
+
+    df = spark.range(3000).select(
+        F.concat(F.lit("k"), (F.col("id") % 1100).cast("string")).alias("k")
+    )
+    a = df.filter(F.col("id") % 3 == 0)
+    b = df.filter(F.col("id") % 3 == 1)
+    c = df.filter(F.col("id") % 3 == 2)
+
+    sk = HLLSketch.build(spark, a, str(tmp_path / "a"), F.col("k"), p=8)
+    sk.add(b, F.col("k"))
+    other = HLLSketch.build(spark, c, str(tmp_path / "c"), F.col("k"), p=8)
+    sk.merge(other)
+
+    scratch = sorted(
+        (r.bucket, r.r)
+        for r in hll_registers(df, F.col("k"), 8).collect()
+    )
+    folded = sorted((r.bucket, r.r) for r in sk.registers().collect())
+    assert folded == scratch
+
+    # load() round-trip serves the same summary row
+    row = HLLSketch.load(spark, str(tmp_path / "a")).summary().head()
+    assert row.m == 256 and row.reg_digest is not None
+
+    # idempotent re-fold: replaying a batch cannot move a register
+    sk.add(b, F.col("k"))
+    assert sorted((r.bucket, r.r) for r in sk.registers().collect()) == scratch
+
+
+def test_hll_estimate_accuracy_and_empty(spark, tmp_path):
+    from ocr_vector_db_spark.operators.sketches import HLLSketch
+
+    n_distinct = 5000
+    df = spark.range(n_distinct * 2).select(
+        F.concat(F.lit("u"), (F.col("id") % n_distinct).cast("string"))
+        .alias("k")
+    )
+    sk = HLLSketch.build(spark, df, str(tmp_path / "e"), F.col("k"), p=8)
+    est = sk.estimate()
+    assert abs(est - n_distinct) / n_distinct < 0.20  # ~6.5% rse at p=8
+
+    empty = HLLSketch.build(
+        spark, df.filter(F.lit(False)), str(tmp_path / "z"), F.col("k"), p=8
+    )
+    row = empty.summary().head()
+    assert row.v == 256 and float(row.est) == 0.0
