@@ -120,6 +120,10 @@ HEADLINE = [
     # timed runs measure the O(m) summary aggregation — the monitoring
     # path that replaces corpus-wide COUNT(DISTINCT) at 100 TB)
     "q128_hll_vocab_sketch",
+    # the KMV set-relation sketches (per-source builds+adds in warmup;
+    # timed runs measure the O(k) minima joins behind the union /
+    # intersection / Jaccard estimates)
+    "q129_kmv_vocab_overlap",
 ]
 
 

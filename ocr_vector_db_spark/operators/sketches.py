@@ -160,6 +160,27 @@ def hll_summary(regs: DataFrame, p: int) -> DataFrame:
     )
 
 
+def _publish_small(
+    spark: SparkSession, root: str, df: DataFrame, first: bool = False
+) -> None:
+    """Write a KB-sized sketch table as a NEW generation and swap the
+    pointer (reader-atomic). Sketch tables are bounded (≤ m registers /
+    ≤ k minima), so a one-file rewrite per fold is cheaper and simpler
+    than append+compact. The fold may read the CURRENT generation: it
+    materializes into the next gen dir before the pointer flips."""
+    from ocr_vector_db_spark.operators.index_maint import (
+        commit_generation,
+        gc_generations,
+        init_generation,
+        next_gen_dir,
+    )
+
+    n, dest = (init_generation if first else next_gen_dir)(spark, root)
+    df.coalesce(1).write.mode("overwrite").parquet(dest)
+    commit_generation(spark, root, n)
+    gc_generations(spark, root, keep=2)
+
+
 class HLLSketch:
     """Persisted HLL register table under generation pointers."""
 
@@ -216,29 +237,9 @@ class HLLSketch:
     # ------------------------------------------------------------ increment
 
     def _publish(self, regs: DataFrame, first: bool = False) -> None:
-        """Write registers as a NEW generation and swap the pointer.
-
-        The table is ≤ m rows (KBs): a full rewrite per fold is cheaper
-        and simpler than append+compact, and readers stay atomic. The
-        fold must be MATERIALIZED into the new gen dir before commit;
-        when it reads the current gen (add/merge) the self-read resolves
-        because the pointer flips only after the write completes.
-        """
-        from ocr_vector_db_spark.operators.index_maint import (
-            commit_generation,
-            gc_generations,
-            init_generation,
-            next_gen_dir,
+        _publish_small(
+            self.spark, os.path.join(self.path, "registers"), regs, first
         )
-
-        root = os.path.join(self.path, "registers")
-        if first:
-            n, dest = init_generation(self.spark, root)
-        else:
-            n, dest = next_gen_dir(self.spark, root)
-        regs.coalesce(1).write.mode("overwrite").parquet(dest)
-        commit_generation(self.spark, root, n)
-        gc_generations(self.spark, root, keep=2)
 
     def add(self, df: DataFrame, key: Column) -> "HLLSketch":
         """Fold a batch in: per-bucket MAX of stored ∪ batch registers.
@@ -264,3 +265,174 @@ class HLLSketch:
                              + [o.registers() for o in others])
         )
         return self
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch — Bar-Yossef et al. (RANDOM 2002) /
+# Beyer et al. (SIGMOD 2007). Where HLL answers only |A|, KMV's state is
+# the k smallest distinct hash VALUES, which supports the set-relation
+# estimators a multi-collection corpus needs: union (fold min-k),
+# intersection and Jaccard between per-collection sketches — "how much
+# does source X's vocabulary overlap source Y's" without ever joining
+# the corpora. md5 hex compares lexicographically exactly like its
+# numeric value (fixed-length lowercase — the repo-wide portability
+# idiom), so minima, counts, and the kth-minimum are integer/string
+# exact across engines; the only doubles are the final estimates.
+#
+# Estimator: with n_min = k stored minima, D ≈ (k-1)/theta where theta
+# is the kth minimum normalized to (0,1) — realized from the first 52
+# bits (13 hex chars) so the ratio is exact in IEEE double on both
+# engines. With n_min < k the sketch has seen every distinct value:
+# the count itself is EXACT. Intersection: |M ∩ minA ∩ minB| / |M| of
+# the merged sketch M scales the union estimate (Beyer et al. §4).
+# ---------------------------------------------------------------------------
+
+
+def kmv_minima(df: DataFrame, key: Column, k: int) -> DataFrame:
+    """(h string): the k smallest distinct md5 values of key.
+
+    distinct's partial (map-side) dedup bounds the shuffle by per-task
+    distinct counts (the q65 vocabulary-agg contract), and the top-k is
+    TakeOrderedAndProject — no global sort."""
+    return (
+        df.filter(key.isNotNull())
+        .select(F.md5(key.cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def _kmv_est(n_min: Column, kth_hex: Column, k: int) -> Column:
+    """Distinct estimate as a Column: exact count below k, else
+    (k-1)/theta with theta from the kth minimum's first 52 bits."""
+    v52 = F.conv(F.substring(kth_hex, 1, 13), 16, 10).cast("bigint")
+    return F.when(n_min < k, n_min.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.pow(F.lit(2.0), F.lit(52))
+        / v52.cast("double")
+    )
+
+
+class KMVSketch:
+    """Persisted k-minimum-values table under generation pointers."""
+
+    def __init__(self, spark: SparkSession, path: str, k: int):
+        self.spark = spark
+        self.path = path
+        self.k = k
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        key: Column,
+        k: int = 128,
+    ) -> "KMVSketch":
+        from ocr_vector_db_spark.operators.index_maint import write_small_file
+
+        sk = cls(spark, path, k)
+        _publish_small(
+            spark, os.path.join(path, "minima"),
+            kmv_minima(df, key, k), first=True,
+        )
+        write_small_file(
+            spark, os.path.join(path, "meta.json"),
+            json.dumps({"k": k}).encode("utf-8"),
+        )
+        return sk
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "KMVSketch":
+        from ocr_vector_db_spark.operators.index_maint import read_small_file
+
+        meta = json.loads(
+            read_small_file(spark, os.path.join(path, "meta.json"))
+        )
+        return cls(spark, path, meta["k"])
+
+    def minima(self) -> DataFrame:
+        from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+        return self.spark.read.parquet(
+            current_gen_dir(self.spark, os.path.join(self.path, "minima"))
+        )
+
+    def _fold(self, parts: list[DataFrame]) -> None:
+        u = parts[0]
+        for nxt in parts[1:]:
+            u = u.unionByName(nxt)
+        _publish_small(
+            self.spark, os.path.join(self.path, "minima"),
+            u.distinct().orderBy("h").limit(self.k),
+        )
+
+    def add(self, df: DataFrame, key: Column) -> "KMVSketch":
+        """min-k(stored ∪ batch) — associative and idempotent, so replays
+        and arbitrary batch splits land on the same state. O(batch + k)."""
+        self._fold([self.minima(), kmv_minima(df, key, self.k)])
+        return self
+
+    def merge(self, *others: "KMVSketch") -> "KMVSketch":
+        for o in others:
+            if o.k != self.k:
+                raise ValueError(f"k mismatch: {self.k} vs {o.k}")
+        self._fold([self.minima()] + [o.minima() for o in others])
+        return self
+
+    def summary(self) -> DataFrame:
+        """One row (k, n_min, kth_hex, est)."""
+        agg = self.minima().agg(
+            F.count("*").alias("n_min"), F.max("h").alias("kth_hex")
+        )
+        return agg.select(
+            F.lit(self.k).cast("int").alias("k"),
+            F.col("n_min").cast("bigint").alias("n_min"),
+            F.coalesce("kth_hex", F.lit("")).alias("kth_hex"),
+            F.round(_kmv_est(F.col("n_min"), F.col("kth_hex"), self.k), 6)
+            .alias("est"),
+        )
+
+    def estimate(self) -> float:
+        return float(self.summary().head().est)
+
+
+def kmv_set_relations(a: KMVSketch, b: KMVSketch) -> DataFrame:
+    """One row of set-relation estimates between two same-k sketches:
+
+      n_a, n_b      stored minima counts
+      n_union       |M|, M = min-k(minima_A ∪ minima_B)  (= min-k(A ∪ B))
+      kth_hex       max of M — the merged theta carrier
+      union_est     exact below k, else (k-1)/theta_M
+      inter_cnt     |M ∩ minima_A ∩ minima_B|  (exact integer)
+      jaccard       inter_cnt / n_union
+      inter_est     jaccard * union_est
+
+    Everything is joins/aggregates over two ≤ k-row tables — constant
+    cost regardless of the corpora the sketches summarize."""
+    if a.k != b.k:
+        raise ValueError(f"k mismatch: {a.k} vs {b.k}")
+    k = a.k
+    ma, mb = a.minima(), b.minima()
+    merged = ma.unionByName(mb).distinct().orderBy("h").limit(k)
+    inter = merged.join(ma, "h", "left_semi").join(mb, "h", "left_semi")
+    agg = (
+        merged.agg(F.count("*").alias("n_union"),
+                   F.max("h").alias("kth_hex"))
+        .crossJoin(ma.agg(F.count("*").cast("bigint").alias("n_a")))
+        .crossJoin(mb.agg(F.count("*").cast("bigint").alias("n_b")))
+        .crossJoin(inter.agg(F.count("*").cast("bigint").alias("inter_cnt")))
+    )
+    union_est = _kmv_est(F.col("n_union"), F.col("kth_hex"), k)
+    jac = F.col("inter_cnt").cast("double") / F.col("n_union").cast("double")
+    return agg.select(
+        F.lit(k).cast("int").alias("k"),
+        "n_a", "n_b",
+        F.col("n_union").cast("bigint").alias("n_union"),
+        "kth_hex",
+        F.round(union_est, 6).alias("union_est"),
+        "inter_cnt",
+        F.round(jac, 6).alias("jaccard"),
+        F.round(jac * union_est, 6).alias("inter_est"),
+    )

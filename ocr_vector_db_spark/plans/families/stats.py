@@ -1172,3 +1172,102 @@ def q128(spark, sf):
         sk.merge(other)
         _PLAN_MEMO[key] = path
     return HLLSketch.load(spark, _PLAN_MEMO[key]).summary()
+
+
+@query(
+    "q129_kmv_vocab_overlap",
+    """
+    WITH toks AS (
+        SELECT source,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS tk
+        FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    bg AS (
+        SELECT source,
+               struct_extract(u.p, 1) || ' ' || struct_extract(u.p, 2) AS b
+        FROM toks, LATERAL unnest(list_zip(tk[1:len(tk)-1], tk[2:])) AS u(p)
+    ),
+    ka AS (
+        SELECT DISTINCT md5(b) AS h FROM bg WHERE source = 'src0'
+        ORDER BY h LIMIT 128
+    ),
+    kb AS (
+        SELECT DISTINCT md5(b) AS h FROM bg WHERE source = 'src1'
+        ORDER BY h LIMIT 128
+    ),
+    km AS (
+        SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+        ORDER BY h LIMIT 128
+    ),
+    s AS (
+        SELECT (SELECT COUNT(*) FROM ka) AS n_a,
+               (SELECT COUNT(*) FROM kb) AS n_b,
+               (SELECT COUNT(*) FROM km) AS n_union,
+               (SELECT MAX(h) FROM km) AS kth_hex,
+               (SELECT COUNT(*) FROM km
+                WHERE h IN (SELECT h FROM ka)
+                  AND h IN (SELECT h FROM kb)) AS inter_cnt
+    )
+    SELECT CAST(128 AS INT) AS k,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_union AS BIGINT) AS n_union, kth_hex,
+           ROUND(CASE WHEN n_union < 128 THEN CAST(n_union AS DOUBLE)
+                 ELSE CAST(127 AS DOUBLE) * POWER(2.0, 52)
+                      / CAST(('0x' || substr(kth_hex, 1, 13))::BIGINT
+                             AS DOUBLE) END, 6) AS union_est,
+           CAST(inter_cnt AS BIGINT) AS inter_cnt,
+           ROUND(CAST(inter_cnt AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+               AS jaccard,
+           ROUND((CAST(inter_cnt AS DOUBLE) / CAST(n_union AS DOUBLE))
+                 * (CASE WHEN n_union < 128 THEN CAST(n_union AS DOUBLE)
+                    ELSE CAST(127 AS DOUBLE) * POWER(2.0, 52)
+                         / CAST(('0x' || substr(kth_hex, 1, 13))::BIGINT
+                                AS DOUBLE) END), 6) AS inter_est
+    FROM s
+    """,
+)
+def q129(spark, sf):
+    """KMV set-relation sketches (operators/sketches.py::KMVSketch): how
+    much does src0's bigram vocabulary overlap src1's — union size,
+    intersection size, Jaccard — answered from two persisted 128-row
+    minima tables, never joining the corpora. Each sketch is built
+    INCREMENTALLY (build on half the source's docs, `add` the rest: the
+    min-k fold is associative/idempotent), and the relation estimates
+    are joins over two ≤ k-row tables. The oracle recomputes both
+    sketches from scratch over the full sources, so hash-matching
+    proves build+add ≡ one global pass AND pins the estimator algebra
+    (exact-below-k regime, 52-bit theta, Beyer et al. intersection
+    scaling) bit-for-bit. This is the cross-collection contamination /
+    overlap monitor a 100-TB multi-source pipeline runs per epoch at
+    O(k) cost."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.ngram_lm import adjacent_bigrams
+    from ocr_vector_db_spark.operators.sketches import (
+        KMVSketch, kmv_set_relations,
+    )
+
+    d = load_table(spark, sf, "documents")
+    key = (spark.sparkContext.applicationId, sf, "q129_kmv_paths")
+    if key not in _PLAN_MEMO:
+        paths = {}
+        for src in ("src0", "src1"):
+            docs = d.filter(F.col("source") == src)
+            bgs = adjacent_bigrams(docs).select(
+                "doc_id",
+                F.concat_ws(" ", "tok_a", "tok_b").alias("b"),
+            )
+            path = tempfile.mkdtemp(prefix=f"kmv_{src}_")
+            sk = KMVSketch.build(
+                spark, bgs.filter(F.col("doc_id") % 2 == 0), path,
+                F.col("b"), k=128,
+            )
+            sk.add(bgs.filter(F.col("doc_id") % 2 == 1), F.col("b"))
+            paths[src] = path
+        _PLAN_MEMO[key] = paths
+    paths = _PLAN_MEMO[key]
+    return kmv_set_relations(
+        KMVSketch.load(spark, paths["src0"]),
+        KMVSketch.load(spark, paths["src1"]),
+    )

@@ -134,3 +134,76 @@ def test_hll_estimate_accuracy_and_empty(spark, tmp_path):
     )
     row = empty.summary().head()
     assert row.v == 256 and float(row.est) == 0.0
+
+
+def test_kmv_build_add_merge_equals_scratch_and_exact_regime(spark, tmp_path):
+    from ocr_vector_db_spark.operators.sketches import KMVSketch, kmv_minima
+
+    df = spark.range(4000).select(
+        F.concat(F.lit("v"), (F.col("id") % 900).cast("string")).alias("k")
+    )
+    a = df.filter(F.col("id") % 2 == 0)
+    b = df.filter(F.col("id") % 2 == 1)
+    sk = KMVSketch.build(spark, a, str(tmp_path / "a"), F.col("k"), k=64)
+    sk.add(b, F.col("k"))
+    scratch = [r.h for r in kmv_minima(df, F.col("k"), 64).collect()]
+    assert sorted(r.h for r in sk.minima().collect()) == sorted(scratch)
+
+    # idempotent re-add
+    sk.add(b, F.col("k"))
+    assert sorted(r.h for r in sk.minima().collect()) == sorted(scratch)
+
+    # merge fold ≡ scratch over the union
+    c = spark.range(500).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("k")
+    )
+    other = KMVSketch.build(spark, c, str(tmp_path / "c"), F.col("k"), k=64)
+    sk.merge(other)
+    u = df.select("k").unionByName(c.select("k"))
+    assert sorted(r.h for r in sk.minima().collect()) == sorted(
+        r.h for r in kmv_minima(u, F.col("k"), 64).collect()
+    )
+
+    # exact regime: fewer distincts than k → estimate is the exact count
+    small = spark.range(40).select(F.col("id").cast("string").alias("k"))
+    ex = KMVSketch.build(spark, small, str(tmp_path / "s"), F.col("k"), k=64)
+    assert ex.estimate() == 40.0
+
+    # estimator regime accuracy: the sketch at "a" has been folded to
+    # df ∪ c = 900 + 500 = 1400 distincts (rse ≈ 1/sqrt(64) ≈ 12.5%)
+    est = KMVSketch.load(spark, str(tmp_path / "a")).estimate()
+    assert abs(est - 1400) / 1400 < 0.40
+
+
+def test_kmv_set_relations_semantics(spark, tmp_path):
+    from ocr_vector_db_spark.operators.sketches import (
+        KMVSketch, kmv_set_relations,
+    )
+
+    base = spark.range(600).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("k")
+    )
+    subset = base.filter(F.col("id") < 300)
+    disjoint = spark.range(600).select(
+        F.concat(F.lit("y"), F.col("id").cast("string")).alias("k")
+    )
+    a = KMVSketch.build(spark, base, str(tmp_path / "a"), F.col("k"), k=128)
+    s = KMVSketch.build(spark, subset, str(tmp_path / "s"), F.col("k"), k=128)
+    dj = KMVSketch.build(spark, disjoint, str(tmp_path / "d"), F.col("k"),
+                         k=128)
+
+    row = kmv_set_relations(a, s).head()
+    assert row.n_union == 128 and row.inter_cnt > 0
+    # subset containment: every merged minimum in S is also in A, so the
+    # intersection ratio estimates |S|/|A∪S| = 0.5 — loose bound
+    assert 0.2 < row.jaccard < 0.8
+    assert row.union_est > 0 and row.inter_est < row.union_est
+
+    row2 = kmv_set_relations(a, dj).head()
+    assert row2.inter_cnt == 0 and row2.jaccard == 0.0 and row2.inter_est == 0.0
+
+    # mismatched k is refused
+    bad = KMVSketch.build(spark, base, str(tmp_path / "b"), F.col("k"), k=64)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        kmv_set_relations(a, bad)
