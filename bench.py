@@ -124,6 +124,10 @@ HEADLINE = [
     # timed runs measure the O(k) minima joins behind the union /
     # intersection / Jaccard estimates)
     "q129_kmv_vocab_overlap",
+    # the duplicate-span surgery pass (position-aware Lee-et-al excision
+    # downstream of q93's coverage screen; gram-frequency join + per-doc
+    # windows, cost-tracked against q93 round-over-round)
+    "q130_duplicate_span_excision",
 ]
 
 

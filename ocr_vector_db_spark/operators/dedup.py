@@ -769,3 +769,119 @@ def duplicate_ngram_coverage(
             F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias("dup_coverage"),
         )
     )
+
+
+def duplicate_span_excision(
+    df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-SPAN surgery (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", at n-gram granularity):
+    where `duplicate_ngram_coverage` (q93) SCREENS docs by how much of
+    their distinct shingle set is shared, this removes the duplicated
+    text itself — every token position covered by an n-gram that occurs
+    ≥ 2 times in the corpus (all occurrences counted, within-doc repeats
+    included) is excised, with overlapping/adjacent hits merged into
+    maximal spans first. Per doc with ≥ 1 span:
+
+      (id, n_tokens, n_spans, removed_tokens, kept_tokens,
+       spans_digest, kept_digest)
+
+    spans_digest fingerprints the merged [start,end) token spans in
+    order; kept_digest fingerprints the surviving text (tokens outside
+    every span, original order) — the actual cleaned-corpus artifact.
+
+    Scale shape: positional shingle explode → gram-frequency agg →
+    join back on gram (the one corpus-shingle-sized shuffle, q93's
+    contract) → per-doc windows (partitioned by doc, never global) for
+    the gaps-and-islands merge → disjoint-span explode + left-anti join
+    on (doc, pos) for the kept text. Counts and positions are integers;
+    every aggregate is exact, so a DuckDB oracle reproduces all seven
+    columns bit-for-bit (q130). The suffix-array formulation finds
+    duplicates of EVERY length ≥ threshold; fixed-n grams find exactly
+    the spans whose every n-window repeats — the standard distributed
+    approximation (n=13 in production; the merge step recovers long
+    shared substrings as single spans)."""
+    from pyspark.sql import Window
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toked = df.repartition(parallelism).select(
+        F.col(id_col).alias("doc"),
+        tokens_col(F.lower(F.col(text_col))).alias("toks"),
+    )
+    toks = F.col("toks")
+    # positional n-grams: element_at chain (O(1) lookups), sequence guard
+    # against Spark's DESCENDING sequence(1, 0) on short docs
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.struct(
+            (i - 1).cast("int").alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+            ).alias("gram"),
+        ),
+    )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<struct<pos:int,gram:string>>")
+    )
+    pg = toked.select("doc", F.explode(grams).alias("g")).select(
+        "doc", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram")
+    )
+    dup = (
+        pg.groupBy("gram").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2).select("gram")
+    )
+    cov = pg.join(dup, "gram").select("doc", "pos")
+
+    w = Window.partitionBy("doc").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = cov.withColumn(
+        "ni", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    ).withColumn(
+        "island",
+        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + n).alias("e")
+    )
+    item = F.concat(
+        F.lpad(F.col("s").cast("string"), 6, "0"), F.lit("-"),
+        F.lpad(F.col("e").cast("string"), 6, "0"),
+    )
+    stat = spans.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("removed_tokens"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(item))))
+        .alias("spans_digest"),
+    )
+    # kept text: positions outside the (disjoint) merged spans
+    covp = spans.select(
+        "doc", F.explode(F.sequence("s", F.col("e") - 1)).alias("pos")
+    )
+    tokpos = toked.select("doc", F.posexplode("toks").alias("pos", "tok"))
+    kept = tokpos.join(covp, ["doc", "pos"], "left_anti")
+    kept_agg = kept.groupBy("doc").agg(
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda st: st.tok,
+            ),
+            " ",
+        )).alias("kept_digest")
+    )
+    lens = toked.select("doc", F.size(toks).cast("bigint").alias("n_tokens"))
+    return (
+        stat.join(lens, "doc").join(kept_agg, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens", "n_spans", "removed_tokens",
+            (F.col("n_tokens") - F.col("removed_tokens")).cast("bigint")
+            .alias("kept_tokens"),
+            "spans_digest",
+            F.coalesce("kept_digest", F.md5(F.lit(""))).alias("kept_digest"),
+        )
+    )

@@ -2037,3 +2037,94 @@ def q112(spark, sf):
     return idx.dense_dropped_ids(
         e.filter(F.col("vec_id") % 10 == 1), threshold=0.3, nprobe=None
     )
+
+
+@query(
+    "q130_duplicate_span_excision",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents
+    ),
+    pg AS (
+        SELECT doc_id, u.i - 1 AS pos,
+               array_to_string(list_slice(t, u.i, u.i + 2), ' ') AS gram
+        FROM toks, LATERAL unnest(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    dup AS (
+        SELECT gram FROM pg GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    cov AS (
+        SELECT doc_id, pos FROM pg JOIN dup USING (gram)
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(
+                        MAX(pos + 3) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS ni
+        FROM cov
+    ),
+    isl2 AS (
+        SELECT doc_id, pos,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 3 AS e
+        FROM isl2 GROUP BY doc_id, island
+    ),
+    stat AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s) AS BIGINT) AS removed_tokens,
+               md5(string_agg(
+                   lpad(CAST(s AS VARCHAR), 6, '0') || '-'
+                       || lpad(CAST(e AS VARCHAR), 6, '0'),
+                   ',' ORDER BY s)) AS spans_digest
+        FROM spans GROUP BY doc_id
+    ),
+    covp AS (
+        SELECT doc_id, u.p AS pos FROM spans,
+               LATERAL unnest(range(s, e)) AS u(p)
+    ),
+    tokpos AS (
+        SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+        FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    keptagg AS (
+        SELECT tp.doc_id,
+               string_agg(tp.tok, ' ' ORDER BY tp.pos) AS kept_text
+        FROM tokpos tp LEFT JOIN covp
+          ON covp.doc_id = tp.doc_id AND covp.pos = tp.pos
+        WHERE covp.pos IS NULL
+        GROUP BY tp.doc_id
+    )
+    SELECT st.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           st.n_spans, st.removed_tokens,
+           CAST(len(tk.t) - st.removed_tokens AS BIGINT) AS kept_tokens,
+           st.spans_digest,
+           md5(COALESCE(ka.kept_text, '')) AS kept_digest
+    FROM stat st
+    JOIN toks tk USING (doc_id)
+    LEFT JOIN keptagg ka USING (doc_id)
+    """,
+)
+def q130(spark, sf):
+    """Exact duplicate-span excision (Lee et al. 2022 at 3-gram test
+    granularity; 13 in production): merge every corpus-repeated n-gram
+    hit into maximal per-doc token spans, excise them, and fingerprint
+    both the spans and the surviving text. The position-aware surgery
+    step downstream of q93's coverage screen — the operator that turns
+    "this doc is 40% boilerplate" into the cleaned training corpus.
+    Windows are per-doc (never global), the one big shuffle is the
+    gram-frequency join, and all seven output columns are integer/md5
+    exact. See operators/dedup.py::duplicate_span_excision."""
+    d = load_table(spark, sf, "documents")
+    return dedup.duplicate_span_excision(d, n=3)

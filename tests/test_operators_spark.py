@@ -720,3 +720,49 @@ def test_fold_sample_equals_union_draw(spark, tmp_path):
     rs2.fold(batches[2])
     assert [tuple(r) for r in rs2.current().collect()] == want
     assert rs2.current().count() == 25
+
+
+def test_duplicate_span_excision_semantics(spark):
+    import hashlib
+
+    from ocr_vector_db_spark.operators.dedup import duplicate_span_excision
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "zzz one two three four qqq"),
+            (3, "p q r p q r p q r"),          # self-repeating
+            (4, "aa bb cc"),                    # unique — no spans
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in duplicate_span_excision(docs, n=3).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+
+    # doc 4 has no duplicated 3-gram anywhere → absent
+    assert set(got) == {1, 2, 3}
+
+    # docs 1/2 share "one two three" and "two three four": doc 1's hits
+    # at positions 0,1 merge into [0,4) (kept: "five six"); doc 2's at
+    # 1,2 into [1,5) (kept: "zzz" + "qqq")
+    r1 = got[1]
+    assert (r1.n_tokens, r1.n_spans, r1.removed_tokens, r1.kept_tokens) \
+        == (6, 1, 4, 2)
+    assert r1.spans_digest == md5("000000-000004")
+    assert r1.kept_digest == md5("five six")
+    r2 = got[2]
+    assert (r2.n_tokens, r2.n_spans, r2.removed_tokens, r2.kept_tokens) \
+        == (6, 1, 4, 2)
+    assert r2.spans_digest == md5("000001-000005")
+    assert r2.kept_digest == md5("zzz qqq")
+
+    # doc 3: every 3-gram repeats within the doc → the whole doc is one
+    # span and nothing survives
+    r3 = got[3]
+    assert (r3.n_tokens, r3.n_spans, r3.removed_tokens, r3.kept_tokens) \
+        == (9, 1, 9, 0)
+    assert r3.spans_digest == md5("000000-000009")
+    assert r3.kept_digest == md5("")
