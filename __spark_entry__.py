@@ -74,7 +74,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 9 adds q123 (incremental LM index), q124 (standardized IVF),
 # q125 (CCITT G4 raster), q126 (index-served PMI), q127 (persisted
 # SimHash screen), q128 (persisted HLL cardinality sketch), q129
-# (KMV set-relation sketch) and q130 (duplicate-span excision) —
+# (KMV set-relation sketch), q130 (duplicate-span excision) and q131
+# (positional phrase search) —
 # pending, so they sort to the very front; the r09
 # first-50 window is then 5 pending + q29-q46 + q53 + q61 + q102-q105 +
 # the oldest r06 names (each verified green at sf0.01 this round before

@@ -128,6 +128,9 @@ HEADLINE = [
     # downstream of q93's coverage screen; gram-frequency join + per-doc
     # windows, cost-tracked against q93 round-over-round)
     "q130_duplicate_span_excision",
+    # exact phrase search from the positional index (build+add+compact in
+    # warmup; timed runs measure the bucket-pruned (id, pos-j) join chain)
+    "q131_phrase_search_positional",
 ]
 
 

@@ -2128,3 +2128,58 @@ def q130(spark, sf):
     exact. See operators/dedup.py::duplicate_span_excision."""
     d = load_table(spark, sf, "documents")
     return dedup.duplicate_span_excision(d, n=3)
+
+
+@query(
+    "q131_phrase_search_positional",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> '') AS a
+        FROM documents
+    ),
+    hit AS (
+        SELECT doc_id, u.i - 1 AS p0
+        FROM t, LATERAL unnest(range(1, len(a) - 1)) AS u(i)
+        WHERE a[u.i] = 'big' AND a[u.i + 1] = 'order'
+          AND a[u.i + 2] = 'scan'
+    ),
+    agg AS (
+        SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+               CAST(MIN(p0) AS INT) AS first_pos
+        FROM hit GROUP BY doc_id
+    )
+    SELECT id, n_hits, first_pos,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_hits DESC, id) AS BIGINT)
+               AS rank
+    FROM agg ORDER BY n_hits DESC, id LIMIT 20
+    """,
+)
+def q131(spark, sf):
+    """Exact phrase search served from a persisted POSITIONAL inverted
+    index (operators/phrase_index.py): 'big order scan' as a token
+    sequence, not a bag — the capability BM25's (term, tf) postings
+    cannot express. The index is built incrementally (build on evens,
+    `add` odds), the query prunes to the phrase's three term buckets
+    (PartitionFilters) and chains (id, pos−j) equi-joins over those
+    query-term-sized slices; the oracle re-derives every hit from the
+    raw text with the same tokenizer, so the indexed formulation must
+    reproduce the scan formulation exactly — hits, counts, first
+    positions, ranks."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.phrase_index import PositionalIndex
+
+    d = load_table(spark, sf, "documents")
+    key = (spark.sparkContext.applicationId, sf, "q131_pos_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="posidx_")
+        idx = PositionalIndex.build(
+            spark, d.filter(F.col("doc_id") % 2 == 0), path, n_buckets=16
+        )
+        idx.add(d.filter(F.col("doc_id") % 2 == 1))
+        idx.compact()
+        _PLAN_MEMO[key] = path
+    idx = PositionalIndex.load(spark, _PLAN_MEMO[key])
+    return idx.phrase_search("big order scan", k=20)

@@ -693,3 +693,56 @@ def test_simhash_index_add_guard_compact_and_gate(spark, tables,
     flagged = {r.new_id for r in inc.screen(odds).collect()}
     kept = {r.doc_id for r in inc.dedup_new(odds).collect()}
     assert kept == {r.doc_id for r in odds.collect()} - flagged
+
+
+def test_positional_index_phrase_semantics_and_incremental(spark, tmp_path):
+    from ocr_vector_db_spark.operators.phrase_index import PositionalIndex
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is not york new"),
+            (2, "a a a b"),                    # overlapping self-hits
+            (3, "the new york new york times"),
+            (4, "nothing relevant here"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = PositionalIndex.build(
+        spark, docs.filter(F.col("doc_id") % 2 == 0),
+        str(tmp_path / "p"), n_buckets=8,
+    )
+    assert idx.add(docs.filter(F.col("doc_id") % 2 == 1)) == 2
+    assert idx.add(docs) == 0  # re-add guard: everything already indexed
+
+    got = {r.id: r for r in idx.phrase_search("new york").collect()}
+    assert set(got) == {1, 3}
+    assert (got[1].n_hits, got[1].first_pos) == (1, 0)   # not "york new"
+    assert (got[3].n_hits, got[3].first_pos) == (2, 1)
+    assert got[3].rank == 1 and got[1].rank == 2          # by hits desc
+
+    # overlapping occurrences: "a a" in "a a a" hits at 0 AND 1
+    r2 = idx.phrase_search("a a").collect()
+    assert len(r2) == 1 and r2[0].id == 2 and r2[0].n_hits == 2
+
+    # single-term phrase degenerates to per-doc occurrence count
+    r1 = {r.id: r.n_hits for r in idx.phrase_search("york", k=10).collect()}
+    assert r1 == {1: 2, 3: 2}
+
+    # absent term → empty result, not an error
+    assert idx.phrase_search("zzzqqq never").count() == 0
+
+    # incremental build ≡ one-shot build, bit for bit
+    full = PositionalIndex.build(spark, docs, str(tmp_path / "f"),
+                                 n_buckets=8)
+    assert sorted(map(tuple, idx.phrase_search("new york").collect())) == \
+        sorted(map(tuple, full.phrase_search("new york").collect()))
+
+    # the phrase scan is partition-pruned to the phrase's term buckets
+    idx.compact()
+    plan = idx.phrase_search("new york")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")
+    )
+    import re
+    pf = [m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)]
+    assert pf and all("bucket" in f for f in pf if f.strip())
