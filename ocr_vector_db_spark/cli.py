@@ -505,6 +505,20 @@ def cmd_stream_ingest(args) -> int:
             return 1
         lo, hi = args.lm_band
         lm_gate = (NgramLMIndex.load(spark, lm_path), lo, hi)
+    vocab_sketch = None
+    if getattr(args, "vocab_sketch", False):
+        from pyspark.sql import functions as F
+
+        from ocr_vector_db_spark.operators.sketches import HLLSketch
+
+        hll_path = os.path.join(args.store, "vocab_hll")
+        if fs_exists(spark, os.path.join(hll_path, "meta.json")):
+            vocab_sketch = HLLSketch.load(spark, hll_path)
+        else:
+            empty = spark.createDataFrame([], "doc_id bigint, text string")
+            vocab_sketch = HLLSketch.build(
+                spark, empty, hll_path, F.col("text"), p=12
+            )
     stats: list = []
     q = stream_ingest_deduped(
         spark.readStream.schema("doc_id long, text string")
@@ -524,6 +538,7 @@ def cmd_stream_ingest(args) -> int:
         ),
         semantic_branches=getattr(args, "semantic_branches", None),
         lm_gate=lm_gate,
+        vocab_sketch=vocab_sketch,
     )
     q.awaitTermination()
     acc = sum(s["accepted"] for s in stats)
@@ -533,6 +548,9 @@ def cmd_stream_ingest(args) -> int:
     print(f"[stream-ingest] {len(stats)} micro-batches: accepted {acc}, "
           f"dropped {drop} near-dups{lm_note}; accepted rows under "
           f"{args.store}/accepted")
+    if vocab_sketch is not None:
+        print(f"[stream-ingest] running vocabulary estimate: "
+              f"{vocab_sketch.estimate():.0f} distinct tokens")
     return 0
 
 
@@ -879,6 +897,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drop docs whose bigram-LM cross-entropy falls "
                          "outside [LO, HI] (CCNet-style quality filter; "
                          "needs `lm-index --build` first)")
+    sp.add_argument("--vocab-sketch", action="store_true",
+                    help="fold each accepted batch's tokens into the "
+                         "store's running HLL vocabulary sketch "
+                         "({store}/vocab_hll, created on first use)")
     sp.set_defaults(fn=cmd_stream_ingest)
 
     sp = sub.add_parser("semantic-index")

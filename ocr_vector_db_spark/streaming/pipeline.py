@@ -235,6 +235,15 @@ class ParquetAcceptedSink:
         return spark.read.parquet(p) if fs_exists(spark, p) else None
 
 
+def _stream_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    """(__tok) token stream for the vocab sketch fold — the corpus-stats
+    tokenizer (q65/q128's definition), empties dropped."""
+    return docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+        .alias("__tok")
+    ).filter(F.col("__tok") != "")
+
+
 def stream_ingest_deduped(
     docs_stream: DataFrame,
     index,
@@ -254,6 +263,7 @@ def stream_ingest_deduped(
     embedder=None,
     sample=None,
     lm_gate=None,
+    vocab_sketch=None,
 ):
     """Streaming ingestion with incremental near-dup gating — the streaming
     twin of q105. Each micro-batch:
@@ -331,7 +341,17 @@ def stream_ingest_deduped(
     carry no bigram evidence and pass through. The gate only reads the LM
     index; accepted docs do NOT fold into it automatically (the LM is a
     stable quality model, rebuilt/add-ed deliberately — unlike the dedup
-    indexes, which must learn every accepted doc)."""
+    indexes, which must learn every accepted doc).
+
+    `vocab_sketch` (an `operators/sketches.HLLSketch`) maintains a running
+    vocabulary-cardinality sketch of the ACCEPTED stream: each epoch's
+    survivors' tokens fold into the persisted registers (per-bucket MAX,
+    O(batch + m) per epoch) — after any number of epochs the registers
+    equal a scratch build over every accepted doc, exactly. Folds are
+    CONTENT-idempotent (MAX of a deterministic hash), so replays and the
+    crash-window re-fold (from the epoch's own sink slice, like `sample`)
+    can never move a register. Tokenization is the corpus-stats splitter
+    (lower, [^a-z0-9]+), matching q128's oracle."""
     import os as _os
 
     from ocr_vector_db_spark.operators.dedup import minhash_dropped_ids
@@ -476,6 +496,20 @@ def stream_ingest_deduped(
                     )
                 if sample is not None:
                     sample.fold(fresh)
+                if vocab_sketch is not None:
+                    vocab_sketch.add(_stream_tokens(fresh, text_col),
+                                     F.col("__tok"))
+            if guarded and vocab_sketch is not None:
+                # same crash window as the sample fold below: re-fold the
+                # epoch's sink slice; register MAX makes it a no-op when
+                # the fold did land
+                epoch_rows = getattr(accepted_sink, "read_epoch", None)
+                epoch_rows = epoch_rows and epoch_rows(
+                    batch_df.sparkSession, epoch_id
+                )
+                if epoch_rows is not None and text_col in epoch_rows.columns:
+                    vocab_sketch.add(_stream_tokens(epoch_rows, text_col),
+                                     F.col("__tok"))
             if guarded and sample is not None:
                 # Same crash window as the semantic repair below: a prior
                 # attempt may have died between the sink write and the

@@ -367,3 +367,61 @@ def test_cli_stream_ingest_lm_band(spark, tmp_path, capsys):
     assert cli.main(argv + ["--lm-band", "0.0", str(hi)]) == 0
     out = capsys.readouterr().out
     assert "dropped 1 low-quality" in out
+
+
+def test_cli_stream_ingest_vocab_sketch(spark, tmp_path, capsys):
+    """stream-ingest --vocab-sketch creates the store's HLL on first use,
+    folds each accepted batch, and reports a running estimate; the
+    persisted registers equal a scratch build over the accepted rows."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.operators.sketches import (
+        HLLSketch, hll_registers,
+    )
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink, _stream_tokens,
+    )
+
+    src = tmp_path / "vs_src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    with open(src / "a.json", "w") as fh:
+        for i in range(4):
+            fh.write(_json.dumps(
+                {"doc_id": i,
+                 "text": f"wholly distinct narrative {i} covering theme "
+                         f"{i * 13} in original words {i * 7}"}) + "\n")
+    argv = ["stream-ingest", "--store", store, "--source", str(src),
+            "--threshold", "0.6", "--buckets", "8", "--vocab-sketch"]
+    assert cli.main(argv) == 0
+    out = capsys.readouterr().out
+    assert "running vocabulary estimate" in out
+
+    sk = HLLSketch.load(spark, _os.path.join(store, "vocab_hll"))
+    accepted = ParquetAcceptedSink(_os.path.join(store, "accepted")).read(spark)
+    want = sorted(
+        (r.bucket, r.r)
+        for r in hll_registers(
+            _stream_tokens(accepted, "text"), F.col("__tok"), sk.p
+        ).collect()
+    )
+    assert sorted((r.bucket, r.r) for r in sk.registers().collect()) == want
+
+    # second run with one new file reuses (and grows) the same sketch
+    with open(src / "b.json", "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 50,
+             "text": "entirely new vocabulary arrives here tonight"}) + "\n")
+    assert cli.main(argv) == 0
+    accepted = ParquetAcceptedSink(_os.path.join(store, "accepted")).read(spark)
+    want = sorted(
+        (r.bucket, r.r)
+        for r in hll_registers(
+            _stream_tokens(accepted, "text"), F.col("__tok"), sk.p
+        ).collect()
+    )
+    sk = HLLSketch.load(spark, _os.path.join(store, "vocab_hll"))
+    assert sorted((r.bucket, r.r) for r in sk.registers().collect()) == want

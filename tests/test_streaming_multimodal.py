@@ -892,3 +892,97 @@ def test_stream_ingest_lm_quality_gate(spark, tmp_path):
     assert stats[-1]["dropped_as_dup"] == 0
     # the noise doc never reached the dedup index
     assert idx.signatures().filter("doc = 2").count() == 0
+
+
+def test_stream_ingest_vocab_sketch(spark, tmp_path):
+    """HLL vocabulary fold wired into the ingest gate: after N epochs the
+    persisted registers equal a scratch build over the ACCEPTED corpus
+    exactly; a crashed epoch's guarded retry re-folds from the epoch's
+    sink slice (register MAX is content-idempotent — never moves)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.operators.index_maint import EpochLedger
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.operators.sketches import (
+        HLLSketch, hll_registers,
+    )
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        _stream_tokens,
+        stream_ingest_deduped,
+    )
+
+    texts = {
+        i: f"document {i} with distinct prose about topic {i * 37} and "
+           f"sufficient words {'x' * (i % 5)} to hash on"
+        for i in range(1, 7)
+    }
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    idx = MinHashIndex.build(spark, empty, str(tmp_path / "mh"), 16, 4, 2, 8)
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted"))
+    sk = HLLSketch.build(
+        spark, empty, str(tmp_path / "hll"), F.col("text"), p=8
+    )
+    ledger = EpochLedger(spark, str(tmp_path / "ledger"))
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    for e, ids in enumerate([(1, 2), (3, 4), (5, 6)]):
+        with open(src / f"b{e}.json", "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps(
+                    {"doc_id": i, "text": texts[i]}) + "\n")
+        q = stream_ingest_deduped(
+            spark.readStream.schema(schema).json(str(src)), idx, sink,
+            threshold=0.6, checkpoint=ckpt, ledger=ledger, vocab_sketch=sk,
+        )
+        q.awaitTermination(60)
+
+    accepted = sink.read(spark)
+    assert accepted.count() == 6
+    want = sorted(
+        (r.bucket, r.r)
+        for r in hll_registers(
+            _stream_tokens(accepted, "text"), F.col("__tok"), 8
+        ).collect()
+    )
+    assert sorted((r.bucket, r.r) for r in sk.registers().collect()) == want
+
+    # crash window: sink rows landed, ledger shows started-not-committed,
+    # sketch fold never ran — the guarded retry must repair from the sink
+    sk2 = HLLSketch.build(
+        spark, empty, str(tmp_path / "hll2"), F.col("text"), p=8
+    )
+    ledger2 = EpochLedger(spark, str(tmp_path / "ledger2"))
+    idx2 = MinHashIndex.build(spark, empty, str(tmp_path / "mh2"),
+                              16, 4, 2, 8)
+    sink2 = ParquetAcceptedSink(str(tmp_path / "accepted2"))
+    batch = spark.createDataFrame(
+        [(i, texts[i]) for i in (1, 2)], "doc_id long, text string"
+    )
+    sink2.write(batch, 0)
+    idx2.add(batch, id_col="doc_id", text_col="text")
+    ledger2.mark_started(0)  # died before fold + commit
+
+    src2 = tmp_path / "docs2"
+    src2.mkdir()
+    with open(src2 / "b0.json", "w") as fh:
+        for i in (1, 2):
+            fh.write(_json.dumps({"doc_id": i, "text": texts[i]}) + "\n")
+    q = stream_ingest_deduped(
+        spark.readStream.schema(schema).json(str(src2)), idx2, sink2,
+        threshold=0.6, checkpoint=str(tmp_path / "ckpt2"),
+        ledger=ledger2, vocab_sketch=sk2,
+    )
+    q.awaitTermination(60)
+    want2 = sorted(
+        (r.bucket, r.r)
+        for r in hll_registers(
+            _stream_tokens(batch, "text"), F.col("__tok"), 8
+        ).collect()
+    )
+    assert sorted((r.bucket, r.r) for r in sk2.registers().collect()) == want2
