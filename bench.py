@@ -131,6 +131,13 @@ HEADLINE = [
     # exact phrase search from the positional index (build+add+compact in
     # warmup; timed runs measure the bucket-pruned (id, pos-j) join chain)
     "q131_phrase_search_positional",
+    # BPE tokenizer training (merge loop is memoized in warmup like the
+    # index builds; timed runs measure merges_df re-emit — the training
+    # cost itself shows up in the warmup wall and in q133)
+    "q132_bpe_train_merges",
+    # trained-tokenizer segmentation: distinct-word merge chain broadcast
+    # back onto per-doc occurrence counts
+    "q133_bpe_segment_counts",
 ]
 
 

@@ -1271,3 +1271,122 @@ def q129(spark, sf):
         KMVSketch.load(spark, paths["src0"]),
         KMVSketch.load(spark, paths["src1"]),
     )
+
+
+_BPE_N_MERGES = 20
+
+
+def _bpe_stages_sql(n_merges: int) -> str:
+    """DuckDB replay of operators/bpe.py's training loop, stage-unrolled:
+    w0 is the weighted word table in delimited symbol form; each stage
+    computes pair counts over w{i-1}, takes the deterministic argmax
+    (count DESC, la, lb), and applies the merge as the SAME literal
+    global replace the Spark side uses."""
+    head = r"""tk AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS cnt FROM tk WHERE w <> '' GROUP BY w),
+    w0 AS MATERIALIZED (
+        SELECT w,
+               '<' || array_to_string(string_split(w, ''), '><') || '><_>'
+                   AS sym,
+               cnt
+        FROM wc
+    )"""
+    stages = []
+    for i in range(1, n_merges + 1):
+        stages.append(f"""
+    p{i} AS (
+        SELECT struct_extract(u.p, 1) AS la, struct_extract(u.p, 2) AS lb,
+               SUM(cnt) AS c
+        FROM (SELECT cnt, regexp_extract_all(sym, '<([^<>]+)>', 1) AS a
+              FROM w{i - 1}),
+             LATERAL unnest(list_zip(a[1:len(a)-1], a[2:])) AS u(p)
+        GROUP BY la, lb
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT la, lb, c FROM p{i} ORDER BY c DESC, la, lb LIMIT 1),
+    w{i} AS MATERIALIZED (
+        SELECT w.w,
+               replace(w.sym, '<' || m.la || '><' || m.lb || '>',
+                       '<' || m.la || m.lb || '>') AS sym,
+               w.cnt
+        FROM w{i - 1} w CROSS JOIN m{i} m
+    )""")
+    return head + "," + ",".join(stages)
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({i} AS INT) AS step, la, lb,"
+        f" CAST(c AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_stages_sql(n_merges)}\n    {union}"
+
+
+def _bpe_merges(spark, sf):
+    from ocr_vector_db_spark.operators.bpe import bpe_train
+
+    key = (spark.sparkContext.applicationId, sf, "q132_bpe_merges")
+    if key not in _PLAN_MEMO:
+        d = load_table(spark, sf, "documents")
+        merges, _vocab = bpe_train(d, _BPE_N_MERGES)
+        _PLAN_MEMO[key] = merges
+    return _PLAN_MEMO[key]
+
+
+@query("q132_bpe_train_merges", _bpe_train_sql(_BPE_N_MERGES))
+def q132(spark, sf):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) — the full iterative
+    merge-learning loop, not q95's single pair-count round. One corpus
+    pass builds the weighted word table (Heaps-sized); each of the 20
+    merges is then a vocabulary-sized aggregation whose single argmax
+    row is the only driver traffic, plus a literal-replace map on the
+    delimited symbol form (canonical leftmost non-overlapping
+    application — operators/bpe.py documents the representation trick).
+    The oracle replays the loop stage-by-stage in SQL: the learned merge
+    table must be a pure function of the corpus, byte-identical across
+    engines — ties broken (count DESC, left, right)."""
+    from ocr_vector_db_spark.operators.bpe import merges_df
+
+    return merges_df(spark, _bpe_merges(spark, sf))
+
+
+@query(
+    "q133_bpe_segment_counts",
+    f"""
+    WITH {_bpe_stages_sql(_BPE_N_MERGES)},
+    seg AS (
+        SELECT w, len(regexp_extract_all(sym, '<([^<>]+)>', 1)) AS n_sym
+        FROM w{_BPE_N_MERGES}
+    ),
+    dw AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, w, COUNT(*) AS occ FROM dw WHERE w <> ''
+        GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(occ) AS BIGINT) AS n_words,
+           CAST(SUM(occ * n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM occ JOIN seg USING (w)
+    GROUP BY doc_id
+    """,
+)
+def q133(spark, sf):
+    """Segment the corpus with the q132-trained merge table: per doc,
+    word count and BPE token count — the tokenizer-aware length signal
+    training pipelines budget sequences by (q91's packer consumes
+    exactly this). The chained merge replaces run once per DISTINCT
+    word (broadcast vocabulary) and join back onto per-doc occurrence
+    counts; the oracle re-trains AND re-segments from scratch, so the
+    whole train→apply path must match bit-for-bit."""
+    from ocr_vector_db_spark.operators.bpe import bpe_token_counts
+
+    d = load_table(spark, sf, "documents")
+    return bpe_token_counts(d, _bpe_merges(spark, sf))

@@ -1,0 +1,139 @@
+"""BPE training (operators/bpe.py): the delimited-string merge must be
+EXACTLY canonical BPE (leftmost, non-overlapping, left-to-right), the
+learned merge table must be deterministic, and segmentation must agree
+with a naive reference implementation word-for-word."""
+
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators.bpe import (
+    END,
+    apply_merge,
+    bpe_token_counts,
+    bpe_train,
+    to_symbols,
+    word_counts,
+)
+
+
+def _naive_merge(syms: list[str], la: str, lb: str) -> list[str]:
+    """Reference canonical BPE merge on a symbol list."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == la and syms[i + 1] == lb:
+            out.append(la + lb)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _naive_train(words: dict[str, int], n_merges: int):
+    """Reference subword-nmt-style trainer on a weighted word dict."""
+    vocab = {w: list(w) + [END] for w in words}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + words[w]
+        if not counts:
+            break
+        (la, lb), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, la, lb, c))
+        vocab = {w: _naive_merge(s, la, lb) for w, s in vocab.items()}
+    return merges, vocab
+
+
+def test_apply_merge_is_canonical_leftmost(spark):
+    # same-symbol runs are the adversarial case: 'aaaaa' under (a,a)
+    # must become [aa, aa, a], never [a, aa, aa] or [aa, a, aa].
+    cases = [
+        ("aaaaa", "a", "a", ["aa", "aa", "a", END]),
+        ("abab", "a", "b", ["ab", "ab", END]),
+        ("aab", "a", "b", ["a", "ab", END]),
+        ("banana", "a", "n", ["b", "an", "an", "a", END]),
+    ]
+    df = spark.createDataFrame([(w,) for w, *_ in cases], "w string")
+    sym = to_symbols(F.col("w"))
+    got = {}
+    for w, la, lb, _want in cases:
+        merged = apply_merge(sym, la, lb)
+        row = df.filter(F.col("w") == w).select(
+            F.regexp_extract_all(merged, F.lit("<([^<>]+)>"), 1).alias("s")
+        ).head()
+        got[w] = row.s
+    for w, la, lb, want in cases:
+        assert got[w] == want, (w, la, lb, got[w], want)
+
+
+def test_bpe_train_matches_naive_reference(spark, tables):
+    docs = tables["documents"].limit(60)
+    merges, _vocab = bpe_train(docs, 12)
+
+    wc = {r.w: r.cnt for r in word_counts(docs).collect()}
+    want_merges, want_vocab = _naive_train(wc, 12)
+    assert [(m["step"], m["la"], m["lb"], m["pair_count"]) for m in merges] \
+        == want_merges
+
+    # final vocabulary symbol forms agree word-for-word (re-derive by
+    # chaining the learned merges, the same path bpe_token_counts takes)
+    sym = to_symbols(F.col("w"))
+    for m in merges:
+        sym = apply_merge(sym, m["la"], m["lb"])
+    redo = {
+        r.w: r.s
+        for r in docs.sparkSession.createDataFrame(
+            [(w,) for w in wc], "w string"
+        ).select("w", F.regexp_extract_all(sym, F.lit("<([^<>]+)>"), 1)
+                 .alias("s")).collect()
+    }
+    for w, syms in want_vocab.items():
+        assert redo[w] == syms, (w, redo[w], syms)
+
+
+def test_bpe_train_deterministic(spark, tables):
+    docs = tables["documents"].limit(40)
+    a, _ = bpe_train(docs, 8)
+    b, _ = bpe_train(docs, 8)
+    assert a == b
+
+
+def test_token_counts_consistency(spark, tables):
+    docs = tables["documents"].limit(40)
+    merges, _ = bpe_train(docs, 8)
+    out = bpe_token_counts(docs, merges).collect()
+    wc = {r.w: r.cnt for r in word_counts(docs).collect()}
+    _, vocab = _naive_train(wc, 8)
+
+    # zero merges → every word contributes len(word)+1 symbols
+    base = {r[0]: (r.n_words, r.n_bpe_tokens)
+            for r in bpe_token_counts(docs, []).collect()}
+    rows = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w"),
+    ).filter(F.col("w") != "").collect()
+    want_base: dict[str, list[int]] = {}
+    want_merged: dict[str, list[int]] = {}
+    for r in rows:
+        want_base.setdefault(r.doc_id, [0, 0])
+        want_base[r.doc_id][0] += 1
+        want_base[r.doc_id][1] += len(r.w) + 1
+        want_merged.setdefault(r.doc_id, [0, 0])
+        want_merged[r.doc_id][0] += 1
+        want_merged[r.doc_id][1] += len(vocab[r.w])
+    assert base == {k: tuple(v) for k, v in want_base.items()}
+    assert {r[0]: (r.n_words, r.n_bpe_tokens) for r in out} \
+        == {k: tuple(v) for k, v in want_merged.items()}
+    # merging never increases token count
+    for k in base:
+        assert dict((r[0], r.n_bpe_tokens) for r in out)[k] <= base[k][1]
+
+
+def test_bpe_early_stop_on_exhausted_vocab(spark):
+    # single 1-char word: symbols are [c, _]; one merge exhausts all pairs
+    docs = spark.createDataFrame([("d1", "x x x")], "doc_id string, text string")
+    merges, _ = bpe_train(docs, 10)
+    assert [(m["la"], m["lb"]) for m in merges] == [("x", END), ]
