@@ -138,6 +138,9 @@ HEADLINE = [
     # trained-tokenizer segmentation: distinct-word merge chain broadcast
     # back onto per-doc occurrence counts
     "q133_bpe_segment_counts",
+    # the packer driven by trained-BPE token counts (train memoized in
+    # warmup; timed runs measure tokenize+pack: one prefix-sum window)
+    "q134_bpe_budget_packing",
 ]
 
 

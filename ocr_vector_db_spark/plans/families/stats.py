@@ -1390,3 +1390,76 @@ def q133(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return bpe_token_counts(d, _bpe_merges(spark, sf))
+
+
+_Q134_BUDGET = 512
+
+
+@query(
+    "q134_bpe_budget_packing",
+    f"""
+    WITH {{bpe_stages}},
+    seg AS (
+        SELECT w, len(regexp_extract_all(sym, '<([^<>]+)>', 1)) AS n_sym
+        FROM w{_BPE_N_MERGES}
+    ),
+    dw AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, lang, w, COUNT(*) AS occ FROM dw WHERE w <> ''
+        GROUP BY doc_id, lang, w
+    ),
+    tokc AS (
+        SELECT doc_id, lang, CAST(SUM(occ * n_sym) AS BIGINT) AS tokens
+        FROM occ JOIN seg USING (w)
+        GROUP BY doc_id, lang
+    ),
+    t AS (
+        SELECT lang || '#' || CAST(
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 4 AS VARCHAR) AS shard,
+               doc_id, tokens
+        FROM tokc
+    ),
+    c AS (
+        SELECT shard, doc_id, tokens,
+               SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+        FROM t
+    ),
+    p AS (
+        SELECT shard, tokens,
+               CAST(floor((cum_tokens - tokens) / {_Q134_BUDGET}.0) AS BIGINT)
+                   AS pack_id
+        FROM c
+    )
+    SELECT shard, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS pack_tokens,
+           ROUND(SUM(tokens) / {_Q134_BUDGET}.0, 6) AS fill_ratio
+    FROM p GROUP BY shard, pack_id
+    """.replace("{bpe_stages}", _bpe_stages_sql(_BPE_N_MERGES)),
+)
+def q134(spark, sf):
+    """The q91 packer driven by the TRAINED tokenizer: per-doc BPE token
+    counts from the q132 merge table replace whitespace counts, so pack
+    budgets mean what the trainer's context window means. Token counting
+    is the q133 plan (distinct-word merge chain, broadcast back onto
+    occurrence counts); packing stays the one per-shard prefix-sum window
+    + hash rollup with the md5 sub-shard salt. The oracle re-trains,
+    re-segments AND re-packs from scratch — the full
+    train→tokenize→pack chain must match bit-for-bit."""
+    from ocr_vector_db_spark.operators import packing
+    from ocr_vector_db_spark.operators.bpe import bpe_token_counts
+
+    d = load_table(spark, sf, "documents")
+    tok = bpe_token_counts(d, _bpe_merges(spark, sf))
+    docs = d.select("doc_id", "lang").join(tok, "doc_id")
+    packed = packing.pack_documents(
+        docs, budget=_Q134_BUDGET, shard_col="lang", sub_shards=4,
+        tokens=F.col("n_bpe_tokens"),
+    )
+    return packing.pack_stats(packed, budget=_Q134_BUDGET)
