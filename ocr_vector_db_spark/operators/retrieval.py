@@ -47,22 +47,26 @@ def bounded_window(anchor: Column, *order_cols: Column) -> Window:
     that otherwise fires even when the input is k rows. A bare ``lit(0)``
     does NOT work: Catalyst constant-folds foldable partition expressions
     away, leaving an empty partition spec and the warning; deriving the
-    constant from a column keeps it in the spec. ``length(cast(anchor as
-    string)) * 0`` is type-agnostic (a numeric multiply would raise under
-    ANSI mode for non-numeric scores, e.g. the md5-hex rerank key) and
-    null-safe via the coalesce. `anchor` is any column of the relation (the
-    score being ranked is the natural choice). Only ever use this AFTER a
-    ``orderBy(...).limit(k)`` or equivalent bound; on an unbounded relation
-    it is exactly the anti-pattern the warning exists for.
+    constant from a column keeps it in the spec. ``pmod(xxhash64(anchor),
+    1)`` is type-agnostic, null-safe (xxhash64 of NULL is a seed constant,
+    never NULL) and fold-resistant: the previous ``coalesce(length(cast(
+    anchor))*0, 0)`` formulation was simplified away whenever `anchor` was
+    NON-NULLABLE (e.g. a count(*) output) — Catalyst's arithmetic
+    simplification rewrites non-nullable ``e * 0`` to a literal, the
+    foldable partition spec is then eliminated, and the WindowExec warning
+    returns (observed on q131's n_hits anchor; harmless but noisy). No
+    simplification rule rewrites ``pmod(hash, 1)``. `anchor` is any column
+    of the relation (the score being ranked is the natural choice). Only
+    ever use this AFTER a ``orderBy(...).limit(k)`` or equivalent bound; on
+    an unbounded relation it is exactly the anti-pattern the warning exists
+    for.
 
-    Version note: this leans on Catalyst NOT folding through
-    ``length(cast(col))``. A future Spark that folds it would silently
-    bring the (harmless, driver-bounded) WindowExec warning back —
-    correctness is unaffected either way, so if the warning reappears
-    after an upgrade, this helper is the place to re-derive a non-foldable
-    constant."""
+    Version note: if a future Spark learns to fold ``pmod(x, 1)``, the
+    (harmless, driver-bounded) warning reappears — correctness is
+    unaffected either way, and this helper is the place to re-derive a
+    non-foldable constant."""
     return Window.partitionBy(
-        F.coalesce(F.length(anchor.cast("string")) * F.lit(0), F.lit(0))
+        F.pmod(F.xxhash64(anchor), F.lit(1))
     ).orderBy(*order_cols)
 
 

@@ -222,11 +222,12 @@ def test_no_accidental_cartesian_products(tables, spark):
     )
     # intentionally pairwise within a bounded block (documented O(block²)),
     # scalar cross joins of 1-row aggregates (q85's total/Z, q89/q90's
-    # BM25 corpus-stats row, q113's 1-row dangling-mass share), or
+    # BM25 corpus-stats row, q113's 1-row dangling-mass share, q129's
+    # KMV estimate row assembled from four ≤k-row/1-row aggregates), or
     # q111/q112's batch × broadcast-centroid cluster assignment (bounded
     # by num_clusters, tiny by construction):
     allow_nested_loop = ("q16", "q17", "q22", "q55", "q85", "q89", "q90",
-                         "q94", "q111", "q112", "q113")
+                         "q94", "q111", "q112", "q113", "q129")
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(skip_prefixes):
             continue

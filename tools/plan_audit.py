@@ -113,6 +113,36 @@ AUDITS = [
      "read), appended count rows fold in partial_-combined sums, context "
      "counts broadcast, pair counts shuffle-join — no SinglePartition "
      "exchange anywhere"),
+    ("q126_ngram_lm_pmi_served",
+     "PMI collocations served from the persisted LM index: both count "
+     "tables are parquet scans (no corpus re-tokenization anywhere in the "
+     "plan), unigram counts arrive as two BroadcastHashJoins, top-k is "
+     "TakeOrderedAndProject"),
+    ("q127_simhash_incremental_screen",
+     "only the BATCH side is hashed; the stored band scan carries a "
+     "bucket INSET PartitionFilter (reads the batch's buckets only) and "
+     "the (bucket, band, val) equi-join + bit_count verify never touch "
+     "the full corpus — O(batch) like the MinHash screen"),
+    ("q130_duplicate_span_excision",
+     "the one corpus-sized shuffle is the gram-frequency hash agg "
+     "(partial_ before the Exchange); every window partitions by doc_id "
+     "— no global sort; kept text comes from a doc+pos equi-anti-join, "
+     "and covered positions explode from already-merged DISJOINT spans"),
+    ("q131_phrase_search_positional",
+     "every postings scan carries a bucket INSET PartitionFilter (the "
+     "phrase's own term buckets only); the (id, pos-j) chain is "
+     "equi-joins over query-term-sized slices; ranking is "
+     "TakeOrderedAndProject"),
+    ("q133_bpe_segment_counts",
+     "the chained merge replaces evaluate once per DISTINCT word (a "
+     "Heaps'-sized relation) and return via BroadcastHashJoin onto the "
+     "per-doc occurrence counts; the only corpus-sized shuffles are the "
+     "two token hash aggs, both partial_-combined map-side"),
+    ("q134_bpe_budget_packing",
+     "q133's tokenize plan feeds exactly one Window exchange (the "
+     "per-sub-shard prefix sum — no global sort) and the per-pack hash "
+     "rollup; trained-tokenizer budgets add zero new corpus shuffles "
+     "over q91"),
 ]
 
 KEY_LINE = re.compile(
