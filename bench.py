@@ -141,6 +141,9 @@ HEADLINE = [
     # the packer driven by trained-BPE token counts (train memoized in
     # warmup; timed runs measure tokenize+pack: one prefix-sum window)
     "q134_bpe_budget_packing",
+    # exact Hamilton-allocated stratified sampling (one stratum-size agg,
+    # WindowGroupLimit-bounded per-stratum ranks, broadcast quotas)
+    "q135_stratified_sample",
 ]
 
 

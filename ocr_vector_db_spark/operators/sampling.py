@@ -146,3 +146,89 @@ class RunningSample:
         new.coalesce(1).write.mode("overwrite").parquet(dest)
         commit_generation(self.spark, self.path, n_gen)
         gc_generations(self.spark, self.path)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    total: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """(strata..., id_col, strat_rank): a deterministic stratified sample
+    of EXACTLY ``total`` rows (when the corpus has that many) with
+    proportional-to-size allocation and largest-remainder rounding —
+    "give me a 100k-doc eval slice that mirrors the corpus's lang×source
+    mix" without a seeded RNG.
+
+    Allocation (Hamilton's method): each stratum s of size n_s gets
+    floor(total·n_s/N) rows, and the ``total - Σfloor`` leftover seats go
+    to the strata with the largest remainders (ties by stratum key ASC)
+    — the classic exact apportionment, reproduced bit-for-bit in SQL
+    because every quantity is integer (the remainder comparison uses
+    total·n_s mod N, never a float). Within a stratum, rows are ranked
+    by (md5(salt#id), id) — the repo's engine-portable uniform order
+    (q57's split discipline) — and the first quota rows win.
+
+    Scale shape: stratum sizes are ONE map-side-combinable hash agg; the
+    allocation math runs on the strata-cardinality-bounded table (two
+    1-row aggregate broadcasts + one bounded window, exactly ranking.py's
+    offsets pattern); quotas broadcast back onto the corpus. The
+    per-stratum rank is bounded by the LITERAL ``total`` first (every
+    quota is ≤ total by construction), which is what lets Spark compile
+    the window to WindowGroupLimit — per-partition top-``total`` heaps
+    BEFORE the stratum shuffle; a ``rank <= quota_column`` filter alone
+    would not (group-limit pushdown needs a foldable bound). The exact
+    per-stratum quota cut then applies on the ≤ strata·total survivors.
+    Nothing global-sorts
+    and the corpus shuffles once, on the stratum key. Deterministic under
+    re-runs, repartitions, and engines (md5 + integer math only)."""
+    from ocr_vector_db_spark.operators.retrieval import bounded_window
+    from pyspark.sql import Window
+
+    if total <= 0:
+        raise ValueError(f"total must be positive, got {total}")
+    scols = [F.col(c) for c in strata]
+    sizes = df.groupBy(*scols).agg(F.count("*").cast("bigint").alias("_ns"))
+    n_tot = sizes.agg(F.sum("_ns").cast("bigint").alias("_ntot"))
+    sized = sizes.join(F.broadcast(n_tot))  # strata-bounded × 1 row
+    # bigint div/mod, never a float floor — exact at any corpus size and
+    # bit-identical to the SQL oracle's `//`
+    base = F.call_function(
+        "div", F.lit(total) * F.col("_ns"), F.col("_ntot")
+    ).cast("bigint")
+    rem = (F.lit(total) * F.col("_ns")) % F.col("_ntot")
+    sized = sized.select(
+        *strata, "_ns", base.alias("_q0"), rem.alias("_rem")
+    )
+    leftover = sized.agg(
+        (F.lit(total) - F.sum("_q0")).cast("bigint").alias("_left")
+    )
+    # bounded window: the relation is strata-cardinality-sized, never the
+    # corpus (ranking.py's offsets-table pattern)
+    rk = F.row_number().over(
+        bounded_window(F.col("_rem"), F.desc("_rem"),
+                       *[F.asc(c) for c in strata])
+    ).cast("bigint")
+    quotas = (
+        sized.select(*strata, "_ns", "_q0", rk.alias("_rk"))
+        .join(F.broadcast(leftover))
+        .select(
+            *strata, "_ns",
+            F.least(
+                F.col("_q0")
+                + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0),
+                F.col("_ns"),
+            ).alias("_quota"),
+        )
+    )
+    order = F.md5(F.concat(F.lit(salt + "#"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*scols).orderBy(order.asc(), F.col(id_col).asc())
+    ranked = df.select(*strata, id_col).withColumn(
+        "strat_rank", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("strat_rank") <= F.lit(total))  # → WindowGroupLimit
+    return (
+        ranked.join(F.broadcast(quotas), strata)
+        .filter(F.col("strat_rank") <= F.col("_quota"))
+        .select(*strata, id_col, "strat_rank")
+    )

@@ -872,6 +872,58 @@ def q119(spark, sf):
 
 
 @query(
+    "q135_stratified_sample",
+    r"""
+    WITH s AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS ns
+        FROM documents GROUP BY lang, source
+    ),
+    t AS (SELECT CAST(SUM(ns) AS BIGINT) AS ntot FROM s),
+    a AS (
+        SELECT lang, source, ns,
+               (120 * ns) // ntot AS q0,
+               (120 * ns) % ntot AS rem
+        FROM s CROSS JOIN t
+    ),
+    lft AS (SELECT 120 - SUM(q0) AS lf FROM a),
+    q AS (
+        SELECT lang, source, ns,
+               LEAST(q0 + CASE WHEN ROW_NUMBER()
+                                    OVER (ORDER BY rem DESC, lang, source)
+                                 <= (SELECT lf FROM lft)
+                               THEN 1 ELSE 0 END, ns) AS quota
+        FROM a
+    ),
+    r AS (
+        SELECT lang, source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5('strat#' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS strat_rank
+        FROM documents
+    )
+    SELECT r.lang, r.source, r.doc_id,
+           CAST(strat_rank AS BIGINT) AS strat_rank
+    FROM r JOIN q USING (lang, source)
+    WHERE strat_rank <= quota
+    """,
+)
+def q135(spark, sf):
+    """Deterministic stratified sampling with EXACT largest-remainder
+    (Hamilton) allocation: a 120-row slice of documents whose lang×source
+    mix mirrors the corpus — the eval/holdout draw a training pipeline
+    runs per release. All-integer apportionment math (bigint div/mod on
+    the strata-bounded table), md5-uniform within-stratum order, quotas
+    broadcast back, and the per-stratum rank is literal-bounded so the
+    window compiles to WindowGroupLimit heaps instead of full stratum
+    sorts. See operators/sampling.py::stratified_sample."""
+    from ocr_vector_db_spark.operators import sampling
+
+    d = load_table(spark, sf, "documents")
+    return sampling.stratified_sample(d, ["lang", "source"], 120)
+
+
+@query(
     "q120_standardized_embeddings",
     r"""
     WITH vals AS (

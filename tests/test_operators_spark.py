@@ -766,3 +766,55 @@ def test_duplicate_span_excision_semantics(spark):
         == (9, 1, 9, 0)
     assert r3.spans_digest == md5("000000-000009")
     assert r3.kept_digest == md5("")
+
+
+def test_stratified_sample_exact_allocation(spark):
+    from ocr_vector_db_spark.operators import sampling
+    import hashlib
+
+    # skewed strata: 60/25/10/5 — Hamilton allocation of 20 seats
+    rows = []
+    for s, n in [("a", 60), ("b", 25), ("c", 10), ("d", 5)]:
+        rows += [(s, i + 1000 * ord(s[0])) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, doc_id bigint")
+    out = sampling.stratified_sample(df, ["g"], 20, id_col="doc_id").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    # quotas: floor(20*ns/100) = 12/5/2/1, sum=20, leftover=0
+    assert {g: len(v) for g, v in by_g.items()} == \
+        {"a": 12, "b": 5, "c": 2, "d": 1}
+    # within-stratum winners are the md5-smallest ids, ranks 1..quota
+    for g, picked in by_g.items():
+        ids = [r.doc_id for r in df.filter(F.col("g") == g).collect()]
+        order = sorted(
+            ids, key=lambda i: (hashlib.md5(f"strat#{i}".encode()).hexdigest(), i)
+        )
+        want = set(order[: len(picked)])
+        assert {r.doc_id for r in picked} == want
+        assert sorted(r.strat_rank for r in picked) == \
+            list(range(1, len(picked) + 1))
+    # deterministic across runs
+    again = sampling.stratified_sample(df, ["g"], 20, id_col="doc_id").collect()
+    assert sorted((r.g, r.doc_id) for r in again) == \
+        sorted((r.g, r.doc_id) for r in out)
+
+
+def test_stratified_sample_largest_remainder_and_exhaustion(spark):
+    from ocr_vector_db_spark.operators import sampling
+
+    # 7 seats over 3+3+1 rows: floors are 3/3/1 scaled... use total=5:
+    # floor(5*3/7)=2 rem 1, floor(5*3/7)=2 rem 1, floor(5*1/7)=0 rem 5
+    # leftover = 5-4 = 1 → goes to 'c' (largest remainder)
+    rows = [("a", 1), ("a", 2), ("a", 3),
+            ("b", 4), ("b", 5), ("b", 6), ("c", 7)]
+    df = spark.createDataFrame(rows, "g string, doc_id bigint")
+    out = sampling.stratified_sample(df, ["g"], 5, id_col="doc_id").collect()
+    counts = {}
+    for r in out:
+        counts[r.g] = counts.get(r.g, 0) + 1
+    assert counts == {"a": 2, "b": 2, "c": 1}
+    assert len(out) == 5
+    # total == corpus size → everything sampled (quota clamped to ns)
+    full = sampling.stratified_sample(df, ["g"], 7, id_col="doc_id").collect()
+    assert len(full) == 7
