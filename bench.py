@@ -144,6 +144,9 @@ HEADLINE = [
     # exact Hamilton-allocated stratified sampling (one stratum-size agg,
     # WindowGroupLimit-bounded per-stratum ranks, broadcast quotas)
     "q135_stratified_sample",
+    # persisted-tokenizer resume path (build+extend in warmup via the
+    # session memo; timed runs read the ≤n_merges-row stored table)
+    "q136_bpe_tokenizer_extend",
 ]
 
 

@@ -449,6 +449,54 @@ def cmd_lm_index(args) -> int:
     return 0
 
 
+def cmd_tokenizer(args) -> int:
+    """Train / extend / apply the persisted BPE tokenizer
+    (`{store}/tokenizer`, `operators/bpe.py::BPETokenizer`): `--train N`
+    learns N merges over the accepted stream corpus and persists
+    {merges, vocab} atomically; `--extend N` learns N more from the
+    STORED vocabulary (no corpus scan — the resume path); `--count FILE`
+    segments a JSONL batch of {doc_id, text} rows with the stored merge
+    table and prints per-doc word/BPE-token counts (the sequence-budget
+    signal the packer consumes). Default action prints the merge table."""
+    import os
+
+    from ocr_vector_db_spark.operators.bpe import BPETokenizer
+    from ocr_vector_db_spark.operators.index_maint import fs_exists
+
+    spark = _spark()
+    path = os.path.join(args.store, "tokenizer")
+    if args.train:
+        acc_path = os.path.join(args.store, "accepted")
+        if not fs_exists(spark, acc_path):
+            print("[error] no accepted corpus under the store — "
+                  "run `stream-ingest` first")
+            return 1
+        docs = (spark.read.option("basePath", acc_path)
+                .option("mergeSchema", "true").parquet(acc_path))
+        tok = BPETokenizer.build(spark, docs, path, args.train)
+        print(f"[tokenizer] trained {len(tok.merges())} merges at {path}")
+        return 0
+    if not fs_exists(spark, path):
+        print("[error] no tokenizer under the store — run "
+              "`tokenizer --train N` first")
+        return 1
+    tok = BPETokenizer.load(spark, path)
+    if args.extend:
+        tok.extend(args.extend)
+        print(f"[tokenizer] extended to {len(tok.merges())} merges")
+        return 0
+    if args.count:
+        batch = spark.read.json(args.count)
+        rows = tok.token_counts(batch).orderBy("doc_id").collect()
+        for r in rows:
+            print(f"{r['doc_id']}\t{r.n_words}\t{r.n_bpe_tokens}")
+        print(f"[tokenizer] counted {len(rows)} docs")
+        return 0
+    for m in tok.merges():
+        print(f"{m['step']}\t{m['la']}\t{m['lb']}\t{m['pair_count']}")
+    return 0
+
+
 def cmd_stream_ingest(args) -> int:
     """Incremental near-dup-gated ingestion — the streaming extension of
     the reference's re-runnable CLI ingest loop (api/cli/ingest.py): each
@@ -927,6 +975,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--min-count", type=int, default=5)
     sp.add_argument("--top-k", type=int, default=50)
     sp.set_defaults(fn=cmd_lm_index)
+
+    sp = sub.add_parser("tokenizer")
+    common(sp)
+    sp.add_argument("--train", type=int, metavar="N",
+                    help="(re)train N merges over the accepted corpus")
+    sp.add_argument("--extend", type=int, metavar="N",
+                    help="learn N more merges from the stored vocabulary "
+                         "(no corpus scan)")
+    sp.add_argument("--count", metavar="FILE",
+                    help="JSONL of {doc_id, text}: word + BPE token "
+                         "counts per doc under the stored merge table")
+    sp.set_defaults(fn=cmd_tokenizer)
 
     sp = sub.add_parser("pack")
     common(sp)

@@ -89,6 +89,36 @@ def apply_merge(sym: Column, la: str, lb: str) -> Column:
     )
 
 
+def _train_loop(
+    vocab: DataFrame,
+    start_step: int,
+    n_merges: int,
+    checkpoint_every: int = 8,
+) -> tuple[list[dict], DataFrame]:
+    """Run ``n_merges`` merge iterations over a (sym, cnt) vocabulary,
+    numbering them from ``start_step`` — the shared core of `bpe_train`
+    and `BPETokenizer.extend`."""
+    merges: list[dict] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("c"), F.asc("la"), F.asc("lb"))
+            .head(1)
+        )
+        if not top:
+            break
+        la, lb, c = top[0].la, top[0].lb, int(top[0].c)
+        merges.append(
+            {"step": start_step + i, "la": la, "lb": lb, "pair_count": c}
+        )
+        vocab = vocab.select(
+            apply_merge(F.col("sym"), la, lb).alias("sym"), "cnt"
+        )
+        if (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()  # flat lineage, vocab-sized
+    return merges, vocab
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int,
@@ -104,30 +134,11 @@ def bpe_train(
     table in its post-merge symbol form, reusable for segmentation
     (`bpe_token_counts`). Stops early if the vocabulary runs out of
     pairs (every word fully merged)."""
-    spark = docs.sparkSession
     vocab = word_counts(docs, text_col).select(
         to_symbols(F.col("w")).alias("sym"), "cnt"
     )
     vocab = vocab.localCheckpoint()  # pin: pure function of the corpus
-    merges: list[dict] = []
-    for step in range(1, n_merges + 1):
-        top = (
-            _pair_counts(vocab)
-            .orderBy(F.desc("c"), F.asc("la"), F.asc("lb"))
-            .head(1)
-        )
-        if not top:
-            break
-        la, lb, c = top[0].la, top[0].lb, int(top[0].c)
-        merges.append(
-            {"step": step, "la": la, "lb": lb, "pair_count": c}
-        )
-        vocab = vocab.select(
-            apply_merge(F.col("sym"), la, lb).alias("sym"), "cnt"
-        )
-        if step % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint()  # flat lineage, vocab-sized
-    return merges, vocab
+    return _train_loop(vocab, 1, n_merges, checkpoint_every)
 
 
 def merges_df(spark, merges: list[dict]) -> DataFrame:
@@ -171,3 +182,129 @@ def bpe_token_counts(
             .alias("n_bpe_tokens"),
         )
     )
+
+
+class BPETokenizer:
+    """Persisted BPE tokenizer artifact with RESUMABLE training — the
+    index discipline (generation pointers, atomic publishes, GC) applied
+    to the tokenizer, so "train 10k merges today, extend to 30k tomorrow"
+    never re-reads the corpus.
+
+    Layout under ``path`` — ONE generation root holding both tables, so
+    a single commit marker publishes them as an atomic pair (a merge
+    table and a vocabulary from different training states can never be
+    observed together, even across a crash mid-extend):
+
+      state/gen=N/merges/   the ordered merge table (n_merges rows)
+      state/gen=N/vocab/    the weighted word table in post-merge symbol
+                            form (Heaps-sized — the ONLY corpus-derived
+                            state; this is what makes `extend`
+                            corpus-free)
+
+    `extend` continues the merge loop from the stored vocab, so
+    build(n) + extend(m) is BYTE-IDENTICAL to build(n+m) — gated by
+    q136's oracle, which replays the full loop from scratch in SQL.
+    Extending is only sound over the SAME corpus (BPE statistics are not
+    incremental over new documents — retrain for corpus changes; the
+    add-new-docs twin is the LM index, whose counts DO fold).
+    Single-writer contract, like every index in this repo."""
+
+    MERGES_SCHEMA = "step int, la string, lb string, pair_count bigint"
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------- build
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        docs: DataFrame,
+        path: str,
+        n_merges: int,
+        text_col: str = "text",
+    ) -> "BPETokenizer":
+        from ocr_vector_db_spark.operators.index_maint import (
+            commit_generation,
+            init_generation,
+        )
+
+        merges, vocab = bpe_train(docs, n_merges, text_col)
+        tok = cls(spark, path)
+        n_gen, dest = init_generation(spark, tok._root)
+        tok._write_state(dest, merges_df(spark, merges), vocab)
+        commit_generation(spark, tok._root, n_gen)
+        return tok
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BPETokenizer":
+        return cls(spark, path)
+
+    @property
+    def _root(self) -> str:
+        return f"{self.path}/state"
+
+    @staticmethod
+    def _write_state(dest: str, merges: DataFrame, vocab: DataFrame) -> None:
+        merges.coalesce(1).write.mode("overwrite").parquet(f"{dest}/merges")
+        vocab.write.mode("overwrite").parquet(f"{dest}/vocab")
+
+    def _sub(self, sub: str) -> DataFrame:
+        from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+        return self.spark.read.parquet(
+            f"{current_gen_dir(self.spark, self._root)}/{sub}"
+        )
+
+    def merges(self) -> list[dict]:
+        """The ordered merge table (n_merges rows of driver traffic)."""
+        return [
+            {"step": r.step, "la": r.la, "lb": r.lb,
+             "pair_count": int(r.pair_count)}
+            for r in self._sub("merges").orderBy("step").collect()
+        ]
+
+    def merges_frame(self) -> DataFrame:
+        return self._sub("merges").orderBy("step")
+
+    # ------------------------------------------------------------ extend
+
+    def extend(self, n_more: int) -> "BPETokenizer":
+        """Learn ``n_more`` additional merges from the STORED vocabulary
+        — no corpus scan; each iteration is a vocab-sized aggregation.
+        Merges + vocab publish under ONE new generation marker, so the
+        pair is atomic: a crash mid-extend leaves the previous generation
+        current and the retry re-runs from it (deterministic loop ⇒ the
+        same result — replay-safe)."""
+        from ocr_vector_db_spark.operators.index_maint import (
+            commit_generation,
+            gc_generations,
+            next_gen_dir,
+        )
+
+        prior = self.merges()
+        start = (prior[-1]["step"] + 1) if prior else 1
+        vocab = self._sub("vocab").localCheckpoint()
+        new, final_vocab = _train_loop(vocab, start, n_more)
+        n_gen, dest = next_gen_dir(self.spark, self._root)
+        self._write_state(
+            dest, merges_df(self.spark, prior + new), final_vocab
+        )
+        commit_generation(self.spark, self._root, n_gen)
+        gc_generations(self.spark, self._root)
+        return self
+
+    # ------------------------------------------------------------- apply
+
+    def token_counts(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Segment with the stored merge table (`bpe_token_counts`)."""
+        return bpe_token_counts(
+            docs, self.merges(), text_col=text_col, id_col=id_col
+        )

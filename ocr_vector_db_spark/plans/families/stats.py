@@ -1463,3 +1463,27 @@ def q134(spark, sf):
         tokens=F.col("n_bpe_tokens"),
     )
     return packing.pack_stats(packed, budget=_Q134_BUDGET)
+
+
+@query("q136_bpe_tokenizer_extend", _bpe_train_sql(_BPE_N_MERGES))
+def q136(spark, sf):
+    """Resumable tokenizer training from the persisted artifact
+    (operators/bpe.py::BPETokenizer): build() learns the first half of
+    the merge table and persists {merges, vocab} under ONE generation
+    marker; extend() learns the second half from the STORED vocabulary —
+    zero corpus scans — and must land on a merge table byte-identical to
+    training all 20 in one run (the oracle replays the full loop from
+    scratch in SQL). This is the 'train 10k merges today, extend to 30k
+    tomorrow' path: resume cost is vocab-sized, corpus-free."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.bpe import BPETokenizer
+
+    key = (spark.sparkContext.applicationId, sf, "q136_tok_path")
+    if key not in _PLAN_MEMO:
+        d = load_table(spark, sf, "documents")
+        path = tempfile.mkdtemp(prefix="bpetok_")
+        tok = BPETokenizer.build(spark, d, path, _BPE_N_MERGES // 2)
+        tok.extend(_BPE_N_MERGES - _BPE_N_MERGES // 2)
+        _PLAN_MEMO[key] = path
+    return BPETokenizer.load(spark, _PLAN_MEMO[key]).merges_frame()

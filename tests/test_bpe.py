@@ -137,3 +137,65 @@ def test_bpe_early_stop_on_exhausted_vocab(spark):
     docs = spark.createDataFrame([("d1", "x x x")], "doc_id string, text string")
     merges, _ = bpe_train(docs, 10)
     assert [(m["la"], m["lb"]) for m in merges] == [("x", END), ]
+
+
+def test_tokenizer_artifact_extend_equals_scratch(spark, tables, tmp_path):
+    from ocr_vector_db_spark.operators.bpe import BPETokenizer
+    from ocr_vector_db_spark.operators.index_maint import (
+        committed_generations,
+    )
+
+    docs = tables["documents"].limit(50)
+    path = str(tmp_path / "tok")
+    tok = BPETokenizer.build(spark, docs, path, 6)
+    assert len(tok.merges()) == 6
+    tok.extend(6)
+    got = tok.merges()
+    want, _ = bpe_train(docs, 12)
+    assert got == want  # build+extend ≡ one-shot training, byte-identical
+
+    # atomic pair: one generation root, two committed generations, GC ≤ 2
+    gens = committed_generations(spark, path + "/state")
+    assert gens == [1, 2]
+    tok.extend(2)
+    assert committed_generations(spark, path + "/state") == [2, 3]
+
+    # segmentation from the stored table ≡ segmentation from the list
+    a = {r[0]: (r.n_words, r.n_bpe_tokens)
+         for r in tok.token_counts(docs).collect()}
+    b = {r[0]: (r.n_words, r.n_bpe_tokens)
+         for r in bpe_token_counts(docs, tok.merges()).collect()}
+    assert a == b
+
+
+def test_cli_tokenizer_roundtrip(spark, tmp_path, capsys):
+    import json
+
+    from ocr_vector_db_spark import cli
+
+    src = tmp_path / "tok_src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    with open(src / "a.json", "w") as fh:
+        for i in range(6):
+            fh.write(json.dumps(
+                {"doc_id": i,
+                 "text": f"fresh distinct narrative {i} covering theme "
+                         f"{i * 13} in original words {i * 7}"}) + "\n")
+    assert cli.main(["stream-ingest", "--store", store, "--source",
+                     str(src), "--threshold", "0.6", "--buckets", "8"]) == 0
+    capsys.readouterr()
+    assert cli.main(["tokenizer", "--store", store, "--train", "5"]) == 0
+    assert "trained 5 merges" in capsys.readouterr().out
+    assert cli.main(["tokenizer", "--store", store, "--extend", "3"]) == 0
+    assert "extended to 8 merges" in capsys.readouterr().out
+    batch = tmp_path / "batch.jsonl"
+    with open(batch, "w") as fh:
+        fh.write(json.dumps({"doc_id": 99, "text": "fresh words"}) + "\n")
+    assert cli.main(["tokenizer", "--store", store,
+                     "--count", str(batch)]) == 0
+    out = capsys.readouterr().out
+    assert "counted 1 docs" in out and out.startswith("99\t2\t")
+    assert cli.main(["tokenizer", "--store", store]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 8 and lines[0].startswith("1\t")
