@@ -196,6 +196,14 @@ def test_plan_shapes(tables, spark):
         assert p61.index("Exchange SinglePartition") > p61.index(
             "BroadcastExchange"
         )
+    # stratified sampling: the literal pre-bound makes the per-stratum
+    # rank a WindowGroupLimit (Partial before the stratum shuffle, Final
+    # after) — never a full stratum sort; quotas arrive broadcast
+    p135 = plan_of("q135_stratified_sample")
+    assert "WindowGroupLimit" in p135
+    assert ", Partial" in p135 and ", Final" in p135
+    assert "BroadcastHashJoin" in p135
+    assert not _re.search(r"Sort \[[^\]]*\], true", p135)
 
 
 def test_no_accidental_cartesian_products(tables, spark):

@@ -143,6 +143,12 @@ AUDITS = [
      "per-sub-shard prefix sum — no global sort) and the per-pack hash "
      "rollup; trained-tokenizer budgets add zero new corpus shuffles "
      "over q91"),
+    ("q135_stratified_sample",
+     "the literal total pre-bound compiles the per-stratum rank to "
+     "WindowGroupLimit (per-partition top-total heaps BEFORE the stratum "
+     "shuffle, Final after) — never a full stratum sort even when one "
+     "stratum is most of the corpus; Hamilton quotas ride a broadcast; "
+     "the apportionment math runs on the strata-bounded table"),
 ]
 
 KEY_LINE = re.compile(
