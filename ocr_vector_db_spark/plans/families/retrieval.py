@@ -479,21 +479,28 @@ def q107(spark, sf):
     SELECT * FROM (VALUES
         ('/corpus/fax.pdf', 'image_raw', 4800,
          'd1464215e65acab691e7959f55dd1e2e'),
-        ('/corpus/fax.pdf', 'text', 67, 'CCITT Group 4 fax rasters deco')
+        ('/corpus/fax.pdf', 'text', 67, 'CCITT Group 4 fax rasters deco'),
+        ('/corpus/fax_g3.pdf', 'image_raw', 3000,
+         '499d43b9309a1907a1455d2dbce2f558'),
+        ('/corpus/fax_g3.pdf', 'image_raw', 2250,
+         '02a552bda1496a2976966e7e816bab83'),
+        ('/corpus/fax_g3.pdf', 'text', 67, 'CCITT Group 3 fax rasters deco')
     ) AS t(source_path, item, n, detail)
-    ORDER BY item
+    ORDER BY source_path, item, n DESC
     """,
 )
 def q125(spark, sf):
-    """The scanned-fax raster codec, end-to-end and distributed (golden
-    VALUES oracle, q107's pattern): a /CCITTFaxDecode K -1 (Group 4 MMR)
-    bilevel image decodes through the pure-Python ITU-T T.6 codec
-    (`sources/ccitt.py`) inside the distributed asset extractor
-    `ingest.pdf_image_assets` — pixel-exact (md5 is the literal of the
-    semantic gray buffer, black=0) — while the same page's text rides the
-    normal parse path. Reference parity: PyMuPDF decodes CCITT rasters
-    transparently (ingestion/parsers/pymupdf_parser.py:518-569); this
-    closes the last real-world raster codec on the pure-Python path."""
+    """The scanned-fax raster codec family, end-to-end and distributed
+    (golden VALUES oracle, q107's pattern): /CCITTFaxDecode bilevel
+    images in EVERY /K regime — K -1 (Group 4 MMR, ITU-T T.6), K 0
+    (Group 3 1-D MH, T.4) and K 2 (Group 3 mixed, tagged rows) — decode
+    through the pure-Python codecs (`sources/ccitt.py`) inside the
+    distributed asset extractor `ingest.pdf_image_assets`, pixel-exact
+    (md5 is the literal of the semantic gray buffer, black=0), while the
+    same pages' text rides the normal parse path. Reference parity:
+    PyMuPDF decodes CCITT rasters transparently
+    (ingestion/parsers/pymupdf_parser.py:518-569); this closes the fax
+    codec family on the pure-Python path."""
     from ocr_vector_db_spark.sources.ingest import (
         parse_pdf_segments,
         pdf_files_df,
@@ -513,7 +520,28 @@ def q125(spark, sf):
         {"kind": "image", "x": 50, "y": 300, "w": 240, "h": 80,
          "width": w, "height": h, "ccitt": True, "pixels": pix},
     ]])
-    files = pdf_files_df(spark, [("/corpus/fax.pdf", fax)])
+    w1, h1 = 100, 30
+    pa = bytes(
+        1 if ((x + 2 * y) % 9 < 2) else 0
+        for y in range(h1) for x in range(w1)
+    )
+    w2, h2 = 90, 25
+    pb = bytes(
+        1 if ((x // 6 + y // 5) % 2 == 0) else 0
+        for y in range(h2) for x in range(w2)
+    )
+    fax_g3 = build_simple_pdf([[
+        {"kind": "text", "x": 50, "y": 700, "size": 12,
+         "text": "CCITT Group 3 fax rasters decode through the pure "
+                 "Python T.4 codec."},
+        {"kind": "image", "x": 50, "y": 420, "w": 200, "h": 60,
+         "width": w1, "height": h1, "ccitt": True, "k": 0, "pixels": pa},
+        {"kind": "image", "x": 50, "y": 300, "w": 180, "h": 50,
+         "width": w2, "height": h2, "ccitt": True, "k": 2, "pixels": pb},
+    ]])
+    files = pdf_files_df(spark, [
+        ("/corpus/fax.pdf", fax), ("/corpus/fax_g3.pdf", fax_g3),
+    ])
     texts = parse_pdf_segments(files).select(
         "source_path", F.lit("text").alias("item"),
         F.length("content").cast("int").alias("n"),
@@ -525,7 +553,9 @@ def q125(spark, sf):
         F.length("data").cast("int").alias("n"),
         F.md5("data").alias("detail"),
     )
-    return assets.unionByName(texts).orderBy("item")
+    return assets.unionByName(texts).orderBy(
+        "source_path", "item", F.desc("n")
+    )
 
 
 @query(

@@ -1366,11 +1366,11 @@ def jpeg_image_xobject(objects, ref: int) -> dict | None:
 
 
 def ccitt_image_xobject(objects, ref: int) -> dict | None:
-    """Decode a /CCITTFaxDecode Group 4 image XObject to 8-bit gray
-    pixels via the pure-Python T.6 codec (`sources/ccitt.py`) — the
-    raster codec scanned-OCR PDFs actually embed. Supports the K < 0
-    (pure 2-D MMR) form with /Columns, /Rows, /EncodedByteAlign;
-    K ≥ 0 (Group 3) and filter chains stay on the PyMuPDF path, like the
+    """Decode a /CCITTFaxDecode image XObject to 8-bit gray pixels via
+    the pure-Python T.6/T.4 codecs (`sources/ccitt.py`) — every /K
+    regime: K < 0 (Group 4 MMR, the dominant scanned-OCR form), K = 0
+    (Group 3 1-D) and K > 0 (Group 3 mixed), with /Columns, /Rows,
+    /EncodedByteAlign. Filter chains stay on the PyMuPDF path, like the
     reference (ingestion/parsers/pymupdf_parser.py:518-569).
 
     Polarity follows ISO 32000 exactly: a CCITT-black pixel becomes
@@ -1381,7 +1381,11 @@ def ccitt_image_xobject(objects, ref: int) -> dict | None:
     legitimately renders the inverse, exactly as a compliant viewer
     would). Returns the decode_image_xobject raster dict shape, or None
     when unsupported/malformed."""
-    from ocr_vector_db_spark.sources.ccitt import CCITTError, decode_g4
+    from ocr_vector_db_spark.sources.ccitt import (
+        CCITTError,
+        decode_g3,
+        decode_g4,
+    )
 
     dict_src, stream = objects.get(ref, (b"", None))
     if stream is None or b"/Image" not in dict_src:
@@ -1392,8 +1396,7 @@ def ccitt_image_xobject(objects, ref: int) -> dict | None:
     m = re.search(rb"/DecodeParms\s*\[?\s*<<(.*?)>>", dict_src, re.S)
     parms = m.group(1) if m else b""
     km = re.search(rb"/K\s+(-?\d+)", parms)
-    if km is None or int(km.group(1)) >= 0:
-        return None  # G3 (1-D / mixed) is PyMuPDF-only
+    k = int(km.group(1)) if km else 0  # ISO 32000 default K = 0
     cm = re.search(rb"/Columns\s+(\d+)", parms)
     columns = int(cm.group(1)) if cm else 1728
     rm = re.search(rb"/Rows\s+(\d+)", parms)
@@ -1412,7 +1415,12 @@ def ccitt_image_xobject(objects, ref: int) -> dict | None:
     if columns <= 0:
         return None
     try:
-        pix = decode_g4(stream, columns, rows=rows, byte_align=byte_align)
+        if k < 0:
+            pix = decode_g4(stream, columns, rows=rows,
+                            byte_align=byte_align)
+        else:
+            pix = decode_g3(stream, columns, rows=rows, k=k,
+                            byte_align=byte_align)
     except CCITTError:
         return None
     n_rows = len(pix) // columns
@@ -1445,10 +1453,11 @@ def extract_pdf_images(data: bytes) -> list[dict]:
     loop (pymupdf_parser.py:518-569). FlateDecode rasters decode to raw
     pixels (metadata format=raw); DCTDecode images pass their stream bytes
     through verbatim as ready-to-send JPEG (metadata format=jpeg — no
-    decoder needed, see jpeg_image_xobject); CCITT Group 4 rasters decode
-    through the pure-Python T.6 codec (ccitt_image_xobject, format=raw).
-    Other encodings (JPX, CCITT Group 3) are skipped; the PyMuPDF path
-    covers them when importable."""
+    decoder needed, see jpeg_image_xobject); CCITT rasters in every /K
+    regime (Group 4 MMR, Group 3 1-D and mixed) decode through the
+    pure-Python T.6/T.4 codecs (ccitt_image_xobject, format=raw).
+    Other encodings (JPX, JBIG2) are skipped; the PyMuPDF path covers
+    them when importable."""
     import hashlib
 
     objects = _scan_objects(data)
@@ -1732,19 +1741,32 @@ def build_simple_pdf(pages: list[list[dict]],
                     )
                     continue
                 if b.get("ccitt"):
-                    # scanned-fax fixture: a Group 4 (/CCITTFaxDecode K -1)
-                    # bilevel raster — `pixels` is w*h bytes, nonzero =
-                    # black, encoded with the T.6 twin (sources/ccitt.py)
-                    from ocr_vector_db_spark.sources.ccitt import encode_g4
+                    # scanned-fax fixture: a /CCITTFaxDecode bilevel
+                    # raster — `pixels` is w*h bytes, nonzero = black,
+                    # encoded with the matching twin (sources/ccitt.py).
+                    # `k` picks the regime: default -1 (Group 4 MMR),
+                    # 0 (Group 3 1-D), > 0 (Group 3 mixed).
+                    from ocr_vector_db_spark.sources.ccitt import (
+                        encode_g3,
+                        encode_g4,
+                    )
 
                     pix = b["pixels"]
                     assert len(pix) == b["width"] * b["height"]
-                    payload_img = encode_g4(pix, b["width"], b["height"])
+                    k = int(b.get("k", -1))
+                    if k < 0:
+                        payload_img = encode_g4(
+                            pix, b["width"], b["height"]
+                        )
+                    else:
+                        payload_img = encode_g3(
+                            pix, b["width"], b["height"], k=k
+                        )
                     img_objs.append(
                         f"<< /Type /XObject /Subtype /Image "
                         f"/Width {b['width']} /Height {b['height']} "
                         f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
-                        f"/Filter /CCITTFaxDecode /DecodeParms << /K -1 "
+                        f"/Filter /CCITTFaxDecode /DecodeParms << /K {k} "
                         f"/Columns {b['width']} /Rows {b['height']} >> "
                         f"/Length {len(payload_img)} >>\nstream\n"
                         .encode("latin-1") + payload_img + b"\nendstream"

@@ -1193,3 +1193,124 @@ class TestCCITT:
         w.write("000000000001" * 2)  # EOFB
         out = decode_g4(w.bytes(), 8)
         assert out == bytes([0, 0, 0, 0, 1, 1, 1, 1])
+
+
+class TestCCITTGroup3:
+    """ITU-T T.4 (Group 3) codec: K = 0 pure 1-D and K > 0 mixed mode."""
+
+    def test_known_1d_bitstream_pins_the_mh_framing(self):
+        """Hand-computed K=0 row against the published tables: EOL, then
+        white-term-2 (0111) + black-term-4 (011) + white-term-2 (0111)
+        for the row 00111100 of width 8... (white 2, black 4, white 2)."""
+        from ocr_vector_db_spark.sources.ccitt import encode_g3
+
+        row = bytes([0, 0, 1, 1, 1, 1, 0, 0])
+        bits = "".join(f"{b:08b}" for b in encode_g3(row, 8, 1, k=0))
+        assert bits.startswith(
+            "000000000001" + "0111" + "011" + "0111" + "000000000001"
+        )
+
+    def test_k_positive_tag_bits(self):
+        """K=2 frames every row with EOL+tag: 1-D rows tagged 1 (every
+        k-th), 2-D rows tagged 0."""
+        from ocr_vector_db_spark.sources.ccitt import encode_g3
+
+        pix = bytes([0] * 8) * 4  # 4 all-white rows of 8
+        bits = "".join(f"{b:08b}" for b in encode_g3(pix, 8, 4, k=2))
+        eol = "000000000001"
+        # row0: EOL+1 + white-term-8 (10011); row1: EOL+0 + V0 (1)
+        assert bits.startswith(
+            eol + "1" + "10011" + eol + "0" + "1"
+            + eol + "1" + "10011" + eol + "0" + "1"
+        )
+
+    def test_round_trips_all_regimes(self):
+        import numpy as np
+
+        from ocr_vector_db_spark.sources.ccitt import decode_g3, encode_g3
+
+        rng = np.random.default_rng(11)
+        for w, h in [(1, 1), (5, 7), (64, 3), (130, 9), (1728, 2), (31, 31)]:
+            for density in (0.02, 0.5, 0.98):
+                pix = (rng.random((h, w)) < density).astype("u1").tobytes()
+                for k in (0, 1, 4):
+                    for ba in (False, True):
+                        enc = encode_g3(pix, w, h, k=k, byte_align=ba)
+                        assert decode_g3(
+                            enc, w, rows=h, k=k, byte_align=ba) == pix
+                        assert decode_g3(
+                            enc, w, rows=None, k=k, byte_align=ba) == pix
+
+    def test_missing_eols_still_decode(self):
+        """ISO 32000 /EndOfLine is false by default — a K=0 stream with
+        NO EOLs at all (runs back-to-back) must still decode when /Rows
+        bounds the loop."""
+        from ocr_vector_db_spark.sources.ccitt import (
+            _BitWriter,
+            decode_g3,
+        )
+
+        w = _BitWriter()
+        # two rows of width 8: (white 8) then (white 2, black 4, white 2)
+        w.write("10011")                    # white-term-8
+        w.write("0111" + "011" + "0111")    # 2w 4b 2w
+        out = decode_g3(w.bytes(), 8, rows=2, k=0)
+        assert out == bytes([0] * 8 + [0, 0, 1, 1, 1, 1, 0, 0])
+
+    def test_g3_xobjects_decode_in_every_k_regime(self):
+        """/CCITTFaxDecode K 0 and K 2 XObjects decode through the T.4
+        path with the ISO polarity pipeline (black -> gray 0)."""
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            extract_pdf_images,
+        )
+
+        w, h = 40, 12
+        pix = bytes(
+            1 if ((x + y) % 5 == 0) else 0
+            for y in range(h) for x in range(w)
+        )
+        want = bytes(0 if p else 255 for p in pix)
+        for k in (0, 2):
+            pdf = build_simple_pdf([[
+                {"kind": "image", "x": 50, "y": 300, "w": 200, "h": 60,
+                 "width": w, "height": h, "ccitt": True, "k": k,
+                 "pixels": pix},
+            ]])
+            imgs = extract_pdf_images(pdf)
+            assert len(imgs) == 1
+            img = imgs[0]
+            meta = img["metadata"]
+            assert (int(meta["width"]), int(meta["height"])) == (w, h)
+            assert meta["format"] == "raw"
+            assert img["data"] == want, f"K={k}"
+
+    def test_pymupdf_g3_parity_when_available(self):
+        """PyMuPDF parity gate (skips without fitz): K=0 and K=2 rasters
+        our T.4 codec decodes must match what fitz rasterizes from the
+        same embedded streams."""
+        import pytest
+
+        fitz = pytest.importorskip("fitz")
+
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            extract_pdf_images,
+        )
+
+        w, h = 64, 24
+        pix = bytes(1 if (x * 3 + y) % 11 < 4 else 0
+                    for y in range(h) for x in range(w))
+        for k in (0, 2):
+            pdf = build_simple_pdf([[
+                {"kind": "image", "x": 50, "y": 300, "w": 128, "h": 48,
+                 "width": w, "height": h, "ccitt": True, "k": k,
+                 "pixels": pix},
+            ]])
+            ours = extract_pdf_images(pdf)[0]["data"]
+            doc = fitz.open(stream=pdf, filetype="pdf")
+            xref = doc.get_page_images(0)[0][0]
+            pm = fitz.Pixmap(doc, xref)
+            if pm.colorspace and pm.colorspace.n > 1:
+                pm = fitz.Pixmap(fitz.csGRAY, pm)
+            assert bytes(pm.samples) == ours, f"K={k}"
