@@ -147,6 +147,9 @@ HEADLINE = [
     # persisted-tokenizer resume path (build+extend in warmup via the
     # session memo; timed runs read the ≤n_merges-row stored table)
     "q136_bpe_tokenizer_extend",
+    # PSI drift gate: one min/max pass + one binned count agg + a
+    # 10-row fold
+    "q137_psi_drift",
 ]
 
 

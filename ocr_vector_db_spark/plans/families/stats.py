@@ -1487,3 +1487,54 @@ def q136(spark, sf):
         tok.extend(_BPE_N_MERGES - _BPE_N_MERGES // 2)
         _PLAN_MEMO[key] = path
     return BPETokenizer.load(spark, _PLAN_MEMO[key]).merges_frame()
+
+
+@query(
+    "q137_psi_drift",
+    """
+    WITH base AS (
+        SELECT (doc_id % 2 = 0) AS a, CAST(n_chars AS BIGINT) AS v
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    ext AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM base),
+    binned AS (
+        SELECT a, CAST(((v - mn) * 10) // (mx - mn + 1) AS INT) AS bin
+        FROM base CROSS JOIN ext
+    ),
+    hist AS (
+        SELECT bin,
+               SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb FROM hist),
+    terms AS (
+        SELECT na, nb,
+               ROUND((pa - pb) * ln(pa / pb), 9) AS term
+        FROM (
+            SELECT na, nb,
+                   (ca + 0.5) / (na + 5.0) AS pa,
+                   (cb + 0.5) / (nb + 5.0) AS pb
+            FROM hist CROSS JOIN tot
+        )
+    )
+    SELECT MAX(na) AS n_a, MAX(nb) AS n_b, CAST(10 AS INT) AS n_bins,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS psi
+    FROM terms
+    """,
+)
+def q137(spark, sf):
+    """Population Stability Index between two corpus epochs (even vs odd
+    doc_id as the deterministic epoch split): the release-gate drift
+    monitor a training pipeline runs on every ingest — "did this batch's
+    length/quality distribution shift?". All-integer shared binning
+    ((v−min)·B div (max−min+1)), Laplace-smoothed probabilities, exact
+    decimal term sum — bit-portable across engines. One corpus pass for
+    min/max, one map-side-combinable (bin) count agg, PSI folds on the
+    10-row histogram. See operators/drift.py."""
+    from ocr_vector_db_spark.operators.drift import psi_report
+
+    d = load_table(spark, sf, "documents")
+    return psi_report(d, (F.col("doc_id") % 2 == 0), "n_chars", bins=10)

@@ -818,3 +818,42 @@ def test_stratified_sample_largest_remainder_and_exhaustion(spark):
     # total == corpus size → everything sampled (quota clamped to ns)
     full = sampling.stratified_sample(df, ["g"], 7, id_col="doc_id").collect()
     assert len(full) == 7
+
+
+def test_psi_report_hand_computed_and_invariances(spark):
+    import math
+
+    from ocr_vector_db_spark.operators.drift import psi_report
+
+    # hand-computed: A = {0..9} uniform, B = {0..4} only, bins=5,
+    # min=0 max=9 → bin = v*5 div 10 → two values per bin
+    rows = [(True, v) for v in range(10)] + [(False, v) for v in range(5)]
+    df = spark.createDataFrame(rows, "a boolean, v bigint")
+    got = psi_report(df, F.col("a"), "v", bins=5).head()
+    na, nb, B = 10, 5, 5
+    ca = [2] * 5
+    cb = [2, 2, 1, 0, 0]
+    want = 0.0
+    for i in range(B):
+        pa = (ca[i] + 0.5) / (na + B / 2)
+        pb = (cb[i] + 0.5) / (nb + B / 2)
+        want += round((pa - pb) * math.log(pa / pb), 9)
+    assert (got.n_a, got.n_b, got.n_bins) == (10, 5, 5)
+    assert got.psi == round(want, 6)
+
+    # identical slices → PSI exactly 0 (terms cancel bin by bin)
+    same = [(s, v) for s in (True, False) for v in range(20)]
+    z = psi_report(
+        spark.createDataFrame(same, "a boolean, v bigint"),
+        F.col("a"), "v", bins=4,
+    ).head()
+    assert z.psi == 0.0
+
+    # gross shift → PSI well past the 0.25 'shifted' threshold
+    shifted = [(True, v) for v in range(100)] + \
+              [(False, 900 + v) for v in range(100)]
+    s = psi_report(
+        spark.createDataFrame(shifted, "a boolean, v bigint"),
+        F.col("a"), "v", bins=10,
+    ).head()
+    assert s.psi > 0.25
