@@ -148,6 +148,53 @@ def merges_df(spark, merges: list[dict]) -> DataFrame:
     )
 
 
+# A column-expression replace chain adds one Catalyst node per merge:
+# fine for the oracle-sized tables the queries gate (tens of merges),
+# but a production 30k-merge tokenizer would build a 30k-deep expression
+# tree (plan-size blowup, codegen bailout — the round-6 CASE-WHEN
+# family). Past this bound, segmentation switches to an Arrow-batched
+# pandas pass over the DISTINCT-WORD relation — vocab-sized Python, not
+# corpus-sized, and proven byte-identical to the expression path.
+MAX_EXPR_MERGES = 256
+
+
+def _seg_counts_expr(words: DataFrame, merges: list[dict]) -> DataFrame:
+    """(w, n_sym) via the chained-literal-replace column expression."""
+    sym = to_symbols(F.col("w"))
+    for m in merges:
+        sym = apply_merge(sym, m["la"], m["lb"])
+    return words.select("w").distinct().select(
+        "w", F.size(_sym_array(sym)).alias("n_sym")
+    )
+
+
+def _seg_counts_pandas(words: DataFrame, merges: list[dict]) -> DataFrame:
+    """(w, n_sym) via one Arrow-batched pandas pass over the distinct
+    words — O(1) plan size at any merge count; the same literal
+    leftmost replace (str.replace), so output is byte-identical to
+    `_seg_counts_expr`."""
+    pairs = [(f"<{m['la']}><{m['lb']}>", f"<{m['la']}{m['lb']}>")
+             for m in merges]
+
+    def seg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            syms = pdf["w"].map(
+                lambda w: "<" + "><".join(w) + "><" + END + ">"
+            )
+            for old, new in pairs:
+                syms = syms.str.replace(old, new, regex=False)
+            yield pd.DataFrame({
+                "w": pdf["w"],
+                "n_sym": syms.str.count("<").astype("int64"),
+            })
+
+    return words.select("w").distinct().mapInPandas(
+        seg, "w string, n_sym bigint"
+    )
+
+
 def bpe_token_counts(
     docs: DataFrame,
     merges: list[dict],
@@ -158,20 +205,20 @@ def bpe_token_counts(
     merge table and count its BPE tokens.
 
     Each word occurrence contributes the symbol count of its merged
-    form, so the chained replaces run once per DISTINCT word (the
+    form, so the merge application runs once per DISTINCT word (the
     Heaps-sized vocabulary, broadcast back onto per-doc occurrence
-    counts) — never once per occurrence. Merge order is preserved."""
+    counts) — never once per occurrence. Merge order is preserved.
+    Merge tables past MAX_EXPR_MERGES segment through the Arrow-batched
+    pandas path (constant plan size) instead of the expression chain."""
     words = docs.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
         .alias("w"),
     ).filter(F.col("w") != "")
-    sym = to_symbols(F.col("w"))
-    for m in merges:
-        sym = apply_merge(sym, m["la"], m["lb"])
-    seg = words.select("w").distinct().select(
-        "w", F.size(_sym_array(sym)).alias("n_sym")
-    )
+    if len(merges) <= MAX_EXPR_MERGES:
+        seg = _seg_counts_expr(words, merges)
+    else:
+        seg = _seg_counts_pandas(words, merges)
     occ = words.groupBy(id_col, "w").agg(F.count("*").alias("occ"))
     return (
         occ.join(F.broadcast(seg), "w")

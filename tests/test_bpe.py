@@ -199,3 +199,34 @@ def test_cli_tokenizer_roundtrip(spark, tmp_path, capsys):
     assert cli.main(["tokenizer", "--store", store]) == 0
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 8 and lines[0].startswith("1\t")
+
+
+def test_pandas_segmentation_path_equals_expression_path(spark, tables):
+    """The constant-plan-size Arrow path (production merge tables past
+    MAX_EXPR_MERGES) must be byte-identical to the expression chain."""
+    from ocr_vector_db_spark.operators import bpe as bpe_mod
+    from ocr_vector_db_spark.operators.bpe import (
+        _seg_counts_expr,
+        _seg_counts_pandas,
+    )
+
+    docs = tables["documents"].limit(60)
+    merges, _ = bpe_train(docs, 15)
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w")
+    ).filter(F.col("w") != "")
+    a = {r.w: r.n_sym for r in _seg_counts_expr(words, merges).collect()}
+    b = {r.w: r.n_sym for r in _seg_counts_pandas(words, merges).collect()}
+    assert a == b
+
+    # the dispatch itself: force the pandas path and compare end-to-end
+    old = bpe_mod.MAX_EXPR_MERGES
+    try:
+        bpe_mod.MAX_EXPR_MERGES = 0
+        via_pandas = {r[0]: (r.n_words, r.n_bpe_tokens)
+                      for r in bpe_token_counts(docs, merges).collect()}
+    finally:
+        bpe_mod.MAX_EXPR_MERGES = old
+    via_expr = {r[0]: (r.n_words, r.n_bpe_tokens)
+                for r in bpe_token_counts(docs, merges).collect()}
+    assert via_pandas == via_expr
