@@ -150,6 +150,9 @@ HEADLINE = [
     # PSI drift gate: one min/max pass + one binned count agg + a
     # 10-row fold
     "q137_psi_drift",
+    # the persisted drift baseline (build in warmup; timed runs measure
+    # the O(batch + B) screen against the stored frozen-bin histogram)
+    "q138_psi_drift_baseline",
 ]
 
 

@@ -84,3 +84,176 @@ def psi_report(
             ).alias("psi"),
         )
     )
+
+
+def _clamped_bin(v: Column, vmin: Column, vmax: Column, bins: int) -> Column:
+    """`int_bin` with FROZEN bounds: out-of-range values clamp into the
+    edge bins (the production behavior — a baseline's bins never move
+    when a new batch exceeds the old range)."""
+    return F.least(
+        F.greatest(int_bin(v, vmin, vmax, bins), F.lit(0)),
+        F.lit(bins - 1),
+    )
+
+
+class DriftBaseline:
+    """Persisted PSI baseline — the production form of `psi_report`: the
+    historical corpus is summarized ONCE into a B-row frozen-bin
+    histogram under a generation pointer, and every incoming batch
+    screens against it at O(batch + B) — the historical data is never
+    rescanned. Bins are frozen at build time (out-of-range batch values
+    clamp into the edge bins, which is exactly how a shifted batch shows
+    up); `fold` merges an accepted batch's counts into the baseline
+    (same frozen bins) and publishes a new generation atomically, so the
+    baseline tracks the accepted corpus exactly like the MinHash/HLL
+    state tables. Single-writer contract, like every index in this
+    repo.
+
+    Layout: ``{path}/state/gen=N/`` holding one parquet of B rows
+    (bin, cnt) plus a 1-row meta (vmin, vmax, n_bins, n)."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    @property
+    def _root(self) -> str:
+        return f"{self.path}/state"
+
+    # ------------------------------------------------------------- build
+
+    @classmethod
+    def build(
+        cls, spark, df: DataFrame, value_col: str, path: str,
+        bins: int = 10,
+    ) -> "DriftBaseline":
+        from ocr_vector_db_spark.operators.index_maint import (
+            commit_generation,
+            init_generation,
+        )
+
+        base = df.filter(F.col(value_col).isNotNull()).select(
+            F.col(value_col).cast("bigint").alias("_v")
+        )
+        ext = base.agg(
+            F.min("_v").alias("_mn"), F.max("_v").alias("_mx"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        hist = (
+            base.join(F.broadcast(ext))
+            .groupBy(
+                int_bin(F.col("_v"), F.col("_mn"), F.col("_mx"), bins)
+                .alias("bin")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        meta = ext.select(
+            F.col("_mn").alias("vmin"), F.col("_mx").alias("vmax"),
+            F.lit(bins).cast("int").alias("n_bins"),
+            F.col("_n").cast("bigint").alias("n"),
+        )
+        bl = cls(spark, path)
+        n_gen, dest = init_generation(spark, bl._root)
+        hist.coalesce(1).write.mode("overwrite").parquet(f"{dest}/hist")
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{dest}/meta")
+        commit_generation(spark, bl._root, n_gen)
+        return bl
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DriftBaseline":
+        return cls(spark, path)
+
+    def _sub(self, sub: str) -> DataFrame:
+        from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+        return self.spark.read.parquet(
+            f"{current_gen_dir(self.spark, self._root)}/{sub}"
+        )
+
+    # ------------------------------------------------------------ screen
+
+    def _batch_hist(self, batch: DataFrame, value_col: str) -> DataFrame:
+        meta = self._sub("meta")
+        return (
+            batch.filter(F.col(value_col).isNotNull())
+            .select(F.col(value_col).cast("bigint").alias("_v"))
+            .join(F.broadcast(meta))
+            .groupBy(
+                _clamped_bin(
+                    F.col("_v"), F.col("vmin"), F.col("vmax"),
+                    int(meta.head().n_bins),
+                ).alias("bin")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    def psi_of(self, batch: DataFrame, value_col: str) -> DataFrame:
+        """One row — (n_base, n_batch, n_bins, psi) — for the batch's
+        drift against the stored baseline (frozen bins, Laplace
+        smoothing, exact decimal term sum: `psi_report`'s math)."""
+        meta = self._sub("meta").head()
+        bins = int(meta.n_bins)
+        full = self.spark.range(bins).select(F.col("id").cast("int")
+                                             .alias("bin"))
+        a = self._sub("hist").withColumnRenamed("cnt", "_ca")
+        b = self._batch_hist(batch, value_col).withColumnRenamed(
+            "cnt", "_cb"
+        )
+        hist = (
+            full.join(a, "bin", "left").join(b, "bin", "left")
+            .select(
+                "bin",
+                F.coalesce("_ca", F.lit(0)).alias("_ca"),
+                F.coalesce("_cb", F.lit(0)).alias("_cb"),
+            )
+        )
+        tot = hist.agg(
+            F.sum("_ca").cast("bigint").alias("_na"),
+            F.sum("_cb").cast("bigint").alias("_nb"),
+        )
+        half_b = bins / 2.0
+        pa = (F.col("_ca") + F.lit(0.5)) / (F.col("_na") + F.lit(half_b))
+        pb = (F.col("_cb") + F.lit(0.5)) / (F.col("_nb") + F.lit(half_b))
+        term = F.round((pa - pb) * F.log(pa / pb), 9)
+        return (
+            hist.join(F.broadcast(tot))
+            .agg(
+                F.max("_na").alias("n_base"),
+                F.max("_nb").alias("n_batch"),
+                F.lit(bins).cast("int").alias("n_bins"),
+                F.round(
+                    F.sum(term.cast("decimal(28,9)")).cast("double"), 6
+                ).alias("psi"),
+            )
+        )
+
+    # -------------------------------------------------------------- fold
+
+    def fold(self, batch: DataFrame, value_col: str) -> "DriftBaseline":
+        """Merge an ACCEPTED batch into the baseline (frozen bins; counts
+        add, n grows, bounds stay) and publish a new generation
+        atomically. O(batch + B); replaying the same batch is a caller
+        concern (pair with the epoch ledger, like every fold here)."""
+        from ocr_vector_db_spark.operators.index_maint import (
+            commit_generation,
+            gc_generations,
+            next_gen_dir,
+        )
+
+        merged = (
+            self._sub("hist")
+            .unionByName(self._batch_hist(batch, value_col))
+            .groupBy("bin")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+        n_add = batch.filter(F.col(value_col).isNotNull()).count()
+        meta = self._sub("meta").select(
+            "vmin", "vmax", "n_bins",
+            (F.col("n") + F.lit(n_add)).cast("bigint").alias("n"),
+        )
+        n_gen, dest = next_gen_dir(self.spark, self._root)
+        merged.coalesce(1).write.mode("overwrite").parquet(f"{dest}/hist")
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{dest}/meta")
+        commit_generation(self.spark, self._root, n_gen)
+        gc_generations(self.spark, self._root)
+        return self

@@ -1538,3 +1538,76 @@ def q137(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return psi_report(d, (F.col("doc_id") % 2 == 0), "n_chars", bins=10)
+
+
+@query(
+    "q138_psi_drift_baseline",
+    """
+    WITH basec AS (
+        SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+        WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+    ),
+    ext AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM basec),
+    ha AS (
+        SELECT CAST(((v - mn) * 10) // (mx - mn + 1) AS INT) AS bin,
+               COUNT(*) AS ca
+        FROM basec CROSS JOIN ext GROUP BY 1
+    ),
+    batch AS (
+        SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+        WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+    ),
+    hb AS (
+        SELECT LEAST(GREATEST(
+                   CAST(((v - mn) * 10) // (mx - mn + 1) AS INT), 0), 9)
+                   AS bin,
+               COUNT(*) AS cb
+        FROM batch CROSS JOIN ext GROUP BY 1
+    ),
+    bins AS (SELECT CAST(u AS INT) AS bin
+             FROM unnest(range(0, 10)) AS t(u)),
+    hist AS (
+        SELECT bin, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM bins LEFT JOIN ha USING (bin) LEFT JOIN hb USING (bin)
+    ),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb FROM hist),
+    terms AS (
+        SELECT na, nb, ROUND((pa - pb) * ln(pa / pb), 9) AS term
+        FROM (
+            SELECT na, nb,
+                   (ca + 0.5) / (na + 5.0) AS pa,
+                   (cb + 0.5) / (nb + 5.0) AS pb
+            FROM hist CROSS JOIN tot
+        )
+    )
+    SELECT MAX(na) AS n_base, MAX(nb) AS n_batch, CAST(10 AS INT) AS n_bins,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS psi
+    FROM terms
+    """,
+)
+def q138(spark, sf):
+    """The PSI gate in its PRODUCTION shape (operators/drift.py::
+    DriftBaseline): the historical corpus (even doc_ids) is summarized
+    once into a persisted frozen-bin histogram under a generation
+    pointer, and the incoming batch (odd doc_ids) screens against it at
+    O(batch + B) — no historical rescan, out-of-range values clamp into
+    the edge bins, empty bins participate through Laplace smoothing. The
+    oracle recomputes baseline + screen from raw data, so the persisted
+    path must be bit-identical to the from-scratch formulation."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.drift import DriftBaseline
+
+    d = load_table(spark, sf, "documents")
+    key = (spark.sparkContext.applicationId, sf, "q138_baseline_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="driftbl_")
+        DriftBaseline.build(
+            spark, d.filter(F.col("doc_id") % 2 == 0), "n_chars", path,
+            bins=10,
+        )
+        _PLAN_MEMO[key] = path
+    bl = DriftBaseline.load(spark, _PLAN_MEMO[key])
+    return bl.psi_of(d.filter(F.col("doc_id") % 2 == 1), "n_chars")

@@ -857,3 +857,36 @@ def test_psi_report_hand_computed_and_invariances(spark):
         F.col("a"), "v", bins=10,
     ).head()
     assert s.psi > 0.25
+
+
+def test_drift_baseline_fold_and_frozen_bins(spark, tmp_path):
+    from ocr_vector_db_spark.operators.drift import DriftBaseline
+    from ocr_vector_db_spark.operators.index_maint import (
+        committed_generations,
+    )
+
+    base = spark.createDataFrame(
+        [(v,) for v in range(100)], "n_chars bigint"
+    )
+    path = str(tmp_path / "bl")
+    bl = DriftBaseline.build(spark, base, "n_chars", path, bins=10)
+
+    # self-screen: folding the EXACT baseline distribution → psi 0
+    r = bl.psi_of(base, "n_chars").head()
+    assert (r.n_base, r.n_batch, r.psi) == (100, 100, 0.0)
+
+    # out-of-range batch clamps into edge bins (bins frozen at build)
+    hot = spark.createDataFrame(
+        [(v,) for v in range(1000, 1050)], "n_chars bigint"
+    )
+    r2 = bl.psi_of(hot, "n_chars").head()
+    assert r2.n_batch == 50 and r2.psi > 0.25  # gross shift flagged
+
+    # fold: counts add under frozen bins, generations advance + GC
+    bl.fold(base, "n_chars")
+    assert committed_generations(spark, path + "/state") == [1, 2]
+    r3 = bl.psi_of(base, "n_chars").head()
+    assert r3.n_base == 200 and r3.psi == 0.0  # doubled counts, same mix
+    bl.fold(hot, "n_chars")
+    assert committed_generations(spark, path + "/state") == [2, 3]
+    assert bl.psi_of(base, "n_chars").head().n_base == 250
