@@ -567,6 +567,28 @@ def cmd_stream_ingest(args) -> int:
             vocab_sketch = HLLSketch.build(
                 spark, empty, hll_path, F.col("text"), p=12
             )
+    drift_bl = None
+    if getattr(args, "drift_baseline", False):
+        from pyspark.sql import functions as F
+
+        from ocr_vector_db_spark.operators.drift import DriftBaseline
+
+        bl_path = os.path.join(args.store, "drift_bl")
+        if fs_exists(spark, os.path.join(bl_path, "state")):
+            drift_bl = DriftBaseline.load(spark, bl_path)
+        else:
+            acc_path = os.path.join(args.store, "accepted")
+            if not fs_exists(spark, acc_path):
+                print("[error] --drift-baseline needs either an existing "
+                      "baseline or an accepted corpus to seed one — run "
+                      "a plain `stream-ingest` pass first")
+                return 1
+            seed = (spark.read.option("basePath", acc_path)
+                    .option("mergeSchema", "true").parquet(acc_path)
+                    .select(F.length("text").alias("__dv")))
+            drift_bl = DriftBaseline.build(spark, seed, "__dv", bl_path)
+            print(f"[stream-ingest] seeded drift baseline from the "
+                  f"accepted corpus at {bl_path}")
     stats: list = []
     q = stream_ingest_deduped(
         spark.readStream.schema("doc_id long, text string")
@@ -587,6 +609,7 @@ def cmd_stream_ingest(args) -> int:
         semantic_branches=getattr(args, "semantic_branches", None),
         lm_gate=lm_gate,
         vocab_sketch=vocab_sketch,
+        drift_baseline=drift_bl,
     )
     q.awaitTermination()
     acc = sum(s["accepted"] for s in stats)
@@ -599,6 +622,11 @@ def cmd_stream_ingest(args) -> int:
     if vocab_sketch is not None:
         print(f"[stream-ingest] running vocabulary estimate: "
               f"{vocab_sketch.estimate():.0f} distinct tokens")
+    if drift_bl is not None:
+        for s_ in stats:
+            if "psi" in s_:
+                print(f"[stream-ingest] epoch {s_['epoch']} arrival "
+                      f"PSI vs baseline: {s_['psi']:.6f}")
     return 0
 
 
@@ -945,6 +973,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drop docs whose bigram-LM cross-entropy falls "
                          "outside [LO, HI] (CCNet-style quality filter; "
                          "needs `lm-index --build` first)")
+    sp.add_argument("--drift-baseline", action="store_true",
+                    help="screen each epoch's arrivals against the "
+                         "store's persisted length-distribution PSI "
+                         "baseline (seeded from the accepted corpus on "
+                         "first use) and fold accepted docs in")
     sp.add_argument("--vocab-sketch", action="store_true",
                     help="fold each accepted batch's tokens into the "
                          "store's running HLL vocabulary sketch "

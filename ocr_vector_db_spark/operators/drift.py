@@ -151,6 +151,7 @@ class DriftBaseline:
             F.col("_mn").alias("vmin"), F.col("_mx").alias("vmax"),
             F.lit(bins).cast("int").alias("n_bins"),
             F.col("_n").cast("bigint").alias("n"),
+            F.lit(-1).cast("bigint").alias("last_epoch"),
         )
         bl = cls(spark, path)
         n_gen, dest = init_generation(spark, bl._root)
@@ -229,17 +230,25 @@ class DriftBaseline:
 
     # -------------------------------------------------------------- fold
 
-    def fold(self, batch: DataFrame, value_col: str) -> "DriftBaseline":
+    def fold(
+        self, batch: DataFrame, value_col: str, epoch: int | None = None,
+    ) -> "DriftBaseline":
         """Merge an ACCEPTED batch into the baseline (frozen bins; counts
         add, n grows, bounds stay) and publish a new generation
-        atomically. O(batch + B); replaying the same batch is a caller
-        concern (pair with the epoch ledger, like every fold here)."""
+        atomically. O(batch + B). Count folds are NOT idempotent (unlike
+        the HLL's register MAX), so streaming callers pass the epoch id:
+        `epoch <= meta.last_epoch` makes the fold a no-op — a crashed
+        epoch's retry cannot double-count (single-writer, epochs
+        monotone)."""
         from ocr_vector_db_spark.operators.index_maint import (
             commit_generation,
             gc_generations,
             next_gen_dir,
         )
 
+        prev = self._sub("meta").head()
+        if epoch is not None and epoch <= int(prev.last_epoch):
+            return self  # replayed epoch: already folded
         merged = (
             self._sub("hist")
             .unionByName(self._batch_hist(batch, value_col))
@@ -247,9 +256,11 @@ class DriftBaseline:
             .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         )
         n_add = batch.filter(F.col(value_col).isNotNull()).count()
+        new_epoch = int(prev.last_epoch) if epoch is None else epoch
         meta = self._sub("meta").select(
             "vmin", "vmax", "n_bins",
             (F.col("n") + F.lit(n_add)).cast("bigint").alias("n"),
+            F.lit(new_epoch).cast("bigint").alias("last_epoch"),
         )
         n_gen, dest = next_gen_dir(self.spark, self._root)
         merged.coalesce(1).write.mode("overwrite").parquet(f"{dest}/hist")

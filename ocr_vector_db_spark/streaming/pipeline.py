@@ -264,6 +264,7 @@ def stream_ingest_deduped(
     sample=None,
     lm_gate=None,
     vocab_sketch=None,
+    drift_baseline=None,
 ):
     """Streaming ingestion with incremental near-dup gating — the streaming
     twin of q105. Each micro-batch:
@@ -351,7 +352,18 @@ def stream_ingest_deduped(
     CONTENT-idempotent (MAX of a deterministic hash), so replays and the
     crash-window re-fold (from the epoch's own sink slice, like `sample`)
     can never move a register. Tokenization is the corpus-stats splitter
-    (lower, [^a-z0-9]+), matching q128's oracle."""
+    (lower, [^a-z0-9]+), matching q128's oracle.
+
+    `drift_baseline` (an `operators/drift.DriftBaseline` over document
+    LENGTH, i.e. length(text_col)) turns the PSI gate into a streaming
+    monitor: each epoch's INCOMING batch screens against the stored
+    frozen-bin histogram (O(batch + B), the per-epoch `psi` lands in
+    `stats`) and the ACCEPTED docs fold in afterwards with the epoch id
+    as the replay guard — count folds are not idempotent, so
+    `fold(epoch=...)` no-ops on a crashed epoch's retry instead of
+    double-counting. Monitoring reads arrivals (pre-gate: you want to
+    see the shift even in what you then drop); the baseline tracks
+    accepted docs only."""
     import os as _os
 
     from ocr_vector_db_spark.operators.dedup import minhash_dropped_ids
@@ -389,6 +401,14 @@ def stream_ingest_deduped(
         caches = [batch_df]
         try:
             n_in = batch_df.count()
+            epoch_psi = None
+            if drift_baseline is not None:
+                # monitor ARRIVALS (pre-gate): a shifted batch should
+                # show up even if the gates then drop it
+                epoch_psi = float(drift_baseline.psi_of(
+                    batch_df.select(F.length(text_col).alias("__dv")),
+                    "__dv",
+                ).head().psi)
             if lm_gate is not None:
                 # LM quality band BEFORE the dedup gates: cheaper work
                 # first, and a dropped doc must not fold into any index
@@ -499,6 +519,27 @@ def stream_ingest_deduped(
                 if vocab_sketch is not None:
                     vocab_sketch.add(_stream_tokens(fresh, text_col),
                                      F.col("__tok"))
+                if drift_baseline is not None:
+                    # epoch id = the replay guard (count folds are not
+                    # idempotent; epoch <= last_epoch no-ops)
+                    drift_baseline.fold(
+                        fresh.select(F.length(text_col).alias("__dv")),
+                        "__dv", epoch=epoch_id,
+                    )
+            if guarded and drift_baseline is not None:
+                # crash window: died between sink write and fold. The
+                # epoch guard makes this a no-op when the fold landed.
+                epoch_rows = getattr(accepted_sink, "read_epoch", None)
+                epoch_rows = epoch_rows and epoch_rows(
+                    batch_df.sparkSession, epoch_id
+                )
+                if epoch_rows is not None and text_col in epoch_rows.columns:
+                    drift_baseline.fold(
+                        epoch_rows.select(
+                            F.length(text_col).alias("__dv")
+                        ),
+                        "__dv", epoch=epoch_id,
+                    )
             if guarded and vocab_sketch is not None:
                 # same crash window as the sample fold below: re-fold the
                 # epoch's sink slice; register MAX makes it a no-op when
@@ -551,6 +592,8 @@ def stream_ingest_deduped(
                          "dropped_as_dup": n_quality - n_accepted}
                 if lm_gate is not None:
                     entry["dropped_low_quality"] = n_in - n_quality
+                if epoch_psi is not None:
+                    entry["psi"] = epoch_psi
                 stats.append(entry)
         finally:
             for c in caches:

@@ -425,3 +425,48 @@ def test_cli_stream_ingest_vocab_sketch(spark, tmp_path, capsys):
     )
     sk = HLLSketch.load(spark, _os.path.join(store, "vocab_hll"))
     assert sorted((r.bucket, r.r) for r in sk.registers().collect()) == want
+
+
+def test_cli_stream_ingest_drift_baseline(spark, tmp_path, capsys):
+    """stream-ingest --drift-baseline seeds the store's PSI baseline from
+    the accepted corpus on first use, then screens later runs' arrivals
+    against it (per-epoch PSI lines) and folds accepted docs in."""
+    import json as _json
+
+    from ocr_vector_db_spark.operators.drift import DriftBaseline
+
+    src = tmp_path / "db_src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    with open(src / "a.json", "w") as fh:
+        for i in range(4):
+            fh.write(_json.dumps(
+                {"doc_id": i,
+                 "text": f"wholly distinct narrative {i} covering theme "
+                         f"{i * 13} in original words {i * 7}"}) + "\n")
+    # first pass (no flag): builds the accepted corpus
+    assert cli.main(["stream-ingest", "--store", store, "--source",
+                     str(src), "--threshold", "0.6", "--buckets", "8"]) == 0
+    capsys.readouterr()
+    # second pass with the flag but no new docs: seeds the baseline
+    assert cli.main(["stream-ingest", "--store", store, "--source",
+                     str(src), "--threshold", "0.6", "--buckets", "8",
+                     "--drift-baseline"]) == 0
+    out = capsys.readouterr().out
+    assert "seeded drift baseline" in out
+    n0 = DriftBaseline.load(spark, store + "/drift_bl")._sub("meta").head().n
+    assert n0 == 4
+    # third pass: new docs screen against the baseline and fold in
+    with open(src / "b.json", "w") as fh:
+        for i in range(10, 13):
+            fh.write(_json.dumps(
+                {"doc_id": i,
+                 "text": f"entirely different subject {i} with fresh "
+                         f"vocabulary {i * 31} and unrelated topics"}) + "\n")
+    assert cli.main(["stream-ingest", "--store", store, "--source",
+                     str(src), "--threshold", "0.6", "--buckets", "8",
+                     "--drift-baseline"]) == 0
+    out = capsys.readouterr().out
+    assert "arrival PSI vs baseline" in out
+    n1 = DriftBaseline.load(spark, store + "/drift_bl")._sub("meta").head().n
+    assert n1 == 4 + 3

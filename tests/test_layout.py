@@ -67,14 +67,17 @@ def test_inventory_family_split_preserves_registration():
     silently change which stale queries get re-verified."""
     from ocr_vector_db_spark.plans.inventory import ORACLES, QUERIES
 
-    assert len(QUERIES) == 127 and len(ORACLES) == 127
+    assert len(QUERIES) == 138 and len(ORACLES) == 138
     keys = list(QUERIES)
     # section anchors in the original registration order
     assert keys[0] == "q01_pricing_summary_agg"
     assert keys.index("q16_knn_bruteforce_cosine") == 15
     assert keys.index("q35_ingest_pipeline") < keys.index("q40_rollup_agg")
     assert keys.index("q86_pdf_ingest") < keys.index("q89_bm25_topk")
-    assert keys[-1] == "q112_dense_dropped_intra_batch"
+    assert keys.index("q132_bpe_train_merges") < keys.index(
+        "q138_psi_drift_baseline"
+    ) < keys.index("q119_weighted_sample")  # stats hub imports first
+    assert keys[-1] == "q131_phrase_search_positional"
     # every registered query has an oracle (rows-only checks excepted by
     # construction: none currently)
     assert set(ORACLES) == set(QUERIES)

@@ -986,3 +986,87 @@ def test_stream_ingest_vocab_sketch(spark, tmp_path):
         ).collect()
     )
     assert sorted((r.bucket, r.r) for r in sk2.registers().collect()) == want2
+
+
+def test_stream_ingest_drift_baseline(spark, tmp_path):
+    """PSI drift baseline wired into the ingest gate: per-epoch arrival
+    PSI lands in stats, accepted docs fold in epoch-guarded (a crashed
+    epoch's retry repairs from the sink slice without double-counting),
+    and the final counts equal a scratch fold over the accepted corpus."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.operators.drift import DriftBaseline
+    from ocr_vector_db_spark.operators.index_maint import EpochLedger
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
+
+    texts = {
+        i: f"document {i} with distinct prose about topic {i * 37} and "
+           f"sufficient words {'x' * (i % 5)} to hash on"
+        for i in range(1, 7)
+    }
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    idx = MinHashIndex.build(spark, empty, str(tmp_path / "mh"), 16, 4, 2, 8)
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted"))
+    seed = spark.createDataFrame(
+        [(len(t),) for t in texts.values()], "n_chars bigint"
+    )
+    bl = DriftBaseline.build(spark, seed, "n_chars",
+                             str(tmp_path / "bl"), bins=4)
+    base_n = bl._sub("meta").head().n
+    ledger = EpochLedger(spark, str(tmp_path / "ledger"))
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    stats: list = []
+
+    for e, ids in enumerate([(1, 2), (3, 4)]):
+        with open(src / f"b{e}.json", "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps(
+                    {"doc_id": i, "text": texts[i]}) + "\n")
+        q = stream_ingest_deduped(
+            spark.readStream.schema(schema).json(str(src)), idx, sink,
+            threshold=0.6, checkpoint=ckpt, ledger=ledger,
+            drift_baseline=bl, stats=stats,
+        )
+        q.awaitTermination(60)
+
+    # every epoch reported a PSI against the seed distribution
+    assert [s["epoch"] for s in stats] == [0, 1]
+    assert all("psi" in s and s["psi"] >= 0.0 for s in stats)
+    # accepted docs folded in: n grew by exactly the 4 accepted docs
+    meta = bl._sub("meta").head()
+    assert meta.n == base_n + 4 and meta.last_epoch == 1
+    # folded hist ≡ scratch: seed + accepted lengths under frozen bins
+    accepted = sink.read(spark)
+    lens = accepted.select(F.length("text").alias("__dv"))
+    scratch = DriftBaseline.build(spark, seed, "n_chars",
+                                  str(tmp_path / "bl_s"), bins=4)
+    scratch.fold(lens, "__dv")
+    a = sorted((r.bin, r.cnt) for r in bl._sub("hist").collect())
+    b = sorted((r.bin, r.cnt) for r in scratch._sub("hist").collect())
+    assert a == b
+
+    # replayed epoch: fold is a no-op (epoch guard), psi still reported
+    with open(src / "b0.json", "w") as fh:  # rewrite same file: no new data
+        for i in (1, 2):
+            fh.write(_json.dumps({"doc_id": i, "text": texts[i]}) + "\n")
+    n_before = bl._sub("meta").head().n
+    # crash-window shape: mark epoch started-not-committed with sink rows
+    # already landed — the guarded retry must NOT double-count
+    batch = spark.createDataFrame(
+        [(9, texts[5])], "doc_id long, text string"
+    )
+    sink.write(batch, 7)
+    ledger.mark_started(7)
+    bl.fold(batch.select(F.length("text").alias("__dv")), "__dv", epoch=7)
+    # retry of epoch 7 re-folds from the sink slice: guard no-ops it
+    bl.fold(batch.select(F.length("text").alias("__dv")), "__dv", epoch=7)
+    assert bl._sub("meta").head().n == n_before + 1
