@@ -243,6 +243,9 @@ def cmd_maintain(args) -> int:
     from ocr_vector_db_spark.operators.ivfpq import IVFPQIndex
     from ocr_vector_db_spark.operators.lexical_index import LexicalIndex
     from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.operators.ngram_lm_index import NgramLMIndex
+    from ocr_vector_db_spark.operators.phrase_index import PositionalIndex
+    from ocr_vector_db_spark.operators.simhash_index import SimHashIndex
 
     kinds = {
         "ivf": (IVFIndex, ["vectors"]),
@@ -251,6 +254,9 @@ def cmd_maintain(args) -> int:
         "mhidx": (MinHashIndex, ["bands", "signatures"]),  # stream-ingest's
         "semidx": (IVFIndex, ["vectors"]),  # the dense ingestion gate
         "ivfpq": (IVFPQIndex, ["codes"]),
+        "lmidx": (NgramLMIndex, ["pairs", "unigrams"]),  # lm-index's
+        "simhash": (SimHashIndex, ["bands", "signatures"]),
+        "posidx": (PositionalIndex, ["postings"]),
     }
     from ocr_vector_db_spark.operators.index_maint import fs_exists
 

@@ -470,3 +470,25 @@ def test_cli_stream_ingest_drift_baseline(spark, tmp_path, capsys):
     assert "arrival PSI vs baseline" in out
     n1 = DriftBaseline.load(spark, store + "/drift_bl")._sub("meta").head().n
     assert n1 == 4 + 3
+
+
+def test_cli_maintain_covers_round9_indexes(spark, tmp_path, capsys):
+    """maintain compacts the LM, SimHash and positional indexes too."""
+    from ocr_vector_db_spark.operators.ngram_lm_index import NgramLMIndex
+    from ocr_vector_db_spark.operators.phrase_index import PositionalIndex
+    from ocr_vector_db_spark.operators.simhash_index import SimHashIndex
+
+    store = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [(i, f"some repeated prose about topic {i} and filler words "
+             f"{'unique' + str(i * 7)}") for i in range(1, 6)],
+        "doc_id bigint, text string",
+    )
+    NgramLMIndex.build(spark, docs, store + "/lmidx", n_buckets=4)
+    SimHashIndex.build(spark, docs, store + "/simhash", n_buckets=4)
+    PositionalIndex.build(spark, docs, store + "/posidx", n_buckets=4)
+    assert cli.main(["maintain", "--store", store, "--dim", "16"]) == 0
+    out = capsys.readouterr().out
+    assert "[maintain] lmidx:" in out
+    assert "[maintain] simhash:" in out
+    assert "[maintain] posidx:" in out
