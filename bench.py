@@ -153,6 +153,9 @@ HEADLINE = [
     # the persisted drift baseline (build in warmup; timed runs measure
     # the O(batch + B) screen against the stored frozen-bin histogram)
     "q138_psi_drift_baseline",
+    # exact KS drift: distinct-value histogram + bucketed prefix-sum
+    # ECDFs (no global sort)
+    "q139_ks_drift",
 ]
 
 

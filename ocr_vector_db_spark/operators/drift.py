@@ -268,3 +268,52 @@ class DriftBaseline:
         commit_generation(self.spark, self._root, n_gen)
         gc_generations(self.spark, self._root)
         return self
+
+
+def ks_report(
+    df: DataFrame,
+    slice_col: Column,
+    value_col: str,
+) -> DataFrame:
+    """One row — (n_a, n_b, n_values, ks) — the exact two-sample
+    Kolmogorov-Smirnov statistic between the two slices: the unbinned
+    complement to `psi_report` (PSI sees only bin mass; KS is the sup of
+    the ECDF gap, sensitive to shape at any resolution). max_v |F_a(v) −
+    F_b(v)| evaluated at every distinct value — exact, not sampled.
+
+    Scale shape: the corpus collapses to the DISTINCT-VALUE histogram
+    (one map-side-combinable agg — the only corpus shuffle); the running
+    ECDFs come from `ranking.global_prefix_sums` (cutpoint buckets +
+    per-bucket window + broadcast offsets — NO global sort, the q61
+    machinery); the sup is one max-agg. Engine-portable: cumulative
+    counts are exact bigints, the two ECDF divisions are the same IEEE
+    double op on both engines, final rounds to 6 dp."""
+    from ocr_vector_db_spark.operators.ranking import global_prefix_sums
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        slice_col.alias("_a"), F.col(value_col).cast("bigint").alias("_v")
+    )
+    hist = base.groupBy("_v").agg(
+        F.sum(F.when(F.col("_a"), 1).otherwise(0)).cast("bigint")
+        .alias("_ca"),
+        F.sum(F.when(F.col("_a"), 0).otherwise(1)).cast("bigint")
+        .alias("_cb"),
+    )
+    cum = global_prefix_sums(hist, "_v", ["_ca", "_cb"])
+    tot = hist.agg(
+        F.sum("_ca").cast("bigint").alias("_na"),
+        F.sum("_cb").cast("bigint").alias("_nb"),
+    )
+    gap = F.abs(
+        F.col("cum__ca").cast("double") / F.col("_na").cast("double")
+        - F.col("cum__cb").cast("double") / F.col("_nb").cast("double")
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .agg(
+            F.max("_na").alias("n_a"),
+            F.max("_nb").alias("n_b"),
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.round(F.max(gap), 6).alias("ks"),
+        )
+    )

@@ -232,3 +232,69 @@ def exact_ntile(
     return ranked.withColumn(
         out_col, ntile_from_rank(F.col("_grn"), F.col("_gtot"), n_buckets)
     ).drop("_grn", "_gtot")
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    key: str,
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running SUM(col) OVER (ORDER BY key) for each of ``sum_cols``
+    — `global_row_number`'s machinery generalized from counting rows to
+    summing columns, with the same shape: cutpoint-bucket the key (one
+    hash shuffle, never a global sort), per-bucket window cumsums, and a
+    broadcast prefix-sum of the ≤B-row bucket totals. Output columns are
+    ``cum_<name>`` (bigint). ``key`` must be a total order within the
+    rows (callers aggregate to distinct keys first — running an ECDF
+    over a value histogram is the intended use) and carries
+    `global_row_number`'s type restriction."""
+    from ocr_vector_db_spark.operators.retrieval import bounded_window
+
+    spark = df.sparkSession
+    dtype = _check_leading_key(df, key)
+    helpers = {"_bid"} | {
+        f"{p}{c}" for c in sum_cols for p in ("_l", "_t", "_o", "cum_")
+    }
+    clash = helpers & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_prefix_sums: input columns {sorted(clash)} collide "
+            "with internal helper names; rename them first."
+        )
+    n_buckets = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    n_buckets = min(n_buckets, MAX_RANGE_BUCKETS)
+    cuts = _bucket_cutpoints(df, key, dtype, n_buckets)
+    local = df.withColumn("_bid", _bucket_id(key, dtype, cuts))
+    w_local = (
+        Window.partitionBy("_bid").orderBy(F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in sum_cols:
+        local = local.withColumn(
+            f"_l{c}", F.sum(F.col(c)).over(w_local).cast("bigint")
+        )
+    totals = local.groupBy("_bid").agg(
+        *[F.sum(c).cast("bigint").alias(f"_t{c}") for c in sum_cols]
+    )
+    w_prev = bounded_window(F.col("_bid"), F.col("_bid")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_bid",
+        *[
+            F.coalesce(F.sum(f"_t{c}").over(w_prev), F.lit(0))
+            .cast("bigint").alias(f"_o{c}")
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "_bid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", (F.col(f"_l{c}") + F.col(f"_o{c}")).cast("bigint")
+        )
+    drop = ["_bid"] + [f"_l{c}" for c in sum_cols] \
+        + [f"_o{c}" for c in sum_cols]
+    return out.drop(*drop)

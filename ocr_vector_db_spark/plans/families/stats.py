@@ -1611,3 +1611,46 @@ def q138(spark, sf):
         _PLAN_MEMO[key] = path
     bl = DriftBaseline.load(spark, _PLAN_MEMO[key])
     return bl.psi_of(d.filter(F.col("doc_id") % 2 == 1), "n_chars")
+
+
+@query(
+    "q139_ks_drift",
+    """
+    WITH base AS (
+        SELECT (doc_id % 2 = 0) AS a, CAST(n_chars AS BIGINT) AS v
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    hist AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM base GROUP BY v
+    ),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb FROM hist),
+    cum AS (
+        SELECT SUM(ca) OVER (ORDER BY v) AS cuma,
+               SUM(cb) OVER (ORDER BY v) AS cumb
+        FROM hist
+    )
+    SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                       - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))), 6)
+               AS ks
+    FROM cum CROSS JOIN tot
+    """,
+)
+def q139(spark, sf):
+    """Exact two-sample Kolmogorov-Smirnov drift between two corpus
+    epochs (even vs odd doc_id): sup_v |F_a(v) − F_b(v)| over EVERY
+    distinct value — the unbinned complement to q137's PSI, sensitive to
+    shape at any resolution. The corpus collapses to its distinct-value
+    histogram (the only corpus shuffle); both running ECDFs come from
+    ranking.global_prefix_sums — the q61 cutpoint-bucket machinery
+    generalized to running sums, so NO global sort exists anywhere in
+    the plan. See operators/drift.py::ks_report."""
+    from ocr_vector_db_spark.operators.drift import ks_report
+
+    d = load_table(spark, sf, "documents")
+    return ks_report(d, (F.col("doc_id") % 2 == 0), "n_chars")

@@ -202,3 +202,56 @@ def test_ntile_from_rank_exact_beyond_double_precision(spark):
         return rem + -(-(rn - rem * (q + 1)) // q)
 
     assert rows == {(rn, ref(rn)) for rn in (big, big - 1, 1, big // 2)}
+
+
+def test_global_prefix_sums_matches_window_oracle(spark):
+    from pyspark.sql import Window
+
+    from ocr_vector_db_spark.operators.ranking import global_prefix_sums
+
+    import random
+
+    random.seed(3)
+    rows = [(v, random.randint(0, 9), random.randint(0, 9))
+            for v in random.sample(range(10_000), 500)]
+    df = spark.createDataFrame(rows, "v bigint, x bigint, y bigint")
+    got = {
+        r.v: (r.cum_x, r.cum_y)
+        for r in global_prefix_sums(df, "v", ["x", "y"],
+                                    num_partitions=16).collect()
+    }
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.v: (r.cx, r.cy)
+        for r in df.select(
+            "v",
+            F.sum("x").over(w).alias("cx"),
+            F.sum("y").over(w).alias("cy"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ks_report_hand_computed(spark):
+    from ocr_vector_db_spark.operators.drift import ks_report
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: ECDF gap peaks at v=2 → |2/4 - 0/4|=0.5
+    rows = [(True, v) for v in (1, 2, 3, 4)] + \
+           [(False, v) for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "a boolean, v bigint")
+    r = ks_report(df, F.col("a"), "v").head()
+    assert (r.n_a, r.n_b, r.n_values, r.ks) == (4, 4, 6, 0.5)
+
+    # identical slices → ks exactly 0
+    same = [(s, v) for s in (True, False) for v in (7, 8, 9, 9)]
+    z = ks_report(
+        spark.createDataFrame(same, "a boolean, v bigint"), F.col("a"), "v"
+    ).head()
+    assert z.ks == 0.0
+
+    # disjoint supports → ks exactly 1
+    dis = [(True, v) for v in (1, 2)] + [(False, v) for v in (10, 11)]
+    o = ks_report(
+        spark.createDataFrame(dis, "a boolean, v bigint"), F.col("a"), "v"
+    ).head()
+    assert o.ks == 1.0
