@@ -43,9 +43,10 @@ def psi_report(
     value_col: str,
     bins: int = 10,
 ) -> DataFrame:
-    """One row — (n_a, n_b, n_bins, psi) — for the drift of ``value_col``
-    between the two slices ``slice_col`` (boolean: true = slice A).
-    Rows with NULL values are excluded (no bin is 'missing')."""
+    """One row — (n_a, n_b, n_bins, psi, jsd) — for the drift of
+    ``value_col`` between the two slices ``slice_col`` (boolean: true =
+    slice A). Rows with NULL values are excluded (no bin is
+    'missing')."""
     base = df.filter(F.col(value_col).isNotNull()).select(
         slice_col.alias("_a"), F.col(value_col).cast("bigint").alias("_v")
     )
@@ -73,6 +74,13 @@ def psi_report(
     pa = (F.col("_ca") + F.lit(0.5)) / (F.col("_na") + F.lit(half_b))
     pb = (F.col("_cb") + F.lit(0.5)) / (F.col("_nb") + F.lit(half_b))
     term = F.round((pa - pb) * F.log(pa / pb), 9)
+    # Jensen-Shannon divergence on the same smoothed bins (natural log):
+    # bounded [0, ln 2], symmetric — PSI's unbounded log-ratio terms blow
+    # up on near-empty bins, JSD never does; report both.
+    m = (pa + pb) / F.lit(2.0)
+    jsd_term = F.round(
+        (pa * F.log(pa / m) + pb * F.log(pb / m)) / F.lit(2.0), 9
+    )
     return (
         hist.join(F.broadcast(tot))
         .agg(
@@ -82,6 +90,9 @@ def psi_report(
             F.round(
                 F.sum(term.cast("decimal(28,9)")).cast("double"), 6
             ).alias("psi"),
+            F.round(
+                F.sum(jsd_term.cast("decimal(28,9)")).cast("double"), 6
+            ).alias("jsd"),
         )
     )
 

@@ -1511,7 +1511,10 @@ def q136(spark, sf):
                    CAST(SUM(cb) AS BIGINT) AS nb FROM hist),
     terms AS (
         SELECT na, nb,
-               ROUND((pa - pb) * ln(pa / pb), 9) AS term
+               ROUND((pa - pb) * ln(pa / pb), 9) AS term,
+               ROUND((pa * ln(pa / ((pa + pb) / 2.0))
+                      + pb * ln(pb / ((pa + pb) / 2.0))) / 2.0, 9)
+                   AS jsd_term
         FROM (
             SELECT na, nb,
                    (ca + 0.5) / (na + 5.0) AS pa,
@@ -1521,19 +1524,24 @@ def q136(spark, sf):
     )
     SELECT MAX(na) AS n_a, MAX(nb) AS n_b, CAST(10 AS INT) AS n_bins,
            ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
-               AS psi
+               AS psi,
+           ROUND(CAST(SUM(CAST(jsd_term AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS jsd
     FROM terms
     """,
 )
 def q137(spark, sf):
-    """Population Stability Index between two corpus epochs (even vs odd
-    doc_id as the deterministic epoch split): the release-gate drift
-    monitor a training pipeline runs on every ingest — "did this batch's
-    length/quality distribution shift?". All-integer shared binning
-    ((v−min)·B div (max−min+1)), Laplace-smoothed probabilities, exact
-    decimal term sum — bit-portable across engines. One corpus pass for
-    min/max, one map-side-combinable (bin) count agg, PSI folds on the
-    10-row histogram. See operators/drift.py."""
+    """Population Stability Index + Jensen-Shannon divergence between
+    two corpus epochs (even vs odd doc_id as the deterministic epoch
+    split): the release-gate drift monitor a training pipeline runs on
+    every ingest — "did this batch's length/quality distribution
+    shift?". All-integer shared binning ((v−min)·B div (max−min+1)),
+    Laplace-smoothed probabilities, exact decimal term sums —
+    bit-portable across engines; JSD is the bounded/symmetric companion
+    (≤ ln 2) for when near-empty bins blow PSI's log-ratio up. One
+    corpus pass for min/max, one map-side-combinable (bin) count agg,
+    both divergences fold on the 10-row histogram. See
+    operators/drift.py."""
     from ocr_vector_db_spark.operators.drift import psi_report
 
     d = load_table(spark, sf, "documents")

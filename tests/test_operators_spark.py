@@ -834,12 +834,18 @@ def test_psi_report_hand_computed_and_invariances(spark):
     ca = [2] * 5
     cb = [2, 2, 1, 0, 0]
     want = 0.0
+    want_jsd = 0.0
     for i in range(B):
         pa = (ca[i] + 0.5) / (na + B / 2)
         pb = (cb[i] + 0.5) / (nb + B / 2)
         want += round((pa - pb) * math.log(pa / pb), 9)
+        m = (pa + pb) / 2.0
+        want_jsd += round(
+            (pa * math.log(pa / m) + pb * math.log(pb / m)) / 2.0, 9
+        )
     assert (got.n_a, got.n_b, got.n_bins) == (10, 5, 5)
     assert got.psi == round(want, 6)
+    assert got.jsd == round(want_jsd, 6)
 
     # identical slices → PSI exactly 0 (terms cancel bin by bin)
     same = [(s, v) for s in (True, False) for v in range(20)]
@@ -847,7 +853,7 @@ def test_psi_report_hand_computed_and_invariances(spark):
         spark.createDataFrame(same, "a boolean, v bigint"),
         F.col("a"), "v", bins=4,
     ).head()
-    assert z.psi == 0.0
+    assert z.psi == 0.0 and z.jsd == 0.0
 
     # gross shift → PSI well past the 0.25 'shifted' threshold
     shifted = [(True, v) for v in range(100)] + \
@@ -857,6 +863,7 @@ def test_psi_report_hand_computed_and_invariances(spark):
         F.col("a"), "v", bins=10,
     ).head()
     assert s.psi > 0.25
+    assert 0.25 < s.jsd <= math.log(2) + 1e-9  # JSD is ln2-bounded
 
 
 def test_drift_baseline_fold_and_frozen_bins(spark, tmp_path):
