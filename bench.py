@@ -156,6 +156,8 @@ HEADLINE = [
     # exact KS drift: distinct-value histogram + bucketed prefix-sum
     # ECDFs (no global sort)
     "q139_ks_drift",
+    # embedding-space drift: one posexplode agg + dim-row cosine fold
+    "q140_embedding_drift",
 ]
 
 

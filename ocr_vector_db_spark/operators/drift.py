@@ -328,3 +328,61 @@ def ks_report(
             F.round(F.max(gap), 6).alias("ks"),
         )
     )
+
+
+def embedding_drift(
+    emb: DataFrame,
+    slice_col: Column,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row — (n_a, n_b, dim, mean_cosine, max_dim_shift) — embedding-
+    space drift between two slices: the cosine between the two mean
+    vectors (1.0 = same direction; an encoder/config change at ingest
+    shows up here before any text statistic moves) plus the largest
+    per-dimension mean shift (which dimension moved most).
+
+    The corpus collapses to per-dimension conditional sums (ONE
+    posexplode + hash agg — the only corpus shuffle, dim-sized output);
+    everything after runs on the dim-row table. Engine-portable by the
+    q120 discipline: elements round to 9 dp and sum as DECIMAL before
+    the mean division, cross-terms round to 12 dp and sum as DECIMAL,
+    so no float sum depends on row order."""
+    vals = emb.filter(F.col(vec_col).isNotNull()).select(
+        slice_col.alias("_a"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("_i", "_v"),
+    )
+    dsum = lambda c: F.sum(  # noqa: E731
+        F.round(c, 9).cast("decimal(28,9)")
+    ).cast("double")
+    per_dim = vals.groupBy("_i").agg(
+        (dsum(F.when(F.col("_a"), F.col("_v")))
+         / F.sum(F.when(F.col("_a"), 1).otherwise(0))).alias("_ma"),
+        (dsum(F.when(~F.col("_a"), F.col("_v")))
+         / F.sum(F.when(F.col("_a"), 0).otherwise(1))).alias("_mb"),
+    )
+    counts = emb.filter(F.col(vec_col).isNotNull()).agg(
+        F.sum(F.when(slice_col, 1).otherwise(0)).cast("bigint")
+        .alias("_na"),
+        F.sum(F.when(slice_col, 0).otherwise(1)).cast("bigint")
+        .alias("_nb"),
+    )
+    d12 = lambda c: F.sum(  # noqa: E731
+        F.round(c, 12).cast("decimal(38,12)")
+    ).cast("double")
+    return (
+        per_dim.join(F.broadcast(counts))
+        .agg(
+            F.max("_na").alias("n_a"),
+            F.max("_nb").alias("n_b"),
+            F.count(F.lit(1)).cast("int").alias("dim"),
+            F.round(
+                d12(F.col("_ma") * F.col("_mb"))
+                / (F.sqrt(d12(F.col("_ma") * F.col("_ma")))
+                   * F.sqrt(d12(F.col("_mb") * F.col("_mb")))),
+                6,
+            ).alias("mean_cosine"),
+            F.round(F.max(F.abs(F.col("_ma") - F.col("_mb"))), 6)
+            .alias("max_dim_shift"),
+        )
+    )

@@ -1662,3 +1662,58 @@ def q139(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return ks_report(d, (F.col("doc_id") % 2 == 0), "n_chars")
+
+
+@query(
+    "q140_embedding_drift",
+    """
+    WITH vals AS (
+        SELECT (vec_id % 2 = 0) AS a,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT i,
+               CAST(SUM(CASE WHEN a
+                             THEN CAST(ROUND(v, 9) AS DECIMAL(28,9)) END)
+                    AS DOUBLE)
+                   / SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ma,
+               CAST(SUM(CASE WHEN NOT a
+                             THEN CAST(ROUND(v, 9) AS DECIMAL(28,9)) END)
+                    AS DOUBLE)
+                   / SUM(CASE WHEN a THEN 0 ELSE 1 END) AS mb
+        FROM vals GROUP BY i
+    ),
+    counts AS (
+        SELECT CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS nb
+        FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT MAX(na) AS n_a, MAX(nb) AS n_b, CAST(COUNT(*) AS INT) AS dim,
+           ROUND(CAST(SUM(CAST(ROUND(ma * mb, 12) AS DECIMAL(38,12)))
+                      AS DOUBLE)
+                 / (sqrt(CAST(SUM(CAST(ROUND(ma * ma, 12)
+                                       AS DECIMAL(38,12))) AS DOUBLE))
+                    * sqrt(CAST(SUM(CAST(ROUND(mb * mb, 12)
+                                         AS DECIMAL(38,12))) AS DOUBLE))),
+                 6) AS mean_cosine,
+           ROUND(MAX(ABS(ma - mb)), 6) AS max_dim_shift
+    FROM per_dim CROSS JOIN counts
+    """,
+)
+def q140(spark, sf):
+    """Embedding-space drift between two corpus epochs (even vs odd
+    vec_id): cosine between the two mean vectors — an encoder or
+    preprocessing change at ingest moves this before any text statistic
+    does — plus the largest per-dimension mean shift. One posexplode +
+    conditional per-dimension decimal sums is the only corpus shuffle
+    (dim-sized output); the cosine folds on the dim-row table with the
+    q120 rounding discipline, so every float sum is order-independent.
+    See operators/drift.py::embedding_drift."""
+    from ocr_vector_db_spark.operators.drift import embedding_drift
+
+    e = load_table(spark, sf, "embeddings")
+    return embedding_drift(e, (F.col("vec_id") % 2 == 0))

@@ -897,3 +897,27 @@ def test_drift_baseline_fold_and_frozen_bins(spark, tmp_path):
     bl.fold(hot, "n_chars")
     assert committed_generations(spark, path + "/state") == [2, 3]
     assert bl.psi_of(base, "n_chars").head().n_base == 250
+
+
+def test_embedding_drift_semantics(spark):
+    from ocr_vector_db_spark.operators.drift import embedding_drift
+
+    # identical slice means → cosine exactly 1, shift 0
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    r = embedding_drift(df, F.col("vec_id") % 2 == 0).head()
+    assert (r.n_a, r.n_b, r.dim) == (4, 4, 3)
+    assert r.mean_cosine == 1.0 and r.max_dim_shift == 0.0
+
+    # orthogonal slice means → cosine 0; shift = the moved coordinate
+    rows = [(0, [2.0, 0.0]), (2, [2.0, 0.0]),
+            (1, [0.0, 3.0]), (3, [0.0, 3.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    r = embedding_drift(df, F.col("vec_id") % 2 == 0).head()
+    assert r.mean_cosine == 0.0 and r.max_dim_shift == 3.0
+
+    # opposite directions → cosine -1
+    rows = [(0, [1.0, 1.0]), (1, [-1.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    assert embedding_drift(df, F.col("vec_id") % 2 == 0).head().mean_cosine \
+        == -1.0

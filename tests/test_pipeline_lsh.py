@@ -204,6 +204,13 @@ def test_plan_shapes(tables, spark):
     assert ", Partial" in p135 and ", Final" in p135
     assert "BroadcastHashJoin" in p135
     assert not _re.search(r"Sort \[[^\]]*\], true", p135)
+    # exact KS: the running ECDFs ride the cutpoint-bucket prefix-sum
+    # machinery — one hash shuffle on the derived bucket id, bucket
+    # offsets broadcast, NO global sort anywhere
+    p139 = plan_of("q139_ks_drift")
+    assert "hashpartitioning(_bid" in p139
+    assert "BroadcastHashJoin" in p139
+    assert not _re.search(r"Sort \[[^\]]*\], true", p139)
 
 
 def test_no_accidental_cartesian_products(tables, spark):
@@ -239,7 +246,7 @@ def test_no_accidental_cartesian_products(tables, spark):
     # aggregates too)
     allow_nested_loop = ("q16", "q17", "q22", "q55", "q85", "q89", "q90",
                          "q94", "q111", "q112", "q113", "q129", "q135",
-                         "q137", "q138", "q139")
+                         "q137", "q138", "q139", "q140")
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(skip_prefixes):
             continue

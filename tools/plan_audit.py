@@ -143,6 +143,12 @@ AUDITS = [
      "per-sub-shard prefix sum — no global sort) and the per-pack hash "
      "rollup; trained-tokenizer budgets add zero new corpus shuffles "
      "over q91"),
+    ("q139_ks_drift",
+     "the corpus collapses to its distinct-value histogram (one "
+     "map-side-combinable agg); both running ECDFs ride the cutpoint-"
+     "bucket prefix-sum machinery (one hash shuffle on the derived "
+     "bucket id, ≤B-row offsets broadcast) — exact sup-gap with NO "
+     "global sort anywhere"),
     ("q135_stratified_sample",
      "the literal total pre-bound compiles the per-stratum rank to "
      "WindowGroupLimit (per-partition top-total heaps BEFORE the stratum "
