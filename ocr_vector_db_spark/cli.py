@@ -455,6 +455,51 @@ def cmd_lm_index(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Distribution-drift report (`operators/drift.py`): compares the
+    store's accepted corpus against `--batch FILE` (JSONL of {doc_id,
+    text} — the 'should I ingest this drop?' check) or, without a batch,
+    between the corpus's even/odd doc_id epochs (the self-audit). Prints
+    PSI + JSD (binned, Laplace-smoothed) and the exact two-sample KS
+    statistic over document lengths."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.operators.drift import ks_report, psi_report
+    from ocr_vector_db_spark.operators.index_maint import fs_exists
+
+    spark = _spark()
+    acc_path = os.path.join(args.store, "accepted")
+    if not fs_exists(spark, acc_path):
+        print("[error] no accepted corpus under the store — "
+              "run `stream-ingest` first")
+        return 1
+    acc = (spark.read.option("basePath", acc_path)
+           .option("mergeSchema", "true").parquet(acc_path))
+    if args.batch:
+        batch = spark.read.json(args.batch)
+        u = acc.select(
+            F.lit(True).alias("a"), F.length("text").alias("v")
+        ).unionByName(batch.select(
+            F.lit(False).alias("a"), F.length("text").alias("v")
+        ))
+        what = f"accepted corpus vs {args.batch}"
+    else:
+        u = acc.select(
+            (F.col("doc_id") % 2 == 0).alias("a"),
+            F.length("text").alias("v"),
+        )
+        what = "even vs odd accepted epochs"
+    r = psi_report(u, F.col("a"), "v", bins=args.bins).head()
+    k = ks_report(u, F.col("a"), "v").head()
+    print(f"[drift] {what} over doc length: n_a={r.n_a} n_b={r.n_b}")
+    print(f"[drift] PSI={r.psi:.6f} JSD={r.jsd:.6f} "
+          f"(bins={r.n_bins}; <0.1 stable, >0.25 shifted)")
+    print(f"[drift] KS={k.ks:.6f} over {k.n_values} distinct lengths")
+    return 0
+
+
 def cmd_tokenizer(args) -> int:
     """Train / extend / apply the persisted BPE tokenizer
     (`{store}/tokenizer`, `operators/bpe.py::BPETokenizer`): `--train N`
@@ -1014,6 +1059,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--min-count", type=int, default=5)
     sp.add_argument("--top-k", type=int, default=50)
     sp.set_defaults(fn=cmd_lm_index)
+
+    sp = sub.add_parser("drift")
+    common(sp)
+    sp.add_argument("--batch", metavar="FILE",
+                    help="JSONL of {doc_id, text} to compare against the "
+                         "accepted corpus (default: even/odd epoch "
+                         "self-audit)")
+    sp.add_argument("--bins", type=int, default=10)
+    sp.set_defaults(fn=cmd_drift)
 
     sp = sub.add_parser("tokenizer")
     common(sp)

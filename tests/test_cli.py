@@ -492,3 +492,37 @@ def test_cli_maintain_covers_round9_indexes(spark, tmp_path, capsys):
     assert "[maintain] lmidx:" in out
     assert "[maintain] simhash:" in out
     assert "[maintain] posidx:" in out
+
+
+def test_cli_drift_report(spark, tmp_path, capsys):
+    """drift prints PSI/JSD/KS for batch-vs-corpus and the epoch
+    self-audit."""
+    import json as _json
+
+    src = tmp_path / "dr_src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    with open(src / "a.json", "w") as fh:
+        for i in range(6):
+            fh.write(_json.dumps(
+                {"doc_id": i,
+                 "text": f"wholly distinct narrative {i} covering theme "
+                         f"{i * 13} in original words {i * 7}"}) + "\n")
+    assert cli.main(["stream-ingest", "--store", store, "--source",
+                     str(src), "--threshold", "0.6", "--buckets", "8"]) == 0
+    capsys.readouterr()
+    # self-audit (even vs odd epochs)
+    assert cli.main(["drift", "--store", store]) == 0
+    out = capsys.readouterr().out
+    assert "PSI=" in out and "JSD=" in out and "KS=" in out
+    assert "even vs odd" in out
+    # batch comparison: much longer docs → PSI/KS must flag the shift
+    batch = tmp_path / "batch.jsonl"
+    with open(batch, "w") as fh:
+        for i in (50, 51):
+            fh.write(_json.dumps(
+                {"doc_id": i, "text": "very long document " * 60}) + "\n")
+    assert cli.main(["drift", "--store", store,
+                     "--batch", str(batch)]) == 0
+    out = capsys.readouterr().out
+    assert "KS=1.000000" in out  # disjoint length supports
