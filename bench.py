@@ -158,6 +158,8 @@ HEADLINE = [
     "q139_ks_drift",
     # embedding-space drift: one posexplode agg + dim-row cosine fold
     "q140_embedding_drift",
+    # exact token-frequency Gini via bucketed global ranks (no sort)
+    "q141_token_gini",
 ]
 
 

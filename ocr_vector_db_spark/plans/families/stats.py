@@ -1717,3 +1717,55 @@ def q140(spark, sf):
 
     e = load_table(spark, sf, "embeddings")
     return embedding_drift(e, (F.col("vec_id") % 2 == 0))
+
+
+@query(
+    "q141_token_gini",
+    """
+    WITH tk AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents
+    ),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM tk WHERE w <> '' GROUP BY w),
+    rk AS (
+        SELECT cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt, w) AS BIGINT) AS rn
+        FROM wc
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt) AS BIGINT) AS total_count,
+           ROUND(
+               (2.0 * SUM(rn * cnt)) / (COUNT(*) * SUM(cnt))
+               - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM rk
+    """,
+)
+def q141(spark, sf):
+    """Exact Gini coefficient of the token-frequency distribution — the
+    corpus-concentration signal a curation pipeline tracks next to Zipf
+    (q65): 0 = perfectly even vocabulary use, →1 = a few tokens dominate
+    (boilerplate flood). Gini = 2·Σ(rank·cnt)/(n·Σcnt) − (n+1)/n over
+    frequencies ranked ascending, and the ranks come from
+    ranking.global_row_number — the cutpoint-bucket machinery, so the
+    vocabulary-sized rank assignment has NO global sort (ties broken
+    (cnt, w), deterministic both engines). All sums are exact bigints;
+    only the final two divisions touch floats."""
+    from ocr_vector_db_spark.operators.bpe import word_counts
+    from ocr_vector_db_spark.operators.ranking import global_row_number
+
+    d = load_table(spark, sf, "documents")
+    wc = word_counts(d).select(
+        "w", F.col("cnt").cast("bigint").alias("cnt")
+    )
+    ranked = global_row_number(wc, ["cnt", "w"], out_col="rn")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("cnt").cast("bigint").alias("total_count"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("rn") * F.col("cnt")))
+            / (F.count(F.lit(1)) * F.sum("cnt"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
