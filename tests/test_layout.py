@@ -67,7 +67,13 @@ def test_inventory_family_split_preserves_registration():
     silently change which stale queries get re-verified."""
     from ocr_vector_db_spark.plans.inventory import ORACLES, QUERIES
 
-    assert len(QUERIES) == 138 and len(ORACLES) == 138
+    # count tracks the highest registered qNNN index: a dropped or
+    # double-registered query breaks equality without this test needing
+    # a manual bump per addition
+    import re as _re
+
+    hi = max(int(_re.match(r"q(\d+)", k).group(1)) for k in QUERIES)
+    assert len(QUERIES) == hi and len(ORACLES) == len(QUERIES)
     keys = list(QUERIES)
     # section anchors in the original registration order
     assert keys[0] == "q01_pricing_summary_agg"
