@@ -160,6 +160,8 @@ HEADLINE = [
     "q140_embedding_drift",
     # exact token-frequency Gini via bucketed global ranks (no sort)
     "q141_token_gini",
+    # LSH threshold tuning: one candidate generation, 5-row grid join
+    "q142_lsh_threshold_sweep",
 ]
 
 

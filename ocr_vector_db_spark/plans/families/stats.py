@@ -1769,3 +1769,48 @@ def q141(spark, sf):
             6,
         ).alias("gini"),
     )
+
+
+_Q142_GRID = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+@query(
+    "q142_lsh_threshold_sweep",
+    f"""
+    WITH cand AS ({{cand}}),
+    grid AS (SELECT unnest([{', '.join(str(t) for t in _Q142_GRID)}])
+             AS threshold)
+    SELECT g.threshold,
+           CAST(COUNT(c.est_jaccard) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT c.doc_a) AS BIGINT) AS n_left_docs
+    FROM grid g LEFT JOIN cand c ON c.est_jaccard >= g.threshold
+    GROUP BY g.threshold
+    """.replace("{cand}", _MH_CAND_SQL.strip()),
+)
+def q142(spark, sf):
+    """LSH threshold tuning sweep — recall_sweep's batched-jobs
+    discipline applied to the dedup gate: candidate pairs and flagged
+    left-docs at EVERY threshold in the grid from ONE candidate
+    generation (the banding join runs once; the grid is a 5-row
+    broadcast range-join over the pair table). This is the evidence an
+    operator reads before picking q105's ingestion threshold —
+    5 settings, one job, zero re-hashing."""
+    from ocr_vector_db_spark.operators.dedup import minhash_lsh_candidates
+
+    d = load_table(spark, sf, "documents")
+    cands = minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id"
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in _Q142_GRID], "threshold double"
+    )
+    return (
+        grid.join(
+            cands, cands["est_jaccard"] >= grid["threshold"], "left"
+        )
+        .groupBy("threshold")
+        .agg(
+            F.count("est_jaccard").cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_a").cast("bigint").alias("n_left_docs"),
+        )
+    )
