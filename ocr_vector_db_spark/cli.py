@@ -618,6 +618,14 @@ def cmd_stream_ingest(args) -> int:
             vocab_sketch = HLLSketch.build(
                 spark, empty, hll_path, F.col("text"), p=12
             )
+    running_sample = None
+    if getattr(args, "sample", None):
+        from ocr_vector_db_spark.operators.sampling import RunningSample
+
+        running_sample = RunningSample(
+            spark, os.path.join(args.store, "sample"),
+            k=args.sample, weight_col="__len",
+        )
     drift_bl = None
     if getattr(args, "drift_baseline", False):
         from pyspark.sql import functions as F
@@ -661,6 +669,7 @@ def cmd_stream_ingest(args) -> int:
         lm_gate=lm_gate,
         vocab_sketch=vocab_sketch,
         drift_baseline=drift_bl,
+        sample=running_sample,
     )
     q.awaitTermination()
     acc = sum(s["accepted"] for s in stats)
@@ -678,6 +687,12 @@ def cmd_stream_ingest(args) -> int:
             if "psi" in s_:
                 print(f"[stream-ingest] epoch {s_['epoch']} arrival "
                       f"PSI vs baseline: {s_['psi']:.6f}")
+    if running_sample is not None:
+        cur = running_sample.current()
+        n_s = cur.count() if cur is not None else 0
+        print(f"[stream-ingest] running weighted sample: {n_s} docs "
+              f"(k={args.sample}, weight=doc length) under "
+              f"{args.store}/sample")
     return 0
 
 
@@ -1024,6 +1039,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drop docs whose bigram-LM cross-entropy falls "
                          "outside [LO, HI] (CCNet-style quality filter; "
                          "needs `lm-index --build` first)")
+    sp.add_argument("--sample", type=int, metavar="K",
+                    help="maintain a persisted running A-ES weighted "
+                         "sample of the accepted stream (k rows, weight "
+                         "= doc length) under {store}/sample")
     sp.add_argument("--drift-baseline", action="store_true",
                     help="screen each epoch's arrivals against the "
                          "store's persisted length-distribution PSI "

@@ -515,7 +515,13 @@ def stream_ingest_deduped(
                         branches=semantic_branches,
                     )
                 if sample is not None:
-                    sample.fold(fresh)
+                    # a weight column the stream doesn't carry defaults
+                    # to doc length (the CLI's --sample contract)
+                    fi = fresh if sample.weight_col in fresh.columns \
+                        else fresh.withColumn(
+                            sample.weight_col, F.length(F.col(text_col))
+                        )
+                    sample.fold(fi)
                 if vocab_sketch is not None:
                     vocab_sketch.add(_stream_tokens(fresh, text_col),
                                      F.col("__tok"))
@@ -561,9 +567,14 @@ def stream_ingest_deduped(
                 epoch_rows = epoch_rows and epoch_rows(
                     batch_df.sparkSession, epoch_id
                 )
-                if (epoch_rows is not None
-                        and sample.weight_col in epoch_rows.columns):
-                    sample.fold(epoch_rows)
+                if epoch_rows is not None:
+                    if sample.weight_col in epoch_rows.columns:
+                        sample.fold(epoch_rows)
+                    elif text_col in epoch_rows.columns:
+                        sample.fold(epoch_rows.withColumn(
+                            sample.weight_col,
+                            F.length(F.col(text_col)),
+                        ))
             if guarded and semantic_index is not None:
                 # Crash-window repair: a prior attempt may have died
                 # BETWEEN the text index.add and semantic_index.add. On

@@ -526,3 +526,42 @@ def test_cli_drift_report(spark, tmp_path, capsys):
                      "--batch", str(batch)]) == 0
     out = capsys.readouterr().out
     assert "KS=1.000000" in out  # disjoint length supports
+
+
+def test_cli_stream_ingest_running_sample(spark, tmp_path, capsys):
+    """stream-ingest --sample maintains the persisted A-ES sample with
+    doc length as the weight; it equals weighted_sample over the
+    accepted corpus exactly."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.operators.sampling import (
+        RunningSample, weighted_sample,
+    )
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    src = tmp_path / "rs_src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    with open(src / "a.json", "w") as fh:
+        for i in range(6):
+            fh.write(_json.dumps(
+                {"doc_id": i,
+                 "text": f"wholly distinct narrative {i} covering theme "
+                         f"{i * 13} in original words " + "pad " * i}) + "\n")
+    assert cli.main(["stream-ingest", "--store", store, "--source",
+                     str(src), "--threshold", "0.6", "--buckets", "8",
+                     "--sample", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "running weighted sample: 3 docs" in out
+    rs = RunningSample(spark, store + "/sample", k=3, weight_col="__len")
+    got = {(r.doc_id, r.weight) for r in rs.current().collect()}
+    acc = ParquetAcceptedSink(store + "/accepted").read(spark)
+    want = {
+        (r.doc_id, r.weight)
+        for r in weighted_sample(
+            acc.withColumn("__len", F.length("text")), 3, "__len"
+        ).collect()
+    }
+    assert got == want
