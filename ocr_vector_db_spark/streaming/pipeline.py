@@ -327,7 +327,9 @@ def stream_ingest_deduped(
     `sample` (an `operators/sampling.RunningSample`) maintains a running
     A-ES weighted sample of the ACCEPTED stream: each epoch's survivors
     fold into the persisted k-row state (`fold_sample` — exactly the
-    sample `weighted_sample` would draw over every accepted doc so far,
+    sample `weighted_sample` would draw over every accepted doc so far;
+    when the stream doesn't carry the sample's weight column it is
+    derived as length(text_col), the CLI `--sample` contract,
     at O(batch + k) per epoch). Folds are id-idempotent, so replays are
     harmless; a crashed epoch's guarded retry re-folds from the epoch's
     own sink rows, closing the same crash window the semantic repair
