@@ -162,6 +162,8 @@ HEADLINE = [
     "q141_token_gini",
     # LSH threshold tuning: one candidate generation, 5-row grid join
     "q142_lsh_threshold_sweep",
+    # Heaps vocabulary-growth curve: two corpus passes, vocab-sized folds
+    "q143_heaps_vocab_growth",
 ]
 
 

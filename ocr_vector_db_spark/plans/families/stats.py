@@ -1814,3 +1814,113 @@ def q142(spark, sf):
             F.countDistinct("doc_a").cast("bigint").alias("n_left_docs"),
         )
     )
+
+
+@query(
+    "q143_heaps_vocab_growth",
+    """
+    WITH mx AS (SELECT MAX(doc_id) AS mid FROM documents),
+    grid AS (
+        SELECT u.i AS step, (u.i * mid) // 4 AS t
+        FROM mx, LATERAL unnest([1, 2, 3, 4]) AS u(i)
+    ),
+    dtok AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY doc_id
+    ),
+    firsts AS (
+        SELECT w, MIN(doc_id) AS first_doc
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                       AS w
+            FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    toks AS (
+        SELECT g.step, g.t, CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens
+        FROM grid g JOIN dtok d ON d.doc_id <= g.t
+        GROUP BY g.step, g.t
+    ),
+    vocab AS (
+        SELECT g.step, CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM grid g JOIN firsts f ON f.first_doc <= g.t
+        GROUP BY g.step
+    ),
+    curve AS (
+        SELECT t.step, t.t AS max_doc_id, t.n_tokens, v.vocab
+        FROM toks t JOIN vocab v USING (step)
+    ),
+    base AS (SELECT n_tokens AS n1, vocab AS v1 FROM curve WHERE step = 1)
+    SELECT step, max_doc_id, n_tokens, vocab,
+           CASE WHEN step = 1 THEN NULL
+                ELSE ROUND(ln(CAST(vocab AS DOUBLE) / v1)
+                           / ln(CAST(n_tokens AS DOUBLE) / n1), 6)
+           END AS heaps_beta
+    FROM curve CROSS JOIN base
+    """,
+)
+def q143(spark, sf):
+    """Heaps-law vocabulary growth curve: distinct-vocabulary size at 4
+    nested corpus prefixes plus the fitted Heaps exponent
+    (β = ln(V/V₁)/ln(N/N₁)) — the statistic that sizes a tokenizer's
+    vocab budget before training it (q132) and predicts the Heaps-sized
+    word table every BPE/LM pass iterates on. EXACT, not sketched, with
+    no nested distinct-count blowup: each word reduces to its FIRST
+    document (one map-side-combinable min agg — growth at prefix t is
+    then just #words with first_doc ≤ t), per-doc token counts reduce
+    once, and the 4-row threshold grid joins both vocab-sized tables
+    broadcast. Two corpus passes total, everything after is
+    vocabulary-sized."""
+    d = load_table(spark, sf, "documents")
+    mx = d.agg(F.max("doc_id").alias("mid"))
+    grid = (
+        spark.range(1, 5).select(F.col("id").cast("int").alias("step"))
+        .join(F.broadcast(mx))
+        .select(
+            "step",
+            F.call_function(
+                "div", F.col("step").cast("bigint") * F.col("mid"),
+                F.lit(4)
+            ).alias("t"),
+        )
+    )
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    dtok = words.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    firsts = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    toks = (
+        F.broadcast(grid).join(dtok, dtok["doc_id"] <= grid["t"])
+        .groupBy("step", "t")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    vocab = (
+        F.broadcast(grid).join(firsts, firsts["first_doc"] <= grid["t"])
+        .groupBy("step")
+        .agg(F.count("*").cast("bigint").alias("vocab"))
+    )
+    curve = toks.join(vocab, "step").select(
+        "step", F.col("t").alias("max_doc_id"), "n_tokens", "vocab"
+    )
+    base = curve.filter(F.col("step") == 1).select(
+        F.col("n_tokens").alias("n1"), F.col("vocab").alias("v1")
+    )
+    beta = F.when(F.col("step") == 1, F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.log(F.col("vocab").cast("double") / F.col("v1"))
+            / F.log(F.col("n_tokens").cast("double") / F.col("n1")),
+            6,
+        )
+    )
+    return curve.join(F.broadcast(base)).select(
+        "step", "max_doc_id", "n_tokens", "vocab", beta.alias("heaps_beta")
+    )

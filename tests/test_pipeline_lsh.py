@@ -243,10 +243,10 @@ def test_no_accidental_cartesian_products(tables, spark):
     # by num_clusters, tiny by construction):
     # (q135's total/leftover rows are 1-row aggregates too)
     # (q137-q140's min-max, meta and totals rows are 1-row aggregates
-    # too; q142's threshold grid is a 5-row broadcast range-join)
+    # too; q142/q143's threshold grids are ≤5-row broadcast range-joins)
     allow_nested_loop = ("q16", "q17", "q22", "q55", "q85", "q89", "q90",
                          "q94", "q111", "q112", "q113", "q129", "q135",
-                         "q137", "q138", "q139", "q140", "q142")
+                         "q137", "q138", "q139", "q140", "q142", "q143")
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(skip_prefixes):
             continue
