@@ -10,6 +10,13 @@
     python -m ocr_vector_db_spark.cli hybrid-search "query" --store DIR
         [--top-k K] [--fuse-k 60]     # BM25 + dense cosine, RRF-fused
     python -m ocr_vector_db_spark.cli pack --store DIR --budget 512
+    python -m ocr_vector_db_spark.cli index / maintain / semantic-index
+    python -m ocr_vector_db_spark.cli stream-ingest --store DIR --source S
+        [--semantic] [--lm-band LO HI] [--vocab-sketch] [--sample K]
+        [--drift-baseline]            # gated incremental ingestion
+    python -m ocr_vector_db_spark.cli lm-index --store DIR [--build|--score F|--pmi]
+    python -m ocr_vector_db_spark.cli tokenizer --store DIR [--train N|--extend N|--count F]
+    python -m ocr_vector_db_spark.cli drift --store DIR [--batch FILE]
 
 Mirrors api/cli/{ingest,search,repl,quality}.py + api/formatters.py: same
 text/JSON result formats (similarity to 4 dp, 500-char parent preview), same
