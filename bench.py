@@ -164,6 +164,9 @@ HEADLINE = [
     "q142_lsh_threshold_sweep",
     # Heaps vocabulary-growth curve: two corpus passes, vocab-sized folds
     "q143_heaps_vocab_growth",
+    # cross-source duplication matrix: one banding join + two broadcast
+    # source joins + one rollup
+    "q144_cross_source_dup_matrix",
 ]
 
 

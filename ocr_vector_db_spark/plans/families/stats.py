@@ -1924,3 +1924,57 @@ def q143(spark, sf):
     return curve.join(F.broadcast(base)).select(
         "step", "max_doc_id", "n_tokens", "vocab", beta.alias("heaps_beta")
     )
+
+
+@query(
+    "q144_cross_source_dup_matrix",
+    """
+    WITH cand AS ({cand}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT LEAST(sa.source, sb.source) AS source_lo,
+           GREATEST(sa.source, sb.source) AS source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(ROUND(est_jaccard, 6) AS DECIMAL(28,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_est_jaccard
+    FROM cand c
+    JOIN src sa ON sa.doc_id = c.doc_a
+    JOIN src sb ON sb.doc_id = c.doc_b
+    GROUP BY 1, 2
+    """.replace("{cand}", _MH_CAND_SQL.strip()),
+)
+def q144(spark, sf):
+    """Cross-source duplication matrix: which SOURCES copy from each
+    other — q20's LSH candidates rolled up to unordered (source, source)
+    cells with pair counts and mean estimated Jaccard. The curation
+    signal behind source-level dedup decisions ('these two crawls
+    overlap; dedup them against each other first'). One candidate
+    generation (the banding join runs once), two broadcast joins against
+    the slim (doc_id, source) projection, one hash rollup; the mean is
+    an order-independent rounded-decimal sum."""
+    from ocr_vector_db_spark.operators.dedup import minhash_lsh_candidates
+
+    d = load_table(spark, sf, "documents")
+    cands = minhash_lsh_candidates(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id"
+    )
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("_sb"))
+    return (
+        cands.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_lo"),
+            F.greatest("_sa", "_sb").alias("source_hi"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.round("est_jaccard", 6).cast("decimal(28,6)"))
+                .cast("double") / F.count("*"),
+                6,
+            ).alias("avg_est_jaccard"),
+        )
+    )
