@@ -167,6 +167,8 @@ HEADLINE = [
     # cross-source duplication matrix: one banding join + two broadcast
     # source joins + one rollup
     "q144_cross_source_dup_matrix",
+    # duplicate-family size histogram from the star closure
+    "q145_dup_family_size_histogram",
 ]
 
 

@@ -2265,3 +2265,54 @@ def q131(spark, sf):
         _PLAN_MEMO[key] = path
     idx = PositionalIndex.load(spark, _PLAN_MEMO[key])
     return idx.phrase_search("big order scan", k=20)
+
+
+@query(
+    "q145_dup_family_size_histogram",
+    """
+    WITH comp AS (SELECT * FROM ({components}) t),
+    fam AS (
+        SELECT component_id, CAST(COUNT(*) AS BIGINT) AS family_size
+        FROM comp GROUP BY component_id
+    ),
+    hist AS (
+        SELECT family_size, CAST(COUNT(*) AS BIGINT) AS n_families
+        FROM fam GROUP BY family_size
+    ),
+    singles AS (
+        SELECT CAST(1 AS BIGINT) AS family_size,
+               CAST((SELECT COUNT(*) FROM documents)
+                    - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_families
+    )
+    SELECT family_size, n_families FROM hist
+    UNION ALL
+    SELECT family_size, n_families FROM singles WHERE n_families > 0
+    """.replace("{components}", _COMPONENTS_SQL.strip()),
+)
+def q145(spark, sf):
+    """Duplicate-family size distribution: how big are the near-dup
+    clusters — the shape that decides dedup strategy (a corpus of pairs
+    dedups cheaply; a corpus with 10⁶-member boilerplate families needs
+    the collapsed/star machinery). Rolls the q110 star closure up to
+    (family_size → n_families), singletons included via one anti-join —
+    every aggregation is component- or size-keyed, nothing corpus²."""
+    d = load_table(spark, sf, "documents")
+    comps = dedup.minhash_neardup_components(
+        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id",
+        threshold=0.5, collapse_identical=True, cc="star",
+    )
+    fam = comps.groupBy("component_id").agg(
+        F.count("*").cast("bigint").alias("family_size")
+    )
+    hist = fam.groupBy("family_size").agg(
+        F.count("*").cast("bigint").alias("n_families")
+    )
+    singles = (
+        d.join(comps, "doc_id", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_families"))
+        .select(
+            F.lit(1).cast("bigint").alias("family_size"), "n_families"
+        )
+        .filter(F.col("n_families") > 0)
+    )
+    return hist.unionByName(singles)
