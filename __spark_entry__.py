@@ -81,9 +81,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # q137 (PSI drift gate), q138 (persisted drift baseline), q139 (exact
 # KS drift), q140 (embedding-space drift), q141 (exact token Gini) and
 # q142 (LSH threshold tuning sweep), q143 (Heaps vocab growth), q144
-# (cross-source duplication matrix) and q145 (dup-family size histogram) —
+# (cross-source duplication matrix), q145 (dup-family size histogram)
+# and q146 (packing budget sweep) —
 # pending, so they sort to the very front; the r09
-# first-50 window is then 23 pending + q29-q46 + q53 + q61 + q102-q105 +
+# first-50 window is then 24 pending + q29-q46 + q53 + q61 + q102-q105 +
 # the oldest r06 names (each verified green at sf0.01 this round before
 # shipping; the 50-name window itself swept 50/50 mid-round).
 _DRIVER_GREEN = {

@@ -169,6 +169,8 @@ HEADLINE = [
     "q144_cross_source_dup_matrix",
     # duplicate-family size histogram from the star closure
     "q145_dup_family_size_histogram",
+    # packing budget sweep: one prefix-sum window serves every budget
+    "q146_packing_budget_sweep",
 ]
 
 

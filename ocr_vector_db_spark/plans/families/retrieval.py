@@ -2316,3 +2316,83 @@ def q145(spark, sf):
         .filter(F.col("n_families") > 0)
     )
     return hist.unionByName(singles)
+
+
+_Q146_BUDGETS = [128, 256, 512, 1024]
+
+
+@query(
+    "q146_packing_budget_sweep",
+    r"""
+    WITH t AS (
+        SELECT lang || '#' || CAST(
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+                   AS VARCHAR) AS shard,
+               doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, doc_id, tokens,
+               SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM t
+    ),
+    p AS (
+        SELECT u.b AS budget, shard, tokens,
+               (cum_tokens - tokens) // u.b AS pack_id
+        FROM c, LATERAL unnest([128, 256, 512, 1024]) AS u(b)
+    ),
+    packs AS (
+        SELECT budget, shard, pack_id,
+               CAST(SUM(tokens) AS BIGINT) AS pack_tokens
+        FROM p GROUP BY budget, shard, pack_id
+    )
+    SELECT budget, CAST(COUNT(*) AS BIGINT) AS n_packs,
+           CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(pack_tokens AS DOUBLE) / budget, 6)
+                                AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_fill
+    FROM packs GROUP BY budget
+    """,
+)
+def q146(spark, sf):
+    """Packing budget sweep — 'what context window should I pack to?'
+    answered from ONE prefix-sum pass: the per-shard running token total
+    is budget-INDEPENDENT, so a single q91 window serves every budget in
+    the grid (pack_id = (cum − tok) div b per budget via one 4-way
+    explode — no re-sort, no re-shuffle, exactly the recall_sweep /
+    q142 one-job-all-settings discipline). Per budget: pack count,
+    total tokens, mean fill ratio (order-independent rounded-decimal
+    mean)."""
+    from ocr_vector_db_spark.operators import packing
+
+    d = load_table(spark, sf, "documents")
+    packed = packing.pack_documents(
+        d, budget=1, shard_col="lang", sub_shards=4
+    ).select("shard", "tokens", "cum_tokens")
+    b = F.explode(F.array(*[F.lit(x) for x in _Q146_BUDGETS])).alias(
+        "budget"
+    )
+    per = packed.select(b, "shard", "tokens", "cum_tokens").select(
+        "budget", "shard", "tokens",
+        F.call_function(
+            "div", F.col("cum_tokens") - F.col("tokens"), F.col("budget")
+        ).alias("pack_id"),
+    )
+    packs = per.groupBy("budget", "shard", "pack_id").agg(
+        F.sum("tokens").cast("bigint").alias("pack_tokens")
+    )
+    fill = F.round(
+        F.col("pack_tokens").cast("double") / F.col("budget"), 6
+    )
+    return packs.groupBy("budget").agg(
+        F.count("*").cast("bigint").alias("n_packs"),
+        F.sum("pack_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(fill.cast("decimal(28,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_fill"),
+    )
