@@ -21,7 +21,17 @@ STOPWORDS = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
     "fr": ["le", "la", "les", "et", "est", "une", "pas", "pour"],
     "es": ["el", "la", "los", "y", "es", "una", "no", "por"],
+    # The reference's primary language (KO/EN OCR corpus — its validators,
+    # no-results detection and query optimizer are all Hangul-aware).
+    # Korean particles agglutinate onto nouns, so whole-token stopword hits
+    # alone under-count badly; detect_language additionally scores ko by
+    # tokens CONTAINING Hangul (see _KO_HANGUL below).
+    "ko": ["그리고", "그러나", "하지만", "있는", "있다", "것", "수", "그", "때", "등"],
 }
+
+# A token containing any Hangul-syllable char counts as a ko hit — an ASCII
+# token never does, so ASCII corpora score ko = 0 and keep their verdicts.
+_KO_HANGUL = "[가-힣]"
 
 PUNCT_CLASS = r"""[.,;:!?'"()\[\]{}\-]"""
 
@@ -60,7 +70,8 @@ def detect_language(text: str) -> str:
     toks = [t.lower() for t in tokenize(text)]
     best, best_score = "unknown", 0
     for lang, words in STOPWORDS.items():
-        score = sum(1 for t in toks if t in words)
+        score = sum(1 for t in toks if t in words
+                    or (lang == "ko" and re.search(_KO_HANGUL, t)))
         if score > best_score:
             best, best_score = lang, score
     return best
@@ -105,22 +116,28 @@ def quality_score_col(text: Column) -> Column:
     return F.when(n == 0, 0.0).otherwise(F.round(raw, 6))
 
 
-def _hits(toks: Column, words: list[str]) -> Column:
+def _hits(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+
     def pred(t):
-        return t.isin(*words)
+        hit = t.isin(*words)
+        if lang == "ko":  # a token containing Hangul is a ko hit
+            hit = hit | t.rlike(_KO_HANGUL)
+        return hit
 
     return F.size(F.filter(toks, pred))
 
 
 def detect_language_col(text: Column) -> Column:
-    """Argmax of per-language stopword hits; ties → first language in profile
+    """Argmax of per-language profile hits (stopword membership; for ko
+    additionally token-contains-Hangul); ties → first language in profile
     order with the max score, 'unknown' when all scores are zero."""
     toks = tokens_col(F.lower(text))
-    best = F.greatest(*[_hits(toks, w) for w in STOPWORDS.values()])
+    best = F.greatest(*[_hits(toks, lang) for lang in STOPWORDS])
     expr = F.lit("unknown")
     # reverse order so earlier profiles win ties
-    for lang, words in reversed(list(STOPWORDS.items())):
-        expr = F.when((_hits(toks, words) == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((_hits(toks, lang) == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
 
 

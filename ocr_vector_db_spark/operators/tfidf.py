@@ -28,14 +28,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-WORD_SPLIT_RE = r"[^a-z0-9]+"
+from ocr_vector_db_spark.functions.tokenize import TOKEN_SPLIT_RE, tokens_of
+
+WORD_SPLIT_RE = TOKEN_SPLIT_RE  # the ONE shared splitter (functions/tokenize.py)
 
 
 def words_col(text: Column) -> Column:
-    """Lowercased alphanumeric word array (empties filtered)."""
-    return F.filter(
-        F.split(F.lower(text), WORD_SPLIT_RE), lambda w: w != ""
-    )
+    """Lowercased word array (empties filtered) — ASCII alnum + Hangul."""
+    return tokens_of(text)
 
 
 def term_frequencies(

@@ -990,7 +990,7 @@ def q56(spark, sf):
     "q54_tfidf_top_terms",
     """
     WITH w AS (
-        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9가-힣]+')) AS word
         FROM documents
     ),
     tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w WHERE word <> ''

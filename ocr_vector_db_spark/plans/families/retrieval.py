@@ -59,7 +59,7 @@ def _bm25_scored_sql(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     return f"""
     base AS (
         SELECT doc_id AS id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               list_filter(string_split_regex(lower(text), '[^a-z0-9가-힣]+'),
                            w -> w <> '') AS ws
         FROM documents
     ),
@@ -856,7 +856,7 @@ def q116(spark, sf):
 _NGRAM_TOKS_CTE = r"""
     toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               list_filter(string_split_regex(lower(text), '[^a-z0-9가-힣]+'),
                            t -> t <> '') AS tk
         FROM documents
     ),
@@ -1615,7 +1615,7 @@ def q94(spark, sf):
     "q95_bpe_pair_counts",
     """
     WITH w AS (
-        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9가-힣]+')) AS word
         FROM documents
     ),
     p AS (
@@ -1636,7 +1636,7 @@ def q95(spark, sf):
     combine discipline as q65's Zipf scan."""
     d = load_table(spark, sf, "documents")
     words = d.select(
-        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word")
+        F.explode(F.split(F.lower("text"), "[^a-z0-9가-힣]+")).alias("word")
     ).filter(F.length("word") >= 2)
     pairs = words.select(
         F.explode(
@@ -2217,7 +2217,7 @@ def q130(spark, sf):
     r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               list_filter(string_split_regex(lower(text), '[^a-z0-9가-힣]+'),
                            w -> w <> '') AS a
         FROM documents
     ),

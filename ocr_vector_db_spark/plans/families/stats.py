@@ -40,7 +40,7 @@ from ocr_vector_db_spark.plans.families.vector import _MH_CAND_SQL  # noqa: F401
     "q65_token_zipf_topk",
     """
     WITH w AS (
-        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9가-힣]+')) AS token
         FROM documents
     )
     SELECT token, COUNT(*) AS cnt
@@ -56,7 +56,7 @@ def q65(spark, sf):
     occurrence (~1e11 at 100 TB); top-k is TakeOrderedAndProject."""
     d = load_table(spark, sf, "documents")
     return (
-        d.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token"))
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z0-9가-힣]+")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
@@ -858,7 +858,7 @@ def q81(spark, sf):
     WITH tk AS (
         SELECT doc_id, tok FROM (
             SELECT doc_id,
-                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+                   unnest(string_split_regex(lower(text), '[^a-z0-9가-힣]+')) AS tok
             FROM documents
         ) WHERE tok <> ''
     ),
@@ -887,7 +887,7 @@ def q82(spark, sf):
     tk = (
         d.select(
             "doc_id",
-            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+            F.explode(F.split(F.lower("text"), "[^a-z0-9가-힣]+")).alias("tok"),
         )
         .filter(F.col("tok") != "")
     )
@@ -1072,7 +1072,7 @@ def q85(spark, sf):
     """
     WITH tk AS (
         SELECT tok FROM (
-            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9가-힣]+')) AS tok
             FROM documents
         ) WHERE tok <> ''
     ),
@@ -1153,7 +1153,7 @@ def q128(spark, sf):
     d = load_table(spark, sf, "documents")
     tok = (
         d.select(
-            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok")
+            F.explode(F.split(F.lower("text"), "[^a-z0-9가-힣]+")).alias("tok")
         ).filter(F.col("tok") != "")
     )
     key = (spark.sparkContext.applicationId, sf, "q128_hll_path")
@@ -1179,7 +1179,7 @@ def q128(spark, sf):
     """
     WITH toks AS (
         SELECT source,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               list_filter(string_split_regex(lower(text), '[^a-z0-9가-힣]+'),
                            t -> t <> '') AS tk
         FROM documents WHERE source IN ('src0', 'src1')
     ),
@@ -1283,7 +1283,7 @@ def _bpe_stages_sql(n_merges: int) -> str:
     (count DESC, la, lb), and applies the merge as the SAME literal
     global replace the Spark side uses."""
     head = r"""tk AS (
-        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9가-힣]+')) AS w
         FROM documents
     ),
     wc AS (SELECT w, COUNT(*) AS cnt FROM tk WHERE w <> '' GROUP BY w),
@@ -1364,7 +1364,7 @@ def q132(spark, sf):
     ),
     dw AS (
         SELECT doc_id,
-               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+               unnest(string_split_regex(lower(text), '[^a-z0-9가-힣]+')) AS w
         FROM documents
     ),
     occ AS (
@@ -1405,7 +1405,7 @@ _Q134_BUDGET = 512
     ),
     dw AS (
         SELECT doc_id, lang,
-               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+               unnest(string_split_regex(lower(text), '[^a-z0-9가-힣]+')) AS w
         FROM documents
     ),
     occ AS (
@@ -1723,7 +1723,7 @@ def q140(spark, sf):
     "q141_token_gini",
     """
     WITH tk AS (
-        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9가-힣]+')) AS w
         FROM documents
     ),
     wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1828,7 +1828,7 @@ def q142(spark, sf):
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
         FROM (
             SELECT doc_id,
-                   unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                   unnest(string_split_regex(lower(text), '[^a-z0-9가-힣]+'))
                        AS w
             FROM documents
         ) WHERE w <> '' GROUP BY doc_id
@@ -1837,7 +1837,7 @@ def q142(spark, sf):
         SELECT w, MIN(doc_id) AS first_doc
         FROM (
             SELECT doc_id,
-                   unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                   unnest(string_split_regex(lower(text), '[^a-z0-9가-힣]+'))
                        AS w
             FROM documents
         ) WHERE w <> '' GROUP BY w
@@ -1892,7 +1892,7 @@ def q143(spark, sf):
     )
     words = d.select(
         "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w"),
+        F.explode(F.split(F.lower("text"), "[^a-z0-9가-힣]+")).alias("w"),
     ).filter(F.col("w") != "")
     dtok = words.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tok")

@@ -35,19 +35,33 @@ from ocr_vector_db_spark.session import load_table  # noqa: F401
 # =====================================================================
 
 
-def _lang_sql() -> str:
+def _lang_exprs() -> tuple[str, str]:
+    """(best_expr, case_expr) — the DuckDB twin of ta.detect_language_col,
+    shared with the Korean end-to-end golden (families/korean.py)."""
     profs = {k: "[" + ",".join(f"'{w}'" for w in v) + "]" for k, v in ta.STOPWORDS.items()}
-    scores = {
-        k: f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> list_contains({v}, t)))"
+    # ko additionally scores tokens CONTAINING Hangul (particles agglutinate,
+    # so whole-token stopword hits under-count Korean) — mirrors ta._hits.
+    preds = {
+        k: f"t -> list_contains({v}, t)" if k != "ko"
+        else f"t -> list_contains({v}, t) OR regexp_matches(t, '{ta._KO_HANGUL}')"
         for k, v in profs.items()
+    }
+    scores = {
+        k: f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), {p}))"
+        for k, p in preds.items()
     }
     best = "greatest(" + ", ".join(scores.values()) + ")"
     cases = " ".join(
         f"WHEN {scores[k]} = best AND best > 0 THEN '{k}'" for k in ta.STOPWORDS
     )
+    return best, f"CASE {cases} ELSE 'unknown' END"
+
+
+def _lang_sql() -> str:
+    best, case = _lang_exprs()
     return f"""
     WITH scored AS (SELECT doc_id, text, {best} AS best FROM documents)
-    SELECT doc_id, CASE {cases} ELSE 'unknown' END AS lang_pred
+    SELECT doc_id, {case} AS lang_pred
     FROM scored
     """
 

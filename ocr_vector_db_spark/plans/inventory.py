@@ -41,3 +41,4 @@ from ocr_vector_db_spark.plans.families import nonsql  # noqa: E402,F401
 from ocr_vector_db_spark.plans.families import stats  # noqa: E402,F401
 from ocr_vector_db_spark.plans.families import pdf  # noqa: E402,F401
 from ocr_vector_db_spark.plans.families import retrieval  # noqa: E402,F401
+from ocr_vector_db_spark.plans.families import korean  # noqa: E402,F401

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ocr_vector_db_spark.functions.tokenize import TOKEN_SPLIT_RE
+
 EVENTS_STREAM_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.TimestampType()),
@@ -239,7 +241,7 @@ def _stream_tokens(docs: DataFrame, text_col: str) -> DataFrame:
     """(__tok) token stream for the vocab sketch fold — the corpus-stats
     tokenizer (q65/q128's definition), empties dropped."""
     return docs.select(
-        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE))
         .alias("__tok")
     ).filter(F.col("__tok") != "")
 
@@ -354,7 +356,7 @@ def stream_ingest_deduped(
     CONTENT-idempotent (MAX of a deterministic hash), so replays and the
     crash-window re-fold (from the epoch's own sink slice, like `sample`)
     can never move a register. Tokenization is the corpus-stats splitter
-    (lower, [^a-z0-9]+), matching q128's oracle.
+    (lower, [^a-z0-9가-힣]+), matching q128's oracle.
 
     `drift_baseline` (an `operators/drift.DriftBaseline` over document
     LENGTH, i.e. length(text_col)) turns the PSI gate into a streaming

@@ -113,7 +113,7 @@ def test_token_counts_consistency(spark, tables):
             for r in bpe_token_counts(docs, []).collect()}
     rows = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w"),
+        F.explode(F.split(F.lower("text"), "[^a-z0-9가-힣]+")).alias("w"),
     ).filter(F.col("w") != "").collect()
     want_base: dict[str, list[int]] = {}
     want_merged: dict[str, list[int]] = {}
@@ -213,7 +213,7 @@ def test_pandas_segmentation_path_equals_expression_path(spark, tables):
     docs = tables["documents"].limit(60)
     merges, _ = bpe_train(docs, 15)
     words = docs.select(
-        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w")
+        F.explode(F.split(F.lower("text"), "[^a-z0-9가-힣]+")).alias("w")
     ).filter(F.col("w") != "")
     a = {r.w: r.n_sym for r in _seg_counts_expr(words, merges).collect()}
     b = {r.w: r.n_sym for r in _seg_counts_pandas(words, merges).collect()}
