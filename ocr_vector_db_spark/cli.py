@@ -407,9 +407,11 @@ def cmd_semantic_index(args) -> int:
     idx = IVFIndex.build(
         spark, vecs, os.path.join(args.store, "semidx"), num_clusters=k,
         l1_branches=(min(l1, k) if l1 else None),
+        standardize=getattr(args, "standardize", False),
     )
     hier = f" ({len(idx.l1)} L1 branches)" if idx.l1 else ""
-    print(f"[semantic-index] built {len(idx.centroids)}-cluster gate "
+    std = " standardized" if idx.std_stats else ""
+    print(f"[semantic-index] built {len(idx.centroids)}-cluster{std} gate "
           f"index{hier} over {n} accepted docs at {args.store}/semidx")
     return 0
 
@@ -1069,6 +1071,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "many L1 branches (clamped to --clusters) — use "
                          "with stream-ingest --semantic-branches at large "
                          "cluster counts")
+    sp.add_argument("--standardize", action="store_true",
+                    help="whiten the gate corpus per dimension and persist "
+                         "the (mu, sd) profile with the index "
+                         "({store}/semidx/standardize.json); every later "
+                         "screen/add applies the same profile, and "
+                         "`maintain` compaction preserves it")
     sp.set_defaults(fn=cmd_semantic_index)
 
     sp = sub.add_parser("lm-index")

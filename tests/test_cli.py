@@ -198,6 +198,29 @@ def test_cli_stream_ingest_gates_and_resumes(spark, tmp_path, capsys):
                 .option("mergeSchema", "true").parquet(f"{store}/accepted"))
     assert {r.doc_id for r in accepted.collect()} == {1, 3, 5, 6}
 
+    # standardized gate: rebuild whitened; the profile persists with the
+    # index, the dual-gated stream screens through it (a re-delivered
+    # accepted doc is dropped at cosine 1.0 — invariant under
+    # standardize-and-renormalize), and maintain preserves the profile
+    from ocr_vector_db_spark.operators.index_maint import fs_exists
+
+    assert cli.main(["semantic-index", "--store", store, "--dim", "16",
+                     "--clusters", "4", "--standardize"]) == 0
+    assert "standardized gate" in capsys.readouterr().out
+    assert fs_exists(spark, f"{store}/semidx/standardize.json")
+    with open(src / "f.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 7, "text": novel}) + "\n")  # re-send
+        fh.write(_json.dumps(
+            {"doc_id": 8,
+             "text": "tidal estuary sediment transport modeled with "
+                     "coupled shallow water equations and bedload flux"})
+            + "\n")
+    assert cli.main(sem_argv) == 0
+    assert "accepted 1, dropped 1" in capsys.readouterr().out
+    assert cli.main(["maintain", "--store", store, "--dim", "16"]) == 0
+    assert "[maintain] semidx:" in capsys.readouterr().out
+    assert fs_exists(spark, f"{store}/semidx/standardize.json")
+
 
 def test_cli_repl_session(spark, tmp_path, capsys):
     """REPL parity with api/cli/repl.py: settings commands, a search, RAG

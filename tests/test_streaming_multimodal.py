@@ -332,6 +332,92 @@ def test_stream_ingest_semantic_gate(spark, tmp_path):
     assert {r.doc_id for r in ivf.vectors().collect()} == {100, 101, 1, 4}
 
 
+def test_stream_ingest_semantic_gate_standardized(spark, tmp_path):
+    """The dual gate with a STANDARDIZED (whitened) dense index makes the
+    same accept/drop decisions as the q111/q112 contract: a doc whose
+    embedding already lives in the store is dropped (exact dup → cosine 1.0
+    is invariant under standardize-and-renormalize), a novel doc is
+    accepted and folds in THROUGH the profile (add transforms raw → index
+    space). `compact()` (the `maintain` path) must preserve the persisted
+    profile and not move a single decision."""
+    import json as _json
+
+    from ocr_vector_db_spark.functions.vector import embed_text
+    from ocr_vector_db_spark.operators.ann_index import IVFIndex
+    from ocr_vector_db_spark.operators.index_maint import fs_exists
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
+
+    t_a = ("distributed query planners split logical plans into physical "
+           "stages before scheduling them across executor slots")
+    t_b = ("the archive of maritime weather observations spans two hundred "
+           "years of handwritten logbook entries from merchant vessels")
+    t_c = ("knitting patterns for alpine sweaters favor circular needles "
+           "and stranded colorwork in traditional nordic motifs")
+
+    mh = MinHashIndex.build(
+        spark, spark.createDataFrame([], "doc_id bigint, text string"),
+        str(tmp_path / "mh"), num_hashes=16, bands=4, n=2, n_buckets=8,
+    )
+    ivf = IVFIndex.build(
+        spark,
+        spark.createDataFrame(
+            [(100, embed_text(t_b)), (101, embed_text("seed filler row")),
+             (102, embed_text("second filler for a stable profile"))],
+            "doc_id bigint, embedding array<double>",
+        ),
+        str(tmp_path / "ivf"), num_clusters=2, standardize=True,
+    )
+    assert ivf.std_stats  # profile fitted and persisted
+    assert fs_exists(spark, str(tmp_path / "ivf" / "standardize.json"))
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": t_a}) + "\n")
+        fh.write(_json.dumps({"doc_id": 2, "text": t_b}) + "\n")
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted"))
+    args = dict(threshold=0.6, semantic_index=ivf, semantic_threshold=0.95,
+                checkpoint=str(tmp_path / "ckpt"))
+    stats: list = []
+    q = stream_ingest_deduped(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        mh, sink, stats=stats, **args,
+    )
+    q.awaitTermination(60)
+    # same decisions as the non-standardized gate: doc 2's embedding is in
+    # the store (dropped), doc 1 is novel (accepted + folded in)
+    assert {r.doc_id for r in sink.read(spark).collect()} == {1}
+    assert stats[-1] == {"epoch": 0, "accepted": 1, "dropped_as_dup": 1}
+    assert {r.doc_id for r in ivf.vectors().collect()} == {100, 101, 102, 1}
+
+    # maintain-path compaction: profile file survives, reload serves it,
+    # and the gate's decisions are unmoved
+    ivf.compact()
+    assert fs_exists(spark, str(tmp_path / "ivf" / "standardize.json"))
+    reloaded = IVFIndex.load(spark, str(tmp_path / "ivf"))
+    assert reloaded.std_stats == ivf.std_stats
+
+    with open(src / "b2.json", "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 3, "text": t_a.replace("executor", "worker")}) + "\n")
+        fh.write(_json.dumps({"doc_id": 4, "text": t_c}) + "\n")
+    stats2: list = []
+    q = stream_ingest_deduped(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        mh, sink, stats=stats2,
+        threshold=0.6, semantic_index=reloaded, semantic_threshold=0.95,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(60)
+    assert {r.doc_id for r in sink.read(spark).collect()} == {1, 4}
+    assert stats2[-1] == {"epoch": 1, "accepted": 1, "dropped_as_dup": 1}
+    assert {r.doc_id for r in reloaded.vectors().collect()} == {100, 101, 102, 1, 4}
+
+
 def test_stream_ingest_ledger_replay_noop_and_assume_new(spark, tmp_path):
     """EpochLedger mode: the steady-state add runs assume_new=True (no
     full-corpus re-add anti-join in the plan), and a replayed epoch —
