@@ -59,7 +59,14 @@ _KO_MERGES = 10
 
 
 def _ko_corpus(spark):
-    return spark.createDataFrame(_KO_DOCS, "doc_id bigint, text string")
+    # repartition(1): 12 fixture rows across local[32] pay 32-task
+    # scheduling overhead on every one of the plan's ~10 tiny stages
+    # (measured 2.0s vs 2.6s plain; coalesce(1) is the trap — it drags
+    # the whole multi-consumer plan through one serial RDD lineage
+    # instead of a LocalTableScan, measured 16.5s)
+    return spark.createDataFrame(
+        _KO_DOCS, "doc_id bigint, text string"
+    ).repartition(1)
 
 
 def _ko_oracle_sql() -> str:
