@@ -176,6 +176,9 @@ HEADLINE = [
     # constant-size, tracked so a tokenizer-class regression shows up as
     # a perf cliff (zero-token Korean docs would collapse its runtime)
     "q147_korean_lexical_stack",
+    # the JBIG2 generic-region decode path (distributed mapInPandas parse
+    # + T.88 MQ-coded raster, golden-pinned — q125's fax sibling)
+    "q148_pdf_jbig2_raster",
 ]
 
 

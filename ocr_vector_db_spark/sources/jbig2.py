@@ -1,0 +1,462 @@
+"""JBIG2 (ITU-T T.88) embedded-stream codec — generic regions, the form
+scanned-OCR PDFs ship behind /JBIG2Decode.
+
+Pure Python, public-spec only: the MQ arithmetic coder is transcribed
+from ITU-T T.88 Annex E (the same coder as JPEG 2000, T.800 Annex C) —
+Qe/NMPS/NLPS/SWITCH state table, INITDEC/DECODE/BYTEIN and the encoder
+twins INITENC/CODEMPS/CODELPS/BYTEOUT/FLUSH; the generic region decoding
+procedure is T.88 §6.2.5 (GBTEMPLATE 0 with the four movable AT pixels
+and TPGDON typical-prediction rows, context 0x9B25); the embedded
+segment organization (headers, page information type 48, immediate
+lossless generic region type 39) is T.88 §7 as profiled for PDF by ISO
+32000-1 §7.4.7. Reference parity: the reference decodes JBIG2 rasters
+only through PyMuPDF (ingestion/parsers/pymupdf_parser.py:518-569);
+this module covers the generic-region family on the pure-Python path —
+symbol-dictionary/text/halftone/refinement segments stay PyMuPDF-only
+(raise JBIG2Error here), matching VERDICT r9's frequency adjudication.
+
+Codec domain is SEMANTIC, like `sources/ccitt.py`: decoders return one
+byte per pixel with 1 = black (T.88's convention), and the encoder twins
+take the same. PDF-layer polarity (/Decode) is `pdf_decode.
+jbig2_image_xobject`'s concern.
+
+The encoder is the decoder's exact structural mirror — same context
+template, same sorted AT order, same TPGDON toggle protocol — so
+round-trips are structural, not coincidental (the CCITT module's
+contract, ccitt.py:20-26).
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class JBIG2Error(Exception):
+    """Malformed or unsupported-profile JBIG2 data."""
+
+
+# --------------------------------------------------------------- MQ coder
+# T.88 Table E.1: (Qe, NMPS, NLPS, SWITCH), 47 states.
+_QE = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+
+
+class MQDecoder:
+    """T.88 Annex E arithmetic decoder. Context storage is caller-owned:
+    a dict cx → [index, mps] (sized by the caller's context model, 2^16
+    for generic template 0)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bp = 0
+        b0 = data[0] if data else 0xFF
+        self.c = b0 << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self) -> None:
+        data, bp = self.data, self.bp
+        b = data[bp] if bp < len(data) else 0xFF
+        if b == 0xFF:
+            b1 = data[bp + 1] if bp + 1 < len(data) else 0xFF
+            if b1 > 0x8F:          # marker: feed 1-bits forever
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp = bp + 1
+                self.c += b1 << 9
+                self.ct = 7
+        else:
+            self.bp = bp + 1
+            b1 = data[bp + 1] if bp + 1 < len(data) else 0xFF
+            self.c += b1 << 8
+            self.ct = 8
+
+    def decode(self, cx: list[int]) -> int:
+        """cx = [index, mps] mutable pair; returns the decision bit."""
+        qe, nmps, nlps, switch = _QE[cx[0]]
+        self.a -= qe
+        if (self.c >> 16) < qe:
+            # LPS exchange path
+            if self.a < qe:
+                self.a = qe
+                d = cx[1]
+                cx[0] = nmps
+            else:
+                self.a = qe
+                d = 1 - cx[1]
+                if switch:
+                    cx[1] = 1 - cx[1]
+                cx[0] = nlps
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return cx[1]
+            if self.a < qe:
+                d = 1 - cx[1]
+                if switch:
+                    cx[1] = 1 - cx[1]
+                cx[0] = nlps
+            else:
+                d = cx[1]
+                cx[0] = nmps
+        # RENORMD
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class MQEncoder:
+    """T.88 Annex E arithmetic encoder — the decoder's exact mirror
+    (CODEMPS/CODELPS with conditional exchange, BYTEOUT stuffing, FLUSH
+    per E.3.8)."""
+
+    def __init__(self):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray()
+        self.b = -1  # byte position of the pending output byte; -1 = none
+
+    def encode(self, d: int, cx: list[int]) -> None:
+        qe, nmps, nlps, switch = _QE[cx[0]]
+        if d == cx[1]:  # CODEMPS
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe  # MPS owns the upper subinterval (E.3.2)
+                return
+            if self.a < qe:
+                self.a = qe   # conditional exchange: keep the lower
+            else:
+                self.c += qe
+            cx[0] = nmps
+        else:           # CODELPS
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                cx[1] = 1 - cx[1]
+            cx[0] = nlps
+        while True:     # RENORME
+            if self.ct == 0:
+                self._byteout()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+
+    def _byteout(self) -> None:
+        out = self.out
+        if self.b >= 0 and out[self.b] == 0xFF:
+            out.append((self.c >> 20) & 0xFF)
+            self.b = len(out) - 1
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            out.append((self.c >> 19) & 0xFF)
+            self.b = len(out) - 1
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            if self.b >= 0:
+                out[self.b] += 1
+                if out[self.b] == 0xFF:
+                    self.c &= 0x7FFFFFF
+                    out.append((self.c >> 20) & 0xFF)
+                    self.b = len(out) - 1
+                    self.c &= 0xFFFFF
+                    self.ct = 7
+                    return
+            out.append((self.c >> 19) & 0xFF)
+            self.b = len(out) - 1
+            self.c &= 0x7FFFF
+            self.ct = 8
+
+    def flush(self) -> bytes:
+        # SETBITS (E.3.8): force as many 1-bits into C as the interval
+        # allows, so trailing bytes compress to the 0xFF-stuffing form
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        # drop a trailing 0xFF (the decoder's marker detection regenerates
+        # the implicit 1-bits), per the spec's optional truncation
+        out = self.out
+        while out and out[-1] == 0xFF:
+            out.pop()
+        return bytes(out)
+
+
+# ------------------------------------------------- generic region (T.88 §6.2)
+# GBTEMPLATE 0: 12 fixed context pixels + 4 movable AT pixels, assembled
+# in (y, x) sorted order, MSB first (the spec's Figure 4 layout; nominal
+# AT positions A1..A4 below). TPGDON rows toggle LTP with context 0x9B25.
+_FIXED_T0 = [(-1, -2), (0, -2), (1, -2),
+             (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+             (-4, 0), (-3, 0), (-2, 0), (-1, 0)]
+_NOMINAL_AT = [(3, -1), (-3, -1), (2, -2), (-2, -2)]
+_TPGD_CX = 0x9B25
+
+
+def _template0(at: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    if len(at) != 4:
+        raise JBIG2Error(f"template 0 needs 4 AT pixels, got {len(at)}")
+    tpl = _FIXED_T0 + list(at)
+    tpl.sort(key=lambda p: (p[1], p[0]))
+    return tpl
+
+
+def _region_pass(width: int, height: int, template, tpgdon: bool,
+                 coder, rows: list[bytearray] | None) -> bytes:
+    """The ONE scan shared by decode and encode: identical context
+    assembly and TPGD protocol, differing only in whether each decision
+    bit comes from the MQ decoder (rows=None) or goes to the MQ encoder
+    (rows = the source bitmap)."""
+    cxs: dict[int, list[int]] = {}
+
+    def cx_of(key: int) -> list[int]:
+        s = cxs.get(key)
+        if s is None:
+            s = cxs[key] = [0, 0]
+        return s
+
+    decode = rows is None
+    out: list[bytearray] = []
+    ltp = 0
+    for y in range(height):
+        if tpgdon:
+            if decode:
+                sltp = coder.decode(cx_of(_TPGD_CX))
+            else:
+                same = y > 0 and rows[y] == rows[y - 1]
+                want = 1 if same else 0
+                sltp = want ^ ltp
+                coder.encode(sltp, cx_of(_TPGD_CX))
+            ltp ^= sltp
+            if ltp:
+                out.append(bytearray(out[y - 1]) if y > 0
+                           else bytearray(width))
+                continue
+        row = bytearray(width) if decode else rows[y]
+        hist = out if decode else rows  # completed rows (decode: built so far)
+        for x in range(width):
+            ctx = 0
+            for dx, dy in template:
+                xx, yy = x + dx, y + dy
+                if yy < 0 or xx < 0 or xx >= width or yy > y or (
+                        yy == y and xx >= x):
+                    bit = 0  # outside the bitmap / not yet coded
+                elif yy == y:
+                    bit = row[x + dx]  # already coded on the current row
+                else:
+                    bit = hist[yy][xx]
+                ctx = (ctx << 1) | (1 if bit else 0)
+            if decode:
+                row[x] = coder.decode(cx_of(ctx))
+            else:
+                coder.encode(1 if row[x] else 0, cx_of(ctx))
+        out.append(row)
+    if decode:
+        return b"".join(bytes(r) for r in out)
+    return b""
+
+
+def decode_generic_region(data: bytes, width: int, height: int,
+                          at: list[tuple[int, int]] | None = None,
+                          tpgdon: bool = False) -> bytes:
+    """MQ-coded generic region (template 0) → width*height bytes, 1=black."""
+    if width <= 0 or height <= 0:
+        raise JBIG2Error("empty region")
+    tpl = _template0(at or _NOMINAL_AT)
+    return _region_pass(width, height, tpl, tpgdon, MQDecoder(data), None)
+
+
+def encode_generic_region(pixels: bytes, width: int, height: int,
+                          at: list[tuple[int, int]] | None = None,
+                          tpgdon: bool = False) -> bytes:
+    """Exact encoder mirror of `decode_generic_region`."""
+    if len(pixels) != width * height:
+        raise JBIG2Error("pixels must be width*height bytes")
+    rows = [bytearray(1 if p else 0 for p in pixels[y * width:(y + 1) * width])
+            for y in range(height)]
+    tpl = _template0(at or _NOMINAL_AT)
+    enc = MQEncoder()
+    _region_pass(width, height, tpl, tpgdon, enc, rows)
+    return enc.flush()
+
+
+# ------------------------------------------------ embedded segments (T.88 §7)
+_PAGE_INFO = 48
+_IMM_GENERIC = 38
+_IMM_LOSSLESS_GENERIC = 39
+_INTERMEDIATE_GENERIC = 36
+_END_OF_PAGE = 49
+_END_OF_STRIPE = 50
+_END_OF_FILE = 51
+
+
+def _parse_segment_header(data: bytes, pos: int):
+    """→ (seg_number, seg_type, page, data_length, data_start)."""
+    if pos + 11 > len(data):
+        raise JBIG2Error("truncated segment header")
+    number = struct.unpack(">I", data[pos:pos + 4])[0]
+    flags = data[pos + 4]
+    seg_type = flags & 0x3F
+    page_assoc_4 = bool(flags & 0x40)
+    pos += 5
+    rts = data[pos]
+    count = rts >> 5
+    if count == 7:  # long form: 4-byte count + retention bitmap
+        count = struct.unpack(">I", data[pos:pos + 4])[0] & 0x1FFFFFFF
+        pos += 4 + (count + 8) // 8
+    else:
+        pos += 1
+    ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
+    pos += count * ref_size
+    if page_assoc_4:
+        page = struct.unpack(">I", data[pos:pos + 4])[0]
+        pos += 4
+    else:
+        page = data[pos]
+        pos += 1
+    length = struct.unpack(">I", data[pos:pos + 4])[0]
+    pos += 4
+    if length == 0xFFFFFFFF:
+        raise JBIG2Error("unknown-length segments unsupported")
+    return number, seg_type, page, length, pos
+
+
+def parse_segments(data: bytes):
+    """Embedded-organization segment stream → [(type, payload bytes)]."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        _, seg_type, _, length, start = _parse_segment_header(data, pos)
+        end = start + length
+        if end > len(data):
+            raise JBIG2Error("segment data overruns stream")
+        out.append((seg_type, data[start:end]))
+        pos = end
+    return out
+
+
+def _parse_region_info(payload: bytes):
+    if len(payload) < 17:
+        raise JBIG2Error("truncated region segment info")
+    w, h, x, y = struct.unpack(">IIII", payload[:16])
+    comb_op = payload[16] & 0x07
+    return w, h, x, y, comb_op
+
+
+def decode_embedded(stream: bytes, globals_data: bytes = b"") -> tuple[int, int, bytes]:
+    """PDF /JBIG2Decode stream (+ optional /JBIG2Globals) → (width,
+    height, width*height bytes with 1 = black).
+
+    Supports the scanned-raster profile: one page information segment and
+    immediate (lossless) generic regions composed by OR — the shape every
+    generic-region encoder (jbig2enc -generic, scanners) emits. Symbol/
+    text/halftone/refinement segments raise JBIG2Error (PyMuPDF path)."""
+    segments = parse_segments(globals_data) + parse_segments(stream)
+    page_w = page_h = 0
+    page: bytearray | None = None
+    for seg_type, payload in segments:
+        if seg_type == _PAGE_INFO:
+            if len(payload) < 8:
+                raise JBIG2Error("truncated page info")
+            page_w, page_h = struct.unpack(">II", payload[:8])
+            if page_h == 0xFFFFFFFF:
+                raise JBIG2Error("striped unknown-height pages unsupported")
+            if page_w * page_h > 64 << 20:
+                raise JBIG2Error("page too large")
+            page = bytearray(page_w * page_h)
+        elif seg_type in (_IMM_GENERIC, _IMM_LOSSLESS_GENERIC,
+                          _INTERMEDIATE_GENERIC):
+            if page is None:
+                raise JBIG2Error("region before page information")
+            w, h, x0, y0, _ = _parse_region_info(payload)
+            flags = payload[17]
+            if flags & 0x01:
+                raise JBIG2Error("MMR generic regions unsupported "
+                                 "(use /CCITTFaxDecode semantics)")
+            template = (flags >> 1) & 0x03
+            if template != 0:
+                raise JBIG2Error(f"GBTEMPLATE {template} unsupported")
+            tpgdon = bool(flags & 0x08)
+            at = [(struct.unpack(">b", payload[18 + 2 * i:19 + 2 * i])[0],
+                   struct.unpack(">b", payload[19 + 2 * i:20 + 2 * i])[0])
+                  for i in range(4)]
+            bitmap = decode_generic_region(payload[26:], w, h,
+                                           at=at, tpgdon=tpgdon)
+            for yy in range(h):
+                py = y0 + yy
+                if py >= page_h:
+                    break
+                base = py * page_w + x0
+                rowbase = yy * w
+                for xx in range(min(w, page_w - x0)):
+                    if bitmap[rowbase + xx]:
+                        page[base + xx] = 1
+        elif seg_type in (_END_OF_PAGE, _END_OF_STRIPE, _END_OF_FILE):
+            continue
+        else:
+            raise JBIG2Error(f"segment type {seg_type} unsupported "
+                             "(symbol/text/halftone stay on PyMuPDF)")
+    if page is None:
+        raise JBIG2Error("no page information segment")
+    return page_w, page_h, bytes(page)
+
+
+def _segment(number: int, seg_type: int, page: int, payload: bytes) -> bytes:
+    head = struct.pack(">IB", number, seg_type & 0x3F)
+    head += b"\x00"                    # 0 referred-to segments, short form
+    head += struct.pack(">B", page)    # 1-byte page association
+    head += struct.pack(">I", len(payload))
+    return head + payload
+
+
+def encode_embedded(pixels: bytes, width: int, height: int,
+                    tpgdon: bool = False) -> bytes:
+    """pixels (1 = black) → a PDF-embeddable JBIG2 stream: page info +
+    one immediate lossless generic region covering the page — the exact
+    mirror of `decode_embedded`'s supported profile."""
+    if len(pixels) != width * height:
+        raise JBIG2Error("pixels must be width*height bytes")
+    page_info = struct.pack(">IIII", width, height, 0, 0) + b"\x01" + b"\x00\x00"
+    region_info = struct.pack(">IIII", width, height, 0, 0) + b"\x00"
+    flags = 0x08 if tpgdon else 0x00   # template 0, not MMR
+    at = b"".join(struct.pack(">bb", dx, dy) for dx, dy in _NOMINAL_AT)
+    mq = encode_generic_region(pixels, width, height, tpgdon=tpgdon)
+    region = region_info + bytes([flags]) + at + mq
+    return (_segment(0, _PAGE_INFO, 1, page_info)
+            + _segment(1, _IMM_LOSSLESS_GENERIC, 1, region))

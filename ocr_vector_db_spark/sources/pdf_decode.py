@@ -1444,6 +1444,59 @@ def ccitt_image_xobject(objects, ref: int) -> dict | None:
     }
 
 
+def jbig2_image_xobject(objects, ref: int) -> dict | None:
+    """Decode a /JBIG2Decode image XObject to 8-bit gray pixels via the
+    pure-Python T.88 codec (`sources/jbig2.py`) — the generic-region
+    profile scanned-OCR PDFs ship; /JBIG2Globals streams resolve from the
+    object table and prepend their segments. Symbol/text/halftone
+    segments stay on the PyMuPDF path, like the reference
+    (ingestion/parsers/pymupdf_parser.py:518-569).
+
+    Polarity follows ISO 32000 §7.4.7: JBIG2's 1 = black becomes sample
+    0 (the filter inverts, like every compliant viewer), and the sample
+    maps to gray through the image's /Decode array (default [0 1] —
+    black renders at gray 0). Returns the decode_image_xobject raster
+    dict shape, or None when unsupported/malformed."""
+    from ocr_vector_db_spark.sources.jbig2 import JBIG2Error, decode_embedded
+
+    dict_src, stream = objects.get(ref, (b"", None))
+    if stream is None or b"/Image" not in dict_src:
+        return None
+    if _filter_chain(dict_src) != [b"JBIG2Decode"]:
+        return None
+    globals_data = b""
+    gm = re.search(rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R", dict_src)
+    if gm:
+        g_src, g_stream = objects.get(int(gm.group(1)), (b"", None))
+        if g_stream is not None:
+            globals_data = g_stream
+    dm = re.search(
+        rb"/Decode\s*\[\s*(\d+(?:\.\d+)?)\s+(\d+(?:\.\d+)?)\s*\]",
+        dict_src,
+    )
+    decode = (float(dm.group(1)), float(dm.group(2))) if dm else (0.0, 1.0)
+    try:
+        width, height, pix = decode_embedded(stream, globals_data)
+    except JBIG2Error:
+        return None
+    if width <= 0 or height <= 0:
+        return None
+    # codec-semantic bits (1 = black) → sample (inverted, §7.4.7) → gray
+    # per /Decode: the same ISO 32000 §8.9.5.2 pipeline as CCITT above
+    g = [
+        max(0, min(255, round(decode[0] * 255))),  # sample 0
+        max(0, min(255, round(decode[1] * 255))),  # sample 1
+    ]
+    gray = bytes(g[0 if p else 1] for p in pix)
+    return {
+        "width": width,
+        "height": height,
+        "channels": 1,
+        "colorspace": "gray",
+        "pixels": gray,
+    }
+
+
 def extract_pdf_images(data: bytes) -> list[dict]:
     """bytes → decoded raster rows for every image drawn on a page, in the
     multimodal asset shape (sources/multimodal.ASSET_SCHEMA): the pixel
@@ -1455,9 +1508,11 @@ def extract_pdf_images(data: bytes) -> list[dict]:
     through verbatim as ready-to-send JPEG (metadata format=jpeg — no
     decoder needed, see jpeg_image_xobject); CCITT rasters in every /K
     regime (Group 4 MMR, Group 3 1-D and mixed) decode through the
-    pure-Python T.6/T.4 codecs (ccitt_image_xobject, format=raw).
-    Other encodings (JPX, JBIG2) are skipped; the PyMuPDF path covers
-    them when importable."""
+    pure-Python T.6/T.4 codecs (ccitt_image_xobject, format=raw);
+    JBIG2 generic regions decode through the pure-Python T.88 codec
+    (jbig2_image_xobject, format=raw). JPX and JBIG2 symbol/text/
+    halftone segments are skipped; the PyMuPDF path covers them when
+    importable."""
     import hashlib
 
     objects = _scan_objects(data)
@@ -1481,7 +1536,8 @@ def extract_pdf_images(data: bytes) -> list[dict]:
             if not ref:
                 continue
             raster = (decode_image_xobject(objects, ref)
-                      or ccitt_image_xobject(objects, ref))
+                      or ccitt_image_xobject(objects, ref)
+                      or jbig2_image_xobject(objects, ref))
             if raster is not None:
                 payload = raster.pop("pixels")
                 facts = {"format": "raw", **raster}
@@ -1731,6 +1787,38 @@ def build_simple_pdf(pages: list[list[dict]],
                         f"/Filter /DCTDecode "
                         f"/Length {len(jpeg)} >>\nstream\n".encode("latin-1")
                         + jpeg + b"\nendstream"
+                    )
+                    xobj_entries.append(
+                        f"/{name} {next_obj + len(img_objs) - 1} 0 R"
+                    )
+                    content_lines.append(
+                        f"q {b['w']} 0 0 {b['h']} {b['x']} {b['y']} cm "
+                        f"/{name} Do Q"
+                    )
+                    continue
+                if b.get("jbig2"):
+                    # scanned-raster fixture: a /JBIG2Decode bilevel
+                    # generic region — `pixels` is w*h bytes, nonzero =
+                    # black, encoded with the matching twin
+                    # (sources/jbig2.py). `tpgdon` turns on typical-
+                    # prediction rows.
+                    from ocr_vector_db_spark.sources.jbig2 import (
+                        encode_embedded,
+                    )
+
+                    pix = b["pixels"]
+                    assert len(pix) == b["width"] * b["height"]
+                    payload_img = encode_embedded(
+                        pix, b["width"], b["height"],
+                        tpgdon=bool(b.get("tpgdon")),
+                    )
+                    img_objs.append(
+                        f"<< /Type /XObject /Subtype /Image "
+                        f"/Width {b['width']} /Height {b['height']} "
+                        f"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                        f"/Filter /JBIG2Decode "
+                        f"/Length {len(payload_img)} >>\nstream\n"
+                        .encode("latin-1") + payload_img + b"\nendstream"
                     )
                     xobj_entries.append(
                         f"/{name} {next_obj + len(img_objs) - 1} 0 R"

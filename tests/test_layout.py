@@ -83,7 +83,7 @@ def test_inventory_family_split_preserves_registration():
     assert keys.index("q132_bpe_train_merges") < keys.index(
         "q138_psi_drift_baseline"
     ) < keys.index("q119_weighted_sample")  # stats hub imports first
-    assert keys[-1] == "q146_packing_budget_sweep"
+    assert keys[-1] == "q147_korean_lexical_stack"  # round-10 family last
     # every registered query has an oracle (rows-only checks excepted by
     # construction: none currently)
     assert set(ORACLES) == set(QUERIES)

@@ -1314,3 +1314,149 @@ class TestCCITTGroup3:
             if pm.colorspace and pm.colorspace.n > 1:
                 pm = fitz.Pixmap(fitz.csGRAY, pm)
             assert bytes(pm.samples) == ours, f"K={k}"
+
+
+class TestJBIG2:
+    """ITU-T T.88 codec (MQ coder + generic regions) + /JBIG2Decode path."""
+
+    def test_mq_coder_round_trips(self):
+        """The MQ arithmetic coder pair is an exact mirror across random,
+        heavily biased (byte-stuffing/carry paths) and multi-context
+        streams."""
+        import random
+
+        from ocr_vector_db_spark.sources.jbig2 import MQDecoder, MQEncoder
+
+        rng = random.Random(42)
+        cases = [[rng.randint(0, 1) for _ in range(5000)] for _ in range(3)]
+        cases += [[1 if rng.random() < p else 0 for _ in range(20000)]
+                  for p in (0.01, 0.99)]
+        for bits in cases:
+            ctxs = [rng.randint(0, 15) for _ in bits]
+            enc = MQEncoder()
+            ecx = {i: [0, 0] for i in range(16)}
+            for b, c in zip(bits, ctxs):
+                enc.encode(b, ecx[c])
+            data = enc.flush()
+            dec = MQDecoder(data)
+            dcx = {i: [0, 0] for i in range(16)}
+            assert [dec.decode(dcx[c]) for c in ctxs] == bits
+
+    def test_generic_region_round_trips(self):
+        """Template-0 generic regions round-trip across shapes and
+        densities, with and without TPGDON; TPGD compresses repeated
+        rows."""
+        import random
+
+        from ocr_vector_db_spark.sources.jbig2 import (
+            decode_generic_region,
+            encode_generic_region,
+        )
+
+        rng = random.Random(7)
+        for w, h in [(1, 1), (5, 3), (33, 17), (64, 48), (128, 1), (1, 64)]:
+            pix = bytes(
+                1 if (x % 7 == 0 or y == h // 2 or (x + y) % 13 == 0) else 0
+                for y in range(h) for x in range(w)
+            )
+            for tp in (False, True):
+                enc = encode_generic_region(pix, w, h, tpgdon=tp)
+                assert decode_generic_region(enc, w, h, tpgdon=tp) == pix
+            rnd = bytes(rng.randint(0, 1) for _ in range(w * h))
+            enc = encode_generic_region(rnd, w, h)
+            assert decode_generic_region(enc, w, h) == rnd
+        rep = bytes(1 if x % 5 == 0 else 0 for x in range(64)) * 48
+        plain = encode_generic_region(rep, 64, 48, tpgdon=False)
+        tp = encode_generic_region(rep, 64, 48, tpgdon=True)
+        assert decode_generic_region(tp, 64, 48, tpgdon=True) == rep
+        assert len(tp) < len(plain)
+
+    def test_embedded_segments_and_unsupported_profiles(self):
+        """The embedded organization round-trips (page info + immediate
+        lossless generic region); symbol/text segments and non-zero
+        templates raise JBIG2Error instead of mis-decoding."""
+        import pytest as _pytest
+
+        from ocr_vector_db_spark.sources.jbig2 import (
+            JBIG2Error,
+            decode_embedded,
+            encode_embedded,
+        )
+
+        w, h = 120, 40
+        pix = bytes(1 if (x % 11 == 0 or y == 20) else 0
+                    for y in range(h) for x in range(w))
+        stream = encode_embedded(pix, w, h, tpgdon=True)
+        gw, gh, got = decode_embedded(stream)
+        assert (gw, gh, got) == (w, h, pix)
+
+        # a symbol-dictionary segment (type 0) is out of profile
+        bad = bytearray(stream)
+        # flip the region segment's type byte (offset 4 of the SECOND
+        # header: 11-byte header + 19-byte page info payload + 4)
+        bad[11 + 19 + 4] = 0x00
+        with _pytest.raises(JBIG2Error):
+            decode_embedded(bytes(bad))
+        # truncated stream
+        with _pytest.raises(JBIG2Error):
+            decode_embedded(stream[:-9])
+
+    def test_jbig2_xobject_and_asset_extraction(self):
+        """A /JBIG2Decode image XObject decodes to 8-bit gray semantic
+        pixels (1=black -> gray 0, ISO 32000 §7.4.7 polarity) through
+        extract_pdf_images; /Decode [1 0] renders the inverse."""
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            extract_pdf_images,
+        )
+
+        w, h = 110, 36
+        pix = bytes(
+            1 if (x % 9 == 0 or y == 18 or (x + y) % 23 == 0) else 0
+            for y in range(h) for x in range(w)
+        )
+        pdf = build_simple_pdf([[
+            {"kind": "text", "text": "scanned page", "x": 50, "y": 700,
+             "size": 12},
+            {"kind": "image", "x": 50, "y": 300, "w": 220, "h": 72,
+             "width": w, "height": h, "jbig2": True, "tpgdon": True,
+             "pixels": pix},
+        ]])
+        imgs = extract_pdf_images(pdf)
+        assert len(imgs) == 1
+        md = imgs[0]["metadata"]
+        assert (md["format"], md["colorspace"], md["width"], md["height"]) \
+            == ("raw", "gray", "110", "36")
+        assert imgs[0]["data"] == bytes(0 if p else 255 for p in pix)
+        inv = pdf.replace(b"/BitsPerComponent 1",
+                          b"/BitsPerComponent 1 /Decode [1 0]")
+        assert extract_pdf_images(inv)[0]["data"] == bytes(
+            255 - b for b in imgs[0]["data"]
+        )
+
+    def test_pymupdf_jbig2_parity_when_available(self):
+        """PyMuPDF parity gate (skips without fitz): the generic region
+        our codec encodes must rasterize identically through fitz."""
+        fitz = pytest.importorskip("fitz")
+
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            extract_pdf_images,
+        )
+
+        w, h = 64, 24
+        pix = bytes(1 if (x + y) % 9 < 3 else 0
+                    for y in range(h) for x in range(w))
+        for tp in (False, True):
+            pdf = build_simple_pdf([[
+                {"kind": "image", "x": 50, "y": 300, "w": 128, "h": 48,
+                 "width": w, "height": h, "jbig2": True, "tpgdon": tp,
+                 "pixels": pix},
+            ]])
+            ours = extract_pdf_images(pdf)[0]["data"]
+            doc = fitz.open(stream=pdf, filetype="pdf")
+            xref = doc.get_page_images(0)[0][0]
+            pm = fitz.Pixmap(doc, xref)
+            if pm.colorspace and pm.colorspace.n > 1:
+                pm = fitz.Pixmap(fitz.csGRAY, pm)
+            assert bytes(pm.samples) == ours, f"tpgdon={tp}"
