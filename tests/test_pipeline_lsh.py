@@ -244,9 +244,12 @@ def test_no_accidental_cartesian_products(tables, spark):
     # (q135's total/leftover rows are 1-row aggregates too)
     # (q137-q140's min-max, meta and totals rows are 1-row aggregates
     # too; q142/q143's threshold grids are ≤5-row broadcast range-joins)
+    # (q147 composes q89's BM25 corpus-stats row and q118's 1-row
+    # smoothing-V scalar — the same bounded 1-row broadcast cross joins)
     allow_nested_loop = ("q16", "q17", "q22", "q55", "q85", "q89", "q90",
                          "q94", "q111", "q112", "q113", "q129", "q135",
-                         "q137", "q138", "q139", "q140", "q142", "q143")
+                         "q137", "q138", "q139", "q140", "q142", "q143",
+                         "q147")
     for name, fn in sorted(QUERIES.items()):
         if name.startswith(skip_prefixes):
             continue
