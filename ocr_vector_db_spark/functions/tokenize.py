@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 # outside the class so BPE's delimited symbol-string form cannot collide
 # with content.
 TOKEN_CLASS = "a-z0-9가-힣"
-TOKEN_SPLIT_RE = f"[^{TOKEN_CLASS}]+"
+TOKEN_SPLIT_RE = f"[^{TOKEN_CLASS}]+"   # the oracle-SQL form (DuckDB/RE2)
+TOKEN_RE = f"[{TOKEN_CLASS}]+"          # the Spark-side extraction form
 
 # Single Hangul character — the language-ID signal (a Korean token almost
 # always contains one; an ASCII token never does).
@@ -38,7 +39,15 @@ HANGUL_CHAR_RE = "[가-힣]"
 
 
 def tokens_of(text: Column) -> Column:
-    """Lowercased word-token array (empties filtered) — the shared
-    tokenization every lexical operator builds on. Pure built-ins, runs
-    inside whole-stage codegen."""
-    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda w: w != "")
+    """Lowercased word-token array — the shared tokenization every lexical
+    operator builds on. Pure built-ins, runs inside whole-stage codegen.
+
+    Spark side extracts the POSITIVE class (`regexp_extract_all`) instead
+    of splitting on the negated one: Java regex pays ~75% more per pass
+    for the negated class once it contains a non-Latin-1 range (measured
+    0.39s vs 0.22s per sf0.1 corpus pass), while positive-class extraction
+    holds at 0.27s — and it needs no empty-token filter. The DuckDB
+    oracles keep `string_split_regex(lower(text), '[^a-z0-9가-힣]+')`;
+    the two token streams are bit-identical (md5-verified corpus-wide,
+    pinned by test_korean.py)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), F.lit(0))

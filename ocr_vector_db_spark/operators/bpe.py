@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ocr_vector_db_spark.functions.tokenize import TOKEN_SPLIT_RE
+from ocr_vector_db_spark.functions.tokenize import TOKEN_SPLIT_RE, tokens_of
 
 SYM_RE = "<([^<>]+)>"
 END = "_"
@@ -47,11 +47,7 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, cnt): the corpus's weighted word table — the ONE corpus-sized
     pass of BPE training (q65's vocabulary-agg contract)."""
     return (
-        docs.select(
-            F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE))
-            .alias("w")
-        )
-        .filter(F.col("w") != "")
+        docs.select(F.explode(tokens_of(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
@@ -213,10 +209,8 @@ def bpe_token_counts(
     Merge tables past MAX_EXPR_MERGES segment through the Arrow-batched
     pandas path (constant plan size) instead of the expression chain."""
     words = docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE))
-        .alias("w"),
-    ).filter(F.col("w") != "")
+        F.col(id_col), F.explode(tokens_of(F.col(text_col))).alias("w")
+    )
     if len(merges) <= MAX_EXPR_MERGES:
         seg = _seg_counts_expr(words, merges)
     else:

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
 from ocr_vector_db_spark.functions import text_analysis as ta  # noqa: F401
+from ocr_vector_db_spark.functions.tokenize import tokens_of  # noqa: F401
 from ocr_vector_db_spark.functions import validators  # noqa: F401
 from ocr_vector_db_spark.functions.chunking import chunk_fixed_col  # noqa: F401
 from ocr_vector_db_spark.operators import (  # noqa: F401
@@ -1707,7 +1708,7 @@ def q95(spark, sf):
     combine discipline as q65's Zipf scan."""
     d = load_table(spark, sf, "documents")
     words = d.select(
-        F.explode(F.split(F.lower("text"), "[^a-z0-9가-힣]+")).alias("word")
+        F.explode(tokens_of(F.col("text"))).alias("word")
     ).filter(F.length("word") >= 2)
     pairs = words.select(
         F.explode(

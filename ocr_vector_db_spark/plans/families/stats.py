@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
 from ocr_vector_db_spark.functions import text_analysis as ta  # noqa: F401
+from ocr_vector_db_spark.functions.tokenize import tokens_of  # noqa: F401
 from ocr_vector_db_spark.functions import validators  # noqa: F401
 from ocr_vector_db_spark.functions.chunking import chunk_fixed_col  # noqa: F401
 from ocr_vector_db_spark.operators import (  # noqa: F401
@@ -56,8 +57,7 @@ def q65(spark, sf):
     occurrence (~1e11 at 100 TB); top-k is TakeOrderedAndProject."""
     d = load_table(spark, sf, "documents")
     return (
-        d.select(F.explode(F.split(F.lower("text"), "[^a-z0-9가-힣]+")).alias("token"))
-        .filter(F.col("token") != "")
+        d.select(F.explode(tokens_of(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), "token")
@@ -886,10 +886,8 @@ def q82(spark, sf):
     d = load_table(spark, sf, "documents")
     tk = (
         d.select(
-            "doc_id",
-            F.explode(F.split(F.lower("text"), "[^a-z0-9가-힣]+")).alias("tok"),
+            "doc_id", F.explode(tokens_of(F.col("text"))).alias("tok")
         )
-        .filter(F.col("tok") != "")
     )
     vocab = tk.groupBy("tok").agg(F.count("*").alias("cnt")).cache()
     # total tokens from the (vocab-sized, cached) counts — avoids a second
@@ -1152,9 +1150,7 @@ def q128(spark, sf):
 
     d = load_table(spark, sf, "documents")
     tok = (
-        d.select(
-            F.explode(F.split(F.lower("text"), "[^a-z0-9가-힣]+")).alias("tok")
-        ).filter(F.col("tok") != "")
+        d.select(F.explode(tokens_of(F.col("text"))).alias("tok"))
     )
     key = (spark.sparkContext.applicationId, sf, "q128_hll_path")
     if key not in _PLAN_MEMO:
@@ -1891,9 +1887,8 @@ def q143(spark, sf):
         )
     )
     words = d.select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), "[^a-z0-9가-힣]+")).alias("w"),
-    ).filter(F.col("w") != "")
+        "doc_id", F.explode(tokens_of(F.col("text"))).alias("w")
+    )
     dtok = words.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tok")
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ocr_vector_db_spark.functions.tokenize import TOKEN_SPLIT_RE
+from ocr_vector_db_spark.functions.tokenize import tokens_of
 
 EVENTS_STREAM_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -241,9 +241,8 @@ def _stream_tokens(docs: DataFrame, text_col: str) -> DataFrame:
     """(__tok) token stream for the vocab sketch fold — the corpus-stats
     tokenizer (q65/q128's definition), empties dropped."""
     return docs.select(
-        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE))
-        .alias("__tok")
-    ).filter(F.col("__tok") != "")
+        F.explode(tokens_of(F.col(text_col))).alias("__tok")
+    )
 
 
 def stream_ingest_deduped(
