@@ -155,6 +155,19 @@ AUDITS = [
      "shuffle, Final after) — never a full stratum sort even when one "
      "stratum is most of the corpus; Hamilton quotas ride a broadcast; "
      "the apportionment math runs on the strata-bounded table"),
+    ("q147_korean_lexical_stack",
+     "Korean tokens through the production BM25 + bigram-LM + BPE "
+     "operators in one fused plan: tokenization is positive-class "
+     "regexp_extract_all (the widened negated class cost ~75% more per "
+     "pass in Java regex), corpus stats and the smoothing-V scalar ride "
+     "1-row broadcast cross joins, the per-doc joins broadcast — the "
+     "per-pass shapes are exactly q89/q118/q133's, just over Hangul"),
+    ("q148_pdf_jbig2_raster",
+     "the JBIG2 raster path is per-file mapInPandas like q125's fax "
+     "decode — the MQ arithmetic coder is sequential per region by "
+     "construction, so parallelism lives at the file grain (millions of "
+     "files at 100 TB); no shuffle anywhere, the union with the text "
+     "parse is append-only"),
 ]
 
 KEY_LINE = re.compile(
