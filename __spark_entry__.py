@@ -63,7 +63,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every name still passes the full local oracle sweep each round — see
 # COVERAGE.md for the per-round sweep log.
 
-_REVERIFY_FRONT: set[str] = set()
+_REVERIFY_FRONT: set[str] = {
+    # round 10: q23 gained the ko profile + a Korean fixture row after its
+    # r08 green (sweep-verified locally at both scales; see COVERAGE.md)
+    "q23_language_id",
+}
 """Names whose plan machinery was rewritten AFTER their latest driver green
 (e.g. q53/q61 in round 9). They sort just behind never-verified names,
 ahead of every ledger tier. Hand-maintained, normally empty."""

@@ -57,10 +57,21 @@ def _lang_exprs() -> tuple[str, str]:
     return best, f"CASE {cases} ELSE 'unknown' END"
 
 
+# The driver corpus is ASCII, so q23 unions one Korean fixture row
+# (doc_id -1) onto the table on BOTH sides — the reference's primary
+# language must be nameable by its own lang-ID (VERDICT r9 #5; the full
+# Korean stack golden is q147).
+_KO_ROW = "OCR 결과를 검증하는 한국어 문서입니다 그리고 색인 품질을 봅니다"
+
+
 def _lang_sql() -> str:
     best, case = _lang_exprs()
     return f"""
-    WITH scored AS (SELECT doc_id, text, {best} AS best FROM documents)
+    WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT CAST(-1 AS BIGINT), '{_KO_ROW}'
+    ),
+    scored AS (SELECT doc_id, text, {best} AS best FROM src)
     SELECT doc_id, {case} AS lang_pred
     FROM scored
     """
@@ -68,8 +79,12 @@ def _lang_sql() -> str:
 
 @query("q23_language_id", _lang_sql())
 def q23(spark, sf):
-    """Heuristic language ID: per-language stopword-profile argmax."""
-    d = load_table(spark, sf, "documents")
+    """Heuristic language ID: per-language stopword-profile argmax (ko
+    scores tokens containing Hangul), over the corpus plus one Korean
+    fixture row that must come back `ko`."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text").unionAll(
+        spark.createDataFrame([(-1, _KO_ROW)], "doc_id bigint, text string")
+    )
     return d.select("doc_id", ta.detect_language_col(F.col("text")).alias("lang_pred"))
 
 
