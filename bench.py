@@ -179,6 +179,9 @@ HEADLINE = [
     # the JBIG2 generic-region decode path (distributed mapInPandas parse
     # + T.88 MQ-coded raster, golden-pinned — q125's fax sibling)
     "q148_pdf_jbig2_raster",
+    # Bloom decontamination screen: persisted build+add (memoized) then the
+    # broadcast-words probe screen next to q62's exact-join twin
+    "q149_bloom_decontamination_screen",
 ]
 
 

@@ -17,6 +17,8 @@
     python -m ocr_vector_db_spark.cli lm-index --store DIR [--build|--score F|--pmi]
     python -m ocr_vector_db_spark.cli tokenizer --store DIR [--train N|--extend N|--count F]
     python -m ocr_vector_db_spark.cli drift --store DIR [--batch FILE]
+    python -m ocr_vector_db_spark.cli decontam --store DIR
+        [--build F|--add F|--screen F]  # bloom benchmark-leak screen
 
 Mirrors api/cli/{ingest,search,repl,quality}.py + api/formatters.py: same
 text/JSON result formats (similarity to 4 dp, 500-char parent preview), same
@@ -506,6 +508,84 @@ def cmd_drift(args) -> int:
     print(f"[drift] PSI={r.psi:.6f} JSD={r.jsd:.6f} "
           f"(bins={r.n_bins}; <0.1 stable, >0.25 shifted)")
     print(f"[drift] KS={k.ks:.6f} over {k.n_values} distinct lengths")
+    return 0
+
+
+def cmd_decontam(args) -> int:
+    """Benchmark decontamination via the persisted Bloom filter
+    (`{store}/bloom`, `operators/sketches.py::BloomSketch`, q149's
+    operator): `--build FILE` folds a JSONL benchmark corpus's 2-gram
+    shingles into m bits (packed words under generation pointers);
+    `--add FILE` ORs more benchmark docs in (idempotent — add ≡ rebuild);
+    `--screen FILE` flags a candidate batch by k broadcast-join probes —
+    zero false negatives, so an unflagged doc is CERTAIN clean and only
+    the flagged remainder ever needs the exact q62 join. Without a file,
+    prints the filter's fill stats and implied FP rate."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.operators.dedup import _doc_shingles
+    from ocr_vector_db_spark.operators.index_maint import fs_exists
+    from ocr_vector_db_spark.operators.sketches import (
+        _BLOOM_WORD_BITS, BloomSketch,
+    )
+
+    spark = _spark()
+    path = os.path.join(args.store, "bloom")
+
+    def _shingles(file):
+        return _doc_shingles(spark.read.json(file), "text", "doc_id", 2)
+
+    if args.build:
+        sk = BloomSketch.build(
+            spark, _shingles(args.build).select("shingle").distinct(),
+            path, F.col("shingle"), m=args.m_bits, k=args.k_hashes,
+        )
+        print(f"[decontam] built m={sk.m} k={sk.k} at {path}")
+        return 0
+    if not fs_exists(spark, path):
+        print("[error] no bloom filter under the store — run "
+              "`decontam --build FILE` first")
+        return 1
+    sk = BloomSketch.load(spark, path)
+    if args.add:
+        sk.add(_shingles(args.add).select("shingle").distinct(),
+               F.col("shingle"))
+        print(f"[decontam] folded {args.add} into m={sk.m} k={sk.k}")
+        return 0
+    if args.screen:
+        sh = _shingles(args.screen)
+        per = (
+            sk.screen(sh, F.col("shingle"), "doc")
+            .groupBy("doc")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum(F.col("maybe_member").cast("int")).alias("n_maybe"))
+            .withColumn("contamination",
+                        F.round(F.col("n_maybe")
+                                / F.col("n_shingles").cast("double"), 6))
+            .orderBy(F.desc("contamination"), "doc")
+        )
+        flagged = 0
+        for r in per.collect():
+            mark = "FLAG" if r.contamination >= args.threshold else "ok"
+            flagged += mark == "FLAG"
+            print(f"{r.doc}\t{r.n_shingles}\t{r.n_maybe}\t"
+                  f"{r.contamination}\t{mark}")
+        print(f"[decontam] {flagged} doc(s) ≥ {args.threshold} — exact-join "
+              "only the flagged remainder (negatives are certain)")
+        return 0
+    stats = sk.words().agg(
+        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0)).alias("set_bits")
+    ).head()
+    fill = stats.set_bits / sk.m
+    # invert fill = 1-e^(-kn/m) for the implied member count, then the
+    # standard FP estimate (1-e^(-kn/m))^k = fill^k
+    n_est = -sk.m / sk.k * math.log(max(1.0 - fill, 1e-12))
+    print(f"[decontam] m={sk.m} k={sk.k} words={_BLOOM_WORD_BITS}b "
+          f"set_bits={stats.set_bits} fill={fill:.4f} "
+          f"n≈{n_est:.0f} fp≈{fill ** sk.k:.6f}")
     return 0
 
 
@@ -1102,6 +1182,22 @@ def build_parser() -> argparse.ArgumentParser:
                          "self-audit)")
     sp.add_argument("--bins", type=int, default=10)
     sp.set_defaults(fn=cmd_drift)
+
+    sp = sub.add_parser("decontam")
+    common(sp)
+    sp.add_argument("--build", metavar="FILE",
+                    help="JSONL benchmark corpus {doc_id, text}: fold its "
+                         "2-gram shingles into a fresh bloom filter")
+    sp.add_argument("--add", metavar="FILE",
+                    help="fold more benchmark docs into the existing filter")
+    sp.add_argument("--screen", metavar="FILE",
+                    help="JSONL candidate batch: per-doc contamination "
+                         "estimate + flag (zero false negatives)")
+    sp.add_argument("--m-bits", type=int, default=60 * 4096,
+                    help="filter size in bits (multiple of 60)")
+    sp.add_argument("--k-hashes", type=int, default=3)
+    sp.add_argument("--threshold", type=float, default=0.3)
+    sp.set_defaults(fn=cmd_decontam)
 
     sp = sub.add_parser("tokenizer")
     common(sp)

@@ -436,3 +436,197 @@ def kmv_set_relations(a: KMVSketch, b: KMVSketch) -> DataFrame:
         F.round(jac, 6).alias("jaccard"),
         F.round(jac * union_est, 6).alias("inter_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — persisted MEMBERSHIP sketch (Bloom, CACM 1970; Broder &
+# Mitzenmacher's survey for the sizing math). Where HLL answers |A| and KMV
+# answers set relations, the Bloom filter answers "is x in A" with zero
+# false NEGATIVES — the primitive behind benchmark decontamination at
+# corpus scale. q62's exact screen joins every corpus shingle against the
+# benchmark shingle set: correct, but at 100 TB that shuffles the corpus
+# against the eval corpus every epoch. The Bloom path builds m bits from
+# the benchmark side ONCE (m/60 packed words, KBs→MBs), then screens any
+# batch with a broadcast join + bitwise AND — the corpus side never
+# shuffles, never moves; a positive is "maybe" (tunable FP rate), a
+# negative is CERTAIN, so the exact join is only ever needed on the tiny
+# flagged remainder (two-phase screen).
+#
+# Engine-portable by the repo-wide idiom: probe j of key x is
+#   ('0x' || substr(md5(j || '#' || x), 1, 13))::BIGINT % m
+# (52-bit positive value, so % m matches Spark's pmod), packed 60 bits per
+# word (bit index = pos % 60, word = pos // 60) — the sign bit is never
+# touched, so BIGINT `&` / bit_or behave identically in Spark and DuckDB,
+# and the words table is bit-for-bit reproducible from SQL (q149's oracle
+# builds it from scratch and replays the screen).
+#
+# Persistence mirrors HLL/KMV: words/ holds ≤ m/60 (word_idx, bits) rows
+# under generation pointers; `add` folds new member keys by per-word
+# bit_or — associative, commutative, IDEMPOTENT (OR), so add ≡ rebuild
+# bit-for-bit and crash-window replays cannot flip a bit. `merge` unions
+# same-shape filters (the Bloom union property).
+#
+# Scale: build/add shuffle ≤ m/60 rows after map-side bit_or combine;
+# the screen is O(batch · k) map-side work + one broadcast of the words
+# table. Nothing is ever corpus-sized after the first projection.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD_BITS = 60
+
+
+def bloom_probe(key: Column, j: int, m: int) -> Column:
+    """Bit position of hash function j for `key`, in [0, m)."""
+    h = F.md5(F.concat(F.lit(f"{j}#"), key.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint"), F.lit(m)
+    )
+
+
+def _word_mask(pos: Column) -> tuple[Column, Column]:
+    """(word_idx int, single-bit mask bigint) for a probe position.
+    2^(pos % 60) is exact in double well past 60, so the pow→bigint cast
+    is integer-exact in both engines."""
+    word_idx = F.floor(pos / F.lit(_BLOOM_WORD_BITS)).cast("int")
+    mask = F.pow(F.lit(2.0), (pos % F.lit(_BLOOM_WORD_BITS)).cast("int")).cast("bigint")
+    return word_idx, mask
+
+
+def bloom_words(df: DataFrame, key: Column, m: int, k: int) -> DataFrame:
+    """(word_idx int, bits bigint) — non-empty words only, ≤ m/60 rows.
+
+    One aggregation whose key space is the word space: partial (map-side)
+    bit_or reduces every input partition to ≤ m/60 rows before the single
+    tiny shuffle (the hll_registers contract). Null keys are ignored."""
+    probes = df.filter(key.isNotNull()).select(
+        F.explode(
+            F.array(*[bloom_probe(key, j, m) for j in range(k)])
+        ).alias("pos")
+    )
+    word_idx, mask = _word_mask(F.col("pos"))
+    return (
+        probes.select(word_idx.alias("word_idx"), mask.alias("mask"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").cast("bigint").alias("bits"))
+    )
+
+
+def _merge_words(parts: list[DataFrame]) -> DataFrame:
+    u = parts[0]
+    for nxt in parts[1:]:
+        u = u.unionByName(nxt)
+    return u.groupBy("word_idx").agg(F.bit_or("bits").cast("bigint").alias("bits"))
+
+
+def bloom_screen(
+    df: DataFrame,
+    words: DataFrame,
+    m: int,
+    k: int,
+    key: Column,
+    *id_cols: str,
+) -> DataFrame:
+    """`df` + boolean `maybe_member` (all k probe bits set — zero false
+    negatives for keys folded into `words`; false-positive rate set by the
+    (m, k, n) sizing). `id_cols` name the columns to carry through.
+
+    Shape: k probes per row (map-side), LEFT broadcast join against the
+    ≤ m/60-row words table, per-row AND-fold. The screened side never
+    shuffles. At filter sizes past broadcast comfort (m/60 rows is ~2 MB
+    per 2^30 bits), persist the words table bucketed by word_idx and let
+    the equi-join prune instead — same plan, bigger dim."""
+    probe_arr = F.array(*[bloom_probe(key, j, m) for j in range(k)])
+    probes = df.select(*id_cols, key.alias("__key"),
+                       F.explode(probe_arr).alias("pos"))
+    word_idx, mask = _word_mask(F.col("pos"))
+    probed = probes.select(
+        *id_cols, "__key", word_idx.alias("word_idx"), mask.alias("mask")
+    )
+    hit = (
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
+    ).cast("int")
+    return (
+        probed.join(F.broadcast(words), "word_idx", "left")
+        .groupBy(*id_cols, "__key")
+        .agg((F.min(hit) == 1).alias("maybe_member"))
+        .withColumnRenamed("__key", "key")
+    )
+
+
+class BloomSketch:
+    """Persisted Bloom filter (packed-word table) under generation pointers."""
+
+    def __init__(self, spark: SparkSession, path: str, m: int, k: int):
+        self.spark = spark
+        self.path = path
+        self.m = m
+        self.k = k
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        key: Column,
+        m: int = 1 << 13,
+        k: int = 3,
+    ) -> "BloomSketch":
+        from ocr_vector_db_spark.operators.index_maint import write_small_file
+
+        if m % _BLOOM_WORD_BITS != 0:
+            # keep word boundaries aligned so % / // never straddle words
+            raise ValueError(f"m must be a multiple of {_BLOOM_WORD_BITS}")
+        sk = cls(spark, path, m, k)
+        sk._publish(bloom_words(df, key, m, k), first=True)
+        write_small_file(
+            spark, os.path.join(path, "meta.json"),
+            json.dumps({"m": m, "k": k}).encode("utf-8"),
+        )
+        return sk
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "BloomSketch":
+        from ocr_vector_db_spark.operators.index_maint import read_small_file
+
+        meta = json.loads(
+            read_small_file(spark, os.path.join(path, "meta.json"))
+        )
+        return cls(spark, path, meta["m"], meta["k"])
+
+    def words(self) -> DataFrame:
+        from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+        return self.spark.read.parquet(
+            current_gen_dir(self.spark, os.path.join(self.path, "words"))
+        )
+
+    def _publish(self, words: DataFrame, first: bool = False) -> None:
+        _publish_small(
+            self.spark, os.path.join(self.path, "words"), words, first
+        )
+
+    def add(self, df: DataFrame, key: Column) -> "BloomSketch":
+        """Fold member keys in: per-word bit_or of stored ∪ batch words.
+        OR is idempotent, so replaying a batch (the crash window) cannot
+        flip a bit; add ≡ rebuild bit-for-bit. O(batch + m/60)."""
+        self._publish(
+            _merge_words([self.words(),
+                          bloom_words(df, key, self.m, self.k)])
+        )
+        return self
+
+    def merge(self, *others: "BloomSketch") -> "BloomSketch":
+        """Bloom union: per-word bit_or across same-(m,k) filters."""
+        for o in others:
+            if (o.m, o.k) != (self.m, self.k):
+                raise ValueError(
+                    f"shape mismatch: ({self.m},{self.k}) vs ({o.m},{o.k})"
+                )
+        self._publish(
+            _merge_words([self.words()] + [o.words() for o in others])
+        )
+        return self
+
+    def screen(self, df: DataFrame, key: Column, *id_cols: str) -> DataFrame:
+        return bloom_screen(df, self.words(), self.m, self.k, key, *id_cols)

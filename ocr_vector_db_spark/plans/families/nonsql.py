@@ -823,6 +823,117 @@ def q62(spark, sf):
     )
 
 
+@query(
+    "q149_bloom_decontamination_screen",
+    f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc < 5),
+    corpus AS (SELECT doc, shingle FROM sh WHERE doc >= 5),
+    bprobe AS (
+        SELECT ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || shingle),
+                               1, 13))::BIGINT % 8160 AS pos
+        FROM bench CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ),
+    words AS (
+        SELECT CAST(pos // 60 AS INT) AS word_idx,
+               bit_or(CAST(power(2.0, pos % 60) AS BIGINT)) AS bits
+        FROM bprobe GROUP BY 1
+    ),
+    cprobe AS (
+        SELECT doc, shingle,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || shingle),
+                               1, 13))::BIGINT % 8160 AS pos
+        FROM corpus CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ),
+    ghit AS (
+        SELECT doc, shingle,
+               MIN(CASE WHEN w.bits IS NOT NULL
+                         AND (w.bits & CAST(power(2.0, pos % 60) AS BIGINT))
+                             <> 0
+                        THEN 1 ELSE 0 END) AS all_hit
+        FROM cprobe LEFT JOIN words w ON CAST(pos // 60 AS INT) = w.word_idx
+        GROUP BY doc, shingle
+    ),
+    perdoc AS (
+        SELECT doc, COUNT(*) AS n_shingles,
+               CAST(SUM(all_hit) AS BIGINT) AS n_maybe
+        FROM ghit GROUP BY doc
+    ),
+    exact AS (
+        SELECT c.doc, COUNT(*) AS n_exact
+        FROM corpus c JOIN bench b ON c.shingle = b.shingle
+        GROUP BY c.doc
+    )
+    SELECT p.doc AS doc_id, p.n_shingles, p.n_maybe,
+           COALESCE(e.n_exact, 0) AS n_exact,
+           p.n_maybe - COALESCE(e.n_exact, 0) AS fp_grams,
+           ROUND(p.n_maybe / CAST(p.n_shingles AS DOUBLE), 6)
+               AS bloom_contamination,
+           (p.n_maybe / CAST(p.n_shingles AS DOUBLE)) >= 0.3 AS flagged
+    FROM perdoc p LEFT JOIN exact e ON p.doc = e.doc
+    """,
+)
+def q149(spark, sf):
+    """Bloom-filter decontamination screen — q62's eval-leak scrub
+    re-expressed as the 100 TB plan: the benchmark 2-gram set is folded
+    ONCE into a persisted m=8160-bit Bloom filter (build on half the
+    grams + `add` of the other half — OR-idempotent, so add ≡ rebuild
+    bit-for-bit), and the corpus side is screened by k=3 md5 probes
+    against the BROADCAST ≤ m/60-row words table: zero corpus-vs-bench
+    shuffle, zero false negatives, the exact join reserved for the
+    flagged remainder. Output keeps the exact q62 overlap next to the
+    Bloom verdict, so `fp_grams = n_maybe − n_exact ≥ 0` exhibits the
+    one-sided-error contract in data. The oracle rebuilds the words
+    table from scratch in SQL and replays the screen bit-for-bit —
+    hash-matching proves the persisted build+add ≡ one global pass.
+    Reference parity: extends q62 (GPT-3 appendix C / The Pile §6.3
+    decontamination) with the membership-sketch scale path; sizing per
+    Broder & Mitzenmacher's survey (FP ≈ (1−e^{-kn/m})^k)."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.dedup import _doc_shingles
+    from ocr_vector_db_spark.operators.sketches import BloomSketch
+
+    M, K = 8160, 3
+    d = load_table(spark, sf, "documents")
+    sh = _doc_shingles(d, "text", "doc_id", 2)
+    bench = sh.filter(F.col("doc") < 5).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc") >= 5)
+    key = (spark.sparkContext.applicationId, sf, "q149_bloom_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="bloom_")
+        sk = BloomSketch.build(
+            spark, bench.filter(F.crc32("shingle") % 2 == 0), path,
+            F.col("shingle"), m=M, k=K,
+        )
+        sk.add(bench.filter(F.crc32("shingle") % 2 == 1), F.col("shingle"))
+        _PLAN_MEMO[key] = path
+    sk = BloomSketch.load(spark, _PLAN_MEMO[key])
+    screened = sk.screen(corpus, F.col("shingle"), "doc")
+    perdoc = screened.groupBy("doc").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.col("maybe_member").cast("int")).cast("bigint")
+        .alias("n_maybe"),
+    )
+    exact = corpus.join(F.broadcast(bench), "shingle").groupBy("doc").agg(
+        F.count("*").alias("n_exact")
+    )
+    ratio = F.col("n_maybe") / F.col("n_shingles").cast("double")
+    return (
+        perdoc.join(exact, "doc", "left")
+        .withColumn(
+            "n_exact", F.coalesce(F.col("n_exact"), F.lit(0).cast("bigint"))
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_shingles", "n_maybe", "n_exact",
+            (F.col("n_maybe") - F.col("n_exact")).alias("fp_grams"),
+            F.round(ratio, 6).alias("bloom_contamination"),
+            (ratio >= 0.3).alias("flagged"),
+        )
+    )
+
+
 def _quality_gate_sql() -> str:
     return f"""
     WITH q AS ({{q24}}),

@@ -588,3 +588,75 @@ def test_cli_stream_ingest_running_sample(spark, tmp_path, capsys):
         ).collect()
     }
     assert got == want
+
+
+def test_cli_decontam_bloom_screen(spark, tmp_path, capsys):
+    """decontam --build folds the benchmark JSONL into the store's bloom;
+    --add ORs more docs in (equal to a scratch build over the union);
+    --screen flags the contaminated doc, passes the clean one (no false
+    negatives for the verbatim-overlap doc), and prints fill stats."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.operators.dedup import _doc_shingles
+    from ocr_vector_db_spark.operators.sketches import BloomSketch, bloom_words
+
+    store = str(tmp_path / "store")
+    bench1 = tmp_path / "bench1.json"
+    bench2 = tmp_path / "bench2.json"
+    batch = tmp_path / "batch.json"
+    with open(bench1, "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 0,
+             "text": "the quick brown fox jumps over the lazy dog"}) + "\n")
+    with open(bench2, "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 1,
+             "text": "pack my box with five dozen liquor jugs"}) + "\n")
+    with open(batch, "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 10,
+             "text": "the quick brown fox jumps over the lazy dog"}) + "\n")
+        fh.write(_json.dumps(
+            {"doc_id": 11,
+             "text": "completely unrelated prose about spark shuffles and "
+                     "parquet row groups never seen in any benchmark"}) + "\n")
+
+    assert cli.main(["decontam", "--store", store,
+                     "--build", str(bench1)]) == 0
+    assert cli.main(["decontam", "--store", store,
+                     "--add", str(bench2)]) == 0
+    capsys.readouterr()
+
+    assert cli.main(["decontam", "--store", store,
+                     "--screen", str(batch)]) == 0
+    out = capsys.readouterr().out
+    lines = {l.split("\t")[0]: l for l in out.splitlines() if "\t" in l}
+    assert lines["10"].endswith("FLAG") and "1.0" in lines["10"]
+    assert lines["11"].endswith("ok")
+    assert "1 doc(s)" in out
+
+    # persisted words ≡ scratch build over the union of both bench files
+    union = spark.read.json([str(bench1), str(bench2)])
+    want = sorted(
+        (r.word_idx, r.bits)
+        for r in bloom_words(
+            _doc_shingles(union, "text", "doc_id", 2)
+            .select("shingle").distinct(),
+            F.col("shingle"), 60 * 4096, 3,
+        ).collect()
+    )
+    sk = BloomSketch.load(spark, _os.path.join(store, "bloom"))
+    got = sorted((r.word_idx, r.bits) for r in sk.words().collect())
+    assert got == want
+
+    # stats line
+    assert cli.main(["decontam", "--store", store]) == 0
+    out = capsys.readouterr().out
+    assert "set_bits=" in out and "fp≈" in out
+
+    # missing filter is a loud error
+    assert cli.main(["decontam", "--store", str(tmp_path / "empty"),
+                     "--screen", str(batch)]) == 1

@@ -207,3 +207,91 @@ def test_kmv_set_relations_semantics(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         kmv_set_relations(a, bad)
+
+
+# ---------------------------------------------------------------------------
+# Persisted Bloom filter (operators/sketches.py) — one-sided error, exact
+# word semantics vs a pure-Python reference, OR-idempotent folds, and the
+# broadcast screen.
+# ---------------------------------------------------------------------------
+
+def _py_bloom_words(keys, m, k):
+    """Pure-Python reference for bloom_words: md5-hex arithmetic."""
+    import hashlib
+
+    words = {}
+    for key in keys:
+        for j in range(k):
+            h = hashlib.md5(f"{j}#{key}".encode()).hexdigest()
+            pos = int(h[:13], 16) % m
+            w, b = pos // 60, pos % 60
+            words[w] = words.get(w, 0) | (1 << b)
+    return sorted(words.items())
+
+
+def test_bloom_words_match_python_reference(spark):
+    from ocr_vector_db_spark.operators.sketches import bloom_words
+
+    keys = [f"gram {i}" for i in range(300)] + ["", "한국어 토큰", "0"]
+    df = spark.createDataFrame([(s,) for s in keys], ["s"])
+    got = sorted(
+        (r.word_idx, r.bits)
+        for r in bloom_words(df, F.col("s"), 8160, 3).collect()
+    )
+    assert got == _py_bloom_words(keys, 8160, 3)
+
+
+def test_bloom_no_false_negatives_and_sane_fp(spark, tmp_path):
+    from ocr_vector_db_spark.operators.sketches import BloomSketch
+
+    members = spark.range(400).select(
+        F.concat(F.lit("in"), F.col("id").cast("string")).alias("s")
+    )
+    sk = BloomSketch.build(
+        spark, members, str(tmp_path / "bf"), F.col("s"), m=8160, k=3
+    )
+    # every member answers True — the one-sided-error contract
+    hits = sk.screen(members, F.col("s")).filter(~F.col("maybe_member"))
+    assert hits.count() == 0
+    # non-members mostly answer False (kn/m≈0.15 → FP ≈ 0.25%; allow 2%)
+    out = spark.range(2000).select(
+        F.concat(F.lit("out"), F.col("id").cast("string")).alias("s")
+    )
+    fp = sk.screen(out, F.col("s")).filter(F.col("maybe_member")).count()
+    assert fp <= 40, fp
+
+
+def test_bloom_build_add_merge_equals_scratch(spark, tmp_path):
+    from ocr_vector_db_spark.operators.sketches import (
+        BloomSketch, bloom_words,
+    )
+
+    df = spark.range(900).select(
+        F.concat(F.lit("g"), (F.col("id") % 700).cast("string")).alias("s")
+    )
+    a = df.filter(F.col("id") % 3 == 0)
+    b = df.filter(F.col("id") % 3 == 1)
+    c = df.filter(F.col("id") % 3 == 2)
+
+    sk = BloomSketch.build(spark, a, str(tmp_path / "a"), F.col("s"), m=4020, k=4)
+    sk.add(b, F.col("s"))
+    sk.add(b, F.col("s"))  # replay: OR-idempotent, must not flip a bit
+    other = BloomSketch.build(
+        spark, c, str(tmp_path / "c"), F.col("s"), m=4020, k=4
+    )
+    sk.merge(other)
+
+    got = sorted((r.word_idx, r.bits) for r in
+                 BloomSketch.load(spark, str(tmp_path / "a")).words().collect())
+    scratch = sorted((r.word_idx, r.bits) for r in
+                     bloom_words(df, F.col("s"), 4020, 4).collect())
+    assert got == scratch
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sk.merge(BloomSketch.build(
+            spark, a, str(tmp_path / "m"), F.col("s"), m=8160, k=4
+        ))
+    with pytest.raises(ValueError):
+        BloomSketch.build(spark, a, str(tmp_path / "x"), F.col("s"), m=1000)

@@ -168,6 +168,13 @@ AUDITS = [
      "construction, so parallelism lives at the file grain (millions of "
      "files at 100 TB); no shuffle anywhere, the union with the text "
      "parse is append-only"),
+    ("q149_bloom_decontamination_screen",
+     "the Bloom words table (≤ m/60 rows) arrives BROADCAST on the probe "
+     "join, so the corpus side never shuffles against the benchmark set "
+     "— the only corpus exchanges are the per-doc aggregates; probe "
+     "positions are map-side md5 expressions inside WholeStageCodegen; "
+     "the exact-overlap twin join broadcasts the bench gram set the "
+     "same way q62 does"),
 ]
 
 KEY_LINE = re.compile(
