@@ -211,6 +211,12 @@ def test_plan_shapes(tables, spark):
     assert "hashpartitioning(_bid" in p139
     assert "BroadcastHashJoin" in p139
     assert not _re.search(r"Sort \[[^\]]*\], true", p139)
+    # Bloom screen: the words table arrives BROADCAST on the probe join
+    # (the corpus side never shuffles against the benchmark set — the
+    # whole point of the membership sketch) and the probe positions are
+    # map-side expressions, so no SortMergeJoin anywhere
+    p149 = plan_of("q149_bloom_decontamination_screen")
+    assert "BroadcastHashJoin" in p149 and "SortMergeJoin" not in p149
 
 
 def test_no_accidental_cartesian_products(tables, spark):

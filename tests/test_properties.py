@@ -255,3 +255,24 @@ def test_shared_tokenizer_spark_python_twin(t):
     assert all(re.fullmatch(r"[a-z0-9가-힣]+", w) for w in toks)
     retok = [w2 for w in toks for w2 in re.split(TOKEN_SPLIT_RE, w) if w2]
     assert retok == toks
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200,
+))
+def test_bloom_probe_python_twin_in_range(t):
+    """The pure-Python twin of sketches.bloom_probe (the md5 arithmetic the
+    Spark plans and the q149 oracle embed verbatim): every probe lands in
+    [0, m), the k probes are deterministic, and word/bit packing round-trips
+    the position for arbitrary unicode keys."""
+    import hashlib
+
+    m, k = 8160, 3
+    for j in range(k):
+        pos = int(hashlib.md5(f"{j}#{t}".encode()).hexdigest()[:13], 16) % m
+        assert 0 <= pos < m
+        again = int(hashlib.md5(f"{j}#{t}".encode()).hexdigest()[:13], 16) % m
+        assert pos == again
+        word, bit = pos // 60, pos % 60
+        assert 0 <= bit < 60 and word * 60 + bit == pos
