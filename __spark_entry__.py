@@ -63,14 +63,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every name still passes the full local oracle sweep each round — see
 # COVERAGE.md for the per-round sweep log.
 
-_REVERIFY_FRONT: set[str] = {
+_REVERIFY_FRONT: dict[str, int] = {
     # round 10: q23 gained the ko profile + a Korean fixture row after its
     # r08 green (sweep-verified locally at both scales; see COVERAGE.md)
-    "q23_language_id",
+    "q23_language_id": 10,
 }
 """Names whose plan machinery was rewritten AFTER their latest driver green
-(e.g. q53/q61 in round 9). They sort just behind never-verified names,
-ahead of every ledger tier. Hand-maintained, normally empty."""
+(e.g. q53/q61 in round 9), mapped to the round the rewrite landed in. They
+sort just behind never-verified names, ahead of every ledger tier — but
+only until the ledger records a green at or past that round, after which
+the entry is inert (self-clearing: a stale entry can never re-pin a
+freshly verified query to the window front). Hand-maintained at rewrite
+time, normally empty."""
 
 
 def _load_ledger(root: str) -> dict[str, int]:
@@ -119,7 +123,7 @@ def _driver_order(names, ledger=None):
     def tier(n):
         if n not in ledger:
             return -2  # never driver-verified
-        if n in _REVERIFY_FRONT:
+        if ledger[n] < _REVERIFY_FRONT.get(n, 0):
             return -1  # rewritten since its latest green
         return ledger[n]
 

@@ -34,9 +34,16 @@ def test_driver_order_reverify_front():
     entry = _load_entry()
     names = ["q01", "q02", "q03"]
     ledger = {"q01": 1, "q02": 9}
-    entry._REVERIFY_FRONT = {"q02"}  # rewritten after its latest green
+    # q02 rewritten in round 10, latest green r9 → pinned to the front
+    entry._REVERIFY_FRONT = {"q02": 10}
     order = entry._driver_order(names, ledger)
     assert order == ["q03", "q02", "q01"]
+    # SELF-CLEARING: once the ledger records a green at/past the rewrite
+    # round, the entry is inert — a forgotten stale entry can never re-pin
+    # a freshly verified query to the window front (the round-8/-10
+    # hand-maintenance failure mode, closed for good).
+    order = entry._driver_order(names, {"q01": 1, "q02": 10})
+    assert order == ["q03", "q01", "q02"]
 
 
 def test_load_ledger_semantics(tmp_path):
