@@ -13,7 +13,7 @@
     python -m ocr_vector_db_spark.cli index / maintain / semantic-index
     python -m ocr_vector_db_spark.cli stream-ingest --store DIR --source S
         [--semantic] [--lm-band LO HI] [--vocab-sketch] [--sample K]
-        [--drift-baseline]            # gated incremental ingestion
+        [--drift-baseline] [--decontam [T]]  # gated incremental ingestion
     python -m ocr_vector_db_spark.cli lm-index --store DIR [--build|--score F|--pmi]
     python -m ocr_vector_db_spark.cli tokenizer --store DIR [--train N|--extend N|--count F]
     python -m ocr_vector_db_spark.cli drift --store DIR [--batch FILE]
@@ -715,6 +715,16 @@ def cmd_stream_ingest(args) -> int:
             spark, os.path.join(args.store, "sample"),
             k=args.sample, weight_col="__len",
         )
+    decontam_gate = None
+    if getattr(args, "decontam", None) is not None:
+        from ocr_vector_db_spark.operators.sketches import BloomSketch
+
+        bloom_path = os.path.join(args.store, "bloom")
+        if not fs_exists(spark, os.path.join(bloom_path, "meta.json")):
+            print("[error] --decontam needs the benchmark bloom filter — "
+                  "run `decontam --build FILE` first")
+            return 1
+        decontam_gate = (BloomSketch.load(spark, bloom_path), args.decontam)
     drift_bl = None
     if getattr(args, "drift_baseline", False):
         from pyspark.sql import functions as F
@@ -759,14 +769,17 @@ def cmd_stream_ingest(args) -> int:
         vocab_sketch=vocab_sketch,
         drift_baseline=drift_bl,
         sample=running_sample,
+        decontam_gate=decontam_gate,
     )
     q.awaitTermination()
     acc = sum(s["accepted"] for s in stats)
     drop = sum(s["dropped_as_dup"] for s in stats)
     lmdrop = sum(s.get("dropped_low_quality", 0) for s in stats)
     lm_note = f", dropped {lmdrop} low-quality" if lm_gate else ""
+    dcdrop = sum(s.get("dropped_contaminated", 0) for s in stats)
+    dc_note = f", dropped {dcdrop} contaminated" if decontam_gate else ""
     print(f"[stream-ingest] {len(stats)} micro-batches: accepted {acc}, "
-          f"dropped {drop} near-dups{lm_note}; accepted rows under "
+          f"dropped {drop} near-dups{lm_note}{dc_note}; accepted rows under "
           f"{args.store}/accepted")
     if vocab_sketch is not None:
         print(f"[stream-ingest] running vocabulary estimate: "
@@ -1141,6 +1154,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fold each accepted batch's tokens into the "
                          "store's running HLL vocabulary sketch "
                          "({store}/vocab_hll, created on first use)")
+    sp.add_argument("--decontam", type=float, nargs="?", const=0.3,
+                    metavar="THRESH", default=None,
+                    help="drop docs whose 2-gram bloom contamination vs "
+                         "the store's benchmark filter reaches THRESH "
+                         "(default 0.3; needs `decontam --build` first)")
     sp.set_defaults(fn=cmd_stream_ingest)
 
     sp = sub.add_parser("semantic-index")

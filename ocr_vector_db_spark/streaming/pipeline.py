@@ -266,6 +266,7 @@ def stream_ingest_deduped(
     lm_gate=None,
     vocab_sketch=None,
     drift_baseline=None,
+    decontam_gate=None,
 ):
     """Streaming ingestion with incremental near-dup gating — the streaming
     twin of q105. Each micro-batch:
@@ -346,6 +347,19 @@ def stream_ingest_deduped(
     index; accepted docs do NOT fold into it automatically (the LM is a
     stable quality model, rebuilt/add-ed deliberately — unlike the dedup
     indexes, which must learn every accepted doc).
+
+    `decontam_gate` = (BloomSketch, threshold): benchmark decontamination
+    at ingest — each batch's 2-gram shingles probe the PERSISTED Bloom
+    filter of the eval corpus (q149's operator: k md5 probes + one
+    broadcast join against the ≤ m/60-row words table; the batch never
+    shuffles against the benchmark set) and docs whose flagged-gram
+    fraction reaches `threshold` are dropped BEFORE the dedup gates, so a
+    contaminated doc never folds into any index or reaches the sink. Zero
+    false negatives: an unflagged gram is CERTAIN not to be a benchmark
+    gram, so the pass verdict errs only toward over-dropping at the
+    designed FP rate. Docs with < 2 tokens carry no shingle evidence and
+    pass through (the lm_gate convention). Like the LM, the filter is a
+    stable reference model — accepted docs do NOT fold into it.
 
     `vocab_sketch` (an `operators/sketches.HLLSketch`) maintains a running
     vocabulary-cardinality sketch of the ACCEPTED stream: each epoch's
@@ -437,6 +451,32 @@ def stream_ingest_deduped(
                 n_quality = batch_df.count()
             else:
                 n_quality = n_in
+            if decontam_gate is not None:
+                # benchmark-leak screen BEFORE the dedup gates: a
+                # contaminated doc must not fold into any index. The
+                # probe side is map-side md5 work + one broadcast join —
+                # the batch never shuffles against the benchmark set.
+                from ocr_vector_db_spark.operators.dedup import (
+                    _doc_shingles,
+                )
+
+                bloom, dc_thresh = decontam_gate
+                doomed_dc = (
+                    bloom.screen(
+                        _doc_shingles(batch_df, text_col, id_col, 2),
+                        F.col("shingle"), "doc",
+                    )
+                    .groupBy("doc")
+                    .agg((F.sum(F.col("maybe_member").cast("int"))
+                          / F.count("*")).alias("__contam"))
+                    .filter(F.col("__contam") >= dc_thresh)
+                    .select(F.col("doc").alias(id_col))
+                )
+                batch_df = batch_df.join(doomed_dc, id_col, "left_anti").cache()
+                caches.append(batch_df)
+                n_clean = batch_df.count()
+            else:
+                n_clean = n_quality
             # 1. intra-batch: drop any doc with a lower-id near-dup in the
             # same batch (same keep-min convention as dedup_exact). The
             # hot-group-safe form: a backfill batch of 10⁶ copies of one
@@ -603,9 +643,11 @@ def stream_ingest_deduped(
                 ledger.mark_committed(epoch_id)
             if stats is not None:
                 entry = {"epoch": epoch_id, "accepted": n_accepted,
-                         "dropped_as_dup": n_quality - n_accepted}
+                         "dropped_as_dup": n_clean - n_accepted}
                 if lm_gate is not None:
                     entry["dropped_low_quality"] = n_in - n_quality
+                if decontam_gate is not None:
+                    entry["dropped_contaminated"] = n_quality - n_clean
                 if epoch_psi is not None:
                     entry["psi"] = epoch_psi
                 stats.append(entry)

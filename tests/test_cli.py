@@ -660,3 +660,67 @@ def test_cli_decontam_bloom_screen(spark, tmp_path, capsys):
     # missing filter is a loud error
     assert cli.main(["decontam", "--store", str(tmp_path / "empty"),
                      "--screen", str(batch)]) == 1
+
+
+def test_cli_stream_ingest_decontam_gate(spark, tmp_path, capsys):
+    """stream-ingest --decontam drops docs whose 2-gram overlap with the
+    store's benchmark bloom reaches the threshold BEFORE the dedup gates
+    (a contaminated doc never reaches the sink or the MinHash index),
+    passes clean docs, and reports the drop count."""
+    import json as _json
+    import os as _os
+
+    store = str(tmp_path / "store")
+    bench = tmp_path / "bench.json"
+    src = tmp_path / "dc_src"
+    src.mkdir()
+    with open(bench, "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 0,
+             "text": "the held out benchmark question asks about spark "
+                     "adaptive query execution internals"}) + "\n")
+    with open(src / "a.json", "w") as fh:
+        # verbatim benchmark leak -> contamination 1.0
+        fh.write(_json.dumps(
+            {"doc_id": 10,
+             "text": "the held out benchmark question asks about spark "
+                     "adaptive query execution internals"}) + "\n")
+        # clean doc, fully disjoint vocabulary
+        fh.write(_json.dumps(
+            {"doc_id": 11,
+             "text": "completely unrelated training prose covering parquet "
+                     "row groups and shuffle partitions tonight"}) + "\n")
+
+    assert cli.main(["decontam", "--store", store,
+                     "--build", str(bench)]) == 0
+    capsys.readouterr()
+    assert cli.main(["stream-ingest", "--store", store,
+                     "--source", str(src), "--threshold", "0.6",
+                     "--buckets", "8", "--decontam", "0.5"]) == 0
+    out = capsys.readouterr().out
+    assert "dropped 1 contaminated" in out and "accepted 1" in out
+
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    accepted = ParquetAcceptedSink(_os.path.join(store, "accepted")).read(spark)
+    ids = sorted(r.doc_id for r in accepted.select("doc_id").collect())
+    assert ids == [11]
+
+    # the contaminated doc must not have folded into the dedup index:
+    # re-sending it WITHOUT the gate must be accepted as novel (it was
+    # never indexed), not dropped as a near-dup of itself
+    with open(src / "b.json", "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 12,
+             "text": "the held out benchmark question asks about spark "
+                     "adaptive query execution internals"}) + "\n")
+    assert cli.main(["stream-ingest", "--store", store,
+                     "--source", str(src), "--threshold", "0.6",
+                     "--buckets", "8"]) == 0
+    accepted = ParquetAcceptedSink(_os.path.join(store, "accepted")).read(spark)
+    ids = sorted(r.doc_id for r in accepted.select("doc_id").collect())
+    assert ids == [11, 12]
+
+    # missing filter is a loud error
+    assert cli.main(["stream-ingest", "--store", str(tmp_path / "s2"),
+                     "--source", str(src), "--decontam"]) == 1
