@@ -524,6 +524,7 @@ def bloom_screen(
     k: int,
     key: Column,
     *id_cols: str,
+    broadcast: bool = True,
 ) -> DataFrame:
     """`df` + boolean `maybe_member` (all k probe bits set — zero false
     negatives for keys folded into `words`; false-positive rate set by the
@@ -532,8 +533,10 @@ def bloom_screen(
     Shape: k probes per row (map-side), LEFT broadcast join against the
     ≤ m/60-row words table, per-row AND-fold. The screened side never
     shuffles. At filter sizes past broadcast comfort (m/60 rows is ~2 MB
-    per 2^30 bits), persist the words table bucketed by word_idx and let
-    the equi-join prune instead — same plan, bigger dim."""
+    per 2^30 bits), pass broadcast=False with the words table persisted
+    bucketed by word_idx and let the plain equi-join prune instead —
+    same semantics, bigger dim (the probe side then shuffles by
+    word_idx, still never against anything corpus-sized)."""
     probe_arr = F.array(*[bloom_probe(key, j, m) for j in range(k)])
     probes = df.select(*id_cols, key.alias("__key"),
                        F.explode(probe_arr).alias("pos"))
@@ -545,8 +548,9 @@ def bloom_screen(
         F.col("bits").isNotNull()
         & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
     ).cast("int")
+    dim = F.broadcast(words) if broadcast else words
     return (
-        probed.join(F.broadcast(words), "word_idx", "left")
+        probed.join(dim, "word_idx", "left")
         .groupBy(*id_cols, "__key")
         .agg((F.min(hit) == 1).alias("maybe_member"))
         .withColumnRenamed("__key", "key")

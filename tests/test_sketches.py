@@ -295,3 +295,27 @@ def test_bloom_build_add_merge_equals_scratch(spark, tmp_path):
         ))
     with pytest.raises(ValueError):
         BloomSketch.build(spark, a, str(tmp_path / "x"), F.col("s"), m=1000)
+
+
+def test_bloom_screen_broadcast_off_same_result(spark, tmp_path):
+    """broadcast=False (the > 2^34-bit path: words persisted bucketed by
+    word_idx, plain equi-join) returns the identical verdict set."""
+    from ocr_vector_db_spark.operators.sketches import (
+        BloomSketch, bloom_screen,
+    )
+
+    members = spark.range(200).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("s")
+    )
+    sk = BloomSketch.build(
+        spark, members, str(tmp_path / "bf2"), F.col("s"), m=8160, k=3
+    )
+    batch = spark.range(400).select(
+        F.concat(F.lit("m"), (F.col("id") * 2).cast("string")).alias("s")
+    )
+    a = sorted((r.key, r.maybe_member)
+               for r in sk.screen(batch, F.col("s")).collect())
+    b = sorted((r.key, r.maybe_member)
+               for r in bloom_screen(batch, sk.words(), sk.m, sk.k,
+                                     F.col("s"), broadcast=False).collect())
+    assert a == b and any(mm for _, mm in a) and not all(mm for _, mm in a)
