@@ -831,7 +831,7 @@ def q62(spark, sf):
     corpus AS (SELECT doc, shingle FROM sh WHERE doc >= 5),
     bprobe AS (
         SELECT ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || shingle),
-                               1, 13))::BIGINT % 8160 AS pos
+                               1, 13))::BIGINT % 2040 AS pos
         FROM bench CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
     ),
     words AS (
@@ -842,7 +842,7 @@ def q62(spark, sf):
     cprobe AS (
         SELECT doc, shingle,
                ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || shingle),
-                               1, 13))::BIGINT % 8160 AS pos
+                               1, 13))::BIGINT % 2040 AS pos
         FROM corpus CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
     ),
     ghit AS (
@@ -876,9 +876,13 @@ def q62(spark, sf):
 def q149(spark, sf):
     """Bloom-filter decontamination screen — q62's eval-leak scrub
     re-expressed as the 100 TB plan: the benchmark 2-gram set is folded
-    ONCE into a persisted m=8160-bit Bloom filter (build on half the
+    ONCE into a persisted m=2040-bit Bloom filter (build on half the
     grams + `add` of the other half — OR-idempotent, so add ≡ rebuild
-    bit-for-bit), and the corpus side is screened by k=3 md5 probes
+    bit-for-bit; m is sized deliberately SMALL for the fixture so the
+    sf0.01 corpus exhibits real false positives — fill ≈ 0.25 → FP ≈
+    1.6%, ~200 of the 495 docs carry fp_grams > 0 — production sizing
+    targets the same order with m grown to the benchmark corpus), and
+    the corpus side is screened by k=3 md5 probes
     against the BROADCAST ≤ m/60-row words table: zero corpus-vs-bench
     shuffle, zero false negatives, the exact join reserved for the
     flagged remainder. Output keeps the exact q62 overlap next to the
@@ -894,7 +898,7 @@ def q149(spark, sf):
     from ocr_vector_db_spark.operators.dedup import _doc_shingles
     from ocr_vector_db_spark.operators.sketches import BloomSketch
 
-    M, K = 8160, 3
+    M, K = 2040, 3
     d = load_table(spark, sf, "documents")
     sh = _doc_shingles(d, "text", "doc_id", 2)
     bench = sh.filter(F.col("doc") < 5).select("shingle").distinct()
