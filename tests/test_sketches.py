@@ -319,3 +319,24 @@ def test_bloom_screen_broadcast_off_same_result(spark, tmp_path):
                for r in bloom_screen(batch, sk.words(), sk.m, sk.k,
                                      F.col("s"), broadcast=False).collect())
     assert a == b and any(mm for _, mm in a) and not all(mm for _, mm in a)
+
+
+def test_bloom_words_scale_shape(spark):
+    """The words aggregation's key space IS the word space: 200k input
+    grams reduce to ≤ m/60 rows, and the plan shows the partial (map-side)
+    bit_or BEFORE the exchange — per-task state is word-bounded, so the
+    build shuffles KBs regardless of benchmark-corpus size."""
+    from ocr_vector_db_spark.operators.sketches import bloom_words
+
+    m = 60 * 1024
+    grams = spark.range(200_000).select(
+        F.concat(F.lit("g"), F.col("id").cast("string")).alias("s")
+    )
+    words = bloom_words(grams, F.col("s"), m, 3)
+    plan = words._jdf.queryExecution().executedPlan().toString()
+    assert "partial_bit_or" in plan
+    assert plan.index("partial_bit_or") > plan.index("Exchange")  # producer below
+    n = words.count()
+    assert n <= 1024
+    # 600k probes into 61440 bits: essentially every word is touched
+    assert n >= 1000
