@@ -64,9 +64,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # COVERAGE.md for the per-round sweep log.
 
 _REVERIFY_FRONT: dict[str, int] = {
-    # round 10: q23 gained the ko profile + a Korean fixture row after its
-    # r08 green (sweep-verified locally at both scales; see COVERAGE.md)
-    "q23_language_id": 10,
+    # (round 10's q23 entry cleared itself when CORRECTNESS_r10 recorded
+    # q23 green; removed in round 11)
 }
 """Names whose plan machinery was rewritten AFTER their latest driver green
 (e.g. q53/q61 in round 9), mapped to the round the rewrite landed in. They
@@ -74,7 +73,13 @@ sort just behind never-verified names, ahead of every ledger tier — but
 only until the ledger records a green at or past that round, after which
 the entry is inert (self-clearing: a stale entry can never re-pin a
 freshly verified query to the window front). Hand-maintained at rewrite
-time, normally empty."""
+time, normally empty.
+
+Convention for a rewrite landing in the SAME round as an already-recorded
+green (the driver verifies once per round, so a green in round N can only
+predate a round-N rewrite): record the entry as N+1 — `ledger[n] < N`
+compares strictly, so an N-valued entry would be cleared by that earlier
+same-round green and never pin the query."""
 
 
 def _load_ledger(root: str) -> dict[str, int]:

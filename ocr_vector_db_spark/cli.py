@@ -527,23 +527,33 @@ def cmd_decontam(args) -> int:
     from pyspark.sql import functions as F
 
     from ocr_vector_db_spark.operators.dedup import _doc_shingles
-    from ocr_vector_db_spark.operators.index_maint import fs_exists
+    from ocr_vector_db_spark.operators.index_maint import (
+        current_gen_dir, fs_exists,
+    )
     from ocr_vector_db_spark.operators.sketches import (
-        _BLOOM_WORD_BITS, BloomSketch,
+        _BLOOM_WORD_BITS, BloomSketch, _publish_small,
     )
 
     spark = _spark()
     path = os.path.join(args.store, "bloom")
+    grams_path = os.path.join(args.store, "bench_grams")
 
     def _shingles(file):
         return _doc_shingles(spark.read.json(file), "text", "doc_id", 2)
 
     if args.build:
+        grams = _shingles(args.build).select("shingle").distinct()
         sk = BloomSketch.build(
-            spark, _shingles(args.build).select("shingle").distinct(),
-            path, F.col("shingle"), m=args.m_bits, k=args.k_hashes,
+            spark, grams, path, F.col("shingle"),
+            m=args.m_bits, k=args.k_hashes,
         )
-        print(f"[decontam] built m={sk.m} k={sk.k} at {path}")
+        # persist the EXACT gram set next to the filter: benchmark
+        # corpora are eval-sized (tiny vs the corpus), and the streaming
+        # gate's phase-2 confirm joins only flagged docs' shingles
+        # against it — Bloom FPs then never drop clean documents
+        _publish_small(spark, grams_path, grams, first=True)
+        print(f"[decontam] built m={sk.m} k={sk.k} at {path} "
+              f"(+ exact grams at {grams_path})")
         return 0
     if not fs_exists(spark, path):
         print("[error] no bloom filter under the store — run "
@@ -551,30 +561,64 @@ def cmd_decontam(args) -> int:
         return 1
     sk = BloomSketch.load(spark, path)
     if args.add:
-        sk.add(_shingles(args.add).select("shingle").distinct(),
-               F.col("shingle"))
+        grams = _shingles(args.add).select("shingle").distinct()
+        sk.add(grams, F.col("shingle"))
+        if fs_exists(spark, grams_path):
+            merged = (
+                spark.read.parquet(current_gen_dir(spark, grams_path))
+                .unionByName(grams).distinct()
+            )
+            _publish_small(spark, grams_path, merged)
+        else:
+            # pre-two-phase store: the build corpus's exact grams were
+            # never persisted, so a table seeded from this add alone
+            # would be PARTIAL — phase 2 would then clear docs leaked
+            # from the original build corpus. Stay single-phase
+            # (over-dropping, but never under-dropping) until a
+            # rebuild persists the full set.
+            print("[decontam] note: no exact-gram table under this "
+                  "store (pre-two-phase build) — not seeding a partial "
+                  "one; rebuild with --build to enable the exact "
+                  "confirm phase")
         print(f"[decontam] folded {args.add} into m={sk.m} k={sk.k}")
         return 0
     if args.screen:
         sh = _shingles(args.screen)
+        # verdict on the UNROUNDED ratio (q149/pipeline semantics);
+        # `contamination` is rounded for display only
         per = (
             sk.screen(sh, F.col("shingle"), "doc")
             .groupBy("doc")
             .agg(F.count("*").alias("n_shingles"),
                  F.sum(F.col("maybe_member").cast("int")).alias("n_maybe"))
+            .withColumn("flagged",
+                        (F.col("n_maybe")
+                         / F.col("n_shingles").cast("double"))
+                        >= args.threshold)
             .withColumn("contamination",
                         F.round(F.col("n_maybe")
                                 / F.col("n_shingles").cast("double"), 6))
-            .orderBy(F.desc("contamination"), "doc")
         )
-        flagged = 0
-        for r in per.collect():
-            mark = "FLAG" if r.contamination >= args.threshold else "ok"
-            flagged += mark == "FLAG"
+        # full per-doc results land in the store (distributed write — a
+        # large candidate batch never reaches the driver); only flagged
+        # docs print, capped
+        out = os.path.join(args.store, "decontam_screen")
+        per.write.mode("overwrite").parquet(out)
+        per = spark.read.parquet(out)
+        n_docs = per.count()
+        flagged = per.filter("flagged").count()
+        cap = 50
+        for r in (per.filter("flagged")
+                  .orderBy(F.desc("contamination"), "doc").limit(cap)
+                  .collect()):
             print(f"{r.doc}\t{r.n_shingles}\t{r.n_maybe}\t"
-                  f"{r.contamination}\t{mark}")
-        print(f"[decontam] {flagged} doc(s) ≥ {args.threshold} — exact-join "
-              "only the flagged remainder (negatives are certain)")
+                  f"{r.contamination}\tFLAG")
+        if flagged > cap:
+            print(f"[decontam] ... {flagged - cap} more flagged doc(s) "
+                  f"in {out}")
+        print(f"[decontam] {flagged}/{n_docs} doc(s) ≥ {args.threshold} "
+              f"(per-doc results: {out}) — exact-join only the flagged "
+              "remainder (negatives are certain)")
         return 0
     stats = sk.words().agg(
         F.coalesce(F.sum(F.bit_count("bits")), F.lit(0)).alias("set_bits")
@@ -725,6 +769,18 @@ def cmd_stream_ingest(args) -> int:
                   "run `decontam --build FILE` first")
             return 1
         decontam_gate = (BloomSketch.load(spark, bloom_path), args.decontam)
+        grams_path = os.path.join(args.store, "bench_grams")
+        if fs_exists(spark, grams_path):
+            # two-phase mode: the exact gram set persisted by
+            # `decontam --build/--add` confirms Bloom flags, so a false
+            # positive can never drop a clean document
+            from ocr_vector_db_spark.operators.index_maint import (
+                current_gen_dir,
+            )
+
+            decontam_gate = decontam_gate + (
+                spark.read.parquet(current_gen_dir(spark, grams_path)),
+            )
     drift_bl = None
     if getattr(args, "drift_baseline", False):
         from pyspark.sql import functions as F
@@ -778,6 +834,9 @@ def cmd_stream_ingest(args) -> int:
     lm_note = f", dropped {lmdrop} low-quality" if lm_gate else ""
     dcdrop = sum(s.get("dropped_contaminated", 0) for s in stats)
     dc_note = f", dropped {dcdrop} contaminated" if decontam_gate else ""
+    if decontam_gate and any("flagged_contaminated" in s for s in stats):
+        dcflag = sum(s.get("flagged_contaminated", 0) for s in stats)
+        dc_note += f" ({dcflag} bloom-flagged, exact-confirmed {dcdrop})"
     print(f"[stream-ingest] {len(stats)} micro-batches: accepted {acc}, "
           f"dropped {drop} near-dups{lm_note}{dc_note}; accepted rows under "
           f"{args.store}/accepted")

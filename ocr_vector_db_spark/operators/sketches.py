@@ -537,6 +537,13 @@ def bloom_screen(
     bucketed by word_idx and let the plain equi-join prune instead —
     same semantics, bigger dim (the probe side then shuffles by
     word_idx, still never against anything corpus-sized)."""
+    if "key" in id_cols:
+        # the probed key surfaces as `key`; a carried column of the same
+        # name would make the output ambiguous — fail loudly instead
+        raise ValueError(
+            "bloom_screen: id_cols may not contain 'key' — the probed "
+            "key column is emitted under that name; alias it first."
+        )
     probe_arr = F.array(*[bloom_probe(key, j, m) for j in range(k)])
     probes = df.select(*id_cols, key.alias("__key"),
                        F.explode(probe_arr).alias("pos"))

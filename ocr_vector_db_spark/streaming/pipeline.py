@@ -348,18 +348,28 @@ def stream_ingest_deduped(
     stable quality model, rebuilt/add-ed deliberately — unlike the dedup
     indexes, which must learn every accepted doc).
 
-    `decontam_gate` = (BloomSketch, threshold): benchmark decontamination
-    at ingest — each batch's 2-gram shingles probe the PERSISTED Bloom
-    filter of the eval corpus (q149's operator: k md5 probes + one
-    broadcast join against the ≤ m/60-row words table; the batch never
-    shuffles against the benchmark set) and docs whose flagged-gram
-    fraction reaches `threshold` are dropped BEFORE the dedup gates, so a
-    contaminated doc never folds into any index or reaches the sink. Zero
-    false negatives: an unflagged gram is CERTAIN not to be a benchmark
-    gram, so the pass verdict errs only toward over-dropping at the
-    designed FP rate. Docs with < 2 tokens carry no shingle evidence and
-    pass through (the lm_gate convention). Like the LM, the filter is a
-    stable reference model — accepted docs do NOT fold into it.
+    `decontam_gate` = (BloomSketch, threshold) or (BloomSketch, threshold,
+    bench_grams): benchmark decontamination at ingest — each batch's
+    2-gram shingles probe the PERSISTED Bloom filter of the eval corpus
+    (q149's operator: k md5 probes + one broadcast join against the
+    ≤ m/60-row words table; the batch never shuffles against the
+    benchmark set) and docs whose flagged-gram fraction reaches
+    `threshold` are FLAGGED before the dedup gates. With `bench_grams`
+    (a DataFrame with the exact benchmark shingle set in column
+    `shingle` — persisted by `decontam --build/--add`), flagged docs get
+    a second, EXACT phase: only THEIR shingles join (broadcast) against
+    the exact gram set, and only docs whose confirmed-gram fraction
+    reaches the threshold drop — so a Bloom false positive can never
+    drop a clean document, at O(flagged) extra cost (the two-phase
+    discipline `operators/sketches.py` documents). Without `bench_grams`
+    the flag alone drops (legacy over-dropping at the designed FP rate).
+    Either way a dropped doc never folds into any index or reaches the
+    sink, and Bloom's zero false negatives mean phase 1 can never hide a
+    true leak from phase 2. Docs with < 2 tokens carry no shingle
+    evidence and pass through (the lm_gate convention). Like the LM, the
+    filter is a stable reference model — accepted docs do NOT fold into
+    it. Per-epoch stats record `flagged_contaminated` (phase 1) next to
+    `dropped_contaminated` (confirmed) in two-phase mode.
 
     `vocab_sketch` (an `operators/sketches.HLLSketch`) maintains a running
     vocabulary-cardinality sketch of the ACCEPTED stream: each epoch's
@@ -451,6 +461,7 @@ def stream_ingest_deduped(
                 n_quality = batch_df.count()
             else:
                 n_quality = n_in
+            n_flagged_dc = None
             if decontam_gate is not None:
                 # benchmark-leak screen BEFORE the dedup gates: a
                 # contaminated doc must not fold into any index. The
@@ -460,18 +471,47 @@ def stream_ingest_deduped(
                     _doc_shingles,
                 )
 
-                bloom, dc_thresh = decontam_gate
-                doomed_dc = (
-                    bloom.screen(
-                        _doc_shingles(batch_df, text_col, id_col, 2),
-                        F.col("shingle"), "doc",
-                    )
+                bloom, dc_thresh, *dc_rest = decontam_gate
+                bench_grams = dc_rest[0] if dc_rest else None
+                sh = _doc_shingles(batch_df, text_col, id_col, 2)
+                flagged_dc = (
+                    bloom.screen(sh, F.col("shingle"), "doc")
                     .groupBy("doc")
                     .agg((F.sum(F.col("maybe_member").cast("int"))
                           / F.count("*")).alias("__contam"))
                     .filter(F.col("__contam") >= dc_thresh)
                     .select(F.col("doc").alias(id_col))
                 )
+                if bench_grams is None:
+                    doomed_dc = flagged_dc
+                else:
+                    # phase 2 — exact confirm on the FLAGGED remainder
+                    # only (sketches.py's two-phase discipline): Bloom
+                    # positives are "maybe", so a false-positive doc
+                    # must not be dropped. Re-check only flagged docs'
+                    # shingles against the exact benchmark gram set
+                    # (q62's broadcast-join shape) — O(flagged), not
+                    # O(corpus) — and drop only docs whose CONFIRMED
+                    # gram fraction reaches the threshold. Bloom has
+                    # zero false negatives, so phase 1 can never hide
+                    # a doc that phase 2 would have dropped.
+                    flagged_dc = flagged_dc.localCheckpoint()
+                    n_flagged_dc = flagged_dc.count()
+                    bench = F.broadcast(
+                        bench_grams.select("shingle").distinct()
+                        .withColumn("__hit", F.lit(1))
+                    )
+                    doomed_dc = (
+                        sh.join(flagged_dc,
+                                sh["doc"] == flagged_dc[id_col],
+                                "left_semi")
+                        .join(bench, "shingle", "left")
+                        .groupBy("doc")
+                        .agg((F.sum(F.coalesce("__hit", F.lit(0)))
+                              / F.count("*")).alias("__contam"))
+                        .filter(F.col("__contam") >= dc_thresh)
+                        .select(F.col("doc").alias(id_col))
+                    )
                 batch_df = batch_df.join(doomed_dc, id_col, "left_anti").cache()
                 caches.append(batch_df)
                 n_clean = batch_df.count()
@@ -648,6 +688,9 @@ def stream_ingest_deduped(
                     entry["dropped_low_quality"] = n_in - n_quality
                 if decontam_gate is not None:
                     entry["dropped_contaminated"] = n_quality - n_clean
+                    if n_flagged_dc is not None:
+                        # two-phase mode: Bloom-flagged vs exact-confirmed
+                        entry["flagged_contaminated"] = n_flagged_dc
                 if epoch_psi is not None:
                     entry["psi"] = epoch_psi
                 stats.append(entry)
