@@ -1,0 +1,310 @@
+"""Image-level near-duplicate detection: perceptual hashes over raw pixels.
+
+A 100 TB scanned corpus is full of re-scanned / re-encoded / rescaled copies
+of the same page that are INVISIBLE to text dedup (the OCR text differs, the
+bytes differ, the pixels don't — much). The classic screen is a perceptual
+hash: downsample the image to a tiny grid, derive a 64-bit signature from
+brightness structure, and call two images near-dups when the signatures are
+within a small Hamming distance.
+
+Reference parity: the reference decodes page rasters (PyMuPDF,
+ingestion/parsers/pymupdf_parser.py:518-569) but never dedups them; this is
+the "dedup × multimodal columns" combination the pipeline brief implies.
+Inputs are the repo's own raster rows — `sources/pdf_decode.extract_pdf_images`
+/ `sources/multimodal.ASSET_SCHEMA` (binary `data` + width/height metadata).
+
+Two hashes, both over the same grid downsample:
+
+- dHash (difference hash, 9×8 grid): bit = cell brighter than its right
+  neighbour. Robust to rescaling and global brightness/contrast shifts
+  (comparisons are relative), the workhorse screen.
+- aHash (average hash, 8×8 grid): bit = cell brighter than the global mean.
+
+Everything is built-in Column expressions — `hex()` once per image, then
+substring/conv byte math inside whole-stage codegen; no Python in the row
+path. Scale shape of the signature build:
+
+  1. one `hex()` projection per image (map-side, O(bytes));
+  2. scanline explode: H slim rows per image, each carrying ONE scanline's
+     hex (via transform+posexplode, so the full-image string is never
+     duplicated per row);
+  3. per-scanline per-cell integer sums (map-side F.aggregate over the
+     cell's x-range — exact integer math, no float accumulation order);
+  4. ONE shuffle keyed (asset, cell_y, cell_x) with map-side partial sums,
+     groups of ≤ grid_w × grid_h × images rows — the heavy pixel grain
+     never shuffles;
+  5. per-asset assembly of the 16-hex-char signature (bounded collects of
+     ≤ grid rows per asset).
+
+Signatures are fixed-length LOWERCASE HEX STRINGS (16 chars = 64 bits): the
+engine-portable representation (hex→int64 conversion differs across engines;
+hex strings compare/band identically everywhere). Hamming verification
+splits the signature into two 32-bit halves so bit_count stays inside
+signed-bigint range.
+
+Near-dup pairs reuse the SimHash pigeonhole discipline
+(`dedup.simhash_band_widths` / `simhash_near_dup_pairs`, q88) at NIBBLE
+granularity: the 16 nibbles split into r+1 contiguous bands — two signatures
+within Hamming distance r differ in ≤ r nibbles, so they MUST agree exactly
+on ≥ 1 band. Candidates come from an equi-join on (band, band_value); each
+candidate is verified exactly with bit_count(a XOR b) ≤ r, so the result is
+exact (banded ≡ brute force — pinned by tests/test_image_hash.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators.dedup import simhash_band_widths
+
+_SIG_NIBBLES = 16  # 64-bit signatures, 16 hex chars
+
+
+def _byte_at(line: Column, idx: Column) -> Column:
+    """Integer value of byte `idx` (0-based) of a hex-encoded string."""
+    return F.conv(F.substring(line, idx * 2 + 1, F.lit(2)), 16, 10).cast("long")
+
+
+def image_grid_cells(
+    df: DataFrame,
+    grid_w: int,
+    grid_h: int,
+    id_col: str = "asset_id",
+    data_col: str = "data",
+    width_col: str = "width",
+    height_col: str = "height",
+    channels: int = 1,
+) -> DataFrame:
+    """Box-average downsample of raw images to a grid_w × grid_h grid:
+    one row per (id, cy, cx) with the cell's mean brightness.
+
+    `data` is a raw row-major pixel buffer (width × height × channels
+    bytes; channels > 1 averages the bands — integer luma). Images
+    smaller than the grid carry no full cell structure and are filtered
+    out (screen them by exact byte hash instead). Cell sums are exact
+    integers; the single division per cell is the only float op, so the
+    means are bit-deterministic regardless of partitioning."""
+    w, h = F.col(width_col), F.col(height_col)
+    stride = channels * 2  # hex chars per pixel
+    src = df.filter(
+        (w >= grid_w) & (h >= grid_h)
+        & (F.length(data_col) == w * h * channels)
+    ).select(
+        F.col(id_col).alias("id"), w.alias("__w"),
+        F.hex(F.col(data_col)).alias("__hex"), h.alias("__h"),
+    )
+    # H slim rows per image; transform-then-posexplode hands each row ONE
+    # scanline's hex instead of duplicating the whole-image string
+    lines = src.select(
+        "id", F.col("__w").alias("w"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__h") - 1),
+                lambda y: F.substring(
+                    F.col("__hex"),
+                    y * F.col("__w") * stride + 1,
+                    F.col("__w") * stride,
+                ),
+            )
+        ).alias("y", "line"),
+        F.col("__h").alias("h"),
+    )
+    cy = F.floor(F.col("y") * grid_h / F.col("h")).cast("int")
+
+    def cell(gx: int) -> Column:
+        # pixel x belongs to cell gx iff floor(x*grid_w/w) == gx, so the
+        # cell's x-range is [ceil(gx*w/grid_w), ceil((gx+1)*w/grid_w))
+        # (ceil, NOT floor — they differ when w % grid_w != 0, and the
+        # per-pixel convention is what the scanline cy uses too)
+        x0 = F.ceil(F.lit(gx) * F.col("w") / grid_w).cast("int")
+        x1 = F.ceil(F.lit(gx + 1) * F.col("w") / grid_w).cast("int")
+        s = F.aggregate(
+            F.sequence(x0, x1 - 1),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + sum(
+                _byte_at(F.col("line"), x * channels + c)
+                for c in range(channels)
+            ),
+        )
+        return F.struct(
+            F.lit(gx).alias("cx"), s.alias("s"),
+            ((x1 - x0) * channels).cast("long").alias("c"),
+        )
+
+    per_line = lines.select(
+        "id", cy.alias("cy"),
+        F.explode(F.array(*[cell(gx) for gx in range(grid_w)])).alias("b"),
+    )
+    return (
+        per_line.groupBy("id", "cy", F.col("b.cx").alias("cx"))
+        .agg(F.sum("b.s").alias("s"), F.sum("b.c").alias("c"))
+        .select(
+            "id", "cy", "cx",
+            (F.col("s") / F.col("c")).alias("mean"),
+        )
+    )
+
+
+def _row_hex(bits: Column) -> Column:
+    """8-element int array of bits (MSB first) → 2 lowercase hex chars."""
+    val = F.aggregate(
+        bits, F.lit(0), lambda acc, b: acc * 2 + b.cast("int")
+    )
+    return F.lpad(F.lower(F.conv(val.cast("string"), 10, 16)), 2, "0")
+
+
+def _assemble(rows: DataFrame, out_col: str) -> DataFrame:
+    """(id, cy, row_hex) → (id, 16-char signature) — bounded collect of
+    ≤ grid_h struct rows per asset."""
+    return rows.groupBy("id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cy", "hx"))),
+                lambda s: s["hx"],
+            ),
+        ).alias(out_col)
+    )
+
+
+def dhash_signatures(df: DataFrame, **cols) -> DataFrame:
+    """(id, dhash) — 64-bit difference hash as 16 lowercase hex chars.
+
+    9×8 grid; bit (cy, gx) = cell (cy, gx) strictly brighter than its
+    right neighbour (cy, gx+1): 8 bits per row (MSB = gx 0), row cy 0 is
+    the most significant byte. Relative comparisons make the signature
+    invariant to exact rescaling and global brightness shifts."""
+    cells = image_grid_cells(df, 9, 8, **cols)
+    rows = (
+        cells.groupBy("id", "cy")
+        .agg(F.array_sort(F.collect_list(F.struct("cx", "mean"))).alias("m"))
+        .select(
+            "id", "cy",
+            _row_hex(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda i: (
+                        F.element_at("m", i + 1)["mean"]
+                        > F.element_at("m", i + 2)["mean"]
+                    ),
+                )
+            ).alias("hx"),
+        )
+    )
+    return _assemble(rows, "dhash")
+
+
+def ahash_signatures(df: DataFrame, **cols) -> DataFrame:
+    """(id, ahash) — 64-bit average hash as 16 lowercase hex chars.
+
+    8×8 grid; bit = cell strictly brighter than the image's global mean
+    (the mean of cell means — the grid is an exact partition of the
+    pixels only when dims divide evenly, but the hash just needs a
+    deterministic reference level)."""
+    cells = image_grid_cells(df, 8, 8, **cols)
+    glob = cells.groupBy("id").agg(F.avg("mean").alias("gmean"))
+    rows = (
+        cells.join(glob, "id")
+        .groupBy("id", "cy")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("cx", "mean"))).alias("m"),
+            F.first("gmean").alias("gmean"),
+        )
+        .select(
+            "id", "cy",
+            _row_hex(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda i: F.element_at("m", i + 1)["mean"]
+                    > F.col("gmean"),
+                )
+            ).alias("hx"),
+        )
+    )
+    return _assemble(rows, "ahash")
+
+
+def hamming_hex(a: Column, b: Column) -> Column:
+    """Exact Hamming distance between two 16-hex-char signatures: XOR of
+    the 32-bit halves (each fits signed bigint) + bit_count."""
+    def half(col: Column, start: int) -> Column:
+        return F.conv(F.substring(col, start, 8), 16, 10).cast("bigint")
+
+    return (
+        F.bit_count(half(a, 1).bitwiseXOR(half(b, 1)))
+        + F.bit_count(half(a, 9).bitwiseXOR(half(b, 9)))
+    ).cast("int")
+
+
+def phash_near_dup_pairs(
+    sigs: DataFrame,
+    r: int = 6,
+    id_col: str = "id",
+    sig_col: str = "dhash",
+) -> DataFrame:
+    """Pairs (id_a < id_b, hamming ≤ r) over 64-bit hex signatures.
+
+    Pigeonhole banding at nibble granularity: the 16 hex chars split into
+    r+1 contiguous bands (`simhash_band_widths(16, r)` — the same
+    remainder-spreading split as the text SimHash path); ≤ r differing
+    bits touch ≤ r nibbles, hence ≤ r bands, hence ≥ 1 band matches
+    exactly. Candidates are DISTINCT (id, id) pairs from the band
+    equi-join; each verifies with the exact XOR bit_count, so the output
+    equals the brute-force cross-join (tests pin banded ≡ brute).
+
+    Scale shape: r+1 slim rows per image, one shuffle on the band value
+    (substring — selective: 64/(r+1) bits each), candidate pairs distinct
+    BEFORE the signatures re-attach by id join. Requires r ≤ 15 (one band
+    per nibble at most)."""
+    if not 0 <= r < _SIG_NIBBLES:
+        raise ValueError(f"r must be in [0, {_SIG_NIBBLES - 1}]")
+    sig = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.substring("sig", lo + 1, w).alias("val"),
+        )
+        for j, (lo, w) in enumerate(simhash_band_widths(_SIG_NIBBLES, r))
+    ]
+    bands = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("hamming", hamming_hex(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= r)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def asset_gray_frames(assets: DataFrame) -> DataFrame:
+    """Project `multimodal.ASSET_SCHEMA` raster rows (format=raw) to the
+    (asset_id, data, width, height) shape the hashers consume. Gray
+    (channels=1) passes through; callers with RGB rows pass channels=3
+    to the hashers instead. JPEG-format rows need a real decoder first
+    (`multimodal.extract_features`'s decode seam)."""
+    md = F.col("metadata")
+    return assets.filter(
+        (F.col("kind") == "image")
+        & (md["format"] == "raw")
+        & (md["channels"] == "1")
+    ).select(
+        "asset_id", "data",
+        md["width"].cast("int").alias("width"),
+        md["height"].cast("int").alias("height"),
+    )

@@ -631,6 +631,121 @@ def q148(spark, sf):
 
 
 @query(
+    "q150_image_phash_neardup",
+    """
+    SELECT * FROM (VALUES
+        ('ahash', 'base', '64ff656480833095'),
+        ('ahash', 'bright', '64ff656480833095'),
+        ('ahash', 'pageq', '30231705ec8af0fc'),
+        ('ahash', 'pager', '2ec5a2fd8d910261'),
+        ('ahash', 'rescan', '64ff656480833095'),
+        ('ahash', 'tweak', '64ff656480833095'),
+        ('dhash', 'base', '32ac6a22b2b55bda'),
+        ('dhash', 'bright', '32ac6a22b2b55bda'),
+        ('dhash', 'pageq', 'bf289ad663e55d2b'),
+        ('dhash', 'pager', 'a352a952aac89176'),
+        ('dhash', 'rescan', '32ac6a22b2b55bda'),
+        ('dhash', 'tweak', '32ac6a22aab55bda'),
+        ('pair', 'base~bright', '0'),
+        ('pair', 'base~rescan', '0'),
+        ('pair', 'base~tweak', '2'),
+        ('pair', 'bright~rescan', '0'),
+        ('pair', 'bright~tweak', '2'),
+        ('pair', 'rescan~tweak', '2')
+    ) AS t(item, key, detail)
+    ORDER BY item, key
+    """,
+)
+def q150(spark, sf):
+    """Image-level near-dup via perceptual hashes (golden VALUES oracle,
+    q148's pattern): six synthetic gray page rasters in the multimodal
+    asset shape — a base page, an exact 2× rescan, a +24 global-brightness
+    re-encode, a locally-tweaked copy, and two distinct pages — hash
+    through `operators/image_hash.dhash_signatures` / `ahash_signatures`
+    (hex()+substring byte math, all whole-stage codegen, no Python in the
+    row path) and pair up through the nibble-pigeonhole band join
+    (`phash_near_dup_pairs`, the SimHash r>0 discipline of q88/q127) at
+    Hamming radius 4. The copies cluster — rescan and brightness shift at
+    hamming 0 (relative comparisons), the pixel tweak at 2 — while the
+    distinct pages pair with nothing, and the jpeg-format asset is
+    filtered by `asset_gray_frames` (raw gray frames only). Banded ≡
+    brute-force parity is pinned by tests/test_image_hash.py. Reference
+    parity: the reference decodes page rasters (pymupdf_parser.py:518-569)
+    but has no image dedup — this closes the dedup × multimodal-columns
+    combination for the 100 TB scanned-corpus case (re-scanned pages
+    invisible to text dedup)."""
+    import hashlib
+
+    from ocr_vector_db_spark.operators.image_hash import (
+        ahash_signatures,
+        asset_gray_frames,
+        dhash_signatures,
+        phash_near_dup_pairs,
+    )
+
+    def mat(seed):
+        # deterministic 9x8 brightness matrix, values 10-209 (headroom so
+        # the +24 brightness copy never clips)
+        return [
+            [hashlib.md5(f"{seed}:{cx}:{cy}".encode()).digest()[0] % 200 + 10
+             for cx in range(9)]
+            for cy in range(8)
+        ]
+
+    def render(m, w, h, bright=0, patch=False):
+        buf = bytearray()
+        for y in range(h):
+            cy = y * 8 // h
+            for x in range(w):
+                v = m[cy][x * 9 // w] + bright
+                if patch and 32 <= x < 36 and 20 <= y < 25:
+                    # half of grid cell (4,4): shifts that cell's mean
+                    # enough to flip exactly two dhash bits
+                    v = min(255, v + 70)
+                buf.append(v)
+        return bytes(buf)
+
+    m_a, m_b, m_c = mat("page-A"), mat("page-B"), mat("page-C")
+    fixtures = [
+        ("base", render(m_a, 72, 40), "72", "40"),
+        ("rescan", render(m_a, 144, 80), "144", "80"),
+        ("bright", render(m_a, 72, 40, bright=24), "72", "40"),
+        ("tweak", render(m_a, 72, 40, patch=True), "72", "40"),
+        ("pageq", render(m_b, 72, 40), "72", "40"),
+        ("pager", render(m_c, 96, 56), "96", "56"),
+    ]
+    rows = [
+        (aid, "image", data,
+         {"format": "raw", "channels": "1", "width": w, "height": h})
+        for aid, data, w, h in fixtures
+    ]
+    # non-raw asset: must be dropped by the gray-frame projection
+    rows.append(("photo", "image", b"\xff\xd8\xff\xe0fakejpeg",
+                 {"format": "jpeg", "media_type": "image/jpeg"}))
+    adf = spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    frames = asset_gray_frames(adf)
+    d = dhash_signatures(frames)
+    a = ahash_signatures(frames)
+    pairs = phash_near_dup_pairs(d, r=4, sig_col="dhash")
+    return (
+        d.select(F.lit("dhash").alias("item"), F.col("id").alias("key"),
+                 F.col("dhash").alias("detail"))
+        .unionByName(a.select(
+            F.lit("ahash").alias("item"), F.col("id").alias("key"),
+            F.col("ahash").alias("detail")))
+        .unionByName(pairs.select(
+            F.lit("pair").alias("item"),
+            F.concat_ws("~", "id_a", "id_b").alias("key"),
+            F.col("hamming").cast("string").alias("detail")))
+        .orderBy("item", "key")
+    )
+
+
+@query(
     "q108_ivfpq_incremental_add",
     """
     SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_results,

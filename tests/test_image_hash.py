@@ -1,0 +1,215 @@
+"""Image perceptual-hash near-dup (operators/image_hash.py, q150).
+
+The load-bearing checks:
+- a pure-Python dHash re-implementation pins the Spark signature math;
+- banded pair search ≡ brute force (the pigeonhole guarantee), verified
+  against an independent Python Hamming computation;
+- rescale / global-brightness invariance;
+- the ASSET_SCHEMA projection and the degenerate-input filters.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators.image_hash import (
+    ahash_signatures,
+    asset_gray_frames,
+    dhash_signatures,
+    hamming_hex,
+    image_grid_cells,
+    phash_near_dup_pairs,
+)
+
+
+def _mat(seed, gw=9, gh=8, lo=10, span=200):
+    return [
+        [hashlib.md5(f"{seed}:{cx}:{cy}".encode()).digest()[0] % span + lo
+         for cx in range(gw)]
+        for cy in range(gh)
+    ]
+
+
+def _render(m, w, h, gw=9, gh=8, bright=0, flip=()):
+    buf = bytearray()
+    for y in range(h):
+        cy = y * gh // h
+        for x in range(w):
+            v = min(255, m[cy][x * gw // w] + bright)
+            if (x, y) in flip:
+                v = 255 - v
+            buf.append(v)
+    return bytes(buf)
+
+
+def _py_dhash(data, w, h):
+    """Independent reference: box-average 9x8 grid, bit = left > right."""
+    sums = [[0] * 9 for _ in range(8)]
+    cnts = [[0] * 9 for _ in range(8)]
+    for y in range(h):
+        cy = y * 8 // h
+        for x in range(w):
+            cx = x * 9 // w
+            sums[cy][cx] += data[y * w + x]
+            cnts[cy][cx] += 1
+    out = []
+    for cy in range(8):
+        val = 0
+        for gx in range(8):
+            a = sums[cy][gx] / cnts[cy][gx]
+            b = sums[cy][gx + 1] / cnts[cy][gx + 1]
+            val = val * 2 + (1 if a > b else 0)
+        out.append(f"{val:02x}")
+    return "".join(out)
+
+
+def _frames_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "asset_id string, data binary, width int, height int"
+    )
+
+
+def test_dhash_matches_python_reference(spark):
+    m = _mat("ref")
+    rows = [
+        ("i72", _render(m, 72, 40), 72, 40),
+        ("i70", _render(m, 70, 37), 70, 37),   # cells NOT evenly divisible
+        ("i13", _render(m, 13, 9), 13, 9),     # barely above the grid
+    ]
+    got = {r.id: r.dhash
+           for r in dhash_signatures(_frames_df(spark, rows)).collect()}
+    for aid, data, w, h in rows:
+        assert got[aid] == _py_dhash(data, w, h), aid
+
+
+def test_rescale_and_brightness_invariance(spark):
+    m = _mat("inv")
+    rows = [
+        ("base", _render(m, 72, 40), 72, 40),
+        ("up2", _render(m, 144, 80), 144, 80),
+        ("up3", _render(m, 216, 120), 216, 120),
+        ("brighter", _render(m, 72, 40, bright=30), 72, 40),
+    ]
+    d = {r.id: r.dhash
+         for r in dhash_signatures(_frames_df(spark, rows)).collect()}
+    assert d["base"] == d["up2"] == d["up3"] == d["brighter"]
+    a = {r.id: r.ahash
+         for r in ahash_signatures(_frames_df(spark, rows)).collect()}
+    # ahash compares to the image's own mean: also brightness-invariant
+    # (no clipping: matrix tops out at 209 + 30)
+    assert a["base"] == a["up2"] == a["brighter"]
+
+
+def test_distinct_images_are_far(spark):
+    rows = [
+        (s, _render(_mat(s), 72, 40), 72, 40)
+        for s in ("pg1", "pg2", "pg3")
+    ]
+    sigs = dhash_signatures(_frames_df(spark, rows))
+    assert phash_near_dup_pairs(sigs, r=8).count() == 0
+
+
+@pytest.mark.parametrize("r", [0, 4, 10])
+def test_banded_equals_brute_force(spark, r):
+    """The pigeonhole band join must return EXACTLY the pairs the
+    brute-force cross product would — verified against an independent
+    Python Hamming computation over the collected signatures."""
+    rows = []
+    for i in range(8):
+        m = _mat(f"corpus{i}")
+        base = _render(m, 45, 24)
+        rows.append((f"b{i}", base, 45, 24))
+        # near copies at increasing perturbation: some inside r, some out
+        flips1 = {(x, y) for x in range(5) for y in range(3)}
+        flips2 = {(x, y) for x in range(20) for y in range(12)}
+        rows.append((f"b{i}n1", _render(m, 45, 24, flip=flips1), 45, 24))
+        rows.append((f"b{i}n2", _render(m, 45, 24, flip=flips2), 45, 24))
+    sigs = dhash_signatures(_frames_df(spark, rows))
+    collected = {s.id: int(s.dhash, 16) for s in sigs.collect()}
+    assert len(collected) == len(rows)
+    want = sorted(
+        (a, b, bin(collected[a] ^ collected[b]).count("1"))
+        for a in collected for b in collected
+        if a < b and bin(collected[a] ^ collected[b]).count("1") <= r
+    )
+    got = sorted(
+        (p.id_a, p.id_b, p.hamming)
+        for p in phash_near_dup_pairs(sigs, r=r).collect()
+    )
+    assert got == want
+
+
+def test_hamming_hex_column(spark):
+    cases = [
+        ("0000000000000000", "0000000000000000"),
+        ("ffffffffffffffff", "0000000000000000"),
+        ("8000000000000001", "0000000000000000"),
+        ("32ac6a22b2b55bda", "32ac6a22aab55bda"),
+        ("deadbeefcafef00d", "0123456789abcdef"),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string")
+    got = [r.h for r in
+           df.select(hamming_hex(F.col("a"), F.col("b")).alias("h"))
+           .collect()]
+    want = [bin(int(a, 16) ^ int(b, 16)).count("1") for a, b in cases]
+    assert got == want
+
+
+def test_degenerate_inputs_filtered(spark):
+    m = _mat("deg")
+    rows = [
+        ("ok", _render(m, 18, 10), 18, 10),
+        ("too_small", bytes(range(32)), 8, 4),        # below the 9x8 grid
+        ("bad_len", b"\x00" * 50, 18, 10),            # length != w*h
+    ]
+    sigs = dhash_signatures(_frames_df(spark, rows))
+    assert [r.id for r in sigs.collect()] == ["ok"]
+
+
+def test_rgb_luma_channels(spark):
+    """channels=3 averages the bands: a gray image expanded to RGB with
+    per-channel jitter that cancels in the mean hashes identically."""
+    m = _mat("rgb")
+    gray = _render(m, 36, 16)
+    rgb = bytearray()
+    for v in gray:
+        rgb += bytes((min(255, v + 3), v, max(0, v - 3)))
+    rows_g = [("g", gray, 36, 16)]
+    rows_c = [("c", bytes(rgb), 36, 16)]
+    dg = dhash_signatures(_frames_df(spark, rows_g)).head().dhash
+    dc = dhash_signatures(
+        _frames_df(spark, rows_c), channels=3
+    ).head().dhash
+    assert dg == dc
+
+
+def test_asset_gray_frames_projection(spark):
+    rows = [
+        ("raw1", "image", b"\x00" * 24,
+         {"format": "raw", "channels": "1", "width": "6", "height": "4"}),
+        ("jpeg1", "image", b"\xff\xd8\xff",
+         {"format": "jpeg", "media_type": "image/jpeg"}),
+        ("rgb1", "image", b"\x00" * 72,
+         {"format": "raw", "channels": "3", "width": "6", "height": "4"}),
+        ("aud1", "audio", b"\x00" * 24, {"format": "raw"}),
+    ]
+    adf = spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    got = asset_gray_frames(adf).collect()
+    assert [r.asset_id for r in got] == ["raw1"]
+    assert (got[0].width, got[0].height) == (6, 4)
+
+
+def test_grid_cells_exact_means(spark):
+    """Cell means are exact: a constant image gives the constant, a
+    half/half split gives each half's value (w=18 splits 2px per cell)."""
+    data = bytes([10] * 9 + [200] * 9) * 8   # rows: 9 dark then 9 light
+    rows = [("s", data, 18, 8)]
+    cells = image_grid_cells(_frames_df(spark, rows), 9, 8).collect()
+    for c in cells:
+        want = 10.0 if c.cx < 4 else (200.0 if c.cx > 4 else 105.0)
+        assert c.mean == want, (c.cx, c.cy, c.mean)
