@@ -255,3 +255,35 @@ def test_ks_report_hand_computed(spark):
         spark.createDataFrame(dis, "a boolean, v bigint"), F.col("a"), "v"
     ).head()
     assert o.ks == 1.0
+
+
+def test_bounded_window_partition_spec_survives_optimizer(spark):
+    """Version guard for `retrieval.bounded_window` (VERDICT r10 #6): the
+    non-foldable partition constant `pmod(xxhash64(anchor), 1)` must
+    SURVIVE Catalyst's constant folding / arithmetic simplification — if a
+    future Spark learns to fold it, the partition spec is eliminated and
+    this fails loudly (semantics stay correct; this helper is then the one
+    place to re-derive a fold-resistant constant)."""
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.operators.retrieval import bounded_window
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(5)], "id bigint, score double"
+    ).orderBy(F.desc("score")).limit(5)
+    ranked = df.withColumn(
+        "rank",
+        F.row_number().over(
+            bounded_window(F.col("score"), F.desc("score"), F.col("id"))
+        ),
+    )
+    plan = ranked._jdf.queryExecution().optimizedPlan().toString()
+    window_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert window_lines, plan
+    # the Window keeps a non-empty partition spec (analysis extracts the
+    # expression into a projected _w column; an algebraic pmod(x,1)→0
+    # rewrite would constant-fold that projection away and empty the spec)
+    assert any("], [_w" in ln for ln in window_lines), plan
+    assert "pmod(xxhash64(" in plan, plan
+    # and the semantics hold: rank follows the score order
+    assert [r.id for r in ranked.orderBy("rank").collect()] == [0, 1, 2, 3, 4]
