@@ -182,6 +182,10 @@ HEADLINE = [
     # Bloom decontamination screen: persisted build+add (memoized) then the
     # broadcast-words probe screen next to q62's exact-join twin
     "q149_bloom_decontamination_screen",
+    # round 11 addition: image perceptual-hash near-dup (hex byte math in
+    # whole-stage codegen + nibble-pigeonhole band join over fixture
+    # rasters — constant-size, tracked for codegen-path regressions)
+    "q150_image_phash_neardup",
 ]
 
 
@@ -235,6 +239,14 @@ def main() -> None:
     # a shared box); the min of two is the steady-state number a serving
     # deployment sees.
     for name in HEADLINE:
+        # start each query from a CLEAN cache: 80+ earlier queries leave
+        # executor storage churn that evicts a late query's own intra-run
+        # caches mid-iteration (r10 recorded q113's PageRank at 13.3s from
+        # exactly that, vs ~3.5s steady-state). The re-warm count right
+        # after repopulates everything the query itself uses, so the timed
+        # runs still measure warm serving — without inherited eviction
+        # pressure.
+        spark.catalog.clearCache()
         queries[name](spark, sf_dir).count()  # re-warm right before timing
         best, n = None, 0
         for _ in range(2):

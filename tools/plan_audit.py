@@ -175,6 +175,15 @@ AUDITS = [
      "positions are map-side md5 expressions inside WholeStageCodegen; "
      "the exact-overlap twin join broadcasts the bench gram set the "
      "same way q62 does"),
+    ("q150_image_phash_neardup",
+     "the pixel grain never shuffles: hex() once per image, scanlines "
+     "explode to H slim rows (one scanline's hex each), per-scanline "
+     "cell sums are map-side F.aggregate expressions inside "
+     "WholeStageCodegen, and the one signature shuffle is keyed "
+     "(asset, cell_y, cell_x) with map-side partial sums — ≤ 72 rows "
+     "per image regardless of resolution; pair candidates come from "
+     "the nibble-band equi-join (never all-pairs), distinct-ed before "
+     "the signatures re-attach"),
 ]
 
 KEY_LINE = re.compile(
