@@ -66,6 +66,14 @@ def entry(spark: SparkSession) -> DataFrame:
 _REVERIFY_FRONT: dict[str, int] = {
     # (round 10's q23 entry cleared itself when CORRECTNESS_r10 recorded
     # q23 green; removed in round 11)
+    #
+    # Round 11's SimHashIndex _sig_expr hook (the PhashIndex seam) landed
+    # after q127's r10 green but is a pure method indirection — the base
+    # class's _sig_expr returns exactly the former _sigs_of() call, and
+    # q127/q88 were oracle-verified at BOTH scales after the refactor
+    # (COVERAGE.md). Deliberately NOT fronted: round 11's window must
+    # stay q150 + the 49 r08-stale names (VERDICT r10 #1); a q127 entry
+    # here would displace one of them.
 }
 """Names whose plan machinery was rewritten AFTER their latest driver green
 (e.g. q53/q61 in round 9), mapped to the round the rewrite landed in. They

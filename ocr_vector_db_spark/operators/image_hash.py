@@ -57,6 +57,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ocr_vector_db_spark.operators.dedup import simhash_band_widths
+from ocr_vector_db_spark.operators.simhash_index import SimHashIndex
 
 _SIG_NIBBLES = 16  # 64-bit signatures, 16 hex chars
 
@@ -290,6 +291,52 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= r)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def hex_sig_to_bigint(sig: Column) -> Column:
+    """16-hex-char signature → the signed-64-bit bigint with the same bit
+    pattern. conv() of the FULL 16 chars overflows bigint when bit 63 is
+    set (unsigned decimal string > 2^63-1), so build from two 32-bit
+    halves: shiftleft is a bitwise op (Java <<), which wraps into the
+    sign bit instead of erroring."""
+    hi = F.conv(F.substring(sig, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(sig, 9, 8), 16, 10).cast("bigint")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+class PhashIndex(SimHashIndex):
+    """Persisted image near-dup index: dHash signatures in SimHashIndex's
+    banded Hamming layout (q127's build/add/screen/dedup_new/compact
+    machinery UNCHANGED — generation pointers, bucket-partitioned bands,
+    re-add guard, exact bit_count verification). Input rows are raster
+    frames (id, data, width, height) — `asset_gray_frames` output;
+    `text_col` is meaningless for images and ignored.
+
+    Implemented as the `_sig_expr` subclass hook: only the signature
+    function differs, so the incremental-ingestion discipline the text
+    screen certifies (append ordering, crash-window adjudication,
+    compaction, bucket pruning) carries over verbatim. Always 64-bit
+    (dHash's size); pick r like the one-shot `phash_near_dup_pairs`."""
+
+    def _sig_expr(self, docs: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+        if self.bits != 64:
+            raise ValueError("PhashIndex is 64-bit (dHash)")
+        sigs = dhash_signatures(docs, id_col=id_col)
+        return sigs.select(
+            F.col("id").alias("doc"),
+            hex_sig_to_bigint(F.col("dhash")).alias("simhash"),
+        )
+
+    @classmethod
+    def build(  # noqa: D417 - narrowed signature over the text parent
+        cls, spark, frames: DataFrame, path: str, r: int = 4,
+        n_buckets: int = 64, id_col: str = "asset_id",
+    ) -> "PhashIndex":
+        return super().build(
+            spark, frames, path, bits=64, r=r, n_buckets=n_buckets,
+            id_col=id_col, text_col="data",
+        )
 
 
 def asset_gray_frames(assets: DataFrame) -> DataFrame:

@@ -85,6 +85,18 @@ class SimHashIndex:
         self.r = r
         self.n_buckets = n_buckets
 
+    # ------------------------------------------------------------ signature
+
+    def _sig_expr(self, docs: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+        """docs → (doc, simhash) — the ONE place a subclass swaps the
+        signature function while keeping the banded layout, append
+        ordering, re-add guard, compaction and screen verification
+        (image_hash.PhashIndex: 64-bit dHash over raster frames). Must
+        return a bigint `simhash` whose Hamming distance is the
+        near-dup metric."""
+        return _sigs_of(docs, self.bits, id_col, text_col)
+
     # --------------------------------------------------------------- build
 
     @classmethod
@@ -102,7 +114,7 @@ class SimHashIndex:
         from ocr_vector_db_spark.operators.index_maint import write_small_file
 
         idx = cls(spark, path, bits, r, n_buckets)
-        sig = _sigs_of(docs, bits, id_col, text_col).cache()
+        sig = idx._sig_expr(docs, id_col, text_col).cache()
         try:
             sig.count()
             idx._append(sig, overwrite=True)
@@ -196,7 +208,7 @@ class SimHashIndex:
         """Append a batch's signatures + bands (MinHashIndex.add parity:
         anti-join re-add guard, ``assume_new`` escape for ledger-guarded
         streaming, single-writer contract). Returns docs added."""
-        sig = _sigs_of(docs, self.bits, id_col, text_col)
+        sig = self._sig_expr(docs, id_col, text_col)
         if not assume_new:
             indexed = self.signatures().select("doc").distinct()
             sig = sig.join(indexed, "doc", "left_anti")
@@ -249,7 +261,7 @@ class SimHashIndex:
         verification filters the band collisions. Only the batch is
         hashed; the corpus side is the slim band equi-join (keyed like the
         stored partitioning) + a signature join on candidates only."""
-        new_sig = _sigs_of(new_docs, self.bits, id_col, text_col)
+        new_sig = self._sig_expr(new_docs, id_col, text_col)
         new_banded = _bands_of(new_sig, self.bits, self.r, self.n_buckets)
         cand = (
             new_banded.alias("x")

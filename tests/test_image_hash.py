@@ -213,3 +213,66 @@ def test_grid_cells_exact_means(spark):
     for c in cells:
         want = 10.0 if c.cx < 4 else (200.0 if c.cx > 4 else 105.0)
         assert c.mean == want, (c.cx, c.cy, c.mean)
+
+
+def test_hex_sig_to_bigint_sign_bit(spark):
+    from ocr_vector_db_spark.operators.image_hash import hex_sig_to_bigint
+
+    cases = ["0000000000000000", "ffffffffffffffff", "8000000000000000",
+             "7fffffffffffffff", "32ac6a22b2b55bda", "deadbeefcafef00d"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r.v for r in
+           df.select(hex_sig_to_bigint(F.col("s")).alias("v")).collect()]
+    # signed-64 view of the same bit pattern
+    want = [int(c, 16) - (1 << 64 if int(c, 16) >= 1 << 63 else 0)
+            for c in cases]
+    assert got == want
+
+
+def test_phash_index_incremental_screen(spark, tmp_path):
+    """The persisted image screen: dHash signatures through SimHashIndex's
+    banded machinery — build, screen (copies flag, fresh passes),
+    dedup_new, add + re-add guard, and screen ≡ the one-shot pair search
+    restricted to cross-side pairs."""
+    from ocr_vector_db_spark.operators.image_hash import PhashIndex
+
+    corpus = [(s, _render(_mat(s), 72, 40), 72, 40)
+              for s in ("pga", "pgb", "pgc")]
+    idx = PhashIndex.build(
+        spark, _frames_df(spark, corpus), str(tmp_path / "phidx"), r=4
+    )
+
+    m = _mat("pga")
+    batch = [
+        ("pga_rescan", _render(m, 144, 80), 144, 80),      # hamming 0
+        ("pga_tweak", _render(m, 72, 40,
+                              flip={(x, y) for x in range(4)
+                                    for y in range(3)}), 72, 40),
+        ("fresh", _render(_mat("pgnew"), 72, 40), 72, 40),
+    ]
+    bdf = _frames_df(spark, batch)
+    hits = idx.screen(bdf, id_col="asset_id")
+    got = {(h.new_id, h.corpus_id): h.hamming for h in hits.collect()}
+    assert got[("pga_rescan", "pga")] == 0
+    assert ("pga_tweak", "pga") in got and got[("pga_tweak", "pga")] <= 4
+    assert not any(n == "fresh" for n, _ in got)
+
+    # one-shot ground truth restricted to cross-side pairs agrees
+    both = _frames_df(spark, corpus + batch)
+    sigs = dhash_signatures(both)
+    corpus_ids = {c[0] for c in corpus}
+    cross = {
+        tuple(sorted((p.id_a, p.id_b))): p.hamming
+        for p in phash_near_dup_pairs(sigs, r=4).collect()
+        if (p.id_a in corpus_ids) != (p.id_b in corpus_ids)
+    }
+    assert cross == {tuple(sorted(k)): v for k, v in got.items()}
+
+    survivors = idx.dedup_new(bdf, id_col="asset_id")
+    assert [r.asset_id for r in survivors.collect()] == ["fresh"]
+    assert idx.add(survivors, id_col="asset_id") == 1
+    # re-add guard: the same batch folds zero new signatures
+    assert idx.add(bdf, id_col="asset_id") == 2  # the two dups are new ids
+    assert idx.add(bdf, id_col="asset_id") == 0  # replay is a no-op
+    reloaded = PhashIndex.load(spark, str(tmp_path / "phidx"))
+    assert reloaded.bits == 64 and reloaded.signatures().count() == 6
