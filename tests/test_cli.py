@@ -791,3 +791,22 @@ def test_cli_stream_ingest_decontam_two_phase(spark, tmp_path, capsys):
         _os.path.join(store, "accepted")).read(spark)
     ids = sorted(r.doc_id for r in accepted.select("doc_id").collect())
     assert ids == [11, 12]
+
+    # pre-two-phase store (no persisted gram table): the gate stays
+    # single-phase — the same Bloom FP is over-dropped (never
+    # under-dropped) and the summary carries no flagged/confirmed split
+    import shutil
+
+    store2 = str(tmp_path / "store_legacy")
+    assert cli.main(["decontam", "--store", store2, "--build", str(bench),
+                     "--m-bits", "60", "--k-hashes", "1"]) == 0
+    shutil.rmtree(_os.path.join(store2, "bench_grams"))
+    capsys.readouterr()
+    assert cli.main(["stream-ingest", "--store", store2,
+                     "--source", str(src), "--threshold", "0.6",
+                     "--buckets", "8", "--decontam", "0.5"]) == 0
+    out = capsys.readouterr().out
+    assert "dropped 2 contaminated" in out and "bloom-flagged" not in out
+    accepted = ParquetAcceptedSink(
+        _os.path.join(store2, "accepted")).read(spark)
+    assert [r.doc_id for r in accepted.select("doc_id").collect()] == [12]

@@ -276,3 +276,44 @@ def test_phash_index_incremental_screen(spark, tmp_path):
     assert idx.add(bdf, id_col="asset_id") == 0  # replay is a no-op
     reloaded = PhashIndex.load(spark, str(tmp_path / "phidx"))
     assert reloaded.bits == 64 and reloaded.signatures().count() == 6
+
+
+def test_pdf_to_image_dedup_end_to_end(spark):
+    """The full multimodal dedup path q150 composes, end-to-end from PDF
+    bytes: two scanned PDFs carrying the SAME page raster (one at 2x
+    resolution) plus one distinct page, through the distributed asset
+    extractor -> gray-frame projection -> dHash -> banded pairs. The
+    re-scan clusters with the original; the distinct page doesn't."""
+    from ocr_vector_db_spark.sources.ingest import (
+        pdf_files_df,
+        pdf_image_assets,
+    )
+    from ocr_vector_db_spark.sources.pdf_decode import build_simple_pdf
+
+    m, m2 = _mat("scanned-page"), _mat("other-page")
+
+    def pdf(mat, w, h):
+        return build_simple_pdf([[
+            {"kind": "text", "x": 50, "y": 700, "size": 12,
+             "text": "scanned page with an embedded raster"},
+            {"kind": "image", "x": 50, "y": 300, "w": 240, "h": 140,
+             "width": w, "height": h, "pixels": _render(mat, w, h),
+             "channels": 1},
+        ]])
+
+    files = pdf_files_df(spark, [
+        ("/corpus/scan_a.pdf", pdf(m, 72, 40)),
+        ("/corpus/scan_a_hires.pdf", pdf(m, 144, 80)),
+        ("/corpus/other.pdf", pdf(m2, 72, 40)),
+    ])
+    assets = pdf_image_assets(files).withColumn(
+        "asset_id", F.col("source_path")
+    )
+    frames = asset_gray_frames(assets)
+    assert frames.count() == 3
+    pairs = phash_near_dup_pairs(
+        dhash_signatures(frames), r=4
+    ).collect()
+    assert {(p.id_a, p.id_b, p.hamming) for p in pairs} == {
+        ("/corpus/scan_a.pdf", "/corpus/scan_a_hires.pdf", 0)
+    }
