@@ -19,6 +19,8 @@
     python -m ocr_vector_db_spark.cli drift --store DIR [--batch FILE]
     python -m ocr_vector_db_spark.cli decontam --store DIR
         [--build F|--add F|--screen F]  # bloom benchmark-leak screen
+    python -m ocr_vector_db_spark.cli stream-ingest-images --store DIR
+        --source S [--radius R]  # perceptual image-dedup-gated ingestion
 
 Mirrors api/cli/{ingest,search,repl,quality}.py + api/formatters.py: same
 text/JSON result formats (similarity to 4 dp, 500-char parent preview), same
@@ -857,6 +859,66 @@ def cmd_stream_ingest(args) -> int:
     return 0
 
 
+def cmd_stream_ingest_images(args) -> int:
+    """Incremental IMAGE-dedup-gated ingestion — `stream-ingest`'s twin
+    for raster assets (`streaming/assets.py`): each run drains the
+    parquet asset-frame files under --source (asset_id, data, width,
+    height — `asset_gray_frames` output), drops intra-batch perceptual
+    duplicates (dHash keep-min), screens survivors against the store's
+    PERSISTED PhashIndex at --radius, and folds accepted frames in so
+    later batches (and later runs) screen against them too. Re-scans and
+    re-encodes of already-accepted pages never reach the sink."""
+    import os
+
+    from ocr_vector_db_spark.operators.image_hash import PhashIndex
+    from ocr_vector_db_spark.operators.index_maint import (
+        EpochLedger, fs_exists,
+    )
+    from ocr_vector_db_spark.streaming.assets import (
+        asset_store_paths,
+        stream_ingest_asset_dedup,
+    )
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    spark = _spark()
+    paths = asset_store_paths(args.store)
+    if fs_exists(spark, os.path.join(paths["index"], "meta.json")):
+        idx = PhashIndex.load(spark, paths["index"])
+        if idx.r != args.radius:
+            print(f"[error] store index was built at r={idx.r}; "
+                  f"--radius {args.radius} would change the banded "
+                  "layout — rebuild or match it")
+            return 1
+    else:
+        empty = spark.createDataFrame(
+            [], "asset_id string, data binary, width int, height int"
+        )
+        idx = PhashIndex.build(
+            spark, empty, paths["index"],
+            r=args.radius, n_buckets=args.buckets,
+        )
+    stats: list = []
+    q = stream_ingest_asset_dedup(
+        spark.readStream
+        .schema("asset_id string, data binary, width int, height int")
+        .option("maxFilesPerTrigger", args.files_per_batch)
+        .parquet(args.source),
+        idx,
+        ParquetAcceptedSink(paths["accepted"]),
+        stats=stats,
+        checkpoint=paths["checkpoint"],
+        ledger=EpochLedger(spark, paths["ledger"]),
+        compact_every=args.compact_every,
+    )
+    q.awaitTermination()
+    acc = sum(s["accepted"] for s in stats)
+    drop = sum(s["dropped_as_dup"] for s in stats)
+    print(f"[stream-ingest-images] {len(stats)} micro-batches: accepted "
+          f"{acc}, dropped {drop} near-dup images; accepted frames under "
+          f"{paths['accepted']}")
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack stored fragments into token-budget training sequences, per
     language shard; prints the per-shard pack summary."""
@@ -1219,6 +1281,19 @@ def build_parser() -> argparse.ArgumentParser:
                          "the store's benchmark filter reaches THRESH "
                          "(default 0.3; needs `decontam --build` first)")
     sp.set_defaults(fn=cmd_stream_ingest)
+
+    sp = sub.add_parser("stream-ingest-images")
+    common(sp)
+    sp.add_argument("--source", required=True,
+                    help="directory of parquet asset-frame files "
+                         "(asset_id string, data binary, width int, "
+                         "height int — asset_gray_frames output)")
+    sp.add_argument("--radius", type=int, default=4,
+                    help="dHash Hamming radius for 'same image'")
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--files-per-batch", type=int, default=64)
+    sp.add_argument("--compact-every", type=int, default=32)
+    sp.set_defaults(fn=cmd_stream_ingest_images)
 
     sp = sub.add_parser("semantic-index")
     common(sp)

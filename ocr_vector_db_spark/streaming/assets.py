@@ -1,0 +1,137 @@
+"""Streaming ingestion for image assets with incremental perceptual dedup.
+
+The image twin of `pipeline.stream_ingest_deduped`'s text gates: a scanned
+corpus arrives as raster rows (decoded pages / extracted figures in the
+`multimodal.ASSET_SCHEMA` shape), and every micro-batch must drop
+re-scans/re-encodes of pages the stream has ALREADY accepted — without
+re-hashing the historical corpus. Text dedup cannot see these (different
+OCR noise, different bytes, same picture); the reference decodes page
+rasters (ingestion/parsers/pymupdf_parser.py:518-569) but never dedups
+them.
+
+Per micro-batch:
+
+  1. intra-batch: dHash the batch, drop every asset with a lower-id
+     near-dup in the SAME batch (keep-min, the `minhash_dropped_ids`
+     convention — without this a backfill arriving as one availableNow
+     batch would accept every near-dup pair wholesale);
+  2. screen the survivors against the persisted `PhashIndex`
+     (`image_hash.PhashIndex`, q127's banded SimHash machinery with dHash
+     signatures) — only assets with no indexed signature within Hamming r
+     are accepted;
+  3. sink the accepted rows, then fold their signatures into the index so
+     later batches screen against them (sink first, index second: both
+     sides replay-safe, and an indexed asset is always in the sink).
+
+Scale shape per micro-batch: O(batch) hashing (the pixel grain never
+shuffles — image_hash's scanline discipline) + the batch's own band join
++ a slim equi-join against the stored bucket-partitioned band layout.
+Batch cost is independent of how much the stream has already ingested.
+
+Replay safety mirrors the text pipeline: foreachBatch re-runs the last
+uncommitted epoch; `ParquetAcceptedSink` overwrites its own epoch dir,
+the index re-add guard (or the `EpochLedger` fast path) makes the fold a
+no-op, and a fully committed epoch short-circuits entirely.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators.image_hash import (
+    dhash_signatures,
+    phash_near_dup_pairs,
+)
+from ocr_vector_db_spark.streaming.pipeline import _start_foreach_batch
+
+
+def image_dropped_ids(
+    frames: DataFrame, r: int, id_col: str = "asset_id"
+) -> DataFrame:
+    """ids to DROP from a batch under the keep-min convention: every asset
+    with a LOWER-id near-dup (Hamming ≤ r) in the same batch. One banded
+    pair search over the batch only."""
+    sigs = dhash_signatures(frames, id_col=id_col)
+    return (
+        phash_near_dup_pairs(sigs, r=r)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+
+def stream_ingest_asset_dedup(
+    frames_stream: DataFrame,
+    index,
+    accepted_sink,
+    *,
+    id_col: str = "asset_id",
+    stats: list | None = None,
+    checkpoint: str | None = None,
+    ledger=None,
+    compact_every: int | None = None,
+):
+    """Start the availableNow asset-dedup stream. `frames_stream` rows must
+    carry (id_col, data, width, height) — `asset_gray_frames` output; any
+    extra columns ride through to the sink. `index` is a built
+    `PhashIndex`; its Hamming radius r is the gate's near-dup definition.
+    `accepted_sink`/`stats`/`checkpoint`/`ledger`/`compact_every` follow
+    `stream_ingest_deduped`'s contracts exactly (which see)."""
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if ledger is not None and epoch_id <= ledger.committed():
+            return  # replayed, fully committed epoch: no-op
+        guarded = ledger is not None and epoch_id <= ledger.started()
+        if ledger is not None:
+            ledger.mark_started(epoch_id)
+        if batch_df.isEmpty():
+            if ledger is not None:
+                ledger.mark_committed(epoch_id)
+            return
+        batch_df = batch_df.cache()
+        try:
+            n_in = batch_df.count()
+            doomed = image_dropped_ids(batch_df, index.r, id_col=id_col)
+            batch_kept = batch_df.join(doomed, id_col, "left_anti")
+            fresh = index.dedup_new(batch_kept, id_col=id_col)
+            # localCheckpoint, NOT cache: fresh's plan scans the band/
+            # signature layouts it was screened against, and the add below
+            # appends to those paths — a cached plan over changed source
+            # files re-executes against the grown index and silently
+            # evaluates empty (pipeline.py's finding; same fix).
+            fresh = fresh.localCheckpoint()
+            n_accepted = fresh.count()
+            if n_accepted:
+                accepted_sink.write(fresh, epoch_id)
+                index.add(
+                    fresh, id_col=id_col,
+                    # steady-state ledger mode: the gate proved newness;
+                    # only a crashed epoch's retry re-guards
+                    assume_new=ledger is not None and not guarded,
+                )
+            if ledger is not None:
+                ledger.mark_committed(epoch_id)
+            if stats is not None:
+                stats.append({
+                    "epoch": epoch_id,
+                    "accepted": n_accepted,
+                    "dropped_as_dup": n_in - n_accepted,
+                })
+        finally:
+            batch_df.unpersist()
+        if compact_every is not None and (epoch_id + 1) % compact_every == 0:
+            index.compact()
+
+    return _start_foreach_batch(frames_stream, per_batch, checkpoint)
+
+
+def asset_store_paths(store: str) -> dict[str, str]:
+    """Store layout for the CLI: index + sink + ledger + checkpoint."""
+    return {
+        "index": os.path.join(store, "phash_index"),
+        "accepted": os.path.join(store, "accepted_assets"),
+        "ledger": os.path.join(store, "phash_index", "_epochs"),
+        "checkpoint": os.path.join(store, "asset_stream_checkpoint"),
+    }

@@ -810,3 +810,63 @@ def test_cli_stream_ingest_decontam_two_phase(spark, tmp_path, capsys):
     accepted = ParquetAcceptedSink(
         _os.path.join(store2, "accepted")).read(spark)
     assert [r.doc_id for r in accepted.select("doc_id").collect()] == [12]
+
+
+def test_cli_stream_ingest_images(spark, tmp_path, capsys):
+    """stream-ingest-images drains parquet asset frames, seeds the store's
+    PhashIndex on first use, and a second run drops a re-scan of an
+    accepted page while passing a novel one; a radius mismatch against
+    the stored banded layout is a loud error."""
+    import hashlib
+    import shutil
+
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    def mat(seed):
+        return [
+            [hashlib.md5(f"{seed}:{cx}:{cy}".encode()).digest()[0]
+             for cx in range(9)]
+            for cy in range(8)
+        ]
+
+    def render(m, w, h):
+        return bytes(
+            m[y * 8 // h][x * 9 // w] for y in range(h) for x in range(w)
+        )
+
+    schema = "asset_id string, data binary, width int, height int"
+
+    def feed(src, name, rows):
+        stage = tmp_path / f"img_stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(stage))
+        src.mkdir(exist_ok=True)
+        shutil.copy(next(stage.glob("part-*.parquet")),
+                    src / f"{name}.parquet")
+
+    store = str(tmp_path / "img_store")
+    src = tmp_path / "img_frames"
+    m_a, m_b = mat("cli-a"), mat("cli-b")
+    feed(src, "b1", [("page_a", render(m_a, 72, 40), 72, 40)])
+    assert cli.main(["stream-ingest-images", "--store", store,
+                     "--source", str(src), "--buckets", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "accepted 1, dropped 0" in out
+
+    feed(src, "b2", [
+        ("page_a_rescan", render(m_a, 144, 80), 144, 80),
+        ("page_b", render(m_b, 72, 40), 72, 40),
+    ])
+    assert cli.main(["stream-ingest-images", "--store", store,
+                     "--source", str(src), "--buckets", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "accepted 1, dropped 1" in out
+
+    accepted = ParquetAcceptedSink(
+        store + "/accepted_assets").read(spark)
+    assert sorted(r.asset_id for r in accepted.collect()) == \
+        ["page_a", "page_b"]
+
+    assert cli.main(["stream-ingest-images", "--store", store,
+                     "--source", str(src), "--radius", "2"]) == 1
+    assert "r=4" in capsys.readouterr().out

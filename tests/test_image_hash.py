@@ -317,3 +317,86 @@ def test_pdf_to_image_dedup_end_to_end(spark):
     assert {(p.id_a, p.id_b, p.hamming) for p in pairs} == {
         ("/corpus/scan_a.pdf", "/corpus/scan_a_hires.pdf", 0)
     }
+
+
+def test_stream_ingest_asset_dedup(spark, tmp_path):
+    """Streaming image ingestion with incremental perceptual dedup: batch 1
+    seeds the persisted PhashIndex; batch 2's re-scan of an indexed page
+    drops against the store, an intra-batch duplicate pair collapses
+    keep-min, and the novel page is accepted and folded in."""
+    import shutil
+
+    from ocr_vector_db_spark.operators.image_hash import PhashIndex
+    from ocr_vector_db_spark.streaming.assets import (
+        image_dropped_ids,
+        stream_ingest_asset_dedup,
+    )
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    schema = "asset_id string, data binary, width int, height int"
+
+    def feed(src, name, rows):
+        stage = tmp_path / f"stage_{name}"
+        _frames_df(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        part = next(stage.glob("part-*.parquet"))
+        src.mkdir(exist_ok=True)
+        shutil.copy(part, src / f"{name}.parquet")
+
+    m_base, m_other, m_new = _mat("s-base"), _mat("s-other"), _mat("s-new")
+    empty = spark.createDataFrame([], schema)
+    idx = PhashIndex.build(
+        spark, empty, str(tmp_path / "phidx_stream"), r=4, n_buckets=8
+    )
+
+    src = tmp_path / "frames"
+    feed(src, "b1", [
+        ("pg_base", _render(m_base, 72, 40), 72, 40),
+        ("pg_other", _render(m_other, 72, 40), 72, 40),
+    ])
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted_assets"))
+    ckpt = str(tmp_path / "actkpt")
+    stats: list = []
+    q = stream_ingest_asset_dedup(
+        spark.readStream.schema(schema).parquet(str(src)), idx, sink,
+        stats=stats, checkpoint=ckpt,
+    )
+    q.awaitTermination(60)
+    assert sorted(r.asset_id for r in sink.read(spark).collect()) == \
+        ["pg_base", "pg_other"]
+    assert stats[-1] == {"epoch": 0, "accepted": 2, "dropped_as_dup": 0}
+
+    # batch 2: a 2x re-scan of an indexed page (store screen), two copies
+    # of a new page in the SAME batch (intra-batch keep-min), one novel
+    feed(src, "b2", [
+        ("rescan_base", _render(m_base, 144, 80), 144, 80),
+        ("pg_new_a", _render(m_new, 72, 40), 72, 40),
+        ("pg_new_b", _render(m_new, 96, 56), 96, 56),
+        ("pg_novel", _render(_mat("s-novel"), 72, 40), 72, 40),
+    ])
+    stats2: list = []
+    q = stream_ingest_asset_dedup(
+        spark.readStream.schema(schema).parquet(str(src)), idx, sink,
+        stats=stats2, checkpoint=ckpt,
+    )
+    q.awaitTermination(60)
+    accepted = {(r.asset_id, r.epoch_id) for r in sink.read(spark).collect()}
+    assert accepted == {("pg_base", 0), ("pg_other", 0),
+                        ("pg_new_a", 1), ("pg_novel", 1)}
+    assert stats2[-1] == {"epoch": 1, "accepted": 2, "dropped_as_dup": 2}
+    sigs = {r.doc for r in idx.signatures().collect()}
+    assert sigs == {"pg_base", "pg_other", "pg_new_a", "pg_novel"}
+
+    # keep-min drops the higher id of the intra-batch pair
+    dropped = image_dropped_ids(_frames_df(spark, [
+        ("a1", _render(m_new, 72, 40), 72, 40),
+        ("a2", _render(m_new, 144, 80), 144, 80),
+    ]), r=4)
+    assert [r.asset_id for r in dropped.collect()] == ["a2"]
+
+    # scale guard: accepted assets are written distributed, never collected
+    import inspect
+
+    from ocr_vector_db_spark.streaming import assets as _a
+    assert ".collect()" not in inspect.getsource(_a)
