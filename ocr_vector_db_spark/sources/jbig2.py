@@ -9,11 +9,17 @@ procedure is T.88 §6.2.5 (GBTEMPLATE 0 with the four movable AT pixels
 and TPGDON typical-prediction rows, context 0x9B25); the embedded
 segment organization (headers, page information type 48, immediate
 lossless generic region type 39) is T.88 §7 as profiled for PDF by ISO
-32000-1 §7.4.7. Reference parity: the reference decodes JBIG2 rasters
-only through PyMuPDF (ingestion/parsers/pymupdf_parser.py:518-569);
-this module covers the generic-region family on the pure-Python path —
-symbol-dictionary/text/halftone/refinement segments stay PyMuPDF-only
-(raise JBIG2Error here), matching VERDICT r9's frequency adjudication.
+32000-1 §7.4.7. Round 11 adds the SYMBOL-CODED profile: the integer
+arithmetic decoding procedures of Annex A (IADH/IADW/IAEX/IADT/IAFS/
+IADS/IAIT/IARI + the IAID tree of A.3), symbol dictionary segments
+(§6.5, arithmetic, no refinement — one shared MQ codestream and GB
+context across all symbol bitmaps) and text regions (§6.4, arithmetic
+symbol codes, untransposed, OR composition) — jbig2enc's default symbol
+mode. Reference parity: the reference decodes JBIG2 rasters only
+through PyMuPDF (ingestion/parsers/pymupdf_parser.py:61-132, 518-569);
+this module now covers both the generic-region and symbol-coded
+families on the pure-Python path — halftone/refinement/huffman segments
+stay PyMuPDF-only (raise JBIG2Error here).
 
 Codec domain is SEMANTIC, like `sources/ccitt.py`: decoders return one
 byte per pixel with 1 = black (T.88's convention), and the encoder twins
@@ -238,12 +244,17 @@ def _template0(at: list[tuple[int, int]]) -> list[tuple[int, int]]:
 
 
 def _region_pass(width: int, height: int, template, tpgdon: bool,
-                 coder, rows: list[bytearray] | None) -> bytes:
+                 coder, rows: list[bytearray] | None,
+                 cxs: dict[int, list[int]] | None = None) -> bytes:
     """The ONE scan shared by decode and encode: identical context
     assembly and TPGD protocol, differing only in whether each decision
     bit comes from the MQ decoder (rows=None) or goes to the MQ encoder
-    (rows = the source bitmap)."""
-    cxs: dict[int, list[int]] = {}
+    (rows = the source bitmap). `cxs` lets a caller PERSIST the context
+    model across regions sharing one MQ codestream — the symbol
+    dictionary decodes every symbol bitmap with the same GB contexts
+    (T.88 §6.5.5 step 2)."""
+    if cxs is None:
+        cxs = {}
 
     def cx_of(key: int) -> list[int]:
         s = cxs.get(key)
@@ -316,7 +327,378 @@ def encode_generic_region(pixels: bytes, width: int, height: int,
     return enc.flush()
 
 
+# --------------------------------- integer arithmetic coding (T.88 Annex A)
+# Each IAx procedure owns a 512-leaf context tree keyed by PREV; values
+# code as a sign bit + a 6-class prefix + offset bits, MSB first. S=1,V=0
+# is the out-of-band marker (OOB — class terminators in the symbol/text
+# procedures). The encoder is the exact mirror: same PREV walk, same
+# class table, so round-trips are structural (the module contract).
+
+_INT_CLASSES = [
+    # (extra prefix 1-bits before the 0, value bits, offset)
+    (0, 2, 0), (1, 4, 4), (2, 6, 20), (3, 8, 84), (4, 12, 340),
+]
+_INT_TOP = (5, 32, 4436)  # '11111' prefix (no closing 0), 32 bits
+
+
+def _prev_next(prev: int, bit: int) -> int:
+    nxt = (prev << 1) | bit
+    return nxt if prev < 256 else ((nxt & 511) | 256)
+
+
+def _int_cx(cxs: dict[int, list[int]], prev: int) -> list[int]:
+    s = cxs.get(prev)
+    if s is None:
+        s = cxs[prev] = [0, 0]
+    return s
+
+
+def _int_decode(dec: "MQDecoder", cxs: dict[int, list[int]]) -> int | None:
+    """One IAx value; None = OOB."""
+    prev = 1
+    s = dec.decode(_int_cx(cxs, prev))
+    prev = _prev_next(prev, s)
+    ones = 0
+    while ones < 5:
+        bit = dec.decode(_int_cx(cxs, prev))
+        prev = _prev_next(prev, bit)
+        if not bit:
+            break
+        ones += 1
+    n_bits, offset = (
+        (_INT_TOP[1], _INT_TOP[2]) if ones == 5
+        else (_INT_CLASSES[ones][1], _INT_CLASSES[ones][2])
+    )
+    v = 0
+    for _ in range(n_bits):
+        bit = dec.decode(_int_cx(cxs, prev))
+        prev = _prev_next(prev, bit)
+        v = (v << 1) | bit
+    v += offset
+    if s and v == 0:
+        return None  # OOB
+    return -v if s else v
+
+
+def _int_encode(enc: "MQEncoder", cxs: dict[int, list[int]],
+                value: int | None) -> None:
+    """Mirror of `_int_decode`; value=None emits OOB."""
+    if value is None:
+        s, v = 1, 0
+    else:
+        s, v = (1, -value) if value < 0 else (0, value)
+        if v > 0x7FFFFFFF + 4436:
+            raise JBIG2Error("integer out of codable range")
+    prev = 1
+    enc.encode(s, _int_cx(cxs, prev))
+    prev = _prev_next(prev, s)
+    for ones, n_bits, offset in _INT_CLASSES:
+        hi = offset + (1 << n_bits) - 1
+        if v <= hi:
+            break
+    else:
+        ones, n_bits, offset = _INT_TOP
+    for _ in range(ones):
+        enc.encode(1, _int_cx(cxs, prev))
+        prev = _prev_next(prev, 1)
+    if ones < 5:  # the top class has no closing 0
+        enc.encode(0, _int_cx(cxs, prev))
+        prev = _prev_next(prev, 0)
+    rest = v - offset
+    for i in range(n_bits - 1, -1, -1):
+        bit = (rest >> i) & 1
+        enc.encode(bit, _int_cx(cxs, prev))
+        prev = _prev_next(prev, bit)
+
+
+def _iaid_decode(dec: "MQDecoder", cxs: dict[int, list[int]],
+                 symcodelen: int) -> int:
+    prev = 1
+    for _ in range(symcodelen):
+        bit = dec.decode(_int_cx(cxs, prev))
+        prev = (prev << 1) | bit
+    return prev - (1 << symcodelen)
+
+
+def _iaid_encode(enc: "MQEncoder", cxs: dict[int, list[int]],
+                 symcodelen: int, value: int) -> None:
+    prev = 1
+    for i in range(symcodelen - 1, -1, -1):
+        bit = (value >> i) & 1
+        enc.encode(bit, _int_cx(cxs, prev))
+        prev = (prev << 1) | bit
+
+
+def _symcodelen(n_syms: int) -> int:
+    return max(1, (n_syms - 1).bit_length())
+
+
+# ----------------------------------- symbol dictionary (T.88 §6.5, type 0)
+# Supported profile: arithmetic coding (SDHUFF=0), no refinement/aggregate
+# (SDREFAGG=0), template 0 — what jbig2enc's symbol mode emits without -r.
+# Symbols are (width, height, pixels) with 1 = black, the module's codec
+# domain.
+
+
+def decode_symbol_dict(payload: bytes,
+                       input_syms: list[tuple[int, int, bytes]],
+                       ) -> list[tuple[int, int, bytes]]:
+    """Symbol dictionary segment payload → the EXPORTED symbol list (in
+    export order — the id space text regions index)."""
+    if len(payload) < 2:
+        raise JBIG2Error("truncated symbol dictionary")
+    flags = struct.unpack(">H", payload[:2])[0]
+    if flags & 0x01:
+        raise JBIG2Error("huffman symbol dictionaries unsupported")
+    if flags & 0x02:
+        raise JBIG2Error("refinement/aggregate symbol coding unsupported")
+    template = (flags >> 10) & 0x03
+    if template != 0:
+        raise JBIG2Error(f"SDTEMPLATE {template} unsupported")
+    pos = 2
+    at = [(struct.unpack(">b", payload[pos + 2 * i:pos + 2 * i + 1])[0],
+           struct.unpack(">b", payload[pos + 2 * i + 1:pos + 2 * i + 2])[0])
+          for i in range(4)]
+    pos += 8
+    n_ex, n_new = struct.unpack(">II", payload[pos:pos + 8])
+    pos += 8
+    if n_new > 1 << 20 or n_ex > 1 << 20:
+        raise JBIG2Error("implausible symbol counts")
+    dec = MQDecoder(payload[pos:])
+    iadh: dict[int, list[int]] = {}
+    iadw: dict[int, list[int]] = {}
+    iaex: dict[int, list[int]] = {}
+    gb_cx: dict[int, list[int]] = {}
+    tpl = _template0(at)
+    new_syms: list[tuple[int, int, bytes]] = []
+    hc_height = 0
+    while len(new_syms) < n_new:
+        dh = _int_decode(dec, iadh)
+        if dh is None:
+            raise JBIG2Error("OOB height delta")
+        hc_height += dh
+        if hc_height <= 0 or hc_height > 1 << 14:
+            raise JBIG2Error("bad symbol height")
+        sym_width = 0
+        while True:
+            dw = _int_decode(dec, iadw)
+            if dw is None:
+                break  # end of height class
+            sym_width += dw
+            if sym_width <= 0 or sym_width > 1 << 14:
+                raise JBIG2Error("bad symbol width")
+            if len(new_syms) >= n_new:
+                raise JBIG2Error("more symbols than declared")
+            bitmap = _region_pass(sym_width, hc_height, tpl, False,
+                                  dec, None, cxs=gb_cx)
+            new_syms.append((sym_width, hc_height, bitmap))
+    # export flags: alternating no-export/export runs over input ∪ new
+    pool = list(input_syms) + new_syms
+    exported: list[tuple[int, int, bytes]] = []
+    i, exflag = 0, 0
+    while i < len(pool) and len(exported) < n_ex:
+        run = _int_decode(dec, iaex)
+        if run is None or run < 0:
+            raise JBIG2Error("bad export run")
+        if exflag:
+            exported.extend(pool[i:i + run])
+        i += run
+        exflag ^= 1
+    if len(exported) != n_ex:
+        raise JBIG2Error("export count mismatch")
+    return exported
+
+
+def encode_symbol_dict(symbols: list[tuple[int, int, bytes]]) -> bytes:
+    """Mirror of `decode_symbol_dict`'s supported profile: all `symbols`
+    (which must be in nondecreasing-height order — the height-class
+    protocol) are coded and exported, in order."""
+    if not symbols:
+        raise JBIG2Error("no symbols")
+    if any(symbols[i][1] > symbols[i + 1][1] for i in range(len(symbols) - 1)):
+        raise JBIG2Error("symbols must be sorted by nondecreasing height")
+    enc = MQEncoder()
+    iadh: dict[int, list[int]] = {}
+    iadw: dict[int, list[int]] = {}
+    iaex: dict[int, list[int]] = {}
+    gb_cx: dict[int, list[int]] = {}
+    tpl = _template0(_NOMINAL_AT)
+    hc_height = 0
+    i = 0
+    while i < len(symbols):
+        h = symbols[i][1]
+        _int_encode(enc, iadh, h - hc_height)
+        hc_height = h
+        sym_width = 0
+        while i < len(symbols) and symbols[i][1] == h:
+            w, _, pix = symbols[i]
+            _int_encode(enc, iadw, w - sym_width)
+            sym_width = w
+            rows = [bytearray(1 if p else 0 for p in pix[y * w:(y + 1) * w])
+                    for y in range(h)]
+            _region_pass(w, h, tpl, False, enc, rows, cxs=gb_cx)
+            i += 1
+        _int_encode(enc, iadw, None)  # OOB: height class done
+    _int_encode(enc, iaex, 0)             # first (no-export) run empty
+    _int_encode(enc, iaex, len(symbols))  # export everything
+    flags = 0  # SDHUFF=0, SDREFAGG=0, template 0
+    at = b"".join(struct.pack(">bb", dx, dy) for dx, dy in _NOMINAL_AT)
+    return (struct.pack(">H", flags) + at
+            + struct.pack(">II", len(symbols), len(symbols))
+            + enc.flush())
+
+
+# ----------------------------------------- text region (T.88 §6.4, types 4-7)
+# Supported profile: arithmetic symbol codes (SBHUFF=0), no refinement,
+# untransposed, OR composition — jbig2enc's default text-region shape.
+# REFCORNER semantics follow §6.4.5 step 3(c): S is the left column either
+# way (the right-corner cases place the right edge at CURS + W - 1, which
+# is the same bitmap position), T is the top row for TOP corners and the
+# bottom row for BOTTOM corners.
+
+
+def decode_text_region(payload: bytes,
+                       syms: list[tuple[int, int, bytes]],
+                       ) -> tuple[int, int, int, int, bytes]:
+    """Text region segment payload + the referenced symbol list →
+    (w, h, x, y, region bitmap with 1 = black)."""
+    w, h, x0, y0, _comb = _parse_region_info(payload)
+    if w * h > 64 << 20:
+        raise JBIG2Error("text region too large")
+    flags = struct.unpack(">H", payload[17:19])[0]
+    if flags & 0x01:
+        raise JBIG2Error("huffman text regions unsupported")
+    refine = bool(flags & 0x02)
+    log_strips = (flags >> 2) & 0x03
+    strips = 1 << log_strips
+    ref_corner = (flags >> 4) & 0x03
+    if flags & 0x40:
+        raise JBIG2Error("transposed text regions unsupported")
+    comb_op = (flags >> 7) & 0x03
+    if comb_op != 0:
+        raise JBIG2Error(f"SBCOMBOP {comb_op} unsupported (OR only)")
+    def_pixel = (flags >> 9) & 0x01
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32  # signed 5-bit
+    pos = 19
+    if refine and not (flags & 0x8000):
+        pos += 4  # refinement AT pixels (template 0)
+    n_instances = struct.unpack(">I", payload[pos:pos + 4])[0]
+    pos += 4
+    if not syms:
+        raise JBIG2Error("text region with no symbols in scope")
+    symcodelen = _symcodelen(len(syms))
+    dec = MQDecoder(payload[pos:])
+    iadt: dict[int, list[int]] = {}
+    iafs: dict[int, list[int]] = {}
+    iads: dict[int, list[int]] = {}
+    iait: dict[int, list[int]] = {}
+    iari: dict[int, list[int]] = {}
+    iaid: dict[int, list[int]] = {}
+    region = bytearray(b"\x01" * (w * h) if def_pixel else w * h)
+    dt0 = _int_decode(dec, iadt)
+    if dt0 is None:
+        raise JBIG2Error("OOB initial strip T")
+    strip_t = -dt0 * strips
+    first_s = 0
+    n_done = 0
+    while n_done < n_instances:
+        dt = _int_decode(dec, iadt)
+        if dt is None:
+            raise JBIG2Error("OOB strip delta")
+        strip_t += dt * strips
+        dfs = _int_decode(dec, iafs)
+        if dfs is None:
+            raise JBIG2Error("OOB first S")
+        first_s += dfs
+        cur_s = first_s
+        first = True
+        while True:
+            if not first:
+                ids = _int_decode(dec, iads)
+                if ids is None:
+                    break  # end of strip
+                cur_s += ids + ds_offset
+            first = False
+            cur_t = 0 if strips == 1 else _int_decode(dec, iait)
+            if cur_t is None:
+                raise JBIG2Error("OOB intra-strip T")
+            t = strip_t + cur_t
+            sym_id = _iaid_decode(dec, iaid, symcodelen)
+            if not 0 <= sym_id < len(syms):
+                raise JBIG2Error(f"symbol id {sym_id} out of range")
+            if refine and _int_decode(dec, iari):
+                raise JBIG2Error("refined symbol instances unsupported")
+            sw, sh, spix = syms[sym_id]
+            top = t if ref_corner & 1 else t - sh + 1
+            for yy in range(sh):
+                py = top + yy
+                if not 0 <= py < h:
+                    continue
+                base = py * w
+                rowbase = yy * sw
+                for xx in range(sw):
+                    px = cur_s + xx
+                    if 0 <= px < w and spix[rowbase + xx]:
+                        region[base + px] = 1
+            cur_s += sw - 1
+            n_done += 1
+            if n_done > n_instances:
+                raise JBIG2Error("more instances than declared")
+    return w, h, x0, y0, bytes(region)
+
+
+def encode_text_region(
+    w: int, h: int,
+    placements: list[tuple[int, int, int]],
+    syms: list[tuple[int, int, bytes]],
+    x0: int = 0, y0: int = 0,
+) -> bytes:
+    """Mirror of `decode_text_region`'s supported profile: `placements`
+    = (symbol id, s, t) with (s, t) the TOP-LEFT pixel of each instance,
+    sorted by (t, s); one strip per distinct t (SBSTRIPS=1)."""
+    if sorted(placements, key=lambda p: (p[2], p[1])) != list(placements):
+        raise JBIG2Error("placements must be sorted by (t, s)")
+    symcodelen = _symcodelen(len(syms))
+    enc = MQEncoder()
+    iadt: dict[int, list[int]] = {}
+    iafs: dict[int, list[int]] = {}
+    iads: dict[int, list[int]] = {}
+    iaid: dict[int, list[int]] = {}
+    strip_t = 0
+    _int_encode(enc, iadt, 0)  # STRIPT starts at 0
+    first_s = 0
+    i = 0
+    while i < len(placements):
+        t = placements[i][2]
+        _int_encode(enc, iadt, t - strip_t)
+        strip_t = t
+        _, s, _ = placements[i]
+        _int_encode(enc, iafs, s - first_s)
+        first_s = s
+        cur_s = s
+        first = True
+        while i < len(placements) and placements[i][2] == t:
+            sym_id, s, _ = placements[i]
+            if not first:
+                _int_encode(enc, iads, s - cur_s)
+            first = False
+            _iaid_encode(enc, iaid, symcodelen, sym_id)
+            cur_s = s + syms[sym_id][0] - 1
+            i += 1
+        _int_encode(enc, iads, None)  # OOB: strip done
+    region_info = struct.pack(">IIII", w, h, x0, y0) + b"\x00"
+    flags = 1 << 4  # REFCORNER = TOPLEFT; SBHUFF=0, REFINE=0, OR, strips=1
+    return (region_info + struct.pack(">H", flags)
+            + struct.pack(">I", len(placements)) + enc.flush())
+
+
 # ------------------------------------------------ embedded segments (T.88 §7)
+_SYMBOL_DICT = 0
+_INTERMEDIATE_TEXT = 4
+_IMM_TEXT = 6
+_IMM_LOSSLESS_TEXT = 7
 _PAGE_INFO = 48
 _IMM_GENERIC = 38
 _IMM_LOSSLESS_GENERIC = 39
@@ -324,6 +706,7 @@ _INTERMEDIATE_GENERIC = 36
 _END_OF_PAGE = 49
 _END_OF_STRIPE = 50
 _END_OF_FILE = 51
+_TEXT_TYPES = (_INTERMEDIATE_TEXT, _IMM_TEXT, _IMM_LOSSLESS_TEXT)
 
 
 def _parse_segment_header(data: bytes, pos: int):
@@ -383,13 +766,19 @@ def decode_embedded(stream: bytes, globals_data: bytes = b"") -> tuple[int, int,
     """PDF /JBIG2Decode stream (+ optional /JBIG2Globals) → (width,
     height, width*height bytes with 1 = black).
 
-    Supports the scanned-raster profile: one page information segment and
-    immediate (lossless) generic regions composed by OR — the shape every
-    generic-region encoder (jbig2enc -generic, scanners) emits. Symbol/
-    text/halftone/refinement segments raise JBIG2Error (PyMuPDF path)."""
+    Supports the scanned-raster profiles: one page information segment,
+    immediate (lossless) generic regions composed by OR (jbig2enc
+    -generic, scanners), AND symbol-coded pages — symbol dictionary
+    segments (arithmetic, no refinement) + text regions (arithmetic
+    symbol codes, untransposed, OR) — jbig2enc's default symbol mode.
+    Symbol dictionaries accumulate in stream order (globals first), text
+    regions index the accumulated export list — the single-dictionary
+    shape PDF encoders emit. Halftone/refinement/huffman segments raise
+    JBIG2Error (PyMuPDF path)."""
     segments = parse_segments(globals_data) + parse_segments(stream)
     page_w = page_h = 0
     page: bytearray | None = None
+    symbols: list[tuple[int, int, bytes]] = []
     for seg_type, payload in segments:
         if seg_type == _PAGE_INFO:
             if len(payload) < 8:
@@ -427,11 +816,26 @@ def decode_embedded(stream: bytes, globals_data: bytes = b"") -> tuple[int, int,
                 for xx in range(min(w, page_w - x0)):
                     if bitmap[rowbase + xx]:
                         page[base + xx] = 1
+        elif seg_type == _SYMBOL_DICT:
+            symbols.extend(decode_symbol_dict(payload, symbols))
+        elif seg_type in _TEXT_TYPES:
+            if page is None:
+                raise JBIG2Error("text region before page information")
+            w, h, x0, y0, bitmap = decode_text_region(payload, symbols)
+            for yy in range(h):
+                py = y0 + yy
+                if py >= page_h:
+                    break
+                base = py * page_w + x0
+                rowbase = yy * w
+                for xx in range(min(w, page_w - x0)):
+                    if bitmap[rowbase + xx]:
+                        page[base + xx] = 1
         elif seg_type in (_END_OF_PAGE, _END_OF_STRIPE, _END_OF_FILE):
             continue
         else:
             raise JBIG2Error(f"segment type {seg_type} unsupported "
-                             "(symbol/text/halftone stay on PyMuPDF)")
+                             "(halftone/refinement stay on PyMuPDF)")
     if page is None:
         raise JBIG2Error("no page information segment")
     return page_w, page_h, bytes(page)
@@ -460,3 +864,23 @@ def encode_embedded(pixels: bytes, width: int, height: int,
     region = region_info + bytes([flags]) + at + mq
     return (_segment(0, _PAGE_INFO, 1, page_info)
             + _segment(1, _IMM_LOSSLESS_GENERIC, 1, region))
+
+
+def encode_embedded_symbols(
+    width: int, height: int,
+    symbols: list[tuple[int, int, bytes]],
+    placements: list[tuple[int, int, int]],
+) -> bytes:
+    """Symbol-coded page → a PDF-embeddable JBIG2 stream: page info + one
+    symbol dictionary (all symbols exported, nondecreasing-height order
+    required) + one immediate lossless text region covering the page
+    (`placements` = (symbol id, s, t) top-left pixels sorted by (t, s)) —
+    the exact mirror of `decode_embedded`'s symbol profile, i.e. the
+    jbig2enc -symbol shape."""
+    page_info = (struct.pack(">IIII", width, height, 0, 0)
+                 + b"\x01" + b"\x00\x00")
+    sd = encode_symbol_dict(symbols)
+    tr = encode_text_region(width, height, placements, symbols)
+    return (_segment(0, _PAGE_INFO, 1, page_info)
+            + _segment(1, _SYMBOL_DICT, 1, sd)
+            + _segment(2, _IMM_LOSSLESS_TEXT, 1, tr))

@@ -1446,11 +1446,12 @@ def ccitt_image_xobject(objects, ref: int) -> dict | None:
 
 def jbig2_image_xobject(objects, ref: int) -> dict | None:
     """Decode a /JBIG2Decode image XObject to 8-bit gray pixels via the
-    pure-Python T.88 codec (`sources/jbig2.py`) — the generic-region
-    profile scanned-OCR PDFs ship; /JBIG2Globals streams resolve from the
-    object table and prepend their segments. Symbol/text/halftone
-    segments stay on the PyMuPDF path, like the reference
-    (ingestion/parsers/pymupdf_parser.py:518-569).
+    pure-Python T.88 codec (`sources/jbig2.py`) — the generic-region AND
+    symbol-coded profiles scanned-OCR PDFs ship; /JBIG2Globals streams
+    resolve from the object table and prepend their segments (symbol
+    dictionaries in globals serve the text regions, the jbig2enc -p
+    layout). Halftone/refinement/huffman segments stay on the PyMuPDF
+    path, like the reference (ingestion/parsers/pymupdf_parser.py:518-569).
 
     Polarity follows ISO 32000 §7.4.7: JBIG2's 1 = black becomes sample
     0 (the filter inverts, like every compliant viewer), and the sample
@@ -1509,10 +1510,10 @@ def extract_pdf_images(data: bytes) -> list[dict]:
     decoder needed, see jpeg_image_xobject); CCITT rasters in every /K
     regime (Group 4 MMR, Group 3 1-D and mixed) decode through the
     pure-Python T.6/T.4 codecs (ccitt_image_xobject, format=raw);
-    JBIG2 generic regions decode through the pure-Python T.88 codec
-    (jbig2_image_xobject, format=raw). JPX and JBIG2 symbol/text/
-    halftone segments are skipped; the PyMuPDF path covers them when
-    importable."""
+    JBIG2 generic regions AND symbol-coded pages decode through the
+    pure-Python T.88 codec (jbig2_image_xobject, format=raw). JPX and
+    JBIG2 halftone/refinement segments are skipped; the PyMuPDF path
+    covers them when importable."""
     import hashlib
 
     objects = _scan_objects(data)
@@ -1798,20 +1799,28 @@ def build_simple_pdf(pages: list[list[dict]],
                     continue
                 if b.get("jbig2"):
                     # scanned-raster fixture: a /JBIG2Decode bilevel
-                    # generic region — `pixels` is w*h bytes, nonzero =
-                    # black, encoded with the matching twin
-                    # (sources/jbig2.py). `tpgdon` turns on typical-
-                    # prediction rows.
+                    # stream — either a generic region (`pixels` = w*h
+                    # bytes, nonzero = black; `tpgdon` turns on typical-
+                    # prediction rows) or, with `jbig2_symbols` =
+                    # (symbols, placements), a symbol-coded page —
+                    # encoded with the matching twins (sources/jbig2.py).
                     from ocr_vector_db_spark.sources.jbig2 import (
                         encode_embedded,
+                        encode_embedded_symbols,
                     )
 
-                    pix = b["pixels"]
-                    assert len(pix) == b["width"] * b["height"]
-                    payload_img = encode_embedded(
-                        pix, b["width"], b["height"],
-                        tpgdon=bool(b.get("tpgdon")),
-                    )
+                    if b.get("jbig2_symbols"):
+                        symbols, placements = b["jbig2_symbols"]
+                        payload_img = encode_embedded_symbols(
+                            b["width"], b["height"], symbols, placements,
+                        )
+                    else:
+                        pix = b["pixels"]
+                        assert len(pix) == b["width"] * b["height"]
+                        payload_img = encode_embedded(
+                            pix, b["width"], b["height"],
+                            tpgdon=bool(b.get("tpgdon")),
+                        )
                     img_objs.append(
                         f"<< /Type /XObject /Subtype /Image "
                         f"/Width {b['width']} /Height {b['height']} "

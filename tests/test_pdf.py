@@ -1373,7 +1373,7 @@ class TestJBIG2:
 
     def test_embedded_segments_and_unsupported_profiles(self):
         """The embedded organization round-trips (page info + immediate
-        lossless generic region); symbol/text segments and non-zero
+        lossless generic region); halftone segments and non-zero
         templates raise JBIG2Error instead of mis-decoding."""
         import pytest as _pytest
 
@@ -1390,11 +1390,12 @@ class TestJBIG2:
         gw, gh, got = decode_embedded(stream)
         assert (gw, gh, got) == (w, h, pix)
 
-        # a symbol-dictionary segment (type 0) is out of profile
+        # an immediate halftone region (type 22) is out of profile
+        # (symbol dictionaries, type 0, decode since round 11)
         bad = bytearray(stream)
         # flip the region segment's type byte (offset 4 of the SECOND
         # header: 11-byte header + 19-byte page info payload + 4)
-        bad[11 + 19 + 4] = 0x00
+        bad[11 + 19 + 4] = 22
         with _pytest.raises(JBIG2Error):
             decode_embedded(bytes(bad))
         # truncated stream
@@ -1495,3 +1496,192 @@ class TestJBIG2:
         assert extract_pdf_images(pdf)[0]["data"] == bytes(
             0 if p else 255 for p in pix
         )
+
+
+class TestJBIG2Symbols:
+    """T.88 symbol-coded profile (round 11): integer arithmetic coding
+    (Annex A), symbol dictionaries (§6.5) and text regions (§6.4)."""
+
+    @staticmethod
+    def _glyph(pattern):
+        rows = pattern.strip().split()
+        h, w = len(rows), len(rows[0])
+        return (w, h,
+                bytes(1 if c == "#" else 0 for r in rows for c in r))
+
+    @classmethod
+    def _font(cls):
+        a = cls._glyph("..#.. .#.#. #...# ##### #...#")
+        b = cls._glyph("####. #...# ####. #...# ####.")
+        o = cls._glyph(".##. #..# #..# .##.")
+        dot = cls._glyph("## ##")
+        # nondecreasing height order (the height-class protocol)
+        return sorted([a, b, o, dot], key=lambda s: (s[1], s[0]))
+
+    @staticmethod
+    def _compose(w, h, syms, placements):
+        page = bytearray(w * h)
+        for sid, s, t in placements:
+            sw, sh, sp = syms[sid]
+            for yy in range(sh):
+                for xx in range(sw):
+                    if sp[yy * sw + xx]:
+                        page[(t + yy) * w + (s + xx)] = 1
+        return bytes(page)
+
+    def test_integer_coder_round_trips(self):
+        """IAx values round-trip across every class boundary, signs and
+        OOB; IAID round-trips at several code lengths."""
+        from ocr_vector_db_spark.sources.jbig2 import (
+            MQDecoder,
+            MQEncoder,
+            _iaid_decode,
+            _iaid_encode,
+            _int_decode,
+            _int_encode,
+        )
+
+        vals = [0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+                123456789, -1, -3, -4, -20, -84, -340, -4436, -999999,
+                None, 7, None, -2, 0]
+        enc, cx = MQEncoder(), {}
+        for v in vals:
+            _int_encode(enc, cx, v)
+        dec, cx2 = MQDecoder(enc.flush()), {}
+        assert [_int_decode(dec, cx2) for _ in vals] == vals
+
+        for codelen in (1, 2, 5, 9):
+            ids = [(7 * i) % (1 << codelen) for i in range(40)]
+            enc, cx = MQEncoder(), {}
+            for i in ids:
+                _iaid_encode(enc, cx, codelen, i)
+            dec, cx2 = MQDecoder(enc.flush()), {}
+            assert [_iaid_decode(dec, cx2, codelen) for _ in ids] == ids
+
+    def test_symbol_dict_round_trips(self):
+        """Multi-height-class dictionaries round-trip pixel-exact; the
+        encoder rejects unsorted heights, the decoder rejects huffman/
+        refinement flags."""
+        import pytest as _pytest
+
+        from ocr_vector_db_spark.sources.jbig2 import (
+            JBIG2Error,
+            decode_symbol_dict,
+            encode_symbol_dict,
+        )
+
+        syms = self._font()
+        payload = encode_symbol_dict(syms)
+        assert decode_symbol_dict(payload, []) == syms
+
+        with _pytest.raises(JBIG2Error):
+            encode_symbol_dict(list(reversed(syms)))
+        with _pytest.raises(JBIG2Error):  # SDHUFF set
+            decode_symbol_dict(b"\x00\x01" + payload[2:], [])
+        with _pytest.raises(JBIG2Error):  # SDREFAGG set
+            decode_symbol_dict(b"\x00\x02" + payload[2:], [])
+
+    def test_symbol_page_round_trips(self):
+        """A symbol-coded page (dictionary + text region) decodes
+        pixel-exact against an independently composed page, including
+        repeated symbols, multiple strips and touching instances."""
+        from ocr_vector_db_spark.sources.jbig2 import (
+            decode_embedded,
+            encode_embedded_symbols,
+        )
+
+        syms = self._font()
+        w, h = 64, 30
+        placements = sorted([
+            (0, 2, 2), (1, 10, 2), (2, 18, 3), (3, 26, 2),
+            (1, 2, 12), (1, 8, 12), (0, 20, 12),   # repeats, same strip
+            (2, 40, 20), (2, 45, 20), (3, 56, 21),  # adjacent instances
+        ], key=lambda p: (p[2], p[1]))
+        stream = encode_embedded_symbols(w, h, syms, placements)
+        gw, gh, got = decode_embedded(stream)
+        assert (gw, gh) == (w, h)
+        assert got == self._compose(w, h, syms, placements)
+
+    def test_symbol_pdf_asset_extraction(self):
+        """A symbol-coded /JBIG2Decode XObject flows through the full
+        distributed asset path with ISO 32000 polarity (1=black -> gray
+        0), like the generic-region fixtures of q148."""
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            extract_pdf_images,
+        )
+
+        syms = self._font()
+        w, h = 48, 20
+        placements = sorted([
+            (0, 2, 3), (1, 9, 3), (2, 17, 4), (0, 30, 11), (3, 40, 12),
+        ], key=lambda p: (p[2], p[1]))
+        pdf = build_simple_pdf([[
+            {"kind": "text", "text": "symbol coded scan", "x": 50,
+             "y": 700, "size": 12},
+            {"kind": "image", "x": 50, "y": 300, "w": 96, "h": 40,
+             "width": w, "height": h, "jbig2": True,
+             "jbig2_symbols": (syms, placements)},
+        ]])
+        imgs = extract_pdf_images(pdf)
+        assert len(imgs) == 1
+        md = imgs[0]["metadata"]
+        assert (md["format"], md["width"], md["height"]) == \
+            ("raw", "48", "20")
+        want = self._compose(w, h, syms, placements)
+        assert imgs[0]["data"] == bytes(0 if p else 255 for p in want)
+
+    def test_symbol_dict_in_globals_stream(self):
+        """jbig2enc -p layout: the symbol dictionary rides /JBIG2Globals
+        and the per-image stream carries page info + text region."""
+        from ocr_vector_db_spark.sources.jbig2 import (
+            _IMM_LOSSLESS_TEXT,
+            _PAGE_INFO,
+            _SYMBOL_DICT,
+            _segment,
+            decode_embedded,
+            encode_symbol_dict,
+            encode_text_region,
+        )
+        import struct as _struct
+
+        syms = self._font()
+        w, h = 40, 16
+        placements = [(0, 2, 2), (2, 10, 3), (1, 20, 9)]
+        placements.sort(key=lambda p: (p[2], p[1]))
+        glob = _segment(0, _SYMBOL_DICT, 1, encode_symbol_dict(syms))
+        page_info = _struct.pack(">IIII", w, h, 0, 0) + b"\x01\x00\x00"
+        stream = (_segment(1, _PAGE_INFO, 1, page_info)
+                  + _segment(2, _IMM_LOSSLESS_TEXT, 1,
+                             encode_text_region(w, h, placements, syms)))
+        gw, gh, got = decode_embedded(stream, glob)
+        assert (gw, gh) == (w, h)
+        assert got == self._compose(w, h, syms, placements)
+
+    def test_pymupdf_symbol_parity_when_available(self):
+        """PyMuPDF parity gate (skips without fitz): the symbol-coded
+        page our codec encodes must rasterize identically through fitz."""
+        fitz = pytest.importorskip("fitz")
+
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            extract_pdf_images,
+        )
+
+        syms = self._font()
+        w, h = 48, 20
+        placements = sorted([
+            (0, 2, 3), (1, 9, 3), (2, 17, 4), (0, 30, 11),
+        ], key=lambda p: (p[2], p[1]))
+        pdf = build_simple_pdf([[
+            {"kind": "image", "x": 50, "y": 300, "w": 96, "h": 40,
+             "width": w, "height": h, "jbig2": True,
+             "jbig2_symbols": (syms, placements)},
+        ]])
+        ours = extract_pdf_images(pdf)[0]["data"]
+        doc = fitz.open(stream=pdf, filetype="pdf")
+        xref = doc.get_page_images(0)[0][0]
+        pm = fitz.Pixmap(doc, xref)
+        if pm.colorspace and pm.colorspace.n > 1:
+            pm = fitz.Pixmap(fitz.csGRAY, pm)
+        assert bytes(pm.samples) == ours
