@@ -225,27 +225,56 @@ class MQEncoder:
 
 
 # ------------------------------------------------- generic region (T.88 §6.2)
-# GBTEMPLATE 0: 12 fixed context pixels + 4 movable AT pixels, assembled
-# in (y, x) sorted order, MSB first (the spec's Figure 4 layout; nominal
-# AT positions A1..A4 below). TPGDON rows toggle LTP with context 0x9B25.
+# GBTEMPLATE 0: 12 fixed context pixels + 4 movable AT pixels; templates
+# 1-3 use smaller fixed sets + 1 AT pixel (the spec's Figures 4-7).
+# Context bits assemble in (y, x) sorted order, MSB first — for the
+# nominal AT positions this IS the figures' row-major layout. TPGDON rows
+# toggle LTP with the per-template contexts of §6.2.5.7.
 _FIXED_T0 = [(-1, -2), (0, -2), (1, -2),
              (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
              (-4, 0), (-3, 0), (-2, 0), (-1, 0)]
+_FIXED_T1 = [(-1, -2), (0, -2), (1, -2), (2, -2),
+             (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+             (-3, 0), (-2, 0), (-1, 0)]
+_FIXED_T2 = [(-1, -2), (0, -2), (1, -2),
+             (-2, -1), (-1, -1), (0, -1), (1, -1),
+             (-2, 0), (-1, 0)]
+_FIXED_T3 = [(-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1),
+             (-4, 0), (-3, 0), (-2, 0), (-1, 0)]
+_FIXED = {0: _FIXED_T0, 1: _FIXED_T1, 2: _FIXED_T2, 3: _FIXED_T3}
 _NOMINAL_AT = [(3, -1), (-3, -1), (2, -2), (-2, -2)]
-_TPGD_CX = 0x9B25
+_NOMINAL_AT_N = {0: _NOMINAL_AT, 1: [(3, -1)], 2: [(2, -1)], 3: [(2, -1)]}
+_AT_COUNT = {0: 4, 1: 1, 2: 1, 3: 1}
+# TPGD pseudo-pixel contexts per template (§6.2.5.7)
+_TPGD_CXS = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
+_TPGD_CX = _TPGD_CXS[0]
 
 
-def _template0(at: list[tuple[int, int]]) -> list[tuple[int, int]]:
-    if len(at) != 4:
-        raise JBIG2Error(f"template 0 needs 4 AT pixels, got {len(at)}")
-    tpl = _FIXED_T0 + list(at)
+def _template_of(template: int,
+                 at: list[tuple[int, int]] | None) -> list[tuple[int, int]]:
+    fixed = _FIXED.get(template)
+    if fixed is None:
+        raise JBIG2Error(f"GBTEMPLATE {template} unsupported")
+    if at is None:
+        at = _NOMINAL_AT_N[template]
+    if len(at) != _AT_COUNT[template]:
+        raise JBIG2Error(
+            f"template {template} needs {_AT_COUNT[template]} AT "
+            f"pixels, got {len(at)}"
+        )
+    tpl = fixed + list(at)
     tpl.sort(key=lambda p: (p[1], p[0]))
     return tpl
 
 
+def _template0(at: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    return _template_of(0, at)
+
+
 def _region_pass(width: int, height: int, template, tpgdon: bool,
                  coder, rows: list[bytearray] | None,
-                 cxs: dict[int, list[int]] | None = None) -> bytes:
+                 cxs: dict[int, list[int]] | None = None,
+                 tpgd_cx: int = _TPGD_CX) -> bytes:
     """The ONE scan shared by decode and encode: identical context
     assembly and TPGD protocol, differing only in whether each decision
     bit comes from the MQ decoder (rows=None) or goes to the MQ encoder
@@ -268,12 +297,12 @@ def _region_pass(width: int, height: int, template, tpgdon: bool,
     for y in range(height):
         if tpgdon:
             if decode:
-                sltp = coder.decode(cx_of(_TPGD_CX))
+                sltp = coder.decode(cx_of(tpgd_cx))
             else:
                 same = y > 0 and rows[y] == rows[y - 1]
                 want = 1 if same else 0
                 sltp = want ^ ltp
-                coder.encode(sltp, cx_of(_TPGD_CX))
+                coder.encode(sltp, cx_of(tpgd_cx))
             ltp ^= sltp
             if ltp:
                 out.append(bytearray(out[y - 1]) if y > 0
@@ -305,25 +334,30 @@ def _region_pass(width: int, height: int, template, tpgdon: bool,
 
 def decode_generic_region(data: bytes, width: int, height: int,
                           at: list[tuple[int, int]] | None = None,
-                          tpgdon: bool = False) -> bytes:
-    """MQ-coded generic region (template 0) → width*height bytes, 1=black."""
+                          tpgdon: bool = False,
+                          template: int = 0) -> bytes:
+    """MQ-coded generic region (templates 0-3) → width*height bytes,
+    1=black."""
     if width <= 0 or height <= 0:
         raise JBIG2Error("empty region")
-    tpl = _template0(at or _NOMINAL_AT)
-    return _region_pass(width, height, tpl, tpgdon, MQDecoder(data), None)
+    tpl = _template_of(template, at)
+    return _region_pass(width, height, tpl, tpgdon, MQDecoder(data), None,
+                        tpgd_cx=_TPGD_CXS[template])
 
 
 def encode_generic_region(pixels: bytes, width: int, height: int,
                           at: list[tuple[int, int]] | None = None,
-                          tpgdon: bool = False) -> bytes:
+                          tpgdon: bool = False,
+                          template: int = 0) -> bytes:
     """Exact encoder mirror of `decode_generic_region`."""
     if len(pixels) != width * height:
         raise JBIG2Error("pixels must be width*height bytes")
     rows = [bytearray(1 if p else 0 for p in pixels[y * width:(y + 1) * width])
             for y in range(height)]
-    tpl = _template0(at or _NOMINAL_AT)
+    tpl = _template_of(template, at)
     enc = MQEncoder()
-    _region_pass(width, height, tpl, tpgdon, enc, rows)
+    _region_pass(width, height, tpl, tpgdon, enc, rows,
+                 tpgd_cx=_TPGD_CXS[template])
     return enc.flush()
 
 
@@ -453,13 +487,14 @@ def decode_symbol_dict(payload: bytes,
     if flags & 0x02:
         raise JBIG2Error("refinement/aggregate symbol coding unsupported")
     template = (flags >> 10) & 0x03
-    if template != 0:
+    n_at = _AT_COUNT.get(template)
+    if n_at is None:
         raise JBIG2Error(f"SDTEMPLATE {template} unsupported")
     pos = 2
     at = [(struct.unpack(">b", payload[pos + 2 * i:pos + 2 * i + 1])[0],
            struct.unpack(">b", payload[pos + 2 * i + 1:pos + 2 * i + 2])[0])
-          for i in range(4)]
-    pos += 8
+          for i in range(n_at)]
+    pos += 2 * n_at
     n_ex, n_new = struct.unpack(">II", payload[pos:pos + 8])
     pos += 8
     if n_new > 1 << 20 or n_ex > 1 << 20:
@@ -469,7 +504,7 @@ def decode_symbol_dict(payload: bytes,
     iadw: dict[int, list[int]] = {}
     iaex: dict[int, list[int]] = {}
     gb_cx: dict[int, list[int]] = {}
-    tpl = _template0(at)
+    tpl = _template_of(template, at)
     new_syms: list[tuple[int, int, bytes]] = []
     hc_height = 0
     while len(new_syms) < n_new:
@@ -795,18 +830,37 @@ def decode_embedded(stream: bytes, globals_data: bytes = b"") -> tuple[int, int,
                 raise JBIG2Error("region before page information")
             w, h, x0, y0, _ = _parse_region_info(payload)
             flags = payload[17]
-            if flags & 0x01:
-                raise JBIG2Error("MMR generic regions unsupported "
-                                 "(use /CCITTFaxDecode semantics)")
             template = (flags >> 1) & 0x03
-            if template != 0:
-                raise JBIG2Error(f"GBTEMPLATE {template} unsupported")
             tpgdon = bool(flags & 0x08)
-            at = [(struct.unpack(">b", payload[18 + 2 * i:19 + 2 * i])[0],
-                   struct.unpack(">b", payload[19 + 2 * i:20 + 2 * i])[0])
-                  for i in range(4)]
-            bitmap = decode_generic_region(payload[26:], w, h,
-                                           at=at, tpgdon=tpgdon)
+            if flags & 0x01:
+                # MMR=1: the data is a T.6 (MMR) codestream — decode
+                # through the shared fax codec (sources/ccitt.py), which
+                # lives in the same 1=black semantic domain (T.88
+                # §6.2.5.2 defers to T.6 exactly)
+                from ocr_vector_db_spark.sources.ccitt import (
+                    CCITTError,
+                    decode_g4,
+                )
+
+                try:
+                    bitmap = decode_g4(payload[18:], w, rows=h)
+                except CCITTError as exc:
+                    raise JBIG2Error(f"bad MMR region: {exc}") from exc
+            else:
+                n_at = _AT_COUNT.get(template)
+                if n_at is None:
+                    raise JBIG2Error(f"GBTEMPLATE {template} unsupported")
+                at = [
+                    (struct.unpack(
+                        ">b", payload[18 + 2 * i:19 + 2 * i])[0],
+                     struct.unpack(
+                        ">b", payload[19 + 2 * i:20 + 2 * i])[0])
+                    for i in range(n_at)
+                ]
+                bitmap = decode_generic_region(
+                    payload[18 + 2 * n_at:], w, h,
+                    at=at, tpgdon=tpgdon, template=template,
+                )
             for yy in range(h):
                 py = y0 + yy
                 if py >= page_h:
@@ -850,18 +904,29 @@ def _segment(number: int, seg_type: int, page: int, payload: bytes) -> bytes:
 
 
 def encode_embedded(pixels: bytes, width: int, height: int,
-                    tpgdon: bool = False) -> bytes:
+                    tpgdon: bool = False, template: int = 0,
+                    mmr: bool = False) -> bytes:
     """pixels (1 = black) → a PDF-embeddable JBIG2 stream: page info +
     one immediate lossless generic region covering the page — the exact
-    mirror of `decode_embedded`'s supported profile."""
+    mirror of `decode_embedded`'s generic profiles (MQ templates 0-3, or
+    MMR via the shared T.6 fax codec)."""
     if len(pixels) != width * height:
         raise JBIG2Error("pixels must be width*height bytes")
     page_info = struct.pack(">IIII", width, height, 0, 0) + b"\x01" + b"\x00\x00"
     region_info = struct.pack(">IIII", width, height, 0, 0) + b"\x00"
-    flags = 0x08 if tpgdon else 0x00   # template 0, not MMR
-    at = b"".join(struct.pack(">bb", dx, dy) for dx, dy in _NOMINAL_AT)
-    mq = encode_generic_region(pixels, width, height, tpgdon=tpgdon)
-    region = region_info + bytes([flags]) + at + mq
+    if mmr:
+        from ocr_vector_db_spark.sources.ccitt import encode_g4
+
+        body = bytes([0x01]) + encode_g4(pixels, width, height)
+    else:
+        flags = ((0x08 if tpgdon else 0x00)
+                 | ((template & 0x03) << 1))
+        at = b"".join(struct.pack(">bb", dx, dy)
+                      for dx, dy in _NOMINAL_AT_N[template])
+        mq = encode_generic_region(pixels, width, height,
+                                   tpgdon=tpgdon, template=template)
+        body = bytes([flags]) + at + mq
+    region = region_info + body
     return (_segment(0, _PAGE_INFO, 1, page_info)
             + _segment(1, _IMM_LOSSLESS_GENERIC, 1, region))
 

@@ -1685,3 +1685,86 @@ class TestJBIG2Symbols:
         if pm.colorspace and pm.colorspace.n > 1:
             pm = fitz.Pixmap(fitz.csGRAY, pm)
         assert bytes(pm.samples) == ours
+
+
+class TestJBIG2TemplatesMMR:
+    """Generic-region templates 1-3 + MMR regions (round 11)."""
+
+    @staticmethod
+    def _pix(w, h):
+        return bytes(
+            1 if (x % 7 == 0 or y == h // 2 or (x + y) % 11 == 0) else 0
+            for y in range(h) for x in range(w)
+        )
+
+    def test_templates_round_trip(self):
+        """All four GBTEMPLATEs round-trip, with and without TPGDON (each
+        template has its own SLTP pseudo-context, §6.2.5.7)."""
+        from ocr_vector_db_spark.sources.jbig2 import (
+            decode_embedded,
+            encode_embedded,
+        )
+
+        w, h = 77, 31
+        pix = self._pix(w, h)
+        for template in (0, 1, 2, 3):
+            for tp in (False, True):
+                s = encode_embedded(pix, w, h, tpgdon=tp, template=template)
+                assert decode_embedded(s) == (w, h, pix), (template, tp)
+
+    def test_mmr_region_round_trip_via_fax_codec(self):
+        """MMR=1 regions decode through the shared T.6 codec
+        (sources/ccitt.py) — same 1=black semantic domain."""
+        from ocr_vector_db_spark.sources.jbig2 import (
+            JBIG2Error,
+            decode_embedded,
+            encode_embedded,
+        )
+        import pytest as _pytest
+
+        w, h = 64, 24
+        pix = self._pix(w, h)
+        s = encode_embedded(pix, w, h, mmr=True)
+        assert decode_embedded(s) == (w, h, pix)
+        # garbage MMR data raises JBIG2Error, not a raw CCITTError
+        with _pytest.raises(JBIG2Error):
+            decode_embedded(s[:-12] + b"\x55" * 12)
+
+    def test_pymupdf_template_mmr_parity_when_available(self):
+        """fitz parity for templates 1-3 and MMR: our encodings must
+        rasterize identically through PyMuPDF (conformance, not just
+        round-trip consistency)."""
+        fitz = pytest.importorskip("fitz")
+
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            extract_pdf_images,
+        )
+        from ocr_vector_db_spark.sources.jbig2 import encode_embedded
+
+        w, h = 64, 24
+        pix = self._pix(w, h)
+        for kw in ({"template": 1}, {"template": 2}, {"template": 3},
+                   {"template": 1, "tpgdon": True}, {"mmr": True}):
+            stream = encode_embedded(pix, w, h, **kw)
+            pdf = build_simple_pdf([[
+                {"kind": "image", "x": 50, "y": 300, "w": 128, "h": 48,
+                 "width": w, "height": h, "jbig2": True, "pixels": pix},
+            ]])
+            # graft our custom stream over the default-template one
+            from ocr_vector_db_spark.sources.jbig2 import (
+                encode_embedded as _ee,
+            )
+            default = _ee(pix, w, h)
+            assert default in pdf
+            pdf = pdf.replace(
+                f"/Length {len(default)} >>".encode("latin-1"),
+                f"/Length {len(stream)} >>".encode("latin-1"),
+            ).replace(default, stream)
+            ours = extract_pdf_images(pdf)[0]["data"]
+            doc = fitz.open(stream=pdf, filetype="pdf")
+            xref = doc.get_page_images(0)[0][0]
+            pm = fitz.Pixmap(doc, xref)
+            if pm.colorspace and pm.colorspace.n > 1:
+                pm = fitz.Pixmap(fitz.csGRAY, pm)
+            assert bytes(pm.samples) == ours, kw
