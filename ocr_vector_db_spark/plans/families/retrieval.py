@@ -583,9 +583,10 @@ def q148(spark, sf):
     page's text rides the normal parse path. Reference parity: PyMuPDF
     decodes JBIG2 rasters transparently
     (ingestion/parsers/pymupdf_parser.py:518-569); this closes the
-    generic-region family on the pure-Python path (symbol/text/halftone
-    segments remain PyMuPDF-only — VERDICT r9 adjudicated the residual
-    negligible)."""
+    generic-region family on the pure-Python path (round 11 widened the
+    codec to symbol-coded pages, templates 1-3 and MMR regions —
+    tests/test_pdf.py; halftone/refinement/huffman remain
+    PyMuPDF-only)."""
     from ocr_vector_db_spark.sources.ingest import (
         parse_pdf_segments,
         pdf_files_df,
