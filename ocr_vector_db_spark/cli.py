@@ -520,9 +520,11 @@ def cmd_decontam(args) -> int:
     shingles into m bits (packed words under generation pointers);
     `--add FILE` ORs more benchmark docs in (idempotent — add ≡ rebuild);
     `--screen FILE` flags a candidate batch by k broadcast-join probes —
-    zero false negatives, so an unflagged doc is CERTAIN clean and only
-    the flagged remainder ever needs the exact q62 join. Without a file,
-    prints the filter's fill stats and implied FP rate."""
+    zero false negatives, so an unflagged doc is CERTAIN clean — and,
+    when the exact gram table exists (two-phase builds), runs the exact
+    confirm join on the flagged remainder so the verdict distinguishes
+    LEAK from bloom-fp. Without a file, prints the filter's fill stats
+    and implied FP rate."""
     import math
     import os
 
@@ -601,6 +603,33 @@ def cmd_decontam(args) -> int:
                         F.round(F.col("n_maybe")
                                 / F.col("n_shingles").cast("double"), 6))
         )
+        # phase 2 when the exact gram table exists (two-phase builds):
+        # re-check only the FLAGGED docs' shingles against it — O(flagged)
+        # — so the printed verdict means CONFIRMED leak, not bloom-maybe
+        two_phase = fs_exists(spark, grams_path)
+        if two_phase:
+            bench = F.broadcast(
+                spark.read.parquet(current_gen_dir(spark, grams_path))
+                .select("shingle").distinct().withColumn("__hit", F.lit(1))
+            )
+            exact = (
+                sh.join(per.filter("flagged").select("doc"), "doc",
+                        "left_semi")
+                .join(bench, "shingle", "left")
+                .groupBy("doc")
+                .agg((F.sum(F.coalesce("__hit", F.lit(0)))
+                      / F.count("*")).alias("__exact"))
+            )
+            per = (
+                per.join(exact, "doc", "left")
+                .withColumn("confirmed",
+                            F.col("flagged")
+                            & (F.coalesce("__exact", F.lit(0.0))
+                               >= args.threshold))
+                .withColumn("exact_contamination",
+                            F.round(F.coalesce("__exact", F.lit(0.0)), 6))
+                .drop("__exact")
+            )
         # full per-doc results land in the store (distributed write — a
         # large candidate batch never reaches the driver); only flagged
         # docs print, capped
@@ -613,14 +642,26 @@ def cmd_decontam(args) -> int:
         for r in (per.filter("flagged")
                   .orderBy(F.desc("contamination"), "doc").limit(cap)
                   .collect()):
-            print(f"{r.doc}\t{r.n_shingles}\t{r.n_maybe}\t"
-                  f"{r.contamination}\tFLAG")
+            if two_phase:
+                mark = "LEAK" if r.confirmed else "bloom-fp"
+                print(f"{r.doc}\t{r.n_shingles}\t{r.n_maybe}\t"
+                      f"{r.contamination}\t{r.exact_contamination}\t{mark}")
+            else:
+                print(f"{r.doc}\t{r.n_shingles}\t{r.n_maybe}\t"
+                      f"{r.contamination}\tFLAG")
         if flagged > cap:
             print(f"[decontam] ... {flagged - cap} more flagged doc(s) "
                   f"in {out}")
-        print(f"[decontam] {flagged}/{n_docs} doc(s) ≥ {args.threshold} "
-              f"(per-doc results: {out}) — exact-join only the flagged "
-              "remainder (negatives are certain)")
+        if two_phase:
+            confirmed = per.filter("confirmed").count()
+            print(f"[decontam] {flagged}/{n_docs} bloom-flagged ≥ "
+                  f"{args.threshold}, {confirmed} exact-confirmed "
+                  f"(per-doc results: {out})")
+        else:
+            print(f"[decontam] {flagged}/{n_docs} doc(s) ≥ "
+                  f"{args.threshold} (per-doc results: {out}) — "
+                  "exact-join only the flagged remainder (negatives are "
+                  "certain)")
         return 0
     stats = sk.words().agg(
         F.coalesce(F.sum(F.bit_count("bits")), F.lit(0)).alias("set_bits")

@@ -635,13 +635,16 @@ def test_cli_decontam_bloom_screen(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     lines = {l.split("\t")[0]: l for l in out.splitlines() if "\t" in l}
     # only flagged docs print (bounded output); the full per-doc table
-    # lands distributed under the store
-    assert lines["10"].endswith("FLAG") and "1.0" in lines["10"]
+    # lands distributed under the store. The store carries the exact
+    # gram table (two-phase build), so the verbatim-leak verdict is the
+    # CONFIRMED one, not bloom-maybe
+    assert lines["10"].endswith("LEAK") and "1.0" in lines["10"]
     assert "11" not in lines
-    assert "1/2 doc(s)" in out
+    assert "1/2 bloom-flagged" in out and "1 exact-confirmed" in out
     per = spark.read.parquet(_os.path.join(store, "decontam_screen"))
     rows = {r.doc: r for r in per.collect()}
-    assert rows[10].flagged and not rows[11].flagged
+    assert rows[10].flagged and rows[10].confirmed
+    assert not rows[11].flagged
     assert rows[11].contamination < 0.3
 
     # persisted words ≡ scratch build over the union of both bench files
