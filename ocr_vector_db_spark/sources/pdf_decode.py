@@ -1365,6 +1365,56 @@ def jpeg_image_xobject(objects, ref: int) -> dict | None:
     return {"width": width, "height": height, "jpeg": stream}
 
 
+def _jpx_siz(stream: bytes) -> tuple[int, int, int, int] | None:
+    """Parse the SIZ marker of a JPEG 2000 payload (raw J2K codestream or
+    JP2 container) → (width, height, n_components, bit_depth), or None.
+    Per ISO/IEC 15444-1: the codestream starts SOC (FF4F) with SIZ (FF51)
+    immediately after; a JP2 file wraps the codestream in boxes, so scan
+    for the SOC+SIZ pair. Image size = (Xsiz - XOsiz, Ysiz - YOsiz)."""
+    import struct as _struct
+
+    pos = stream.find(b"\xff\x4f\xff\x51")
+    if pos < 0 or pos + 42 > len(stream):
+        return None
+    siz = pos + 4  # FF51 already matched; siz points at Lsiz
+    xsiz, ysiz, xosiz, yosiz = _struct.unpack(
+        ">IIII", stream[siz + 4:siz + 20]
+    )
+    csiz = _struct.unpack(">H", stream[siz + 36:siz + 38])[0]
+    if xsiz <= xosiz or ysiz <= yosiz or not 1 <= csiz <= 16384:
+        return None
+    ssiz = stream[siz + 38]
+    return xsiz - xosiz, ysiz - yosiz, csiz, (ssiz & 0x7F) + 1
+
+
+def jpx_image_xobject(objects, ref: int) -> dict | None:
+    """JPXDecode passthrough, the DCTDecode treatment for JPEG 2000: per
+    ISO 32000-1 §7.4.9 the stream bytes ARE a complete JP2/J2K payload —
+    downstream consumers (vision providers, real decoders at the
+    multimodal seam) take them as-is, so rasterization isn't needed to
+    carry the asset. Dimensions/components/depth parse from the
+    codestream's own SIZ marker (trusted over the image dict, as the
+    spec says /Width//Height are overridden by JPX data). Returns
+    {width, height, components, bit_depth, jpx: bytes, media_type} or
+    None when not a JPXDecode image or no SIZ is found. Raster decode
+    stays on the PyMuPDF/external path, like the reference."""
+    dict_src, stream = objects.get(ref, (b"", None))
+    if (
+        stream is None
+        or b"/Image" not in dict_src
+        or b"/JPXDecode" not in dict_src
+    ):
+        return None
+    siz = _jpx_siz(stream)
+    if siz is None:
+        return None
+    w, h, n_comp, depth = siz
+    media = ("image/jp2" if stream[:8] == b"\x00\x00\x00\x0cjP  "
+             else "image/x-j2c")
+    return {"width": w, "height": h, "components": n_comp,
+            "bit_depth": depth, "jpx": stream, "media_type": media}
+
+
 def ccitt_image_xobject(objects, ref: int) -> dict | None:
     """Decode a /CCITTFaxDecode image XObject to 8-bit gray pixels via
     the pure-Python T.6/T.4 codecs (`sources/ccitt.py`) — every /K
@@ -1511,9 +1561,12 @@ def extract_pdf_images(data: bytes) -> list[dict]:
     regime (Group 4 MMR, Group 3 1-D and mixed) decode through the
     pure-Python T.6/T.4 codecs (ccitt_image_xobject, format=raw);
     JBIG2 generic regions AND symbol-coded pages decode through the
-    pure-Python T.88 codec (jbig2_image_xobject, format=raw). JPX and
-    JBIG2 halftone/refinement segments are skipped; the PyMuPDF path
-    covers them when importable."""
+    pure-Python T.88 codec (jbig2_image_xobject, format=raw); JPXDecode
+    images pass their JP2/J2K payload through verbatim with dimensions/
+    components/depth parsed from the codestream's SIZ marker
+    (jpx_image_xobject, format=jpx — the DCT treatment). JBIG2
+    halftone/refinement segments are skipped; the PyMuPDF path covers
+    them when importable."""
     import hashlib
 
     objects = _scan_objects(data)
@@ -1544,10 +1597,16 @@ def extract_pdf_images(data: bytes) -> list[dict]:
                 facts = {"format": "raw", **raster}
             else:
                 jpg = jpeg_image_xobject(objects, ref)
-                if jpg is None:
+                jpx = None if jpg else jpx_image_xobject(objects, ref)
+                if jpg is not None:
+                    payload = jpg.pop("jpeg")
+                    facts = {"format": "jpeg",
+                             "media_type": "image/jpeg", **jpg}
+                elif jpx is not None:
+                    payload = jpx.pop("jpx")
+                    facts = {"format": "jpx", **jpx}
+                else:
                     continue
-                payload = jpg.pop("jpeg")
-                facts = {"format": "jpeg", "media_type": "image/jpeg", **jpg}
             digest = hashlib.md5(payload).hexdigest()
             out.append({
                 "asset_id": f"pdfimg:p{page_no}:i{idx}:{digest[:12]}",
@@ -1788,6 +1847,26 @@ def build_simple_pdf(pages: list[list[dict]],
                         f"/Filter /DCTDecode "
                         f"/Length {len(jpeg)} >>\nstream\n".encode("latin-1")
                         + jpeg + b"\nendstream"
+                    )
+                    xobj_entries.append(
+                        f"/{name} {next_obj + len(img_objs) - 1} 0 R"
+                    )
+                    content_lines.append(
+                        f"q {b['w']} 0 0 {b['h']} {b['x']} {b['y']} cm "
+                        f"/{name} Do Q"
+                    )
+                    continue
+                if b.get("jpx") is not None:
+                    # JPEG 2000 fixture: a /JPXDecode XObject whose
+                    # stream is the caller's JP2/J2K bytes verbatim —
+                    # exercises the jpx_image_xobject passthrough
+                    jpx = b["jpx"]
+                    img_objs.append(
+                        f"<< /Type /XObject /Subtype /Image "
+                        f"/Width {b['width']} /Height {b['height']} "
+                        f"/Filter /JPXDecode "
+                        f"/Length {len(jpx)} >>\nstream\n".encode("latin-1")
+                        + jpx + b"\nendstream"
                     )
                     xobj_entries.append(
                         f"/{name} {next_obj + len(img_objs) - 1} 0 R"

@@ -1768,3 +1768,66 @@ class TestJBIG2TemplatesMMR:
             if pm.colorspace and pm.colorspace.n > 1:
                 pm = fitz.Pixmap(fitz.csGRAY, pm)
             assert bytes(pm.samples) == ours, kw
+
+
+class TestJPXPassthrough:
+    """JPXDecode passthrough (round 11): the DCT treatment for JPEG 2000
+    — payload verbatim, dimensions/components/depth from the SIZ marker."""
+
+    @staticmethod
+    def _j2k(w, h, n_comp=3, depth=8):
+        import struct as _struct
+
+        lsiz = 38 + 3 * n_comp
+        siz = (b"\xff\x51" + _struct.pack(">HH", lsiz, 0)
+               + _struct.pack(">IIII", w, h, 0, 0)
+               + _struct.pack(">IIII", w, h, 0, 0)
+               + _struct.pack(">H", n_comp)
+               + bytes([depth - 1, 1, 1]) * n_comp)
+        # SOC + SIZ + a stub tile part; not a rasterizable image, but a
+        # structurally valid header — all the passthrough parses
+        return b"\xff\x4f" + siz + b"\xff\x90" + b"\x00" * 8
+
+    def test_siz_parse_raw_and_jp2(self):
+        from ocr_vector_db_spark.sources.pdf_decode import _jpx_siz
+
+        raw = self._j2k(640, 480, n_comp=3, depth=8)
+        assert _jpx_siz(raw) == (640, 480, 3, 8)
+        jp2 = (b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+               + b"\x00\x00\x00\x14ftypjp2 \x00\x00\x00\x00jp2 "
+               + b"\x00\x00\x00\x00jp2c" + self._j2k(33, 17, 1, 12))
+        assert _jpx_siz(jp2) == (33, 17, 1, 12)
+        assert _jpx_siz(b"\xff\x4f\xff\x51") is None   # truncated
+        assert _jpx_siz(b"not jpx at all") is None
+
+    def test_jpx_asset_extraction(self):
+        """JPXDecode images flow through extract_pdf_images as opaque
+        payloads with typed metadata — format=jpx, SIZ-derived facts."""
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            extract_pdf_images,
+        )
+
+        raw = self._j2k(120, 44, n_comp=3, depth=8)
+        jp2 = (b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+               + b"\x00\x00\x00\x00jp2c" + self._j2k(50, 20, 1, 8))
+        pdf = build_simple_pdf([[
+            {"kind": "text", "text": "aerial imagery", "x": 50, "y": 700,
+             "size": 12},
+            {"kind": "image", "x": 50, "y": 400, "w": 240, "h": 88,
+             "width": 120, "height": 44, "jpx": raw},
+            {"kind": "image", "x": 50, "y": 200, "w": 100, "h": 40,
+             "width": 50, "height": 20, "jpx": jp2},
+        ]])
+        imgs = extract_pdf_images(pdf)
+        assert len(imgs) == 2
+        by_w = {i["metadata"]["width"]: i for i in imgs}
+        a, b = by_w["120"], by_w["50"]
+        assert a["data"] == raw and b["data"] == jp2
+        assert a["metadata"]["format"] == "jpx"
+        assert (a["metadata"]["components"],
+                a["metadata"]["bit_depth"]) == ("3", "8")
+        assert a["metadata"]["media_type"] == "image/x-j2c"
+        assert b["metadata"]["media_type"] == "image/jp2"
+        assert (b["metadata"]["height"], b["metadata"]["components"]) \
+            == ("20", "1")
