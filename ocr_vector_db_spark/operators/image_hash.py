@@ -322,7 +322,10 @@ class PhashIndex(SimHashIndex):
                   text_col: str) -> DataFrame:
         if self.bits != 64:
             raise ValueError("PhashIndex is 64-bit (dHash)")
-        sigs = dhash_signatures(docs, id_col=id_col)
+        # frames carrying a `channels` column (asset_raw_frames — mixed
+        # gray/RGB corpora) hash through the channel-split union; bare
+        # gray frames through the single plan
+        sigs = dhash_signatures_mixed(docs, id_col=id_col)
         return sigs.select(
             F.col("id").alias("doc"),
             hex_sig_to_bigint(F.col("dhash")).alias("simhash"),
@@ -342,8 +345,9 @@ class PhashIndex(SimHashIndex):
 def asset_gray_frames(assets: DataFrame) -> DataFrame:
     """Project `multimodal.ASSET_SCHEMA` raster rows (format=raw) to the
     (asset_id, data, width, height) shape the hashers consume. Gray
-    (channels=1) passes through; callers with RGB rows pass channels=3
-    to the hashers instead. JPEG-format rows need a real decoder first
+    (channels=1) passes through; use `asset_raw_frames` +
+    `dhash_signatures_mixed` for corpora that also carry RGB rasters.
+    JPEG/JPX-format rows need a real decoder first
     (`multimodal.extract_features`'s decode seam)."""
     md = F.col("metadata")
     return assets.filter(
@@ -355,3 +359,41 @@ def asset_gray_frames(assets: DataFrame) -> DataFrame:
         md["width"].cast("int").alias("width"),
         md["height"].cast("int").alias("height"),
     )
+
+
+def asset_raw_frames(assets: DataFrame) -> DataFrame:
+    """All raw rasters — gray AND RGB — as (asset_id, data, width,
+    height, channels). `decode_image_xobject` emits channels 3 for color
+    scans; `dhash_signatures_mixed` hashes both kinds into the same
+    64-bit space (RGB through integer luma), so a gray re-scan of a
+    color page still clusters with it."""
+    md = F.col("metadata")
+    return assets.filter(
+        (F.col("kind") == "image")
+        & (md["format"] == "raw")
+        & (md["channels"].isin("1", "3"))
+    ).select(
+        "asset_id", "data",
+        md["width"].cast("int").alias("width"),
+        md["height"].cast("int").alias("height"),
+        md["channels"].cast("int").alias("channels"),
+    )
+
+
+def dhash_signatures_mixed(df: DataFrame, id_col: str = "asset_id",
+                           **cols) -> DataFrame:
+    """(id, dhash) over frames whose `channels` COLUMN is 1 or 3: the
+    byte-offset math needs a per-plan channel constant, so the relation
+    splits by channels value and unions the two signature plans — same
+    hash space either way (cell means; RGB averages the bands, exact
+    integer luma), so gray and color copies of one page pair up."""
+    if "channels" not in df.columns:
+        return dhash_signatures(df, id_col=id_col, **cols)
+    parts = [
+        dhash_signatures(
+            df.filter(F.col("channels") == c).drop("channels"),
+            id_col=id_col, channels=c, **cols,
+        )
+        for c in (1, 3)
+    ]
+    return parts[0].unionByName(parts[1])

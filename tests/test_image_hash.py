@@ -400,3 +400,51 @@ def test_stream_ingest_asset_dedup(spark, tmp_path):
 
     from ocr_vector_db_spark.streaming import assets as _a
     assert ".collect()" not in inspect.getsource(_a)
+
+
+def test_mixed_channel_dedup_gray_vs_rgb(spark, tmp_path):
+    """A COLOR re-scan of a gray page (same picture, channels=3) clusters
+    with the gray original through asset_raw_frames +
+    dhash_signatures_mixed, and the PhashIndex gate screens across the
+    channel kinds."""
+    from ocr_vector_db_spark.operators.image_hash import (
+        PhashIndex,
+        asset_raw_frames,
+        dhash_signatures_mixed,
+    )
+
+    m, m2 = _mat("mixed"), _mat("mixed-other")
+    gray = _render(m, 72, 40)
+    rgb = bytearray()
+    for v in gray:
+        rgb += bytes((min(255, v + 2), v, max(0, v - 2)))  # luma == gray
+    assets = [
+        ("pg_gray", "image", gray,
+         {"format": "raw", "channels": "1", "width": "72", "height": "40"}),
+        ("pg_rgb", "image", bytes(rgb),
+         {"format": "raw", "channels": "3", "width": "72", "height": "40"}),
+        ("pg_other", "image", _render(m2, 72, 40),
+         {"format": "raw", "channels": "1", "width": "72", "height": "40"}),
+        ("pg_jpeg", "image", b"\xff\xd8\xff",
+         {"format": "jpeg", "media_type": "image/jpeg"}),
+    ]
+    adf = spark.createDataFrame(
+        assets,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    frames = asset_raw_frames(adf)
+    assert sorted(r.asset_id for r in frames.collect()) == \
+        ["pg_gray", "pg_other", "pg_rgb"]
+    sigs = dhash_signatures_mixed(frames)
+    pairs = {(p.id_a, p.id_b): p.hamming
+             for p in phash_near_dup_pairs(sigs, r=4).collect()}
+    assert pairs == {("pg_gray", "pg_rgb"): 0}
+
+    # the persisted gate screens across channel kinds too
+    gray_only = frames.filter("asset_id = 'pg_gray'")
+    idx = PhashIndex.build(spark, gray_only, str(tmp_path / "mixidx"), r=4)
+    survivors = idx.dedup_new(
+        frames.filter("asset_id != 'pg_gray'"), id_col="asset_id"
+    )
+    assert [r.asset_id for r in survivors.collect()] == ["pg_other"]
