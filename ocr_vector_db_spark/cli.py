@@ -1328,7 +1328,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--source", required=True,
                     help="directory of parquet asset-frame files "
                          "(asset_id string, data binary, width int, "
-                         "height int — asset_gray_frames output)")
+                         "height int — asset_gray_frames output; mixed "
+                         "gray/RGB corpora use the library path with "
+                         "asset_raw_frames)")
     sp.add_argument("--radius", type=int, default=4,
                     help="dHash Hamming radius for 'same image'")
     sp.add_argument("--buckets", type=int, default=64)
