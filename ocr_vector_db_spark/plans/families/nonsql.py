@@ -60,6 +60,14 @@ def _fixture_store(spark, sf):
         for df in cached.values():
             df.count()
         _PLAN_MEMO[key] = cached
+    else:
+        # a spark.catalog.clearCache() elsewhere (bench.py clears between
+        # timed queries) both evicts the data AND clears the persist
+        # mark — re-assert it so the next action re-materializes once
+        # instead of every consumer re-running the ingest per action
+        for df in _PLAN_MEMO[key].values():
+            if not df.storageLevel.useMemory:
+                df.cache()
     return _PLAN_MEMO[key]
 
 
