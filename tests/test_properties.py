@@ -276,3 +276,62 @@ def test_bloom_probe_python_twin_in_range(t):
         assert pos == again
         word, bit = pos // 60, pos % 60
         assert 0 <= bit < 60 and word * 60 + bit == pos
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(), st.integers(-2_000_000_000, 2_000_000_000)),
+    min_size=1, max_size=60,
+))
+def test_jbig2_integer_coder_round_trips(values):
+    """T.88 Annex A integer coding: any sequence of IAx values (incl. OOB
+    = None) round-trips through one shared MQ codestream + context tree."""
+    from ocr_vector_db_spark.sources.jbig2 import (
+        MQDecoder,
+        MQEncoder,
+        _int_decode,
+        _int_encode,
+    )
+
+    enc, cx = MQEncoder(), {}
+    for v in values:
+        _int_encode(enc, cx, v)
+    dec, cx2 = MQDecoder(enc.flush()), {}
+    assert [_int_decode(dec, cx2) for _ in values] == values
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.data())
+def test_jbig2_symbol_page_round_trips(data):
+    """Random glyph sets + placements round-trip pixel-exact through the
+    symbol dictionary + text region codec pair."""
+    from ocr_vector_db_spark.sources.jbig2 import (
+        decode_embedded,
+        encode_embedded_symbols,
+    )
+
+    rng = data.draw(st.randoms(use_true_random=False))
+    syms = []
+    for _ in range(data.draw(st.integers(1, 5))):
+        w = rng.randint(1, 9)
+        h = rng.randint(1, 7)
+        syms.append((w, h, bytes(rng.randint(0, 1) for _ in range(w * h))))
+    syms.sort(key=lambda s: (s[1], s[0]))
+    page_w, page_h = 48, 24
+    placements = []
+    for _ in range(data.draw(st.integers(1, 8))):
+        sid = rng.randrange(len(syms))
+        sw, sh, _ = syms[sid]
+        placements.append((sid, rng.randint(0, page_w - sw),
+                           rng.randint(0, page_h - sh)))
+    placements.sort(key=lambda p: (p[2], p[1]))
+    stream = encode_embedded_symbols(page_w, page_h, syms, placements)
+    gw, gh, got = decode_embedded(stream)
+    expected = bytearray(page_w * page_h)
+    for sid, s, t in placements:
+        sw, sh, sp = syms[sid]
+        for yy in range(sh):
+            for xx in range(sw):
+                if sp[yy * sw + xx]:
+                    expected[(t + yy) * page_w + (s + xx)] = 1
+    assert (gw, gh, got) == (page_w, page_h, bytes(expected))
