@@ -448,3 +448,28 @@ def test_mixed_channel_dedup_gray_vs_rgb(spark, tmp_path):
         frames.filter("asset_id != 'pg_gray'"), id_col="asset_id"
     )
     assert [r.asset_id for r in survivors.collect()] == ["pg_other"]
+
+
+def test_dhash_plan_shape_map_side_combine(spark):
+    """The 100 TB claim, pinned (SCALING.md): the pixel grain never
+    shuffles — per-scanline cell sums reduce map-side (partial_sum before
+    the (id, cy, cx) exchange), scanlines come from the transform+
+    posexplode that hands each row ONE scanline's hex, and nothing is a
+    cartesian product."""
+    m = _mat("plan")
+    df = _frames_df(spark, [("a", _render(m, 72, 40), 72, 40)])
+    plan = dhash_signatures(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "posexplode(transform(sequence(" in plan
+    # partial (map-side) sum of the cell accumulators precedes the one
+    # pixel-grain exchange
+    import re
+
+    first_exchange = plan.index("Exchange hashpartitioning")
+    assert re.search(r"partial_sum", plan[first_exchange:]), plan
+    # the per-(id, cy, cx) aggregate exists and is keyed below image grain
+    assert re.search(
+        r"HashAggregate\(keys=\[id#\d+, cy#\d+, _groupingexpression",
+        plan,
+    ), plan
