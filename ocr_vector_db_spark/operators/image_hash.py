@@ -342,6 +342,57 @@ class PhashIndex(SimHashIndex):
         )
 
 
+def image_keep_best(
+    frames: DataFrame,
+    r: int = 4,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Quality-aware image dedup — the raster twin of the text keep-best
+    pass (q64): dHash near-dup pairs → transitive closure
+    (`dedup.connected_components`, the same production discipline as
+    MinHash-LSH → closure) → per family keep the HIGHEST-RESOLUTION copy
+    (max width×height, min id on ties — a re-scan corpus keeps the best
+    master, not an arbitrary one). Returns (id, family, pixels, keep):
+    every input frame labeled with its near-dup family (singletons are
+    their own), `keep` marking the survivor.
+
+    Scale shape: the signature build + banded pair search (q150's
+    shapes), the min-label closure over the PAIR graph only (near-dup
+    families are shallow), one window-free keep selection via a per-family
+    max-struct aggregate + equi-join."""
+    from ocr_vector_db_spark.operators.dedup import connected_components
+
+    sigs = dhash_signatures_mixed(frames, id_col=id_col)
+    pairs = phash_near_dup_pairs(sigs, r=r)
+    comp = connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        frames.select(
+            F.col(id_col).alias("id"),
+            (F.col("width").cast("long")
+             * F.col("height").cast("long")).alias("pixels"),
+        )
+        .join(comp.withColumnRenamed("comp", "family"), "id", "left")
+        .withColumn("family", F.coalesce("family", F.col("id")))
+    )
+    # survivor per family: max pixels, ties to the MIN id. String ids
+    # can't ride a single max-struct with an inverted tiebreak, so two
+    # slim family-keyed aggregates (max pixels, then min id among the
+    # max-pixel rows) — no window, nothing beyond the family grain
+    best_px = labeled.groupBy("family").agg(F.max("pixels").alias("pixels"))
+    keep = (
+        labeled.join(best_px, ["family", "pixels"], "left_semi")
+        .groupBy("family")
+        .agg(F.min("id").alias("keep_id"))
+    )
+    return (
+        labeled.join(keep, "family")
+        .select(
+            F.col("id").alias(id_col), "family", "pixels",
+            (F.col("id") == F.col("keep_id")).alias("keep"),
+        )
+    )
+
+
 def asset_gray_frames(assets: DataFrame) -> DataFrame:
     """Project `multimodal.ASSET_SCHEMA` raster rows (format=raw) to the
     (asset_id, data, width, height) shape the hashers consume. Gray

@@ -473,3 +473,36 @@ def test_dhash_plan_shape_map_side_combine(spark):
         r"HashAggregate\(keys=\[id#\d+, cy#\d+, _groupingexpression",
         plan,
     ), plan
+
+
+def test_image_keep_best(spark):
+    """Quality-aware image dedup: within a near-dup family the
+    highest-resolution copy survives (min id on ties); distinct pages are
+    their own singleton families and survive."""
+    from ocr_vector_db_spark.operators.image_hash import image_keep_best
+
+    m, m2 = _mat("kb"), _mat("kb-other")
+    rows = [
+        ("scan_lo", _render(m, 72, 40), 72, 40),
+        ("scan_hi", _render(m, 144, 80), 144, 80),   # best copy
+        ("scan_mid", _render(m, 72, 40), 72, 40),    # ties scan_lo; loses
+        ("other", _render(m2, 72, 40), 72, 40),      # singleton
+    ]
+    got = {r.asset_id: r for r in
+           image_keep_best(_frames_df(spark, rows), r=4).collect()}
+    assert len(got) == 4
+    fam = {r.family for k, r in got.items() if k != "other"}
+    assert len(fam) == 1                      # one transitive family
+    assert got["other"].family == "other"     # singleton keeps itself
+    assert got["scan_hi"].keep and got["other"].keep
+    assert not got["scan_lo"].keep and not got["scan_mid"].keep
+    assert got["scan_hi"].pixels == 144 * 80
+
+    # tie on resolution: min id wins
+    rows2 = [
+        ("b_copy", _render(m, 72, 40), 72, 40),
+        ("a_copy", _render(m, 72, 40), 72, 40),
+    ]
+    got2 = {r.asset_id: r.keep for r in
+            image_keep_best(_frames_df(spark, rows2), r=4).collect()}
+    assert got2 == {"a_copy": True, "b_copy": False}
