@@ -814,6 +814,20 @@ def test_cli_stream_ingest_decontam_two_phase(spark, tmp_path, capsys):
         _os.path.join(store2, "accepted")).read(spark)
     assert [r.doc_id for r in accepted.select("doc_id").collect()] == [12]
 
+    # the legacy --screen likewise stays bloom-only: FLAG verdicts, no
+    # LEAK/bloom-fp split
+    batch = tmp_path / "tp_batch.json"
+    batch.write_text("\n".join([
+        _json.dumps({"doc_id": 20, "text": bench_text}),
+        _json.dumps({"doc_id": 21, "text": fp_text}),
+    ]) + "\n")
+    assert cli.main(["decontam", "--store", store2,
+                     "--screen", str(batch)]) == 0
+    out = capsys.readouterr().out
+    lines = {l.split("\t")[0]: l for l in out.splitlines() if "\t" in l}
+    assert lines["20"].endswith("FLAG") and lines["21"].endswith("FLAG")
+    assert "2/2 doc(s)" in out and "exact-confirmed" not in out
+
 
 def test_cli_stream_ingest_images(spark, tmp_path, capsys):
     """stream-ingest-images drains parquet asset frames, seeds the store's
