@@ -34,11 +34,26 @@ contract, ccitt.py:20-26).
 
 from __future__ import annotations
 
+import functools
 import struct
 
 
 class JBIG2Error(Exception):
     """Malformed or unsupported-profile JBIG2 data."""
+
+
+def _struct_safe(fn):
+    """Truncated payloads surface as JBIG2Error, never struct.error /
+    IndexError — decode_embedded's callers (jbig2_image_xobject) promise
+    'returns None when malformed' by catching JBIG2Error only, so every
+    fixed-layout unpack/index in the segment parsers must fold into it."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, IndexError) as exc:
+            raise JBIG2Error(f"truncated segment payload: {exc}") from exc
+    return wrapped
 
 
 # --------------------------------------------------------------- MQ coder
@@ -474,6 +489,7 @@ def _symcodelen(n_syms: int) -> int:
 # domain.
 
 
+@_struct_safe
 def decode_symbol_dict(payload: bytes,
                        input_syms: list[tuple[int, int, bytes]],
                        ) -> list[tuple[int, int, bytes]]:
@@ -592,6 +608,7 @@ def encode_symbol_dict(symbols: list[tuple[int, int, bytes]]) -> bytes:
 # bottom row for BOTTOM corners.
 
 
+@_struct_safe
 def decode_text_region(payload: bytes,
                        syms: list[tuple[int, int, bytes]],
                        ) -> tuple[int, int, int, int, bytes]:
@@ -744,6 +761,7 @@ _END_OF_FILE = 51
 _TEXT_TYPES = (_INTERMEDIATE_TEXT, _IMM_TEXT, _IMM_LOSSLESS_TEXT)
 
 
+@_struct_safe
 def _parse_segment_header(data: bytes, pos: int):
     """→ (seg_number, seg_type, page, data_length, data_start)."""
     if pos + 11 > len(data):
@@ -797,6 +815,7 @@ def _parse_region_info(payload: bytes):
     return w, h, x, y, comb_op
 
 
+@_struct_safe
 def decode_embedded(stream: bytes, globals_data: bytes = b"") -> tuple[int, int, bytes]:
     """PDF /JBIG2Decode stream (+ optional /JBIG2Globals) → (width,
     height, width*height bytes with 1 = black).

@@ -1374,7 +1374,8 @@ def _jpx_siz(stream: bytes) -> tuple[int, int, int, int] | None:
     import struct as _struct
 
     pos = stream.find(b"\xff\x4f\xff\x51")
-    if pos < 0 or pos + 42 > len(stream):
+    # the last read is Ssiz at stream[pos + 42], so 43 bytes must exist
+    if pos < 0 or pos + 43 > len(stream):
         return None
     siz = pos + 4  # FF51 already matched; siz points at Lsiz
     xsiz, ysiz, xosiz, yosiz = _struct.unpack(

@@ -1770,6 +1770,115 @@ class TestJBIG2TemplatesMMR:
             assert bytes(pm.samples) == ours, kw
 
 
+class TestJBIG2Malformed:
+    """Truncated/corrupt segment payloads fold into JBIG2Error (ADVICE
+    r11): decode_embedded's callers promise 'returns None when
+    malformed', so no struct.error/IndexError may escape the parsers."""
+
+    def test_truncated_symbol_dict_payload_is_jbig2error(self):
+        """Cutting a symbol-dictionary payload inside the fixed layout
+        (flags / AT pixels / the n_ex+n_new words) raises JBIG2Error,
+        not struct.error."""
+        from ocr_vector_db_spark.sources.jbig2 import (
+            JBIG2Error,
+            decode_symbol_dict,
+            encode_symbol_dict,
+        )
+
+        syms = TestJBIG2Symbols._font()
+        payload = encode_symbol_dict(syms)
+        # every truncation point across the fixed-layout prefix (2 flags
+        # + 8 AT + 8 counts) and a few inside the MQ codestream
+        for cut in [*range(2, 19), len(payload) - 3]:
+            with pytest.raises(JBIG2Error):
+                decode_symbol_dict(payload[:cut], [])
+
+    def test_truncated_text_region_payload_is_jbig2error(self):
+        """Cutting a text-region payload inside region-info / flags /
+        instance-count raises JBIG2Error, not struct.error."""
+        from ocr_vector_db_spark.sources.jbig2 import (
+            JBIG2Error,
+            decode_text_region,
+            encode_text_region,
+        )
+
+        syms = TestJBIG2Symbols._font()
+        payload = encode_text_region(
+            40, 16, [(0, 2, 2), (1, 10, 3)], syms)
+        for cut in range(1, 24):
+            with pytest.raises(JBIG2Error):
+                decode_text_region(payload[:cut], syms)
+
+    def test_truncated_segment_headers_are_jbig2error(self):
+        """Cutting an embedded stream inside a segment HEADER (the
+        short-form page/length reads and the long-form referred-segment
+        table) raises JBIG2Error, not struct.error/IndexError."""
+        from ocr_vector_db_spark.sources.jbig2 import (
+            JBIG2Error,
+            decode_embedded,
+            encode_embedded_symbols,
+        )
+
+        syms = TestJBIG2Symbols._font()
+        stream = encode_embedded_symbols(
+            64, 30, syms, [(0, 2, 2), (2, 18, 3)])
+        for cut in range(1, len(stream)):
+            try:
+                decode_embedded(stream[:cut])
+            except JBIG2Error:
+                pass  # the only acceptable failure mode
+
+    def test_malformed_embedded_jbig2_does_not_abort_extraction(self):
+        """A truncated symbol-coded /JBIG2Decode stream makes
+        jbig2_image_xobject return None and extract_pdf_images carry on
+        with the rest of the document (the ADVICE r11 repro: one bad
+        embedded stream must not crash the whole document)."""
+        from ocr_vector_db_spark.sources.jbig2 import (
+            encode_embedded_symbols,
+        )
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            extract_pdf_images,
+            jbig2_image_xobject,
+        )
+
+        syms = TestJBIG2Symbols._font()
+        w, h = 48, 20
+        placements = sorted([
+            (0, 2, 3), (1, 9, 3), (2, 17, 4),
+        ], key=lambda p: (p[2], p[1]))
+        pix = bytes(1 if (x + y) % 5 == 0 else 0
+                    for y in range(12) for x in range(40))
+        pdf = build_simple_pdf([[
+            {"kind": "image", "x": 50, "y": 500, "w": 96, "h": 40,
+             "width": w, "height": h, "jbig2": True,
+             "jbig2_symbols": (syms, placements)},
+            {"kind": "image", "x": 50, "y": 200, "w": 80, "h": 24,
+             "width": 40, "height": 12, "jbig2": True, "pixels": pix},
+        ]])
+        full = encode_embedded_symbols(w, h, syms, placements)
+        assert full in pdf
+        for cut in (11 + 15, len(full) // 2, len(full) - 5):
+            bad = full[:cut]
+            mangled = pdf.replace(
+                f"/Length {len(full)} >>".encode("latin-1"),
+                f"/Length {len(bad)} >>".encode("latin-1"),
+            ).replace(full, bad)
+            imgs = extract_pdf_images(mangled)
+            # the intact generic-region image still extracts
+            assert [i["metadata"]["width"] for i in imgs] == ["40"]
+            assert imgs[0]["data"] == bytes(0 if p else 255 for p in pix)
+
+    def test_jbig2_xobject_returns_none_on_garbage(self):
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            jbig2_image_xobject,
+        )
+
+        objs = {7: (b"<< /Subtype /Image /Filter /JBIG2Decode >>",
+                    b"\x00\x00\x00\x01\x30\x00\x01\x00\x00")}
+        assert jbig2_image_xobject(objs, 7) is None
+
+
 class TestJPXPassthrough:
     """JPXDecode passthrough (round 11): the DCT treatment for JPEG 2000
     — payload verbatim, dimensions/components/depth from the SIZ marker."""
@@ -1799,6 +1908,12 @@ class TestJPXPassthrough:
         assert _jpx_siz(jp2) == (33, 17, 1, 12)
         assert _jpx_siz(b"\xff\x4f\xff\x51") is None   # truncated
         assert _jpx_siz(b"not jpx at all") is None
+        # truncated right after Csiz (exactly 42 bytes from SOC, so the
+        # Ssiz byte at offset 42 is missing) — the ADVICE r11 off-by-one
+        assert _jpx_siz(raw[:42]) is None
+        for cut in range(4, 43):                       # every short prefix
+            assert _jpx_siz(raw[:cut]) is None
+        assert _jpx_siz(raw[:43]) == (640, 480, 3, 8)  # Ssiz now present
 
     def test_jpx_asset_extraction(self):
         """JPXDecode images flow through extract_pdf_images as opaque
