@@ -916,6 +916,7 @@ def cmd_stream_ingest_images(args) -> int:
         EpochLedger, fs_exists,
     )
     from ocr_vector_db_spark.streaming.assets import (
+        ExactFrameStore,
         asset_store_paths,
         stream_ingest_asset_dedup,
     )
@@ -950,12 +951,16 @@ def cmd_stream_ingest_images(args) -> int:
         checkpoint=paths["checkpoint"],
         ledger=EpochLedger(spark, paths["ledger"]),
         compact_every=args.compact_every,
+        exact_store=ExactFrameStore(spark, paths["exact"]),
     )
     q.awaitTermination()
     acc = sum(s["accepted"] for s in stats)
     drop = sum(s["dropped_as_dup"] for s in stats)
+    unh = sum(s["unhashable"] for s in stats)
+    xdrop = sum(s["dropped_exact_dup"] for s in stats)
     print(f"[stream-ingest-images] {len(stats)} micro-batches: accepted "
-          f"{acc}, dropped {drop} near-dup images; accepted frames under "
+          f"{acc}, dropped {drop} near-dup images; {unh} below the hash "
+          f"grid ({xdrop} dropped byte-identical); accepted frames under "
           f"{paths['accepted']}")
     return 0
 

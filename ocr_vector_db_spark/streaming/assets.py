@@ -48,6 +48,73 @@ from ocr_vector_db_spark.operators.image_hash import (
 from ocr_vector_db_spark.streaming.pipeline import _start_foreach_batch
 
 
+def hashable_frames_pred(df: DataFrame) -> "F.Column":
+    """True for frames `dhash_signatures` CAN hash: at least the 9×8 dHash
+    grid, a data buffer of exactly width×height×channels bytes, and a
+    supported channel count (1, or 3 when a `channels` column rides
+    along). Everything else silently vanishes inside `image_grid_cells`'s
+    filter, so the streaming gate must split on this predicate FIRST —
+    otherwise unhashable frames bypass both dedup gates unnoticed (the
+    ADVICE r11 finding). NULL dims/data count as unhashable."""
+    ch = F.col("channels") if "channels" in df.columns else F.lit(1)
+    ok = (
+        (F.col("width") >= 9)
+        & (F.col("height") >= 8)
+        & (F.length("data")
+           == F.col("width").cast("long") * F.col("height") * ch)
+    )
+    if "channels" in df.columns:
+        ok = ok & F.col("channels").isin(1, 3)
+    return F.coalesce(ok, F.lit(False))
+
+
+def exact_frame_key(df: DataFrame) -> "F.Column":
+    """Deterministic exact-content key for the unhashable remainder:
+    sha256 over dims + channel count + the raw bytes. Byte-identical
+    frames (the only duplicate notion that exists below the dHash grid)
+    collide; nothing else does."""
+    ch = (F.col("channels").cast("string") if "channels" in df.columns
+          else F.lit("1"))
+    return F.sha2(
+        F.concat_ws(
+            "|", F.col("width").cast("string"),
+            F.col("height").cast("string"), ch, F.base64(F.col("data")),
+        ),
+        256,
+    )
+
+
+class ExactFrameStore:
+    """Persisted exact-content keys of accepted UNHASHABLE frames — the
+    byte-hash sidecar to the PhashIndex (image_hash.py's 'screen them by
+    exact byte hash instead'). Layout: one parquet dir per epoch
+    (`path/epoch=N`, key column only), so a replayed epoch's add is an
+    idempotent overwrite; `keys(before_epoch)` reads strictly OLDER
+    epochs, so a crash between the store add and the ledger commit can
+    never make the retry screen a batch against its own keys (which
+    would sink the epoch empty)."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def keys(self, before_epoch: int) -> DataFrame:
+        from ocr_vector_db_spark.operators.index_maint import fs_exists
+
+        if not fs_exists(self.spark, self.path):
+            return self.spark.createDataFrame([], "__xkey string")
+        return (
+            self.spark.read.parquet(self.path)
+            .filter(F.col("epoch") < before_epoch)
+            .select("__xkey")
+        )
+
+    def add(self, keys: DataFrame, epoch_id: int) -> None:
+        keys.select("__xkey").distinct().write.mode("overwrite").parquet(
+            os.path.join(self.path, f"epoch={epoch_id}")
+        )
+
+
 def image_dropped_ids(
     frames: DataFrame, r: int, id_col: str = "asset_id"
 ) -> DataFrame:
@@ -72,13 +139,24 @@ def stream_ingest_asset_dedup(
     checkpoint: str | None = None,
     ledger=None,
     compact_every: int | None = None,
+    exact_store: ExactFrameStore | None = None,
 ):
     """Start the availableNow asset-dedup stream. `frames_stream` rows must
     carry (id_col, data, width, height) — `asset_gray_frames` output; any
     extra columns ride through to the sink. `index` is a built
     `PhashIndex`; its Hamming radius r is the gate's near-dup definition.
     `accepted_sink`/`stats`/`checkpoint`/`ledger`/`compact_every` follow
-    `stream_ingest_deduped`'s contracts exactly (which see)."""
+    `stream_ingest_deduped`'s contracts exactly (which see).
+
+    Frames the dHash grid cannot hash (`hashable_frames_pred` false —
+    tiny icons, truncated buffers, odd channel counts) do NOT fall
+    through the perceptual gates: they dedup by exact byte hash —
+    intra-batch keep-min, then (when `exact_store` is given) a screen
+    against the persisted keys of every previously accepted unhashable
+    frame — and are counted per epoch (`unhashable`,
+    `dropped_exact_dup`). Without an `exact_store` the exact screen is
+    intra-batch only (cross-batch byte-identical repeats pass; the CLI
+    always persists one)."""
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if ledger is not None and epoch_id <= ledger.committed():
@@ -92,9 +170,11 @@ def stream_ingest_asset_dedup(
             return
         batch_df = batch_df.cache()
         try:
-            n_in = batch_df.count()
-            doomed = image_dropped_ids(batch_df, index.r, id_col=id_col)
-            batch_kept = batch_df.join(doomed, id_col, "left_anti")
+            pred = hashable_frames_pred(batch_df)
+            hashable = batch_df.filter(pred)
+            n_in = hashable.count()
+            doomed = image_dropped_ids(hashable, index.r, id_col=id_col)
+            batch_kept = hashable.join(doomed, id_col, "left_anti")
             fresh = index.dedup_new(batch_kept, id_col=id_col)
             # localCheckpoint, NOT cache: fresh's plan scans the band/
             # signature layouts it was screened against, and the add below
@@ -103,21 +183,44 @@ def stream_ingest_asset_dedup(
             # evaluates empty (pipeline.py's finding; same fix).
             fresh = fresh.localCheckpoint()
             n_accepted = fresh.count()
+
+            # the unhashable remainder: exact byte-hash dedup, never the
+            # silent fall-through (see the function docstring)
+            unhashable = batch_df.filter(~pred)
+            keyed = unhashable.withColumn("__xkey", exact_frame_key(unhashable))
+            first_ids = keyed.groupBy("__xkey").agg(F.min(id_col).alias(id_col))
+            u_kept = keyed.join(first_ids, ["__xkey", id_col], "left_semi")
+            if exact_store is not None:
+                u_kept = u_kept.join(
+                    exact_store.keys(before_epoch=epoch_id),
+                    "__xkey", "left_anti",
+                )
+            u_fresh = u_kept.localCheckpoint()
+            n_unhashable = unhashable.count()
+            n_u_accepted = u_fresh.count()
+
+            if n_accepted or n_u_accepted:
+                accepted_sink.write(
+                    fresh.unionByName(u_fresh.drop("__xkey")), epoch_id
+                )
             if n_accepted:
-                accepted_sink.write(fresh, epoch_id)
                 index.add(
                     fresh, id_col=id_col,
                     # steady-state ledger mode: the gate proved newness;
                     # only a crashed epoch's retry re-guards
                     assume_new=ledger is not None and not guarded,
                 )
+            if exact_store is not None and n_u_accepted:
+                exact_store.add(u_fresh, epoch_id)
             if ledger is not None:
                 ledger.mark_committed(epoch_id)
             if stats is not None:
                 stats.append({
                     "epoch": epoch_id,
-                    "accepted": n_accepted,
+                    "accepted": n_accepted + n_u_accepted,
                     "dropped_as_dup": n_in - n_accepted,
+                    "unhashable": n_unhashable,
+                    "dropped_exact_dup": n_unhashable - n_u_accepted,
                 })
         finally:
             batch_df.unpersist()
@@ -131,6 +234,7 @@ def asset_store_paths(store: str) -> dict[str, str]:
     """Store layout for the CLI: index + sink + ledger + checkpoint."""
     return {
         "index": os.path.join(store, "phash_index"),
+        "exact": os.path.join(store, "exact_frames"),
         "accepted": os.path.join(store, "accepted_assets"),
         "ledger": os.path.join(store, "phash_index", "_epochs"),
         "checkpoint": os.path.join(store, "asset_stream_checkpoint"),

@@ -365,7 +365,8 @@ def test_stream_ingest_asset_dedup(spark, tmp_path):
     q.awaitTermination(60)
     assert sorted(r.asset_id for r in sink.read(spark).collect()) == \
         ["pg_base", "pg_other"]
-    assert stats[-1] == {"epoch": 0, "accepted": 2, "dropped_as_dup": 0}
+    assert stats[-1] == {"epoch": 0, "accepted": 2, "dropped_as_dup": 0,
+                         "unhashable": 0, "dropped_exact_dup": 0}
 
     # batch 2: a 2x re-scan of an indexed page (store screen), two copies
     # of a new page in the SAME batch (intra-batch keep-min), one novel
@@ -384,7 +385,8 @@ def test_stream_ingest_asset_dedup(spark, tmp_path):
     accepted = {(r.asset_id, r.epoch_id) for r in sink.read(spark).collect()}
     assert accepted == {("pg_base", 0), ("pg_other", 0),
                         ("pg_new_a", 1), ("pg_novel", 1)}
-    assert stats2[-1] == {"epoch": 1, "accepted": 2, "dropped_as_dup": 2}
+    assert stats2[-1] == {"epoch": 1, "accepted": 2, "dropped_as_dup": 2,
+                          "unhashable": 0, "dropped_exact_dup": 0}
     sigs = {r.doc for r in idx.signatures().collect()}
     assert sigs == {"pg_base", "pg_other", "pg_new_a", "pg_novel"}
 
@@ -400,6 +402,83 @@ def test_stream_ingest_asset_dedup(spark, tmp_path):
 
     from ocr_vector_db_spark.streaming import assets as _a
     assert ".collect()" not in inspect.getsource(_a)
+
+
+def test_stream_ingest_unhashable_frames_exact_dedup(spark, tmp_path):
+    """Frames below the dHash grid (tiny icons, corrupt buffers) do NOT
+    bypass the streaming gate (ADVICE r11): they dedup by exact byte
+    hash — intra-batch keep-min, then the persisted ExactFrameStore
+    screen — are counted in stats, and never touch the PhashIndex."""
+    import shutil
+
+    from ocr_vector_db_spark.operators.image_hash import PhashIndex
+    from ocr_vector_db_spark.streaming.assets import (
+        ExactFrameStore,
+        stream_ingest_asset_dedup,
+    )
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    schema = "asset_id string, data binary, width int, height int"
+
+    def feed(src, name, rows):
+        stage = tmp_path / f"ustage_{name}"
+        _frames_df(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        part = next(stage.glob("part-*.parquet"))
+        src.mkdir(exist_ok=True)
+        shutil.copy(part, src / f"{name}.parquet")
+
+    icon = bytes(range(16))            # 4×4 — below the 9×8 grid
+    icon2 = bytes(reversed(range(16)))
+    corrupt = b"\x00\x01\x02"          # 72×40 dims but a 3-byte buffer
+    m = _mat("u-page")
+    empty = spark.createDataFrame([], schema)
+    idx = PhashIndex.build(
+        spark, empty, str(tmp_path / "phidx_unh"), r=4, n_buckets=8
+    )
+    store = ExactFrameStore(spark, str(tmp_path / "exact_frames"))
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted_unh"))
+    ckpt = str(tmp_path / "unhckpt")
+    src = tmp_path / "uframes"
+
+    # batch 1: a normal page, two byte-identical icons (keep-min), one
+    # corrupt buffer
+    feed(src, "b1", [
+        ("page", _render(m, 72, 40), 72, 40),
+        ("icon_a", icon, 4, 4),
+        ("icon_a_copy", icon, 4, 4),
+        ("bad_buf", corrupt, 72, 40),
+    ])
+    stats: list = []
+    q = stream_ingest_asset_dedup(
+        spark.readStream.schema(schema).parquet(str(src)), idx, sink,
+        stats=stats, checkpoint=ckpt, exact_store=store,
+    )
+    q.awaitTermination(60)
+    assert stats[-1] == {"epoch": 0, "accepted": 3, "dropped_as_dup": 0,
+                         "unhashable": 3, "dropped_exact_dup": 1}
+    assert sorted(r.asset_id for r in sink.read(spark).collect()) == \
+        ["bad_buf", "icon_a", "page"]
+    # the perceptual index only ever sees hashable frames
+    assert {r.doc for r in idx.signatures().collect()} == {"page"}
+
+    # batch 2: a byte-identical re-send of an accepted icon drops against
+    # the persisted store; a new icon is accepted
+    feed(src, "b2", [
+        ("icon_a_again", icon, 4, 4),
+        ("icon_b", icon2, 4, 4),
+    ])
+    stats2: list = []
+    q = stream_ingest_asset_dedup(
+        spark.readStream.schema(schema).parquet(str(src)), idx, sink,
+        stats=stats2, checkpoint=ckpt, exact_store=store,
+    )
+    q.awaitTermination(60)
+    assert stats2[-1] == {"epoch": 1, "accepted": 1, "dropped_as_dup": 0,
+                          "unhashable": 2, "dropped_exact_dup": 1}
+    accepted = sorted(r.asset_id for r in sink.read(spark).collect())
+    assert accepted == ["bad_buf", "icon_a", "icon_b", "page"]
 
 
 def test_mixed_channel_dedup_gray_vs_rgb(spark, tmp_path):
