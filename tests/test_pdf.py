@@ -1770,6 +1770,95 @@ class TestJBIG2TemplatesMMR:
             assert bytes(pm.samples) == ours, kw
 
 
+class TestJBIG2Frozen:
+    """Frozen byte-stream goldens (ADVICE r11): the fitz conformance
+    gates skip in this environment, and live encode→decode round-trips
+    cannot catch a SYMMETRIC context/bit-order change — both sides would
+    drift together. These streams were produced once and checked in; any
+    later decoder change that alters their pixels fails unconditionally.
+    One fixture per profile: all four GBTEMPLATEs × TPGDON, MMR, and a
+    symbol-coded page (dictionary + multi-strip text region)."""
+
+    @staticmethod
+    def _fixtures():
+        import base64
+        import json
+        import os
+        import zlib
+
+        path = os.path.join(os.path.dirname(__file__), "golden",
+                            "jbig2_frozen.json")
+        with open(path) as fh:
+            return {k: zlib.decompress(base64.b64decode(v))
+                    for k, v in json.load(fh).items()}
+
+    def test_frozen_generic_and_mmr_streams_decode_exactly(self):
+        import hashlib
+
+        from ocr_vector_db_spark.sources.jbig2 import decode_embedded
+
+        w, h = 77, 31
+        want = bytes(
+            1 if (x % 7 == 0 or y == h // 2 or (x + y) % 11 == 0) else 0
+            for y in range(h) for x in range(w)
+        )
+        assert hashlib.md5(want).hexdigest() == \
+            "967b1303572b22042053a7e54318f081"
+        fx = self._fixtures()
+        for name in [f"generic_t{t}_tp{tp}"
+                     for t in (0, 1, 2, 3) for tp in (0, 1)] + ["mmr"]:
+            assert decode_embedded(fx[name]) == (w, h, want), name
+
+    def test_frozen_symbol_stream_decodes_exactly(self):
+        import hashlib
+
+        from ocr_vector_db_spark.sources.jbig2 import decode_embedded
+
+        w, h, pix = decode_embedded(self._fixtures()["symbols"])
+        assert (w, h) == (64, 30)
+        assert hashlib.md5(pix).hexdigest() == \
+            "b65a812ef70ebd01abcfc5e2777fc4e1"
+        # and the pixels match an independent composition of the glyphs
+        syms = TestJBIG2Symbols._font()
+        placements = sorted([
+            (0, 2, 2), (1, 10, 2), (2, 18, 3), (3, 26, 2),
+            (1, 2, 12), (1, 8, 12), (0, 20, 12),
+            (2, 40, 20), (2, 45, 20), (3, 56, 21),
+        ], key=lambda p: (p[2], p[1]))
+        assert pix == TestJBIG2Symbols._compose(w, h, syms, placements)
+
+    def test_encoder_still_matches_frozen_streams(self):
+        """The encoder side of the freeze: if encode output drifts from
+        the checked-in bytes, this fails — flagging that the frozen
+        decoder goldens no longer pin the CURRENT encoder's dialect and
+        need regenerating (plus external re-validation)."""
+        from ocr_vector_db_spark.sources.jbig2 import (
+            encode_embedded,
+            encode_embedded_symbols,
+        )
+
+        w, h = 77, 31
+        pix = bytes(
+            1 if (x % 7 == 0 or y == h // 2 or (x + y) % 11 == 0) else 0
+            for y in range(h) for x in range(w)
+        )
+        fx = self._fixtures()
+        for t in (0, 1, 2, 3):
+            for tp in (0, 1):
+                assert encode_embedded(
+                    pix, w, h, tpgdon=bool(tp), template=t
+                ) == fx[f"generic_t{t}_tp{tp}"], (t, tp)
+        assert encode_embedded(pix, w, h, mmr=True) == fx["mmr"]
+        syms = TestJBIG2Symbols._font()
+        placements = sorted([
+            (0, 2, 2), (1, 10, 2), (2, 18, 3), (3, 26, 2),
+            (1, 2, 12), (1, 8, 12), (0, 20, 12),
+            (2, 40, 20), (2, 45, 20), (3, 56, 21),
+        ], key=lambda p: (p[2], p[1]))
+        assert encode_embedded_symbols(64, 30, syms, placements) \
+            == fx["symbols"]
+
+
 class TestJBIG2Malformed:
     """Truncated/corrupt segment payloads fold into JBIG2Error (ADVICE
     r11): decode_embedded's callers promise 'returns None when
