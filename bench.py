@@ -186,6 +186,10 @@ HEADLINE = [
     # whole-stage codegen + nibble-pigeonhole band join over fixture
     # rasters — constant-size, tracked for codegen-path regressions)
     "q150_image_phash_neardup",
+    # round 12 addition: count-min frequency serving (persisted build+add
+    # memoized like the other index paths; timed runs measure the d-probe
+    # broadcast-lookup serving next to the exact top-k ground truth)
+    "q151_cm_token_frequency",
 ]
 
 

@@ -13,7 +13,7 @@
     python -m ocr_vector_db_spark.cli index / maintain / semantic-index
     python -m ocr_vector_db_spark.cli stream-ingest --store DIR --source S
         [--semantic] [--lm-band LO HI] [--vocab-sketch] [--sample K]
-        [--drift-baseline] [--decontam [T]]  # gated incremental ingestion
+        [--tokenfreq-sketch] [--drift-baseline] [--decontam [T]]
     python -m ocr_vector_db_spark.cli lm-index --store DIR [--build|--score F|--pmi]
     python -m ocr_vector_db_spark.cli tokenizer --store DIR [--train N|--extend N|--count F]
     python -m ocr_vector_db_spark.cli drift --store DIR [--batch FILE]
@@ -794,6 +794,20 @@ def cmd_stream_ingest(args) -> int:
             vocab_sketch = HLLSketch.build(
                 spark, empty, hll_path, F.col("text"), p=12
             )
+    tokenfreq_sketch = None
+    if getattr(args, "tokenfreq_sketch", False):
+        from pyspark.sql import functions as F
+
+        from ocr_vector_db_spark.operators.sketches import CMSketch
+
+        cm_path = os.path.join(args.store, "tokenfreq_cm")
+        if fs_exists(spark, os.path.join(cm_path, "meta.json")):
+            tokenfreq_sketch = CMSketch.load(spark, cm_path)
+        else:
+            empty = spark.createDataFrame([], "doc_id bigint, text string")
+            tokenfreq_sketch = CMSketch.build(
+                spark, empty, cm_path, F.col("text"), w=1 << 12, d=4
+            )
     running_sample = None
     if getattr(args, "sample", None):
         from ocr_vector_db_spark.operators.sampling import RunningSample
@@ -866,6 +880,7 @@ def cmd_stream_ingest(args) -> int:
         semantic_branches=getattr(args, "semantic_branches", None),
         lm_gate=lm_gate,
         vocab_sketch=vocab_sketch,
+        tokenfreq_sketch=tokenfreq_sketch,
         drift_baseline=drift_bl,
         sample=running_sample,
         decontam_gate=decontam_gate,
@@ -886,6 +901,10 @@ def cmd_stream_ingest(args) -> int:
     if vocab_sketch is not None:
         print(f"[stream-ingest] running vocabulary estimate: "
               f"{vocab_sketch.estimate():.0f} distinct tokens")
+    if tokenfreq_sketch is not None:
+        print(f"[stream-ingest] running token-frequency sketch: "
+              f"folded through epoch {tokenfreq_sketch.last_epoch()} "
+              f"under {os.path.join(args.store, 'tokenfreq_cm')}")
     if drift_bl is not None:
         for s_ in stats:
             if "psi" in s_:
@@ -1321,6 +1340,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fold each accepted batch's tokens into the "
                          "store's running HLL vocabulary sketch "
                          "({store}/vocab_hll, created on first use)")
+    sp.add_argument("--tokenfreq-sketch", action="store_true",
+                    help="fold each accepted batch's tokens into the "
+                         "store's running count-min frequency sketch "
+                         "({store}/tokenfreq_cm, created on first use; "
+                         "exactly-once per epoch via the sketch's own "
+                         "generation marker)")
     sp.add_argument("--decontam", type=float, nargs="?", const=0.3,
                     metavar="THRESH", default=None,
                     help="drop docs whose 2-gram bloom contamination vs "

@@ -161,22 +161,30 @@ def hll_summary(regs: DataFrame, p: int) -> DataFrame:
 
 
 def _publish_small(
-    spark: SparkSession, root: str, df: DataFrame, first: bool = False
+    spark: SparkSession, root: str, df: DataFrame, first: bool = False,
+    marker: tuple[str, bytes] | None = None,
 ) -> None:
     """Write a KB-sized sketch table as a NEW generation and swap the
     pointer (reader-atomic). Sketch tables are bounded (≤ m registers /
     ≤ k minima), so a one-file rewrite per fold is cheaper and simpler
     than append+compact. The fold may read the CURRENT generation: it
-    materializes into the next gen dir before the pointer flips."""
+    materializes into the next gen dir before the pointer flips.
+    `marker` = (filename, bytes) rides INSIDE the new generation dir
+    (underscore-prefix the name so parquet readers skip it) and commits
+    atomically with the pointer swap — the epoch-guard carrier for
+    non-idempotent folds (CMSketch)."""
     from ocr_vector_db_spark.operators.index_maint import (
         commit_generation,
         gc_generations,
         init_generation,
         next_gen_dir,
+        write_small_file,
     )
 
     n, dest = (init_generation if first else next_gen_dir)(spark, root)
     df.coalesce(1).write.mode("overwrite").parquet(dest)
+    if marker is not None:
+        write_small_file(spark, os.path.join(dest, marker[0]), marker[1])
     commit_generation(spark, root, n)
     gc_generations(spark, root, keep=2)
 
@@ -641,3 +649,234 @@ class BloomSketch:
 
     def screen(self, df: DataFrame, key: Column, *id_cols: str) -> DataFrame:
         return bloom_screen(df, self.words(), self.m, self.k, key, *id_cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — persisted FREQUENCY sketch (Cormode & Muthukrishnan,
+# "An improved data stream summary: the count-min sketch and its
+# applications", J. Algorithms 2005). The fourth member of the family:
+# HLL = cardinality, KMV = set relations, Bloom = membership, CM =
+# frequency. The 100 TB question it answers: "how often does token/domain/
+# fingerprint x occur" — per shard, per epoch, across a merge tree —
+# without carrying the vocabulary-sized exact count table through every
+# fold. q65's exact Zipf scan is the right one-shot plan; the CM sketch is
+# the right SERVING/FOLD state: d×w integer counters (KBs), built in one
+# map-side-combinable aggregation whose key space is the cell space,
+# mergeable by cell-wise SUM, and queryable for any key by a broadcast
+# lookup with the one-sided guarantee est ≥ true (error ≤ εN with
+# probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉).
+#
+# Engine-portable by the repo-wide md5 idiom (the Bloom discipline,
+# sketches.py:455-461, with '@' as the CM salt so the probe streams are
+# independent of a Bloom filter over the same keys):
+#   col of row j for key x = ('0x' || substr(md5(j || '@' || x), 1, 13))
+#                                ::BIGINT % w
+# Counters are EXACT bigint sums of non-negative increments —
+# associative/commutative, so add ≡ rebuild bit-for-bit and the cells
+# table is reproducible from scratch in SQL (q151's oracle does exactly
+# that). Unlike Bloom's OR, SUM is NOT idempotent: a crash-window replay
+# of the same batch double-counts, so streaming folds must gate `add`
+# behind an epoch ledger (streaming/pipeline.py's discipline) — the
+# estimate stays an upper bound either way.
+#
+# Scale: build/add shuffle ≤ d·w cell rows after map-side partial sums;
+# estimate is d probes per queried key + one broadcast join against the
+# ≤ d·w-row cells table (pass broadcast=False past broadcast comfort and
+# bucket the cells by (row, col) instead). Nothing is corpus-sized after
+# the first projection.
+# ---------------------------------------------------------------------------
+
+
+def cm_probe(key: Column, j: int, w: int) -> Column:
+    """Column index of hash row j for `key`, in [0, w)."""
+    h = F.md5(F.concat(F.lit(f"{j}@"), key.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint"), F.lit(w)
+    )
+
+
+def cm_cells(
+    df: DataFrame, key: Column, w: int, d: int,
+    weight: Column | None = None,
+) -> DataFrame:
+    """(row int, col bigint, cnt bigint) — non-zero cells only, ≤ d·w rows.
+
+    One aggregation whose key space is the cell space: partial (map-side)
+    sums reduce every input partition to ≤ d·w rows before the single tiny
+    shuffle (the hll_registers contract). `weight` (default 1 per input
+    row) must be a non-negative integer column — CM's guarantees assume
+    non-negative updates. Null keys are ignored."""
+    wcol = (F.lit(1) if weight is None else weight).cast("bigint")
+    probes = df.filter(key.isNotNull()).select(
+        F.posexplode(
+            F.array(*[cm_probe(key, j, w) for j in range(d)])
+        ).alias("row", "col"),
+        wcol.alias("cnt"),
+    )
+    return (
+        probes.groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _sum_cells(parts: list[DataFrame]) -> DataFrame:
+    u = parts[0]
+    for nxt in parts[1:]:
+        u = u.unionByName(nxt)
+    return u.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    df: DataFrame,
+    cells: DataFrame,
+    w: int,
+    d: int,
+    key: Column,
+    *id_cols: str,
+    broadcast: bool = True,
+) -> DataFrame:
+    """`df`'s columns named in `id_cols` + (key, est) — the CM point
+    estimate min_j cells[j][h_j(key)], an UPPER bound on the true count
+    of every key folded in (missing cells read as 0, which only tightens
+    the min). One row per input row; d probes map-side, one LEFT
+    broadcast join against the ≤ d·w-row cells table — the queried side
+    never shuffles."""
+    if "key" in id_cols or "est" in id_cols:
+        raise ValueError(
+            "cm_estimate: id_cols may not contain 'key'/'est' — those "
+            "names carry the probed key and the estimate; alias first."
+        )
+    probes = df.select(
+        *id_cols, key.alias("__key"),
+        F.posexplode(
+            F.array(*[cm_probe(key, j, w) for j in range(d)])
+        ).alias("row", "col"),
+    )
+    # the cells count joins under a reserved name so a carried id_col may
+    # itself be called `cnt` (the natural name for the exact count riding
+    # next to the estimate)
+    slim = cells.select("row", "col", F.col("cnt").alias("__cmcnt"))
+    dim = F.broadcast(slim) if broadcast else slim
+    return (
+        probes.join(dim, ["row", "col"], "left")
+        .groupBy(*id_cols, "__key")
+        .agg(F.min(F.coalesce(F.col("__cmcnt"), F.lit(0).cast("bigint")))
+             .alias("est"))
+        .withColumnRenamed("__key", "key")
+    )
+
+
+class CMSketch:
+    """Persisted count-min sketch (sparse cell table) under generation
+    pointers."""
+
+    def __init__(self, spark: SparkSession, path: str, w: int, d: int):
+        self.spark = spark
+        self.path = path
+        self.w = w
+        self.d = d
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        key: Column,
+        w: int = 1 << 12,
+        d: int = 4,
+        weight: Column | None = None,
+    ) -> "CMSketch":
+        from ocr_vector_db_spark.operators.index_maint import write_small_file
+
+        sk = cls(spark, path, w, d)
+        sk._publish(cm_cells(df, key, w, d, weight=weight), first=True)
+        write_small_file(
+            spark, os.path.join(path, "meta.json"),
+            json.dumps({"w": w, "d": d}).encode("utf-8"),
+        )
+        return sk
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "CMSketch":
+        from ocr_vector_db_spark.operators.index_maint import read_small_file
+
+        meta = json.loads(
+            read_small_file(spark, os.path.join(path, "meta.json"))
+        )
+        return cls(spark, path, meta["w"], meta["d"])
+
+    def cells(self) -> DataFrame:
+        from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+        return self.spark.read.parquet(
+            current_gen_dir(self.spark, os.path.join(self.path, "cells"))
+        )
+
+    def last_epoch(self) -> int:
+        """Highest epoch folded via `add(..., epoch=)`, −1 before any.
+        Carried as a `_last_epoch` marker INSIDE the current generation
+        (committed atomically with the pointer swap), so 'did this
+        epoch's fold land' and 'which cells does a reader see' can never
+        disagree across a crash."""
+        from ocr_vector_db_spark.operators.index_maint import (
+            current_gen_dir,
+            fs_exists,
+            read_small_file,
+        )
+
+        gen = current_gen_dir(self.spark, os.path.join(self.path, "cells"))
+        p = os.path.join(gen, "_last_epoch")
+        if not fs_exists(self.spark, p):
+            return -1
+        return int(read_small_file(self.spark, p).decode("ascii"))
+
+    def _publish(
+        self, cells: DataFrame, first: bool = False,
+        epoch: int | None = None,
+    ) -> None:
+        # every publish carries the marker forward (max of stored and
+        # the fold's epoch) so a later merge/compaction cannot reopen a
+        # previously-folded epoch's replay window
+        mark = max(-1 if first else self.last_epoch(),
+                   -1 if epoch is None else epoch)
+        _publish_small(
+            self.spark, os.path.join(self.path, "cells"), cells, first,
+            marker=("_last_epoch", str(mark).encode("ascii")),
+        )
+
+    def add(
+        self, df: DataFrame, key: Column, weight: Column | None = None,
+        epoch: int | None = None,
+    ) -> "CMSketch":
+        """Fold a batch in: cell-wise SUM of stored + batch cells — exact
+        integer arithmetic, so add ≡ rebuild bit-for-bit. NOT idempotent
+        (sum, not OR): a replayed batch would double-count, so streaming
+        callers pass the epoch id — `epoch <= last_epoch()` makes the
+        fold a no-op (single-writer, epochs monotone: the drift-baseline
+        discipline, operators/drift.py). O(batch + d·w)."""
+        if epoch is not None and epoch <= self.last_epoch():
+            return self  # replayed epoch: already folded
+        self._publish(
+            _sum_cells([self.cells(),
+                        cm_cells(df, key, self.w, self.d, weight=weight)]),
+            epoch=epoch,
+        )
+        return self
+
+    def merge(self, *others: "CMSketch") -> "CMSketch":
+        """CM union: cell-wise sum across same-(w,d) sketches — the
+        estimate over the merge equals the estimate over the concatenated
+        input (linearity of the counters)."""
+        for o in others:
+            if (o.w, o.d) != (self.w, self.d):
+                raise ValueError(
+                    f"shape mismatch: ({self.w},{self.d}) vs ({o.w},{o.d})"
+                )
+        self._publish(
+            _sum_cells([self.cells()] + [o.cells() for o in others])
+        )
+        return self
+
+    def estimate(self, df: DataFrame, key: Column, *id_cols: str) -> DataFrame:
+        return cm_estimate(df, self.cells(), self.w, self.d, key, *id_cols)

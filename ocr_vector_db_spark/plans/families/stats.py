@@ -1973,3 +1973,95 @@ def q144(spark, sf):
             ).alias("avg_est_jaccard"),
         )
     )
+
+
+_CM_W, _CM_D = 16, 3
+
+
+@query(
+    "q151_cm_token_frequency",
+    f"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9가-힣]+'))
+               AS token
+        FROM documents
+    ),
+    tok AS (SELECT token FROM w WHERE token <> ''),
+    cells AS (
+        SELECT j AS row,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || '@' || token),
+                               1, 13))::BIGINT % {_CM_W} AS col,
+               COUNT(*) AS cnt
+        FROM tok CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+        GROUP BY 1, 2
+    ),
+    exact AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    cand AS (SELECT token, cnt FROM exact ORDER BY cnt DESC, token LIMIT 60),
+    probe AS (
+        SELECT c.token, c.cnt, j,
+               ('0x' || substr(md5(CAST(j AS VARCHAR) || '@' || c.token),
+                               1, 13))::BIGINT % {_CM_W} AS col
+        FROM cand c CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ),
+    est AS (
+        SELECT p.token, p.cnt, MIN(COALESCE(s.cnt, 0)) AS est
+        FROM probe p LEFT JOIN cells s ON p.j = s.row AND p.col = s.col
+        GROUP BY p.token, p.cnt
+    )
+    SELECT token, cnt, est, est - cnt AS overcount
+    FROM est ORDER BY cnt DESC, token
+    """,
+)
+def q151(spark, sf):
+    """Count-min token-frequency serving — q65's Zipf head answered from
+    a persisted d×w-counter sketch instead of the vocabulary-sized exact
+    table: the corpus folds ONCE into a CMSketch (build on even doc_ids
+    + `add` of the odd ones — exact integer cell sums, so add ≡ rebuild
+    bit-for-bit, which is exactly what the oracle's one-pass scratch
+    rebuild certifies), and any key's frequency is then served by d md5
+    probes + a broadcast join against the ≤ d·w-row cells table — KBs of
+    state, mergeable across shards/epochs by cell-wise sum, zero
+    vocabulary shuffle at query time. w={_CM_W} is sized deliberately
+    SMALL against the fixture vocabulary (31 distinct tokens — the
+    synthetic corpus is low-entropy; production sizing is w = ⌈e/ε⌉
+    against the Heaps-law vocab, q143) so collisions are certain and
+    `overcount = est − cnt ≥ 0` exhibits the one-sided-error contract in
+    data (Cormode & Muthukrishnan 2005: est ≤ cnt + εN w.p. 1−δ, never
+    below). Candidates are the exact top-60 (deterministic tie-break) so
+    the output pins both the estimates and the guarantee next to ground
+    truth. Completes the sketch family: HLL=cardinality, KMV=set
+    relations, Bloom=membership, CM=frequency.
+    Reference parity: the reference keeps exact per-collection stats
+    (database/repository.py count aggregations); this is the
+    monitoring-grade scale path for the same questions."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.sketches import CMSketch
+
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens_of(F.col("text"))).alias("token")
+    )
+    key = (spark.sparkContext.applicationId, sf, "q151_cm_path")
+    if key not in _PLAN_MEMO:
+        path = tempfile.mkdtemp(prefix="cmsketch_")
+        sk = CMSketch.build(
+            spark, tok.filter(F.pmod("doc_id", F.lit(2)) == 0), path,
+            F.col("token"), w=_CM_W, d=_CM_D,
+        )
+        sk.add(tok.filter(F.pmod("doc_id", F.lit(2)) == 1), F.col("token"))
+        _PLAN_MEMO[key] = path
+    sk = CMSketch.load(spark, _PLAN_MEMO[key])
+    cand = (
+        tok.groupBy("token").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(60)
+    )
+    return (
+        sk.estimate(cand, F.col("token"), "cnt")
+        .select(
+            F.col("key").alias("token"), "cnt", "est",
+            (F.col("est") - F.col("cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("cnt"), "token")
+    )

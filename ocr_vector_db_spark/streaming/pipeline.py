@@ -265,6 +265,7 @@ def stream_ingest_deduped(
     sample=None,
     lm_gate=None,
     vocab_sketch=None,
+    tokenfreq_sketch=None,
     drift_baseline=None,
     decontam_gate=None,
 ):
@@ -380,6 +381,16 @@ def stream_ingest_deduped(
     crash-window re-fold (from the epoch's own sink slice, like `sample`)
     can never move a register. Tokenization is the corpus-stats splitter
     (lower, [^a-z0-9가-힣]+), matching q128's oracle.
+
+    `tokenfreq_sketch` (an `operators/sketches.CMSketch`) maintains a
+    running token-FREQUENCY sketch of the ACCEPTED stream (the count-min
+    companion to `vocab_sketch`'s cardinality HLL, same tokenizer): each
+    epoch's survivors' tokens fold by cell-wise SUM — exact integers, so
+    after any number of epochs the cells equal a scratch build over every
+    accepted doc, bit-for-bit. SUM is NOT idempotent, so every fold
+    passes the epoch id and the sketch's own `_last_epoch` generation
+    marker makes replays (and the crash-window re-fold from the epoch's
+    sink slice) no-ops — exactly-once without a second ledger.
 
     `drift_baseline` (an `operators/drift.DriftBaseline` over document
     LENGTH, i.e. length(text_col)) turns the PSI gate into a streaming
@@ -608,6 +619,13 @@ def stream_ingest_deduped(
                 if vocab_sketch is not None:
                     vocab_sketch.add(_stream_tokens(fresh, text_col),
                                      F.col("__tok"))
+                if tokenfreq_sketch is not None:
+                    # count folds are not idempotent; the sketch's own
+                    # epoch marker no-ops a replayed epoch
+                    tokenfreq_sketch.add(
+                        _stream_tokens(fresh, text_col), F.col("__tok"),
+                        epoch=epoch_id,
+                    )
                 if drift_baseline is not None:
                     # epoch id = the replay guard (count folds are not
                     # idempotent; epoch <= last_epoch no-ops)
@@ -628,6 +646,18 @@ def stream_ingest_deduped(
                             F.length(text_col).alias("__dv")
                         ),
                         "__dv", epoch=epoch_id,
+                    )
+            if guarded and tokenfreq_sketch is not None:
+                # crash window: died between sink write and fold. The
+                # epoch marker makes this a no-op when the fold landed.
+                epoch_rows = getattr(accepted_sink, "read_epoch", None)
+                epoch_rows = epoch_rows and epoch_rows(
+                    batch_df.sparkSession, epoch_id
+                )
+                if epoch_rows is not None and text_col in epoch_rows.columns:
+                    tokenfreq_sketch.add(
+                        _stream_tokens(epoch_rows, text_col),
+                        F.col("__tok"), epoch=epoch_id,
                     )
             if guarded and vocab_sketch is not None:
                 # same crash window as the sample fold below: re-fold the

@@ -450,6 +450,61 @@ def test_cli_stream_ingest_vocab_sketch(spark, tmp_path, capsys):
     assert sorted((r.bucket, r.r) for r in sk.registers().collect()) == want
 
 
+def test_cli_stream_ingest_tokenfreq_sketch(spark, tmp_path, capsys):
+    """stream-ingest --tokenfreq-sketch creates the store's count-min
+    sketch on first use, folds each accepted batch exactly-once (epoch
+    marker), and a second run grows the same sketch; the persisted cells
+    equal a scratch build over all accepted rows bit-for-bit."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.operators.sketches import CMSketch, cm_cells
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink, _stream_tokens,
+    )
+
+    src = tmp_path / "tf_src"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    with open(src / "a.json", "w") as fh:
+        for i in range(4):
+            fh.write(_json.dumps(
+                {"doc_id": i,
+                 "text": f"wholly distinct narrative {i} covering theme "
+                         f"{i * 13} in original words {i * 7}"}) + "\n")
+    argv = ["stream-ingest", "--store", store, "--source", str(src),
+            "--threshold", "0.6", "--buckets", "8", "--tokenfreq-sketch"]
+    assert cli.main(argv) == 0
+    assert "running token-frequency sketch" in capsys.readouterr().out
+
+    def scratch(sk, accepted):
+        return sorted(
+            (r.row, r.col, r.cnt)
+            for r in cm_cells(
+                _stream_tokens(accepted, "text"), F.col("__tok"),
+                sk.w, sk.d,
+            ).collect()
+        )
+
+    sk = CMSketch.load(spark, _os.path.join(store, "tokenfreq_cm"))
+    accepted = ParquetAcceptedSink(_os.path.join(store, "accepted")).read(spark)
+    assert sorted((r.row, r.col, r.cnt)
+                  for r in sk.cells().collect()) == scratch(sk, accepted)
+
+    # second run with one new file reuses (and grows) the same sketch
+    with open(src / "b.json", "w") as fh:
+        fh.write(_json.dumps(
+            {"doc_id": 50,
+             "text": "entirely new vocabulary arrives here tonight"}) + "\n")
+    assert cli.main(argv) == 0
+    sk = CMSketch.load(spark, _os.path.join(store, "tokenfreq_cm"))
+    accepted = ParquetAcceptedSink(_os.path.join(store, "accepted")).read(spark)
+    assert sorted((r.row, r.col, r.cnt)
+                  for r in sk.cells().collect()) == scratch(sk, accepted)
+
+
 def test_cli_stream_ingest_drift_baseline(spark, tmp_path, capsys):
     """stream-ingest --drift-baseline seeds the store's PSI baseline from
     the accepted corpus on first use, then screens later runs' arrivals

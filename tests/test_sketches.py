@@ -340,3 +340,190 @@ def test_bloom_words_scale_shape(spark):
     assert n <= 1024
     # 600k probes into 61440 bits: essentially every word is touched
     assert n >= 1000
+
+
+# ---------------------------------------------------------------------------
+# Persisted Count-Min sketch (operators/sketches.py) — exact cell semantics
+# (vs a pure-Python reference), the one-sided estimate contract, weighted
+# folds, merge linearity, and the generation-pointer lifecycle.
+# ---------------------------------------------------------------------------
+
+def _py_cm_cells(pairs, w, d):
+    """Pure-Python reference for cm_cells: md5-hex arithmetic over
+    (key, weight) pairs."""
+    import hashlib
+
+    cells = {}
+    for key, cnt in pairs:
+        for j in range(d):
+            h = hashlib.md5(f"{j}@{key}".encode()).hexdigest()
+            col = int(h[:13], 16) % w
+            cells[(j, col)] = cells.get((j, col), 0) + cnt
+    return sorted(cells.items())
+
+
+def test_cm_cells_match_python_reference(spark):
+    from ocr_vector_db_spark.operators.sketches import cm_cells
+
+    rows = [(f"tok {i}", i % 5 + 1) for i in range(300)] + \
+        [("", 2), ("한국어 토큰", 7), ("0", 1)]
+    df = spark.createDataFrame(rows, ["s", "n"])
+    got = sorted(
+        ((r.row, r.col), r.cnt)
+        for r in cm_cells(df, F.col("s"), 4096, 4,
+                          weight=F.col("n")).collect()
+    )
+    assert got == _py_cm_cells(rows, 4096, 4)
+    # default weight = 1 per input row
+    got1 = sorted(
+        ((r.row, r.col), r.cnt)
+        for r in cm_cells(df, F.col("s"), 512, 2).collect()
+    )
+    assert got1 == _py_cm_cells([(s, 1) for s, _ in rows], 512, 2)
+
+
+def test_cm_estimate_upper_bound_and_exact_regime(spark, tmp_path):
+    from ocr_vector_db_spark.operators.sketches import CMSketch
+
+    # Zipf-ish corpus: key i occurs 600//(i+1) times, 60 distinct keys
+    occ = spark.range(60).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("s"),
+        (600 / (F.col("id") + 1)).cast("bigint").alias("n"),
+    )
+    exact = {r.s: r.n for r in occ.collect()}
+    keys = occ.select("s")
+
+    # tight sketch (w >> distinct keys): every estimate is exact
+    big = CMSketch.build(spark, occ, str(tmp_path / "cmb"), F.col("s"),
+                         w=1 << 12, d=4, weight=F.col("n"))
+    for r in big.estimate(keys, F.col("s")).collect():
+        assert r.est == exact[r.key], r
+
+    # deliberately tiny sketch (w=16 < 60 keys): collisions are certain,
+    # the estimate must stay an UPPER bound for every folded key
+    small = CMSketch.build(spark, occ, str(tmp_path / "cms"), F.col("s"),
+                           w=16, d=2, weight=F.col("n"))
+    ests = {r.key: r.est for r in small.estimate(keys, F.col("s")).collect()}
+    assert all(ests[k] >= exact[k] for k in exact)
+    assert any(ests[k] > exact[k] for k in exact)  # one-sided error visible
+
+    # id_cols collision guard
+    import pytest
+
+    with pytest.raises(ValueError):
+        small.estimate(keys.withColumn("key", F.lit(1)),
+                       F.col("s"), "key")
+
+
+def test_cm_build_add_merge_equals_scratch(spark, tmp_path):
+    from ocr_vector_db_spark.operators.sketches import CMSketch, cm_cells
+
+    df = spark.range(900).select(
+        F.concat(F.lit("g"), (F.col("id") % 200).cast("string")).alias("s"),
+        (F.col("id") % 3 + 1).alias("n"),
+    )
+    a = df.filter(F.col("id") % 3 == 0)
+    b = df.filter(F.col("id") % 3 == 1)
+    c = df.filter(F.col("id") % 3 == 2)
+
+    sk = CMSketch.build(spark, a, str(tmp_path / "a"), F.col("s"),
+                        w=256, d=3, weight=F.col("n"))
+    sk.add(b, F.col("s"), weight=F.col("n"))
+    other = CMSketch.build(spark, c, str(tmp_path / "c"), F.col("s"),
+                           w=256, d=3, weight=F.col("n"))
+    sk.merge(other)
+
+    got = sorted((r.row, r.col, r.cnt) for r in
+                 CMSketch.load(spark, str(tmp_path / "a")).cells().collect())
+    scratch = sorted(
+        (r.row, r.col, r.cnt)
+        for r in cm_cells(df, F.col("s"), 256, 3,
+                          weight=F.col("n")).collect()
+    )
+    assert got == scratch
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sk.merge(CMSketch.build(
+            spark, a, str(tmp_path / "m"), F.col("s"), w=512, d=3
+        ))
+
+
+def test_cm_estimate_broadcast_off_same_result(spark, tmp_path):
+    from ocr_vector_db_spark.operators.sketches import CMSketch, cm_estimate
+
+    occ = spark.range(150).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("s")
+    )
+    sk = CMSketch.build(spark, occ, str(tmp_path / "cm2"), F.col("s"),
+                        w=128, d=3)
+    batch = spark.range(300).select(
+        F.concat(F.lit("m"), (F.col("id") * 2).cast("string")).alias("s")
+    )
+    a = sorted((r.key, r.est) for r in
+               sk.estimate(batch, F.col("s")).collect())
+    b = sorted((r.key, r.est)
+               for r in cm_estimate(batch, sk.cells(), sk.w, sk.d,
+                                    F.col("s"), broadcast=False).collect())
+    assert a == b
+
+
+def test_cm_cells_scale_shape(spark):
+    """The cells aggregation's key space IS the cell space: 200k input
+    tokens reduce to ≤ d·w rows, with the partial (map-side) sum BEFORE
+    the exchange — per-task state is cell-bounded, so the build shuffles
+    KBs regardless of corpus size."""
+    from ocr_vector_db_spark.operators.sketches import cm_cells
+
+    toks = spark.range(200_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 5000).cast("string")).alias("s")
+    )
+    cells = cm_cells(toks, F.col("s"), 1024, 4)
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")  # producer below
+    assert cells.count() <= 4 * 1024
+
+
+def test_cm_epoch_guard_exactly_once(spark, tmp_path):
+    """The `_last_epoch` generation marker makes epoch-tagged folds
+    exactly-once: a replayed epoch no-ops (SUM is not idempotent), the
+    marker survives merges, and untagged adds still fold."""
+    from ocr_vector_db_spark.operators.sketches import CMSketch, cm_cells
+
+    occ = spark.range(50).select(
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("s")
+    )
+    sk = CMSketch.build(spark, occ, str(tmp_path / "cme"), F.col("s"),
+                        w=64, d=2)
+    assert sk.last_epoch() == -1
+    batch = spark.range(20).select(
+        F.concat(F.lit("b"), F.col("id").cast("string")).alias("s")
+    )
+    sk.add(batch, F.col("s"), epoch=0)
+    assert sk.last_epoch() == 0
+    snap = sorted((r.row, r.col, r.cnt) for r in sk.cells().collect())
+    sk.add(batch, F.col("s"), epoch=0)  # crash-window replay: no-op
+    assert sorted((r.row, r.col, r.cnt)
+                  for r in sk.cells().collect()) == snap
+    sk.add(batch, F.col("s"), epoch=1)  # next epoch folds
+    assert sk.last_epoch() == 1
+    want = sorted(
+        (r.row, r.col, r.cnt)
+        for r in cm_cells(
+            occ.unionByName(batch).unionByName(batch),
+            F.col("s"), 64, 2,
+        ).collect()
+    )
+    assert sorted((r.row, r.col, r.cnt)
+                  for r in sk.cells().collect()) == want
+    # a merge publish carries the marker forward
+    other = CMSketch.build(spark, batch, str(tmp_path / "cmo"),
+                           F.col("s"), w=64, d=2)
+    sk.merge(other)
+    assert sk.last_epoch() == 1
+    sk.add(batch, F.col("s"), epoch=1)  # still guarded after the merge
+    assert sk.last_epoch() == 1
+    # reload sees the marker (it rides the committed generation)
+    assert CMSketch.load(spark, str(tmp_path / "cme")).last_epoch() == 1

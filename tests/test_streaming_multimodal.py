@@ -1156,3 +1156,118 @@ def test_stream_ingest_drift_baseline(spark, tmp_path):
     # retry of epoch 7 re-folds from the sink slice: guard no-ops it
     bl.fold(batch.select(F.length("text").alias("__dv")), "__dv", epoch=7)
     assert bl._sub("meta").head().n == n_before + 1
+
+
+def test_stream_ingest_tokenfreq_sketch(spark, tmp_path):
+    """Count-min token-frequency fold wired into the ingest gate: after N
+    epochs the persisted cells equal a scratch build over the ACCEPTED
+    corpus bit-for-bit. SUM is not idempotent, so both crash windows are
+    exercised: (a) died before the fold — the guarded retry repairs from
+    the epoch's sink slice; (b) died AFTER the fold but before the ledger
+    commit — the sketch's `_last_epoch` generation marker makes the
+    retry's re-fold a no-op (no double count)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.operators.index_maint import EpochLedger
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.operators.sketches import CMSketch, cm_cells
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        _stream_tokens,
+        stream_ingest_deduped,
+    )
+
+    texts = {
+        i: f"document {i} with distinct prose about topic {i * 37} and "
+           f"sufficient words {'x' * (i % 5)} to hash on"
+        for i in range(1, 7)
+    }
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    schema = "doc_id long, text string"
+
+    def cm_snapshot(sk):
+        return sorted((r.row, r.col, r.cnt) for r in sk.cells().collect())
+
+    def scratch(docs):
+        return sorted(
+            (r.row, r.col, r.cnt)
+            for r in cm_cells(
+                _stream_tokens(docs, "text"), F.col("__tok"), 256, 3
+            ).collect()
+        )
+
+    idx = MinHashIndex.build(spark, empty, str(tmp_path / "mh"), 16, 4, 2, 8)
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted"))
+    sk = CMSketch.build(
+        spark, empty, str(tmp_path / "cm"), F.col("text"), w=256, d=3
+    )
+    ledger = EpochLedger(spark, str(tmp_path / "ledger"))
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    for e, ids in enumerate([(1, 2), (3, 4), (5, 6)]):
+        with open(src / f"b{e}.json", "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps(
+                    {"doc_id": i, "text": texts[i]}) + "\n")
+        q = stream_ingest_deduped(
+            spark.readStream.schema(schema).json(str(src)), idx, sink,
+            threshold=0.6, checkpoint=ckpt, ledger=ledger,
+            tokenfreq_sketch=sk,
+        )
+        q.awaitTermination(60)
+    accepted = sink.read(spark)
+    assert accepted.count() == 6
+    assert cm_snapshot(sk) == scratch(accepted)
+    assert sk.last_epoch() == 2
+
+    # (a) crash before the fold: sink rows + index add landed, ledger
+    # started-not-committed, sketch untouched — retry repairs from sink
+    sk2 = CMSketch.build(
+        spark, empty, str(tmp_path / "cm2"), F.col("text"), w=256, d=3
+    )
+    ledger2 = EpochLedger(spark, str(tmp_path / "ledger2"))
+    idx2 = MinHashIndex.build(spark, empty, str(tmp_path / "mh2"),
+                              16, 4, 2, 8)
+    sink2 = ParquetAcceptedSink(str(tmp_path / "accepted2"))
+    batch = spark.createDataFrame(
+        [(i, texts[i]) for i in (1, 2)], "doc_id long, text string"
+    )
+    sink2.write(batch, 0)
+    idx2.add(batch, id_col="doc_id", text_col="text")
+    ledger2.mark_started(0)  # died before fold + commit
+    src2 = tmp_path / "docs2"
+    src2.mkdir()
+    with open(src2 / "b0.json", "w") as fh:
+        for i in (1, 2):
+            fh.write(_json.dumps({"doc_id": i, "text": texts[i]}) + "\n")
+    q = stream_ingest_deduped(
+        spark.readStream.schema(schema).json(str(src2)), idx2, sink2,
+        threshold=0.6, checkpoint=str(tmp_path / "ckpt2"),
+        ledger=ledger2, tokenfreq_sketch=sk2,
+    )
+    q.awaitTermination(60)
+    assert cm_snapshot(sk2) == scratch(batch)
+
+    # (b) crash after the fold: the marker is already at the epoch, so
+    # the retry's guarded re-fold must NOT double-count
+    sk3 = CMSketch.build(
+        spark, empty, str(tmp_path / "cm3"), F.col("text"), w=256, d=3
+    )
+    ledger3 = EpochLedger(spark, str(tmp_path / "ledger3"))
+    idx3 = MinHashIndex.build(spark, empty, str(tmp_path / "mh3"),
+                              16, 4, 2, 8)
+    sink3 = ParquetAcceptedSink(str(tmp_path / "accepted3"))
+    sink3.write(batch, 0)
+    idx3.add(batch, id_col="doc_id", text_col="text")
+    sk3.add(_stream_tokens(batch, "text"), F.col("__tok"), epoch=0)
+    ledger3.mark_started(0)  # died AFTER the fold, before commit
+    q = stream_ingest_deduped(
+        spark.readStream.schema(schema).json(str(src2)), idx3, sink3,
+        threshold=0.6, checkpoint=str(tmp_path / "ckpt3"),
+        ledger=ledger3, tokenfreq_sketch=sk3,
+    )
+    q.awaitTermination(60)
+    assert cm_snapshot(sk3) == scratch(batch)  # folded exactly once

@@ -184,6 +184,15 @@ AUDITS = [
      "per image regardless of resolution; pair candidates come from "
      "the nibble-band equi-join (never all-pairs), distinct-ed before "
      "the signatures re-attach"),
+    ("q151_cm_token_frequency",
+     "the count-min cells aggregation's key space IS the cell space: "
+     "partial (map-side) sums reduce every partition to ≤ d·w rows "
+     "before the single tiny exchange, regardless of corpus size; the "
+     "serving side is d md5 probes per candidate inside "
+     "WholeStageCodegen + one BROADCAST join against the ≤ d·w-row "
+     "cells table — the candidate side never shuffles against anything "
+     "corpus-sized; candidates come from q65's vocabulary-bounded "
+     "map-side-combined top-k (TakeOrderedAndProject)"),
 ]
 
 KEY_LINE = re.compile(
