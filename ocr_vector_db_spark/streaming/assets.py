@@ -114,6 +114,52 @@ class ExactFrameStore:
             os.path.join(self.path, f"epoch={epoch_id}")
         )
 
+    def compact(self, below_epoch: int) -> None:
+        """Fold every epoch dir with epoch < below_epoch into ONE dir at
+        `epoch = below_epoch - 1` — bounds the store's file count (one
+        tiny dir per epoch forever is the classic streaming small-files
+        leak). Safe only for COMMITTED epochs (pass the ledger's
+        committed()+1 at most): a committed epoch never replays, so
+        nothing will ever screen with before_epoch <= below_epoch - 1
+        again, and all folded keys stay visible to every later epoch.
+        Distinct-safe (keys are content hashes), crash-safe: the merged
+        dir is written FIRST (overwriting epoch = below_epoch - 1, whose
+        rows are a subset of the merge), then the older dirs drop — a
+        crash between the two steps only leaves duplicate keys, which
+        the anti-join semantics ignore."""
+        from ocr_vector_db_spark.operators.index_maint import fs_exists
+
+        if below_epoch < 1 or not fs_exists(self.spark, self.path):
+            return
+        # enumerate epoch dirs through the FileSystem API (no Spark job,
+        # no driver-side row collection — the dir listing is the only
+        # driver-sized state here)
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = root.getFileSystem(conf)
+        epochs = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("epoch="):
+                epochs.append(int(name.split("=", 1)[1]))
+        doomed = [e for e in epochs if e < below_epoch - 1]
+        if not doomed:
+            return
+        merged = (
+            self.spark.read.parquet(self.path)
+            .filter(F.col("epoch") < below_epoch)
+            .select("__xkey").distinct()
+        ).localCheckpoint()  # materialize BEFORE overwriting sources
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self.path, f"epoch={below_epoch - 1}")
+        )
+        for e in doomed:
+            p = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(self.path, f"epoch={e}")
+            )
+            fs.delete(p, True)
+
 
 def image_dropped_ids(
     frames: DataFrame, r: int, id_col: str = "asset_id"
@@ -226,6 +272,10 @@ def stream_ingest_asset_dedup(
             batch_df.unpersist()
         if compact_every is not None and (epoch_id + 1) % compact_every == 0:
             index.compact()
+            if exact_store is not None:
+                # every epoch <= epoch_id just committed (or no-op'd);
+                # folding them bounds the store's dir count
+                exact_store.compact(below_epoch=epoch_id + 1)
 
     return _start_foreach_batch(frames_stream, per_batch, checkpoint)
 

@@ -585,3 +585,76 @@ def test_image_keep_best(spark):
     got2 = {r.asset_id: r.keep for r in
             image_keep_best(_frames_df(spark, rows2), r=4).collect()}
     assert got2 == {"a_copy": True, "b_copy": False}
+
+
+def test_exact_frame_store_compaction(spark, tmp_path):
+    """ExactFrameStore.compact folds committed epoch dirs into one
+    (bounding the small-files leak) without changing screen semantics:
+    after compaction every previously accepted key still screens, and
+    the dir count stays bounded across runs with compact_every=1."""
+    import shutil
+
+    from ocr_vector_db_spark.operators.image_hash import PhashIndex
+    from ocr_vector_db_spark.operators.index_maint import EpochLedger
+    from ocr_vector_db_spark.streaming.assets import (
+        ExactFrameStore,
+        stream_ingest_asset_dedup,
+    )
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    schema = "asset_id string, data binary, width int, height int"
+
+    def feed(src, name, rows):
+        stage = tmp_path / f"cstage_{name}"
+        _frames_df(spark, rows).coalesce(1).write.mode("overwrite").parquet(
+            str(stage)
+        )
+        part = next(stage.glob("part-*.parquet"))
+        src.mkdir(exist_ok=True)
+        shutil.copy(part, src / f"{name}.parquet")
+
+    icons = [bytes((j + k) % 251 for k in range(16)) for j in range(4)]
+    empty = spark.createDataFrame([], schema)
+    idx = PhashIndex.build(
+        spark, empty, str(tmp_path / "phidx_c"), r=4, n_buckets=8
+    )
+    store = ExactFrameStore(spark, str(tmp_path / "exact_c"))
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted_c"))
+    ledger = EpochLedger(spark, str(tmp_path / "ledger_c"))
+    ckpt = str(tmp_path / "cckpt")
+    src = tmp_path / "cframes"
+
+    for e in range(3):
+        feed(src, f"b{e}", [(f"icon_{e}", icons[e], 4, 4)])
+        q = stream_ingest_asset_dedup(
+            spark.readStream.schema(schema).parquet(str(src)), idx, sink,
+            checkpoint=ckpt, ledger=ledger, compact_every=1,
+            exact_store=store,
+        )
+        q.awaitTermination(60)
+
+    import os as _os
+
+    dirs = [d for d in _os.listdir(str(tmp_path / "exact_c"))
+            if d.startswith("epoch=")]
+    assert len(dirs) == 1, dirs  # everything folded into one dir
+
+    # a byte-identical re-send of EVERY earlier icon still screens out,
+    # a new icon is accepted — compaction preserved the key set
+    feed(src, "b3", [
+        ("re_icon_0", icons[0], 4, 4),
+        ("re_icon_1", icons[1], 4, 4),
+        ("re_icon_2", icons[2], 4, 4),
+        ("icon_new", icons[3], 4, 4),
+    ])
+    stats: list = []
+    q = stream_ingest_asset_dedup(
+        spark.readStream.schema(schema).parquet(str(src)), idx, sink,
+        stats=stats, checkpoint=ckpt, ledger=ledger, compact_every=1,
+        exact_store=store,
+    )
+    q.awaitTermination(60)
+    assert stats[-1]["accepted"] == 1
+    assert stats[-1]["dropped_exact_dup"] == 3
+    accepted = sorted(r.asset_id for r in sink.read(spark).collect())
+    assert accepted == ["icon_0", "icon_1", "icon_2", "icon_new"]
