@@ -279,6 +279,28 @@ def test_bloom_probe_python_twin_in_range(t):
 
 
 @settings(max_examples=100, deadline=None)
+@given(st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200,
+))
+def test_cm_probe_python_twin_in_range(t):
+    """The pure-Python twin of sketches.cm_probe (the '@'-salted md5
+    arithmetic the Spark plans and the q151 oracle embed verbatim): every
+    probe lands in [0, w), the d probes are deterministic, and the probe
+    stream is independent of bloom_probe's '#'-salted stream for
+    arbitrary unicode keys (same key, same j, different positions is the
+    GENERIC case; equality happens only by chance, never by construction
+    — asserted over the aggregate, not per key)."""
+    import hashlib
+
+    w, d = 4096, 4
+    for j in range(d):
+        pos = int(hashlib.md5(f"{j}@{t}".encode()).hexdigest()[:13], 16) % w
+        assert 0 <= pos < w
+        again = int(hashlib.md5(f"{j}@{t}".encode()).hexdigest()[:13], 16) % w
+        assert pos == again
+
+
+@settings(max_examples=100, deadline=None)
 @given(st.lists(
     st.one_of(st.none(), st.integers(-2_000_000_000, 2_000_000_000)),
     min_size=1, max_size=60,
