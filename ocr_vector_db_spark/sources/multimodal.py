@@ -10,6 +10,13 @@ service behind an interface).
 
 Deterministic fake features: derived from md5 of the bytes, so tests have
 stable expectations without any media library.
+
+Two of the multimodal operators need NO decode stub because raw rasters
+are already pixels, so they run as real distributed Column math:
+`operators/image_hash.py::resize_raster` (exact box-average resize —
+thumbnailing / model-input normalization) and the dHash/aHash perceptual
+hashes (image near-dup, q150) over `asset_gray_frames`/`asset_raw_frames`
+projections of ASSET_SCHEMA rows.
 """
 
 from __future__ import annotations

@@ -658,3 +658,76 @@ def test_exact_frame_store_compaction(spark, tmp_path):
     assert stats[-1]["dropped_exact_dup"] == 3
     accepted = sorted(r.asset_id for r in sink.read(spark).collect())
     assert accepted == ["icon_0", "icon_1", "icon_2", "icon_new"]
+
+
+def _py_resize(data, w, h, out_w, out_h):
+    """Independent reference: exact box-average to out_w x out_h,
+    round-half-up to a byte (matches Spark's ROUND, not banker's)."""
+    sums = [[0] * out_w for _ in range(out_h)]
+    cnts = [[0] * out_w for _ in range(out_h)]
+    for y in range(h):
+        cy = y * out_h // h
+        for x in range(w):
+            cx = x * out_w // w
+            sums[cy][cx] += data[y * w + x]
+            cnts[cy][cx] += 1
+    return bytes(
+        int(sums[cy][cx] / cnts[cy][cx] + 0.5)
+        for cy in range(out_h) for cx in range(out_w)
+    )
+
+
+def test_resize_raster_matches_python_reference(spark):
+    """resize_raster = exact box-average downsample, pinned against an
+    independent Python reference across divisible and non-divisible
+    dims; same-size resize is the identity."""
+    from ocr_vector_db_spark.operators.image_hash import resize_raster
+
+    m = _mat("rsz")
+    rows = [
+        ("a", _render(m, 72, 40), 72, 40),
+        ("b", _render(m, 70, 37), 70, 37),    # cells NOT evenly divisible
+        ("c", _render(_mat("rsz2"), 33, 21), 33, 21),
+    ]
+    df = _frames_df(spark, rows)
+    for ow, oh in [(16, 12), (9, 8), (13, 7)]:
+        got = {r.asset_id: (bytes(r.data), r.width, r.height)
+               for r in resize_raster(df, ow, oh).collect()}
+        for aid, data, w, h in rows:
+            assert got[aid] == (_py_resize(data, w, h, ow, oh), ow, oh), \
+                (aid, ow, oh)
+    # identity: every cell is exactly one source pixel
+    same = {r.asset_id: bytes(r.data)
+            for r in resize_raster(
+                _frames_df(spark, rows[:1]), 72, 40).collect()}
+    assert same["a"] == rows[0][1]
+    # sub-grid inputs are filtered, like the hashers
+    tiny = _frames_df(spark, [("t", bytes(range(16)), 4, 4)])
+    assert resize_raster(tiny, 9, 8).count() == 0
+
+
+def test_resize_raster_rgb_luma_and_plan_shape(spark):
+    """channels=3 resizes through integer luma (a jitter that cancels in
+    the band mean resizes identically to the gray original), and the
+    plan keeps the pixel grain map-side: partial sums BEFORE the one
+    (id, cy, cx) exchange, no cartesian."""
+    from ocr_vector_db_spark.operators.image_hash import resize_raster
+
+    m = _mat("rszrgb")
+    gray = _render(m, 36, 16)
+    rgb = bytearray()
+    for v in gray:
+        rgb += bytes((min(255, v + 3), v, max(0, v - 3)))
+    out_g = resize_raster(
+        _frames_df(spark, [("g", gray, 36, 16)]), 9, 8).head()
+    out_c = resize_raster(
+        _frames_df(spark, [("c", bytes(rgb), 36, 16)]), 9, 8,
+        channels=3).head()
+    assert bytes(out_g.data) == bytes(out_c.data)
+
+    plan = resize_raster(
+        _frames_df(spark, [("g", gray, 36, 16)]), 9, 8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")
+    assert "CartesianProduct" not in plan
