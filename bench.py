@@ -190,6 +190,14 @@ HEADLINE = [
     # memoized like the other index paths; timed runs measure the d-probe
     # broadcast-lookup serving next to the exact top-k ground truth)
     "q151_cm_token_frequency",
+    # round 12 additions: the real-math multimodal set — exact box-average
+    # raster resize (output-bounded exchange; tracked for codegen-path
+    # regressions like q150), audio energy fingerprints + banded pairs
+    # (the image-hash discipline on 1-D PCM), and the one-pass audio
+    # quality gates (exact integer chunk folds)
+    "q152_raster_resize",
+    "q153_audio_fingerprint_neardup",
+    "q154_audio_quality_gates",
 ]
 
 

@@ -1,0 +1,368 @@
+"""Audio-level near-duplicate detection and quality gates over raw PCM.
+
+Raw PCM16 audio is "already samples" the way raw rasters are "already
+pixels" (`operators/image_hash.py`), so the multimodal audio operators need
+no decoder stub: frame-energy fingerprinting and quality statistics run as
+REAL distributed Column math — `hex()` once per clip, then substring/conv
+sample parsing inside whole-stage codegen, exact integer accumulation, no
+Python in the row path.
+
+A 100 TB crawled corpus carries the same recording re-encoded at different
+gains and sample rates (the audio twin of re-scanned pages). The classic
+screen is an energy fingerprint: split the clip into F time frames, compare
+successive frame energies, and take the SIGN of each delta as one bit — the
+audio analogue of dHash (relative comparisons, so the signature is invariant
+to global gain). 65 frames → 64 bits → the SAME 16-hex-char signature space
+as the image hashes, so the nibble pigeonhole banding
+(`image_hash.phash_near_dup_pairs`), the Hamming verification and the
+persisted incremental index (`SimHashIndex` via the `_sig_expr` hook, q127's
+machinery) are reused VERBATIM.
+
+Two invariances are EXACT, not approximate, because frame comparisons are
+integer cross-multiplications (`s_i·c_j > s_j·c_i` in decimal — never a
+float division):
+
+- **gain**: scaling every sample by a positive integer g (no clipping)
+  scales every frame sum by g; both sides of each comparison scale by g.
+- **2× upsample** (each sample duplicated — the 16 kHz → 32 kHz resample a
+  re-encode pipeline produces): the per-sample frame convention
+  (sample x ∈ frame f iff floor(x·F/n) = f) maps duplicated pairs to the
+  same frame, so frame sums and counts BOTH double exactly.
+
+Scale shape of the fingerprint build (mirrors `image_grid_cells`, with
+chunks standing in for scanlines — audio is 1-D, so "lines" are fixed
+4096-sample windows rather than raster rows):
+
+  1. one `hex()` projection per clip (map-side, O(bytes));
+  2. chunk explode: ceil(n/4096) slim rows per clip, each carrying ONE
+     chunk's hex via transform+posexplode (the full-clip string is never
+     duplicated per row);
+  3. per chunk row, ONE linear `split` pass cuts the chunk hex into a
+     4-chars-per-sample ARRAY, so each sample read is an O(1)
+     `element_at` + one `conv` + a bitwise byte swap. (Per-sample
+     `substring` into the chunk string — the image path's idiom, fine on
+     144-char scanlines — is O(offset) on UTF8String and goes QUADRATIC
+     on 16K-char chunks: measured 29× slower at the q153 grain.);
+  4. a chunk straddles at most a few frame boundaries: per chunk row,
+     explode the ≤ (4096·F/n + 2) frames it intersects, each with an exact
+     integer |sample| sum over the intersection range;
+  5. ONE shuffle keyed (clip, frame) with map-side partial sums — ≤ F rows
+     per clip reach the exchange; the sample grain never shuffles;
+  6. per-clip assembly of the 16-hex-char signature (bounded collect of
+     ≤ F frame rows).
+
+Reference parity: the reference has no audio path at all (it ingests
+PDF/text/markdown only — ingestion/parsers/); this module is part of the
+training-data-pipeline extension brief (multimodal columns × dedup), like
+q150's image near-dup. Compressed codecs (mp3/ogg/flac) need a real decoder
+first — that is `multimodal.extract_features`'s pluggable decode seam; THIS
+module is the post-decode math, which is where all the distributed cost
+lives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators.image_hash import (
+    _row_hex,
+    hex_sig_to_bigint,
+    phash_near_dup_pairs,
+)
+from ocr_vector_db_spark.operators.simhash_index import SimHashIndex
+
+N_FRAMES = 65           # 65 frame energies → 64 delta-sign bits
+CHUNK_SAMPLES = 4096    # samples per exploded work row (16 KiB raw)
+CLIP_ABS = 32767        # |sample| at or above this counts as clipped
+
+
+def asset_pcm_frames(assets: DataFrame) -> DataFrame:
+    """Project `multimodal.ASSET_SCHEMA` audio rows holding raw signed
+    16-bit little-endian mono PCM (format=pcm_s16le, channels=1) to the
+    (asset_id, data, n_samples, sample_rate) shape the audio operators
+    consume. Compressed or multichannel rows need the decode seam first
+    (`multimodal.extract_features`), exactly like jpeg rasters vs
+    `asset_gray_frames`."""
+    md = F.col("metadata")
+    return assets.filter(
+        (F.col("kind") == "audio")
+        & (md["format"] == "pcm_s16le")
+        & (md["channels"] == "1")
+    ).select(
+        "asset_id", "data",
+        (F.length("data") / 2).cast("long").alias("n_samples"),
+        md["sample_rate"].cast("int").alias("sample_rate"),
+    )
+
+
+def _sample_at(arr: Column, li: Column) -> Column:
+    """SIGNED 16-bit value of local sample `li` (0-based) from the
+    4-hex-chars-per-sample array: one O(1) element_at + one conv, then a
+    bitwise byte swap (PCM16LE stores the LOW byte first, so the hex pair
+    order is (lo, hi)) and the two's-complement fold."""
+    u = F.conv(F.element_at(arr, (li + 1).cast("int")), 16, 10).cast("long")
+    v = u.bitwiseAND(F.lit(255)) * 256 + F.shiftright(u, 8)
+    return F.when(v >= 32768, v - 65536).otherwise(v)
+
+
+def _pcm_chunks(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
+    """(id, n, s0, s1, arr): one row per CHUNK_SAMPLES window of each
+    clip, carrying only that window's samples as a 4-hex-chars-per-sample
+    array — the audio scanline explode, plus the one linear split that
+    makes every later sample read O(1) (see the module docstring's step
+    3). Malformed rows (odd byte length) are dropped like the image path
+    drops dimension-mismatched buffers."""
+    n = (F.length(data_col) / 2).cast("long")
+    src = df.filter(
+        (F.length(data_col) % 2 == 0) & (n > 0)
+    ).select(
+        F.col(id_col).alias("id"), n.alias("n"),
+        F.hex(F.col(data_col)).alias("__hex"),
+    )
+    chunks = src.select(
+        "id", "n",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.col("n") / CHUNK_SAMPLES).cast("int") - 1
+                ),
+                lambda j: F.substring(
+                    F.col("__hex"),
+                    j * (CHUNK_SAMPLES * 4) + 1,
+                    F.lit(CHUNK_SAMPLES * 4),
+                ),
+            )
+        ).alias("j", "chex"),
+    )
+    s0 = F.col("j").cast("long") * CHUNK_SAMPLES
+    return chunks.select(
+        "id", "n",
+        F.split("chex", r"(?<=\G.{4})").alias("arr"),
+        s0.alias("s0"),
+        F.least(F.col("n"), s0 + CHUNK_SAMPLES).alias("s1"),
+    )
+
+
+def pcm_frame_cells(
+    df: DataFrame,
+    n_frames: int = N_FRAMES,
+    id_col: str = "asset_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """Per-frame exact energy cells: one row per (id, f) with the frame's
+    integer |sample| sum `s` and sample count `c`.
+
+    Frame membership is PER SAMPLE — sample x ∈ frame f iff
+    floor(x·F/n) = f, so frame f's range is [ceil(f·n/F), ceil((f+1)·n/F))
+    (the image cell convention, which is what makes 2× sample duplication
+    an exact invariance). A chunk intersects ≤ a handful of frames; each
+    intersection is one exact integer aggregate over the chunk's hex.
+    Clips shorter than F samples carry no frame structure and are filtered
+    (screen them by exact byte hash, like sub-grid images)."""
+    chunks = _pcm_chunks(df, id_col, data_col).filter(
+        F.col("n") >= n_frames
+    )
+    nF = F.lit(n_frames)
+    f0 = F.floor(F.col("s0") * nF / F.col("n"))
+    f1 = F.floor((F.col("s1") - 1) * nF / F.col("n"))
+
+    def frame_cell(f: Column) -> Column:
+        a = F.greatest(F.col("s0"), F.ceil(f * F.col("n") / nF))
+        b = F.least(F.col("s1"), F.ceil((f + 1) * F.col("n") / nF))
+        s = F.aggregate(
+            F.sequence(a, b - 1),
+            F.lit(0).cast("long"),
+            lambda x_acc, x: x_acc + F.abs(
+                _sample_at(F.col("arr"), x - F.col("s0"))
+            ),
+        )
+        return F.struct(f.alias("f"), s.alias("s"), (b - a).alias("c"))
+
+    per_chunk = chunks.select(
+        "id",
+        F.explode(
+            F.transform(F.sequence(f0, f1), frame_cell)
+        ).alias("b"),
+    )
+    return (
+        per_chunk.groupBy("id", F.col("b.f").alias("f"))
+        .agg(F.sum("b.s").alias("s"), F.sum("b.c").alias("c"))
+    )
+
+
+def _gt_exact(si: Column, ci: Column, sj: Column, cj: Column) -> Column:
+    """mean_i > mean_j decided EXACTLY: s_i·c_j > s_j·c_i in decimal(38,0)
+    (cross-multiplication — no float division, so gain and upsample
+    invariances are bit-exact, and a days-long clip can't overflow)."""
+    d = "decimal(38,0)"
+    return (si.cast(d) * cj.cast(d)) > (sj.cast(d) * ci.cast(d))
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """(id, afp) — 64-bit audio energy fingerprint as 16 lowercase hex
+    chars, the same signature space as the image hashes.
+
+    65 frame energies → bit i (MSB first) = frame i strictly louder than
+    frame i+1, decided by exact integer cross-multiplication. Relative
+    comparisons make the signature invariant to global gain; the
+    per-sample frame convention makes it invariant to exact 2× sample
+    duplication (see module docstring)."""
+    cells = pcm_frame_cells(df, N_FRAMES, id_col=id_col, data_col=data_col)
+    rows = (
+        cells.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("f", "s", "c"))).alias("m"))
+        .select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_FRAMES - 2)),
+                lambda i: _gt_exact(
+                    F.element_at("m", i + 1)["s"],
+                    F.element_at("m", i + 1)["c"],
+                    F.element_at("m", i + 2)["s"],
+                    F.element_at("m", i + 2)["c"],
+                ),
+            ).alias("bits"),
+        )
+    )
+    return rows.select(
+        "id",
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda r: _row_hex(F.slice("bits", r * 8 + 1, 8)),
+            ),
+        ).alias("afp"),
+    )
+
+
+def audio_near_dup_pairs(
+    sigs: DataFrame, r: int = 6, id_col: str = "id"
+) -> DataFrame:
+    """Pairs (id_a < id_b, hamming ≤ r) over audio fingerprints — the
+    image path's nibble pigeonhole banding + exact XOR verification,
+    UNCHANGED (banded ≡ brute force; same 64-bit hex space)."""
+    return phash_near_dup_pairs(sigs, r=r, id_col=id_col, sig_col="afp")
+
+
+class AudioFpIndex(SimHashIndex):
+    """Persisted audio near-dup index: energy fingerprints in
+    SimHashIndex's banded Hamming layout — build/add/screen/dedup_new/
+    compact, generation pointers, bucket-partitioned bands and the exact
+    bit_count verification all inherited via the `_sig_expr` hook, the
+    same single-seam subclassing as `image_hash.PhashIndex`. Input rows
+    are PCM clips (id, data, ...) — `asset_pcm_frames` output."""
+
+    def _sig_expr(self, docs: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+        if self.bits != 64:
+            raise ValueError("AudioFpIndex is 64-bit (energy fingerprint)")
+        sigs = audio_fingerprints(docs, id_col=id_col)
+        return sigs.select(
+            F.col("id").alias("doc"),
+            hex_sig_to_bigint(F.col("afp")).alias("simhash"),
+        )
+
+    @classmethod
+    def build(  # noqa: D417 - narrowed signature over the text parent
+        cls, spark, clips: DataFrame, path: str, r: int = 6,
+        n_buckets: int = 64, id_col: str = "asset_id",
+    ) -> "AudioFpIndex":
+        return super().build(
+            spark, clips, path, bits=64, r=r, n_buckets=n_buckets,
+            id_col=id_col, text_col="data",
+        )
+
+
+def audio_quality_stats(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    data_col: str = "data",
+    rate_col: str = "sample_rate",
+    silence_frame_abs: int = 100,
+) -> DataFrame:
+    """Per-clip audio quality gates for a training-data pipeline, in one
+    pass over the chunk rows (exact integer partials, one frame-grain
+    pass for the silence ratio):
+
+    - duration_s       n / sample_rate
+    - mean_abs         mean |sample| (overall loudness; exact int sum)
+    - rms              sqrt(Σ sample² / n) (sum of squares is exact —
+                       fits bigint to ~2^33 samples ≈ 74 h at 32 kHz)
+    - peak_abs         max |sample|
+    - clip_ratio       fraction of samples at |s| ≥ 32767 (clipping —
+                       distorted / over-amplified sources)
+    - dc_offset        mean SIGNED sample (a broken recorder bias)
+    - silence_ratio    fraction of the 65 energy frames whose mean |s|
+                       < silence_frame_abs (dead air / truncated takes)
+
+    The chunk grain never shuffles whole-sample rows: each chunk folds to
+    one partial-struct row, one exchange per clip at the chunk count, the
+    silence pass reuses `pcm_frame_cells`' ≤ 65-rows-per-clip shape."""
+    chunks = _pcm_chunks(df, id_col, data_col)
+
+    def fold(arr: Column, s0: Column, s1: Column) -> Column:
+        zero = F.struct(
+            F.lit(0).cast("long").alias("sa"),
+            F.lit(0).cast("long").alias("sq"),
+            F.lit(0).cast("long").alias("pk"),
+            F.lit(0).cast("long").alias("cl"),
+            F.lit(0).cast("long").alias("dc"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            s = _sample_at(arr, x - s0)
+            a = F.abs(s)
+            return F.struct(
+                (acc["sa"] + a).alias("sa"),
+                (acc["sq"] + s * s).alias("sq"),
+                F.greatest(acc["pk"], a).alias("pk"),
+                (acc["cl"] + (a >= CLIP_ABS).cast("long")).alias("cl"),
+                (acc["dc"] + s).alias("dc"),
+            )
+
+        return F.aggregate(F.sequence(s0, s1 - 1), zero, step)
+
+    partials = chunks.select(
+        "id", "n",
+        fold(F.col("arr"), F.col("s0"), F.col("s1")).alias("p"),
+    )
+    per_clip = (
+        partials.groupBy("id")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum("p.sa").alias("sa"), F.sum("p.sq").alias("sq"),
+            F.max("p.pk").alias("pk"), F.sum("p.cl").alias("cl"),
+            F.sum("p.dc").alias("dc"),
+        )
+    )
+    silent = (
+        pcm_frame_cells(df, N_FRAMES, id_col=id_col, data_col=data_col)
+        .groupBy("id")
+        .agg(
+            (F.sum((F.col("s") < F.col("c") * silence_frame_abs)
+                   .cast("int")) / F.count("*")).alias("silence_ratio")
+        )
+    )
+    rates = df.select(
+        F.col(id_col).alias("id"), F.col(rate_col).alias("rate")
+    )
+    return (
+        per_clip.join(silent, "id", "left")
+        .join(rates, "id")
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("n") / F.col("rate")).alias("duration_s"),
+            (F.col("sa") / F.col("n")).alias("mean_abs"),
+            F.sqrt(F.col("sq") / F.col("n")).alias("rms"),
+            F.col("pk").cast("int").alias("peak_abs"),
+            (F.col("cl") / F.col("n")).alias("clip_ratio"),
+            (F.col("dc") / F.col("n")).alias("dc_offset"),
+            F.coalesce("silence_ratio", F.lit(0.0)).alias("silence_ratio"),
+        )
+    )

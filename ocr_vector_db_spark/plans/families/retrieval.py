@@ -2584,3 +2584,289 @@ def q146(spark, sf):
             6,
         ).alias("avg_fill"),
     )
+
+
+# =====================================================================
+# Multimodal raster resize (round 12)
+# =====================================================================
+
+
+@query(
+    "q152_raster_resize",
+    """
+    SELECT * FROM (VALUES
+        ('input', 'tiny', 'bda9fbed674c31e0d05646f9421fb7bf'),
+        ('resize18x10', 'base', '511a9a5b1f2c4ed443c44bde976133b1'),
+        ('resize18x10', 'pager', '9aa828191d99179fe2b33e49f2c34384'),
+        ('resize18x10', 'rescan', '511a9a5b1f2c4ed443c44bde976133b1'),
+        ('resize18x10', 'tiny', 'bda9fbed674c31e0d05646f9421fb7bf'),
+        ('resize6x4', 'rgbpage', '4d6986bf0b97eb0d2483da4fdd628817')
+    ) AS t(item, key, detail)
+    ORDER BY item, key
+    """,
+)
+def q152(spark, sf):
+    """The multimodal 'resize' operator as REAL distributed math (golden
+    VALUES oracle, q148/q150's pattern): exact box-average downsampling
+    via `operators/image_hash.resize_raster` — hex()+substring scanline
+    math, exact integer cell sums map-side, ONE output-bounded exchange,
+    one round-half-up per OUTPUT pixel (`operators/image_hash.py:453`).
+    The goldens pin three exactness properties in data: (1) the 144x80
+    clip is the exact 2x duplication of the 72x40 base, and box averages
+    of aligned 2x grids are identical rationals, so base and rescan
+    resize to BIT-EQUAL buffers; (2) resizing the 18x10 'tiny' clip to
+    its own size is the identity (its output md5 equals the 'input' row);
+    (3) a 3-channel raster resizes through exact integer luma
+    (channels=3). Reference parity: the reference delegates all raster
+    work to PyMuPDF (ingestion/parsers/pymupdf_parser.py:518-569); this
+    is the Spark-first scale path for thumbnailing / model-input
+    normalization (the independent-Python-reference pin lives in
+    tests/test_image_hash.py)."""
+    import hashlib
+
+    from ocr_vector_db_spark.operators.image_hash import resize_raster
+
+    def mat(seed, gw=9, gh=8):
+        return [
+            [hashlib.md5(f"{seed}:{cx}:{cy}".encode()).digest()[0] % 200
+             + 10 for cx in range(gw)]
+            for cy in range(gh)
+        ]
+
+    def render(m, w, h, gw=9, gh=8):
+        return bytes(
+            m[y * gh // h][x * gw // w]
+            for y in range(h) for x in range(w)
+        )
+
+    def rgb_render(seed, w, h):
+        buf = bytearray()
+        for y in range(h):
+            for x in range(w):
+                d = hashlib.md5(f"{seed}:{x // 4}:{y // 4}".encode()).digest()
+                buf += bytes([d[0], d[1], d[2]])
+        return bytes(buf)
+
+    m_a, m_b = mat("rz-A"), mat("rz-B")
+    tiny = bytes(
+        hashlib.md5(f"tiny:{i}".encode()).digest()[0] for i in range(180)
+    )
+    gray = spark.createDataFrame(
+        [
+            ("base", render(m_a, 72, 40), 72, 40),
+            ("rescan", render(m_a, 144, 80), 144, 80),  # exact 2x of base
+            ("pager", render(m_b, 96, 56), 96, 56),
+            ("tiny", tiny, 18, 10),                     # identity resize
+        ],
+        "asset_id string, data binary, width int, height int",
+    )
+    rgb = spark.createDataFrame(
+        [("rgbpage", rgb_render("rz-C", 24, 16), 24, 16)],
+        "asset_id string, data binary, width int, height int",
+    )
+    out = resize_raster(gray, 18, 10).select(
+        F.lit("resize18x10").alias("item"),
+        F.col("asset_id").alias("key"), F.md5("data").alias("detail"),
+    ).unionByName(
+        resize_raster(rgb, 6, 4, channels=3).select(
+            F.lit("resize6x4").alias("item"),
+            F.col("asset_id").alias("key"), F.md5("data").alias("detail"),
+        )
+    ).unionByName(
+        gray.filter(F.col("asset_id") == "tiny").select(
+            F.lit("input").alias("item"),
+            F.col("asset_id").alias("key"), F.md5("data").alias("detail"),
+        )
+    )
+    return out.orderBy("item", "key")
+
+
+# =====================================================================
+# Audio fingerprinting + quality gates over raw PCM (round 12)
+# =====================================================================
+
+
+def _synth_pcm(seed, n, gain=1, burst=None, zero=None, clip_at=None,
+               seg_len=997):
+    """Deterministic PCM16 fixture: triangle wave under a per-segment md5
+    amplitude envelope — audible-like energy structure with no audio
+    library, LE int16 bytes (the independent reference in
+    tests/test_audio_fingerprint.py uses the same generator)."""
+    import hashlib
+
+    amps = {}
+    out = bytearray()
+    for i in range(n):
+        seg = i // seg_len
+        a = amps.get(seg)
+        if a is None:
+            a = (hashlib.md5(f"{seed}:{seg}".encode()).digest()[0]
+                 % 48 * 64 + 400)
+            amps[seg] = a
+        v = a * ((i % 50) - 25) // 25 * gain
+        if burst and burst[0] <= i < burst[1]:
+            v = min(32767, v + 15000)
+        if zero and zero[0] <= i < zero[1]:
+            v = 0
+        if clip_at and clip_at[0] <= i < clip_at[1]:
+            v = 32767 if v >= 0 else -32768
+        out += max(-32768, min(32767, v)).to_bytes(2, "little", signed=True)
+    return bytes(out)
+
+
+def _audio_assets_df(spark, clips):
+    rows = [
+        (aid, "audio", data,
+         {"format": "pcm_s16le", "channels": "1", "sample_rate": "16000"})
+        for aid, data in clips
+    ]
+    return spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+
+
+@query(
+    "q153_audio_fingerprint_neardup",
+    """
+    SELECT * FROM (VALUES
+        ('afp', 'base', 'a5a26c76a334d938'),
+        ('afp', 'loud', 'a5a26c76a334d938'),
+        ('afp', 'other', '8a293b64b9a281d2'),
+        ('afp', 'snip', 'a5a26c71a334d938'),
+        ('afp', 'up2', 'a5a26c76a334d938'),
+        ('pair', 'base~loud', '0'),
+        ('pair', 'base~snip', '3'),
+        ('pair', 'base~up2', '0'),
+        ('pair', 'loud~snip', '3'),
+        ('pair', 'loud~up2', '0'),
+        ('pair', 'snip~up2', '3')
+    ) AS t(item, key, detail)
+    ORDER BY item, key
+    """,
+)
+def q153(spark, sf):
+    """Audio-level near-dup via energy fingerprints (golden VALUES
+    oracle, q150's pattern for the audio modality): five synthetic mono
+    PCM16 clips in the multimodal asset shape — a base take, a 2x-gain
+    re-encode, an exact 2x upsample (every sample duplicated: the
+    16->32 kHz resample), a copy with a 2000-sample burst, and a distinct
+    recording — fingerprint through
+    `operators/audio_fingerprint.audio_fingerprints` (hex()+substring
+    sample parsing, exact integer frame-energy sums, 65 frames -> 64
+    delta-sign bits) and pair through the SAME nibble-pigeonhole band
+    join as the image hashes (one 64-bit hex signature space). The gain
+    and upsample copies land at Hamming 0 EXACTLY — frame comparisons
+    are integer cross-multiplications, never float divisions — the burst
+    flips 3 bits, the distinct recording pairs with nothing, and the
+    stereo + mp3 rows are filtered by `asset_pcm_frames` (the decode
+    seam owns compressed/multichannel, like jpeg vs asset_gray_frames).
+    Reference parity: the reference has no audio path (ingestion/parsers/
+    handles PDF/text/markdown only); this extends the dedup x multimodal
+    brief to the audio column. Banded ≡ brute-force and the
+    independent-Python-reference pin live in
+    tests/test_audio_fingerprint.py."""
+    from ocr_vector_db_spark.operators.audio_fingerprint import (
+        asset_pcm_frames,
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+
+    base = _synth_pcm("tape-A", 65000)
+    clips = [
+        ("base", base),
+        ("loud", _synth_pcm("tape-A", 65000, gain=2)),
+        ("up2", b"".join(base[i:i + 2] * 2
+                         for i in range(0, len(base), 2))),
+        ("snip", _synth_pcm("tape-A", 65000, burst=(30000, 32000))),
+        ("other", _synth_pcm("tape-B", 65000)),
+    ]
+    adf = _audio_assets_df(spark, clips)
+    # rows the projection must drop
+    extra = spark.createDataFrame(
+        [
+            ("stereo", "audio", b"\x00\x01" * 200,
+             {"format": "pcm_s16le", "channels": "2",
+              "sample_rate": "16000"}),
+            ("mp3", "audio", b"ID3fake", {"format": "mp3"}),
+        ],
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    sigs = audio_fingerprints(asset_pcm_frames(adf.unionByName(extra)))
+    pairs = audio_near_dup_pairs(sigs, r=6)
+    return (
+        sigs.select(F.lit("afp").alias("item"), F.col("id").alias("key"),
+                    F.col("afp").alias("detail"))
+        .unionByName(pairs.select(
+            F.lit("pair").alias("item"),
+            F.concat_ws("~", "id_a", "id_b").alias("key"),
+            F.col("hamming").cast("string").alias("detail")))
+        .orderBy("item", "key")
+    )
+
+
+@query(
+    "q154_audio_quality_gates",
+    """
+    SELECT * FROM (VALUES
+        ('biased', CAST(1.625 AS DOUBLE), CAST(500.0 AS DOUBLE),
+         CAST(500.0 AS DOUBLE), 500, CAST(0.0 AS DOUBLE),
+         CAST(500.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+        ('hot', CAST(1.625 AS DOUBLE), CAST(6550.715154 AS DOUBLE),
+         CAST(13017.153163 AS DOUBLE), 32768, CAST(0.153846 AS DOUBLE),
+         CAST(-59.845615 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+        ('quiet', CAST(1.625 AS DOUBLE), CAST(589.357115 AS DOUBLE),
+         CAST(1008.217787 AS DOUBLE), 3280, CAST(0.0 AS DOUBLE),
+         CAST(-25.249115 AS DOUBLE), CAST(0.461538 AS DOUBLE)),
+        ('studio', CAST(1.625 AS DOUBLE), CAST(910.364731 AS DOUBLE),
+         CAST(1154.111297 AS DOUBLE), 3408, CAST(0.0 AS DOUBLE),
+         CAST(-37.342808 AS DOUBLE), CAST(0.0 AS DOUBLE))
+    ) AS t(asset_id, duration_s, mean_abs, rms, peak_abs, clip_ratio,
+           dc_offset, silence_ratio)
+    ORDER BY asset_id
+    """,
+)
+def q154(spark, sf):
+    """Audio quality gates for a training-data pipeline (golden VALUES
+    oracle): per-clip duration / loudness (mean |s|) / RMS / peak /
+    clipping ratio / DC offset / silence ratio over raw PCM16, all from
+    EXACT integer accumulations in one pass over the chunk rows
+    (`operators/audio_fingerprint.audio_quality_stats` — the audio twin
+    of q24's text quality scoring). Four takes make each gate visible in
+    data: a clean 'studio' take; a 'quiet' take with 12k zeroed samples
+    (46% silent frames — dead air); a 'hot' take recorded at 2x gain
+    with a 4000-sample clipped stretch (15.4% clipped samples); and a
+    'biased' take that is pure +500 DC (a broken recorder — rms == mean
+    == dc == 500 exactly). Reference parity: none in the reference
+    (no audio path); the brief's quality-scoring family extended to the
+    audio column. Field-exactness vs an independent Python reference is
+    pinned by tests/test_audio_fingerprint.py."""
+    from ocr_vector_db_spark.operators.audio_fingerprint import (
+        asset_pcm_frames,
+        audio_quality_stats,
+    )
+
+    clips = [
+        ("studio", _synth_pcm("take-1", 26000)),
+        ("quiet", _synth_pcm("take-2", 26000, zero=(4000, 16000))),
+        ("hot", _synth_pcm("take-3", 26000, gain=2, clip_at=(2000, 6000))),
+        ("biased", b"".join(
+            (500).to_bytes(2, "little", signed=True)
+            for _ in range(26000)
+        )),
+    ]
+    stats = audio_quality_stats(asset_pcm_frames(
+        _audio_assets_df(spark, clips)
+    ))
+    return stats.select(
+        "asset_id",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_abs", 6).alias("mean_abs"),
+        F.round("rms", 6).alias("rms"),
+        "peak_abs",
+        F.round("clip_ratio", 6).alias("clip_ratio"),
+        F.round("dc_offset", 6).alias("dc_offset"),
+        F.round("silence_ratio", 6).alias("silence_ratio"),
+    ).orderBy("asset_id")

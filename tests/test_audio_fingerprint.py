@@ -1,0 +1,274 @@
+"""Audio energy fingerprints + quality gates over raw PCM16 (q153/q154).
+
+Pins the Spark Column math against an independent pure-Python reference
+(per-sample frame sums, integer cross-multiplied comparisons), the two
+EXACT invariances (gain, 2× sample duplication), banded ≡ brute-force pair
+parity, the persisted incremental screen (AudioFpIndex via SimHashIndex's
+hook), and the map-side-combine plan shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators.audio_fingerprint import (
+    N_FRAMES,
+    asset_pcm_frames,
+    audio_fingerprints,
+    audio_near_dup_pairs,
+    audio_quality_stats,
+    pcm_frame_cells,
+)
+from ocr_vector_db_spark.operators.image_hash import hamming_hex
+
+
+def _synth(seed: str, n: int, gain: int = 1, burst=None, zero=None,
+           clip_at=None, seg_len: int = 997):
+    """Deterministic triangle wave with a per-segment md5 amplitude
+    envelope — energy structure without any audio library. Keep
+    `seg_len` at or below the frame length (n/65) when a test needs
+    distinct seeds to be FAR in signature space: longer envelopes leave
+    consecutive frames near-tied and collapse the signature entropy."""
+    out = []
+    for i in range(n):
+        seg = i // seg_len
+        a = hashlib.md5(f"{seed}:{seg}".encode()).digest()[0] % 48 * 64 + 400
+        v = a * ((i % 50) - 25) // 25 * gain
+        if burst and burst[0] <= i < burst[1]:
+            v = min(32767, v + 15000)
+        if zero and zero[0] <= i < zero[1]:
+            v = 0
+        if clip_at and clip_at[0] <= i < clip_at[1]:
+            v = 32767 if v >= 0 else -32768
+        out.append(max(-32768, min(32767, v)))
+    return out
+
+
+def _pcm(samples) -> bytes:
+    return b"".join(int(s).to_bytes(2, "little", signed=True)
+                    for s in samples)
+
+
+def _ref_cells(samples, n_frames=N_FRAMES):
+    n = len(samples)
+    s = [0] * n_frames
+    c = [0] * n_frames
+    for x, v in enumerate(samples):
+        f = x * n_frames // n
+        s[f] += abs(v)
+        c[f] += 1
+    return s, c
+
+
+def _ref_fp(samples) -> str:
+    s, c = _ref_cells(samples)
+    val = 0
+    for i in range(N_FRAMES - 1):
+        val = val * 2 + (1 if s[i] * c[i + 1] > s[i + 1] * c[i] else 0)
+    return format(val, "016x")
+
+
+def _clips_df(spark, clips):
+    rows = [(aid, _pcm(s), len(s), 16000) for aid, s in clips]
+    return spark.createDataFrame(
+        rows,
+        "asset_id string, data binary, n_samples long, sample_rate int",
+    )
+
+
+def test_fingerprint_matches_python_reference(spark):
+    """Spark signature == independent per-sample reference, across chunk
+    straddles (n > 4096, not divisible by 65 or 4096) and a sub-chunk
+    clip."""
+    clips = [
+        ("a", _synth("clip-A", 13001)),   # 4 chunks, straddling frames
+        ("b", _synth("clip-B", 13001)),
+        ("small", _synth("clip-S", 900)),  # single partial chunk
+        ("odd", _synth("clip-O", 4161)),   # just past one chunk
+    ]
+    got = {r.id: r.afp
+           for r in audio_fingerprints(_clips_df(spark, clips)).collect()}
+    for aid, s in clips:
+        assert got[aid] == _ref_fp(s), aid
+
+
+def test_gain_and_upsample_invariance(spark):
+    """The two bit-exact invariances: integer gain (no clipping) scales
+    every cross-multiplication uniformly; 2× sample duplication doubles
+    every frame sum AND count (per-sample frame convention)."""
+    base = _synth("inv", 13000)
+    clips = [
+        ("base", base),
+        ("gain3", [v * 3 for v in base]),
+        ("up2", [v for v in base for _ in (0, 1)]),
+        ("burst", _synth("inv", 13000, burst=(6000, 6400))),
+        ("other", _synth("inv-other", 13000)),
+    ]
+    got = {r.id: r.afp
+           for r in audio_fingerprints(_clips_df(spark, clips)).collect()}
+    assert got["base"] == got["gain3"] == got["up2"]
+    assert got["burst"] != got["base"]
+    pairs = {(p.id_a, p.id_b): p.hamming
+             for p in audio_near_dup_pairs(
+                 audio_fingerprints(_clips_df(spark, clips)), r=6
+             ).collect()}
+    assert pairs[("base", "gain3")] == 0
+    assert pairs[("base", "up2")] == 0
+    assert 0 < pairs[("base", "burst")] <= 6
+    assert not any("other" in k for k in pairs)
+
+
+@pytest.mark.parametrize("r", [2, 6])
+def test_banded_equals_brute_force(spark, r):
+    """The nibble pigeonhole screen returns EXACTLY the brute-force
+    cross-join pairs at radius r (the q88/q127/q150 discipline)."""
+    clips = [(f"c{i}", _synth(f"bf-{i // 3}", 7000,
+                              burst=(i % 3 * 900, i % 3 * 900 + 300)))
+             for i in range(9)]
+    sigs = audio_fingerprints(_clips_df(spark, clips))
+    banded = {(p.id_a, p.id_b): p.hamming
+              for p in audio_near_dup_pairs(sigs, r=r).collect()}
+    a = sigs.select(F.col("id").alias("id_a"), F.col("afp").alias("fa"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("afp").alias("fb"))
+    brute = {
+        (p.id_a, p.id_b): p.h
+        for p in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("h", hamming_hex(F.col("fa"), F.col("fb")))
+        .filter(F.col("h") <= r).collect()
+    }
+    assert banded == brute
+
+
+def test_asset_pcm_frames_projection(spark):
+    """Only mono raw PCM16 rows reach the math; compressed and stereo
+    rows wait for the decode seam (like jpeg vs asset_gray_frames)."""
+    rows = [
+        ("mono", "audio", _pcm(_synth("p", 200)),
+         {"format": "pcm_s16le", "channels": "1", "sample_rate": "8000"}),
+        ("stereo", "audio", b"\x00\x01" * 64,
+         {"format": "pcm_s16le", "channels": "2", "sample_rate": "8000"}),
+        ("mp3", "audio", b"ID3fake", {"format": "mp3"}),
+        ("img", "image", b"px", {"format": "raw", "channels": "1"}),
+    ]
+    adf = spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    got = {r.asset_id: (r.n_samples, r.sample_rate)
+           for r in asset_pcm_frames(adf).collect()}
+    assert got == {"mono": (200, 8000)}
+
+
+def test_degenerate_inputs_filtered(spark):
+    """Clips shorter than the frame grid (or with odd byte length) carry
+    no frame structure and are dropped, not crashed on."""
+    ok = _synth("ok", 700)
+    rows = [
+        ("ok", _pcm(ok), 700, 16000),
+        ("short", _pcm(_synth("s", N_FRAMES - 1)), N_FRAMES - 1, 16000),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id string, data binary, n_samples long, sample_rate int",
+    )
+    odd = spark.createDataFrame(
+        [("odd", b"\x01\x02\x03", 1, 16000)],
+        "asset_id string, data binary, n_samples long, sample_rate int",
+    )
+    got = audio_fingerprints(df.unionByName(odd))
+    assert [r.id for r in got.collect()] == ["ok"]
+    assert got.filter(F.col("id") == "ok").first().afp == _ref_fp(ok)
+
+
+def test_quality_stats_match_reference(spark):
+    """Every gate field equals the independent reference: the integer
+    sums are exact, and both engines do the same IEEE division at the
+    end. The quiet clip trips silence_ratio; the clipped clip trips
+    clip_ratio; the biased clip shows its dc_offset."""
+    quiet = _synth("q", 13000, zero=(2000, 8000))
+    clipped = _synth("cl", 13000, clip_at=(1000, 3000))
+    biased = [v + 500 for v in _synth("b", 13000, gain=0)]  # pure DC
+    clips = [("quiet", quiet), ("clipped", clipped), ("biased", biased)]
+    got = {r.asset_id: r
+           for r in audio_quality_stats(_clips_df(spark, clips)).collect()}
+    for aid, s in clips:
+        n = len(s)
+        sa = sum(abs(v) for v in s)
+        sq = sum(v * v for v in s)
+        fr_s, fr_c = _ref_cells(s)
+        silent = sum(1 for f in range(N_FRAMES)
+                     if fr_s[f] < fr_c[f] * 100)
+        r = got[aid]
+        assert r.duration_s == n / 16000
+        assert r.mean_abs == sa / n
+        assert r.rms == math.sqrt(sq / n)
+        assert r.peak_abs == max(abs(v) for v in s)
+        assert r.clip_ratio == sum(1 for v in s if abs(v) >= 32767) / n
+        assert r.dc_offset == sum(s) / n
+        assert r.silence_ratio == silent / N_FRAMES
+    assert got["quiet"].silence_ratio > 0.3
+    assert got["clipped"].clip_ratio > 0.05
+    assert got["biased"].dc_offset == 500.0
+
+
+def test_audio_index_incremental_screen(spark, tmp_path):
+    """AudioFpIndex = SimHashIndex via the _sig_expr hook (PhashIndex's
+    single-seam pattern): build, screen, dedup_new, add + replay guard,
+    and screen ≡ the one-shot pairs restricted to cross-side pairs."""
+    from ocr_vector_db_spark.operators.audio_fingerprint import AudioFpIndex
+
+    corpus = [(s, _synth(s, 9000, seg_len=130)) for s in ("tka", "tkb", "tkc")]
+    idx = AudioFpIndex.build(
+        spark, _clips_df(spark, corpus), str(tmp_path / "afpidx"), r=6
+    )
+    base = _synth("tka", 9000, seg_len=130)
+    batch = [
+        ("tka_gain", [v * 2 for v in base]),                 # hamming 0
+        ("tka_burst", _synth("tka", 9000, burst=(4000, 4500), seg_len=130)),
+        ("fresh", _synth("tknew", 9000, seg_len=130)),
+    ]
+    bdf = _clips_df(spark, batch)
+    hits = idx.screen(bdf, id_col="asset_id")
+    got = {(h.new_id, h.corpus_id): h.hamming for h in hits.collect()}
+    assert got[("tka_gain", "tka")] == 0
+    assert ("tka_burst", "tka") in got and got[("tka_burst", "tka")] <= 6
+    assert not any(n == "fresh" for n, _ in got)
+
+    both = _clips_df(spark, corpus + batch)
+    sigs = audio_fingerprints(both)
+    corpus_ids = {c[0] for c in corpus}
+    cross = {
+        tuple(sorted((p.id_a, p.id_b))): p.hamming
+        for p in audio_near_dup_pairs(sigs, r=6).collect()
+        if (p.id_a in corpus_ids) != (p.id_b in corpus_ids)
+    }
+    assert cross == {tuple(sorted(k)): v for k, v in got.items()}
+
+    survivors = idx.dedup_new(bdf, id_col="asset_id")
+    assert [r.asset_id for r in survivors.collect()] == ["fresh"]
+    assert idx.add(survivors, id_col="asset_id") == 1
+    assert idx.add(bdf, id_col="asset_id") == 2
+    assert idx.add(bdf, id_col="asset_id") == 0
+    reloaded = AudioFpIndex.load(spark, str(tmp_path / "afpidx"))
+    assert reloaded.bits == 64 and reloaded.signatures().count() == 6
+
+
+def test_frame_cells_plan_shape(spark):
+    """The 100 TB claim, pinned (SCALING.md): the sample grain never
+    shuffles — per-chunk frame sums reduce map-side (partial_sum before
+    the (id, f) exchange), chunks come from the transform+posexplode
+    that hands each row ONE chunk's hex, nothing is a cartesian."""
+    df = _clips_df(spark, [("a", _synth("plan", 13000))])
+    plan = pcm_frame_cells(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "posexplode(transform(sequence(" in plan
+    import re
+
+    first_exchange = plan.index("Exchange hashpartitioning")
+    assert re.search(r"partial_sum", plan[first_exchange:]), plan
