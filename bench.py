@@ -198,6 +198,9 @@ HEADLINE = [
     "q152_raster_resize",
     "q153_audio_fingerprint_neardup",
     "q154_audio_quality_gates",
+    # frame-sampled video near-dup: binary frame slicing + the image
+    # dHash stack per sampled frame + the ALIGNED banded pair join
+    "q155_video_framehash_neardup",
 ]
 
 

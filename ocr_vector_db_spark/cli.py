@@ -21,6 +21,8 @@
         [--build F|--add F|--screen F]  # bloom benchmark-leak screen
     python -m ocr_vector_db_spark.cli stream-ingest-images --store DIR
         --source S [--radius R]  # perceptual image-dedup-gated ingestion
+    python -m ocr_vector_db_spark.cli stream-ingest-audio --store DIR
+        --source S [--radius R]  # fingerprint audio-dedup-gated ingestion
 
 Mirrors api/cli/{ingest,search,repl,quality}.py + api/formatters.py: same
 text/JSON result formats (similarity to 4 dp, 500-char parent preview), same
@@ -984,6 +986,76 @@ def cmd_stream_ingest_images(args) -> int:
     return 0
 
 
+def cmd_stream_ingest_audio(args) -> int:
+    """Incremental AUDIO-dedup-gated ingestion — `stream-ingest-images`'
+    twin for PCM clips (the same `streaming/assets.py` gate through its
+    modality seams): each run drains parquet clip files under --source
+    (asset_id, data — raw mono PCM16LE, `asset_pcm_frames` output),
+    drops intra-batch near-dups (energy-fingerprint keep-min: gain and
+    2x-resample re-encodes land at Hamming 0 exactly), screens survivors
+    against the store's persisted AudioFpIndex at --radius, and folds
+    accepted clips in. Clips below the 65-sample frame grid dedup by
+    exact byte hash against the persisted ExactFrameStore."""
+    import os
+
+    from ocr_vector_db_spark.operators.audio_fingerprint import AudioFpIndex
+    from ocr_vector_db_spark.operators.index_maint import (
+        EpochLedger, fs_exists,
+    )
+    from ocr_vector_db_spark.streaming.assets import (
+        ExactFrameStore,
+        audio_dropped_ids,
+        audio_store_paths,
+        exact_clip_key,
+        hashable_clips_pred,
+        stream_ingest_asset_dedup,
+    )
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    spark = _spark()
+    paths = audio_store_paths(args.store)
+    if fs_exists(spark, os.path.join(paths["index"], "meta.json")):
+        idx = AudioFpIndex.load(spark, paths["index"])
+        if idx.r != args.radius:
+            print(f"[error] store index was built at r={idx.r}; "
+                  f"--radius {args.radius} would change the banded "
+                  "layout — rebuild or match it")
+            return 1
+    else:
+        empty = spark.createDataFrame([], "asset_id string, data binary")
+        idx = AudioFpIndex.build(
+            spark, empty, paths["index"],
+            r=args.radius, n_buckets=args.buckets,
+        )
+    stats: list = []
+    q = stream_ingest_asset_dedup(
+        spark.readStream
+        .schema("asset_id string, data binary")
+        .option("maxFilesPerTrigger", args.files_per_batch)
+        .parquet(args.source),
+        idx,
+        ParquetAcceptedSink(paths["accepted"]),
+        stats=stats,
+        checkpoint=paths["checkpoint"],
+        ledger=EpochLedger(spark, paths["ledger"]),
+        compact_every=args.compact_every,
+        exact_store=ExactFrameStore(spark, paths["exact"]),
+        hashable_pred=hashable_clips_pred,
+        dropped_ids=audio_dropped_ids,
+        exact_key=exact_clip_key,
+    )
+    q.awaitTermination()
+    acc = sum(s["accepted"] for s in stats)
+    drop = sum(s["dropped_as_dup"] for s in stats)
+    unh = sum(s["unhashable"] for s in stats)
+    xdrop = sum(s["dropped_exact_dup"] for s in stats)
+    print(f"[stream-ingest-audio] {len(stats)} micro-batches: accepted "
+          f"{acc}, dropped {drop} near-dup clips; {unh} below the frame "
+          f"grid ({xdrop} dropped byte-identical); accepted clips under "
+          f"{paths['accepted']}")
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack stored fragments into token-budget training sequences, per
     language shard; prints the per-shard pack summary."""
@@ -1367,6 +1439,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--files-per-batch", type=int, default=64)
     sp.add_argument("--compact-every", type=int, default=32)
     sp.set_defaults(fn=cmd_stream_ingest_images)
+
+    sp = sub.add_parser("stream-ingest-audio")
+    common(sp)
+    sp.add_argument("--source", required=True,
+                    help="directory of parquet clip files (asset_id "
+                         "string, data binary — raw mono PCM16LE, "
+                         "asset_pcm_frames output)")
+    sp.add_argument("--radius", type=int, default=6,
+                    help="fingerprint Hamming radius for 'same recording'")
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--files-per-batch", type=int, default=64)
+    sp.add_argument("--compact-every", type=int, default=32)
+    sp.set_defaults(fn=cmd_stream_ingest_audio)
 
     sp = sub.add_parser("semantic-index")
     common(sp)

@@ -2870,3 +2870,112 @@ def q154(spark, sf):
         F.round("dc_offset", 6).alias("dc_offset"),
         F.round("silence_ratio", 6).alias("silence_ratio"),
     ).orderBy("asset_id")
+
+
+@query(
+    "q155_video_framehash_neardup",
+    """
+    SELECT * FROM (VALUES
+        ('pair', 'vid_base~vid_bright', '4/4@1.0'),
+        ('pair', 'vid_base~vid_cut', '3/4@0.75'),
+        ('pair', 'vid_base~vid_scaled', '4/4@1.0'),
+        ('pair', 'vid_bright~vid_cut', '3/4@0.75'),
+        ('pair', 'vid_bright~vid_scaled', '4/4@1.0'),
+        ('pair', 'vid_cut~vid_scaled', '3/4@0.75'),
+        ('video', 'vid_base', '4'),
+        ('video', 'vid_bright', '4'),
+        ('video', 'vid_cut', '4'),
+        ('video', 'vid_other', '4'),
+        ('video', 'vid_scaled', '4')
+    ) AS t(item, key, detail)
+    ORDER BY item, key
+    """,
+)
+def q155(spark, sf):
+    """Video-level near-dup via frame-sampled perceptual hashes (golden
+    VALUES oracle) — the multimodal real-math triple completed (image
+    q150, audio q153, video here): five synthetic 8-frame raw gray
+    videos in the asset shape — a base clip, a +20-brightness re-encode,
+    an exact 2x re-scale, a copy with frames 2 and 5 replaced (a
+    different cut), and an unrelated clip. `asset_video_frames` is the
+    REAL frame-sample operator (every 2nd frame via byte-offset binary
+    substring — no decoder; `operators/video_hash.py`), each sampled
+    frame hashes through the certified image dHash stack, and videos
+    pair when >= 60% of ALIGNED sampled positions agree within Hamming 4
+    (the alignment is IN the band-join key, so only same-position frames
+    ever meet). Brightness and re-scale copies match 4/4 (dHash's
+    relative comparisons), the different cut matches 3/4 (position 2
+    differs, positions 4/6/0 agree), the unrelated clip pairs with
+    nothing, and the mp4 container row is filtered by the projection
+    (the decode seam owns compressed video). Reference parity: none in
+    the reference (no video path); aligned banded ≡ brute-force parity
+    and the slicing reference are pinned by tests/test_video_hash.py."""
+    import hashlib
+
+    from ocr_vector_db_spark.operators.video_hash import (
+        asset_video_frames,
+        video_frame_signatures,
+        video_near_dup_pairs,
+    )
+
+    def mat(seed):
+        return [
+            [hashlib.md5(f"{seed}:{cx}:{cy}".encode()).digest()[0] % 200
+             + 10 for cx in range(9)]
+            for cy in range(8)
+        ]
+
+    def render(m, w, h):
+        return bytes(
+            m[y * 8 // h][x * 9 // w] for y in range(h) for x in range(w)
+        )
+
+    def video(seed, w, h, nf, bright=0, swap=()):
+        frames = []
+        for f in range(nf):
+            s = f"{seed}:f{f}" if f not in swap else f"other:{seed}:f{f}"
+            m = [[min(255, v + bright) for v in row] for row in mat(s)]
+            frames.append(render(m, w, h))
+        return b"".join(frames)
+
+    nf = 8
+    clips = [
+        ("vid_base", video("clip", 36, 24, nf), "36", "24"),
+        ("vid_bright", video("clip", 36, 24, nf, bright=20), "36", "24"),
+        ("vid_scaled", video("clip", 72, 48, nf), "72", "48"),
+        ("vid_cut", video("clip", 36, 24, nf, swap=(2, 5)), "36", "24"),
+        ("vid_other", video("unrelated", 36, 24, nf), "36", "24"),
+    ]
+    rows = [
+        (aid, "video", data,
+         {"format": "raw", "channels": "1", "width": w, "height": h,
+          "n_frames": str(nf), "fps": "1"})
+        for aid, data, w, h in clips
+    ]
+    rows.append(("mp4", "video", b"\x00\x00\x00 ftypisom",
+                 {"format": "mp4", "media_type": "video/mp4"}))
+    adf = spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    vsigs = video_frame_signatures(asset_video_frames(adf, every=2))
+    pairs = video_near_dup_pairs(vsigs, r=4, min_frac=0.6)
+    return (
+        pairs.select(
+            F.lit("pair").alias("item"),
+            F.concat_ws("~", "id_a", "id_b").alias("key"),
+            F.concat_ws(
+                "", F.col("matched").cast("string"), F.lit("/"),
+                F.least("n_a", "n_b").cast("string"), F.lit("@"),
+                F.round("frac", 6).cast("string"),
+            ).alias("detail"),
+        )
+        .unionByName(
+            vsigs.groupBy("asset_id").agg(F.count("*").alias("n"))
+            .select(F.lit("video").alias("item"),
+                    F.col("asset_id").alias("key"),
+                    F.col("n").cast("string").alias("detail"))
+        )
+        .orderBy("item", "key")
+    )

@@ -175,6 +175,50 @@ def image_dropped_ids(
     )
 
 
+# ---------------------------------------------------------------------
+# audio modality adapters: the same gate over PCM clips
+# ---------------------------------------------------------------------
+
+
+def hashable_clips_pred(df: DataFrame) -> "F.Column":
+    """True for clips `audio_fingerprints` CAN hash: an even byte length
+    (whole int16 samples) of at least the 65-sample frame grid. Shorter
+    or malformed clips silently vanish inside `pcm_frame_cells`' filter —
+    the same fall-through hazard as sub-grid images, split on FIRST."""
+    from ocr_vector_db_spark.operators.audio_fingerprint import N_FRAMES
+
+    ok = (
+        (F.length("data") % 2 == 0)
+        & (F.length("data") >= N_FRAMES * 2)
+    )
+    return F.coalesce(ok, F.lit(False))
+
+
+def audio_dropped_ids(
+    clips: DataFrame, r: int, id_col: str = "asset_id"
+) -> DataFrame:
+    """`image_dropped_ids`' audio twin: keep-min over the batch's energy-
+    fingerprint near-dup pairs (same 64-bit banded Hamming search)."""
+    from ocr_vector_db_spark.operators.audio_fingerprint import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+
+    sigs = audio_fingerprints(clips, id_col=id_col)
+    return (
+        audio_near_dup_pairs(sigs, r=r)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+
+def exact_clip_key(df: DataFrame) -> "F.Column":
+    """Exact-content key for sub-frame-grid clips: sha256 of the raw
+    bytes (byte-identical is the only duplicate notion that exists below
+    the 65-sample grid)."""
+    return F.sha2(F.base64(F.col("data")), 256)
+
+
 def stream_ingest_asset_dedup(
     frames_stream: DataFrame,
     index,
@@ -186,6 +230,9 @@ def stream_ingest_asset_dedup(
     ledger=None,
     compact_every: int | None = None,
     exact_store: ExactFrameStore | None = None,
+    hashable_pred=None,
+    dropped_ids=None,
+    exact_key=None,
 ):
     """Start the availableNow asset-dedup stream. `frames_stream` rows must
     carry (id_col, data, width, height) — `asset_gray_frames` output; any
@@ -202,7 +249,17 @@ def stream_ingest_asset_dedup(
     frame — and are counted per epoch (`unhashable`,
     `dropped_exact_dup`). Without an `exact_store` the exact screen is
     intra-batch only (cross-batch byte-identical repeats pass; the CLI
-    always persists one)."""
+    always persists one).
+
+    The gate itself is modality-independent; the three seams default to
+    the image functions and swap for other asset kinds — audio PCM clips
+    pass `hashable_clips_pred` / `audio_dropped_ids` / `exact_clip_key`
+    with an `AudioFpIndex` (the CLI's `stream-ingest-audio`). Everything
+    downstream of the seams (replay ledger, sink-then-fold ordering,
+    compaction, stats) is shared and keeps its certification."""
+    hashable_pred = hashable_pred or hashable_frames_pred
+    dropped_ids = dropped_ids or image_dropped_ids
+    exact_key = exact_key or exact_frame_key
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if ledger is not None and epoch_id <= ledger.committed():
@@ -216,10 +273,10 @@ def stream_ingest_asset_dedup(
             return
         batch_df = batch_df.cache()
         try:
-            pred = hashable_frames_pred(batch_df)
+            pred = hashable_pred(batch_df)
             hashable = batch_df.filter(pred)
             n_in = hashable.count()
-            doomed = image_dropped_ids(hashable, index.r, id_col=id_col)
+            doomed = dropped_ids(hashable, index.r, id_col=id_col)
             batch_kept = hashable.join(doomed, id_col, "left_anti")
             fresh = index.dedup_new(batch_kept, id_col=id_col)
             # localCheckpoint, NOT cache: fresh's plan scans the band/
@@ -233,7 +290,7 @@ def stream_ingest_asset_dedup(
             # the unhashable remainder: exact byte-hash dedup, never the
             # silent fall-through (see the function docstring)
             unhashable = batch_df.filter(~pred)
-            keyed = unhashable.withColumn("__xkey", exact_frame_key(unhashable))
+            keyed = unhashable.withColumn("__xkey", exact_key(unhashable))
             first_ids = keyed.groupBy("__xkey").agg(F.min(id_col).alias(id_col))
             u_kept = keyed.join(first_ids, ["__xkey", id_col], "left_semi")
             if exact_store is not None:
@@ -288,4 +345,16 @@ def asset_store_paths(store: str) -> dict[str, str]:
         "accepted": os.path.join(store, "accepted_assets"),
         "ledger": os.path.join(store, "phash_index", "_epochs"),
         "checkpoint": os.path.join(store, "asset_stream_checkpoint"),
+    }
+
+
+def audio_store_paths(store: str) -> dict[str, str]:
+    """`asset_store_paths`' audio twin (separate dirs so one store root
+    can gate both modalities)."""
+    return {
+        "index": os.path.join(store, "afp_index"),
+        "exact": os.path.join(store, "exact_clips"),
+        "accepted": os.path.join(store, "accepted_audio"),
+        "ledger": os.path.join(store, "afp_index", "_epochs"),
+        "checkpoint": os.path.join(store, "audio_stream_checkpoint"),
     }

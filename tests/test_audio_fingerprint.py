@@ -272,3 +272,86 @@ def test_frame_cells_plan_shape(spark):
 
     first_exchange = plan.index("Exchange hashpartitioning")
     assert re.search(r"partial_sum", plan[first_exchange:]), plan
+
+
+def test_stream_ingest_audio_dedup(spark, tmp_path):
+    """The streaming asset gate through its audio seams: batch 1 seeds
+    the persisted AudioFpIndex; batch 2's 2x-gain re-encode of an
+    indexed clip drops against the store, an intra-batch re-encode pair
+    collapses keep-min, a sub-frame-grid jingle dedups by exact byte
+    hash cross-batch, and the novel clip is accepted and folded in."""
+    import shutil
+
+    from ocr_vector_db_spark.operators.audio_fingerprint import AudioFpIndex
+    from ocr_vector_db_spark.streaming.assets import (
+        ExactFrameStore,
+        audio_dropped_ids,
+        exact_clip_key,
+        hashable_clips_pred,
+        stream_ingest_asset_dedup,
+    )
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    schema = "asset_id string, data binary"
+
+    def feed(src, name, rows):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(
+            [(aid, _pcm(s)) for aid, s in rows], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        src.mkdir(exist_ok=True)
+        shutil.copy(part, src / f"{name}.parquet")
+
+    take_a = _synth("st-a", 9000, seg_len=130)
+    take_b = _synth("st-b", 9000, seg_len=130)
+    take_new = _synth("st-new", 9000, seg_len=130)
+    jingle = _synth("st-jingle", 40)  # below the 65-sample frame grid
+
+    empty = spark.createDataFrame([], schema)
+    idx = AudioFpIndex.build(
+        spark, empty, str(tmp_path / "afpidx_stream"), r=6, n_buckets=8
+    )
+    xstore = ExactFrameStore(spark, str(tmp_path / "exact_clips"))
+    src = tmp_path / "clips"
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted_audio"))
+    ckpt = str(tmp_path / "auctkpt")
+
+    def run(stats):
+        q = stream_ingest_asset_dedup(
+            spark.readStream.schema(schema).parquet(str(src)), idx, sink,
+            stats=stats, checkpoint=ckpt, exact_store=xstore,
+            hashable_pred=hashable_clips_pred,
+            dropped_ids=audio_dropped_ids,
+            exact_key=exact_clip_key,
+        )
+        q.awaitTermination(60)
+
+    feed(src, "b1", [("take_a", take_a), ("take_b", take_b),
+                     ("jingle", jingle)])
+    stats: list = []
+    run(stats)
+    assert sorted(r.asset_id for r in sink.read(spark).collect()) == \
+        ["jingle", "take_a", "take_b"]
+    assert stats[-1] == {"epoch": 0, "accepted": 3, "dropped_as_dup": 0,
+                         "unhashable": 1, "dropped_exact_dup": 0}
+
+    # batch 2: a gain re-encode of an indexed take (store screen), two
+    # re-encodes of a new take in the SAME batch (keep-min), the same
+    # jingle bytes again (exact store screen), one novel take
+    feed(src, "b2", [
+        ("take_a_loud", [v * 2 for v in take_a]),
+        ("take_new_a", take_new),
+        ("take_new_b", [v * 3 for v in take_new]),
+        ("jingle_again", jingle),
+        ("take_novel", _synth("st-novel", 9000, seg_len=130)),
+    ])
+    stats2: list = []
+    run(stats2)
+    accepted = {(r.asset_id, r.epoch_id) for r in sink.read(spark).collect()}
+    assert accepted == {("take_a", 0), ("take_b", 0), ("jingle", 0),
+                        ("take_new_a", 1), ("take_novel", 1)}
+    assert stats2[-1] == {"epoch": 1, "accepted": 2, "dropped_as_dup": 2,
+                          "unhashable": 1, "dropped_exact_dup": 1}
+    sigs = {r.doc for r in idx.signatures().collect()}
+    assert sigs == {"take_a", "take_b", "take_new_a", "take_novel"}

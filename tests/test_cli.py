@@ -942,3 +942,63 @@ def test_cli_stream_ingest_images(spark, tmp_path, capsys):
     assert cli.main(["stream-ingest-images", "--store", store,
                      "--source", str(src), "--radius", "2"]) == 1
     assert "r=4" in capsys.readouterr().out
+
+
+def test_cli_stream_ingest_audio(spark, tmp_path, capsys):
+    """stream-ingest-audio drains parquet PCM clips, seeds the store's
+    AudioFpIndex on first use, and a second run drops a gain re-encode
+    of an accepted take while passing a novel one; a radius mismatch
+    against the stored banded layout is a loud error."""
+    import hashlib
+    import shutil
+
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    def synth(seed, n, gain=1):
+        amps, out = {}, bytearray()
+        for i in range(n):
+            seg = i // 130
+            a = amps.get(seg)
+            if a is None:
+                a = (hashlib.md5(f"{seed}:{seg}".encode()).digest()[0]
+                     % 48 * 64 + 400)
+                amps[seg] = a
+            v = a * ((i % 50) - 25) // 25 * gain
+            out += v.to_bytes(2, "little", signed=True)
+        return bytes(out)
+
+    schema = "asset_id string, data binary"
+
+    def feed(src, name, rows):
+        stage = tmp_path / f"au_stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(stage))
+        src.mkdir(exist_ok=True)
+        shutil.copy(next(stage.glob("part-*.parquet")),
+                    src / f"{name}.parquet")
+
+    store = str(tmp_path / "au_store")
+    src = tmp_path / "au_clips"
+    feed(src, "b1", [("take_a", synth("cli-ta", 9000))])
+    assert cli.main(["stream-ingest-audio", "--store", store,
+                     "--source", str(src), "--buckets", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "accepted 1, dropped 0" in out
+
+    feed(src, "b2", [
+        ("take_a_loud", synth("cli-ta", 9000, gain=2)),
+        ("take_b", synth("cli-tb", 9000)),
+    ])
+    assert cli.main(["stream-ingest-audio", "--store", store,
+                     "--source", str(src), "--buckets", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "accepted 1, dropped 1" in out
+
+    accepted = ParquetAcceptedSink(
+        store + "/accepted_audio").read(spark)
+    assert sorted(r.asset_id for r in accepted.collect()) == \
+        ["take_a", "take_b"]
+
+    assert cli.main(["stream-ingest-audio", "--store", store,
+                     "--source", str(src), "--radius", "2"]) == 1
+    assert "r=6" in capsys.readouterr().out

@@ -1,0 +1,157 @@
+"""Frame-sampled video near-dup (q155): slicing reference, aligned
+banded ≡ brute force, projection filters, plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.operators.image_hash import (
+    dhash_signatures,
+    hamming_hex,
+)
+from ocr_vector_db_spark.operators.video_hash import (
+    asset_video_frames,
+    video_frame_signatures,
+    video_near_dup_pairs,
+)
+
+
+def _mat(seed):
+    return [[hashlib.md5(f"{seed}:{cx}:{cy}".encode()).digest()[0] % 200 + 10
+             for cx in range(9)] for cy in range(8)]
+
+
+def _render(m, w, h):
+    return bytes(m[y * 8 // h][x * 9 // w]
+                 for y in range(h) for x in range(w))
+
+
+def _video(seed, w, h, nf, bright=0, swap=()):
+    frames = []
+    for f in range(nf):
+        s = f"{seed}:f{f}" if f not in swap else f"cut:{seed}:f{f}"
+        m = [[min(255, v + bright) for v in row] for row in _mat(s)]
+        frames.append(_render(m, w, h))
+    return frames
+
+
+def _assets_df(spark, vids):
+    rows = [
+        (aid, "video", b"".join(frames),
+         {"format": "raw", "channels": "1", "width": str(w),
+          "height": str(h), "n_frames": str(len(frames))})
+        for aid, frames, w, h in vids
+    ]
+    return spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+
+
+def test_frame_sampling_slices_exact_bytes(spark):
+    """asset_video_frames(every=k) returns EXACTLY the k-strided frames'
+    bytes (binary substring == python slicing), always including frame
+    0, and drops length-mismatched and compressed rows."""
+    frames = _video("sl", 20, 12, 7)
+    adf = _assets_df(spark, [("v", frames, 20, 12)])
+    bad = spark.createDataFrame(
+        [("short", "video", b"\x00" * 10,
+          {"format": "raw", "channels": "1", "width": "20",
+           "height": "12", "n_frames": "7"}),
+         ("mp4", "video", b"ftyp", {"format": "mp4"})],
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    for every in (1, 2, 3):
+        got = {r.frame_idx: (bytes(r.data), r.width, r.height)
+               for r in asset_video_frames(
+                   adf.unionByName(bad), every=every).collect()}
+        exp = {i: (frames[i], 20, 12) for i in range(0, 7, every)}
+        assert got == exp, every
+
+
+def test_signatures_equal_per_frame_dhash(spark):
+    """video_frame_signatures == dhash_signatures run on the frames
+    sliced driver-side: the composite-id round trip loses nothing."""
+    frames = _video("sg", 36, 24, 5)
+    adf = _assets_df(spark, [("v1", frames, 36, 24)])
+    got = {(r.asset_id, r.frame_idx): r.dhash
+           for r in video_frame_signatures(
+               asset_video_frames(adf, every=2)).collect()}
+    direct = spark.createDataFrame(
+        [(f"f{i}", frames[i], 36, 24) for i in (0, 2, 4)],
+        "asset_id string, data binary, width int, height int",
+    )
+    exp = {r.id: r.dhash
+           for r in dhash_signatures(direct).collect()}
+    assert got == {("v1", i): exp[f"f{i}"] for i in (0, 2, 4)}
+
+
+@pytest.mark.parametrize("r", [2, 4])
+def test_aligned_banded_equals_brute_force(spark, r):
+    """The aligned candidate join returns EXACTLY the brute-force pairs:
+    per aligned position, hamming <= r; per video pair, the matched
+    count and frac."""
+    vids = [
+        ("a", _video("bf", 36, 24, 6), 36, 24),
+        ("b", _video("bf", 36, 24, 6, bright=15), 36, 24),
+        ("c", _video("bf", 36, 24, 6, swap=(1, 3)), 36, 24),
+        ("d", _video("bf-other", 36, 24, 6), 36, 24),
+    ]
+    vsigs = video_frame_signatures(
+        asset_video_frames(_assets_df(spark, vids), every=1))
+    got = {(p.id_a, p.id_b): (p.matched, p.frac)
+           for p in video_near_dup_pairs(
+               vsigs, r=r, min_frac=0.0).collect()}
+    rows = vsigs.collect()
+    sig = {(x.asset_id, x.frame_idx): x.dhash for x in rows}
+    ids = sorted({x.asset_id for x in rows})
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    exp = {}
+    for i, va in enumerate(ids):
+        for vb in ids[i + 1:]:
+            m = sum(
+                1 for f in range(6)
+                if ham(sig[(va, f)], sig[(vb, f)]) <= r
+            )
+            if m:
+                exp[(va, vb)] = (m, m / 6)
+    assert got == exp
+
+
+def test_near_dup_min_frac_threshold(spark):
+    """min_frac gates the pair list: the different cut survives 0.5 but
+    not 0.9; unrelated clips never pair."""
+    vids = [
+        ("base", _video("th", 36, 24, 8), 36, 24),
+        ("cut", _video("th", 36, 24, 8, swap=(0, 1, 2)), 36, 24),
+        ("other", _video("th-x", 36, 24, 8), 36, 24),
+    ]
+    vsigs = video_frame_signatures(
+        asset_video_frames(_assets_df(spark, vids), every=1))
+    at_half = {(p.id_a, p.id_b)
+               for p in video_near_dup_pairs(vsigs, r=4,
+                                             min_frac=0.5).collect()}
+    assert at_half == {("base", "cut")}
+    at_high = video_near_dup_pairs(vsigs, r=4, min_frac=0.9).collect()
+    assert at_high == []
+
+
+def test_plan_shape_no_cartesian(spark):
+    """The aligned pair search is equi-join-shaped end to end: no
+    cartesian product anywhere in the physical plan."""
+    vids = [("a", _video("pl", 36, 24, 4), 36, 24),
+            ("b", _video("pl", 36, 24, 4, bright=9), 36, 24)]
+    pairs = video_near_dup_pairs(
+        video_frame_signatures(
+            asset_video_frames(_assets_df(spark, vids), every=1)))
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
