@@ -193,6 +193,36 @@ AUDITS = [
      "cells table — the candidate side never shuffles against anything "
      "corpus-sized; candidates come from q65's vocabulary-bounded "
      "map-side-combined top-k (TakeOrderedAndProject)"),
+    ("q152_raster_resize",
+     "resize is q150's cell machinery with an output-bounded exchange: "
+     "the pixel grain never shuffles (scanline explode + map-side "
+     "partial cell sums), the one exchange is keyed (id, cy, cx) at "
+     "≤ out_w·out_h rows per image, and the byte assembly collects "
+     "≤ out_w cells per row / ≤ out_h rows per image — output-sized, "
+     "never input-sized"),
+    ("q153_audio_fingerprint_neardup",
+     "the sample grain never shuffles: hex() once per clip, 4096-sample "
+     "chunk rows via transform+posexplode, ONE linear split per chunk "
+     "into a 4-hex-chars-per-sample array (per-sample substring into "
+     "the chunk string would be O(offset) on UTF8String — measured 29× "
+     "slower), exact integer |sample| sums per chunk∩frame "
+     "intersection, map-side partial sums before the one (clip, frame) "
+     "exchange at ≤ 65 rows per clip; pairs ride the image path's "
+     "nibble-band equi-join unchanged"),
+    ("q154_audio_quality_gates",
+     "one pass over the chunk rows: each chunk folds to a single "
+     "partial struct (Σ|s|, Σs², max, clipped, Σs — exact bigint) "
+     "inside WholeStageCodegen, one exchange per clip at the chunk "
+     "count; the silence ratio reuses the ≤ 65-rows-per-clip frame "
+     "cells — nothing sample-grained ever shuffles"),
+    ("q155_video_framehash_neardup",
+     "frame-sample is a byte-offset BINARY substring (O(frame) slice, "
+     "no UTF8 scan): n_frames/k slim rows per video, each one frame; "
+     "per-frame hashing is q150's certified shape; pair candidates "
+     "come from the temporally-ALIGNED equi-join keyed (frame_idx, "
+     "band, value) — only same-position frames ever meet, never "
+     "all-pairs — then exact XOR verification and one count aggregate "
+     "at the video-pair grain"),
 ]
 
 KEY_LINE = re.compile(
