@@ -106,8 +106,11 @@ def _sample_at(arr: Column, li: Column) -> Column:
     return F.when(v >= 32768, v - 65536).otherwise(v)
 
 
-def _pcm_chunks(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
-    """(id, n, s0, s1, arr): one row per CHUNK_SAMPLES window of each
+def _pcm_chunks(
+    df: DataFrame, id_col: str, data_col: str,
+    chunk_samples: int = CHUNK_SAMPLES,
+) -> DataFrame:
+    """(id, n, s0, s1, arr): one row per `chunk_samples` window of each
     clip, carrying only that window's samples as a 4-hex-chars-per-sample
     array — the audio scanline explode, plus the one linear split that
     makes every later sample read O(1) (see the module docstring's step
@@ -125,22 +128,22 @@ def _pcm_chunks(df: DataFrame, id_col: str, data_col: str) -> DataFrame:
         F.posexplode(
             F.transform(
                 F.sequence(
-                    F.lit(0), F.ceil(F.col("n") / CHUNK_SAMPLES).cast("int") - 1
+                    F.lit(0), F.ceil(F.col("n") / chunk_samples).cast("int") - 1
                 ),
                 lambda j: F.substring(
                     F.col("__hex"),
-                    j * (CHUNK_SAMPLES * 4) + 1,
-                    F.lit(CHUNK_SAMPLES * 4),
+                    j * (chunk_samples * 4) + 1,
+                    F.lit(chunk_samples * 4),
                 ),
             )
         ).alias("j", "chex"),
     )
-    s0 = F.col("j").cast("long") * CHUNK_SAMPLES
+    s0 = F.col("j").cast("long") * chunk_samples
     return chunks.select(
         "id", "n",
         F.split("chex", r"(?<=\G.{4})").alias("arr"),
         s0.alias("s0"),
-        F.least(F.col("n"), s0 + CHUNK_SAMPLES).alias("s1"),
+        F.least(F.col("n"), s0 + chunk_samples).alias("s1"),
     )
 
 
@@ -365,4 +368,78 @@ def audio_quality_stats(
             (F.col("dc") / F.col("n")).alias("dc_offset"),
             F.coalesce("silence_ratio", F.lit(0.0)).alias("silence_ratio"),
         )
+    )
+
+
+def resample_pcm(
+    df: DataFrame,
+    factor: int,
+    id_col: str = "asset_id",
+    data_col: str = "data",
+) -> DataFrame:
+    """REAL distributed sample-rate reduction — the audio twin of
+    `image_hash.resize_raster` (image resize ↔ audio resample ↔ video
+    frame-sample): decimate raw PCM16 by an integer `factor` via exact
+    box averages — output sample o = round-half-up(mean of input samples
+    [o·f, (o+1)·f)), the standard anti-aliased integer decimation for
+    already-bandlimited material (a trailing remainder of n % f samples
+    truncates, matching every fixed-ratio resampler). (id, data) → the
+    same shape at n/f samples; callers halve/third their `sample_rate`
+    metadata alongside.
+
+    All math is exact integers — the sum is exact, and the one rounding
+    per OUTPUT sample is floor((2·sum + f) / (2·f)) (half-up toward +∞,
+    branchless, no float) — so results are bit-deterministic under any
+    partitioning, and resampling an exact 2× upsample by 2 returns the
+    ORIGINAL BYTES (pinned by tests).
+
+    Scale shape: entirely MAP-SIDE until one output-bounded exchange —
+    chunk rows are cut at a factor-aligned size (the largest multiple of
+    `factor` ≤ CHUNK_SAMPLES) so no output sample ever straddles chunks;
+    each chunk row emits its own decimated hex (O(chunk) work, O(chunk/f)
+    output); the single exchange is the per-clip assembly collect of
+    ≤ n/(f·chunk) chunk-output rows — output-sized, never input-sized."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    if factor == 1:
+        return df.select(F.col(id_col).alias(id_col), data_col)
+    eff = CHUNK_SAMPLES - (CHUNK_SAMPLES % factor)
+    chunks = _pcm_chunks(df, id_col, data_col, chunk_samples=eff)
+
+    def out_hex(g: Column) -> Column:
+        s = F.aggregate(
+            F.sequence(g * factor, (g + 1) * factor - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + _sample_at(F.col("arr"), i),
+        )
+        v = F.floor((2 * s + factor) / F.lit(2 * factor)).cast("long")
+        u = v.bitwiseAND(F.lit(0xFFFF))
+        byte = [u.bitwiseAND(F.lit(255)), F.shiftright(u, 8)]
+        return F.concat(*[
+            F.lpad(F.lower(F.conv(b.cast("string"), 10, 16)), 2, "0")
+            for b in byte
+        ])
+
+    n_groups = F.floor((F.col("s1") - F.col("s0")) / factor).cast("int")
+    per_chunk = chunks.filter(n_groups > 0).select(
+        "id", "s0",
+        F.concat_ws(
+            "",
+            F.transform(F.sequence(F.lit(0), n_groups - 1), out_hex),
+        ).alias("ohex"),
+    )
+    return (
+        per_chunk.groupBy("id")
+        .agg(
+            F.unhex(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("s0", "ohex"))),
+                        lambda s: s["ohex"],
+                    ),
+                )
+            ).alias("data")
+        )
+        .select(F.col("id").alias(id_col), "data")
     )

@@ -355,3 +355,37 @@ def test_stream_ingest_audio_dedup(spark, tmp_path):
                           "unhashable": 1, "dropped_exact_dup": 1}
     sigs = {r.doc for r in idx.signatures().collect()}
     assert sigs == {"take_a", "take_b", "take_new_a", "take_novel"}
+
+
+def test_resample_pcm_matches_reference_and_round_trips(spark):
+    """resample_pcm = exact box-average decimation, pinned against an
+    independent Python reference across factors (incl. a factor that
+    doesn't divide the chunk size or n), and decimating an exact 2x
+    upsample by 2 returns the ORIGINAL BYTES."""
+    from ocr_vector_db_spark.operators.audio_fingerprint import resample_pcm
+
+    def ref(samples, f):
+        out = []
+        for o in range(len(samples) // f):
+            s = sum(samples[o * f:(o + 1) * f])
+            out.append((2 * s + f) // (2 * f))
+        return _pcm(out)
+
+    base = _synth("rs", 13001)
+    other = _synth("rs-b", 9000)
+    df = _clips_df(spark, [("a", base), ("b", other)])
+    for f in (2, 3, 4):
+        got = {r.asset_id: bytes(r.data)
+               for r in resample_pcm(df, f).collect()}
+        assert got == {"a": ref(base, f), "b": ref(other, f)}, f
+
+    up2 = [v for v in base for _ in (0, 1)]
+    rt = resample_pcm(
+        _clips_df(spark, [("u", up2)]), 2
+    ).first()
+    assert bytes(rt.data) == _pcm(base)
+
+    # factor=1 is the identity passthrough
+    ident = resample_pcm(df, 1).collect()
+    assert {r.asset_id: bytes(r.data) for r in ident} == \
+        {"a": _pcm(base), "b": _pcm(other)}
