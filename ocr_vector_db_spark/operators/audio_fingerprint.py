@@ -399,8 +399,8 @@ def resample_pcm(
     each chunk row emits its own decimated hex (O(chunk) work, O(chunk/f)
     output); the single exchange is the per-clip assembly collect of
     ≤ n/(f·chunk) chunk-output rows — output-sized, never input-sized."""
-    if factor < 1:
-        raise ValueError("factor must be >= 1")
+    if not 1 <= factor <= CHUNK_SAMPLES:
+        raise ValueError(f"factor must be in [1, {CHUNK_SAMPLES}]")
     if factor == 1:
         return df.select(F.col(id_col).alias(id_col), data_col)
     eff = CHUNK_SAMPLES - (CHUNK_SAMPLES % factor)

@@ -108,10 +108,11 @@ def video_frame_signatures(
         frames.select(fid.alias("fid"), "data", "width", "height"),
         id_col="fid",
     )
-    parts = F.split("id", "#")
+    # split from the RIGHT (fixed-width frame suffix), so an asset_id
+    # that itself contains '#' round-trips intact
     return sigs.select(
-        F.element_at(parts, 1).alias(id_col),
-        F.element_at(parts, 2).cast("int").alias("frame_idx"),
+        F.substring(F.col("id"), 1, F.length("id") - 10).alias(id_col),
+        F.substring(F.col("id"), -9, 9).cast("int").alias("frame_idx"),
         "dhash",
     )
 

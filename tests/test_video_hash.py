@@ -76,12 +76,17 @@ def test_frame_sampling_slices_exact_bytes(spark):
 
 def test_signatures_equal_per_frame_dhash(spark):
     """video_frame_signatures == dhash_signatures run on the frames
-    sliced driver-side: the composite-id round trip loses nothing."""
+    sliced driver-side: the composite-id round trip loses nothing —
+    including for an asset_id that itself contains the separator."""
     frames = _video("sg", 36, 24, 5)
     adf = _assets_df(spark, [("v1", frames, 36, 24)])
     got = {(r.asset_id, r.frame_idx): r.dhash
            for r in video_frame_signatures(
                asset_video_frames(adf, every=2)).collect()}
+    tricky = _assets_df(spark, [("s3://b/x#y.mp4", frames, 36, 24)])
+    t = video_frame_signatures(asset_video_frames(tricky, every=2))
+    assert sorted((r.asset_id, r.frame_idx) for r in t.collect()) == \
+        [("s3://b/x#y.mp4", i) for i in (0, 2, 4)]
     direct = spark.createDataFrame(
         [(f"f{i}", frames[i], 36, 24) for i in (0, 2, 4)],
         "asset_id string, data binary, width int, height int",
