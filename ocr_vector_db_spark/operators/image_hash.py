@@ -527,3 +527,116 @@ def resize_raster(
             F.lit(out_w).alias("width"), F.lit(out_h).alias("height"),
         )
     )
+
+
+def resize_raster_rgb(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "asset_id",
+    channels: int = 3,
+) -> DataFrame:
+    """Channel-PRESERVING exact box-average resize — `resize_raster`'s
+    color twin for model-input normalization (luma is right for the
+    hashes; a training pipeline's thumbnailer must keep the bands).
+    (id, data, width, height) row-major interleaved buffers → the same
+    shape at out_w × out_h × channels, each output byte the
+    round-half-up mean of ITS channel's exact source box.
+
+    Same scale shape as `resize_raster` (scanline explode, map-side
+    exact integer partial sums, one output-bounded exchange — now keyed
+    (id, cy, cx, ch) at ≤ out_w·out_h·channels rows per image), and the
+    interleaved byte order falls out of the lexicographic
+    (cx, ch) struct sort at assembly."""
+    stride = channels * 2
+    w, h = F.col("width"), F.col("height")
+    src = df.filter(
+        (w >= out_w) & (h >= out_h)
+        & (F.length("data") == w * h * channels)
+    ).select(
+        F.col(id_col).alias("id"), w.alias("__w"),
+        F.hex(F.col("data")).alias("__hex"), h.alias("__h"),
+    )
+    lines = src.select(
+        "id", F.col("__w").alias("w"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__h") - 1),
+                lambda y: F.substring(
+                    F.col("__hex"),
+                    y * F.col("__w") * stride + 1,
+                    F.col("__w") * stride,
+                ),
+            )
+        ).alias("y", "line"),
+        F.col("__h").alias("h"),
+    )
+    cy = F.floor(F.col("y") * out_h / F.col("h")).cast("int")
+
+    def cell(gx: int, c: int) -> Column:
+        x0 = F.ceil(F.lit(gx) * F.col("w") / out_w).cast("int")
+        x1 = F.ceil(F.lit(gx + 1) * F.col("w") / out_w).cast("int")
+        s = F.aggregate(
+            F.sequence(x0, x1 - 1),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + _byte_at(F.col("line"), x * channels + c),
+        )
+        return F.struct(
+            F.lit(gx).alias("cx"), F.lit(c).alias("ch"), s.alias("s"),
+            (x1 - x0).cast("long").alias("c"),
+        )
+
+    per_line = lines.select(
+        "id", cy.alias("cy"),
+        F.explode(F.array(*[
+            cell(gx, c) for gx in range(out_w) for c in range(channels)
+        ])).alias("b"),
+    )
+    cells = (
+        per_line.groupBy("id", "cy", F.col("b.cx").alias("cx"),
+                         F.col("b.ch").alias("ch"))
+        .agg(F.sum("b.s").alias("s"), F.sum("b.c").alias("c"))
+    )
+    px_hex = F.lpad(
+        F.lower(
+            F.conv(F.round(F.col("s") / F.col("c"), 0).cast("int")
+                   .cast("string"), 10, 16)
+        ),
+        2, "0",
+    )
+    rows = (
+        cells.groupBy("id", "cy")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("cx", "ch",
+                                                px_hex.alias("hx")))
+                    ),
+                    lambda s: s["hx"],
+                ),
+            ).alias("row_hex")
+        )
+    )
+    return (
+        rows.groupBy("id")
+        .agg(
+            F.unhex(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("cy", "row_hex"))
+                        ),
+                        lambda s: s["row_hex"],
+                    ),
+                )
+            ).alias("data")
+        )
+        .select(
+            F.col("id").alias(id_col), "data",
+            F.lit(out_w).alias("width"), F.lit(out_h).alias("height"),
+            F.lit(channels).alias("channels"),
+        )
+    )

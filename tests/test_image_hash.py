@@ -731,3 +731,63 @@ def test_resize_raster_rgb_luma_and_plan_shape(spark):
     assert "partial_sum" in plan
     assert plan.index("partial_sum") > plan.index("Exchange")
     assert "CartesianProduct" not in plan
+
+
+def test_resize_raster_rgb_channel_preserving(spark):
+    """resize_raster_rgb keeps the bands: each output byte equals the
+    round-half-up mean of its OWN channel's source box (independent
+    reference, non-divisible dims), identity at same size, and an exact
+    2x duplication resizes bit-equal to the original's resize."""
+    import hashlib
+
+    from ocr_vector_db_spark.operators.image_hash import resize_raster_rgb
+
+    def rgb(seed, w, h):
+        return bytes(
+            hashlib.md5(f"{seed}:{x // 3}:{y // 3}:{c}".encode())
+            .digest()[0]
+            for y in range(h) for x in range(w) for c in range(3)
+        )
+
+    def up2(data, w, h):
+        out = bytearray()
+        for y in range(2 * h):
+            for x in range(2 * w):
+                p = ((y // 2) * w + (x // 2)) * 3
+                out += data[p:p + 3]
+        return bytes(out)
+
+    def ref(data, w, h, ow, oh):
+        import math
+        out = bytearray()
+        for cy in range(oh):
+            y0, y1 = math.ceil(cy * h / oh), math.ceil((cy + 1) * h / oh)
+            for cx in range(ow):
+                x0 = math.ceil(cx * w / ow)
+                x1 = math.ceil((cx + 1) * w / ow)
+                for c in range(3):
+                    s = sum(data[(y * w + x) * 3 + c]
+                            for y in range(y0, y1) for x in range(x0, x1))
+                    out.append(int(s / ((y1 - y0) * (x1 - x0)) + 0.5))
+        return bytes(out)
+
+    # non-divisible dims pin the reference; the 2x bit-equality needs
+    # cell-aligned dims (ceil boundaries only scale 2x when the source
+    # dims divide the grid — same caveat as q152's 72x40 fixture)
+    odd = rgb("rgbo", 22, 13)
+    base = rgb("rgbr", 24, 12)
+    rows = [
+        ("odd", odd, 22, 13),
+        ("base", base, 24, 12),
+        ("double", up2(base, 24, 12), 48, 24),
+        ("tiny", rgb("rgbt", 6, 4), 6, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id string, data binary, width int, height int")
+    got = {r.asset_id: bytes(r.data)
+           for r in resize_raster_rgb(df, 6, 4).collect()}
+    assert got["odd"] == ref(odd, 22, 13, 6, 4)
+    assert got["base"] == ref(base, 24, 12, 6, 4)
+    assert got["double"] == got["base"]          # aligned 2x grids
+    assert got["tiny"] == rows[3][1]             # identity
+    assert all(len(v) == 6 * 4 * 3 for v in got.values())
