@@ -302,14 +302,24 @@ def audio_quality_stats(
                        distorted / over-amplified sources)
     - dc_offset        mean SIGNED sample (a broken recorder bias)
     - silence_ratio    fraction of the 65 energy frames whose mean |s|
-                       < silence_frame_abs (dead air / truncated takes)
+                       < silence_frame_abs (dead air / truncated takes;
+                       0.0 for clips below the 65-sample frame grid,
+                       which carry no frame structure)
 
-    The chunk grain never shuffles whole-sample rows: each chunk folds to
-    one partial-struct row, one exchange per clip at the chunk count, the
-    silence pass reuses `pcm_frame_cells`' ≤ 65-rows-per-clip shape."""
+    ONE pass over the samples: the chunk rows fold per (chunk ∩ frame)
+    intersection into quality structs (Σ|s|, Σs², max, clipped count,
+    Σs — all exact bigint), one exchange per clip keyed (clip, frame) at
+    ≤ 65 rows, and BOTH the clip-level sums and the silence ratio reduce
+    from those same frame cells — the corpus is never hex-scanned twice.
+    (Only the slim (id, rate) projection touches the source again.)"""
     chunks = _pcm_chunks(df, id_col, data_col)
+    nF = F.lit(N_FRAMES)
+    f0 = F.floor(F.col("s0") * nF / F.col("n"))
+    f1 = F.floor((F.col("s1") - 1) * nF / F.col("n"))
 
-    def fold(arr: Column, s0: Column, s1: Column) -> Column:
+    def frame_cell(f: Column) -> Column:
+        a = F.greatest(F.col("s0"), F.ceil(f * F.col("n") / nF))
+        b = F.least(F.col("s1"), F.ceil((f + 1) * F.col("n") / nF))
         zero = F.struct(
             F.lit(0).cast("long").alias("sa"),
             F.lit(0).cast("long").alias("sq"),
@@ -319,45 +329,51 @@ def audio_quality_stats(
         )
 
         def step(acc: Column, x: Column) -> Column:
-            s = _sample_at(arr, x - s0)
-            a = F.abs(s)
+            s = _sample_at(F.col("arr"), x - F.col("s0"))
+            a_ = F.abs(s)
             return F.struct(
-                (acc["sa"] + a).alias("sa"),
+                (acc["sa"] + a_).alias("sa"),
                 (acc["sq"] + s * s).alias("sq"),
-                F.greatest(acc["pk"], a).alias("pk"),
-                (acc["cl"] + (a >= CLIP_ABS).cast("long")).alias("cl"),
+                F.greatest(acc["pk"], a_).alias("pk"),
+                (acc["cl"] + (a_ >= CLIP_ABS).cast("long")).alias("cl"),
                 (acc["dc"] + s).alias("dc"),
             )
 
-        return F.aggregate(F.sequence(s0, s1 - 1), zero, step)
+        p = F.aggregate(F.sequence(a, b - 1), zero, step)
+        return F.struct(f.alias("f"), p.alias("p"), (b - a).alias("c"))
 
-    partials = chunks.select(
+    per_chunk = chunks.select(
         "id", "n",
-        fold(F.col("arr"), F.col("s0"), F.col("s1")).alias("p"),
+        F.explode(F.transform(F.sequence(f0, f1), frame_cell)).alias("b"),
     )
-    per_clip = (
-        partials.groupBy("id")
+    cells = (
+        per_chunk.groupBy("id", F.col("b.f").alias("f"))
         .agg(
             F.first("n").alias("n"),
-            F.sum("p.sa").alias("sa"), F.sum("p.sq").alias("sq"),
-            F.max("p.pk").alias("pk"), F.sum("p.cl").alias("cl"),
-            F.sum("p.dc").alias("dc"),
+            F.sum("b.p.sa").alias("sa"), F.sum("b.p.sq").alias("sq"),
+            F.max("b.p.pk").alias("pk"), F.sum("b.p.cl").alias("cl"),
+            F.sum("b.p.dc").alias("dc"), F.sum("b.c").alias("c"),
         )
     )
-    silent = (
-        pcm_frame_cells(df, N_FRAMES, id_col=id_col, data_col=data_col)
-        .groupBy("id")
+    per_clip = (
+        cells.groupBy("id")
         .agg(
-            (F.sum((F.col("s") < F.col("c") * silence_frame_abs)
-                   .cast("int")) / F.count("*")).alias("silence_ratio")
+            F.first("n").alias("n"),
+            F.sum("sa").alias("sa"), F.sum("sq").alias("sq"),
+            F.max("pk").alias("pk"), F.sum("cl").alias("cl"),
+            F.sum("dc").alias("dc"),
+            F.when(
+                F.first("n") >= N_FRAMES,
+                F.sum((F.col("sa") < F.col("c") * silence_frame_abs)
+                      .cast("int")) / F.count("*"),
+            ).otherwise(F.lit(0.0)).alias("silence_ratio"),
         )
     )
     rates = df.select(
         F.col(id_col).alias("id"), F.col(rate_col).alias("rate")
     )
     return (
-        per_clip.join(silent, "id", "left")
-        .join(rates, "id")
+        per_clip.join(rates, "id")
         .select(
             F.col("id").alias(id_col),
             (F.col("n") / F.col("rate")).alias("duration_s"),
@@ -366,7 +382,7 @@ def audio_quality_stats(
             F.col("pk").cast("int").alias("peak_abs"),
             (F.col("cl") / F.col("n")).alias("clip_ratio"),
             (F.col("dc") / F.col("n")).alias("dc_offset"),
-            F.coalesce("silence_ratio", F.lit(0.0)).alias("silence_ratio"),
+            "silence_ratio",
         )
     )
 
@@ -402,7 +418,11 @@ def resample_pcm(
     if not 1 <= factor <= CHUNK_SAMPLES:
         raise ValueError(f"factor must be in [1, {CHUNK_SAMPLES}]")
     if factor == 1:
-        return df.select(F.col(id_col).alias(id_col), data_col)
+        # same output contract as every other factor: the column is named
+        # `data` and malformed (odd-byte-length / empty) rows drop
+        return df.filter(
+            (F.length(data_col) % 2 == 0) & (F.length(data_col) > 0)
+        ).select(F.col(id_col).alias(id_col), F.col(data_col).alias("data"))
     eff = CHUNK_SAMPLES - (CHUNK_SAMPLES % factor)
     chunks = _pcm_chunks(df, id_col, data_col, chunk_samples=eff)
 

@@ -76,16 +76,20 @@ def image_grid_cells(
     width_col: str = "width",
     height_col: str = "height",
     channels: int = 1,
+    per_channel: bool = False,
 ) -> DataFrame:
     """Box-average downsample of raw images to a grid_w × grid_h grid:
-    one row per (id, cy, cx) with the cell's mean brightness.
+    one row per (id, cy, cx) with the cell's mean brightness — or, with
+    `per_channel=True`, one row per (id, cy, cx, ch) with the cell's
+    mean of THAT band (the channel-preserving resize path; the default
+    merges bands into integer luma, which is what the hashes want).
 
     `data` is a raw row-major pixel buffer (width × height × channels
-    bytes; channels > 1 averages the bands — integer luma). Images
-    smaller than the grid carry no full cell structure and are filtered
-    out (screen them by exact byte hash instead). Cell sums are exact
-    integers; the single division per cell is the only float op, so the
-    means are bit-deterministic regardless of partitioning."""
+    bytes). Images smaller than the grid carry no full cell structure
+    and are filtered out (screen them by exact byte hash instead). Cell
+    sums are exact integers; the single division per cell is the only
+    float op, so the means are bit-deterministic regardless of
+    partitioning."""
     w, h = F.col(width_col), F.col(height_col)
     stride = channels * 2  # hex chars per pixel
     src = df.filter(
@@ -113,13 +117,17 @@ def image_grid_cells(
     )
     cy = F.floor(F.col("y") * grid_h / F.col("h")).cast("int")
 
-    def cell(gx: int) -> Column:
+    def xr(gx: int):
         # pixel x belongs to cell gx iff floor(x*grid_w/w) == gx, so the
         # cell's x-range is [ceil(gx*w/grid_w), ceil((gx+1)*w/grid_w))
         # (ceil, NOT floor — they differ when w % grid_w != 0, and the
         # per-pixel convention is what the scanline cy uses too)
         x0 = F.ceil(F.lit(gx) * F.col("w") / grid_w).cast("int")
         x1 = F.ceil(F.lit(gx + 1) * F.col("w") / grid_w).cast("int")
+        return x0, x1
+
+    def cell(gx: int) -> Column:
+        x0, x1 = xr(gx)
         s = F.aggregate(
             F.sequence(x0, x1 - 1),
             F.lit(0).cast("long"),
@@ -129,19 +137,39 @@ def image_grid_cells(
             ),
         )
         return F.struct(
-            F.lit(gx).alias("cx"), s.alias("s"),
+            F.lit(gx).alias("cx"), F.lit(0).alias("ch"), s.alias("s"),
             ((x1 - x0) * channels).cast("long").alias("c"),
         )
 
+    def band_cell(gx: int, c: int) -> Column:
+        x0, x1 = xr(gx)
+        s = F.aggregate(
+            F.sequence(x0, x1 - 1),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + _byte_at(F.col("line"), x * channels + c),
+        )
+        return F.struct(
+            F.lit(gx).alias("cx"), F.lit(c).alias("ch"), s.alias("s"),
+            (x1 - x0).cast("long").alias("c"),
+        )
+
+    structs = (
+        [band_cell(gx, c) for gx in range(grid_w) for c in range(channels)]
+        if per_channel else [cell(gx) for gx in range(grid_w)]
+    )
     per_line = lines.select(
         "id", cy.alias("cy"),
-        F.explode(F.array(*[cell(gx) for gx in range(grid_w)])).alias("b"),
+        F.explode(F.array(*structs)).alias("b"),
     )
+    keys = ["id", "cy", F.col("b.cx").alias("cx")] + (
+        [F.col("b.ch").alias("ch")] if per_channel else []
+    )
+    out_cols = ["id", "cy", "cx"] + (["ch"] if per_channel else [])
     return (
-        per_line.groupBy("id", "cy", F.col("b.cx").alias("cx"))
+        per_line.groupBy(*keys)
         .agg(F.sum("b.s").alias("s"), F.sum("b.c").alias("c"))
         .select(
-            "id", "cy", "cx",
+            *out_cols,
             (F.col("s") / F.col("c")).alias("mean"),
         )
     )
@@ -243,6 +271,7 @@ def phash_near_dup_pairs(
     r: int = 6,
     id_col: str = "id",
     sig_col: str = "dhash",
+    align_col: str | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b, hamming ≤ r) over 64-bit hex signatures.
 
@@ -254,13 +283,22 @@ def phash_near_dup_pairs(
     equi-join; each verifies with the exact XOR bit_count, so the output
     equals the brute-force cross-join (tests pin banded ≡ brute).
 
-    Scale shape: r+1 slim rows per image, one shuffle on the band value
-    (substring — selective: 64/(r+1) bits each), candidate pairs distinct
-    BEFORE the signatures re-attach by id join. Requires r ≤ 15 (one band
-    per nibble at most)."""
+    With `align_col` (the video path), the alignment value joins INTO
+    every key — band candidates, distinct, and the verify re-attach —
+    so only rows sharing it ever meet, and the output carries it:
+    (id_a, id_b, align_col, hamming). One banding implementation serves
+    images, audio and aligned video frames.
+
+    Scale shape: r+1 slim rows per signature, one shuffle on the band
+    value (substring — selective: 64/(r+1) bits each), candidate pairs
+    distinct BEFORE the signatures re-attach by id join. Requires r ≤ 15
+    (one band per nibble at most)."""
     if not 0 <= r < _SIG_NIBBLES:
         raise ValueError(f"r must be in [0, {_SIG_NIBBLES - 1}]")
-    sig = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+    al = [align_col] if align_col else []
+    sig = sigs.select(
+        F.col(id_col).alias("id"), *al, F.col(sig_col).alias("sig")
+    )
     band_structs = [
         F.struct(
             F.lit(j).alias("band"),
@@ -269,27 +307,38 @@ def phash_near_dup_pairs(
         for j, (lo, w) in enumerate(simhash_band_widths(_SIG_NIBBLES, r))
     ]
     bands = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("b")
-    ).select("id", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+        "id", *al, F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", *al, F.col("b.band").alias("band"),
+             F.col("b.val").alias("val"))
     a, b = bands.alias("a"), bands.alias("b")
+    align_eq = (
+        (F.col(f"a.{align_col}") == F.col(f"b.{align_col}"))
+        if align_col else F.lit(True)
+    )
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
+            align_eq
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            *[F.col(f"a.{c}").alias(c) for c in al],
+        )
         .distinct()
     )
-    sig_a = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sig_b = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    sig_a = sig.select(F.col("id").alias("id_a"), *al,
+                       F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("id").alias("id_b"), *al,
+                       F.col("sig").alias("sig_b"))
     return (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
+        cand.join(sig_a, ["id_a"] + al)
+        .join(sig_b, ["id_b"] + al)
         .withColumn("hamming", hamming_hex(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("hamming") <= r)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", *al, "hamming")
     )
 
 
@@ -543,64 +592,22 @@ def resize_raster_rgb(
     shape at out_w × out_h × channels, each output byte the
     round-half-up mean of ITS channel's exact source box.
 
-    Same scale shape as `resize_raster` (scanline explode, map-side
-    exact integer partial sums, one output-bounded exchange — now keyed
+    The cell math IS `image_grid_cells(per_channel=True)` — one shared
+    implementation of the scanline/ceil-boundary convention, so the
+    bands can never drift from the hashes and the gray resize. Same
+    scale shape as `resize_raster` (scanline explode, map-side exact
+    integer partial sums, one output-bounded exchange — keyed
     (id, cy, cx, ch) at ≤ out_w·out_h·channels rows per image), and the
-    interleaved byte order falls out of the lexicographic
-    (cx, ch) struct sort at assembly."""
-    stride = channels * 2
-    w, h = F.col("width"), F.col("height")
-    src = df.filter(
-        (w >= out_w) & (h >= out_h)
-        & (F.length("data") == w * h * channels)
-    ).select(
-        F.col(id_col).alias("id"), w.alias("__w"),
-        F.hex(F.col("data")).alias("__hex"), h.alias("__h"),
-    )
-    lines = src.select(
-        "id", F.col("__w").alias("w"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("__h") - 1),
-                lambda y: F.substring(
-                    F.col("__hex"),
-                    y * F.col("__w") * stride + 1,
-                    F.col("__w") * stride,
-                ),
-            )
-        ).alias("y", "line"),
-        F.col("__h").alias("h"),
-    )
-    cy = F.floor(F.col("y") * out_h / F.col("h")).cast("int")
-
-    def cell(gx: int, c: int) -> Column:
-        x0 = F.ceil(F.lit(gx) * F.col("w") / out_w).cast("int")
-        x1 = F.ceil(F.lit(gx + 1) * F.col("w") / out_w).cast("int")
-        s = F.aggregate(
-            F.sequence(x0, x1 - 1),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + _byte_at(F.col("line"), x * channels + c),
-        )
-        return F.struct(
-            F.lit(gx).alias("cx"), F.lit(c).alias("ch"), s.alias("s"),
-            (x1 - x0).cast("long").alias("c"),
-        )
-
-    per_line = lines.select(
-        "id", cy.alias("cy"),
-        F.explode(F.array(*[
-            cell(gx, c) for gx in range(out_w) for c in range(channels)
-        ])).alias("b"),
-    )
-    cells = (
-        per_line.groupBy("id", "cy", F.col("b.cx").alias("cx"),
-                         F.col("b.ch").alias("ch"))
-        .agg(F.sum("b.s").alias("s"), F.sum("b.c").alias("c"))
+    interleaved byte order falls out of the lexicographic (cx, ch)
+    struct sort at assembly."""
+    cells = image_grid_cells(
+        df, out_w, out_h, id_col=id_col, channels=channels,
+        per_channel=True,
     )
     px_hex = F.lpad(
         F.lower(
-            F.conv(F.round(F.col("s") / F.col("c"), 0).cast("int")
-                   .cast("string"), 10, 16)
+            F.conv(F.round(F.col("mean"), 0).cast("int").cast("string"),
+                   10, 16)
         ),
         2, "0",
     )

@@ -738,9 +738,11 @@ def cm_estimate(
     """`df`'s columns named in `id_cols` + (key, est) — the CM point
     estimate min_j cells[j][h_j(key)], an UPPER bound on the true count
     of every key folded in (missing cells read as 0, which only tightens
-    the min). One row per input row; d probes map-side, one LEFT
-    broadcast join against the ≤ d·w-row cells table — the queried side
-    never shuffles."""
+    the min). One row per DISTINCT (id_cols, key) combination — the
+    probe groupBy collapses duplicate input rows, so don't zip results
+    back to an un-deduplicated input by position; d probes map-side, one
+    LEFT broadcast join against the ≤ d·w-row cells table — the queried
+    side never shuffles."""
     if "key" in id_cols or "est" in id_cols:
         raise ValueError(
             "cm_estimate: id_cols may not contain 'key'/'est' — those "

@@ -44,11 +44,8 @@ from pyspark.sql import functions as F
 
 from ocr_vector_db_spark.operators.image_hash import (
     dhash_signatures,
-    hamming_hex,
+    phash_near_dup_pairs,
 )
-from ocr_vector_db_spark.operators.dedup import simhash_band_widths
-
-_SIG_NIBBLES = 16
 
 
 def asset_video_frames(assets: DataFrame, every: int = 1) -> DataFrame:
@@ -129,47 +126,21 @@ def video_near_dup_pairs(
     verification), `frac` = matched / min(n_a, n_b), kept when
     frac ≥ min_frac. Inputs are `video_frame_signatures` rows; both
     videos must be sampled at the same stride for positions to align."""
-    sig = vsigs.select(
-        F.col(id_col).alias("id"), "frame_idx", F.col("dhash").alias("sig")
+    # ONE banding implementation serves images, audio and video: the
+    # shared helper with frame_idx as the alignment key (banding,
+    # distinct-before-reattach, XOR verify all inherited — a fix there
+    # reaches every modality)
+    verified = phash_near_dup_pairs(
+        vsigs, r=r, id_col=id_col, sig_col="dhash",
+        align_col="frame_idx",
     )
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.substring("sig", lo + 1, wd).alias("val"),
-        )
-        for j, (lo, wd) in enumerate(simhash_band_widths(_SIG_NIBBLES, r))
-    ]
-    bands = sig.select(
-        "id", "frame_idx",
-        F.explode(F.array(*band_structs)).alias("b"),
-    ).select("id", "frame_idx", "b.band", "b.val")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.frame_idx") == F.col("b.frame_idx"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.frame_idx").alias("frame_idx"),
-        )
-        .distinct()
-    )
-    sa = sig.select(F.col("id").alias("id_a"), "frame_idx",
-                    F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("id").alias("id_b"), "frame_idx",
-                    F.col("sig").alias("sig_b"))
     matched = (
-        cand.join(sa, ["id_a", "frame_idx"])
-        .join(sb, ["id_b", "frame_idx"])
-        .filter(hamming_hex(F.col("sig_a"), F.col("sig_b")) <= r)
-        .groupBy("id_a", "id_b")
+        verified.groupBy("id_a", "id_b")
         .agg(F.count("*").alias("matched"))
     )
-    counts = sig.groupBy("id").agg(F.count("*").alias("n"))
+    counts = vsigs.groupBy(F.col(id_col).alias("id")).agg(
+        F.count("*").alias("n")
+    )
     return (
         matched
         .join(counts.select(F.col("id").alias("id_a"),

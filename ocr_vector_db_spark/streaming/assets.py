@@ -122,43 +122,86 @@ class ExactFrameStore:
         committed()+1 at most): a committed epoch never replays, so
         nothing will ever screen with before_epoch <= below_epoch - 1
         again, and all folded keys stay visible to every later epoch.
-        Distinct-safe (keys are content hashes), crash-safe: the merged
-        dir is written FIRST (overwriting epoch = below_epoch - 1, whose
-        rows are a subset of the merge), then the older dirs drop — a
-        crash between the two steps only leaves duplicate keys, which
-        the anti-join semantics ignore."""
+
+        Crash-safe by staging, never by overwrite: the merge is written
+        to an underscore-prefixed staging dir (invisible to `keys()`'
+        partition discovery), the target epoch dir swaps in via
+        delete+rename (two metadata ops), and the source dirs drop only
+        AFTER the swap — so at every instant every key lives in at least
+        one on-disk dir. A crash costs at most duplicate keys (harmless
+        to the anti-join) or a brief window where the target's keys sit
+        in a stale staging dir; the next cycle folds stale stages back
+        in as sources and cleans them. (The previous overwrite-in-place
+        scheme deleted the target's only copy before the new write
+        landed — a mid-write crash lost committed keys for good.)"""
         from ocr_vector_db_spark.operators.index_maint import fs_exists
 
         if below_epoch < 1 or not fs_exists(self.spark, self.path):
             return
-        # enumerate epoch dirs through the FileSystem API (no Spark job,
-        # no driver-side row collection — the dir listing is the only
-        # driver-sized state here)
+        # enumerate epoch + stale staging dirs through the FileSystem
+        # API (no Spark job; the dir listing is the only driver-sized
+        # state here)
         jvm = self.spark.sparkContext._jvm
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()
         root = jvm.org.apache.hadoop.fs.Path(self.path)
         fs = root.getFileSystem(conf)
-        epochs = []
+        epochs, stale = [], []
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             if name.startswith("epoch="):
                 epochs.append(int(name.split("=", 1)[1]))
+            elif name.startswith("_compact_"):
+                stale.append(name)
         doomed = [e for e in epochs if e < below_epoch - 1]
-        if not doomed:
+        if not doomed and not stale:
             return
         merged = (
             self.spark.read.parquet(self.path)
             .filter(F.col("epoch") < below_epoch)
-            .select("__xkey").distinct()
-        ).localCheckpoint()  # materialize BEFORE overwriting sources
-        merged.write.mode("overwrite").parquet(
+            .select("__xkey")
+        )
+        for name in stale:
+            # a stale stage can hold the target's only copy (crash
+            # between its delete and rename); an unreadable one (crash
+            # mid-write) is redundant with the still-present sources
+            try:
+                merged = merged.unionByName(
+                    self.spark.read.parquet(
+                        os.path.join(self.path, name)
+                    ).select("__xkey")
+                )
+            except Exception:
+                pass
+        merged = merged.distinct()
+        stage_name = f"_compact_{below_epoch}"
+        while fs.exists(jvm.org.apache.hadoop.fs.Path(
+                os.path.join(self.path, stage_name))):
+            stage_name += "x"  # never overwrite a stale stage
+        merged.write.parquet(os.path.join(self.path, stage_name))
+        target = jvm.org.apache.hadoop.fs.Path(
             os.path.join(self.path, f"epoch={below_epoch - 1}")
         )
+        fs.delete(target, True)
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(self.path, stage_name)
+            ),
+            target,
+        )
         for e in doomed:
-            p = jvm.org.apache.hadoop.fs.Path(
-                os.path.join(self.path, f"epoch={e}")
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(self.path, f"epoch={e}")
+                ),
+                True,
             )
-            fs.delete(p, True)
+        for name in stale:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(self.path, name)
+                ),
+                True,
+            )
 
 
 def image_dropped_ids(
@@ -290,7 +333,13 @@ def stream_ingest_asset_dedup(
             # the unhashable remainder: exact byte-hash dedup, never the
             # silent fall-through (see the function docstring)
             unhashable = batch_df.filter(~pred)
-            keyed = unhashable.withColumn("__xkey", exact_key(unhashable))
+            # NULL-data rows are garbage, not content: they never reach
+            # the sink (counted inside dropped_exact_dup). Without this
+            # split the image key would silently degrade to dims-only
+            # (concat_ws skips NULLs) and the audio key to a NULL that
+            # never joins — the two modalities would disagree.
+            keyed = unhashable.filter(F.col("data").isNotNull())
+            keyed = keyed.withColumn("__xkey", exact_key(keyed))
             first_ids = keyed.groupBy("__xkey").agg(F.min(id_col).alias(id_col))
             u_kept = keyed.join(first_ids, ["__xkey", id_col], "left_semi")
             if exact_store is not None:
@@ -329,7 +378,12 @@ def stream_ingest_asset_dedup(
             batch_df.unpersist()
         if compact_every is not None and (epoch_id + 1) % compact_every == 0:
             index.compact()
-            if exact_store is not None:
+            # the exact store's compaction precondition is COMMITTED
+            # epochs (compact folds dirs a replay must never overwrite);
+            # without a ledger no epoch is provably committed — the
+            # streaming checkpoint alone can replay the current epoch
+            # after a crash — so ledgerless runs keep per-epoch dirs
+            if exact_store is not None and ledger is not None:
                 # every epoch <= epoch_id just committed (or no-op'd);
                 # folding them bounds the store's dir count
                 exact_store.compact(below_epoch=epoch_id + 1)

@@ -633,76 +633,50 @@ def stream_ingest_deduped(
                         fresh.select(F.length(text_col).alias("__dv")),
                         "__dv", epoch=epoch_id,
                     )
-            if guarded and drift_baseline is not None:
-                # crash window: died between sink write and fold. The
-                # epoch guard makes this a no-op when the fold landed.
-                epoch_rows = getattr(accepted_sink, "read_epoch", None)
-                epoch_rows = epoch_rows and epoch_rows(
-                    batch_df.sparkSession, epoch_id
+            # Crash-window repairs: a prior attempt may have died between
+            # the sink write and any of the folds below; on retry `fresh`
+            # is empty (dedup_new drops the indexed docs), so each
+            # consumer re-folds from the epoch's own sink slice. Every
+            # fold is made no-op-safe its own way (drift/tokenfreq epoch
+            # guards, vocab register MAX, sample id-idempotence, the
+            # semantic guarded anti-join). The slice is read ONCE for all
+            # of them; only crashed-epoch retries pay it.
+            epoch_rows = None
+            if guarded and any(
+                x is not None for x in (drift_baseline, tokenfreq_sketch,
+                                        vocab_sketch, sample,
+                                        semantic_index)
+            ):
+                rd = getattr(accepted_sink, "read_epoch", None)
+                epoch_rows = rd and rd(batch_df.sparkSession, epoch_id)
+            has_text = (epoch_rows is not None
+                        and text_col in epoch_rows.columns)
+            if guarded and drift_baseline is not None and has_text:
+                drift_baseline.fold(
+                    epoch_rows.select(F.length(text_col).alias("__dv")),
+                    "__dv", epoch=epoch_id,
                 )
-                if epoch_rows is not None and text_col in epoch_rows.columns:
-                    drift_baseline.fold(
-                        epoch_rows.select(
-                            F.length(text_col).alias("__dv")
-                        ),
-                        "__dv", epoch=epoch_id,
-                    )
-            if guarded and tokenfreq_sketch is not None:
-                # crash window: died between sink write and fold. The
-                # epoch marker makes this a no-op when the fold landed.
-                epoch_rows = getattr(accepted_sink, "read_epoch", None)
-                epoch_rows = epoch_rows and epoch_rows(
-                    batch_df.sparkSession, epoch_id
+            if guarded and tokenfreq_sketch is not None and has_text:
+                tokenfreq_sketch.add(
+                    _stream_tokens(epoch_rows, text_col),
+                    F.col("__tok"), epoch=epoch_id,
                 )
-                if epoch_rows is not None and text_col in epoch_rows.columns:
-                    tokenfreq_sketch.add(
-                        _stream_tokens(epoch_rows, text_col),
-                        F.col("__tok"), epoch=epoch_id,
-                    )
-            if guarded and vocab_sketch is not None:
-                # same crash window as the sample fold below: re-fold the
-                # epoch's sink slice; register MAX makes it a no-op when
-                # the fold did land
-                epoch_rows = getattr(accepted_sink, "read_epoch", None)
-                epoch_rows = epoch_rows and epoch_rows(
-                    batch_df.sparkSession, epoch_id
-                )
-                if epoch_rows is not None and text_col in epoch_rows.columns:
-                    vocab_sketch.add(_stream_tokens(epoch_rows, text_col),
-                                     F.col("__tok"))
-            if guarded and sample is not None:
-                # Same crash window as the semantic repair below: a prior
-                # attempt may have died between the sink write and the
-                # sample fold; on retry `fresh` is empty (dedup_new drops
-                # the indexed docs), so re-fold from the epoch's own sink
-                # rows. Folds are id-idempotent — a no-op if it did land.
-                epoch_rows = getattr(accepted_sink, "read_epoch", None)
-                epoch_rows = epoch_rows and epoch_rows(
-                    batch_df.sparkSession, epoch_id
-                )
-                if epoch_rows is not None:
-                    if sample.weight_col in epoch_rows.columns:
-                        sample.fold(epoch_rows)
-                    elif text_col in epoch_rows.columns:
-                        sample.fold(epoch_rows.withColumn(
-                            sample.weight_col,
-                            F.length(F.col(text_col)),
-                        ))
+            if guarded and vocab_sketch is not None and has_text:
+                vocab_sketch.add(_stream_tokens(epoch_rows, text_col),
+                                 F.col("__tok"))
+            if guarded and sample is not None and epoch_rows is not None:
+                if sample.weight_col in epoch_rows.columns:
+                    sample.fold(epoch_rows)
+                elif text_col in epoch_rows.columns:
+                    sample.fold(epoch_rows.withColumn(
+                        sample.weight_col,
+                        F.length(F.col(text_col)),
+                    ))
             if guarded and semantic_index is not None:
-                # Crash-window repair: a prior attempt may have died
-                # BETWEEN the text index.add and semantic_index.add. On
-                # this replay dedup_new drops the already-text-indexed
-                # docs (est_jaccard 1.0 vs themselves), `fresh` comes
-                # back empty, and the normal path above never re-adds
-                # their vectors — the epoch would be permanently absent
-                # from the dense gate. Re-derive the dense add from the
-                # epoch's own sink rows with the guarded anti-join (a
-                # no-op for vectors that did land). Only crashed-epoch
-                # retries pay this read.
-                epoch_rows = getattr(accepted_sink, "read_epoch", None)
-                epoch_rows = epoch_rows and epoch_rows(
-                    batch_df.sparkSession, epoch_id
-                )
+                # died BETWEEN the text index.add and semantic_index.add:
+                # the normal path above never re-adds the vectors (fresh
+                # is empty on replay) — re-derive the dense add from the
+                # sink slice with the guarded anti-join
                 if epoch_rows is not None and "embedding" in epoch_rows.columns:
                     semantic_index.add(
                         epoch_rows.select(id_col, "embedding"),
