@@ -23,6 +23,8 @@
         --source S [--radius R]  # perceptual image-dedup-gated ingestion
     python -m ocr_vector_db_spark.cli stream-ingest-audio --store DIR
         --source S [--radius R]  # fingerprint audio-dedup-gated ingestion
+    python -m ocr_vector_db_spark.cli stream-ingest-video --store DIR
+        --source S [--radius R]  # frame-hash video-dedup-gated ingestion
 
 Mirrors api/cli/{ingest,search,repl,quality}.py + api/formatters.py: same
 text/JSON result formats (similarity to 4 dp, 500-char parent preview), same
@@ -1056,6 +1058,85 @@ def cmd_stream_ingest_audio(args) -> int:
     return 0
 
 
+def cmd_stream_ingest_video(args) -> int:
+    """Incremental VIDEO-dedup-gated ingestion — the third modality of
+    the `streaming/assets.py` gate: each run drains parquet clip files
+    under --source (asset_id, data, width, height, n_frames — raw gray
+    frame buffers back to back), drops intra-batch near-dups (aligned
+    frame-hash keep-min), screens survivors against the store's
+    persisted VideoFpIndex (a new video is a duplicate when >= min-frac
+    of its sampled positions match one indexed video at the same
+    position within --radius), and folds accepted clips' frame
+    signatures in. Sub-grid clips dedup by exact byte hash."""
+    import os
+
+    from ocr_vector_db_spark.operators.index_maint import (
+        EpochLedger, fs_exists,
+    )
+    from ocr_vector_db_spark.operators.video_hash import (
+        VideoFpIndex,
+        video_dropped_ids,
+    )
+    from ocr_vector_db_spark.streaming.assets import (
+        ExactFrameStore,
+        exact_video_key,
+        hashable_videos_pred,
+        stream_ingest_asset_dedup,
+        video_store_paths,
+    )
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    spark = _spark()
+    paths = video_store_paths(args.store)
+    if fs_exists(spark, os.path.join(paths["index"], "meta.json")):
+        idx = VideoFpIndex.load(spark, paths["index"])
+        if idx.r != args.radius:
+            print(f"[error] store index was built at r={idx.r}; "
+                  f"--radius {args.radius} would change the banded "
+                  "layout — rebuild or match it")
+            return 1
+    else:
+        empty = spark.createDataFrame(
+            [], "asset_id string, data binary, width int, height int, "
+                "n_frames int"
+        )
+        idx = VideoFpIndex.build(
+            spark, empty, paths["index"], r=args.radius,
+            n_buckets=args.buckets, every=args.every,
+            min_frac=args.min_frac,
+        )
+    stats: list = []
+    q = stream_ingest_asset_dedup(
+        spark.readStream
+        .schema("asset_id string, data binary, width int, height int, "
+                "n_frames int")
+        .option("maxFilesPerTrigger", args.files_per_batch)
+        .parquet(args.source),
+        idx,
+        ParquetAcceptedSink(paths["accepted"]),
+        stats=stats,
+        checkpoint=paths["checkpoint"],
+        ledger=EpochLedger(spark, paths["ledger"]),
+        compact_every=args.compact_every,
+        exact_store=ExactFrameStore(spark, paths["exact"]),
+        hashable_pred=hashable_videos_pred,
+        dropped_ids=lambda df, r, id_col: video_dropped_ids(
+            df, r, id_col, every=idx.every, min_frac=idx.min_frac,
+        ),
+        exact_key=exact_video_key,
+    )
+    q.awaitTermination()
+    acc = sum(s["accepted"] for s in stats)
+    drop = sum(s["dropped_as_dup"] for s in stats)
+    unh = sum(s["unhashable"] for s in stats)
+    xdrop = sum(s["dropped_exact_dup"] for s in stats)
+    print(f"[stream-ingest-video] {len(stats)} micro-batches: accepted "
+          f"{acc}, dropped {drop} near-dup videos; {unh} below the hash "
+          f"grid ({xdrop} dropped byte-identical); accepted clips under "
+          f"{paths['accepted']}")
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack stored fragments into token-budget training sequences, per
     language shard; prints the per-shard pack summary."""
@@ -1452,6 +1533,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--files-per-batch", type=int, default=64)
     sp.add_argument("--compact-every", type=int, default=32)
     sp.set_defaults(fn=cmd_stream_ingest_audio)
+
+    sp = sub.add_parser("stream-ingest-video")
+    common(sp)
+    sp.add_argument("--source", required=True,
+                    help="directory of parquet clip files (asset_id "
+                         "string, data binary, width int, height int, "
+                         "n_frames int — raw gray frame buffers)")
+    sp.add_argument("--radius", type=int, default=4,
+                    help="per-frame dHash Hamming radius")
+    sp.add_argument("--every", type=int, default=1,
+                    help="frame sampling stride (persisted in the index)")
+    sp.add_argument("--min-frac", type=float, default=0.6,
+                    help="aligned matched fraction for 'same video'")
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--files-per-batch", type=int, default=64)
+    sp.add_argument("--compact-every", type=int, default=32)
+    sp.set_defaults(fn=cmd_stream_ingest_video)
 
     sp = sub.add_parser("semantic-index")
     common(sp)

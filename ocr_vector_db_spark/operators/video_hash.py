@@ -46,6 +46,7 @@ from ocr_vector_db_spark.operators.image_hash import (
     dhash_signatures,
     phash_near_dup_pairs,
 )
+from ocr_vector_db_spark.operators.simhash_index import SimHashIndex
 
 
 def asset_video_frames(assets: DataFrame, every: int = 1) -> DataFrame:
@@ -154,3 +155,198 @@ def video_near_dup_pairs(
         .filter(F.col("frac") >= min_frac)
         .select("id_a", "id_b", "matched", "n_a", "n_b", "frac")
     )
+
+
+def video_clip_frames(
+    df: DataFrame, every: int = 1, id_col: str = "asset_id"
+) -> DataFrame:
+    """`asset_video_frames`' twin for PROJECTED clip rows (id, data,
+    width, height, n_frames) — the shape the streaming gate and the
+    persisted index consume (no metadata map). Same stride semantics
+    and malformed-length filter."""
+    if every < 1:
+        raise ValueError("every must be >= 1")
+    fsz = (F.col("width").cast("long") * F.col("height")).cast("long")
+    src = df.filter(
+        (F.col("n_frames") >= 1)
+        & (F.length("data") == fsz * F.col("n_frames"))
+    ).select(
+        F.col(id_col).alias("asset_id"), "width", "height", "data",
+        F.col("n_frames").alias("nf"), fsz.alias("fsz"),
+    )
+    idx = F.explode(
+        F.sequence(F.lit(0), F.col("nf") - 1, F.lit(every))
+    ).alias("frame_idx")
+    return src.select("asset_id", "width", "height", "fsz", "data", idx) \
+        .select(
+            "asset_id", "frame_idx",
+            F.col("data").substr(
+                (F.col("frame_idx") * F.col("fsz") + 1).cast("int"),
+                F.col("fsz").cast("int"),
+            ).alias("data"),
+            "width", "height",
+        )
+
+
+def video_dropped_ids(
+    clips: DataFrame,
+    r: int,
+    id_col: str = "asset_id",
+    every: int = 1,
+    min_frac: float = 0.6,
+) -> DataFrame:
+    """`image_dropped_ids`' video twin: ids to DROP from a batch under
+    the keep-min convention — every video with a LOWER-id near-dup
+    (aligned matched fraction ≥ min_frac at Hamming ≤ r) in the same
+    batch. Input is the projected clip shape (`video_clip_frames`)."""
+    vsigs = video_frame_signatures(video_clip_frames(clips, every, id_col))
+    return (
+        video_near_dup_pairs(vsigs, r=r, min_frac=min_frac)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+
+class VideoFpIndex(SimHashIndex):
+    """Persisted video near-dup index — the third modality on
+    SimHashIndex's banded machinery (PhashIndex = images, AudioFpIndex =
+    audio): per-SAMPLED-FRAME dHash signatures stored as composite docs
+    (`video_id#000000idx`, the 9-padded right-split convention of
+    `video_frame_signatures`), so the banded layout, append ordering,
+    re-add guard and compaction carry over at the frame-doc grain.
+
+    `screen`/`dedup_new` LIFT frame hits to the VIDEO grain: a new video
+    is a duplicate of an indexed one when ≥ `min_frac` of ITS sampled
+    positions match that corpus video at the SAME position within
+    Hamming ≤ r (`matched / n_new` — the new side's sampled count is
+    known exactly from its clip row; the corpus side's need not be
+    re-counted, so screening never scans the stored signature table
+    beyond the banded candidates). Input rows are projected clips
+    (id, data, width, height, n_frames); `every` and `min_frac` persist
+    in meta.json so every later screen samples identically."""
+
+    def __init__(self, spark, path: str, bits: int, r: int,
+                 n_buckets: int, every: int = 1, min_frac: float = 0.6):
+        super().__init__(spark, path, bits, r, n_buckets)
+        self.every = every
+        self.min_frac = min_frac
+
+    def _sig_expr(self, docs: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+        if self.bits != 64:
+            raise ValueError("VideoFpIndex is 64-bit (frame dHash)")
+        vsigs = video_frame_signatures(
+            video_clip_frames(docs, self.every, id_col)
+        )
+        fid = F.concat_ws(
+            "#", F.col("asset_id"),
+            F.lpad(F.col("frame_idx").cast("string"), 9, "0"),
+        )
+        from ocr_vector_db_spark.operators.image_hash import hex_sig_to_bigint
+
+        return vsigs.select(
+            fid.alias("doc"),
+            hex_sig_to_bigint(F.col("dhash")).alias("simhash"),
+        )
+
+    @classmethod
+    def build(  # noqa: D417 - narrowed signature over the text parent
+        cls, spark, clips: DataFrame, path: str, r: int = 4,
+        n_buckets: int = 64, every: int = 1, min_frac: float = 0.6,
+        id_col: str = "asset_id",
+    ) -> "VideoFpIndex":
+        import json
+        import os
+
+        from ocr_vector_db_spark.operators.index_maint import (
+            write_small_file,
+        )
+
+        idx = cls(spark, path, 64, r, n_buckets, every=every,
+                  min_frac=min_frac)
+        sig = idx._sig_expr(clips, id_col, "data").cache()
+        try:
+            sig.count()
+            idx._append(sig, overwrite=True)
+        finally:
+            sig.unpersist()
+        write_small_file(
+            spark, os.path.join(path, "meta.json"),
+            json.dumps({"bits": 64, "r": r, "n_buckets": n_buckets,
+                        "every": every,
+                        "min_frac": min_frac}).encode("utf-8"),
+        )
+        return idx
+
+    @classmethod
+    def load(cls, spark, path: str) -> "VideoFpIndex":
+        import json
+        import os
+
+        from ocr_vector_db_spark.operators.index_maint import (
+            read_small_file,
+        )
+
+        m = json.loads(read_small_file(spark, os.path.join(path,
+                                                           "meta.json")))
+        return cls(spark, path, m["bits"], m["r"], m["n_buckets"],
+                   every=m.get("every", 1), min_frac=m.get("min_frac", 0.6))
+
+    def screen(
+        self,
+        new_docs: DataFrame,
+        id_col: str = "asset_id",
+        text_col: str = "data",
+    ) -> DataFrame:
+        """(new_id, corpus_id, matched, n_new, frac ≥ min_frac) at the
+        VIDEO grain — frame hits from the parent's banded screen, kept
+        where the sampled positions ALIGN, counted per video pair."""
+        fhits = super().screen(new_docs, id_col, text_col)
+        pos = {s: F.substring(F.col(s), -9, 9).cast("int")
+               for s in ("new_id", "corpus_id")}
+        vid = {s: F.substring(F.col(s), 1, F.length(s) - 10)
+               for s in ("new_id", "corpus_id")}
+        aligned = fhits.filter(pos["new_id"] == pos["corpus_id"]).select(
+            vid["new_id"].alias("new_id"),
+            vid["corpus_id"].alias("corpus_id"),
+            pos["new_id"].alias("f"),
+        ).distinct()
+        matched = aligned.groupBy("new_id", "corpus_id").agg(
+            F.count("*").alias("matched")
+        )
+        n_new = new_docs.select(
+            F.col(id_col).alias("new_id"),
+            (F.floor((F.col("n_frames") - 1) / self.every) + 1)
+            .cast("long").alias("n_new"),
+        )
+        return (
+            matched.join(n_new, "new_id")
+            .withColumn("frac", F.col("matched") / F.col("n_new"))
+            .filter(F.col("frac") >= self.min_frac)
+            .select("new_id", "corpus_id", "matched", "n_new", "frac")
+        )
+
+    def dedup_new(
+        self,
+        new_docs: DataFrame,
+        id_col: str = "asset_id",
+        text_col: str = "data",
+    ) -> DataFrame:
+        dupes = (
+            self.screen(new_docs, id_col, text_col)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        return new_docs.join(dupes, id_col, "left_anti")
+
+    def add(
+        self,
+        docs: DataFrame,
+        id_col: str = "asset_id",
+        text_col: str = "data",
+        assume_new: bool = False,
+    ) -> int:
+        """Parent add with clip-shaped defaults; the count is FRAME docs
+        folded (n videos × sampled frames), matching the stored grain."""
+        return super().add(docs, id_col=id_col, text_col=text_col,
+                           assume_new=assume_new)

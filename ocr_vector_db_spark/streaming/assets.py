@@ -262,6 +262,39 @@ def exact_clip_key(df: DataFrame) -> "F.Column":
     return F.sha2(F.base64(F.col("data")), 256)
 
 
+# ---------------------------------------------------------------------
+# video modality adapters: the same gate over raw clips
+# ---------------------------------------------------------------------
+
+
+def hashable_videos_pred(df: DataFrame) -> "F.Column":
+    """True for clip rows the per-frame dHash can hash: frames at least
+    the 9×8 grid, at least one frame, and a buffer of exactly
+    width×height×n_frames bytes. NULL dims/data count as unhashable."""
+    ok = (
+        (F.col("width") >= 9)
+        & (F.col("height") >= 8)
+        & (F.col("n_frames") >= 1)
+        & (F.length("data")
+           == F.col("width").cast("long") * F.col("height")
+           * F.col("n_frames"))
+    )
+    return F.coalesce(ok, F.lit(False))
+
+
+def exact_video_key(df: DataFrame) -> "F.Column":
+    """Exact-content key for sub-grid clips: sha256 over dims + frame
+    count + the raw bytes."""
+    return F.sha2(
+        F.concat_ws(
+            "|", F.col("width").cast("string"),
+            F.col("height").cast("string"),
+            F.col("n_frames").cast("string"), F.base64(F.col("data")),
+        ),
+        256,
+    )
+
+
 def stream_ingest_asset_dedup(
     frames_stream: DataFrame,
     index,
@@ -399,6 +432,17 @@ def asset_store_paths(store: str) -> dict[str, str]:
         "accepted": os.path.join(store, "accepted_assets"),
         "ledger": os.path.join(store, "phash_index", "_epochs"),
         "checkpoint": os.path.join(store, "asset_stream_checkpoint"),
+    }
+
+
+def video_store_paths(store: str) -> dict[str, str]:
+    """`asset_store_paths`' video twin."""
+    return {
+        "index": os.path.join(store, "vfp_index"),
+        "exact": os.path.join(store, "exact_videos"),
+        "accepted": os.path.join(store, "accepted_videos"),
+        "ledger": os.path.join(store, "vfp_index", "_epochs"),
+        "checkpoint": os.path.join(store, "video_stream_checkpoint"),
     }
 
 

@@ -1002,3 +1002,67 @@ def test_cli_stream_ingest_audio(spark, tmp_path, capsys):
     assert cli.main(["stream-ingest-audio", "--store", store,
                      "--source", str(src), "--radius", "2"]) == 1
     assert "r=6" in capsys.readouterr().out
+
+
+def test_cli_stream_ingest_video(spark, tmp_path, capsys):
+    """stream-ingest-video drains parquet clips, seeds the store's
+    VideoFpIndex on first use (persisting every/min-frac), and a second
+    run drops a brightness re-encode of an accepted clip while passing
+    a novel one; a radius mismatch is a loud error."""
+    import hashlib
+    import shutil
+
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    def mat(seed):
+        return [[hashlib.md5(f"{seed}:{cx}:{cy}".encode()).digest()[0]
+                 % 200 + 10 for cx in range(9)] for cy in range(8)]
+
+    def video(seed, w, h, nf, bright=0):
+        out = bytearray()
+        for f in range(nf):
+            m = mat(f"{seed}:f{f}")
+            for y in range(h):
+                for x in range(w):
+                    out.append(min(255, m[y * 8 // h][x * 9 // w] + bright))
+        return bytes(out)
+
+    schema = ("asset_id string, data binary, width int, height int, "
+              "n_frames int")
+
+    def feed(src, name, rows):
+        stage = tmp_path / f"vc_stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(stage))
+        src.mkdir(exist_ok=True)
+        shutil.copy(next(stage.glob("part-*.parquet")),
+                    src / f"{name}.parquet")
+
+    store = str(tmp_path / "vc_store")
+    src = tmp_path / "vc_clips"
+    feed(src, "b1", [("clip_a", video("cli-va", 36, 24, 4), 36, 24, 4)])
+    assert cli.main(["stream-ingest-video", "--store", store,
+                     "--source", str(src), "--buckets", "8",
+                     "--every", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "accepted 1, dropped 0" in out
+
+    feed(src, "b2", [
+        ("clip_a_bright", video("cli-va", 36, 24, 4, bright=12),
+         36, 24, 4),
+        ("clip_b", video("cli-vb", 36, 24, 4), 36, 24, 4),
+    ])
+    assert cli.main(["stream-ingest-video", "--store", store,
+                     "--source", str(src), "--buckets", "8",
+                     "--every", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "accepted 1, dropped 1" in out
+
+    accepted = ParquetAcceptedSink(
+        store + "/accepted_videos").read(spark)
+    assert sorted(r.asset_id for r in accepted.collect()) == \
+        ["clip_a", "clip_b"]
+
+    assert cli.main(["stream-ingest-video", "--store", store,
+                     "--source", str(src), "--radius", "2"]) == 1
+    assert "r=4" in capsys.readouterr().out

@@ -160,3 +160,132 @@ def test_plan_shape_no_cartesian(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _clips_df(spark, vids):
+    rows = [(aid, b"".join(frames), w, h, len(frames))
+            for aid, frames, w, h in vids]
+    return spark.createDataFrame(
+        rows,
+        "asset_id string, data binary, width int, height int, "
+        "n_frames int",
+    )
+
+
+def test_video_index_incremental_screen(spark, tmp_path):
+    """VideoFpIndex: per-frame signatures in SimHashIndex's banded
+    layout, screen/dedup_new lifted to the video grain (aligned matched
+    fraction >= min_frac), every/min_frac persisted in meta, re-add
+    guard at the frame-doc grain."""
+    from ocr_vector_db_spark.operators.video_hash import VideoFpIndex
+
+    corpus = [(s, _video(s, 36, 24, 8), 36, 24)
+              for s in ("cva", "cvb", "cvc")]
+    idx = VideoFpIndex.build(
+        spark, _clips_df(spark, corpus), str(tmp_path / "vfpidx"),
+        r=4, n_buckets=8, every=2, min_frac=0.6,
+    )
+    batch = [
+        ("cva_bright", _video("cva", 36, 24, 8, bright=15), 36, 24),
+        ("cva_cut", _video("cva", 36, 24, 8, swap=(0, 2, 4, 6)), 36, 24),
+        ("fresh", _video("cvnew", 36, 24, 8), 36, 24),
+    ]
+    bdf = _clips_df(spark, batch)
+    hits = {(h.new_id, h.corpus_id): (h.matched, h.frac)
+            for h in idx.screen(bdf).collect()}
+    # bright matches all 4 sampled positions; the cut replaces every
+    # sampled position -> no pair; fresh matches nothing
+    assert hits[("cva_bright", "cva")][0] == 4
+    assert not any(n in ("cva_cut", "fresh") for n, _ in hits)
+
+    survivors = sorted(r.asset_id for r in idx.dedup_new(bdf).collect())
+    assert survivors == ["cva_cut", "fresh"]
+    assert idx.add(_clips_df(spark, batch[2:])) == 4  # 4 frame docs
+    assert idx.add(_clips_df(spark, batch[2:])) == 0  # replay no-op
+
+    reloaded = VideoFpIndex.load(spark, str(tmp_path / "vfpidx"))
+    assert (reloaded.every, reloaded.min_frac) == (2, 0.6)
+    # a second screen against the reloaded index sees the added video
+    again = {(h.new_id, h.corpus_id)
+             for h in reloaded.screen(
+                 _clips_df(spark, [("re", _video("cvnew", 36, 24, 8),
+                                    36, 24)])).collect()}
+    assert again == {("re", "fresh")}
+
+
+def test_stream_ingest_video_dedup(spark, tmp_path):
+    """The streaming asset gate through its video seams: batch 1 seeds
+    the persisted VideoFpIndex; batch 2's brightness re-encode drops
+    against the store, an intra-batch re-encode pair collapses
+    keep-min, a sub-grid clip dedups by exact byte hash cross-batch,
+    and the novel clip is accepted and folded in."""
+    import shutil
+
+    from ocr_vector_db_spark.operators.video_hash import (
+        VideoFpIndex,
+        video_dropped_ids,
+    )
+    from ocr_vector_db_spark.streaming.assets import (
+        ExactFrameStore,
+        exact_video_key,
+        hashable_videos_pred,
+        stream_ingest_asset_dedup,
+    )
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    schema = ("asset_id string, data binary, width int, height int, "
+              "n_frames int")
+
+    def feed(src, name, vids):
+        stage = tmp_path / f"vstage_{name}"
+        _clips_df(spark, vids).coalesce(1).write.mode(
+            "overwrite").parquet(str(stage))
+        src.mkdir(exist_ok=True)
+        shutil.copy(next(stage.glob("part-*.parquet")),
+                    src / f"{name}.parquet")
+
+    tiny = [("tiny", _video("sv-tiny", 6, 5, 2), 6, 5)]  # below 9x8
+    empty = spark.createDataFrame([], schema)
+    idx = VideoFpIndex.build(
+        spark, empty, str(tmp_path / "vfpidx_stream"), r=4,
+        n_buckets=8, every=1, min_frac=0.6,
+    )
+    xstore = ExactFrameStore(spark, str(tmp_path / "exact_videos"))
+    src = tmp_path / "vclips"
+    sink = ParquetAcceptedSink(str(tmp_path / "accepted_videos"))
+    ckpt = str(tmp_path / "victkpt")
+
+    def run(stats):
+        q = stream_ingest_asset_dedup(
+            spark.readStream.schema(schema).parquet(str(src)), idx, sink,
+            stats=stats, checkpoint=ckpt, exact_store=xstore,
+            hashable_pred=hashable_videos_pred,
+            dropped_ids=lambda df, r, id_col: video_dropped_ids(
+                df, r, id_col, every=idx.every, min_frac=idx.min_frac),
+            exact_key=exact_video_key,
+        )
+        q.awaitTermination(60)
+
+    feed(src, "b1", [("va", _video("sv-a", 36, 24, 6), 36, 24),
+                     ("vb", _video("sv-b", 36, 24, 6), 36, 24)] + tiny)
+    stats: list = []
+    run(stats)
+    assert sorted(r.asset_id for r in sink.read(spark).collect()) == \
+        ["tiny", "va", "vb"]
+    assert stats[-1] == {"epoch": 0, "accepted": 3, "dropped_as_dup": 0,
+                         "unhashable": 1, "dropped_exact_dup": 0}
+
+    feed(src, "b2", [
+        ("va_bright", _video("sv-a", 36, 24, 6, bright=12), 36, 24),
+        ("vnew_1", _video("sv-new", 36, 24, 6), 36, 24),
+        ("vnew_2", _video("sv-new", 36, 24, 6, bright=9), 36, 24),
+        ("tiny2", _video("sv-tiny", 6, 5, 2), 6, 5),   # same bytes
+        ("vnovel", _video("sv-novel", 36, 24, 6), 36, 24),
+    ])
+    stats2: list = []
+    run(stats2)
+    accepted = {(r.asset_id, r.epoch_id) for r in sink.read(spark).collect()}
+    assert accepted == {("va", 0), ("vb", 0), ("tiny", 0),
+                        ("vnew_1", 1), ("vnovel", 1)}
+    assert stats2[-1] == {"epoch": 1, "accepted": 2, "dropped_as_dup": 2,
+                          "unhashable": 1, "dropped_exact_dup": 1}
