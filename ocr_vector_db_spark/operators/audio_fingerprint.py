@@ -463,3 +463,46 @@ def resample_pcm(
         )
         .select(F.col("id").alias(id_col), "data")
     )
+
+
+def audio_keep_best(
+    clips: DataFrame,
+    r: int = 6,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Quality-aware audio dedup — `image_hash.image_keep_best`'s audio
+    twin: fingerprint near-dup pairs → transitive closure
+    (`dedup.connected_components`) → per family keep the LONGEST copy
+    (max sample count: a re-encode chain keeps the least-truncated
+    master; min id on ties). Returns (id, family, n_samples, keep) for
+    every input clip (singletons are their own family).
+
+    Scale shape: the signature build + banded pair search (q153's
+    shapes), the min-label closure over the PAIR graph only, one
+    window-free keep selection via two slim family-keyed aggregates."""
+    from ocr_vector_db_spark.operators.dedup import connected_components
+
+    sigs = audio_fingerprints(clips, id_col=id_col)
+    pairs = audio_near_dup_pairs(sigs, r=r)
+    comp = connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        clips.select(
+            F.col(id_col).alias("id"),
+            (F.length("data") / 2).cast("long").alias("n_samples"),
+        )
+        .join(comp.withColumnRenamed("comp", "family"), "id", "left")
+        .withColumn("family", F.coalesce("family", F.col("id")))
+    )
+    best = labeled.groupBy("family").agg(F.max("n_samples").alias("n_samples"))
+    keep = (
+        labeled.join(best, ["family", "n_samples"], "left_semi")
+        .groupBy("family")
+        .agg(F.min("id").alias("keep_id"))
+    )
+    return (
+        labeled.join(keep, "family")
+        .select(
+            F.col("id").alias(id_col), "family", "n_samples",
+            (F.col("id") == F.col("keep_id")).alias("keep"),
+        )
+    )

@@ -389,3 +389,29 @@ def test_resample_pcm_matches_reference_and_round_trips(spark):
     ident = resample_pcm(df, 1).collect()
     assert {r.asset_id: bytes(r.data) for r in ident} == \
         {"a": _pcm(base), "b": _pcm(other)}
+
+
+def test_audio_keep_best(spark):
+    """Quality-aware audio dedup: the re-encode family keeps the LONGEST
+    copy (least-truncated master), singletons keep themselves."""
+    from ocr_vector_db_spark.operators.audio_fingerprint import (
+        audio_keep_best,
+    )
+
+    base = _synth("kb", 13000, seg_len=130)
+    clips = [
+        ("take_short", base[:13000 - 2600]),      # truncated re-encode
+        ("take_full", base),
+        ("take_loud", [v * 2 for v in base]),
+        ("lone", _synth("kb-lone", 13000, seg_len=130)),
+    ]
+    got = {r.asset_id: (r.family, r.keep)
+           for r in audio_keep_best(
+               _clips_df(spark, clips), r=6).collect()}
+    fam = got["take_full"][0]
+    assert got["take_loud"][0] == fam
+    # the full-length copy survives; the loud re-encode (same length,
+    # higher id) and any truncated family member drop
+    assert got["take_full"][1] is True
+    assert got["take_loud"][1] is False
+    assert got["lone"] == ("lone", True)

@@ -289,3 +289,24 @@ def test_stream_ingest_video_dedup(spark, tmp_path):
                         ("vnew_1", 1), ("vnovel", 1)}
     assert stats2[-1] == {"epoch": 1, "accepted": 2, "dropped_as_dup": 2,
                           "unhashable": 1, "dropped_exact_dup": 1}
+
+
+def test_video_keep_best(spark):
+    """Quality-aware video dedup: the re-encode family keeps the copy
+    with the most delivered pixels (the 2x re-scale master)."""
+    from ocr_vector_db_spark.operators.video_hash import video_keep_best
+
+    vids = [
+        ("v_small", _video("kb", 36, 24, 6), 36, 24),
+        ("v_big", _video("kb", 72, 48, 6), 72, 48),
+        ("v_bright", _video("kb", 36, 24, 6, bright=10), 36, 24),
+        ("v_lone", _video("kb-lone", 36, 24, 6), 36, 24),
+    ]
+    got = {r.asset_id: (r.family, r.keep, r.pixels)
+           for r in video_keep_best(
+               _clips_df(spark, vids), r=4, min_frac=0.6).collect()}
+    fam = got["v_big"][0]
+    assert got["v_small"][0] == fam and got["v_bright"][0] == fam
+    assert got["v_big"][1] is True
+    assert got["v_small"][1] is False and got["v_bright"][1] is False
+    assert got["v_lone"][0] == "v_lone" and got["v_lone"][1] is True
