@@ -1095,6 +1095,17 @@ def cmd_stream_ingest_video(args) -> int:
                   f"--radius {args.radius} would change the banded "
                   "layout — rebuild or match it")
             return 1
+        # every/min_frac travel WITH the index (a screen sampling
+        # differently from the build silently misses alignments) — the
+        # persisted values win, so a differing flag deserves a warning
+        if args.every != idx.every:
+            print(f"[warn] store index was built at every={idx.every}; "
+                  f"--every {args.every} is ignored (persisted value "
+                  "wins)")
+        if args.min_frac != idx.min_frac:
+            print(f"[warn] store index was built at "
+                  f"min_frac={idx.min_frac}; --min-frac {args.min_frac} "
+                  "is ignored (persisted value wins)")
     else:
         empty = spark.createDataFrame(
             [], "asset_id string, data binary, width int, height int, "

@@ -339,8 +339,18 @@ def audio_quality_stats(
                 (acc["dc"] + s).alias("dc"),
             )
 
-        p = F.aggregate(F.sequence(a, b - 1), zero, step)
-        return F.struct(f.alias("f"), p.alias("p"), (b - a).alias("c"))
+        # a sub-frame-grid clip (n < 65) leaves some frames EMPTY in a
+        # chunk: F.sequence(a, b-1) with b <= a is a DESCENDING sequence
+        # in Spark, which would re-fold samples once per empty frame —
+        # guard the fold to zero (caught by an empirical review repro:
+        # a 2-sample clip inflated every stat 32×)
+        p = F.when(
+            b > a, F.aggregate(F.sequence(a, b - 1), zero, step)
+        ).otherwise(zero)
+        return F.struct(
+            f.alias("f"), p.alias("p"),
+            F.greatest(F.lit(0).cast("long"), b - a).alias("c"),
+        )
 
     per_chunk = chunks.select(
         "id", "n",
@@ -480,29 +490,12 @@ def audio_keep_best(
     Scale shape: the signature build + banded pair search (q153's
     shapes), the min-label closure over the PAIR graph only, one
     window-free keep selection via two slim family-keyed aggregates."""
-    from ocr_vector_db_spark.operators.dedup import connected_components
+    from ocr_vector_db_spark.operators.dedup import keep_best_by_quality
 
     sigs = audio_fingerprints(clips, id_col=id_col)
     pairs = audio_near_dup_pairs(sigs, r=r)
-    comp = connected_components(pairs, "id_a", "id_b")
-    labeled = (
-        clips.select(
-            F.col(id_col).alias("id"),
-            (F.length("data") / 2).cast("long").alias("n_samples"),
-        )
-        .join(comp.withColumnRenamed("comp", "family"), "id", "left")
-        .withColumn("family", F.coalesce("family", F.col("id")))
+    items = clips.select(
+        F.col(id_col),
+        (F.length("data") / 2).cast("long").alias("n_samples"),
     )
-    best = labeled.groupBy("family").agg(F.max("n_samples").alias("n_samples"))
-    keep = (
-        labeled.join(best, ["family", "n_samples"], "left_semi")
-        .groupBy("family")
-        .agg(F.min("id").alias("keep_id"))
-    )
-    return (
-        labeled.join(keep, "family")
-        .select(
-            F.col("id").alias(id_col), "family", "n_samples",
-            (F.col("id") == F.col("keep_id")).alias("keep"),
-        )
-    )
+    return keep_best_by_quality(items, pairs, "n_samples", id_col=id_col)

@@ -885,3 +885,42 @@ def duplicate_span_excision(
             F.coalesce("kept_digest", F.md5(F.lit(""))).alias("kept_digest"),
         )
     )
+
+
+def keep_best_by_quality(
+    items: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """The ONE keep-best selection behind the modality dedup family
+    (image_keep_best / audio_keep_best / video_keep_best): `items` rows
+    (id_col, quality_col) label with their near-dup family (transitive
+    closure over the `pairs` (id_a, id_b) graph; singletons are their
+    own), and each family keeps its highest-quality copy — max
+    quality_col, min id on ties. Returns (id_col, family, quality_col,
+    keep). Window-free: the closure runs over the PAIR graph only
+    (near-dup families are shallow), then two slim family-keyed
+    aggregates (max quality, min id among the best) select the
+    survivor."""
+    comp = connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        items.select(F.col(id_col).alias("id"), F.col(quality_col))
+        .join(comp.withColumnRenamed("comp", "family"), "id", "left")
+        .withColumn("family", F.coalesce("family", F.col("id")))
+    )
+    best = labeled.groupBy("family").agg(
+        F.max(quality_col).alias(quality_col)
+    )
+    keep = (
+        labeled.join(best, ["family", quality_col], "left_semi")
+        .groupBy("family")
+        .agg(F.min("id").alias("keep_id"))
+    )
+    return (
+        labeled.join(keep, "family")
+        .select(
+            F.col("id").alias(id_col), "family", quality_col,
+            (F.col("id") == F.col("keep_id")).alias("keep"),
+        )
+    )

@@ -409,37 +409,16 @@ def image_keep_best(
     shapes), the min-label closure over the PAIR graph only (near-dup
     families are shallow), one window-free keep selection via a per-family
     max-struct aggregate + equi-join."""
-    from ocr_vector_db_spark.operators.dedup import connected_components
+    from ocr_vector_db_spark.operators.dedup import keep_best_by_quality
 
     sigs = dhash_signatures_mixed(frames, id_col=id_col)
     pairs = phash_near_dup_pairs(sigs, r=r)
-    comp = connected_components(pairs, "id_a", "id_b")
-    labeled = (
-        frames.select(
-            F.col(id_col).alias("id"),
-            (F.col("width").cast("long")
-             * F.col("height").cast("long")).alias("pixels"),
-        )
-        .join(comp.withColumnRenamed("comp", "family"), "id", "left")
-        .withColumn("family", F.coalesce("family", F.col("id")))
+    items = frames.select(
+        F.col(id_col),
+        (F.col("width").cast("long")
+         * F.col("height").cast("long")).alias("pixels"),
     )
-    # survivor per family: max pixels, ties to the MIN id. String ids
-    # can't ride a single max-struct with an inverted tiebreak, so two
-    # slim family-keyed aggregates (max pixels, then min id among the
-    # max-pixel rows) — no window, nothing beyond the family grain
-    best_px = labeled.groupBy("family").agg(F.max("pixels").alias("pixels"))
-    keep = (
-        labeled.join(best_px, ["family", "pixels"], "left_semi")
-        .groupBy("family")
-        .agg(F.min("id").alias("keep_id"))
-    )
-    return (
-        labeled.join(keep, "family")
-        .select(
-            F.col("id").alias(id_col), "family", "pixels",
-            (F.col("id") == F.col("keep_id")).alias("keep"),
-        )
-    )
+    return keep_best_by_quality(items, pairs, "pixels", id_col=id_col)
 
 
 def asset_gray_frames(assets: DataFrame) -> DataFrame:

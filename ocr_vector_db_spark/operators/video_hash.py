@@ -365,30 +365,13 @@ def video_keep_best(
     delivered (width × height × n_frames: the highest-fidelity master;
     min id on ties). Input is the projected clip shape; returns
     (id, family, pixels, keep) for every input clip."""
-    from ocr_vector_db_spark.operators.dedup import connected_components
+    from ocr_vector_db_spark.operators.dedup import keep_best_by_quality
 
     vsigs = video_frame_signatures(video_clip_frames(clips, every, id_col))
     pairs = video_near_dup_pairs(vsigs, r=r, min_frac=min_frac)
-    comp = connected_components(pairs, "id_a", "id_b")
-    labeled = (
-        clips.select(
-            F.col(id_col).alias("id"),
-            (F.col("width").cast("long") * F.col("height")
-             * F.col("n_frames")).alias("pixels"),
-        )
-        .join(comp.withColumnRenamed("comp", "family"), "id", "left")
-        .withColumn("family", F.coalesce("family", F.col("id")))
+    items = clips.select(
+        F.col(id_col),
+        (F.col("width").cast("long") * F.col("height")
+         * F.col("n_frames")).alias("pixels"),
     )
-    best = labeled.groupBy("family").agg(F.max("pixels").alias("pixels"))
-    keep = (
-        labeled.join(best, ["family", "pixels"], "left_semi")
-        .groupBy("family")
-        .agg(F.min("id").alias("keep_id"))
-    )
-    return (
-        labeled.join(keep, "family")
-        .select(
-            F.col("id").alias(id_col), "family", "pixels",
-            (F.col("id") == F.col("keep_id")).alias("keep"),
-        )
-    )
+    return keep_best_by_quality(items, pairs, "pixels", id_col=id_col)

@@ -181,13 +181,27 @@ class ExactFrameStore:
         target = jvm.org.apache.hadoop.fs.Path(
             os.path.join(self.path, f"epoch={below_epoch - 1}")
         )
-        fs.delete(target, True)
-        fs.rename(
+        # Hadoop FileSystems signal most failures by RETURNING FALSE,
+        # not raising — an unchecked failed swap would go on to delete
+        # the source dirs while the merged keys sit invisible in the
+        # underscore stage. Refuse loudly instead: every key is still
+        # on disk (stage + sources) and the next cycle folds the stage
+        # back in.
+        if fs.exists(target) and not fs.delete(target, True):
+            raise IOError(
+                f"ExactFrameStore.compact: could not clear {target}; "
+                f"merged keys staged at {stage_name}, sources kept"
+            )
+        if not fs.rename(
             jvm.org.apache.hadoop.fs.Path(
                 os.path.join(self.path, stage_name)
             ),
             target,
-        )
+        ):
+            raise IOError(
+                f"ExactFrameStore.compact: rename {stage_name} -> "
+                f"{target} failed; sources kept"
+            )
         for e in doomed:
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(

@@ -415,3 +415,33 @@ def test_audio_keep_best(spark):
     assert got["take_full"][1] is True
     assert got["take_loud"][1] is False
     assert got["lone"] == ("lone", True)
+
+
+def test_quality_stats_sub_frame_grid_clips_exact(spark):
+    """Regression (review repro): clips SHORTER than the 65-sample frame
+    grid produce empty (chunk ∩ frame) cells; an unguarded
+    sequence(a, b-1) is DESCENDING in Spark and re-folded every sample
+    once per empty cell (32x inflation on a 2-sample clip). Stats must
+    be exact for any clip length; silence is 0.0 below the grid."""
+    from ocr_vector_db_spark.operators.audio_fingerprint import (
+        audio_quality_stats,
+    )
+
+    clips = [
+        ("two", [100, -50]),
+        ("one", [32767]),
+        ("sixtyfour", _synth("sg64", 64)),
+        ("grid", _synth("sg65", 65)),
+    ]
+    got = {r.asset_id: r
+           for r in audio_quality_stats(_clips_df(spark, clips)).collect()}
+    for aid, s in clips:
+        n = len(s)
+        r = got[aid]
+        assert r.mean_abs == sum(abs(v) for v in s) / n, aid
+        assert r.dc_offset == sum(s) / n, aid
+        assert r.peak_abs == max(abs(v) for v in s), aid
+        assert r.clip_ratio == sum(1 for v in s if abs(v) >= 32767) / n
+    assert got["two"].mean_abs == 75.0 and got["two"].dc_offset == 25.0
+    assert got["two"].silence_ratio == 0.0
+    assert got["one"].clip_ratio == 1.0
