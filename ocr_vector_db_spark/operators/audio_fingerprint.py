@@ -115,13 +115,21 @@ def _pcm_chunks(
     array — the audio scanline explode, plus the one linear split that
     makes every later sample read O(1) (see the module docstring's step
     3). Malformed rows (odd byte length) are dropped like the image path
-    drops dimension-mismatched buffers."""
+    drops dimension-mismatched buffers.
+
+    The chunk cut itself slices the BINARY column (a direct-offset
+    arraycopy, like video_hash's frame slice) and hexes each chunk row —
+    NEVER `substring` into one whole-clip hex string: UTF8String
+    substring walks from offset 0, so a transform over ceil(n/chunk)
+    string cuts is O(n²/chunk) per clip (measured superlinear: 2M→4M
+    samples took 17s→55s; an hour-long 16 kHz clip would take hours).
+    Total cut+hex work here is O(n) per clip."""
     n = (F.length(data_col) / 2).cast("long")
     src = df.filter(
         (F.length(data_col) % 2 == 0) & (n > 0)
     ).select(
         F.col(id_col).alias("id"), n.alias("n"),
-        F.hex(F.col(data_col)).alias("__hex"),
+        F.col(data_col).alias("__bin"),
     )
     chunks = src.select(
         "id", "n",
@@ -130,10 +138,11 @@ def _pcm_chunks(
                 F.sequence(
                     F.lit(0), F.ceil(F.col("n") / chunk_samples).cast("int") - 1
                 ),
-                lambda j: F.substring(
-                    F.col("__hex"),
-                    j * (chunk_samples * 4) + 1,
-                    F.lit(chunk_samples * 4),
+                lambda j: F.hex(
+                    F.col("__bin").substr(
+                        j * (chunk_samples * 2) + 1,
+                        F.lit(chunk_samples * 2),
+                    )
                 ),
             )
         ).alias("j", "chex"),
@@ -411,7 +420,11 @@ def resample_pcm(
     already-bandlimited material (a trailing remainder of n % f samples
     truncates, matching every fixed-ratio resampler). (id, data) → the
     same shape at n/f samples; callers halve/third their `sample_rate`
-    metadata alongside.
+    metadata alongside. A clip with n < factor decimates to ZERO samples
+    but still emits its row (empty `data` bytes) — every well-formed
+    input id appears in the output at every factor, so id joins never
+    silently lose rows (only odd-byte-length/empty inputs drop, same as
+    factor=1).
 
     All math is exact integers — the sum is exact, and the one rounding
     per OUTPUT sample is floor((2·sum + f) / (2·f)) (half-up toward +∞,
@@ -451,12 +464,22 @@ def resample_pcm(
         ])
 
     n_groups = F.floor((F.col("s1") - F.col("s0")) / factor).cast("int")
-    per_chunk = chunks.filter(n_groups > 0).select(
+    # a chunk shorter than `factor` (the trailing remainder, or a whole
+    # clip with n < factor) emits an EMPTY hex rather than being filtered
+    # out: filtering would drop sub-factor clips entirely (no output
+    # row), while factor=1 keeps them — callers joining back on id would
+    # silently lose rows. Such clips decimate to zero samples: one row,
+    # empty `data` bytes. (The when-guard also keeps the descending
+    # F.sequence(0, -1) of an empty group range from ever evaluating.)
+    per_chunk = chunks.select(
         "id", "s0",
-        F.concat_ws(
-            "",
-            F.transform(F.sequence(F.lit(0), n_groups - 1), out_hex),
-        ).alias("ohex"),
+        F.when(
+            n_groups > 0,
+            F.concat_ws(
+                "",
+                F.transform(F.sequence(F.lit(0), n_groups - 1), out_hex),
+            ),
+        ).otherwise(F.lit("")).alias("ohex"),
     )
     return (
         per_chunk.groupBy("id")

@@ -268,6 +268,12 @@ def test_frame_cells_plan_shape(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "posexplode(transform(sequence(" in plan
+    # the chunk cut must slice the BINARY column (direct-offset
+    # arraycopy) and hex per chunk — one whole-clip hex() followed by
+    # string substring cuts is O(offset) per cut and goes quadratic on
+    # long clips (the ADVICE r12 finding: 2M->4M samples went 3.2x)
+    assert "hex(substr(__bin" in plan
+    assert "hex(data" not in plan
     import re
 
     first_exchange = plan.index("Exchange hashpartitioning")
@@ -389,6 +395,22 @@ def test_resample_pcm_matches_reference_and_round_trips(spark):
     ident = resample_pcm(df, 1).collect()
     assert {r.asset_id: bytes(r.data) for r in ident} == \
         {"a": _pcm(base), "b": _pcm(other)}
+
+
+def test_resample_pcm_sub_factor_clip_keeps_row(spark):
+    """A clip with n < factor decimates to ZERO samples but must still
+    emit its row (empty bytes) — the pre-fix filter dropped it entirely,
+    so id joins on resampled output silently lost rows and factor=1 vs
+    factor>1 disagreed on which ids exist (the ADVICE r12 finding)."""
+    from ocr_vector_db_spark.operators.audio_fingerprint import resample_pcm
+
+    df = _clips_df(spark, [("tiny", [100, -200, 300]), ("ok", range(10))])
+    for f in (4, 7):
+        got = {r.asset_id: bytes(r.data)
+               for r in resample_pcm(df, f).collect()}
+        assert set(got) == {"tiny", "ok"}, f
+        assert got["tiny"] == b"", f
+        assert len(got["ok"]) == (10 // f) * 2, f
 
 
 def test_audio_keep_best(spark):
