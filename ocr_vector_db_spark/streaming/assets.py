@@ -103,11 +103,53 @@ class ExactFrameStore:
 
         if not fs_exists(self.spark, self.path):
             return self.spark.createDataFrame([], "__xkey string")
-        return (
-            self.spark.read.parquet(self.path)
-            .filter(F.col("epoch") < before_epoch)
-            .select("__xkey")
-        )
+        epochs, _ = self._list_dirs()
+        if epochs:
+            out = (
+                self.spark.read.parquet(self.path)
+                .filter(F.col("epoch") < before_epoch)
+                .select("__xkey")
+            )
+        else:
+            # a crash can leave ONLY stage dirs (every epoch folded,
+            # rename pending) — the bare root read would fail to infer
+            out = self.spark.createDataFrame([], "__xkey string")
+        # union readable _compact_* stage dirs: between compact()'s
+        # fs.delete(target) and fs.rename, the target epoch's keys exist
+        # ONLY in an underscore-prefixed stage that partition discovery
+        # ignores — without this, a crash in that window silently
+        # re-admits byte-identical assets until a later compact folds
+        # the stage back in. Staged keys are always merges of COMMITTED
+        # epochs strictly below the current one (compact's
+        # precondition), so including them never screens a batch against
+        # its own keys; an unreadable mid-write stage is redundant with
+        # its still-present sources.
+        for name in self._list_dirs()[1]:
+            try:
+                out = out.unionByName(
+                    self.spark.read.parquet(
+                        os.path.join(self.path, name)
+                    ).select("__xkey")
+                )
+            except Exception:
+                pass
+        return out
+
+    def _list_dirs(self) -> tuple:
+        """(epoch numbers, `_compact_*` stage dir names) currently on
+        disk — one FileSystem listing, no Spark job."""
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = root.getFileSystem(conf)
+        epochs, stages = [], []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("epoch="):
+                epochs.append(int(name.split("=", 1)[1]))
+            elif name.startswith("_compact_"):
+                stages.append(name)
+        return epochs, stages
 
     def add(self, keys: DataFrame, epoch_id: int) -> None:
         keys.select("__xkey").distinct().write.mode("overwrite").parquet(
@@ -124,42 +166,40 @@ class ExactFrameStore:
         again, and all folded keys stay visible to every later epoch.
 
         Crash-safe by staging, never by overwrite: the merge is written
-        to an underscore-prefixed staging dir (invisible to `keys()`'
-        partition discovery), the target epoch dir swaps in via
-        delete+rename (two metadata ops), and the source dirs drop only
-        AFTER the swap — so at every instant every key lives in at least
-        one on-disk dir. A crash costs at most duplicate keys (harmless
-        to the anti-join) or a brief window where the target's keys sit
-        in a stale staging dir; the next cycle folds stale stages back
-        in as sources and cleans them. (The previous overwrite-in-place
+        to an underscore-prefixed staging dir, the target epoch dir
+        swaps in via delete+rename (two metadata ops), and the source
+        dirs drop only AFTER the swap — so at every instant every key
+        lives in at least one on-disk dir, and `keys()` unions readable
+        stage dirs so even the delete→rename window never hides a key
+        from the screen. A crash costs at most duplicate keys (harmless
+        to the anti-join); the next cycle folds stale stages back in as
+        sources and cleans them. (The previous overwrite-in-place
         scheme deleted the target's only copy before the new write
         landed — a mid-write crash lost committed keys for good.)"""
         from ocr_vector_db_spark.operators.index_maint import fs_exists
 
         if below_epoch < 1 or not fs_exists(self.spark, self.path):
             return
-        # enumerate epoch + stale staging dirs through the FileSystem
-        # API (no Spark job; the dir listing is the only driver-sized
-        # state here)
         jvm = self.spark.sparkContext._jvm
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()
         root = jvm.org.apache.hadoop.fs.Path(self.path)
         fs = root.getFileSystem(conf)
-        epochs, stale = [], []
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if name.startswith("epoch="):
-                epochs.append(int(name.split("=", 1)[1]))
-            elif name.startswith("_compact_"):
-                stale.append(name)
+        # one FileSystem listing; the dir list is the only driver-sized
+        # state here
+        epochs, stale = self._list_dirs()
         doomed = [e for e in epochs if e < below_epoch - 1]
         if not doomed and not stale:
             return
-        merged = (
-            self.spark.read.parquet(self.path)
-            .filter(F.col("epoch") < below_epoch)
-            .select("__xkey")
-        )
+        if epochs:
+            merged = (
+                self.spark.read.parquet(self.path)
+                .filter(F.col("epoch") < below_epoch)
+                .select("__xkey")
+            )
+        else:
+            # only stage dirs survive a crash that folded every epoch:
+            # the bare root read cannot infer a schema, start empty
+            merged = self.spark.createDataFrame([], "__xkey string")
         for name in stale:
             # a stale stage can hold the target's only copy (crash
             # between its delete and rename); an unreadable one (crash

@@ -660,6 +660,35 @@ def test_exact_frame_store_compaction(spark, tmp_path):
     assert accepted == ["icon_0", "icon_1", "icon_2", "icon_new"]
 
 
+def test_exact_frame_store_staged_keys_visible(spark, tmp_path):
+    """Crash-window regression (ADVICE r12): between compact()'s delete
+    of the target epoch dir and the stage rename, the folded keys live
+    ONLY in a `_compact_*` stage dir. `keys()` must union readable
+    stages — otherwise byte-identical assets are silently re-accepted
+    until a later compact folds the stage back in — and both `keys()`
+    and `compact()` must survive a store that holds ONLY stage dirs."""
+    from ocr_vector_db_spark.streaming.assets import ExactFrameStore
+
+    root = tmp_path / "exact_s"
+    store = ExactFrameStore(spark, str(root))
+    store.add(spark.createDataFrame([("k0",), ("k1",)], "__xkey string"), 0)
+    store.add(spark.createDataFrame([("k2",)], "__xkey string"), 1)
+    store.compact(below_epoch=2)  # folds epoch 0+1 into epoch=1
+
+    # simulate the crash window: the target's only copy is a stage dir
+    (root / "epoch=1").rename(root / "_compact_2")
+    seen = {r["__xkey"] for r in store.keys(before_epoch=5).collect()}
+    assert seen == {"k0", "k1", "k2"}
+
+    # the next cycle folds the stale stage into a real epoch dir again
+    store.compact(below_epoch=3)
+    assert [d.name for d in root.iterdir()
+            if d.name.startswith("_compact_")] == []
+    assert (root / "epoch=2").is_dir()
+    seen = {r["__xkey"] for r in store.keys(before_epoch=5).collect()}
+    assert seen == {"k0", "k1", "k2"}
+
+
 def _py_resize(data, w, h, out_w, out_h):
     """Independent reference: exact box-average to out_w x out_h,
     round-half-up to a byte (matches Spark's ROUND, not banker's)."""
