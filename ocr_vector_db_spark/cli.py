@@ -1006,7 +1006,6 @@ def cmd_stream_ingest_audio(args) -> int:
     )
     from ocr_vector_db_spark.streaming.assets import (
         ExactFrameStore,
-        audio_dropped_ids,
         audio_store_paths,
         exact_clip_key,
         hashable_clips_pred,
@@ -1043,7 +1042,6 @@ def cmd_stream_ingest_audio(args) -> int:
         compact_every=args.compact_every,
         exact_store=ExactFrameStore(spark, paths["exact"]),
         hashable_pred=hashable_clips_pred,
-        dropped_ids=audio_dropped_ids,
         exact_key=exact_clip_key,
     )
     q.awaitTermination()
@@ -1073,10 +1071,7 @@ def cmd_stream_ingest_video(args) -> int:
     from ocr_vector_db_spark.operators.index_maint import (
         EpochLedger, fs_exists,
     )
-    from ocr_vector_db_spark.operators.video_hash import (
-        VideoFpIndex,
-        video_dropped_ids,
-    )
+    from ocr_vector_db_spark.operators.video_hash import VideoFpIndex
     from ocr_vector_db_spark.streaming.assets import (
         ExactFrameStore,
         exact_video_key,
@@ -1131,9 +1126,6 @@ def cmd_stream_ingest_video(args) -> int:
         compact_every=args.compact_every,
         exact_store=ExactFrameStore(spark, paths["exact"]),
         hashable_pred=hashable_videos_pred,
-        dropped_ids=lambda df, r, id_col: video_dropped_ids(
-            df, r, id_col, every=idx.every, min_frac=idx.min_frac,
-        ),
         exact_key=exact_video_key,
     )
     q.awaitTermination()

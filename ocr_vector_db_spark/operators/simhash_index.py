@@ -55,9 +55,11 @@ def _sigs_of(docs: DataFrame, bits: int, id_col: str,
     )
 
 
-def _bands_of(sig: DataFrame, bits: int, r: int, n_buckets: int) -> DataFrame:
-    """(doc, band, val, bucket) — the ONE definition of the banded layout,
-    shared by build/add (store side) and screen (batch side)."""
+def _bands_of(sig: DataFrame, bits: int, r: int, n_buckets: int,
+              extra: tuple = ()) -> DataFrame:
+    """(doc, *extra, band, val, bucket) — the ONE definition of the banded
+    layout, shared by build/add (store side) and screen (batch side).
+    `extra` columns (e.g. a frame-position alignment key) ride through."""
     band_structs = [
         F.struct(
             F.lit(j).alias("band"),
@@ -67,12 +69,55 @@ def _bands_of(sig: DataFrame, bits: int, r: int, n_buckets: int) -> DataFrame:
         for j, (lo, w) in enumerate(simhash_band_widths(bits, r))
     ]
     return (
-        sig.select("doc", F.explode(F.array(*band_structs)).alias("b"))
-        .select("doc", F.col("b.band").alias("band"),
+        sig.select("doc", *extra,
+                   F.explode(F.array(*band_structs)).alias("b"))
+        .select("doc", *extra, F.col("b.band").alias("band"),
                 F.col("b.val").alias("val"))
         .withColumn(
             "bucket", F.pmod(F.xxhash64("band", "val"), F.lit(n_buckets))
         )
+    )
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame, bits: int, r: int,
+    align_col: str | None = None,
+) -> DataFrame:
+    """Intra-batch near-dup pairs over PRECOMPUTED signatures: banded
+    self-join of (doc, simhash[, align_col]) rows → (doc_a < doc_b
+    [, align_col], hamming ≤ r), exactly the brute-force pairs (the
+    pigeonhole bands of `simhash_band_widths` guarantee a candidate for
+    every pair within r; exact bit_count verifies each).
+
+    This is the signatures-once half of the streaming gates: the gate
+    computes ONE signature DataFrame per micro-batch and derives its
+    keep-min drop set here instead of re-hashing raw bytes. With
+    `align_col` (the video path: doc = video id, align = sampled frame
+    position) the alignment value joins INTO the candidate key and the
+    signature re-attach, so only same-position frames ever meet — the
+    sig-grain twin of `image_hash.phash_near_dup_pairs(align_col=...)`.
+
+    Scale shape: r+1 slim rows per signature, one shuffle on the band
+    value, candidates DISTINCT before the signatures re-attach."""
+    al = [align_col] if align_col else []
+    bands = _bands_of(sigs, bits, r, 1, extra=tuple(al)).drop("bucket")
+    cand = (
+        bands.alias("x").join(bands.alias("y"), ["band", "val", *al])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"),
+                F.col("y.doc").alias("doc_b"), *al)
+        .dropDuplicates(["doc_a", "doc_b", *al])
+    )
+    sig_a = sigs.select(F.col("doc").alias("doc_a"), *al,
+                        F.col("simhash").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc").alias("doc_b"), *al,
+                        F.col("simhash").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.join(sig_a, ["doc_a", *al]).join(sig_b, ["doc_b", *al])
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= r)
+        .select("doc_a", "doc_b", *al, "hamming")
     )
 
 
@@ -96,6 +141,44 @@ class SimHashIndex:
         return a bigint `simhash` whose Hamming distance is the
         near-dup metric."""
         return _sigs_of(docs, self.bits, id_col, text_col)
+
+    def signatures_of(self, docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+        """Public signatures-once seam: ONE (doc, simhash) DataFrame for
+        a batch, reusable (localCheckpoint it) across
+        `batch_dropped_ids`, `screen(sigs=)`, `dedup_new(sigs=)` and
+        `add(sigs=)` — the streaming gates derive signatures once per
+        micro-batch instead of re-hashing raw bytes three times."""
+        return self._sig_expr(docs, id_col, text_col)
+
+    def _sig_asset_id(self, doc: F.Column) -> F.Column:
+        """Map a signature `doc` value to the batch asset id it belongs
+        to. Identity everywhere except composite-doc indexes
+        (VideoFpIndex: `video_id#000000idx` frame docs)."""
+        return doc
+
+    def batch_dropped_ids(self, sigs: DataFrame,
+                          id_col: str = "doc_id") -> DataFrame:
+        """Asset ids to DROP from a batch under the keep-min convention
+        — every doc with a LOWER-id near-dup (Hamming ≤ r) among the
+        batch's own precomputed signatures. One banded self-join; no
+        re-hash. Subclasses with coarser asset grain (video) override."""
+        pairs = simhash_pairs_from_sigs(sigs, self.bits, self.r)
+        return pairs.select(F.col("doc_b").alias(id_col)).distinct()
+
+    def restrict_sigs(self, sigs: DataFrame, ids: DataFrame,
+                      id_col: str = "doc_id",
+                      anti: bool = False) -> DataFrame:
+        """Restrict a precomputed signature DataFrame to (or away from,
+        `anti=True`) the asset ids in `ids[id_col]` — the gate's way of
+        deriving kept/fresh signature sets from the one batch
+        computation (video: matches every frame doc of each asset)."""
+        keyed = sigs.withColumn("__aid", self._sig_asset_id(F.col("doc")))
+        out = keyed.join(
+            ids.select(F.col(id_col).alias("__aid")),
+            "__aid", "left_anti" if anti else "left_semi",
+        )
+        return out.drop("__aid")
 
     # --------------------------------------------------------------- build
 
@@ -200,15 +283,20 @@ class SimHashIndex:
 
     def add(
         self,
-        docs: DataFrame,
+        docs: DataFrame | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
         assume_new: bool = False,
+        sigs: DataFrame | None = None,
     ) -> int:
         """Append a batch's signatures + bands (MinHashIndex.add parity:
         anti-join re-add guard, ``assume_new`` escape for ledger-guarded
-        streaming, single-writer contract). Returns docs added."""
-        sig = self._sig_expr(docs, id_col, text_col)
+        streaming, single-writer contract). Returns docs added. Pass
+        precomputed `sigs` (a `signatures_of` result) to skip re-hashing
+        `docs` — the signatures-once streaming path."""
+        sig = sigs if sigs is not None else self._sig_expr(
+            docs, id_col, text_col
+        )
         if not assume_new:
             indexed = self.signatures().select("doc").distinct()
             sig = sig.join(indexed, "doc", "left_anti")
@@ -251,17 +339,21 @@ class SimHashIndex:
 
     def screen(
         self,
-        new_docs: DataFrame,
+        new_docs: DataFrame | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
+        sigs: DataFrame | None = None,
     ) -> DataFrame:
         """(new_id, corpus_id, hamming) — every new-batch doc within
         Hamming ≤ r of an INDEXED signature. EXACT within the radius: the
         pigeonhole guarantee means no candidate is missed, and bit_count
         verification filters the band collisions. Only the batch is
-        hashed; the corpus side is the slim band equi-join (keyed like the
-        stored partitioning) + a signature join on candidates only."""
-        new_sig = self._sig_expr(new_docs, id_col, text_col)
+        hashed (or not at all, when precomputed `sigs` are passed); the
+        corpus side is the slim band equi-join (keyed like the stored
+        partitioning) + a signature join on candidates only."""
+        new_sig = sigs if sigs is not None else self._sig_expr(
+            new_docs, id_col, text_col
+        )
         new_banded = _bands_of(new_sig, self.bits, self.r, self.n_buckets)
         cand = (
             new_banded.alias("x")
@@ -288,12 +380,14 @@ class SimHashIndex:
         new_docs: DataFrame,
         id_col: str = "doc_id",
         text_col: str = "text",
+        sigs: DataFrame | None = None,
     ) -> DataFrame:
         """The ingestion gate: batch docs with NO indexed signature within
         Hamming r. `add` the result to accept survivors (MinHashIndex
-        scope note applies: intra-batch dups are the one-shot problem)."""
+        scope note applies: intra-batch dups are the one-shot problem).
+        Precomputed `sigs` skip the batch re-hash."""
         dupes = (
-            self.screen(new_docs, id_col, text_col)
+            self.screen(new_docs, id_col, text_col, sigs=sigs)
             .select(F.col("new_id").alias(id_col))
             .distinct()
         )

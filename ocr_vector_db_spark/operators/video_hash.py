@@ -216,14 +216,19 @@ class VideoFpIndex(SimHashIndex):
     re-add guard and compaction carry over at the frame-doc grain.
 
     `screen`/`dedup_new` LIFT frame hits to the VIDEO grain: a new video
-    is a duplicate of an indexed one when ≥ `min_frac` of ITS sampled
-    positions match that corpus video at the SAME position within
-    Hamming ≤ r (`matched / n_new` — the new side's sampled count is
-    known exactly from its clip row; the corpus side's need not be
-    re-counted, so screening never scans the stored signature table
-    beyond the banded candidates). Input rows are projected clips
-    (id, data, width, height, n_frames); `every` and `min_frac` persist
-    in meta.json so every later screen samples identically."""
+    is a duplicate of an indexed one when ≥ `min_frac` of the SHORTER
+    side's sampled positions match at the SAME position within Hamming
+    ≤ r (`matched / min(n_new, n_corpus)` — the batch path's
+    `video_near_dup_pairs` denominator, so a longer new video that
+    CONTAINS an indexed shorter clip at aligned positions gates exactly
+    like the one-shot pair search would pair them). The new side's
+    count comes from its clip row (or its precomputed signatures); the
+    corpus side's comes from the slim persisted `vcounts` table (one
+    row per indexed video, appended alongside every add), so screening
+    never scans the frame-grain signature table beyond the banded
+    candidates. Input rows are projected clips (id, data, width,
+    height, n_frames); `every` and `min_frac` persist in meta.json so
+    every later screen samples identically."""
 
     def __init__(self, spark, path: str, bits: int, r: int,
                  n_buckets: int, every: int = 1, min_frac: float = 0.6):
@@ -248,6 +253,119 @@ class VideoFpIndex(SimHashIndex):
             fid.alias("doc"),
             hex_sig_to_bigint(F.col("dhash")).alias("simhash"),
         )
+
+    def _sig_asset_id(self, doc: F.Column) -> F.Column:
+        """Composite frame doc `video_id#000000idx` → video id (the
+        right-split convention of `video_frame_signatures`)."""
+        return F.substring(doc, 1, F.length(doc) - 10)
+
+    def batch_dropped_ids(self, sigs: DataFrame,
+                          id_col: str = "asset_id") -> DataFrame:
+        """Video ids to DROP from a batch under keep-min, from the
+        batch's PRECOMPUTED frame-doc signatures: aligned sig-grain pair
+        search (same pigeonhole + exact verify as
+        `video_near_dup_pairs`, positions in the join key), then
+        `matched / min(n_a, n_b) >= min_frac` — the batch path's exact
+        semantics, with zero re-hashing."""
+        from ocr_vector_db_spark.operators.simhash_index import (
+            simhash_pairs_from_sigs,
+        )
+
+        s2 = sigs.select(
+            self._sig_asset_id(F.col("doc")).alias("doc"),
+            F.substring(F.col("doc"), -9, 9).cast("int").alias("f"),
+            "simhash",
+        )
+        pairs = simhash_pairs_from_sigs(s2, self.bits, self.r,
+                                        align_col="f")
+        matched = pairs.groupBy("doc_a", "doc_b").agg(
+            F.count("*").alias("matched")
+        )
+        counts = s2.groupBy("doc").agg(F.count("*").alias("n"))
+        return (
+            matched
+            .join(counts.select(F.col("doc").alias("doc_a"),
+                                F.col("n").alias("n_a")), "doc_a")
+            .join(counts.select(F.col("doc").alias("doc_b"),
+                                F.col("n").alias("n_b")), "doc_b")
+            .filter(F.col("matched") / F.least("n_a", "n_b")
+                    >= self.min_frac)
+            .select(F.col("doc_b").alias(id_col))
+            .distinct()
+        )
+
+    def _append(self, sig: DataFrame, overwrite: bool = False) -> None:
+        """Parent append plus the per-video sampled-frame counts side
+        table (`vcounts`: one (doc=video id, n) row per video), written
+        FIRST — an orphan count row for a video whose signatures never
+        landed is harmless (it can never match a candidate), while the
+        reverse order could leave a screen-able video uncounted."""
+        import os
+
+        from ocr_vector_db_spark.operators.index_maint import (
+            commit_generation,
+            init_generation,
+        )
+
+        vc = (
+            sig.select(self._sig_asset_id(F.col("doc")).alias("doc"))
+            .groupBy("doc").agg(F.count("*").alias("n"))
+        )
+        vroot = os.path.join(self.path, "vcounts")
+        if overwrite:
+            _, vdest = init_generation(self.spark, vroot)
+        else:
+            vdest = self._table_dir("vcounts")
+        vc.write.mode("overwrite" if overwrite else "append").parquet(vdest)
+        if overwrite:
+            commit_generation(self.spark, vroot, 1)
+        super()._append(sig, overwrite=overwrite)
+
+    def vcounts_table(self) -> DataFrame:
+        """(doc=video id, n sampled frames) for every indexed video. A
+        pre-vcounts index (or an empty build) falls back to ONE bounded
+        aggregate over the frame-grain signatures — correct, but the
+        point of the side table is that screens never need it."""
+        from pyspark.errors import AnalysisException
+
+        from ocr_vector_db_spark.operators.minhash_index import (
+            _error_condition,
+        )
+
+        try:
+            vc = self.spark.read.parquet(self._table_dir("vcounts"))
+        except AnalysisException as exc:
+            if _error_condition(exc) not in (
+                "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+            ):
+                raise
+            vc = (
+                self.signatures()
+                .select(self._sig_asset_id(F.col("doc")).alias("doc"))
+                .withColumn("n", F.lit(1).cast("long"))
+            )
+        # sum-fold so duplicate rows (a crash-retried append) stay exact
+        return vc.groupBy("doc").agg(F.sum("n").alias("n"))
+
+    def compact(self) -> int:
+        from pyspark.errors import AnalysisException
+
+        from ocr_vector_db_spark.operators.index_maint import compact_plain
+        from ocr_vector_db_spark.operators.minhash_index import (
+            _error_condition,
+        )
+
+        import os
+
+        try:
+            compact_plain(self.spark, os.path.join(self.path, "vcounts"),
+                          max(self.n_buckets // 8, 1))
+        except AnalysisException as exc:
+            if _error_condition(exc) not in (
+                "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+            ):
+                raise
+        return super().compact()
 
     @classmethod
     def build(  # noqa: D417 - narrowed signature over the text parent
@@ -294,14 +412,23 @@ class VideoFpIndex(SimHashIndex):
 
     def screen(
         self,
-        new_docs: DataFrame,
+        new_docs: DataFrame | None = None,
         id_col: str = "asset_id",
         text_col: str = "data",
+        sigs: DataFrame | None = None,
     ) -> DataFrame:
         """(new_id, corpus_id, matched, n_new, frac ≥ min_frac) at the
         VIDEO grain — frame hits from the parent's banded screen, kept
-        where the sampled positions ALIGN, counted per video pair."""
-        fhits = super().screen(new_docs, id_col, text_col)
+        where the sampled positions ALIGN, counted per video pair.
+        `frac = matched / min(n_new, n_corpus)` (the batch path's
+        denominator — see the class docstring); a corpus video missing
+        from `vcounts` (a pre-vcounts index) degrades to `n_new` alone.
+        The new side's sampled count comes from its own signature rows,
+        so precomputed `sigs` fully replace the clip re-hash."""
+        new_sig = sigs if sigs is not None else self._sig_expr(
+            new_docs, id_col, text_col
+        )
+        fhits = super().screen(sigs=new_sig)
         pos = {s: F.substring(F.col(s), -9, 9).cast("int")
                for s in ("new_id", "corpus_id")}
         vid = {s: F.substring(F.col(s), 1, F.length(s) - 10)
@@ -314,14 +441,21 @@ class VideoFpIndex(SimHashIndex):
         matched = aligned.groupBy("new_id", "corpus_id").agg(
             F.count("*").alias("matched")
         )
-        n_new = new_docs.select(
-            F.col(id_col).alias("new_id"),
-            (F.floor((F.col("n_frames") - 1) / self.every) + 1)
-            .cast("long").alias("n_new"),
+        n_new = (
+            new_sig.select(self._sig_asset_id(F.col("doc")).alias("new_id"))
+            .groupBy("new_id").agg(F.count("*").cast("long").alias("n_new"))
+        )
+        n_corp = self.vcounts_table().select(
+            F.col("doc").alias("corpus_id"), F.col("n").alias("n_corpus")
         )
         return (
             matched.join(n_new, "new_id")
-            .withColumn("frac", F.col("matched") / F.col("n_new"))
+            .join(n_corp, "corpus_id", "left")
+            .withColumn(
+                "frac",
+                F.col("matched")
+                / F.least("n_new", F.coalesce("n_corpus", "n_new")),
+            )
             .filter(F.col("frac") >= self.min_frac)
             .select("new_id", "corpus_id", "matched", "n_new", "frac")
         )
@@ -331,9 +465,10 @@ class VideoFpIndex(SimHashIndex):
         new_docs: DataFrame,
         id_col: str = "asset_id",
         text_col: str = "data",
+        sigs: DataFrame | None = None,
     ) -> DataFrame:
         dupes = (
-            self.screen(new_docs, id_col, text_col)
+            self.screen(new_docs, id_col, text_col, sigs=sigs)
             .select(F.col("new_id").alias(id_col))
             .distinct()
         )
@@ -341,15 +476,16 @@ class VideoFpIndex(SimHashIndex):
 
     def add(
         self,
-        docs: DataFrame,
+        docs: DataFrame | None = None,
         id_col: str = "asset_id",
         text_col: str = "data",
         assume_new: bool = False,
+        sigs: DataFrame | None = None,
     ) -> int:
         """Parent add with clip-shaped defaults; the count is FRAME docs
         folded (n videos × sampled frames), matching the stored grain."""
         return super().add(docs, id_col=id_col, text_col=text_col,
-                           assume_new=assume_new)
+                           assume_new=assume_new, sigs=sigs)
 
 
 def video_keep_best(

@@ -361,7 +361,6 @@ def stream_ingest_asset_dedup(
     compact_every: int | None = None,
     exact_store: ExactFrameStore | None = None,
     hashable_pred=None,
-    dropped_ids=None,
     exact_key=None,
 ):
     """Start the availableNow asset-dedup stream. `frames_stream` rows must
@@ -381,14 +380,19 @@ def stream_ingest_asset_dedup(
     intra-batch only (cross-batch byte-identical repeats pass; the CLI
     always persists one).
 
-    The gate itself is modality-independent; the three seams default to
-    the image functions and swap for other asset kinds — audio PCM clips
-    pass `hashable_clips_pred` / `audio_dropped_ids` / `exact_clip_key`
-    with an `AudioFpIndex` (the CLI's `stream-ingest-audio`). Everything
-    downstream of the seams (replay ledger, sink-then-fold ordering,
+    The gate itself is modality-independent; the two row-shape seams
+    default to the image functions and swap for other asset kinds —
+    audio PCM clips pass `hashable_clips_pred` / `exact_clip_key` with
+    an `AudioFpIndex` (the CLI's `stream-ingest-audio`). The perceptual
+    machinery (signature function, intra-batch keep-min, screen, add)
+    all comes from the index itself, and the gate computes the batch's
+    signature DataFrame exactly ONCE (`index.signatures_of` →
+    localCheckpoint) — keep-min, the corpus screen and the index fold
+    each consume that one materialization instead of re-hashing raw
+    bytes (for video that was per-frame hashing ×3 per micro-batch).
+    Everything downstream (replay ledger, sink-then-fold ordering,
     compaction, stats) is shared and keeps its certification."""
     hashable_pred = hashable_pred or hashable_frames_pred
-    dropped_ids = dropped_ids or image_dropped_ids
     exact_key = exact_key or exact_frame_key
 
     def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -406,9 +410,19 @@ def stream_ingest_asset_dedup(
             pred = hashable_pred(batch_df)
             hashable = batch_df.filter(pred)
             n_in = hashable.count()
-            doomed = dropped_ids(hashable, index.r, id_col=id_col)
+            # the ONE signature computation of the whole micro-batch
+            # (localCheckpoint materializes it and severs the lineage,
+            # so downstream consumers replay the tiny sig rows, never
+            # the hashing)
+            sigs = index.signatures_of(
+                hashable, id_col=id_col, text_col="data"
+            ).localCheckpoint()
+            doomed = index.batch_dropped_ids(sigs, id_col=id_col)
             batch_kept = hashable.join(doomed, id_col, "left_anti")
-            fresh = index.dedup_new(batch_kept, id_col=id_col)
+            kept_sigs = index.restrict_sigs(sigs, doomed, id_col=id_col,
+                                            anti=True)
+            fresh = index.dedup_new(batch_kept, id_col=id_col,
+                                    sigs=kept_sigs)
             # localCheckpoint, NOT cache: fresh's plan scans the band/
             # signature layouts it was screened against, and the add below
             # appends to those paths — a cached plan over changed source
@@ -444,7 +458,12 @@ def stream_ingest_asset_dedup(
                 )
             if n_accepted:
                 index.add(
-                    fresh, id_col=id_col,
+                    # the accepted subset of the batch's one signature
+                    # set — no re-hash on the fold either
+                    sigs=index.restrict_sigs(
+                        kept_sigs, fresh.select(id_col), id_col=id_col
+                    ),
+                    id_col=id_col,
                     # steady-state ledger mode: the gate proved newness;
                     # only a crashed epoch's retry re-guards
                     assume_new=ledger is not None and not guarded,

@@ -291,7 +291,6 @@ def test_stream_ingest_audio_dedup(spark, tmp_path):
     from ocr_vector_db_spark.operators.audio_fingerprint import AudioFpIndex
     from ocr_vector_db_spark.streaming.assets import (
         ExactFrameStore,
-        audio_dropped_ids,
         exact_clip_key,
         hashable_clips_pred,
         stream_ingest_asset_dedup,
@@ -328,7 +327,6 @@ def test_stream_ingest_audio_dedup(spark, tmp_path):
             spark.readStream.schema(schema).parquet(str(src)), idx, sink,
             stats=stats, checkpoint=ckpt, exact_store=xstore,
             hashable_pred=hashable_clips_pred,
-            dropped_ids=audio_dropped_ids,
             exact_key=exact_clip_key,
         )
         q.awaitTermination(60)

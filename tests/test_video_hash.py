@@ -221,10 +221,7 @@ def test_stream_ingest_video_dedup(spark, tmp_path):
     and the novel clip is accepted and folded in."""
     import shutil
 
-    from ocr_vector_db_spark.operators.video_hash import (
-        VideoFpIndex,
-        video_dropped_ids,
-    )
+    from ocr_vector_db_spark.operators.video_hash import VideoFpIndex
     from ocr_vector_db_spark.streaming.assets import (
         ExactFrameStore,
         exact_video_key,
@@ -260,8 +257,6 @@ def test_stream_ingest_video_dedup(spark, tmp_path):
             spark.readStream.schema(schema).parquet(str(src)), idx, sink,
             stats=stats, checkpoint=ckpt, exact_store=xstore,
             hashable_pred=hashable_videos_pred,
-            dropped_ids=lambda df, r, id_col: video_dropped_ids(
-                df, r, id_col, every=idx.every, min_frac=idx.min_frac),
             exact_key=exact_video_key,
         )
         q.awaitTermination(60)
@@ -310,3 +305,40 @@ def test_video_keep_best(spark):
     assert got["v_big"][1] is True
     assert got["v_small"][1] is False and got["v_bright"][1] is False
     assert got["v_lone"][0] == "v_lone" and got["v_lone"][1] is True
+
+
+def test_video_screen_containment_min_denominator(spark, tmp_path):
+    """A longer NEW video that contains an indexed shorter clip at
+    aligned positions must gate: frac = matched / min(n_new, n_corpus)
+    — the batch path's denominator (ADVICE r12). With matched/n_new
+    alone (4/12 here) the containment evaded the streaming screen even
+    though video_near_dup_pairs would pair the same content."""
+    from ocr_vector_db_spark.operators.video_hash import VideoFpIndex
+
+    short = _video("cont", 36, 24, 4)
+    idx = VideoFpIndex.build(
+        spark, _clips_df(spark, [("short", short, 36, 24)]),
+        str(tmp_path / "vfpc"), r=4, n_buckets=8, every=1, min_frac=0.6,
+    )
+    long_v = short + _video("cont-tail", 36, 24, 8)  # 12 frames
+    ldf = _clips_df(spark, [("long", long_v, 36, 24)])
+    hits = idx.screen(ldf).collect()
+    assert {(h.new_id, h.corpus_id) for h in hits} == {("long", "short")}
+    assert (hits[0].matched, hits[0].frac) == (4, 1.0)
+    assert idx.dedup_new(ldf).count() == 0  # gated
+
+    # vcounts persists through add + reload: containment against a
+    # video folded in AFTER the build also gates
+    idx.add(_clips_df(spark, [("added", _video("addv", 36, 24, 4),
+                               36, 24)]))
+    reloaded = VideoFpIndex.load(spark, str(tmp_path / "vfpc"))
+    long2 = _video("addv", 36, 24, 4) + _video("t2", 36, 24, 8)
+    hits2 = {(h.new_id, h.corpus_id): h.frac
+             for h in reloaded.screen(
+                 _clips_df(spark, [("l2", long2, 36, 24)])).collect()}
+    assert hits2 == {("l2", "added"): 1.0}
+
+    # and compaction keeps the counts
+    reloaded.compact()
+    assert {r.doc: r.n for r in reloaded.vcounts_table().collect()} == \
+        {"short": 4, "added": 4}
