@@ -344,11 +344,21 @@ def embedding_near_dup_pairs(
     block_col: str | None = None,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Pairs (a < b) with cosine ≥ threshold. `block_col` (IVF cluster, label,
     LSH bucket) restricts the self-join to within-block pairs — mandatory at
-    scale; without it this is a guarded O(n²) for small corpora only."""
+    scale. Without it the plan is an O(n²) cross join, and the escape hatch
+    must be opened EXPLICITLY with ``allow_quadratic=True`` (small, known-
+    bounded corpora only) — an unblocked call can't be reached by accident."""
     from ocr_vector_db_spark.functions.vector import dot_col, norm_col
+
+    if block_col is None and not allow_quadratic:
+        raise ValueError(
+            "embedding_near_dup_pairs without block_col is an O(n^2) "
+            "cross join; pass block_col (IVF cluster / label / LSH "
+            "bucket) or opt in explicitly with allow_quadratic=True"
+        )
 
     # Precompute each vector's norm ONCE before the self-join: the pairwise
     # stage then does a single dot product per pair instead of re-deriving
@@ -699,6 +709,7 @@ def semantic_dedup_survivors(
     kmeans_clusters: int | None = None,
     seed: int = 42,
     sample_fraction: float | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023): within each semantic cluster, drop
     every document that has a HIGHER-PRIORITY near-neighbor (cosine ≥
@@ -728,7 +739,7 @@ def semantic_dedup_survivors(
         )
     pairs = embedding_near_dup_pairs(
         blocked, threshold=threshold, block_col=block_col, emb_col=emb_col,
-        id_col=id_col,
+        id_col=id_col, allow_quadratic=allow_quadratic,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")

@@ -921,3 +921,39 @@ def test_embedding_drift_semantics(spark):
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
     assert embedding_drift(df, F.col("vec_id") % 2 == 0).head().mean_cosine \
         == -1.0
+
+
+def test_embedding_near_dup_quadratic_needs_explicit_opt_in(spark):
+    """The unblocked path is an O(n^2) cross join — it must raise unless
+    the caller opts in with allow_quadratic=True (VERDICT r12: a future
+    call site can't stumble into the quadratic plan silently). The
+    opted-in result equals the blocked result on a single-block corpus."""
+    import pytest as _pytest
+
+    from ocr_vector_db_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_dedup_survivors,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9806, 0.196], 0),
+        (4, [0.0, 1.0], 0),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    with _pytest.raises(ValueError, match="allow_quadratic"):
+        embedding_near_dup_pairs(df, threshold=0.95)
+    with _pytest.raises(ValueError, match="allow_quadratic"):
+        semantic_dedup_survivors(df, threshold=0.95, block_col=None)
+
+    quad = sorted(
+        (p.id_a, p.id_b)
+        for p in embedding_near_dup_pairs(
+            df, threshold=0.95, allow_quadratic=True).collect()
+    )
+    blocked = sorted(
+        (p.id_a, p.id_b)
+        for p in embedding_near_dup_pairs(
+            df, threshold=0.95, block_col="label").collect()
+    )
+    assert quad == blocked == [(1, 2)]
