@@ -201,6 +201,11 @@ HEADLINE = [
     # frame-sampled video near-dup: binary frame slicing + the image
     # dHash stack per sampled frame + the ALIGNED banded pair join
     "q155_video_framehash_neardup",
+    # round 13 addition: WAV/PNG container ingestion — the Arrow-batched
+    # mapInPandas decode pass (RIFF chunk walk, PNG inflate+unfilter)
+    # feeding the perceptual stacks (constant-size fixtures; tracked for
+    # decode-path and Arrow-transfer regressions)
+    "q156_container_decode_roundtrip",
 ]
 
 

@@ -2979,3 +2979,166 @@ def q155(spark, sf):
         )
         .orderBy("item", "key")
     )
+
+
+@query(
+    "q156_container_decode_roundtrip",
+    """
+    SELECT * FROM (VALUES
+        ('afp', 'clip_raw', 'a5a26c76a334d938'),
+        ('afp', 'clip_wav', 'a5a26c76a334d938'),
+        ('afp', 'clip_wav_loud', 'a5a26c76a334d938'),
+        ('dhash', 'img_png', '32ac6a22b2b55bda'),
+        ('dhash', 'img_png_up', '32ac6a22b2b55bda'),
+        ('dhash', 'img_raw', '32ac6a22b2b55bda'),
+        ('meta', 'clip_wav', 'pcm_s16le:16000:1:wav'),
+        ('meta', 'clip_wav_loud', 'pcm_s16le:16000:1:wav'),
+        ('meta', 'img_png', 'raw:72x40:1:png'),
+        ('meta', 'img_png_up', 'raw:144x80:1:png'),
+        ('meta', 'stereo_wav', 'pcm_s16le:8000:2:wav'),
+        ('pair_audio', 'clip_raw~clip_wav', '0'),
+        ('pair_audio', 'clip_raw~clip_wav_loud', '0'),
+        ('pair_audio', 'clip_wav~clip_wav_loud', '0'),
+        ('pair_image', 'img_png_up~img_raw', '0'),
+        ('pair_image', 'img_png~img_png_up', '0'),
+        ('pair_image', 'img_png~img_raw', '0'),
+        ('passthrough', 'bad_png', 'true'),
+        ('passthrough', 'mp3', 'true')
+    ) AS t(item, key, detail)
+    ORDER BY item, key
+    """,
+)
+def q156(spark, sf):
+    """WAV/RIFF + PNG container ingestion (golden VALUES oracle) — the
+    multimodal decode seam made REAL for the two structure-only
+    containers (`sources/containers.py`): WAV is a RIFF chunk walk to
+    the PCM16 payload, PNG is one zlib inflate + the five standard
+    scanline filters reconstructed. `normalize_assets` (one Arrow-
+    batched mapInPandas pass, per-asset grain, magic-byte detection)
+    rewrites such rows to the raw shapes the perceptual operators
+    consume, so containerized crawl rows no longer fall through to the
+    exact-byte-hash path. Pinned here: a WAV clip fingerprints
+    IDENTICALLY to its raw-PCM twin (and a 2x-gain WAV re-encode lands
+    at Hamming 0 — gain invariance straight from the container); a
+    Paeth-filtered PNG page dHashes identically to its raw-raster twin
+    (and an Up-filtered 2x-rescale PNG at Hamming 0); decoded metadata
+    carries format/rate/dims/container; a stereo WAV DECODES but is
+    owned by the mono projection policy (no fingerprint row); a
+    corrupt PNG and an mp3 pass through byte-identical (the exact-hash
+    fallback still owns them). Codec round-trips across all five PNG
+    filter types and WAV chunk-walk edge cases (LIST chunks, word
+    alignment, WAVE_FORMAT_EXTENSIBLE) are pinned by
+    tests/test_containers.py. Reference parity: none — the reference
+    ingests PDF/text/markdown only; this is the training-pipeline
+    multimodal brief's decode step."""
+    import hashlib
+
+    from ocr_vector_db_spark.operators.audio_fingerprint import (
+        asset_pcm_frames,
+        audio_fingerprints,
+        audio_near_dup_pairs,
+    )
+    from ocr_vector_db_spark.operators.image_hash import (
+        asset_gray_frames,
+        dhash_signatures,
+        phash_near_dup_pairs,
+    )
+    from ocr_vector_db_spark.sources.containers import (
+        PNG_MAGIC,
+        encode_png,
+        encode_wav,
+        normalize_assets,
+    )
+
+    base = _synth_pcm("tape-A", 65000)
+    loud = _synth_pcm("tape-A", 65000, gain=2)
+
+    def mat(seed):
+        return [
+            [hashlib.md5(f"{seed}:{cx}:{cy}".encode()).digest()[0] % 200
+             + 10 for cx in range(9)]
+            for cy in range(8)
+        ]
+
+    def render(m, w, h):
+        return bytes(
+            m[y * 8 // h][x * 9 // w] for y in range(h) for x in range(w)
+        )
+
+    m_a = mat("page-A")
+    img = render(m_a, 72, 40)
+    img2x = render(m_a, 144, 80)
+    stereo = b"".join(
+        v.to_bytes(2, "little", signed=True) + (v // 2).to_bytes(
+            2, "little", signed=True)
+        for v in (100, -200, 300, -400, 500, -600)
+    )
+    rows = [
+        ("clip_raw", "audio", base,
+         {"format": "pcm_s16le", "channels": "1", "sample_rate": "16000"}),
+        # kind deliberately unknown on the container rows: detection is
+        # by magic bytes, crawl metadata is untrusted
+        ("clip_wav", "unknown", encode_wav(base, 16000, 1), {}),
+        ("clip_wav_loud", "unknown", encode_wav(loud, 16000, 1), {}),
+        ("img_raw", "image", img,
+         {"format": "raw", "channels": "1", "width": "72",
+          "height": "40"}),
+        ("img_png", "unknown", encode_png(img, 72, 40, 1, filter_type=4),
+         {}),
+        ("img_png_up", "unknown",
+         encode_png(img2x, 144, 80, 1, filter_type=2), {}),
+        ("stereo_wav", "unknown", encode_wav(stereo, 8000, 2), {}),
+        ("bad_png", "unknown", PNG_MAGIC + b"not a real png", {}),
+        ("mp3", "audio", b"ID3fake", {"format": "mp3"}),
+    ]
+    adf = spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    norm = normalize_assets(adf).cache()
+    asig = audio_fingerprints(asset_pcm_frames(norm))
+    isig = dhash_signatures(asset_gray_frames(norm))
+    apairs = audio_near_dup_pairs(asig, r=6)
+    ipairs = phash_near_dup_pairs(isig, r=4)
+    md = F.col("metadata")
+    meta = norm.filter(md["container"].isNotNull()).select(
+        F.lit("meta").alias("item"), F.col("asset_id").alias("key"),
+        F.concat_ws(
+            ":", md["format"], F.coalesce(
+                md["sample_rate"],
+                F.concat_ws("x", md["width"], md["height"]),
+            ),
+            md["channels"], md["container"],
+        ).alias("detail"),
+    )
+    passthru = (
+        norm.select("asset_id", F.col("data").alias("d_norm"))
+        .join(adf.select("asset_id", F.col("data").alias("d_in")),
+              "asset_id")
+        .filter(F.col("asset_id").isin("bad_png", "mp3"))
+        .select(
+            F.lit("passthrough").alias("item"),
+            F.col("asset_id").alias("key"),
+            (F.col("d_norm") == F.col("d_in")).cast("string")
+            .alias("detail"),
+        )
+    )
+    return (
+        asig.select(F.lit("afp").alias("item"), F.col("id").alias("key"),
+                    F.col("afp").alias("detail"))
+        .unionByName(isig.select(
+            F.lit("dhash").alias("item"), F.col("id").alias("key"),
+            F.col("dhash").alias("detail")))
+        .unionByName(apairs.select(
+            F.lit("pair_audio").alias("item"),
+            F.concat_ws("~", "id_a", "id_b").alias("key"),
+            F.col("hamming").cast("string").alias("detail")))
+        .unionByName(ipairs.select(
+            F.lit("pair_image").alias("item"),
+            F.concat_ws("~", "id_a", "id_b").alias("key"),
+            F.col("hamming").cast("string").alias("detail")))
+        .unionByName(meta)
+        .unionByName(passthru)
+        .orderBy("item", "key")
+    )

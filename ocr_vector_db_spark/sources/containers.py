@@ -1,0 +1,321 @@
+"""WAV/RIFF and PNG container ingestion for the multimodal stack.
+
+The raw-buffer operators (image dHash/resize q150/q152, audio
+fingerprints/quality q153/q154, video frame hashes q155) consume
+already-decoded pixels/samples; a real crawl arrives CONTAINERIZED. The
+two containers whose decode is pure structure — no codec math — are
+handled here so those rows stop falling through to the exact-byte-hash
+path:
+
+- **WAV/RIFF**: a chunk walk (RIFF → fmt → data). PCM16 little-endian
+  payloads are exactly the `pcm_s16le` bytes `asset_pcm_frames` wants —
+  the "decode" is locating them.
+- **PNG**: chunk walk (IHDR → IDAT* → IEND), one zlib inflate of the
+  concatenated IDAT stream, then the five standard per-scanline filters
+  reconstructed (None/Sub/Up/Average/Paeth, RFC 2083 §6). 8-bit
+  grayscale (color type 0) and RGB (type 2), non-interlaced — the
+  shapes `asset_gray_frames` / `asset_raw_frames` consume.
+
+Anything else (JPEG/MP3/MP4 entropy coding, sub-byte depths, Adam7,
+palettes, 24-bit PCM) stays behind `multimodal.extract_features`'s
+pluggable decode seam, honestly out of scope.
+
+Scale shape: decode is per-ASSET work with zero cross-row state, so
+`normalize_assets` runs it as one Arrow-batched `mapInPandas` pass —
+the same grain as the PDF decrypt (`sources/pdf_decode.py`) — and every
+downstream operator keeps its certified distributed shape. Rows that
+are not (or not decodably) containerized pass through UNCHANGED, so the
+exact-hash fallback still owns them.
+
+Reference parity: none — the reference ingests PDF/text/markdown only
+(ingestion/parsers/); this is the multimodal-columns brief's decode
+step made real for the two structure-only containers.
+
+The matching `encode_wav` / `encode_png` writers exist so round-trips
+are testable end-to-end (decode(encode(x)) == x) and raw assets can be
+exported to standard files; `encode_png` emits fixed-filter scanlines
+and exercises every filter type in tests.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+WAV_MAGIC = b"RIFF"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+# ------------------------------------------------------------------ WAV
+
+
+def decode_wav(data: bytes) -> dict | None:
+    """RIFF/WAVE → {'pcm': bytes, 'sample_rate': int, 'channels': int}
+    for 16-bit integer PCM payloads; None for anything this module does
+    not own (other codecs/depths, malformed files). Walks chunks with
+    the word-alignment rule; LIST/INFO and unknown chunks skip."""
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    fmt = None
+    pcm = None
+    o = 12
+    n = len(data)
+    while o + 8 <= n:
+        cid = data[o:o + 4]
+        (size,) = struct.unpack_from("<I", data, o + 4)
+        body = data[o + 8:o + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk
+        if cid == b"fmt " and size >= 16:
+            audio_format, channels, sample_rate = struct.unpack_from(
+                "<HHI", body, 0
+            )
+            (bits,) = struct.unpack_from("<H", body, 14)
+            # 0xFFFE = WAVE_FORMAT_EXTENSIBLE: PCM iff the 16-byte
+            # sub-format GUID starts with the PCM tag
+            if audio_format == 0xFFFE and size >= 40:
+                (sub,) = struct.unpack_from("<H", body, 24)
+                audio_format = sub
+            fmt = (audio_format, channels, sample_rate, bits)
+        elif cid == b"data":
+            pcm = body
+        o += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        return None
+    audio_format, channels, sample_rate, bits = fmt
+    if audio_format != 1 or bits != 16 or channels < 1:
+        return None
+    frame = 2 * channels
+    usable = len(pcm) - (len(pcm) % frame)  # drop a ragged tail byte
+    return {
+        "pcm": pcm[:usable],
+        "sample_rate": sample_rate,
+        "channels": channels,
+    }
+
+
+def encode_wav(pcm: bytes, sample_rate: int, channels: int = 1) -> bytes:
+    """Minimal canonical RIFF/WAVE writer for 16-bit PCM (fmt + data)."""
+    block = 2 * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, 16
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# ------------------------------------------------------------------ PNG
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> dict | None:
+    """PNG → {'raw': bytes, 'width', 'height', 'channels'} for 8-bit
+    gray (channels=1) / RGB (channels=3) non-interlaced images; None
+    otherwise. One inflate of the IDAT stream, then the standard filter
+    reconstruction per scanline."""
+    if not data.startswith(PNG_MAGIC):
+        return None
+    o = len(PNG_MAGIC)
+    n = len(data)
+    hdr = None
+    idat = bytearray()
+    while o + 8 <= n:
+        (size,) = struct.unpack_from(">I", data, o)
+        ctype = data[o + 4:o + 8]
+        body = data[o + 8:o + 8 + size]
+        if len(body) < size:
+            return None
+        if ctype == b"IHDR":
+            if size < 13:
+                return None
+            w, h = struct.unpack_from(">II", body, 0)
+            depth, color, comp, filt, interlace = body[8:13]
+            hdr = (w, h, depth, color, comp, filt, interlace)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        o += 12 + size  # len + type + body + crc
+    if hdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = hdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    if color == 0:
+        ch = 1
+    elif color == 2:
+        ch = 3
+    else:
+        return None  # palette/alpha stay behind the decode seam
+    if w < 1 or h < 1:
+        return None
+    try:
+        plane = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(plane) != h * (1 + stride):
+        return None
+    out = bytearray(h * stride)
+    prev_off = -stride
+    src = 0
+    for y in range(h):
+        ftype = plane[src]
+        src += 1
+        dst = y * stride
+        line = plane[src:src + stride]
+        src += stride
+        if ftype == 0:                                    # None
+            out[dst:dst + stride] = line
+        elif ftype == 1:                                  # Sub
+            for i in range(stride):
+                a = out[dst + i - ch] if i >= ch else 0
+                out[dst + i] = (line[i] + a) & 0xFF
+        elif ftype == 2:                                  # Up
+            for i in range(stride):
+                b = out[dst + prev_off + i] if y else 0
+                out[dst + i] = (line[i] + b) & 0xFF
+        elif ftype == 3:                                  # Average
+            for i in range(stride):
+                a = out[dst + i - ch] if i >= ch else 0
+                b = out[dst + prev_off + i] if y else 0
+                out[dst + i] = (line[i] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:                                  # Paeth
+            for i in range(stride):
+                a = out[dst + i - ch] if i >= ch else 0
+                b = out[dst + prev_off + i] if y else 0
+                c = out[dst + prev_off + i - ch] if (y and i >= ch) else 0
+                out[dst + i] = (line[i] + _paeth(a, b, c)) & 0xFF
+        else:
+            return None
+    return {"raw": bytes(out), "width": w, "height": h, "channels": ch}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(raw: bytes, width: int, height: int, channels: int = 1,
+               filter_type: int = 0) -> bytes:
+    """Write 8-bit gray/RGB raw pixels as a PNG with one fixed filter
+    type per scanline (0–4; fixture/export writer — a size-optimizing
+    encoder would pick per-line, which the decoder handles anyway)."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(raw) != width * height * channels:
+        raise ValueError("raw length != width*height*channels")
+    if not 0 <= filter_type <= 4:
+        raise ValueError("filter_type must be 0..4")
+    ch, stride = channels, width * channels
+    plane = bytearray()
+    for y in range(height):
+        row = raw[y * stride:(y + 1) * stride]
+        up = raw[(y - 1) * stride:y * stride] if y else bytes(stride)
+        plane.append(filter_type)
+        for i in range(stride):
+            a = row[i - ch] if i >= ch else 0
+            b = up[i]
+            c = up[i - ch] if (y and i >= ch) else 0
+            if filter_type == 0:
+                v = row[i]
+            elif filter_type == 1:
+                v = row[i] - a
+            elif filter_type == 2:
+                v = row[i] - (b if y else 0)
+            elif filter_type == 3:
+                v = row[i] - ((a + (b if y else 0)) >> 1)
+            else:
+                v = row[i] - _paeth(a, b if y else 0, c)
+            plane.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8,
+                       0 if channels == 1 else 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(plane), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# ------------------------------------------------------- Spark plumbing
+
+
+def normalize_assets(assets: DataFrame) -> DataFrame:
+    """ASSET_SCHEMA → ASSET_SCHEMA with WAV and PNG rows decoded to the
+    raw shapes the perceptual operators consume; every other row passes
+    through byte-identical. Detection is by MAGIC BYTES, never crawl
+    metadata (which lies). Decoded rows get:
+
+    - WAV → kind=audio, data=PCM payload, metadata format=pcm_s16le +
+      sample_rate/channels (+container=wav); stereo stays stereo — the
+      mono projection (`asset_pcm_frames`) owns that policy.
+    - PNG → kind=image, data=raw pixels, metadata format=raw +
+      width/height/channels (+container=png).
+
+    Per-asset decode, zero cross-row state → one Arrow-batched
+    mapInPandas pass; partitioning, pushdown and every downstream
+    operator shape are untouched."""
+    import pandas as pd
+
+    from ocr_vector_db_spark.sources.multimodal import ASSET_SCHEMA
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            kinds, datas, metas = [], [], []
+            for kind, data, meta in zip(
+                pdf["kind"], pdf["data"], pdf["metadata"]
+            ):
+                raw = bytes(data) if data is not None else b""
+                meta = dict(meta) if meta is not None else {}
+                if raw.startswith(WAV_MAGIC):
+                    dec = decode_wav(raw)
+                    if dec is not None:
+                        kind = "audio"
+                        raw = dec["pcm"]
+                        meta.update(
+                            format="pcm_s16le",
+                            sample_rate=str(dec["sample_rate"]),
+                            channels=str(dec["channels"]),
+                            container="wav",
+                        )
+                elif raw.startswith(PNG_MAGIC):
+                    dec = decode_png(raw)
+                    if dec is not None:
+                        kind = "image"
+                        raw = dec["raw"]
+                        meta.update(
+                            format="raw",
+                            width=str(dec["width"]),
+                            height=str(dec["height"]),
+                            channels=str(dec["channels"]),
+                            container="png",
+                        )
+                kinds.append(kind)
+                datas.append(raw)
+                metas.append(meta)
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "kind": kinds,
+                "data": datas,
+                "metadata": metas,
+            })
+
+    return assets.mapInPandas(run, ASSET_SCHEMA)

@@ -1,0 +1,157 @@
+"""WAV/RIFF + PNG container codecs and normalize_assets (q156).
+
+Pins: PNG round-trips across all five scanline filter types, gray and
+RGB, at non-cell-divisible dims; WAV chunk-walk edge cases (LIST chunks
+before fmt, odd-size word alignment, WAVE_FORMAT_EXTENSIBLE, ragged
+data tails); strict rejection of everything the module does not own;
+and the Spark pass — containerized rows decode to raw shapes whose
+perceptual signatures equal their raw twins', everything else passes
+through byte-identical.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_vector_db_spark.sources.containers import (
+    PNG_MAGIC,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    normalize_assets,
+)
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_round_trip_every_filter(channels, filter_type):
+    rnd = random.Random(f"{channels}:{filter_type}")
+    w, h = 23, 11
+    raw = bytes(rnd.randrange(256) for _ in range(w * h * channels))
+    got = decode_png(encode_png(raw, w, h, channels,
+                                filter_type=filter_type))
+    assert got == {"raw": raw, "width": w, "height": h,
+                   "channels": channels}
+
+
+def test_png_rejections():
+    raw = bytes(range(60))
+    png = encode_png(raw, 10, 6, 1)
+    assert decode_png(b"notapng") is None
+    assert decode_png(PNG_MAGIC + b"garbage") is None
+    assert decode_png(png[:40]) is None            # truncated chunk
+    # 16-bit depth / palette / interlace are out of scope
+    ihdr = struct.pack(">IIBBBBB", 10, 6, 16, 0, 0, 0, 0)
+    deep = png.replace(png[8:33], (
+        struct.pack(">I", 13) + b"IHDR" + ihdr + png[29:33]), 1)
+    assert decode_png(deep) is None
+    # corrupt the deflate stream: decode must return None, not raise
+    bad = bytearray(png)
+    bad[50] ^= 0xFF
+    assert decode_png(bytes(bad)) is None
+
+
+def test_wav_chunk_walk_edge_cases():
+    rnd = random.Random(7)
+    pcm = bytes(rnd.randrange(256) for _ in range(2 * 501))  # odd count
+    wav = encode_wav(pcm, 16000, 1)
+    want = {"pcm": pcm, "sample_rate": 16000, "channels": 1}
+    assert decode_wav(wav) == want
+
+    # a LIST metadata chunk before fmt must be skipped (word-aligned)
+    body = wav[12:]
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    wav2 = (b"RIFF" + struct.pack("<I", 4 + len(lst) + len(body))
+            + b"WAVE" + lst + body)
+    assert decode_wav(wav2) == want
+
+    # WAVE_FORMAT_EXTENSIBLE with a PCM sub-format decodes
+    base = struct.pack("<HHIIHH", 0xFFFE, 2, 8000, 8000 * 4, 4, 16)
+    ext = base + struct.pack("<HHI", 22, 16, 0) + struct.pack("<H", 1) \
+        + bytes(14)
+    chunks = (b"WAVE" + b"fmt " + struct.pack("<I", len(ext)) + ext
+              + b"data" + struct.pack("<I", 12) + bytes(12))
+    got = decode_wav(b"RIFF" + struct.pack("<I", len(chunks)) + chunks)
+    assert got == {"pcm": bytes(12), "sample_rate": 8000, "channels": 2}
+
+    # ragged data tail (not a whole frame) truncates to whole frames
+    chunks = (b"WAVE" + wav[12:12 + 24]  # fmt chunk of the mono file
+              + b"data" + struct.pack("<I", 5) + b"\x01\x02\x03\x04\x05"
+              + b"\x00")
+    got = decode_wav(b"RIFF" + struct.pack("<I", len(chunks)) + chunks)
+    assert got["pcm"] == b"\x01\x02\x03\x04"
+
+    # rejections: wrong form type, truncation, non-PCM, 8-bit
+    assert decode_wav(b"RIFF" + struct.pack("<I", 4) + b"AVI ") is None
+    assert decode_wav(wav[:20]) is None
+    mu = bytearray(wav)
+    mu[20] = 7  # audio_format = mu-law
+    assert decode_wav(bytes(mu)) is None
+    eight = bytearray(wav)
+    eight[34] = 8
+    assert decode_wav(bytes(eight)) is None
+
+
+def test_normalize_assets_decodes_and_passes_through(spark):
+    """Container rows decode to raw twins with identical perceptual
+    signatures (the q156 contract); undecodable rows pass through
+    byte-identical with untouched metadata."""
+    from ocr_vector_db_spark.operators.audio_fingerprint import (
+        asset_pcm_frames,
+        audio_fingerprints,
+    )
+    from ocr_vector_db_spark.operators.image_hash import (
+        asset_gray_frames,
+        dhash_signatures,
+    )
+
+    rnd = random.Random(11)
+    pcm = b"".join(
+        (rnd.randrange(-2000, 2000) * ((i % 40) - 20) // 20)
+        .to_bytes(2, "little", signed=True)
+        for i in range(8000)
+    )
+    img = bytes(((x * 7 + y * 13) % 251)
+                for y in range(40) for x in range(72))
+    rows = [
+        ("clip_raw", "audio", pcm,
+         {"format": "pcm_s16le", "channels": "1", "sample_rate": "16000"}),
+        ("clip_wav", "unknown", encode_wav(pcm, 16000, 1), {"x": "y"}),
+        ("img_raw", "image", img,
+         {"format": "raw", "channels": "1", "width": "72",
+          "height": "40"}),
+        ("img_png", "unknown", encode_png(img, 72, 40, 1, filter_type=3),
+         {}),
+        ("mp3", "audio", b"ID3fake", {"format": "mp3"}),
+        ("bad_png", "unknown", PNG_MAGIC + b"nope", {"k": "v"}),
+    ]
+    adf = spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    norm = normalize_assets(adf)
+
+    afp = {r.id: r.afp for r in
+           audio_fingerprints(asset_pcm_frames(norm)).collect()}
+    assert afp["clip_raw"] == afp["clip_wav"]
+    dh = {r.id: r.dhash for r in
+          dhash_signatures(asset_gray_frames(norm)).collect()}
+    assert dh["img_raw"] == dh["img_png"]
+
+    by_id = {r.asset_id: r for r in norm.collect()}
+    assert bytes(by_id["clip_wav"].data) == pcm
+    assert by_id["clip_wav"].kind == "audio"
+    assert by_id["clip_wav"].metadata["container"] == "wav"
+    assert by_id["clip_wav"].metadata["x"] == "y"  # original keys kept
+    assert bytes(by_id["img_png"].data) == img
+    assert by_id["img_png"].metadata["container"] == "png"
+    for aid, _, data, meta in rows:
+        if aid in ("mp3", "bad_png"):
+            assert bytes(by_id[aid].data) == data, aid
+            assert dict(by_id[aid].metadata) == meta, aid
