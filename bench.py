@@ -209,10 +209,14 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
+def run_slice(names: list[str], include_ingest: bool,
+              sf_dir: str) -> dict[str, float]:
+    """Warm up and time `names` in THIS process's JVM. The caller decides
+    how much JVM history a slice inherits — the top-level run executes
+    each slice in a FRESH subprocess (see main), because ~90 queries of
+    accumulated JVM state (codegen/metaspace churn, old-gen fragmentation,
+    Python-worker pools) made the tail of a single-session sweep swing up
+    to 2.3x on identical code (measured r11/r12; SCALING.md)."""
     import __spark_entry__ as entry
     from ocr_vector_db_spark.session import get_spark
 
@@ -227,7 +231,7 @@ def main() -> None:
     # this sweep and a query's timed run, its analyzed-plan cache can go
     # cold again — r05 recorded q33 at 1.2s from exactly that, vs 0.6s
     # genuinely warm.)
-    for name in HEADLINE:
+    for name in names:
         queries[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
@@ -237,28 +241,29 @@ def main() -> None:
     # not a table query, so it is timed as its own headline entry)
     from ocr_vector_db_spark.sources.ingest import files_df, ingest
 
-    docs = [
-        (f"/bench/doc{i}.md",
-         f"Prose paragraph number {i} about engines, with enough words to "
-         f"pass validation easily and form a text unit of reasonable size. "
-         + ("filler sentence. " * (i % 7)) +
-         f"\n\n```python\ndef f{i}(x):\n    return x + {i}\n```\n",
-         "md")
-        for i in range(200)
-    ]
-    fdf = files_df(spark, docs)
-    ingest(spark, fdf, dim=64)["embeddings"].count()  # warmup
-    t0 = time.time()
-    n_emb = ingest(spark, fdf, dim=64)["embeddings"].count()
-    timings["ingest_200docs"] = round(time.time() - t0, 3)
-    print(f"# ingest_200docs: {timings['ingest_200docs']:.3f}s ({n_emb} embeddings)",
-          file=sys.stderr)
+    if include_ingest:
+        docs = [
+            (f"/bench/doc{i}.md",
+             f"Prose paragraph number {i} about engines, with enough words "
+             f"to pass validation easily and form a text unit of reasonable "
+             f"size. " + ("filler sentence. " * (i % 7)) +
+             f"\n\n```python\ndef f{i}(x):\n    return x + {i}\n```\n",
+             "md")
+            for i in range(200)
+        ]
+        fdf = files_df(spark, docs)
+        ingest(spark, fdf, dim=64)["embeddings"].count()  # warmup
+        t0 = time.time()
+        n_emb = ingest(spark, fdf, dim=64)["embeddings"].count()
+        timings["ingest_200docs"] = round(time.time() - t0, 3)
+        print(f"# ingest_200docs: {timings['ingest_200docs']:.3f}s "
+              f"({n_emb} embeddings)", file=sys.stderr)
 
     # min-of-2 timed executions per query: a single timed run is exposed to
     # GC pauses / OS scheduling noise (observed 2-5x outliers run-to-run on
     # a shared box); the min of two is the steady-state number a serving
     # deployment sees.
-    for name in HEADLINE:
+    for name in names:
         # start each query from a CLEAN cache: 80+ earlier queries leave
         # executor storage churn that evicts a late query's own intra-run
         # caches mid-iteration (r10 recorded q113's PageRank at 13.3s from
@@ -277,6 +282,49 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    return timings
+
+
+# Fresh-JVM slice size: a single session accumulates JVM state over ~90
+# queries (codegen/metaspace churn, old-gen fragmentation, Python-worker
+# pools) that made the LAST ~30 entries of the sweep swing up to 2.3x on
+# identical code (r11/r12 double-runs; SCALING.md "bench tail"). Each
+# slice runs in its own subprocess JVM: state resets at the boundary, and
+# every slice re-warms its own queries before timing, so timed numbers
+# stay steady-state-warm. ~45 entries/slice keeps the reset well before
+# the churn regime while only paying one extra session startup.
+SLICE_SIZE = 45
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sl = os.environ.get("SPARK_GRAFT_BENCH_SLICE", "")
+    if sl:
+        # child mode: time one slice in THIS (fresh) JVM and emit a bare
+        # timings JSON line for the parent to merge
+        a, b = (int(x) for x in sl.split(":"))
+        timings = run_slice(HEADLINE[a:b], include_ingest=(a == 0),
+                            sf_dir=sf_dir)
+        print(json.dumps(timings, separators=(",", ":")))
+        return
+
+    import subprocess
+
+    timings = {}
+    for a in range(0, len(HEADLINE), SLICE_SIZE):
+        b = min(a + SLICE_SIZE, len(HEADLINE))
+        env = dict(os.environ, SPARK_GRAFT_BENCH_SLICE=f"{a}:{b}")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, text=True,
+        )
+        if proc.returncode != 0:
+            raise SystemExit(f"bench slice {a}:{b} failed "
+                             f"(exit {proc.returncode})")
+        timings.update(json.loads(proc.stdout.strip().splitlines()[-1]))
 
     total = round(sum(timings.values()), 3)
     # The driver's artifact keeps only the last ~2000 chars of stdout, so
