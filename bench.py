@@ -223,15 +223,20 @@ def run_slice(names: list[str], include_ingest: bool,
     spark = get_spark("ocr_vector_db_spark_bench")
     queries = entry.queries()
 
-    # Steady-state methodology (JMH-style): one untimed warmup sweep
-    # amortizes JVM whole-stage-codegen compilation and the session-memoized
-    # index/model builds — on a long-lived cluster these compile once and
-    # serve thousands of queries. (A SECOND warm pass runs immediately
-    # before each query's timed executions below: with ~40 queries between
-    # this sweep and a query's timed run, its analyzed-plan cache can go
-    # cold again — r05 recorded q33 at 1.2s from exactly that, vs 0.6s
-    # genuinely warm.)
-    for name in names:
+    # Steady-state methodology (JMH-style): one untimed warmup sweep over
+    # the FULL headline set amortizes JVM whole-stage-codegen compilation,
+    # C2-compiled Catalyst/task-dispatch paths shared across queries, and
+    # the session-memoized index/model builds — on a long-lived cluster
+    # these compile once and serve thousands of queries. The sweep must
+    # cover ALL queries even though this slice times only its own: the
+    # sub-second entries are dominated by fixed overheads that a 45-query
+    # warmup leaves half-cold (measured: slice-local warmup inflated the
+    # whole artifact a uniform ~1.5-1.9x vs the full sweep). (A SECOND
+    # warm pass runs immediately before each query's timed executions
+    # below: with ~40 queries between this sweep and a query's timed run,
+    # its analyzed-plan cache can go cold again — r05 recorded q33 at
+    # 1.2s from exactly that, vs 0.6s genuinely warm.)
+    for name in HEADLINE:
         queries[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
@@ -286,15 +291,21 @@ def run_slice(names: list[str], include_ingest: bool,
     return timings
 
 
-# Fresh-JVM slice size: a single session accumulates JVM state over ~90
-# queries (codegen/metaspace churn, old-gen fragmentation, Python-worker
-# pools) that made the LAST ~30 entries of the sweep swing up to 2.3x on
-# identical code (r11/r12 double-runs; SCALING.md "bench tail"). Each
-# slice runs in its own subprocess JVM: state resets at the boundary, and
-# every slice re-warms its own queries before timing, so timed numbers
-# stay steady-state-warm. ~45 entries/slice keeps the reset well before
-# the churn regime while only paying one extra session startup.
-SLICE_SIZE = 45
+# Fresh-JVM slicing: each slice of HEADLINE runs in its own subprocess
+# JVM (SPARK_GRAFT_BENCH_SLICE child protocol below), resetting
+# accumulated JVM state at the boundary. Round 13 ran the controlled
+# experiment this was built for — two sliced runs plus a single-session
+# control in the same hour — and the data REFUTED the JVM-state theory
+# of the tail swing: per-query drift between the two fresh-JVM sliced
+# runs was just as wide (38 entries >1.3x, up to 2.2x, head and tail
+# alike) and whole-run totals moved ±20% (146.5 / 122.5 / 118.1s on
+# identical code), i.e. the swing is MACHINE-level noise, not session
+# state. The default therefore stays single-slice — directly comparable
+# with every prior round's artifact — and min-of-2 + clean-cache +
+# full-sweep warmup remains the best-available estimator; the slice
+# knob (SPARK_GRAFT_BENCH_SLICE_SIZE) stays for future A/B runs.
+# Details: SCALING.md "bench variance, round-13 measurement".
+SLICE_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_SLICE_SIZE", "10000"))
 
 
 def main() -> None:

@@ -612,17 +612,20 @@ def minhash_neardup_components(
 
 
 def minhash_dropped_ids(
-    df: DataFrame,
+    df: DataFrame | None = None,
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """One column (`id_col`): ids with a LOWER-id near-dup at est_jaccard ≥
     threshold — the keep-min drop set (the doc_b side of
-    `minhash_lsh_candidates`), computed hot-group-safe.
+    `minhash_lsh_candidates`), computed hot-group-safe. Precomputed
+    `sigs` (a `MinHashIndex.signatures_of` result) skip the shingle+hash
+    pass — the signatures-once streaming path.
 
     Same collapse argument as `minhash_neardup_components`: every member of
     an identical-signature group except its min-id representative has the
@@ -633,7 +636,9 @@ def minhash_dropped_ids(
     representative-level candidate pair. Equivalence to the uncollapsed
     formulation is a regression test."""
     assert num_hashes % bands == 0 and threshold <= 1.0
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    sig = sigs if sigs is not None else minhash_signatures(
+        df, num_hashes, n, text_col, id_col
+    )
     # md5 signature key, not the 16 raw columns — see
     # minhash_neardup_components for the shuffle-width rationale
     sig = sig.select("*", F.md5(F.concat_ws("\x1f", *[

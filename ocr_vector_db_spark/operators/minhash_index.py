@@ -108,6 +108,17 @@ class MinHashIndex:
     def signatures(self) -> DataFrame:
         return self.spark.read.parquet(self._table_dir("signatures"))
 
+    def signatures_of(self, docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+        """Public signatures-once seam (SimHashIndex parity): ONE
+        (doc, mh_0..mh_{K-1}) DataFrame for a batch, reusable
+        (localCheckpoint it) across `dedup.minhash_dropped_ids(sigs=)`,
+        `screen(sigs=)`, `dedup_new(sigs=)` and `add(sigs=)` — the
+        streaming text gate shingles+hashes each micro-batch exactly
+        once instead of three times."""
+        return minhash_signatures(docs, self.num_hashes, self.n,
+                                  text_col, id_col)
+
     def bands_table(self) -> DataFrame:
         from pyspark.errors import AnalysisException
         from pyspark.sql import types as T
@@ -180,22 +191,25 @@ class MinHashIndex:
 
     def add(
         self,
-        docs: DataFrame,
+        docs: DataFrame | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
         assume_new: bool = False,
+        sigs: DataFrame | None = None,
     ) -> int:
         """Append a batch's signatures + bands (LexicalIndex.add parity:
         anti-join re-add guard, `assume_new` escape, single-writer
-        contract). Returns the number of docs added.
+        contract). Returns the number of docs added. Precomputed `sigs`
+        (a `signatures_of` result) skip re-shingling `docs`.
 
         The default guard reads the stored id set per call — O(corpus).
         Streaming ingestion at scale should pass ``assume_new=True`` and
         delegate replay safety to `index_maint.EpochLedger` (see
         `streaming.pipeline.stream_ingest_deduped`), which pays the
         guarded anti-join only when retrying a crashed epoch."""
-        sig = minhash_signatures(docs, self.num_hashes, self.n,
-                                 text_col, id_col)
+        sig = sigs if sigs is not None else minhash_signatures(
+            docs, self.num_hashes, self.n, text_col, id_col
+        )
         if not assume_new:
             indexed = self.signatures().select("doc").distinct()
             sig = sig.join(indexed, "doc", "left_anti")
@@ -242,22 +256,25 @@ class MinHashIndex:
 
     def screen(
         self,
-        new_docs: DataFrame,
+        new_docs: DataFrame | None = None,
         threshold: float | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
+        sigs: DataFrame | None = None,
     ) -> DataFrame:
         """(new_id, corpus_id, est_jaccard) candidates of the new batch vs
-        the INDEXED corpus. Only the batch is shingled/hashed; the corpus
-        side is two reads of the persisted layout (bands: slim equi-join
-        keyed exactly like the stored partitioning; signatures: joined on
-        candidate ids only). `threshold` filters est_jaccard >= t."""
+        the INDEXED corpus. Only the batch is shingled/hashed (or not at
+        all, with precomputed `sigs`); the corpus side is two reads of
+        the persisted layout (bands: slim equi-join keyed exactly like
+        the stored partitioning; signatures: joined on candidate ids
+        only). `threshold` filters est_jaccard >= t."""
         # no cache: the returned plan is lazy, so nothing would materialize
         # it here, and a cache with no unpersist would leak one entry per
         # screen() call in a long-lived ingestion loop. The plan references
         # new_sig twice (bands + signature join) — recomputing the batch's
-        # shingle pass twice inside one job is O(batch), acceptable.
-        new_sig = minhash_signatures(
+        # shingle pass twice inside one job is O(batch), acceptable (zero
+        # with checkpointed `sigs`).
+        new_sig = sigs if sigs is not None else minhash_signatures(
             new_docs, self.num_hashes, self.n, text_col, id_col
         )
         new_banded = banded_of(new_sig, self.num_hashes, self.bands).withColumn(
@@ -302,10 +319,12 @@ class MinHashIndex:
         threshold: float = 0.8,
         id_col: str = "doc_id",
         text_col: str = "text",
+        sigs: DataFrame | None = None,
     ) -> DataFrame:
         """The ingestion gate: batch docs with NO indexed near-dup at
         est_jaccard >= threshold. Call `add` on the result to accept the
-        survivors into the index.
+        survivors into the index. Precomputed `sigs` skip the batch
+        re-hash.
 
         Scope: gates the batch against the CORPUS only. Near-dups WITHIN
         the batch are the one-shot problem — run
@@ -313,7 +332,7 @@ class MinHashIndex:
         that intra-batch dups resolve on the NEXT batch's screen once the
         first copy is indexed."""
         dupes = (
-            self.screen(new_docs, threshold, id_col, text_col)
+            self.screen(new_docs, threshold, id_col, text_col, sigs=sigs)
             .select(F.col("new_id").alias(id_col))
             .distinct()
         )

@@ -528,19 +528,31 @@ def stream_ingest_deduped(
                 n_clean = batch_df.count()
             else:
                 n_clean = n_quality
+            # the ONE shingle+hash pass of the whole micro-batch
+            # (signatures-once, the assets-gate discipline): keep-min,
+            # the corpus screen and the index fold below all consume
+            # this materialized signature set instead of re-hashing
+            # raw text three times per batch
+            sigs = index.signatures_of(
+                batch_df, id_col=id_col, text_col=text_col
+            ).localCheckpoint()
             # 1. intra-batch: drop any doc with a lower-id near-dup in the
             # same batch (same keep-min convention as dedup_exact). The
             # hot-group-safe form: a backfill batch of 10⁶ copies of one
             # page collapses to one band row instead of 10¹² pairs
             doomed = minhash_dropped_ids(
-                batch_df, index.num_hashes, index.bands, index.n,
-                text_col=text_col, id_col=id_col, threshold=threshold,
+                num_hashes=index.num_hashes, bands=index.bands,
+                id_col=id_col, threshold=threshold, sigs=sigs,
             )
             batch_kept = batch_df.join(doomed, id_col, "left_anti")
+            kept_sigs = sigs.join(
+                doomed.select(F.col(id_col).alias("doc")),
+                "doc", "left_anti",
+            )
             # 2+3. screen vs the index, accept + fold in the survivors
             fresh = index.dedup_new(
                 batch_kept, threshold=threshold,
-                id_col=id_col, text_col=text_col,
+                id_col=id_col, text_col=text_col, sigs=kept_sigs,
             )
             if semantic_index is not None:
                 dim = len(semantic_index.centroids[0][1])
@@ -597,7 +609,13 @@ def stream_ingest_deduped(
                 accepted_sink.write(fresh, epoch_id)
                 assume_new = ledger is not None and not guarded
                 index.add(
-                    fresh, id_col=id_col, text_col=text_col,
+                    # the accepted subset of the batch's one signature
+                    # set — no re-hash on the fold either
+                    sigs=kept_sigs.join(
+                        fresh.select(F.col(id_col).alias("doc")),
+                        "doc", "left_semi",
+                    ),
+                    id_col=id_col, text_col=text_col,
                     # steady-state ledger mode: the gate already proved
                     # newness; only a crashed epoch's retry re-guards
                     assume_new=assume_new,

@@ -440,7 +440,7 @@ def test_stream_ingest_ledger_replay_noop_and_assume_new(spark, tmp_path):
     add_calls: list = []
     orig_add = idx.add
 
-    def spy_add(docs, **kw):
+    def spy_add(docs=None, **kw):
         add_calls.append(kw.get("assume_new"))
         return orig_add(docs, **kw)
 
@@ -482,7 +482,7 @@ def test_stream_ingest_ledger_replay_noop_and_assume_new(spark, tmp_path):
     add_calls2: list = []
     orig_add2 = idx2.add
 
-    def spy_add2(docs, **kw):
+    def spy_add2(docs=None, **kw):
         add_calls2.append(kw.get("assume_new"))
         return orig_add2(docs, **kw)
 
@@ -1271,3 +1271,60 @@ def test_stream_ingest_tokenfreq_sketch(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert cm_snapshot(sk3) == scratch(batch)  # folded exactly once
+
+
+def test_text_gate_computes_signatures_once_per_batch(spark, tmp_path,
+                                                      monkeypatch):
+    """The text gate's signatures-once seam (the assets-gate discipline
+    extended to MinHash): one micro-batch shingles+hashes exactly ONCE —
+    minhash_dropped_ids, the corpus screen and the index fold all
+    consume the one materialized signature DataFrame."""
+    import json as _json
+
+    from ocr_vector_db_spark.operators import dedup as _dedup
+    from ocr_vector_db_spark.operators import minhash_index as _mhi
+    from ocr_vector_db_spark.operators.minhash_index import MinHashIndex
+    from ocr_vector_db_spark.streaming.pipeline import (
+        ParquetAcceptedSink,
+        stream_ingest_deduped,
+    )
+
+    idx = MinHashIndex.build(
+        spark, spark.createDataFrame([], "doc_id bigint, text string"),
+        str(tmp_path / "mh_once"), num_hashes=16, bands=4, n=2,
+        n_buckets=8,
+    )
+    calls = []
+    orig = _dedup.minhash_signatures
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    # both namespaces bind the function at import time — patch each
+    monkeypatch.setattr(_dedup, "minhash_signatures", counting)
+    monkeypatch.setattr(_mhi, "minhash_signatures", counting)
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet green field toward the river")
+    src = tmp_path / "docs_once"
+    src.mkdir()
+    with open(src / "b1.json", "w") as fh:
+        fh.write(_json.dumps({"doc_id": 1, "text": base}) + "\n")
+        fh.write(_json.dumps(
+            {"doc_id": 2, "text": base.replace("river", "ocean")}) + "\n")
+        fh.write(_json.dumps(
+            {"doc_id": 3, "text": "completely unrelated maritime salvage "
+                                  "filing about recovered cargo value "
+                                  "apportionment rights"}) + "\n")
+    stats: list = []
+    q = stream_ingest_deduped(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        idx, ParquetAcceptedSink(str(tmp_path / "acc_once")),
+        threshold=0.6, stats=stats, checkpoint=str(tmp_path / "ckpt_once"),
+    )
+    q.awaitTermination(60)
+    assert len(calls) == 1
+    assert stats[-1]["accepted"] == 2           # keep-min dropped doc 2
+    assert stats[-1]["dropped_as_dup"] == 1
+    assert sorted(r.doc for r in idx.signatures().collect()) == [1, 3]

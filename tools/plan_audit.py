@@ -223,6 +223,12 @@ AUDITS = [
      "band, value) — only same-position frames ever meet, never "
      "all-pairs — then exact XOR verification and one count aggregate "
      "at the video-pair grain"),
+    ("q156_container_decode_roundtrip",
+     "container decode is per-asset work with zero cross-row state, so "
+     "it runs as ONE Arrow-batched mapInPandas projection (the PDF "
+     "decrypt grain) ahead of the certified perceptual stacks — no "
+     "extra exchange, no cartesian; undecodable rows pass through the "
+     "same projection untouched"),
 ]
 
 KEY_LINE = re.compile(
