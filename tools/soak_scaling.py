@@ -18,8 +18,11 @@ Writes one human table to stdout; record the numbers in SCALING.md.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
