@@ -962,12 +962,20 @@ def cmd_stream_ingest_images(args) -> int:
             spark, empty, paths["index"],
             r=args.radius, n_buckets=args.buckets,
         )
+    from ocr_vector_db_spark.sources.containers import normalize_frame_rows
+
     stats: list = []
     q = stream_ingest_asset_dedup(
-        spark.readStream
-        .schema("asset_id string, data binary, width int, height int")
-        .option("maxFilesPerTrigger", args.files_per_batch)
-        .parquet(args.source),
+        # PNG rows (magic-byte detected) decode to raw pixels with
+        # width/height overwritten from IHDR before the gate, so a
+        # PNG re-encode of an indexed page dedups PERCEPTUALLY instead
+        # of falling to the exact-hash path
+        normalize_frame_rows(
+            spark.readStream
+            .schema("asset_id string, data binary, width int, height int")
+            .option("maxFilesPerTrigger", args.files_per_batch)
+            .parquet(args.source)
+        ),
         idx,
         ParquetAcceptedSink(paths["accepted"]),
         stats=stats,
@@ -1028,12 +1036,19 @@ def cmd_stream_ingest_audio(args) -> int:
             spark, empty, paths["index"],
             r=args.radius, n_buckets=args.buckets,
         )
+    from ocr_vector_db_spark.sources.containers import normalize_clip_rows
+
     stats: list = []
     q = stream_ingest_asset_dedup(
-        spark.readStream
-        .schema("asset_id string, data binary")
-        .option("maxFilesPerTrigger", args.files_per_batch)
-        .parquet(args.source),
+        # mono 16-bit WAV rows (magic-byte detected) decode to their raw
+        # PCM payload before the gate — a WAV re-encode of an indexed
+        # clip dedups perceptually instead of falling to the exact path
+        normalize_clip_rows(
+            spark.readStream
+            .schema("asset_id string, data binary")
+            .option("maxFilesPerTrigger", args.files_per_batch)
+            .parquet(args.source)
+        ),
         idx,
         ParquetAcceptedSink(paths["accepted"]),
         stats=stats,

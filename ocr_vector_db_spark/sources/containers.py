@@ -319,3 +319,74 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
             })
 
     return assets.mapInPandas(run, ASSET_SCHEMA)
+
+
+def normalize_clip_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """`normalize_assets` for the SLIM audio-clip row shape the streaming
+    gate consumes (id, data, ...): mono 16-bit WAV payloads (magic-byte
+    detected) are replaced by their raw PCM bytes; every other row —
+    including stereo WAV, which the mono gate could only byte-hash
+    anyway — passes through unchanged. Same Arrow-batched per-asset
+    grain; works on streaming DataFrames (mapInPandas is
+    streaming-compatible), so a WAV re-encode arriving on the stream
+    dedups PERCEPTUALLY against an indexed raw clip instead of falling
+    through to the exact-hash path."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for data in pdf[data_col]:
+                raw = bytes(data) if data is not None else data
+                if raw is not None and raw.startswith(WAV_MAGIC):
+                    dec = decode_wav(raw)
+                    if dec is not None and dec["channels"] == 1:
+                        raw = dec["pcm"]
+                out.append(raw)
+            pdf = pdf.copy()
+            pdf[data_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
+def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """`normalize_assets` for the SLIM raster row shape the streaming
+    gate consumes (id, data, width, height[, channels]): gray/RGB PNG
+    payloads are replaced by their raw pixels with width/height (and
+    channels, when the column rides along) overwritten from IHDR — a
+    container row's declared dims are untrusted. RGB decodes are kept
+    only when a `channels` column exists to carry 3 (the gray-only
+    shape would otherwise mis-read an RGB buffer as gray); everything
+    undecodable passes through unchanged."""
+    import pandas as pd
+
+    has_ch = "channels" in df.columns
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            datas = list(pdf[data_col])
+            ws = list(pdf["width"])
+            hs = list(pdf["height"])
+            chs = list(pdf["channels"]) if has_ch else None
+            for i, data in enumerate(datas):
+                raw = bytes(data) if data is not None else None
+                if raw is None or not raw.startswith(PNG_MAGIC):
+                    continue
+                dec = decode_png(raw)
+                if dec is None or (dec["channels"] == 3 and not has_ch):
+                    continue
+                datas[i] = dec["raw"]
+                ws[i] = dec["width"]
+                hs[i] = dec["height"]
+                if has_ch:
+                    chs[i] = dec["channels"]
+            pdf[data_col] = datas
+            pdf["width"] = ws
+            pdf["height"] = hs
+            if has_ch:
+                pdf["channels"] = chs
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)

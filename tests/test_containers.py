@@ -24,6 +24,8 @@ from ocr_vector_db_spark.sources.containers import (
     encode_png,
     encode_wav,
     normalize_assets,
+    normalize_clip_rows,
+    normalize_frame_rows,
 )
 
 
@@ -155,3 +157,104 @@ def test_normalize_assets_decodes_and_passes_through(spark):
         if aid in ("mp3", "bad_png"):
             assert bytes(by_id[aid].data) == data, aid
             assert dict(by_id[aid].metadata) == meta, aid
+
+
+def test_normalize_slim_row_shapes(spark):
+    """The slim-row normalizers the CLI streaming gates wire in:
+    `normalize_clip_rows` swaps mono WAV payloads for raw PCM (stereo
+    and non-WAV rows untouched); `normalize_frame_rows` decodes PNG and
+    OVERWRITES the row's declared dims from IHDR (container dims are
+    untrusted), keeping RGB only when a channels column can carry it."""
+    pcm = bytes(range(256)) * 4
+    rows = [
+        ("wav", encode_wav(pcm, 16000, 1)),
+        ("wav_stereo", encode_wav(pcm, 16000, 2)),
+        ("raw", pcm),
+    ]
+    adf = spark.createDataFrame(rows, "asset_id string, data binary")
+    got = {r.asset_id: bytes(r.data)
+           for r in normalize_clip_rows(adf).collect()}
+    assert got["wav"] == pcm
+    assert got["wav_stereo"] == rows[1][1]  # mono gate: pass through
+    assert got["raw"] == pcm
+
+    img = bytes((x * 3 + y * 11) % 251 for y in range(12) for x in range(10))
+    rgb = bytes(v for p in img for v in (p, p, p))
+    frows = [
+        ("png", encode_png(img, 10, 12, 1), 999, 999),   # dims lie
+        ("png_rgb", encode_png(rgb, 10, 12, 3), 10, 12),
+        ("raw", img, 10, 12),
+        ("bad", PNG_MAGIC + b"zz", 4, 4),
+    ]
+    fdf = spark.createDataFrame(
+        frows, "asset_id string, data binary, width int, height int")
+    got = {r.asset_id: r for r in normalize_frame_rows(fdf).collect()}
+    assert bytes(got["png"].data) == img
+    assert (got["png"].width, got["png"].height) == (10, 12)  # IHDR wins
+    # gray-only shape: an RGB decode would be mis-read as gray — skip
+    assert bytes(got["png_rgb"].data) == frows[1][1]
+    assert bytes(got["bad"].data) == frows[3][1]
+
+    cdf = spark.createDataFrame(
+        [(a, d, w, h, 1) for a, d, w, h in frows],
+        "asset_id string, data binary, width int, height int, "
+        "channels int")
+    got = {r.asset_id: r for r in normalize_frame_rows(cdf).collect()}
+    assert bytes(got["png_rgb"].data) == rgb     # channels column: keep
+    assert got["png_rgb"].channels == 3
+    assert got["png"].channels == 1
+
+
+def test_stream_gate_dedups_wav_container(spark, tmp_path):
+    """End-to-end through the streaming audio gate with the CLI's
+    normalize_clip_rows wiring: a WAV-encoded 2x-gain re-encode of an
+    INDEXED raw clip is dropped perceptually (Hamming 0 via the gain
+    invariance) — before this seam it fell to the unhashable exact-hash
+    path and was wrongly accepted."""
+    import shutil
+
+    from ocr_vector_db_spark.operators.audio_fingerprint import (
+        AudioFpIndex,
+    )
+    from ocr_vector_db_spark.streaming.assets import (
+        exact_clip_key,
+        hashable_clips_pred,
+        stream_ingest_asset_dedup,
+    )
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    base = [((i % 50) - 25) * ((i // 997) % 30 + 5)
+            for i in range(20000)]
+    pcm = b"".join(int(v).to_bytes(2, "little", signed=True)
+                   for v in base)
+    loud = b"".join(int(v * 2).to_bytes(2, "little", signed=True)
+                    for v in base)
+    clips = spark.createDataFrame(
+        [("orig", pcm)], "asset_id string, data binary")
+    idx = AudioFpIndex.build(spark, clips, str(tmp_path / "afp_wav"),
+                             r=6, n_buckets=8)
+
+    stage = tmp_path / "wav_stage"
+    spark.createDataFrame(
+        [("re_encode_wav", encode_wav(loud, 16000, 1)),
+         ("novel", bytes(2 * 20000))],
+        "asset_id string, data binary",
+    ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+    src = tmp_path / "wav_src"
+    src.mkdir()
+    shutil.copy(next(stage.glob("part-*.parquet")), src / "b0.parquet")
+
+    stats: list = []
+    sink = ParquetAcceptedSink(str(tmp_path / "wav_acc"))
+    q = stream_ingest_asset_dedup(
+        normalize_clip_rows(
+            spark.readStream.schema("asset_id string, data binary")
+            .parquet(str(src))
+        ),
+        idx, sink, stats=stats, checkpoint=str(tmp_path / "wav_ckpt"),
+        hashable_pred=hashable_clips_pred, exact_key=exact_clip_key,
+    )
+    q.awaitTermination(60)
+    assert stats[-1]["accepted"] == 1
+    assert stats[-1]["dropped_as_dup"] == 1   # the WAV re-encode
+    assert [r.asset_id for r in sink.read(spark).collect()] == ["novel"]
