@@ -342,10 +342,15 @@ class VideoFpIndex(SimHashIndex):
             vc = (
                 self.signatures()
                 .select(self._sig_asset_id(F.col("doc")).alias("doc"))
-                .withColumn("n", F.lit(1).cast("long"))
+                .groupBy("doc").agg(F.count("*").cast("long").alias("n"))
             )
-        # sum-fold so duplicate rows (a crash-retried append) stay exact
-        return vc.groupBy("doc").agg(F.sum("n").alias("n"))
+        # max-fold so duplicate rows stay exact: the sampled-frame count
+        # is invariant for a fixed `every`, so a crash between the
+        # vcounts append and the ledger commit (retried add writes a
+        # second identical (doc, n) row) is idempotent — a sum-fold
+        # would double n_corpus and silently weaken the
+        # min(n_new, n_corpus) containment screen back to matched/n_new
+        return vc.groupBy("doc").agg(F.max("n").alias("n"))
 
     def compact(self) -> int:
         from pyspark.errors import AnalysisException

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame
 
 WAV_MAGIC = b"RIFF"
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+MAX_PIXELS = 64 * 1024 * 1024  # reject > 64 MP before any inflate
 
 
 # ------------------------------------------------------------------ WAV
@@ -69,7 +70,11 @@ def decode_wav(data: bytes) -> dict | None:
         body = data[o + 8:o + 8 + size]
         if len(body) < size:
             return None  # truncated chunk
-        if cid == b"fmt " and size >= 16:
+        if cid == b"fmt " and size >= 16 and fmt is None:
+            # first chunk wins: a crafted duplicate fmt/data must not
+            # make the perceptual gate fingerprint a different payload
+            # than decoders that honor the first chunk (dedup-gate
+            # confusion on untrusted crawl input)
             audio_format, channels, sample_rate = struct.unpack_from(
                 "<HHI", body, 0
             )
@@ -80,7 +85,7 @@ def decode_wav(data: bytes) -> dict | None:
                 (sub,) = struct.unpack_from("<H", body, 24)
                 audio_format = sub
             fmt = (audio_format, channels, sample_rate, bits)
-        elif cid == b"data":
+        elif cid == b"data" and pcm is None:
             pcm = body
         o += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
@@ -140,7 +145,7 @@ def decode_png(data: bytes) -> dict | None:
         body = data[o + 8:o + 8 + size]
         if len(body) < size:
             return None
-        if ctype == b"IHDR":
+        if ctype == b"IHDR" and hdr is None:  # first chunk wins
             if size < 13:
                 return None
             w, h = struct.unpack_from(">II", body, 0)
@@ -162,14 +167,22 @@ def decode_png(data: bytes) -> dict | None:
         ch = 3
     else:
         return None  # palette/alpha stay behind the decode seam
-    if w < 1 or h < 1:
-        return None
-    try:
-        plane = zlib.decompress(bytes(idat))
-    except zlib.error:
+    if w < 1 or h < 1 or w * h > MAX_PIXELS:
         return None
     stride = w * ch
-    if len(plane) != h * (1 + stride):
+    want = h * (1 + stride)
+    # BOUNDED inflate of the untrusted IDAT stream: a 97 KB crafted PNG
+    # can otherwise inflate to GB scale before any length check runs
+    # (decompression bomb). decompressobj(max_length=want+1) caps the
+    # allocation at the declared-geometry size; any overflow, short
+    # stream, or leftover compressed input means the container lied —
+    # undecodable, so the row passes through to the exact-hash path.
+    try:
+        dobj = zlib.decompressobj()
+        plane = dobj.decompress(bytes(idat), want + 1)
+    except zlib.error:
+        return None
+    if len(plane) != want or not dobj.eof or dobj.unused_data:
         return None
     out = bytearray(h * stride)
     prev_off = -stride

@@ -103,7 +103,7 @@ class ExactFrameStore:
 
         if not fs_exists(self.spark, self.path):
             return self.spark.createDataFrame([], "__xkey string")
-        epochs, _ = self._list_dirs()
+        epochs, stages = self._list_dirs()  # ONE FS listing per screen
         if epochs:
             out = (
                 self.spark.read.parquet(self.path)
@@ -122,17 +122,29 @@ class ExactFrameStore:
         # the stage back in. Staged keys are always merges of COMMITTED
         # epochs strictly below the current one (compact's
         # precondition), so including them never screens a batch against
-        # its own keys; an unreadable mid-write stage is redundant with
-        # its still-present sources.
-        for name in self._list_dirs()[1]:
+        # its own keys. Only the mid-write-crash shapes are skipped — an
+        # empty/schema-less stage is redundant with its still-present
+        # sources — while a GENUINE read error (transient IO, corrupt
+        # footer on a stage that holds the only copy of folded keys)
+        # raises instead of silently weakening the exact screen.
+        from pyspark.errors import AnalysisException
+
+        from ocr_vector_db_spark.operators.minhash_index import (
+            _error_condition,
+        )
+
+        for name in stages:
             try:
-                out = out.unionByName(
-                    self.spark.read.parquet(
-                        os.path.join(self.path, name)
-                    ).select("__xkey")
-                )
-            except Exception:
-                pass
+                staged = self.spark.read.parquet(
+                    os.path.join(self.path, name)
+                ).select("__xkey")
+            except AnalysisException as exc:
+                if _error_condition(exc) not in (
+                    "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+                ):
+                    raise
+                continue
+            out = out.unionByName(staged)
         return out
 
     def _list_dirs(self) -> tuple:

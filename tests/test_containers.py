@@ -58,6 +58,89 @@ def test_png_rejections():
     assert decode_png(bytes(bad)) is None
 
 
+def test_png_decompression_bomb_is_bounded():
+    """ADVICE r13: a crafted PNG whose IDAT inflates far past the
+    declared geometry must be rejected by a BOUNDED inflate (the length
+    check used to run only after a full zlib.decompress, so a ~100 KB
+    row could attempt GB-scale allocations per executor)."""
+    import zlib
+
+    from ocr_vector_db_spark.sources.containers import (
+        MAX_PIXELS,
+        _png_chunk,
+    )
+
+    def craft(w, h, payload):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(payload, 9))
+                + _png_chunk(b"IEND", b""))
+
+    # declares 10x6 gray (want=66 bytes) but inflates to 100 MB: the
+    # crafted container is ~100 KB; decode must return None without
+    # materializing the bomb (decompressobj max_length caps at want+1)
+    bomb = craft(10, 6, b"\x00" * (100 * 1024 * 1024))
+    assert len(bomb) < 200 * 1024
+    assert decode_png(bomb) is None
+
+    # absurd declared geometry (> MAX_PIXELS) rejects BEFORE any inflate
+    assert (2 << 16) * (2 << 16) > MAX_PIXELS
+    assert decode_png(craft(2 << 16, 2 << 16, b"")) is None
+
+    # short stream (inflates to less than declared) rejects too
+    assert decode_png(craft(10, 6, b"\x00" * 30)) is None
+
+    # trailing garbage after a complete zlib stream rejects
+    ihdr = struct.pack(">IIBBBBB", 10, 6, 8, 0, 0, 0, 0)
+    good = zlib.compress(bytes(66), 9)
+    tail = (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", good + b"junk")
+            + _png_chunk(b"IEND", b""))
+    assert decode_png(tail) is None
+
+    # control: the same geometry with an exact payload still decodes
+    ok = craft(10, 6, bytes(66))
+    assert decode_png(ok) == {"raw": bytes(60), "width": 10, "height": 6,
+                              "channels": 1}
+
+
+def test_containers_first_chunk_wins():
+    """ADVICE r13: a crafted duplicate fmt/data (or IHDR) chunk must not
+    silently replace the first one — last-wins would let the perceptual
+    gate fingerprint a different payload than decoders that honor the
+    first chunk (dedup-gate confusion on untrusted crawl input)."""
+    import zlib
+
+    from ocr_vector_db_spark.sources.containers import _png_chunk
+
+    pcm_a = b"\x01\x00\x02\x00\x03\x00\x04\x00"
+    pcm_b = b"\x09\x00\x08\x00"
+    wav = encode_wav(pcm_a, 16000, 1)
+    body = wav[12:]
+    # append a second data chunk with different payload: first wins
+    dup = body + b"data" + struct.pack("<I", len(pcm_b)) + pcm_b
+    crafted = b"RIFF" + struct.pack("<I", 4 + len(dup)) + b"WAVE" + dup
+    assert decode_wav(crafted)["pcm"] == pcm_a
+
+    # a second fmt chunk claiming a different rate: first wins
+    fmt2 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    dup2 = body + b"fmt " + struct.pack("<I", len(fmt2)) + fmt2
+    crafted2 = b"RIFF" + struct.pack("<I", 4 + len(dup2)) + b"WAVE" + dup2
+    got = decode_wav(crafted2)
+    assert (got["pcm"], got["sample_rate"]) == (pcm_a, 16000)
+
+    # PNG: duplicate IHDR declaring different geometry — first wins
+    raw = bytes(range(60))
+    png = encode_png(raw, 10, 6, 1)
+    ihdr2 = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 10, 8, 0, 0,
+                                            0, 0))
+    # splice the second IHDR right after the first (before IDAT)
+    first_end = 8 + 12 + 13
+    crafted3 = png[:first_end] + ihdr2 + png[first_end:]
+    assert decode_png(crafted3) == {
+        "raw": raw, "width": 10, "height": 6, "channels": 1}
+
+
 def test_wav_chunk_walk_edge_cases():
     rnd = random.Random(7)
     pcm = bytes(rnd.randrange(256) for _ in range(2 * 501))  # odd count

@@ -689,6 +689,34 @@ def test_exact_frame_store_staged_keys_visible(spark, tmp_path):
     assert seen == {"k0", "k1", "k2"}
 
 
+def test_exact_frame_store_unreadable_stage_raises(spark, tmp_path):
+    """ADVICE/verdict r13: only the mid-write-crash shapes (empty or
+    schema-less stage dirs, redundant with their still-present sources)
+    may be skipped by `keys()`. A stage dir that EXISTS but cannot be
+    read — corrupt footer, transient IO — might hold the only copy of
+    folded keys (post-delete, pre-rename crash), so it must surface an
+    error instead of silently weakening the exact screen."""
+    import pytest as _pytest
+
+    from ocr_vector_db_spark.streaming.assets import ExactFrameStore
+
+    root = tmp_path / "exact_err"
+    store = ExactFrameStore(spark, str(root))
+    store.add(spark.createDataFrame([("k0",)], "__xkey string"), 0)
+
+    # an EMPTY stage dir (crash before any file landed) is skipped
+    (root / "_compact_9").mkdir()
+    seen = {r["__xkey"] for r in store.keys(before_epoch=5).collect()}
+    assert seen == {"k0"}
+
+    # a stage dir holding a corrupt parquet file raises — never skipped
+    (root / "_compact_9" / "part-00000.parquet").write_bytes(
+        b"PAR1 this is not a parquet footer"
+    )
+    with _pytest.raises(Exception):
+        store.keys(before_epoch=5).collect()
+
+
 def _py_resize(data, w, h, out_w, out_h):
     """Independent reference: exact box-average to out_w x out_h,
     round-half-up to a byte (matches Spark's ROUND, not banker's)."""

@@ -342,3 +342,21 @@ def test_video_screen_containment_min_denominator(spark, tmp_path):
     reloaded.compact()
     assert {r.doc: r.n for r in reloaded.vcounts_table().collect()} == \
         {"short": 4, "added": 4}
+
+    # ADVICE r13: a crash between the vcounts write and the signature
+    # append makes the retried add() write a SECOND identical (doc, n)
+    # row — the fold must stay exact (max, not sum), or the doubled
+    # n_corpus silently weakens the min(n_new, n_corpus) containment
+    # screen back to matched/n_new for that video
+    from ocr_vector_db_spark.operators.index_maint import current_gen_dir
+
+    vdir = current_gen_dir(spark, str(tmp_path / "vfpc" / "vcounts"))
+    spark.createDataFrame([("added", 4)], "doc string, n long") \
+        .write.mode("append").parquet(vdir)
+    assert {r.doc: r.n for r in reloaded.vcounts_table().collect()} == \
+        {"short": 4, "added": 4}
+    # the containment screen still gates at frac 1.0 after the replay
+    hits3 = {(h.new_id, h.corpus_id): h.frac
+             for h in reloaded.screen(
+                 _clips_df(spark, [("l2", long2, 36, 24)])).collect()}
+    assert hits3 == {("l2", "added"): 1.0}
