@@ -64,6 +64,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # COVERAGE.md for the per-round sweep log.
 
 _REVERIFY_FRONT: dict[str, int] = {
+    # Round 14 widened q156's golden AFTER its r13 green (palette-PNG
+    # twin + stereo-downmix fingerprint rows; same-round convention →
+    # recorded as 14): the driver must re-verify the new golden.
+    "q156_container_decode_roundtrip": 14,
     # (round 10's q23 entry cleared itself when CORRECTNESS_r10 recorded
     # q23 green; removed in round 11)
     #

@@ -77,23 +77,80 @@ CHUNK_SAMPLES = 4096    # samples per exploded work row (16 KiB raw)
 CLIP_ABS = 32767        # |sample| at or above this counts as clipped
 
 
-def asset_pcm_frames(assets: DataFrame) -> DataFrame:
+def asset_pcm_frames(assets: DataFrame, downmix: bool = False) -> DataFrame:
     """Project `multimodal.ASSET_SCHEMA` audio rows holding raw signed
     16-bit little-endian mono PCM (format=pcm_s16le, channels=1) to the
     (asset_id, data, n_samples, sample_rate) shape the audio operators
-    consume. Compressed or multichannel rows need the decode seam first
+    consume. With `downmix=True`, multichannel pcm_s16le rows are
+    averaged to mono (`downmix_pcm16`, per-asset Arrow-batched grain —
+    a stereo re-encode then dedups perceptually against its mono twin)
+    instead of dropped; the mono fast path stays pure-column either
+    way. Compressed rows still need the decode seam first
     (`multimodal.extract_features`), exactly like jpeg rasters vs
     `asset_gray_frames`."""
     md = F.col("metadata")
-    return assets.filter(
-        (F.col("kind") == "audio")
-        & (md["format"] == "pcm_s16le")
-        & (md["channels"] == "1")
-    ).select(
+    base = assets.filter(
+        (F.col("kind") == "audio") & (md["format"] == "pcm_s16le")
+    )
+    mono = base.filter(md["channels"] == "1").select(
         "asset_id", "data",
         (F.length("data") / 2).cast("long").alias("n_samples"),
         md["sample_rate"].cast("int").alias("sample_rate"),
     )
+    if not downmix:
+        return mono
+    multi = base.filter(
+        md["channels"].cast("int") > 1
+    ).select(
+        "asset_id",
+        downmix_pcm16("data", md["channels"].cast("int")).alias("data"),
+        md["sample_rate"].cast("int").alias("sample_rate"),
+    ).select(
+        "asset_id", "data",
+        (F.length("data") / 2).cast("long").alias("n_samples"),
+        "sample_rate",
+    )
+    return mono.unionByName(multi)
+
+
+def downmix_pcm16_bytes(raw: bytes, channels: int) -> bytes:
+    """Average interleaved signed-16-LE multichannel PCM to mono: per
+    frame, floor(sum(channels) / n_channels) — exact integer semantics,
+    so an L==R stereo spread of a mono clip downmixes back
+    BYTE-IDENTICAL. A ragged tail that is not a whole frame is dropped,
+    like decode_wav."""
+    import numpy as np
+
+    frame = 2 * channels
+    usable = len(raw) - (len(raw) % frame)
+    if usable == 0:
+        return b""
+    s = np.frombuffer(raw[:usable], "<i2").astype(np.int32)
+    mixed = s.reshape(-1, channels).sum(axis=1) // channels
+    return mixed.astype("<i2").tobytes()
+
+
+def downmix_pcm16(data_col, channels_col) -> Column:
+    """`downmix_pcm16_bytes` as an Arrow-batched pandas UDF at the
+    per-asset grain (the decode grain: one clip in, one clip out, zero
+    cross-row state)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mix(data, ch):
+        out = []
+        for raw, c in zip(data, ch):
+            if raw is None or c is None or int(c) < 1:
+                out.append(None)
+                continue
+            out.append(downmix_pcm16_bytes(bytes(raw), int(c)))
+        return pd.Series(out)
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't resolve — attach real annotation objects instead.
+    _mix.__annotations__ = {"data": pd.Series, "ch": pd.Series,
+                            "return": pd.Series}
+    return pandas_udf("binary")(_mix)(data_col, channels_col)
 
 
 def _sample_at(arr: Column, li: Column) -> Column:

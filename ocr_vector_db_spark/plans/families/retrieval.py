@@ -2988,17 +2988,26 @@ def q155(spark, sf):
         ('afp', 'clip_raw', 'a5a26c76a334d938'),
         ('afp', 'clip_wav', 'a5a26c76a334d938'),
         ('afp', 'clip_wav_loud', 'a5a26c76a334d938'),
+        ('afp', 'stereo_wav', 'a5a26c76a334d938'),
+        ('dhash', 'img_plte', '32ac6a22b2b55bda'),
         ('dhash', 'img_png', '32ac6a22b2b55bda'),
         ('dhash', 'img_png_up', '32ac6a22b2b55bda'),
         ('dhash', 'img_raw', '32ac6a22b2b55bda'),
         ('meta', 'clip_wav', 'pcm_s16le:16000:1:wav'),
         ('meta', 'clip_wav_loud', 'pcm_s16le:16000:1:wav'),
+        ('meta', 'img_plte', 'raw:72x40:1:png'),
         ('meta', 'img_png', 'raw:72x40:1:png'),
         ('meta', 'img_png_up', 'raw:144x80:1:png'),
-        ('meta', 'stereo_wav', 'pcm_s16le:8000:2:wav'),
+        ('meta', 'stereo_wav', 'pcm_s16le:16000:2:wav'),
         ('pair_audio', 'clip_raw~clip_wav', '0'),
         ('pair_audio', 'clip_raw~clip_wav_loud', '0'),
+        ('pair_audio', 'clip_raw~stereo_wav', '0'),
+        ('pair_audio', 'clip_wav_loud~stereo_wav', '0'),
         ('pair_audio', 'clip_wav~clip_wav_loud', '0'),
+        ('pair_audio', 'clip_wav~stereo_wav', '0'),
+        ('pair_image', 'img_plte~img_png', '0'),
+        ('pair_image', 'img_plte~img_png_up', '0'),
+        ('pair_image', 'img_plte~img_raw', '0'),
         ('pair_image', 'img_png_up~img_raw', '0'),
         ('pair_image', 'img_png~img_png_up', '0'),
         ('pair_image', 'img_png~img_raw', '0'),
@@ -3021,14 +3030,18 @@ def q156(spark, sf):
     IDENTICALLY to its raw-PCM twin (and a 2x-gain WAV re-encode lands
     at Hamming 0 — gain invariance straight from the container); a
     Paeth-filtered PNG page dHashes identically to its raw-raster twin
-    (and an Up-filtered 2x-rescale PNG at Hamming 0); decoded metadata
-    carries format/rate/dims/container; a stereo WAV DECODES but is
-    owned by the mono projection policy (no fingerprint row); a
-    corrupt PNG and an mp3 pass through byte-identical (the exact-hash
-    fallback still owns them). Codec round-trips across all five PNG
-    filter types and WAV chunk-walk edge cases (LIST chunks, word
-    alignment, WAVE_FORMAT_EXTENSIBLE) are pinned by
-    tests/test_containers.py. Reference parity: none — the reference
+    (and an Up-filtered 2x-rescale PNG at Hamming 0, and — r14 — an
+    all-gray PALETTE PNG whose PLTE lookup collapses back to the
+    identical one-channel bytes); decoded metadata carries
+    format/rate/dims/container; a stereo WAV (L==R spread of the base
+    take) decodes AND — r14 — downmixes to mono through
+    `asset_pcm_frames(downmix=True)`'s exact integer average, landing
+    at Hamming 0 against the raw clip; a corrupt PNG and an mp3 pass
+    through byte-identical (the exact-hash fallback still owns them).
+    Codec round-trips across all five PNG filter types x all five
+    color types and WAV chunk-walk edge cases (LIST chunks, word
+    alignment, WAVE_FORMAT_EXTENSIBLE, crafted duplicate chunks,
+    decompression bombs) are pinned by tests/test_containers.py. Reference parity: none — the reference
     ingests PDF/text/markdown only; this is the training-pipeline
     multimodal brief's decode step."""
     import hashlib
@@ -3068,10 +3081,17 @@ def q156(spark, sf):
     m_a = mat("page-A")
     img = render(m_a, 72, 40)
     img2x = render(m_a, 144, 80)
+    # palettized twin of img: an all-gray PLTE lookup collapses back to
+    # the identical one-channel raw bytes, so the palette PNG dedups
+    # against img_raw at Hamming 0 (verdict r13 #4)
+    levels = sorted(set(img))
+    pal = bytes(v for v in levels for _ in range(3))
+    pidx = bytes(levels.index(v) for v in img)
+    # stereo = an L==R spread of the base take: the exact-integer
+    # downmix (floor(sum/ch)) recovers the mono bytes, so the stereo
+    # WAV re-encode dedups PERCEPTUALLY (Hamming 0) against clip_raw
     stereo = b"".join(
-        v.to_bytes(2, "little", signed=True) + (v // 2).to_bytes(
-            2, "little", signed=True)
-        for v in (100, -200, 300, -400, 500, -600)
+        base[i:i + 2] * 2 for i in range(0, len(base), 2)
     )
     rows = [
         ("clip_raw", "audio", base,
@@ -3087,7 +3107,10 @@ def q156(spark, sf):
          {}),
         ("img_png_up", "unknown",
          encode_png(img2x, 144, 80, 1, filter_type=2), {}),
-        ("stereo_wav", "unknown", encode_wav(stereo, 8000, 2), {}),
+        ("stereo_wav", "unknown", encode_wav(stereo, 16000, 2), {}),
+        ("img_plte", "unknown",
+         encode_png(pidx, 72, 40, filter_type=1, color_type=3,
+                    palette=pal), {}),
         ("bad_png", "unknown", PNG_MAGIC + b"not a real png", {}),
         ("mp3", "audio", b"ID3fake", {"format": "mp3"}),
     ]
@@ -3097,7 +3120,7 @@ def q156(spark, sf):
         "metadata map<string,string>",
     )
     norm = normalize_assets(adf).cache()
-    asig = audio_fingerprints(asset_pcm_frames(norm))
+    asig = audio_fingerprints(asset_pcm_frames(norm, downmix=True))
     isig = dhash_signatures(asset_gray_frames(norm))
     apairs = audio_near_dup_pairs(asig, r=6)
     ipairs = phash_near_dup_pairs(isig, r=4)

@@ -10,15 +10,20 @@ path:
 - **WAV/RIFF**: a chunk walk (RIFF → fmt → data). PCM16 little-endian
   payloads are exactly the `pcm_s16le` bytes `asset_pcm_frames` wants —
   the "decode" is locating them.
-- **PNG**: chunk walk (IHDR → IDAT* → IEND), one zlib inflate of the
-  concatenated IDAT stream, then the five standard per-scanline filters
-  reconstructed (None/Sub/Up/Average/Paeth, RFC 2083 §6). 8-bit
-  grayscale (color type 0) and RGB (type 2), non-interlaced — the
+- **PNG**: chunk walk (IHDR → PLTE? → IDAT* → IEND), one BOUNDED zlib
+  inflate of the concatenated IDAT stream, then the five standard
+  per-scanline filters reconstructed (None/Sub/Up/Average/Paeth,
+  RFC 2083 §6 — numpy-vectorized where the recurrence allows). All
+  five 8-bit non-interlaced color types: gray (0), RGB (2), palette
+  (3, expanded via PLTE lookup; an all-gray palette collapses to one
+  channel), gray+alpha (4) and RGBA (6) with alpha dropped — the
   shapes `asset_gray_frames` / `asset_raw_frames` consume.
 
-Anything else (JPEG/MP3/MP4 entropy coding, sub-byte depths, Adam7,
-palettes, 24-bit PCM) stays behind `multimodal.extract_features`'s
-pluggable decode seam, honestly out of scope.
+Anything else (MP3/MP4 entropy coding, sub-byte depths, 16-bit, Adam7,
+24-bit PCM) stays behind `multimodal.extract_features`'s pluggable
+decode seam, honestly out of scope. Baseline JPEG lives in its own
+module (`sources/jpeg.py`) and is wired through the same
+`normalize_assets` pass.
 
 Scale shape: decode is per-ASSET work with zero cross-row state, so
 `normalize_assets` runs it as one Arrow-batched `mapInPandas` pass —
@@ -128,16 +133,76 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+# bytes per pixel in the FILTER step, by PNG color type (depth 8):
+# 0 gray, 2 RGB, 3 palette index, 4 gray+alpha, 6 RGBA
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _unfilter(plane: bytes, h: int, stride: int, bpp: int):
+    """Reconstruct the five standard scanline filters (RFC 2083 §6)
+    from the inflated plane → uint8 array (h, stride), or None on an
+    unknown filter type. Numpy-vectorized where the recurrence allows:
+    None/Up are whole-row ops, Sub is a per-lane mod-256 cumsum; only
+    Average/Paeth (sequential in x through the >>1 / predictor
+    non-linearity) fall back to the per-byte loop — this is what sizes
+    per-core decode throughput on a 100 TB PNG backfill (numbers in
+    SCALING.md)."""
+    import numpy as np
+
+    rows = np.frombuffer(plane, np.uint8).reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    if int(ftypes.max(initial=0)) > 4:
+        return None
+    lines = rows[:, 1:]
+    out = np.empty((h, stride), np.uint8)
+    zero = np.zeros(stride, np.uint8)
+    for y in range(h):
+        f = ftypes[y]
+        line = lines[y]
+        prev = out[y - 1] if y else zero
+        if f == 0:                                        # None
+            out[y] = line
+        elif f == 2:                                      # Up
+            out[y] = line + prev  # uint8 wraps = mod 256
+        elif f == 1:                                      # Sub
+            # out[i] = line[i] + out[i-bpp]: a running sum per channel
+            # lane, and mod-256 commutes with addition → one cumsum
+            cum = line.reshape(-1, bpp).cumsum(axis=0, dtype=np.int64)
+            out[y] = (cum & 0xFF).astype(np.uint8).reshape(-1)
+        else:                                             # Average/Paeth
+            o = out[y]
+            lv = line.tolist()
+            pv = prev.tolist()
+            ov = [0] * stride
+            if f == 3:
+                for i in range(stride):
+                    a = ov[i - bpp] if i >= bpp else 0
+                    ov[i] = (lv[i] + ((a + pv[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = ov[i - bpp] if i >= bpp else 0
+                    b = pv[i]
+                    c = pv[i - bpp] if i >= bpp else 0
+                    ov[i] = (lv[i] + _paeth(a, b, c)) & 0xFF
+            o[:] = ov
+    return out
+
+
 def decode_png(data: bytes) -> dict | None:
     """PNG → {'raw': bytes, 'width', 'height', 'channels'} for 8-bit
-    gray (channels=1) / RGB (channels=3) non-interlaced images; None
-    otherwise. One inflate of the IDAT stream, then the standard filter
-    reconstruction per scanline."""
+    non-interlaced images of every standard color type: gray (0) and
+    palette-index (3) → channels=1 or 3, RGB (2) → 3, gray+alpha (4) →
+    1 (alpha dropped), RGBA (6) → 3 (alpha dropped); None otherwise.
+    One BOUNDED inflate of the IDAT stream, numpy filter
+    reconstruction, then the palette lookup / alpha drop."""
+    import numpy as np
+
     if not data.startswith(PNG_MAGIC):
         return None
     o = len(PNG_MAGIC)
     n = len(data)
     hdr = None
+    plte = None
     idat = bytearray()
     while o + 8 <= n:
         (size,) = struct.unpack_from(">I", data, o)
@@ -151,6 +216,8 @@ def decode_png(data: bytes) -> dict | None:
             w, h = struct.unpack_from(">II", body, 0)
             depth, color, comp, filt, interlace = body[8:13]
             hdr = (w, h, depth, color, comp, filt, interlace)
+        elif ctype == b"PLTE" and plte is None:
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -160,16 +227,17 @@ def decode_png(data: bytes) -> dict | None:
         return None
     w, h, depth, color, comp, filt, interlace = hdr
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        return None  # sub-byte depths / 16-bit / Adam7 stay out of scope
+    bpp = _PNG_BPP.get(color)
+    if bpp is None:
         return None
-    if color == 0:
-        ch = 1
-    elif color == 2:
-        ch = 3
-    else:
-        return None  # palette/alpha stay behind the decode seam
+    if color == 3 and (
+        plte is None or len(plte) == 0 or len(plte) % 3 != 0
+    ):
+        return None
     if w < 1 or h < 1 or w * h > MAX_PIXELS:
         return None
-    stride = w * ch
+    stride = w * bpp
     want = h * (1 + stride)
     # BOUNDED inflate of the untrusted IDAT stream: a 97 KB crafted PNG
     # can otherwise inflate to GB scale before any length check runs
@@ -184,39 +252,30 @@ def decode_png(data: bytes) -> dict | None:
         return None
     if len(plane) != want or not dobj.eof or dobj.unused_data:
         return None
-    out = bytearray(h * stride)
-    prev_off = -stride
-    src = 0
-    for y in range(h):
-        ftype = plane[src]
-        src += 1
-        dst = y * stride
-        line = plane[src:src + stride]
-        src += stride
-        if ftype == 0:                                    # None
-            out[dst:dst + stride] = line
-        elif ftype == 1:                                  # Sub
-            for i in range(stride):
-                a = out[dst + i - ch] if i >= ch else 0
-                out[dst + i] = (line[i] + a) & 0xFF
-        elif ftype == 2:                                  # Up
-            for i in range(stride):
-                b = out[dst + prev_off + i] if y else 0
-                out[dst + i] = (line[i] + b) & 0xFF
-        elif ftype == 3:                                  # Average
-            for i in range(stride):
-                a = out[dst + i - ch] if i >= ch else 0
-                b = out[dst + prev_off + i] if y else 0
-                out[dst + i] = (line[i] + ((a + b) >> 1)) & 0xFF
-        elif ftype == 4:                                  # Paeth
-            for i in range(stride):
-                a = out[dst + i - ch] if i >= ch else 0
-                b = out[dst + prev_off + i] if y else 0
-                c = out[dst + prev_off + i - ch] if (y and i >= ch) else 0
-                out[dst + i] = (line[i] + _paeth(a, b, c)) & 0xFF
+    px = _unfilter(plane, h, stride, bpp)
+    if px is None:
+        return None
+    if color == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if int(px.max()) >= pal.shape[0]:
+            return None  # index past the palette: the container lied
+        # an all-gray palette (r==g==b) collapses to ONE channel so a
+        # palettized scan of a gray page is byte-identical to its raw
+        # twin; a color palette expands to RGB
+        if bool((pal[:, 0] == pal[:, 1]).all()
+                and (pal[:, 1] == pal[:, 2]).all()):
+            raw, ch = pal[px.reshape(-1), 0].tobytes(), 1
         else:
-            return None
-    return {"raw": bytes(out), "width": w, "height": h, "channels": ch}
+            raw, ch = pal[px.reshape(-1)].tobytes(), 3
+    elif color == 4:
+        raw, ch = np.ascontiguousarray(
+            px.reshape(h, w, 2)[:, :, 0]).tobytes(), 1
+    elif color == 6:
+        raw, ch = np.ascontiguousarray(
+            px.reshape(h, w, 4)[:, :, :3]).tobytes(), 3
+    else:
+        raw, ch = px.tobytes(), bpp
+    return {"raw": raw, "width": w, "height": h, "channels": ch}
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -227,43 +286,72 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
 
 
 def encode_png(raw: bytes, width: int, height: int, channels: int = 1,
-               filter_type: int = 0) -> bytes:
-    """Write 8-bit gray/RGB raw pixels as a PNG with one fixed filter
-    type per scanline (0–4; fixture/export writer — a size-optimizing
-    encoder would pick per-line, which the decoder handles anyway)."""
-    if channels not in (1, 3):
-        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
-    if len(raw) != width * height * channels:
-        raise ValueError("raw length != width*height*channels")
+               filter_type: int = 0, color_type: int | None = None,
+               palette: bytes | None = None) -> bytes:
+    """Write 8-bit raw samples as a PNG with one fixed filter type per
+    scanline (0–4; fixture/export writer — a size-optimizing encoder
+    would pick per-line, which the decoder handles anyway). `color_type`
+    defaults from `channels` (1 → gray, 3 → RGB); pass 3/4/6 explicitly
+    to write palette-index (`raw` = 1 byte/px indices into `palette`'s
+    RGB triplets), gray+alpha (2 bytes/px) or RGBA (4 bytes/px) files.
+    Filtering is numpy-vectorized for every type — unlike the decoder's
+    Average/Paeth recurrence, the filter PASS reads only the raw input,
+    so the Paeth predictor is one whole-image np.where."""
+    import numpy as np
+
+    if color_type is None:
+        if channels not in (1, 3):
+            raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+        color_type = 0 if channels == 1 else 2
+    bpp = _PNG_BPP.get(color_type)
+    if bpp is None:
+        raise ValueError(f"unsupported color_type {color_type}")
+    if color_type == 3:
+        if not palette or len(palette) % 3 != 0 or len(palette) > 768:
+            raise ValueError("palette must be 1..256 RGB triplets")
+    elif palette is not None:
+        raise ValueError("palette only applies to color_type 3")
+    if len(raw) != width * height * bpp:
+        raise ValueError("raw length != width*height*bytes-per-pixel")
     if not 0 <= filter_type <= 4:
         raise ValueError("filter_type must be 0..4")
-    ch, stride = channels, width * channels
-    plane = bytearray()
-    for y in range(height):
-        row = raw[y * stride:(y + 1) * stride]
-        up = raw[(y - 1) * stride:y * stride] if y else bytes(stride)
-        plane.append(filter_type)
-        for i in range(stride):
-            a = row[i - ch] if i >= ch else 0
-            b = up[i]
-            c = up[i - ch] if (y and i >= ch) else 0
-            if filter_type == 0:
-                v = row[i]
-            elif filter_type == 1:
-                v = row[i] - a
-            elif filter_type == 2:
-                v = row[i] - (b if y else 0)
-            elif filter_type == 3:
-                v = row[i] - ((a + (b if y else 0)) >> 1)
-            else:
-                v = row[i] - _paeth(a, b if y else 0, c)
-            plane.append(v & 0xFF)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8,
-                       0 if channels == 1 else 2, 0, 0, 0)
+    stride = width * bpp
+    px = np.frombuffer(raw, np.uint8).reshape(height, stride)
+    # predictor inputs: a = left neighbor (bpp back), b = row above,
+    # c = above-left — zero-padded at the image edges (RFC 2083 §6.2)
+    a = np.zeros_like(px)
+    a[:, bpp:] = px[:, :-bpp]
+    b = np.zeros_like(px)
+    b[1:] = px[:-1]
+    c = np.zeros_like(px)
+    c[1:, bpp:] = px[:-1, :-bpp]
+    if filter_type == 0:
+        filt = px
+    elif filter_type == 1:
+        filt = px - a
+    elif filter_type == 2:
+        filt = px - b
+    elif filter_type == 3:
+        ai = a.astype(np.int16)
+        filt = (px - ((ai + b) >> 1).astype(np.uint8))
+    else:
+        ai, bi, ci = (x.astype(np.int16) for x in (a, b, c))
+        p = ai + bi - ci
+        pa, pb, pc = abs(p - ai), abs(p - bi), abs(p - ci)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+        )
+        filt = px - pred
+    plane = np.empty((height, 1 + stride), np.uint8)
+    plane[:, 0] = filter_type
+    plane[:, 1:] = filt
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += _png_chunk(b"PLTE", palette)
     return (
-        PNG_MAGIC
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(plane), 6))
+        out
+        + _png_chunk(b"IDAT", zlib.compress(plane.tobytes(), 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -336,15 +424,19 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
 
 def normalize_clip_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
     """`normalize_assets` for the SLIM audio-clip row shape the streaming
-    gate consumes (id, data, ...): mono 16-bit WAV payloads (magic-byte
-    detected) are replaced by their raw PCM bytes; every other row —
-    including stereo WAV, which the mono gate could only byte-hash
-    anyway — passes through unchanged. Same Arrow-batched per-asset
-    grain; works on streaming DataFrames (mapInPandas is
-    streaming-compatible), so a WAV re-encode arriving on the stream
-    dedups PERCEPTUALLY against an indexed raw clip instead of falling
-    through to the exact-hash path."""
+    gate consumes (id, data, ...): 16-bit WAV payloads (magic-byte
+    detected) are replaced by their raw PCM bytes, with multichannel
+    payloads downmixed to mono (exact integer average,
+    `downmix_pcm16_bytes`) so a STEREO re-encode arriving on the stream
+    also dedups perceptually against an indexed mono clip; every other
+    row passes through unchanged. Same Arrow-batched per-asset grain;
+    works on streaming DataFrames (mapInPandas is
+    streaming-compatible)."""
     import pandas as pd
+
+    from ocr_vector_db_spark.operators.audio_fingerprint import (
+        downmix_pcm16_bytes,
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -353,8 +445,12 @@ def normalize_clip_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
                 raw = bytes(data) if data is not None else data
                 if raw is not None and raw.startswith(WAV_MAGIC):
                     dec = decode_wav(raw)
-                    if dec is not None and dec["channels"] == 1:
+                    if dec is not None:
                         raw = dec["pcm"]
+                        if dec["channels"] > 1:
+                            raw = downmix_pcm16_bytes(
+                                raw, dec["channels"]
+                            )
                 out.append(raw)
             pdf = pdf.copy()
             pdf[data_col] = out

@@ -164,6 +164,46 @@ def test_asset_pcm_frames_projection(spark):
     assert got == {"mono": (200, 8000)}
 
 
+def test_asset_pcm_frames_downmix(spark):
+    """`downmix=True` (verdict r13 #7) averages multichannel pcm_s16le
+    rows to mono with exact integer semantics — an L==R stereo spread
+    of a mono clip comes back BYTE-IDENTICAL, a 3-channel mix floors
+    sum/3, a ragged tail drops — while the mono fast path and the
+    decode-seam filters (mp3) are untouched."""
+    from ocr_vector_db_spark.operators.audio_fingerprint import (
+        downmix_pcm16_bytes,
+    )
+
+    mono = _pcm(_synth("p", 200))
+    spread = b"".join(mono[i:i + 2] * 2 for i in range(0, len(mono), 2))
+    tri = b"".join(
+        v.to_bytes(2, "little", signed=True)
+        for v in (10, 20, 31, -10, -20, -31)
+    )
+    rows = [
+        ("mono", "audio", mono,
+         {"format": "pcm_s16le", "channels": "1", "sample_rate": "8000"}),
+        ("spread", "audio", spread,
+         {"format": "pcm_s16le", "channels": "2", "sample_rate": "8000"}),
+        ("tri", "audio", tri + b"\x07\x00",  # ragged: 1 extra sample
+         {"format": "pcm_s16le", "channels": "3", "sample_rate": "8000"}),
+        ("mp3", "audio", b"ID3fake", {"format": "mp3"}),
+    ]
+    adf = spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    got = {r.asset_id: (bytes(r.data), r.n_samples)
+           for r in asset_pcm_frames(adf, downmix=True).collect()}
+    assert set(got) == {"mono", "spread", "tri"}
+    assert got["spread"] == (mono, 200)     # L==R round-trips exactly
+    assert got["mono"] == (mono, 200)
+    # floor((10+20+31)/3)=20, floor((-10-20-31)/3)=-21 (floor, not trunc)
+    assert got["tri"] == (_pcm([20, -21]), 2)
+    assert downmix_pcm16_bytes(b"\x01\x00", 2) == b""  # sub-frame clip
+
+
 def test_degenerate_inputs_filtered(spark):
     """Clips shorter than the frame grid (or with odd byte length) carry
     no frame structure and are dropped, not crashed on."""

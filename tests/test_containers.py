@@ -104,6 +104,92 @@ def test_png_decompression_bomb_is_bounded():
                               "channels": 1}
 
 
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_palette_and_alpha_types(filter_type):
+    """Verdict r13 #4: palette (PLTE lookup), gray+alpha and RGBA
+    decode through the same filter reconstruction; alpha drops, a color
+    palette expands to RGB, and an ALL-GRAY palette collapses to one
+    channel so a palettized scan of a gray page is byte-identical to
+    its raw gray twin."""
+    rnd = random.Random(f"plte:{filter_type}")
+    w, h = 23, 11
+
+    # color palette → RGB expansion
+    pal = bytes(rnd.randrange(256) for _ in range(3 * 16))
+    idx = bytes(rnd.randrange(16) for _ in range(w * h))
+    png = encode_png(idx, w, h, filter_type=filter_type, color_type=3,
+                     palette=pal)
+    want = b"".join(pal[3 * i:3 * i + 3] for i in idx)
+    assert decode_png(png) == {"raw": want, "width": w, "height": h,
+                               "channels": 3}
+
+    # all-gray palette → collapses to channels=1, byte-equal to the twin
+    gpal = bytes(v for v in range(0, 256, 16) for _ in range(3))
+    gpng = encode_png(idx, w, h, filter_type=filter_type, color_type=3,
+                      palette=gpal)
+    gray_twin = bytes(16 * i for i in idx)
+    assert decode_png(gpng) == {"raw": gray_twin, "width": w, "height": h,
+                                "channels": 1}
+
+    # gray+alpha → alpha dropped, channels=1
+    gray = bytes(rnd.randrange(256) for _ in range(w * h))
+    ga = b"".join(bytes((g, rnd.randrange(256))) for g in gray)
+    apng = encode_png(ga, w, h, filter_type=filter_type, color_type=4)
+    assert decode_png(apng) == {"raw": gray, "width": w, "height": h,
+                                "channels": 1}
+
+    # RGBA → alpha dropped, channels=3
+    rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    rgba = b"".join(rgb[3 * i:3 * i + 3] + bytes((rnd.randrange(256),))
+                    for i in range(w * h))
+    cpng = encode_png(rgba, w, h, filter_type=filter_type, color_type=6)
+    assert decode_png(cpng) == {"raw": rgb, "width": w, "height": h,
+                                "channels": 3}
+
+
+def test_png_palette_rejections():
+    """A palette PNG whose container lies — missing/ragged PLTE or an
+    index past the palette — is undecodable (exact-hash passthrough),
+    never an out-of-bounds read."""
+    import zlib
+
+    from ocr_vector_db_spark.sources.containers import _png_chunk
+
+    idx = bytes([0, 1, 2, 3] * 15)
+    pal = bytes(range(12))  # 4 entries
+    png = encode_png(idx, 10, 6, color_type=3, palette=pal)
+    assert decode_png(png)["channels"] == 3
+
+    # index 9 with only 4 palette entries
+    bad_idx = bytes([0, 9] * 30)
+    ihdr = struct.pack(">IIBBBBB", 10, 6, 8, 3, 0, 0, 0)
+    plane = b"".join(b"\x00" + bad_idx[y * 10:(y + 1) * 10]
+                     for y in range(6))
+    bad = (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"PLTE", pal)
+           + _png_chunk(b"IDAT", zlib.compress(plane))
+           + _png_chunk(b"IEND", b""))
+    assert decode_png(bad) is None
+
+    # PLTE missing entirely / ragged length
+    no_plte = (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(plane))
+               + _png_chunk(b"IEND", b""))
+    assert decode_png(no_plte) is None
+    ragged = (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+              + _png_chunk(b"PLTE", pal + b"\x01")
+              + _png_chunk(b"IDAT", zlib.compress(plane))
+              + _png_chunk(b"IEND", b""))
+    assert decode_png(ragged) is None
+
+    with pytest.raises(ValueError):
+        encode_png(idx, 10, 6, color_type=3)  # palette required
+    with pytest.raises(ValueError):
+        encode_png(idx, 10, 6, color_type=3, palette=b"\x00\x01")
+    with pytest.raises(ValueError):
+        encode_png(idx, 10, 6, color_type=7)
+
+
 def test_containers_first_chunk_wins():
     """ADVICE r13: a crafted duplicate fmt/data (or IHDR) chunk must not
     silently replace the first one — last-wins would let the perceptual
@@ -244,21 +330,32 @@ def test_normalize_assets_decodes_and_passes_through(spark):
 
 def test_normalize_slim_row_shapes(spark):
     """The slim-row normalizers the CLI streaming gates wire in:
-    `normalize_clip_rows` swaps mono WAV payloads for raw PCM (stereo
-    and non-WAV rows untouched); `normalize_frame_rows` decodes PNG and
-    OVERWRITES the row's declared dims from IHDR (container dims are
-    untrusted), keeping RGB only when a channels column can carry it."""
+    `normalize_clip_rows` swaps WAV payloads for raw PCM, downmixing
+    multichannel to mono (non-WAV rows untouched);
+    `normalize_frame_rows` decodes PNG and OVERWRITES the row's
+    declared dims from IHDR (container dims are untrusted), keeping RGB
+    only when a channels column can carry it."""
+    from ocr_vector_db_spark.operators.audio_fingerprint import (
+        downmix_pcm16_bytes,
+    )
+
     pcm = bytes(range(256)) * 4
+    spread = b"".join(pcm[i:i + 2] * 2 for i in range(0, len(pcm), 2))
     rows = [
         ("wav", encode_wav(pcm, 16000, 1)),
         ("wav_stereo", encode_wav(pcm, 16000, 2)),
+        ("wav_spread", encode_wav(spread, 16000, 2)),
         ("raw", pcm),
     ]
     adf = spark.createDataFrame(rows, "asset_id string, data binary")
     got = {r.asset_id: bytes(r.data)
            for r in normalize_clip_rows(adf).collect()}
     assert got["wav"] == pcm
-    assert got["wav_stereo"] == rows[1][1]  # mono gate: pass through
+    # stereo downmixes to mono at the gate (verdict r13 #7): an L==R
+    # spread recovers the mono bytes exactly, arbitrary stereo goes
+    # through the exact integer average
+    assert got["wav_stereo"] == downmix_pcm16_bytes(pcm, 2)
+    assert got["wav_spread"] == pcm
     assert got["raw"] == pcm
 
     img = bytes((x * 3 + y * 11) % 251 for y in range(12) for x in range(10))
