@@ -3165,3 +3165,154 @@ def q156(spark, sf):
         .unionByName(passthru)
         .orderBy("item", "key")
     )
+
+
+@query(
+    "q157_jpeg_decode_neardup",
+    """
+    SELECT * FROM (VALUES
+        ('dhash', 'img_jpg', 'c4aa6b19a546ba29'),
+        ('dhash', 'img_jpg_lo', 'c4aa6b19a546ba29'),
+        ('dhash', 'img_raw', 'c4aa6b19a546ba29'),
+        ('dhash', 'pdf_jpg', 'c4aa6b19a546ba29'),
+        ('dhash', 'rgb_jpg', '22a5ad5959742ded'),
+        ('dhash', 'rgb_raw', '22a5ad5959742ded'),
+        ('meta', 'img_jpg', 'raw:72x40:1:jpeg'),
+        ('meta', 'img_jpg_lo', 'raw:72x40:1:jpeg'),
+        ('meta', 'pdf_jpg', 'raw:72x40:1:jpeg'),
+        ('meta', 'rgb_jpg', 'raw:72x40:3:jpeg'),
+        ('pair', 'img_jpg_lo~img_raw', '0'),
+        ('pair', 'img_jpg_lo~pdf_jpg', '0'),
+        ('pair', 'img_jpg~img_jpg_lo', '0'),
+        ('pair', 'img_jpg~img_raw', '0'),
+        ('pair', 'img_jpg~pdf_jpg', '0'),
+        ('pair', 'img_raw~pdf_jpg', '0'),
+        ('pair', 'rgb_jpg~rgb_raw', '0'),
+        ('passthrough', 'prog', 'true')
+    ) AS t(item, key, detail)
+    ORDER BY item, key
+    """,
+)
+def q157(spark, sf):
+    """Baseline JPEG decode + near-dup (golden VALUES oracle) — the #1
+    crawl image format decoded for real (`sources/jpeg.py`: SOF0
+    huffman entropy decode through a 2^16 LUT, numpy-batched IDCT,
+    gray + YCbCr up to 2×2 sampling, restart intervals) and wired into
+    `normalize_assets` (VERDICT r13 #2). JPEG is LOSSY, so the pinned
+    contract is NEAR-duplication, not q156's byte-exact round trips: a
+    q90 AND a q35 gray re-encode of a raw raster, and a 4:2:0 RGB
+    re-encode of a color raster, all land within the dHash near-dup
+    radius of their raw twins (at Hamming 0 on these cell-rendered
+    fixtures — the 9×8 cell means absorb quantization noise); a
+    progressive (SOF2) JPEG passes through byte-identical to the
+    exact-hash path; and a /DCTDecode image extracted from a real PDF
+    (`extract_pdf_images` passthrough → `normalize_assets` decode — the
+    composition that turns the PDF JPEG seam into pixels) dedups with
+    the same family. Decoder error bounds, restart intervals, 16-bit
+    DQT, and every rejection class are pinned by tests/test_jpeg.py.
+    Reference parity: none — the reference hands rasters to an external
+    OCR service (pymupdf_parser.py); this is the multimodal brief's
+    decode step for the dominant crawl image format."""
+    import hashlib
+
+    import numpy as np
+
+    from ocr_vector_db_spark.operators.image_hash import (
+        asset_raw_frames,
+        dhash_signatures_mixed,
+        phash_near_dup_pairs,
+    )
+    from ocr_vector_db_spark.sources.containers import normalize_assets
+    from ocr_vector_db_spark.sources.jpeg import encode_jpeg
+    from ocr_vector_db_spark.sources.pdf_decode import (
+        build_simple_pdf,
+        extract_pdf_images,
+    )
+
+    def mat(seed):
+        return [
+            [hashlib.md5(f"{seed}:{x}:{y}".encode()).digest()[0] % 200
+             + 10 for x in range(9)]
+            for y in range(8)
+        ]
+
+    def render(m, w, h):
+        return bytes(
+            m[y * 8 // h][x * 9 // w] for y in range(h) for x in range(w)
+        )
+
+    img = render(mat("page-J"), 72, 40)
+    g = np.frombuffer(render(mat("page-K"), 72, 40), np.uint8)
+    g = g.reshape(40, 72).astype(int)
+    rgb = np.stack(
+        [g, np.clip(g + 20, 0, 255), np.clip(g - 15, 0, 255)], axis=-1
+    ).astype(np.uint8).tobytes()
+
+    jpg = encode_jpeg(img, 72, 40, 1, quality=90)
+    jpg_lo = encode_jpeg(img, 72, 40, 1, quality=35)
+    rgb_jpg = encode_jpeg(rgb, 72, 40, 3, quality=85, subsample="4:2:0")
+    prog = bytearray(jpg)
+    prog[jpg.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 → SOF2 (progressive)
+    prog = bytes(prog)
+    # a real PDF whose image XObject carries the SAME JPEG as /DCTDecode
+    pdf = build_simple_pdf([[
+        {"kind": "image", "x": 50, "y": 200, "w": 300, "h": 200,
+         "width": 72, "height": 40, "jpeg": jpg},
+    ]])
+    (pdf_img,) = extract_pdf_images(pdf)
+    assert pdf_img["metadata"]["format"] == "jpeg"  # passthrough seam
+
+    rows = [
+        ("img_raw", "image", img,
+         {"format": "raw", "channels": "1", "width": "72",
+          "height": "40"}),
+        ("img_jpg", "unknown", jpg, {}),
+        ("img_jpg_lo", "unknown", jpg_lo, {}),
+        ("rgb_raw", "image", rgb,
+         {"format": "raw", "channels": "3", "width": "72",
+          "height": "40"}),
+        ("rgb_jpg", "unknown", rgb_jpg, {}),
+        ("prog", "unknown", prog, {}),
+        ("pdf_jpg", pdf_img["kind"], pdf_img["data"],
+         pdf_img["metadata"]),
+    ]
+    adf = spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    norm = normalize_assets(adf).cache()
+    sigs = dhash_signatures_mixed(asset_raw_frames(norm))
+    pairs = phash_near_dup_pairs(sigs, r=6)
+    md = F.col("metadata")
+    meta = norm.filter(md["container"] == "jpeg").select(
+        F.lit("meta").alias("item"), F.col("asset_id").alias("key"),
+        F.concat_ws(
+            ":", md["format"],
+            F.concat_ws("x", md["width"], md["height"]),
+            md["channels"], md["container"],
+        ).alias("detail"),
+    )
+    passthru = (
+        norm.select("asset_id", F.col("data").alias("d_norm"))
+        .join(adf.select("asset_id", F.col("data").alias("d_in")),
+              "asset_id")
+        .filter(F.col("asset_id") == "prog")
+        .select(
+            F.lit("passthrough").alias("item"),
+            F.col("asset_id").alias("key"),
+            (F.col("d_norm") == F.col("d_in")).cast("string")
+            .alias("detail"),
+        )
+    )
+    return (
+        sigs.select(F.lit("dhash").alias("item"), F.col("id").alias("key"),
+                    F.col("dhash").alias("detail"))
+        .unionByName(pairs.select(
+            F.lit("pair").alias("item"),
+            F.concat_ws("~", "id_a", "id_b").alias("key"),
+            F.col("hamming").cast("string").alias("detail")))
+        .unionByName(meta)
+        .unionByName(passthru)
+        .orderBy("item", "key")
+    )

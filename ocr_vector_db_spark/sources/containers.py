@@ -370,12 +370,16 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
       mono projection (`asset_pcm_frames`) owns that policy.
     - PNG → kind=image, data=raw pixels, metadata format=raw +
       width/height/channels (+container=png).
+    - JPEG (baseline SOF0, `sources/jpeg.py`) → kind=image, data=raw
+      pixels, same metadata shape (+container=jpeg); progressive/
+      arithmetic/unsupported JPEGs pass through byte-identical.
 
     Per-asset decode, zero cross-row state → one Arrow-batched
     mapInPandas pass; partitioning, pushdown and every downstream
     operator shape are untouched."""
     import pandas as pd
 
+    from ocr_vector_db_spark.sources.jpeg import JPEG_MAGIC, decode_jpeg
     from ocr_vector_db_spark.sources.multimodal import ASSET_SCHEMA
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -397,8 +401,11 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
                             channels=str(dec["channels"]),
                             container="wav",
                         )
-                elif raw.startswith(PNG_MAGIC):
-                    dec = decode_png(raw)
+                elif raw.startswith(PNG_MAGIC) or raw.startswith(
+                    JPEG_MAGIC
+                ):
+                    is_png = raw.startswith(PNG_MAGIC)
+                    dec = decode_png(raw) if is_png else decode_jpeg(raw)
                     if dec is not None:
                         kind = "image"
                         raw = dec["raw"]
@@ -407,7 +414,7 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
                             width=str(dec["width"]),
                             height=str(dec["height"]),
                             channels=str(dec["channels"]),
-                            container="png",
+                            container="png" if is_png else "jpeg",
                         )
                 kinds.append(kind)
                 datas.append(raw)
@@ -461,14 +468,17 @@ def normalize_clip_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
 
 def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
     """`normalize_assets` for the SLIM raster row shape the streaming
-    gate consumes (id, data, width, height[, channels]): gray/RGB PNG
-    payloads are replaced by their raw pixels with width/height (and
-    channels, when the column rides along) overwritten from IHDR — a
-    container row's declared dims are untrusted. RGB decodes are kept
-    only when a `channels` column exists to carry 3 (the gray-only
-    shape would otherwise mis-read an RGB buffer as gray); everything
-    undecodable passes through unchanged."""
+    gate consumes (id, data, width, height[, channels]): PNG and
+    baseline-JPEG payloads are replaced by their raw pixels with
+    width/height (and channels, when the column rides along)
+    overwritten from the container header — a container row's declared
+    dims are untrusted. RGB decodes are kept only when a `channels`
+    column exists to carry 3 (the gray-only shape would otherwise
+    mis-read an RGB buffer as gray); everything undecodable passes
+    through unchanged."""
     import pandas as pd
+
+    from ocr_vector_db_spark.sources.jpeg import JPEG_MAGIC, decode_jpeg
 
     has_ch = "channels" in df.columns
 
@@ -481,9 +491,14 @@ def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
             chs = list(pdf["channels"]) if has_ch else None
             for i, data in enumerate(datas):
                 raw = bytes(data) if data is not None else None
-                if raw is None or not raw.startswith(PNG_MAGIC):
+                if raw is None:
                     continue
-                dec = decode_png(raw)
+                if raw.startswith(PNG_MAGIC):
+                    dec = decode_png(raw)
+                elif raw.startswith(JPEG_MAGIC):
+                    dec = decode_jpeg(raw)
+                else:
+                    continue
                 if dec is None or (dec["channels"] == 3 and not has_ch):
                     continue
                 datas[i] = dec["raw"]

@@ -1,0 +1,703 @@
+"""Baseline JPEG (SOF0) codec for the multimodal container stack.
+
+JPEG is *the* image format of a 100 TB crawl; until round 14 a JPEG
+re-encode of an indexed raster fell through to the exact-byte-hash path
+and never deduped perceptually (`sources/pdf_decode.py` stops at a
+DCTDecode passthrough). This module decodes baseline sequential JPEG —
+huffman entropy coding, any DQT/DHT the file carries, 8-bit precision,
+grayscale and 3-component YCbCr with sampling factors up to 2×2
+(4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), restart intervals — to the raw
+gray/RGB shapes `asset_gray_frames` / `asset_raw_frames` consume.
+Everything else (progressive SOF2, arithmetic coding, 12-bit, CMYK,
+sampling factors > 2) returns None so the row passes through
+byte-identical to the exact-hash fallback, exactly like the other
+containers.
+
+JPEG is LOSSY: unlike the WAV/PNG round-trips (q156), the contract is
+NEAR-duplication — a JPEG re-encode of a raw raster lands within a
+small Hamming radius of its twin's perceptual hash (q157), not at
+hash identity.
+
+Implementation notes:
+- The IDCT/FDCT are numpy-batched over ALL blocks of a component at
+  once (one einsum against the 8-point orthonormal DCT-II matrix) —
+  per-byte Python there would be untenably slow (see the PNG filter
+  numbers in SCALING.md).
+- Huffman decode uses a 2^16-entry (symbol, length) lookup per table:
+  one peek + one skip per symbol, never bit-by-bit tree walking.
+- The encoder exists so fixtures and exports are self-contained
+  (same reason as encode_wav/encode_png): Annex-K quantization tables
+  scaled by the libjpeg quality curve, the standard DC/AC huffman
+  tables written into DHT segments (the decoder always reads tables
+  from the file, so encoder/decoder stay consistent by construction),
+  gray / 4:4:4 / 4:2:0 subsampling.
+- Same decompression-posture as decode_png: declared geometry is
+  capped (MAX_PIXELS) before any plane is allocated, and every
+  entropy-stream lie (bad prefix, coefficient overrun, truncation)
+  rejects to None rather than raising.
+
+Scale shape: per-asset decode with zero cross-row state — wired into
+`containers.normalize_assets` / `normalize_frame_rows`, the same
+Arrow-batched mapInPandas grain as the PDF decrypt. Reference parity:
+none — the reference ingests PDF/text/markdown only (its rasters go to
+an external OCR service, reference ingestion/parsers/); this is the
+multimodal brief's decode step for the dominant crawl image format.
+"""
+
+from __future__ import annotations
+
+import struct
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+MAX_PIXELS = 64 * 1024 * 1024  # reject > 64 MP before allocating planes
+
+# ---------------------------------------------------------------- tables
+
+# ITU-T T.81 Annex K.1 example quantization tables (the de-facto
+# standard base tables every libjpeg-family encoder scales by quality).
+QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 typical huffman tables: (BITS[1..16], HUFFVAL). The decoder
+# never assumes these — it reads DHT from the file — so a file with
+# optimized tables decodes identically; the encoder writes THESE tables
+# into its DHT segments, keeping the pair self-consistent and the
+# output readable by any baseline decoder.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _zigzag_order() -> list[int]:
+    """Indices into a row-major 8×8 block in zigzag scan order,
+    generated from the diagonal walk instead of hardcoded."""
+    out = []
+    for s in range(15):
+        ys = range(max(0, s - 7), min(s, 7) + 1)
+        diag = [(y, s - y) for y in ys]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals walk up-right
+        out.extend(y * 8 + x for y, x in diag)
+    return out
+
+
+ZIGZAG = _zigzag_order()
+
+
+def _dct_matrix():
+    """8-point orthonormal DCT-II matrix M: forward D = M B Mᵀ,
+    inverse B = Mᵀ D M."""
+    import math
+
+    import numpy as np
+
+    m = np.empty((8, 8), np.float64)
+    for k in range(8):
+        s = math.sqrt(0.125) if k == 0 else 0.5
+        for n in range(8):
+            m[k, n] = s * math.cos(math.pi * (2 * n + 1) * k / 16.0)
+    return m
+
+
+class _JpegError(Exception):
+    """Internal: malformed/unsupported stream → decode_jpeg returns None."""
+
+
+# ---------------------------------------------------------------- decode
+
+
+def _build_decode_lut(bits: list[int], vals: list[int]) -> list:
+    """Canonical huffman → 2^16-entry (symbol, code_length) lookup:
+    decode is one 16-bit peek + one skip, never a bit-at-a-time walk."""
+    lut = [(None, 0)] * 65536
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if vi >= len(vals) or code >= (1 << length):
+                raise _JpegError("overfull huffman table")
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            lut[lo:hi] = [(vals[vi], length)] * (hi - lo)
+            vi += 1
+            code += 1
+        code <<= 1
+    if vi != len(vals):
+        raise _JpegError("huffman table count mismatch")
+    return lut
+
+
+class _BitReader:
+    """MSB-first bit reader over unstuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        data, pos, n = self.data, self.pos, len(self.data)
+        acc, nbits = self.acc, self.nbits
+        while nbits <= 48 and pos < n:
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        self.acc, self.nbits, self.pos = acc, nbits, pos
+
+    def peek16(self) -> int:
+        if self.nbits < 16:
+            self._fill()
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        # stream tail: pad with zero bits (a symbol longer than what
+        # remains will fail at skip())
+        return (self.acc << (16 - self.nbits)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        if n == 0 or n > self.nbits:
+            raise _JpegError("bad huffman prefix / truncated stream")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+            if self.nbits < n:
+                raise _JpegError("truncated entropy stream")
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12: map an s-bit magnitude to its signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Unstuff (FF 00 → FF) the entropy-coded bytes from `start`,
+    splitting at RSTn markers → (segments, offset past the scan)."""
+    segs = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn: segment boundary
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # a real marker ends the scan
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(data: bytes) -> dict | None:
+    """Baseline JPEG → {'raw': bytes, 'width', 'height', 'channels'}
+    (gray → 1, YCbCr → RGB 3); None for anything this module does not
+    own (progressive/arithmetic/12-bit/CMYK/sampling > 2×2, malformed
+    or truncated streams, geometry past MAX_PIXELS)."""
+    import numpy as np
+
+    if not data.startswith(JPEG_MAGIC):
+        return None
+    try:
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], list] = {}  # (class, id) → LUT
+        sof = None
+        restart = 0
+        i = 2
+        n = len(data)
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                raise _JpegError("marker desync")
+            marker = data[i + 1]
+            if marker == 0xFF:  # fill bytes before a marker
+                i += 1
+                continue
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before SOS
+                raise _JpegError("no scan")
+            (seglen,) = struct.unpack_from(">H", data, i + 2)
+            if seglen < 2 or i + 2 + seglen > n:
+                raise _JpegError("truncated segment")
+            body = data[i + 4:i + 2 + seglen]
+            if marker == 0xDB:  # DQT
+                o = 0
+                while o < len(body):
+                    pq, tq = body[o] >> 4, body[o] & 15
+                    o += 1
+                    if pq == 0:
+                        tbl = list(body[o:o + 64])
+                        o += 64
+                    elif pq == 1:
+                        tbl = [struct.unpack_from(">H", body, o + 2 * k)[0]
+                               for k in range(64)]
+                        o += 128
+                    else:
+                        raise _JpegError("bad DQT precision")
+                    if len(tbl) < 64 or min(tbl) < 1:
+                        raise _JpegError("short/zero DQT")
+                    qt[tq] = tbl
+            elif marker == 0xC4:  # DHT
+                o = 0
+                while o + 17 <= len(body):
+                    tc, th = body[o] >> 4, body[o] & 15
+                    bits = list(body[o + 1:o + 17])
+                    cnt = sum(bits)
+                    vals = list(body[o + 17:o + 17 + cnt])
+                    if len(vals) < cnt or tc > 1:
+                        raise _JpegError("bad DHT")
+                    huff[(tc, th)] = _build_decode_lut(bits, vals)
+                    o += 17 + cnt
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8 or nc not in (1, 3):
+                    return None  # 12-bit / CMYK: honest passthrough
+                if w < 1 or h < 1 or w * h > MAX_PIXELS:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = struct.unpack_from(">BBB", body,
+                                                     6 + 3 * c)
+                    ch, cv = hv >> 4, hv & 15
+                    if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                        return None  # sampling > 2×2: passthrough
+                    comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+                sof = (w, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/arithmetic/lossless SOFs
+            elif marker == 0xDD:  # DRI
+                (restart,) = struct.unpack_from(">H", body, 0)
+            elif marker == 0xDA:  # SOS
+                if sof is None:
+                    raise _JpegError("SOS before SOF")
+                ns = body[0]
+                w, h, comps = sof
+                if ns != len(comps):
+                    return None  # multi-scan baseline: out of scope
+                tabmap = {}
+                for s in range(ns):
+                    cs, tt = body[1 + 2 * s], body[2 + 2 * s]
+                    tabmap[cs] = (tt >> 4, tt & 15)
+                for c in comps:
+                    if c["id"] not in tabmap or c["tq"] not in qt:
+                        raise _JpegError("missing tables")
+                    td, ta = tabmap[c["id"]]
+                    if (0, td) not in huff or (1, ta) not in huff:
+                        raise _JpegError("missing huffman table")
+                    c["dc"] = huff[(0, td)]
+                    c["ac"] = huff[(1, ta)]
+                    c["q"] = qt[c["tq"]]
+                segs, _ = _split_entropy(data, i + 2 + seglen)
+                return _decode_scan(np, w, h, comps, segs, restart)
+            i += 2 + seglen
+        raise _JpegError("no SOS")
+    except (_JpegError, struct.error, IndexError):
+        return None
+
+
+def _decode_scan(np, w, h, comps, segs, restart) -> dict | None:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    nmcu = mcux * mcuy
+    for c in comps:
+        c["bx"] = mcux * c["h"]
+        c["by"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["by"] * c["bx"], 64), np.int32)
+        c["pred"] = 0
+
+    zz = ZIGZAG
+    seg_i = 0
+    br = _BitReader(segs[0])
+    for m in range(nmcu):
+        if restart and m and m % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise _JpegError("missing restart segment")
+            br = _BitReader(segs[seg_i])
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            dc_lut, ac_lut = c["dc"], c["ac"]
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    sym, ln = dc_lut[br.peek16()]
+                    if sym is None:
+                        raise _JpegError("bad DC prefix")
+                    br.skip(ln)
+                    diff = _extend(br.read(sym), sym) if sym else 0
+                    c["pred"] += diff
+                    bi = (my * c["v"] + v) * c["bx"] + (mx * c["h"] + hh)
+                    row = c["coef"][bi]
+                    row[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        sym, ln = ac_lut[br.peek16()]
+                        if sym is None:
+                            raise _JpegError("bad AC prefix")
+                        br.skip(ln)
+                        r, s = sym >> 4, sym & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise _JpegError("AC overrun")
+                        row[zz[k]] = _extend(br.read(s), s)
+                        k += 1
+
+    dctm = _dct_matrix()
+    planes = []
+    for c in comps:
+        q = np.array(c["q"], np.int32)
+        deq = np.empty_like(c["coef"])
+        deq[:, zz] = c["coef"][:, zz] * q  # DC at zz[0]=0, AC dequant
+        # one batched inverse DCT for the whole component
+        blocks = deq.reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("ij,njk,kl->nil", dctm.T, blocks, dctm)
+        pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+        plane = (
+            pix.reshape(c["by"], c["bx"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["by"] * 8, c["bx"] * 8)
+        )
+        # upsample to the luma grid (sample replication), crop to w×h
+        plane = plane.repeat(vmax // c["v"], axis=0).repeat(
+            hmax // c["h"], axis=1
+        )[:h, :w]
+        planes.append(plane)
+
+    if len(planes) == 1:
+        return {"raw": planes[0].tobytes(), "width": w, "height": h,
+                "channels": 1}
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr,
+         y - 0.344136 * cb - 0.714136 * cr,
+         y + 1.772 * cb],
+        axis=-1,
+    )
+    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return {"raw": rgb.tobytes(), "width": w, "height": h, "channels": 3}
+
+
+# ---------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (T.81)
+        return bytes(self.out)
+
+
+def _build_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) from the canonical (BITS, HUFFVAL)."""
+    table = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[vi]] = (code, length)
+            vi += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _scaled_quant(base: list[int], quality: int) -> list[int]:
+    """libjpeg quality curve: 1..100 → scaled Annex-K table."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(255, max(1, (b * scale + 50) // 100)) for b in base]
+
+
+def _magnitude(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_component_blocks(np, plane, q, dctm):
+    """plane (H, W) multiple-of-8 → quantized zigzag coeffs
+    (nblocks, 64) int32, blocks in row-major MCU-free order."""
+    hh, ww = plane.shape
+    by, bx = hh // 8, ww // 8
+    blocks = (
+        plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8).astype(np.float64) - 128.0
+    )
+    coef = np.einsum("ij,njk,kl->nil", dctm, blocks, dctm.T)
+    qarr = np.asarray(q, np.float64)  # natural order, like the coeffs
+    quant = np.round(coef.reshape(-1, 64) / qarr).astype(np.int32)
+    return quant[:, ZIGZAG], by, bx  # zigzag-ordered coefficients
+
+
+def _emit_block(bw, zcoef, pred, dc_tab, ac_tab) -> int:
+    dc = int(zcoef[0])
+    diff = dc - pred
+    s = _magnitude(diff)
+    code, ln = dc_tab[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last = 63
+    while last > 0 and zcoef[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zcoef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _magnitude(v)
+        code, ln = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _pad_edge(np, plane, mult_y, mult_x):
+    hh, ww = plane.shape
+    py = (-hh) % mult_y
+    px = (-ww) % mult_x
+    if py or px:
+        plane = np.pad(plane, ((0, py), (0, px)), mode="edge")
+    return plane
+
+
+def encode_jpeg(raw: bytes, width: int, height: int, channels: int = 1,
+                quality: int = 85, subsample: str = "4:4:4",
+                restart_interval: int = 0) -> bytes:
+    """Write 8-bit gray/RGB raw pixels as a baseline JFIF JPEG
+    (fixture/export writer, like encode_wav/encode_png): Annex-K quant
+    tables on the libjpeg quality curve, the standard huffman tables
+    (emitted in DHT, so any decoder reads them), gray or YCbCr with
+    4:4:4 / 4:2:0 chroma subsampling, optional DRI/RSTn restart
+    markers every `restart_interval` MCUs."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(raw) != width * height * channels:
+        raise ValueError("raw length != width*height*channels")
+    if subsample not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsample must be '4:4:4' or '4:2:0'")
+
+    dctm = _dct_matrix()
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    dc_l = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    if channels == 1:
+        y = np.frombuffer(raw, np.uint8).reshape(height, width)
+        planes = [y.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        px = np.frombuffer(raw, np.uint8).reshape(height, width, 3)
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample == "4:2:0":
+            # box-average 2×2 on an edge-padded grid
+            cbp = _pad_edge(np, cb, 2, 2)
+            crp = _pad_edge(np, cr, 2, 2)
+            cb = cbp.reshape(cbp.shape[0] // 2, 2,
+                             cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(crp.shape[0] // 2, 2,
+                             crp.shape[1] // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    encoded = []
+    for ci, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
+        plane = np.clip(np.round(plane), 0, 255)
+        # pad (edge-replicate) to the full MCU grid for this component
+        target_h, target_w = 8 * mcuy * sv, 8 * mcux * sh
+        plane = _pad_edge(np, plane, target_h, target_w)
+        plane = plane[:target_h, :target_w]
+        zc, by, bx = _encode_component_blocks(
+            np, plane, ql if ci == 0 else qc, dctm
+        )
+        encoded.append({"zc": zc, "bx": bx, "h": sh, "v": sv,
+                        "dc": dc_l if ci == 0 else dc_c,
+                        "ac": ac_l if ci == 0 else ac_c})
+
+    bw = _BitWriter()
+    preds = [0] * len(encoded)
+    scan = bytearray()
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            scan += bw.flush()
+            scan += bytes((0xFF, 0xD0 + rst))
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
+            preds = [0] * len(encoded)
+        my, mx = divmod(m, mcux)
+        for ci, e in enumerate(encoded):
+            for v in range(e["v"]):
+                for hh in range(e["h"]):
+                    bi = (my * e["v"] + v) * e["bx"] + (mx * e["h"] + hh)
+                    preds[ci] = _emit_block(
+                        bw, e["zc"][bi], preds[ci], e["dc"], e["ac"]
+                    )
+    scan += bw.flush()
+    scan = bytes(scan)
+
+    # ---- assemble segments
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(
+            ">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # DQT bodies are zigzag-ordered in the file (T.81 B.2.4.1)
+    zql = bytes(ql[ZIGZAG[k]] for k in range(64))
+    zqc = bytes(qc[ZIGZAG[k]] for k in range(64))
+    out += seg(0xDB, b"\x00" + bytes(zql))
+    if channels == 3:
+        out += seg(0xDB, b"\x01" + bytes(zqc))
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, channels))
+    for ci in range(channels):
+        sh, sv = samp[ci]
+        sof += bytes((ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1))
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    if channels == 3:
+        out += seg(0xC4, b"\x01" + bytes(DC_CHROMA_BITS)
+                   + bytes(DC_CHROMA_VALS))
+        out += seg(0xC4, b"\x11" + bytes(AC_CHROMA_BITS)
+                   + bytes(AC_CHROMA_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray((channels,))
+    for ci in range(channels):
+        sos += bytes((ci + 1, 0x00 if ci == 0 else 0x11))
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
