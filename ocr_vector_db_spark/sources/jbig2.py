@@ -15,11 +15,16 @@ IADS/IAIT/IARI + the IAID tree of A.3), symbol dictionary segments
 (§6.5, arithmetic, no refinement — one shared MQ codestream and GB
 context across all symbol bitmaps) and text regions (§6.4, arithmetic
 symbol codes, untransposed, OR composition) — jbig2enc's default symbol
-mode. Reference parity: the reference decodes JBIG2 rasters only
-through PyMuPDF (ingestion/parsers/pymupdf_parser.py:61-132, 518-569);
-this module now covers both the generic-region and symbol-coded
-families on the pure-Python path — halftone/refinement/huffman segments
-stay PyMuPDF-only (raise JBIG2Error here).
+mode. Round 14 adds the HALFTONE profile: pattern dictionaries (§6.7,
+one wide generic region split into patterns, AT1 = (-HDPW, 0)) and
+halftone regions (§6.6 — the grayscale image as Gray-coded bitplanes
+per Annex C.5, all planes sharing one MQ codestream and GB context set,
+patterns rendered along the (HRX, HRY) grid vector with OR
+composition). Reference parity: the reference decodes JBIG2 rasters
+only through PyMuPDF (ingestion/parsers/pymupdf_parser.py:61-132,
+518-569); this module now covers the generic-region, symbol-coded AND
+halftone families on the pure-Python path — refinement/huffman
+segments stay PyMuPDF-only (raise JBIG2Error here).
 
 Codec domain is SEMANTIC, like `sources/ccitt.py`: decoders return one
 byte per pixel with 1 = black (T.88's convention), and the encoder twins
@@ -746,11 +751,189 @@ def encode_text_region(
             + struct.pack(">I", len(placements)) + enc.flush())
 
 
+# --------------------------------------- halftone regions (T.88 §6.6/§6.7)
+# The third scanned-raster family: a PATTERN DICTIONARY (all patterns
+# decoded as ONE wide generic region, then split) plus a HALFTONE REGION
+# whose grayscale image decodes as Gray-coded bitplanes (Annex C.5 —
+# every plane shares one MQ codestream and one GB context set, MSB
+# first, each lower plane XORed with the one above as it lands) and
+# renders pattern[gray] cells along the (HRX, HRY) grid vector.
+# Supported profile: arithmetic coding, ENABLESKIP=0, OR composition —
+# what halftone-emitting scanner pipelines produce; MMR-coded planes,
+# skip bitmaps and non-OR ops raise (PyMuPDF path), as do refinement
+# and huffman segments.
+
+
+def decode_pattern_dict(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Pattern dictionary segment (§6.7) → (HDPW, HDPH, patterns): the
+    GRAYMAX+1 patterns decode as ONE generic region of width
+    (GRAYMAX+1)*HDPW with AT1 = (-HDPW, 0) (§6.7.5), then split."""
+    if len(payload) < 7:
+        raise JBIG2Error("truncated pattern dictionary")
+    flags = payload[0]
+    hdmmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw, hdph = payload[1], payload[2]
+    (graymax,) = struct.unpack(">I", payload[3:7])
+    if hdpw < 1 or hdph < 1:
+        raise JBIG2Error("empty pattern")
+    if graymax > 4095:
+        raise JBIG2Error("pattern dictionary too large")
+    width = (graymax + 1) * hdpw
+    if hdmmr:
+        from ocr_vector_db_spark.sources.ccitt import CCITTError, decode_g4
+
+        try:
+            collage = decode_g4(payload[7:], width, rows=hdph)
+        except CCITTError as exc:
+            raise JBIG2Error(f"bad MMR pattern dict: {exc}") from exc
+    else:
+        at = [(-hdpw, 0), (-3, -1), (2, -2),
+              (-2, -2)][:_AT_COUNT[template]]
+        collage = decode_generic_region(payload[7:], width, hdph,
+                                        at=at, template=template)
+    pats = []
+    for k in range(graymax + 1):
+        pats.append(b"".join(
+            collage[y * width + k * hdpw:y * width + (k + 1) * hdpw]
+            for y in range(hdph)
+        ))
+    return hdpw, hdph, pats
+
+
+def encode_pattern_dict(patterns: list[bytes], hdpw: int, hdph: int,
+                        template: int = 0) -> bytes:
+    """Exact mirror of `decode_pattern_dict` (arithmetic profile)."""
+    if not patterns or any(len(p) != hdpw * hdph for p in patterns):
+        raise JBIG2Error("patterns must all be HDPW*HDPH bytes")
+    width = len(patterns) * hdpw
+    collage = b"".join(
+        b"".join(p[y * hdpw:(y + 1) * hdpw] for p in patterns)
+        for y in range(hdph)
+    )
+    at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)][:_AT_COUNT[template]]
+    mq = encode_generic_region(collage, width, hdph, at=at,
+                               template=template)
+    return (bytes(((template & 3) << 1,)) + bytes((hdpw, hdph))
+            + struct.pack(">I", len(patterns) - 1) + mq)
+
+
+def _gray_at(template: int) -> list[tuple[int, int]]:
+    """AT pixels of the grayscale bitplane decode (§6.6.5.1)."""
+    return [((3 if template <= 1 else 2), -1), (-3, -1), (2, -2),
+            (-2, -2)][:_AT_COUNT[template]]
+
+
+def decode_halftone_region(
+    payload: bytes, patterns: tuple[int, int, list[bytes]],
+) -> tuple[int, int, int, int, bytes]:
+    """Halftone region segment (§6.6) → (w, h, x, y, bitmap 1=black)."""
+    w, h, x0, y0, _ = _parse_region_info(payload)
+    if len(payload) < 38:
+        raise JBIG2Error("truncated halftone region")
+    flags = payload[17]
+    hmmr = flags & 1
+    template = (flags >> 1) & 3
+    enableskip = (flags >> 3) & 1
+    combop = (flags >> 4) & 7
+    defpixel = (flags >> 7) & 1
+    hgw, hgh = struct.unpack(">II", payload[18:26])
+    hgx, hgy = struct.unpack(">ii", payload[26:34])
+    hrx, hry = struct.unpack(">HH", payload[34:38])
+    if hmmr or enableskip or combop != 0:
+        raise JBIG2Error("halftone MMR/skip/non-OR unsupported "
+                         "(PyMuPDF path)")
+    hdpw, hdph, pats = patterns
+    if not pats:
+        raise JBIG2Error("halftone region before pattern dictionary")
+    if hgw < 1 or hgh < 1 or hgw * hgh > 16 << 20:
+        raise JBIG2Error("bad halftone grid")
+    if w * h > 64 << 20:
+        raise JBIG2Error("halftone region too large")
+    bpp = max(1, (len(pats) - 1).bit_length())
+    # Annex C.5 grayscale decode: planes MSB→0 share ONE MQ decoder and
+    # ONE GB context set; each lower plane XORs with the plane above
+    dec = MQDecoder(payload[38:])
+    cxs: dict[int, list[int]] = {}
+    tpl = _template_of(template, _gray_at(template))
+    vals = [0] * (hgw * hgh)
+    prev: bytes | None = None
+    for j in range(bpp - 1, -1, -1):
+        raw = _region_pass(hgw, hgh, tpl, False, dec, None, cxs=cxs,
+                           tpgd_cx=_TPGD_CXS[template])
+        cur = raw if prev is None else bytes(
+            a ^ b for a, b in zip(raw, prev))
+        for i, bit in enumerate(cur):
+            if bit:
+                vals[i] |= 1 << j
+        prev = cur
+    region = bytearray(b"\x01" if defpixel else b"\x00") * (w * h)
+    nmax = len(pats) - 1
+    for m in range(hgh):
+        for n in range(hgw):
+            gi = vals[m * hgw + n]
+            if gi > nmax:
+                gi = nmax  # out-of-range gray clamps (§6.6.5.2)
+            pat = pats[gi]
+            px = (hgx + m * hry + n * hrx) >> 8
+            py = (hgy + m * hrx - n * hry) >> 8
+            for yy in range(hdph):
+                ty = py + yy
+                if ty < 0 or ty >= h:
+                    continue
+                base = ty * w
+                rowbase = yy * hdpw
+                for xx in range(hdpw):
+                    tx = px + xx
+                    if 0 <= tx < w and pat[rowbase + xx]:
+                        region[base + tx] = 1
+    return w, h, x0, y0, bytes(region)
+
+
+def encode_halftone_region(
+    width: int, height: int, grays: list[int], hgw: int, hgh: int,
+    patterns: list[bytes], hdpw: int, hdph: int, template: int = 0,
+) -> bytes:
+    """Exact mirror of `decode_halftone_region`: axis-aligned grid
+    (HRX = HDPW<<8, HRY = 0 — square-cell fixtures use HDPW == HDPH),
+    arithmetic Gray-coded planes sharing one MQ codestream."""
+    if len(grays) != hgw * hgh:
+        raise JBIG2Error("grays must be HGW*HGH values")
+    nmax = len(patterns) - 1
+    if any(g < 0 or g > nmax for g in grays):
+        raise JBIG2Error("gray value out of pattern range")
+    bpp = max(1, nmax.bit_length())
+    region_info = struct.pack(">IIII", width, height, 0, 0) + b"\x00"
+    flags = (template & 3) << 1  # arithmetic, no skip, OR, defpixel 0
+    head = (region_info + bytes((flags,))
+            + struct.pack(">II", hgw, hgh)
+            + struct.pack(">ii", 0, 0)
+            + struct.pack(">HH", hdpw << 8, 0))
+    enc = MQEncoder()
+    cxs: dict[int, list[int]] = {}
+    tpl = _template_of(template, _gray_at(template))
+    prev: list[int] | None = None
+    for j in range(bpp - 1, -1, -1):
+        bits = [(g >> j) & 1 for g in grays]
+        coded = bits if prev is None else [
+            a ^ b for a, b in zip(bits, prev)]
+        rows = [bytearray(coded[y * hgw:(y + 1) * hgw])
+                for y in range(hgh)]
+        _region_pass(hgw, hgh, tpl, False, enc, rows, cxs=cxs,
+                     tpgd_cx=_TPGD_CXS[template])
+        prev = bits
+    return head + enc.flush()
+
+
 # ------------------------------------------------ embedded segments (T.88 §7)
 _SYMBOL_DICT = 0
 _INTERMEDIATE_TEXT = 4
 _IMM_TEXT = 6
 _IMM_LOSSLESS_TEXT = 7
+_PATTERN_DICT = 16
+_INTERMEDIATE_HALFTONE = 20
+_IMM_HALFTONE = 22
+_IMM_LOSSLESS_HALFTONE = 23
 _PAGE_INFO = 48
 _IMM_GENERIC = 38
 _IMM_LOSSLESS_GENERIC = 39
@@ -759,6 +942,8 @@ _END_OF_PAGE = 49
 _END_OF_STRIPE = 50
 _END_OF_FILE = 51
 _TEXT_TYPES = (_INTERMEDIATE_TEXT, _IMM_TEXT, _IMM_LOSSLESS_TEXT)
+_HALFTONE_TYPES = (_INTERMEDIATE_HALFTONE, _IMM_HALFTONE,
+                   _IMM_LOSSLESS_HALFTONE)
 
 
 @_struct_safe
@@ -833,6 +1018,7 @@ def decode_embedded(stream: bytes, globals_data: bytes = b"") -> tuple[int, int,
     page_w = page_h = 0
     page: bytearray | None = None
     symbols: list[tuple[int, int, bytes]] = []
+    patterns: tuple[int, int, list[bytes]] = (0, 0, [])
     for seg_type, payload in segments:
         if seg_type == _PAGE_INFO:
             if len(payload) < 8:
@@ -891,6 +1077,22 @@ def decode_embedded(stream: bytes, globals_data: bytes = b"") -> tuple[int, int,
                         page[base + xx] = 1
         elif seg_type == _SYMBOL_DICT:
             symbols.extend(decode_symbol_dict(payload, symbols))
+        elif seg_type == _PATTERN_DICT:
+            patterns = decode_pattern_dict(payload)
+        elif seg_type in _HALFTONE_TYPES:
+            if page is None:
+                raise JBIG2Error("halftone region before page info")
+            w, h, x0, y0, bitmap = decode_halftone_region(payload,
+                                                          patterns)
+            for yy in range(h):
+                py = y0 + yy
+                if py >= page_h:
+                    break
+                base = py * page_w + x0
+                rowbase = yy * w
+                for xx in range(min(w, page_w - x0)):
+                    if bitmap[rowbase + xx]:
+                        page[base + xx] = 1
         elif seg_type in _TEXT_TYPES:
             if page is None:
                 raise JBIG2Error("text region before page information")
@@ -908,7 +1110,7 @@ def decode_embedded(stream: bytes, globals_data: bytes = b"") -> tuple[int, int,
             continue
         else:
             raise JBIG2Error(f"segment type {seg_type} unsupported "
-                             "(halftone/refinement stay on PyMuPDF)")
+                             "(refinement/huffman stay on PyMuPDF)")
     if page is None:
         raise JBIG2Error("no page information segment")
     return page_w, page_h, bytes(page)
@@ -948,6 +1150,24 @@ def encode_embedded(pixels: bytes, width: int, height: int,
     region = region_info + body
     return (_segment(0, _PAGE_INFO, 1, page_info)
             + _segment(1, _IMM_LOSSLESS_GENERIC, 1, region))
+
+
+def encode_embedded_halftone(
+    width: int, height: int, grays: list[int], hgw: int, hgh: int,
+    patterns: list[bytes], hdpw: int, hdph: int,
+) -> bytes:
+    """Halftone page → a PDF-embeddable JBIG2 stream: page info + one
+    pattern dictionary + one immediate lossless halftone region covering
+    the page — the exact mirror of `decode_embedded`'s halftone profile
+    (axis-aligned square-cell grid, arithmetic Gray-coded planes)."""
+    page_info = (struct.pack(">IIII", width, height, 0, 0)
+                 + b"\x01" + b"\x00\x00")
+    pd = encode_pattern_dict(patterns, hdpw, hdph)
+    ht = encode_halftone_region(width, height, grays, hgw, hgh,
+                                patterns, hdpw, hdph)
+    return (_segment(0, _PAGE_INFO, 1, page_info)
+            + _segment(1, _PATTERN_DICT, 1, pd)
+            + _segment(2, _IMM_LOSSLESS_HALFTONE, 1, ht))
 
 
 def encode_embedded_symbols(

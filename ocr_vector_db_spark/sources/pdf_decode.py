@@ -1886,6 +1886,7 @@ def build_simple_pdf(pages: list[list[dict]],
                     # encoded with the matching twins (sources/jbig2.py).
                     from ocr_vector_db_spark.sources.jbig2 import (
                         encode_embedded,
+                        encode_embedded_halftone,
                         encode_embedded_symbols,
                     )
 
@@ -1893,6 +1894,15 @@ def build_simple_pdf(pages: list[list[dict]],
                         symbols, placements = b["jbig2_symbols"]
                         payload_img = encode_embedded_symbols(
                             b["width"], b["height"], symbols, placements,
+                        )
+                    elif b.get("jbig2_halftone"):
+                        # (grays, hgw, hgh, patterns, hdpw, hdph) — a
+                        # halftone page encoded with the matching twin
+                        grays, hgw, hgh, pats, hdpw, hdph = \
+                            b["jbig2_halftone"]
+                        payload_img = encode_embedded_halftone(
+                            b["width"], b["height"], grays, hgw, hgh,
+                            pats, hdpw, hdph,
                         )
                     else:
                         pix = b["pixels"]

@@ -1687,6 +1687,155 @@ class TestJBIG2Symbols:
         assert bytes(pm.samples) == ours
 
 
+class TestJBIG2Halftone:
+    """Halftone profile (round 14): pattern dictionaries + Gray-coded
+    grayscale planes + grid render (T.88 §6.6/§6.7, Annex C.5)."""
+
+    @staticmethod
+    def _ramp_patterns(hd=4, n=8):
+        """n density-ramp patterns: pattern k fills the first k cells of
+        a deterministic order — distinct, monotone darkness."""
+        import hashlib
+
+        order = sorted(
+            range(hd * hd),
+            key=lambda i: hashlib.md5(f"o:{i}".encode()).digest(),
+        )
+        pats = []
+        for k in range(n):
+            p = bytearray(hd * hd)
+            for i in order[:k]:
+                p[i] = 1
+            pats.append(bytes(p))
+        return pats
+
+    @staticmethod
+    def _grays(hgw, hgh, n):
+        import hashlib
+
+        return [
+            hashlib.md5(f"g:{m}:{x}".encode()).digest()[0] % n
+            for m in range(hgh) for x in range(hgw)
+        ]
+
+    @staticmethod
+    def _compose(w, h, grays, hgw, hgh, pats, hd):
+        """Independent reference render: axis-aligned grid, OR."""
+        page = bytearray(w * h)
+        for m in range(hgh):
+            for n in range(hgw):
+                pat = pats[grays[m * hgw + n]]
+                px, py = n * hd, m * hd
+                for yy in range(hd):
+                    if py + yy >= h:
+                        continue
+                    for xx in range(hd):
+                        if px + xx < w and pat[yy * hd + xx]:
+                            page[(py + yy) * w + px + xx] = 1
+        return bytes(page)
+
+    def test_pattern_dict_round_trip(self):
+        from ocr_vector_db_spark.sources.jbig2 import (
+            decode_pattern_dict,
+            encode_pattern_dict,
+        )
+
+        pats = self._ramp_patterns(4, 8)
+        payload = encode_pattern_dict(pats, 4, 4)
+        hdpw, hdph, got = decode_pattern_dict(payload)
+        assert (hdpw, hdph) == (4, 4)
+        assert got == pats
+
+    def test_halftone_page_round_trips(self):
+        """Gray values needing 3 bitplanes decode pixel-exact against
+        an independently composed page."""
+        from ocr_vector_db_spark.sources.jbig2 import (
+            decode_embedded,
+            encode_embedded_halftone,
+        )
+
+        pats = self._ramp_patterns(4, 8)  # 8 patterns → HBPP = 3
+        hgw, hgh, hd = 9, 6, 4
+        w, h = hgw * hd, hgh * hd
+        grays = self._grays(hgw, hgh, 8)
+        stream = encode_embedded_halftone(w, h, grays, hgw, hgh,
+                                          pats, hd, hd)
+        gw, gh, got = decode_embedded(stream)
+        assert (gw, gh) == (w, h)
+        assert got == self._compose(w, h, grays, hgw, hgh, pats, hd)
+
+    def test_single_plane_and_two_patterns(self):
+        """HBPP = 1 (two patterns) is the degenerate gray decode."""
+        from ocr_vector_db_spark.sources.jbig2 import (
+            decode_embedded,
+            encode_embedded_halftone,
+        )
+
+        pats = self._ramp_patterns(4, 2)
+        hgw, hgh, hd = 5, 3, 4
+        w, h = hgw * hd, hgh * hd
+        grays = self._grays(hgw, hgh, 2)
+        stream = encode_embedded_halftone(w, h, grays, hgw, hgh,
+                                          pats, hd, hd)
+        assert decode_embedded(stream)[2] == self._compose(
+            w, h, grays, hgw, hgh, pats, hd)
+
+    def test_halftone_pdf_asset_extraction(self):
+        """A halftone /JBIG2Decode XObject flows through the full
+        distributed asset path with ISO 32000 polarity (1=black → gray
+        0), like the generic/symbol fixtures of q148."""
+        from ocr_vector_db_spark.sources.pdf_decode import (
+            build_simple_pdf,
+            extract_pdf_images,
+        )
+
+        pats = self._ramp_patterns(4, 4)
+        hgw, hgh, hd = 6, 4, 4
+        w, h = hgw * hd, hgh * hd
+        grays = self._grays(hgw, hgh, 4)
+        pdf = build_simple_pdf([[
+            {"kind": "text", "text": "halftone scan", "x": 50,
+             "y": 700, "size": 12},
+            {"kind": "image", "x": 50, "y": 300, "w": 96, "h": 64,
+             "width": w, "height": h, "jbig2": True,
+             "jbig2_halftone": (grays, hgw, hgh, pats, hd, hd)},
+        ]])
+        (img,) = extract_pdf_images(pdf)
+        md = img["metadata"]
+        assert (md["format"], md["width"], md["height"]) == \
+            ("raw", str(w), str(h))
+        want = self._compose(w, h, grays, hgw, hgh, pats, hd)
+        assert img["data"] == bytes(0 if p else 255 for p in want)
+
+    def test_halftone_rejections(self):
+        """Unsupported halftone shapes raise JBIG2Error (PyMuPDF path),
+        never a wrong decode: MMR planes, skip bitmaps, non-OR ops,
+        a region arriving before any pattern dictionary."""
+        import pytest as _pytest
+
+        from ocr_vector_db_spark.sources.jbig2 import (
+            JBIG2Error,
+            decode_halftone_region,
+            encode_halftone_region,
+        )
+
+        pats = self._ramp_patterns(4, 4)
+        payload = encode_halftone_region(8, 8, [0, 1, 2, 3], 2, 2,
+                                         pats, 4, 4)
+        flags_off = 17
+        for bad_flags in (
+            payload[flags_off] | 0x01,   # HMMR
+            payload[flags_off] | 0x08,   # HENABLESKIP
+            payload[flags_off] | 0x10,   # HCOMBOP = AND
+        ):
+            mut = payload[:flags_off] + bytes((bad_flags,)) \
+                + payload[flags_off + 1:]
+            with _pytest.raises(JBIG2Error):
+                decode_halftone_region(mut, (4, 4, pats))
+        with _pytest.raises(JBIG2Error):  # no pattern dictionary yet
+            decode_halftone_region(payload, (0, 0, []))
+
+
 class TestJBIG2TemplatesMMR:
     """Generic-region templates 1-3 + MMR regions (round 11)."""
 
