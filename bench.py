@@ -206,11 +206,43 @@ HEADLINE = [
     # feeding the perceptual stacks (constant-size fixtures; tracked for
     # decode-path and Arrow-transfer regressions)
     "q156_container_decode_roundtrip",
+    # round 14 addition: baseline JPEG decode (SOF0 huffman + numpy IDCT)
+    # through normalize_assets + the PDF /DCTDecode composition, with the
+    # near-dup pair join (constant-size fixtures; tracked for the
+    # entropy-decode Python path)
+    "q157_jpeg_decode_neardup",
 ]
 
 
-def run_slice(names: list[str], include_ingest: bool,
-              sf_dir: str) -> dict[str, float]:
+def run_canary(spark) -> float:
+    """Ambient-machine control (VERDICT r13 #6): a fixed, data-independent
+    pure-Spark job — sum(hash(id, salt)) over a 2B-row range, 32 splits,
+    whole-stage codegen, no IO — timed min-of-2 after one untimed JIT
+    pass. Round 13 measured ±20% whole-run drift on identical code within
+    one hour; recording this at the START and END of the run lets any
+    reader divide machine ratio out of round-over-round artifact
+    comparisons instead of re-running controls. The salt varies per
+    execution because identical result-producing plans short-circuit on
+    re-run (measured 1.6s → 0.06s), which would time nothing."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    def one(salt: int) -> float:
+        df = spark.range(0, 2_000_000_000, 1, 32).select(
+            F.sum(F.hash("id", F.lit(salt))).alias("h")
+        )
+        t0 = _t.time()
+        df.collect()
+        return _t.time() - t0
+
+    one(-1)  # untimed: JIT/codegen warm
+    return round(min(one(1), one(2)), 3)
+
+
+def run_slice(names: list[str], include_ingest: bool, sf_dir: str,
+              canary_start: bool = False,
+              canary_end: bool = False) -> dict[str, float]:
     """Warm up and time `names` in THIS process's JVM. The caller decides
     how much JVM history a slice inherits — the top-level run executes
     each slice in a FRESH subprocess (see main), because ~90 queries of
@@ -222,6 +254,12 @@ def run_slice(names: list[str], include_ingest: bool,
 
     spark = get_spark("ocr_vector_db_spark_bench")
     queries = entry.queries()
+
+    timings: dict[str, float] = {}
+    if canary_start:
+        timings["__canary0"] = run_canary(spark)
+        print(f"# canary (run start): {timings['__canary0']:.3f}s",
+              file=sys.stderr)
 
     # Steady-state methodology (JMH-style): one untimed warmup sweep over
     # the FULL headline set amortizes JVM whole-stage-codegen compilation,
@@ -238,8 +276,6 @@ def run_slice(names: list[str], include_ingest: bool,
     # 1.2s from exactly that, vs 0.6s genuinely warm.)
     for name in HEADLINE:
         queries[name](spark, sf_dir).count()
-
-    timings: dict[str, float] = {}
 
     # ingest-pipeline throughput: 200 synthetic markdown docs through the
     # full parse -> unitize -> validate -> embed lifecycle (pipeline shape,
@@ -288,6 +324,10 @@ def run_slice(names: list[str], include_ingest: bool,
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    if canary_end:
+        timings["__canary1"] = run_canary(spark)
+        print(f"# canary (run end): {timings['__canary1']:.3f}s",
+              file=sys.stderr)
     return timings
 
 
@@ -318,7 +358,8 @@ def main() -> None:
         # timings JSON line for the parent to merge
         a, b = (int(x) for x in sl.split(":"))
         timings = run_slice(HEADLINE[a:b], include_ingest=(a == 0),
-                            sf_dir=sf_dir)
+                            sf_dir=sf_dir, canary_start=(a == 0),
+                            canary_end=(b == len(HEADLINE)))
         print(json.dumps(timings, separators=(",", ":")))
         return
 
@@ -337,6 +378,11 @@ def main() -> None:
                              f"(exit {proc.returncode})")
         timings.update(json.loads(proc.stdout.strip().splitlines()[-1]))
 
+    # ambient-noise controls (see run_canary): start/end machine-speed
+    # samples, reported top-level and EXCLUDED from the headline total —
+    # identical code measured ±20% whole-run drift within one hour, so
+    # the canary pair is what makes artifacts comparable across rounds
+    canary = [timings.pop("__canary0", None), timings.pop("__canary1", None)]
     total = round(sum(timings.values()), 3)
     # The driver's artifact keeps only the last ~2000 chars of stdout, so
     # the final JSON line must be compact enough to survive whole: shorten
@@ -353,6 +399,7 @@ def main() -> None:
             "metric": "headline_queries_total_wall",
             "value": total,
             "unit": "sec",
+            "canary_s": canary,
             "queries": short,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },

@@ -14,14 +14,16 @@ path:
   inflate of the concatenated IDAT stream, then the five standard
   per-scanline filters reconstructed (None/Sub/Up/Average/Paeth,
   RFC 2083 §6 — numpy-vectorized where the recurrence allows). All
-  five 8-bit non-interlaced color types: gray (0), RGB (2), palette
-  (3, expanded via PLTE lookup; an all-gray palette collapses to one
-  channel), gray+alpha (4) and RGBA (6) with alpha dropped — the
-  shapes `asset_gray_frames` / `asset_raw_frames` consume.
+  five non-interlaced color types: gray (0), RGB (2), palette (3,
+  expanded via PLTE lookup; an all-gray palette collapses to one
+  channel), gray+alpha (4) and RGBA (6) with alpha dropped — at every
+  legal bit depth (1/2/4-bit gray and palette — bilevel document
+  scans — unpack and scale exactly; 16-bit reduces to the high byte) —
+  the shapes `asset_gray_frames` / `asset_raw_frames` consume.
 
-Anything else (MP3/MP4 entropy coding, sub-byte depths, 16-bit, Adam7,
-24-bit PCM) stays behind `multimodal.extract_features`'s pluggable
-decode seam, honestly out of scope. Baseline JPEG lives in its own
+Anything else (MP3/MP4 entropy coding, Adam7 interlacing, 24-bit PCM)
+stays behind `multimodal.extract_features`'s pluggable decode seam,
+honestly out of scope. Baseline JPEG lives in its own
 module (`sources/jpeg.py`) and is wired through the same
 `normalize_assets` pass.
 
@@ -133,9 +135,11 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-# bytes per pixel in the FILTER step, by PNG color type (depth 8):
+# samples per pixel by PNG color type:
 # 0 gray, 2 RGB, 3 palette index, 4 gray+alpha, 6 RGBA
-_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_SPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# exact 8-bit scaling of sub-byte gray samples (255 / (2^d - 1))
+_PNG_GRAY_SCALE = {1: 255, 2: 85, 4: 17}
 
 
 def _unfilter(plane: bytes, h: int, stride: int, bpp: int):
@@ -189,12 +193,14 @@ def _unfilter(plane: bytes, h: int, stride: int, bpp: int):
 
 
 def decode_png(data: bytes) -> dict | None:
-    """PNG → {'raw': bytes, 'width', 'height', 'channels'} for 8-bit
-    non-interlaced images of every standard color type: gray (0) and
-    palette-index (3) → channels=1 or 3, RGB (2) → 3, gray+alpha (4) →
-    1 (alpha dropped), RGBA (6) → 3 (alpha dropped); None otherwise.
-    One BOUNDED inflate of the IDAT stream, numpy filter
-    reconstruction, then the palette lookup / alpha drop."""
+    """PNG → {'raw': bytes, 'width', 'height', 'channels'} for
+    non-interlaced images of every legal (depth, color type) pair:
+    gray (0) and palette-index (3) → channels=1 or 3, RGB (2) → 3,
+    gray+alpha (4) → 1 (alpha dropped), RGBA (6) → 3 (alpha dropped);
+    sub-byte depths 1/2/4 (bilevel document scans!) unpack and scale
+    exactly, 16-bit reduces to the high byte; None otherwise. One
+    BOUNDED inflate of the IDAT stream, numpy filter reconstruction,
+    then the palette lookup / alpha drop."""
     import numpy as np
 
     if not data.startswith(PNG_MAGIC):
@@ -226,10 +232,18 @@ def decode_png(data: bytes) -> dict | None:
     if hdr is None or not idat:
         return None
     w, h, depth, color, comp, filt, interlace = hdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-        return None  # sub-byte depths / 16-bit / Adam7 stay out of scope
-    bpp = _PNG_BPP.get(color)
-    if bpp is None:
+    if comp != 0 or filt != 0 or interlace != 0:
+        return None  # Adam7 stays out of scope
+    spp = _PNG_SPP.get(color)
+    if spp is None:
+        return None
+    # legal (depth, color) pairs per the PNG spec: sub-byte only for
+    # gray/palette (bilevel document scans!), 16-bit never for palette
+    if depth not in (1, 2, 4, 8, 16):
+        return None
+    if depth < 8 and color not in (0, 3):
+        return None
+    if depth == 16 and color == 3:
         return None
     if color == 3 and (
         plte is None or len(plte) == 0 or len(plte) % 3 != 0
@@ -237,7 +251,8 @@ def decode_png(data: bytes) -> dict | None:
         return None
     if w < 1 or h < 1 or w * h > MAX_PIXELS:
         return None
-    stride = w * bpp
+    bpp = max(1, spp * depth // 8)  # the FILTER unit (RFC 2083 §6.2)
+    stride = (w * spp * depth + 7) // 8
     want = h * (1 + stride)
     # BOUNDED inflate of the untrusted IDAT stream: a 97 KB crafted PNG
     # can otherwise inflate to GB scale before any length check runs
@@ -255,6 +270,20 @@ def decode_png(data: bytes) -> dict | None:
     px = _unfilter(plane, h, stride, bpp)
     if px is None:
         return None
+    # reduce to one uint8 SAMPLE per (pixel, channel): 16-bit takes the
+    # high byte (the standard 16→8 reduction); sub-byte depths unpack
+    # bits and scale gray exactly (palette indices stay indices)
+    if depth == 16:
+        px = np.ascontiguousarray(px.reshape(h, stride)[:, 0::2])
+    elif depth < 8:
+        bits = np.unpackbits(px, axis=1)
+        per = depth
+        vals = np.zeros((h, bits.shape[1] // per), np.uint8)
+        for k in range(per):
+            vals = (vals << 1) | bits[:, k::per]
+        px = vals[:, :w]
+        if color == 0:
+            px = px * np.uint8(_PNG_GRAY_SCALE[depth])
     if color == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         if int(px.max()) >= pal.shape[0]:
@@ -274,7 +303,7 @@ def decode_png(data: bytes) -> dict | None:
         raw, ch = np.ascontiguousarray(
             px.reshape(h, w, 4)[:, :, :3]).tobytes(), 3
     else:
-        raw, ch = px.tobytes(), bpp
+        raw, ch = px.tobytes(), spp
     return {"raw": raw, "width": w, "height": h, "channels": ch}
 
 
@@ -287,36 +316,55 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
 
 def encode_png(raw: bytes, width: int, height: int, channels: int = 1,
                filter_type: int = 0, color_type: int | None = None,
-               palette: bytes | None = None) -> bytes:
+               palette: bytes | None = None, depth: int = 8) -> bytes:
     """Write 8-bit raw samples as a PNG with one fixed filter type per
     scanline (0–4; fixture/export writer — a size-optimizing encoder
     would pick per-line, which the decoder handles anyway). `color_type`
     defaults from `channels` (1 → gray, 3 → RGB); pass 3/4/6 explicitly
     to write palette-index (`raw` = 1 byte/px indices into `palette`'s
     RGB triplets), gray+alpha (2 bytes/px) or RGBA (4 bytes/px) files.
-    Filtering is numpy-vectorized for every type — unlike the decoder's
-    Average/Paeth recurrence, the filter PASS reads only the raw input,
-    so the Paeth predictor is one whole-image np.where."""
+    `depth` widens the writable set: 1/2/4-bit gray or palette (`raw` =
+    one byte per sample holding a value < 2^depth; the encoder packs
+    bits) and 16-bit gray/RGB/alpha types (`raw` = 2 big-endian bytes
+    per sample, passed through). Filtering is numpy-vectorized for
+    every type — unlike the decoder's Average/Paeth recurrence, the
+    filter PASS reads only the raw input, so the Paeth predictor is one
+    whole-image np.where."""
     import numpy as np
 
     if color_type is None:
         if channels not in (1, 3):
             raise ValueError("channels must be 1 (gray) or 3 (RGB)")
         color_type = 0 if channels == 1 else 2
-    bpp = _PNG_BPP.get(color_type)
-    if bpp is None:
+    spp = _PNG_SPP.get(color_type)
+    if spp is None:
         raise ValueError(f"unsupported color_type {color_type}")
+    if depth not in (1, 2, 4, 8, 16) or (
+        depth < 8 and color_type not in (0, 3)
+    ) or (depth == 16 and color_type == 3):
+        raise ValueError(f"illegal depth {depth} for color {color_type}")
     if color_type == 3:
         if not palette or len(palette) % 3 != 0 or len(palette) > 768:
             raise ValueError("palette must be 1..256 RGB triplets")
     elif palette is not None:
         raise ValueError("palette only applies to color_type 3")
-    if len(raw) != width * height * bpp:
-        raise ValueError("raw length != width*height*bytes-per-pixel")
+    n_samples = width * height * spp
+    if len(raw) != n_samples * (2 if depth == 16 else 1):
+        raise ValueError("raw length != sample count for this depth")
     if not 0 <= filter_type <= 4:
         raise ValueError("filter_type must be 0..4")
-    stride = width * bpp
-    px = np.frombuffer(raw, np.uint8).reshape(height, stride)
+    bpp = max(1, spp * depth // 8)
+    stride = (width * spp * depth + 7) // 8
+    if depth >= 8:
+        px = np.frombuffer(raw, np.uint8).reshape(height, stride)
+    else:
+        vals = np.frombuffer(raw, np.uint8).reshape(height, width)
+        if int(vals.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"sample value out of {depth}-bit range")
+        bits = np.zeros((height, stride * 8), np.uint8)
+        for k in range(depth):
+            bits[:, k::depth][:, :width] = (vals >> (depth - 1 - k)) & 1
+        px = np.packbits(bits, axis=1)
     # predictor inputs: a = left neighbor (bpp back), b = row above,
     # c = above-left — zero-padded at the image edges (RFC 2083 §6.2)
     a = np.zeros_like(px)
@@ -345,7 +393,8 @@ def encode_png(raw: bytes, width: int, height: int, channels: int = 1,
     plane = np.empty((height, 1 + stride), np.uint8)
     plane[:, 0] = filter_type
     plane[:, 1:] = filt
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type,
+                       0, 0, 0)
     out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
     if color_type == 3:
         out += _png_chunk(b"PLTE", palette)

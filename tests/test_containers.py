@@ -147,6 +147,67 @@ def test_png_palette_and_alpha_types(filter_type):
                                 "channels": 3}
 
 
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_sub_byte_depths(depth, filter_type):
+    """1/2/4-bit gray (bilevel document scans!) and palette PNGs decode
+    with exact sample scaling; the filter unit is one byte regardless
+    of depth (RFC 2083 §6.2)."""
+    rnd = random.Random(f"d{depth}:{filter_type}")
+    w, h = 29, 13  # stride not byte-aligned to the sample grid
+    scale = {1: 255, 2: 85, 4: 17}[depth]
+    vals = bytes(rnd.randrange(1 << depth) for _ in range(w * h))
+    png = encode_png(vals, w, h, filter_type=filter_type, depth=depth)
+    assert png[24] == depth  # IHDR bit-depth byte
+    want = bytes(v * scale for v in vals)
+    assert decode_png(png) == {"raw": want, "width": w, "height": h,
+                               "channels": 1}
+
+    # sub-byte palette: indices look up PLTE unscaled
+    n = 1 << depth
+    pal = bytes(rnd.randrange(256) for _ in range(3 * n))
+    ppng = encode_png(vals, w, h, filter_type=filter_type,
+                      color_type=3, palette=pal, depth=depth)
+    wantp = b"".join(pal[3 * v:3 * v + 3] for v in vals)
+    assert decode_png(ppng)["raw"] == wantp
+
+
+@pytest.mark.parametrize("filter_type", [0, 2, 4])
+def test_png_sixteen_bit_reduces_to_high_byte(filter_type):
+    rnd = random.Random(f"16:{filter_type}")
+    w, h = 21, 9
+    hi = bytes(rnd.randrange(256) for _ in range(w * h))
+    raw16 = b"".join(
+        bytes((b, rnd.randrange(256))) for b in hi  # random low bytes
+    )
+    png = encode_png(raw16, w, h, filter_type=filter_type, depth=16)
+    assert decode_png(png) == {"raw": hi, "width": w, "height": h,
+                               "channels": 1}
+    # 16-bit RGBA: high bytes of RGB, alpha dropped
+    rgb_hi = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    raw64 = b"".join(
+        rgb_hi[3 * i:3 * i + 3][c:c + 1] + bytes((rnd.randrange(256),))
+        for i in range(w * h) for c in range(3)
+    )
+    # interleave alpha sample (2 bytes) after each RGB triple
+    raw64 = b"".join(
+        b"".join(rgb_hi[3 * i + c:3 * i + c + 1]
+                 + bytes((rnd.randrange(256),)) for c in range(3))
+        + bytes((rnd.randrange(256), rnd.randrange(256)))
+        for i in range(w * h)
+    )
+    png2 = encode_png(raw64, w, h, filter_type=filter_type,
+                      color_type=6, depth=16)
+    got = decode_png(png2)
+    assert (got["channels"], got["raw"]) == (3, rgb_hi)
+
+    # illegal pairs reject at both ends
+    with pytest.raises(ValueError):
+        encode_png(hi, w, h, depth=3)
+    with pytest.raises(ValueError):
+        encode_png(hi, w, h, color_type=2, depth=4)
+
+
 def test_png_palette_rejections():
     """A palette PNG whose container lies — missing/ragged PLTE or an
     index past the palette — is undecodable (exact-hash passthrough),

@@ -229,6 +229,12 @@ AUDITS = [
      "decrypt grain) ahead of the certified perceptual stacks — no "
      "extra exchange, no cartesian; undecodable rows pass through the "
      "same projection untouched"),
+    ("q157_jpeg_decode_neardup",
+     "baseline-JPEG decode rides the SAME per-asset mapInPandas "
+     "projection as q156 (zero cross-row state — huffman/IDCT cost is "
+     "per row, numpy-batched per component); signatures and the banded "
+     "near-dup join are q150's certified shapes; progressive rows pass "
+     "through the same projection untouched"),
 ]
 
 KEY_LINE = re.compile(
