@@ -18,12 +18,13 @@ path:
   expanded via PLTE lookup; an all-gray palette collapses to one
   channel), gray+alpha (4) and RGBA (6) with alpha dropped — at every
   legal bit depth (1/2/4-bit gray and palette — bilevel document
-  scans — unpack and scale exactly; 16-bit reduces to the high byte) —
-  the shapes `asset_gray_frames` / `asset_raw_frames` consume.
+  scans — unpack and scale exactly; 16-bit reduces to the high byte),
+  progressive (Adam7) or not — the shapes `asset_gray_frames` /
+  `asset_raw_frames` consume. Full-spec PNG coverage.
 
-Anything else (MP3/MP4 entropy coding, Adam7 interlacing, 24-bit PCM)
-stays behind `multimodal.extract_features`'s pluggable decode seam,
-honestly out of scope. Baseline JPEG lives in its own
+Anything else (MP3/MP4 entropy coding, 24-bit PCM) stays behind
+`multimodal.extract_features`'s pluggable decode seam, honestly out
+of scope. Baseline JPEG lives in its own
 module (`sources/jpeg.py`) and is wired through the same
 `normalize_assets` pass.
 
@@ -140,6 +141,31 @@ def _paeth(a: int, b: int, c: int) -> int:
 _PNG_SPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # exact 8-bit scaling of sub-byte gray samples (255 / (2^d - 1))
 _PNG_GRAY_SCALE = {1: 255, 2: 85, 4: 17}
+# Adam7 interlace passes: (x0, y0, dx, dy) — RFC 2083 §2.6
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_stride(w: int, spp: int, depth: int) -> int:
+    return (w * spp * depth + 7) // 8
+
+
+def _samples_of(px, hp: int, wp: int, spp: int, depth: int):
+    """Unfiltered packed rows (hp, stride) → one uint8 SAMPLE per
+    (pixel, channel), shape (hp, wp*spp): 16-bit takes the high byte
+    (the standard 16→8 reduction), sub-byte depths unpack bits (gray
+    scaling happens later — palette indices must stay indices)."""
+    import numpy as np
+
+    if depth == 8:
+        return px
+    if depth == 16:
+        return np.ascontiguousarray(px.reshape(hp, -1)[:, 0::2])
+    bits = np.unpackbits(px, axis=1)
+    vals = np.zeros((hp, bits.shape[1] // depth), np.uint8)
+    for k in range(depth):
+        vals = (vals << 1) | bits[:, k::depth]
+    return vals[:, :wp]
 
 
 def _unfilter(plane: bytes, h: int, stride: int, bpp: int):
@@ -193,14 +219,15 @@ def _unfilter(plane: bytes, h: int, stride: int, bpp: int):
 
 
 def decode_png(data: bytes) -> dict | None:
-    """PNG → {'raw': bytes, 'width', 'height', 'channels'} for
-    non-interlaced images of every legal (depth, color type) pair:
-    gray (0) and palette-index (3) → channels=1 or 3, RGB (2) → 3,
-    gray+alpha (4) → 1 (alpha dropped), RGBA (6) → 3 (alpha dropped);
-    sub-byte depths 1/2/4 (bilevel document scans!) unpack and scale
-    exactly, 16-bit reduces to the high byte; None otherwise. One
-    BOUNDED inflate of the IDAT stream, numpy filter reconstruction,
-    then the palette lookup / alpha drop."""
+    """PNG → {'raw': bytes, 'width', 'height', 'channels'} for every
+    legal (depth, color type, interlace) combination: gray (0) and
+    palette-index (3) → channels=1 or 3, RGB (2) → 3, gray+alpha (4) →
+    1 (alpha dropped), RGBA (6) → 3 (alpha dropped); sub-byte depths
+    1/2/4 (bilevel document scans!) unpack and scale exactly, 16-bit
+    reduces to the high byte; Adam7 de-interlaces (each of the seven
+    sub-images independently unfiltered, then scattered); None
+    otherwise. One BOUNDED inflate of the IDAT stream, numpy filter
+    reconstruction, then the palette lookup / alpha drop."""
     import numpy as np
 
     if not data.startswith(PNG_MAGIC):
@@ -232,8 +259,8 @@ def decode_png(data: bytes) -> dict | None:
     if hdr is None or not idat:
         return None
     w, h, depth, color, comp, filt, interlace = hdr
-    if comp != 0 or filt != 0 or interlace != 0:
-        return None  # Adam7 stays out of scope
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        return None
     spp = _PNG_SPP.get(color)
     if spp is None:
         return None
@@ -252,8 +279,21 @@ def decode_png(data: bytes) -> dict | None:
     if w < 1 or h < 1 or w * h > MAX_PIXELS:
         return None
     bpp = max(1, spp * depth // 8)  # the FILTER unit (RFC 2083 §6.2)
-    stride = (w * spp * depth + 7) // 8
-    want = h * (1 + stride)
+    stride = _png_stride(w, spp, depth)
+    if interlace:
+        # Adam7: seven sub-images, each independently filtered
+        passes = []
+        want = 0
+        for px0, py0, pdx, pdy in _ADAM7:
+            wp = (w - px0 + pdx - 1) // pdx
+            hp = (h - py0 + pdy - 1) // pdy
+            if wp <= 0 or hp <= 0:
+                continue
+            sp = _png_stride(wp, spp, depth)
+            passes.append((px0, py0, pdx, pdy, wp, hp, sp))
+            want += hp * (1 + sp)
+    else:
+        want = h * (1 + stride)
     # BOUNDED inflate of the untrusted IDAT stream: a 97 KB crafted PNG
     # can otherwise inflate to GB scale before any length check runs
     # (decompression bomb). decompressobj(max_length=want+1) caps the
@@ -267,23 +307,25 @@ def decode_png(data: bytes) -> dict | None:
         return None
     if len(plane) != want or not dobj.eof or dobj.unused_data:
         return None
-    px = _unfilter(plane, h, stride, bpp)
-    if px is None:
-        return None
-    # reduce to one uint8 SAMPLE per (pixel, channel): 16-bit takes the
-    # high byte (the standard 16→8 reduction); sub-byte depths unpack
-    # bits and scale gray exactly (palette indices stay indices)
-    if depth == 16:
-        px = np.ascontiguousarray(px.reshape(h, stride)[:, 0::2])
-    elif depth < 8:
-        bits = np.unpackbits(px, axis=1)
-        per = depth
-        vals = np.zeros((h, bits.shape[1] // per), np.uint8)
-        for k in range(per):
-            vals = (vals << 1) | bits[:, k::per]
-        px = vals[:, :w]
-        if color == 0:
-            px = px * np.uint8(_PNG_GRAY_SCALE[depth])
+    if interlace:
+        px = np.zeros((h, w, spp), np.uint8)
+        off = 0
+        for px0, py0, pdx, pdy, wp, hp, sp in passes:
+            sub = _unfilter(plane[off:off + hp * (1 + sp)], hp, sp, bpp)
+            if sub is None:
+                return None
+            off += hp * (1 + sp)
+            sub = _samples_of(sub, hp, wp, spp, depth)
+            px[py0::pdy, px0::pdx, :] = sub.reshape(hp, wp, spp)
+        px = px.reshape(h, w * spp)
+    else:
+        px = _unfilter(plane, h, stride, bpp)
+        if px is None:
+            return None
+        px = _samples_of(px, h, w, spp, depth)
+    if depth < 8 and color == 0:
+        # exact sub-byte gray scaling (palette indices stayed indices)
+        px = px * np.uint8(_PNG_GRAY_SCALE[depth])
     if color == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         if int(px.max()) >= pal.shape[0]:
@@ -316,7 +358,8 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
 
 def encode_png(raw: bytes, width: int, height: int, channels: int = 1,
                filter_type: int = 0, color_type: int | None = None,
-               palette: bytes | None = None, depth: int = 8) -> bytes:
+               palette: bytes | None = None, depth: int = 8,
+               interlace: bool = False) -> bytes:
     """Write 8-bit raw samples as a PNG with one fixed filter type per
     scanline (0–4; fixture/export writer — a size-optimizing encoder
     would pick per-line, which the decoder handles anyway). `color_type`
@@ -354,53 +397,81 @@ def encode_png(raw: bytes, width: int, height: int, channels: int = 1,
     if not 0 <= filter_type <= 4:
         raise ValueError("filter_type must be 0..4")
     bpp = max(1, spp * depth // 8)
-    stride = (width * spp * depth + 7) // 8
-    if depth >= 8:
-        px = np.frombuffer(raw, np.uint8).reshape(height, stride)
-    else:
-        vals = np.frombuffer(raw, np.uint8).reshape(height, width)
-        if int(vals.max(initial=0)) >= (1 << depth):
-            raise ValueError(f"sample value out of {depth}-bit range")
-        bits = np.zeros((height, stride * 8), np.uint8)
+
+    def pack(vals, hp, wp):
+        """(hp, wp*spp[*2]) sample bytes → packed filter rows."""
+        if depth >= 8:
+            return vals
+        sp = _png_stride(wp, spp, depth)
+        bits = np.zeros((hp, sp * 8), np.uint8)
         for k in range(depth):
-            bits[:, k::depth][:, :width] = (vals >> (depth - 1 - k)) & 1
-        px = np.packbits(bits, axis=1)
-    # predictor inputs: a = left neighbor (bpp back), b = row above,
-    # c = above-left — zero-padded at the image edges (RFC 2083 §6.2)
-    a = np.zeros_like(px)
-    a[:, bpp:] = px[:, :-bpp]
-    b = np.zeros_like(px)
-    b[1:] = px[:-1]
-    c = np.zeros_like(px)
-    c[1:, bpp:] = px[:-1, :-bpp]
-    if filter_type == 0:
-        filt = px
-    elif filter_type == 1:
-        filt = px - a
-    elif filter_type == 2:
-        filt = px - b
-    elif filter_type == 3:
-        ai = a.astype(np.int16)
-        filt = (px - ((ai + b) >> 1).astype(np.uint8))
+            bits[:, k::depth][:, :wp] = (vals >> (depth - 1 - k)) & 1
+        return np.packbits(bits, axis=1)
+
+    def filt_plane(px):
+        """Packed rows → filtered plane with the leading type byte.
+        Predictor inputs: a = left (bpp back), b = above, c = above-
+        left — zero-padded at the sub-image edges (RFC 2083 §6.2)."""
+        a = np.zeros_like(px)
+        a[:, bpp:] = px[:, :-bpp]
+        b = np.zeros_like(px)
+        b[1:] = px[:-1]
+        c = np.zeros_like(px)
+        c[1:, bpp:] = px[:-1, :-bpp]
+        if filter_type == 0:
+            filt = px
+        elif filter_type == 1:
+            filt = px - a
+        elif filter_type == 2:
+            filt = px - b
+        elif filter_type == 3:
+            ai = a.astype(np.int16)
+            filt = (px - ((ai + b) >> 1).astype(np.uint8))
+        else:
+            ai, bi, ci = (x.astype(np.int16) for x in (a, b, c))
+            p = ai + bi - ci
+            pa, pb, pc = abs(p - ai), abs(p - bi), abs(p - ci)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            )
+            filt = px - pred
+        out = np.empty((px.shape[0], 1 + px.shape[1]), np.uint8)
+        out[:, 0] = filter_type
+        out[:, 1:] = filt
+        return out
+
+    unit = spp * (2 if depth == 16 else 1) if depth >= 8 else 1
+    vals = np.frombuffer(raw, np.uint8).reshape(height, width, unit)
+    if depth < 8 and int(vals.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"sample value out of {depth}-bit range")
+    if interlace:
+        planes = []
+        for px0, py0, pdx, pdy in _ADAM7:
+            sub = vals[py0::pdy, px0::pdx, :]
+            hp, wp = sub.shape[0], sub.shape[1]
+            if hp == 0 or wp == 0:
+                continue
+            planes.append(filt_plane(pack(
+                np.ascontiguousarray(sub).reshape(hp, wp * unit)
+                if depth >= 8 else np.ascontiguousarray(sub[:, :, 0]),
+                hp, wp,
+            )))
+        plane_bytes = b"".join(p.tobytes() for p in planes)
     else:
-        ai, bi, ci = (x.astype(np.int16) for x in (a, b, c))
-        p = ai + bi - ci
-        pa, pb, pc = abs(p - ai), abs(p - bi), abs(p - ci)
-        pred = np.where(
-            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-        )
-        filt = px - pred
-    plane = np.empty((height, 1 + stride), np.uint8)
-    plane[:, 0] = filter_type
-    plane[:, 1:] = filt
+        plane = filt_plane(pack(
+            vals.reshape(height, width * unit) if depth >= 8
+            else vals[:, :, 0],
+            height, width,
+        ))
+        plane_bytes = plane.tobytes()
     ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type,
-                       0, 0, 0)
+                       0, 0, 1 if interlace else 0)
     out = PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
     if color_type == 3:
         out += _png_chunk(b"PLTE", palette)
     return (
         out
-        + _png_chunk(b"IDAT", zlib.compress(plane.tobytes(), 6))
+        + _png_chunk(b"IDAT", zlib.compress(plane_bytes, 6))
         + _png_chunk(b"IEND", b"")
     )
 

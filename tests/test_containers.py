@@ -208,6 +208,50 @@ def test_png_sixteen_bit_reduces_to_high_byte(filter_type):
         encode_png(hi, w, h, color_type=2, depth=4)
 
 
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_adam7_interlace(filter_type):
+    """Adam7 round trips pixel-exact across color types and depths —
+    each of the seven sub-images is independently filtered, and
+    de-interlacing scatters them back; dims too small for some passes
+    (1×1, 3×2) skip the empty ones."""
+    rnd = random.Random(f"a7:{filter_type}")
+
+    for w, h in ((23, 11), (8, 8), (1, 1), (3, 2), (16, 5)):
+        gray = bytes(rnd.randrange(256) for _ in range(w * h))
+        png = encode_png(gray, w, h, filter_type=filter_type,
+                         interlace=True)
+        assert png[28] == 1  # IHDR interlace byte
+        assert decode_png(png) == {"raw": gray, "width": w, "height": h,
+                                   "channels": 1}
+
+    w, h = 23, 11
+    rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    png = encode_png(rgb, w, h, 3, filter_type=filter_type,
+                     interlace=True)
+    assert decode_png(png)["raw"] == rgb
+
+    # interlaced bilevel scan (the classic fax-like shape)
+    bits = bytes(rnd.randrange(2) for _ in range(w * h))
+    png = encode_png(bits, w, h, filter_type=filter_type, depth=1,
+                     interlace=True)
+    assert decode_png(png)["raw"] == bytes(255 * v for v in bits)
+
+    # interlaced 16-bit RGB reduces to high bytes
+    hi = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    raw48 = b"".join(bytes((b, rnd.randrange(256))) for b in hi)
+    png = encode_png(raw48, w, h, filter_type=filter_type,
+                     color_type=2, depth=16, interlace=True)
+    assert decode_png(png)["raw"] == hi
+
+    # interlaced palette
+    pal = bytes(rnd.randrange(256) for _ in range(3 * 16))
+    idx = bytes(rnd.randrange(16) for _ in range(w * h))
+    png = encode_png(idx, w, h, filter_type=filter_type, color_type=3,
+                     palette=pal, depth=4, interlace=True)
+    assert decode_png(png)["raw"] == b"".join(
+        pal[3 * i:3 * i + 3] for i in idx)
+
+
 def test_png_palette_rejections():
     """A palette PNG whose container lies — missing/ragged PLTE or an
     index past the palette — is undecodable (exact-hash passthrough),
