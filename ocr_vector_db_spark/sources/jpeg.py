@@ -182,59 +182,6 @@ def _build_decode_lut(bits: list[int], vals: list[int]) -> list:
     return lut
 
 
-class _BitReader:
-    """MSB-first bit reader over unstuffed entropy bytes."""
-
-    __slots__ = ("data", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        data, pos, n = self.data, self.pos, len(self.data)
-        acc, nbits = self.acc, self.nbits
-        while nbits <= 48 and pos < n:
-            acc = (acc << 8) | data[pos]
-            pos += 1
-            nbits += 8
-        self.acc, self.nbits, self.pos = acc, nbits, pos
-
-    def peek16(self) -> int:
-        if self.nbits < 16:
-            self._fill()
-        if self.nbits >= 16:
-            return (self.acc >> (self.nbits - 16)) & 0xFFFF
-        # stream tail: pad with zero bits (a symbol longer than what
-        # remains will fail at skip())
-        return (self.acc << (16 - self.nbits)) & 0xFFFF
-
-    def skip(self, n: int) -> None:
-        if n == 0 or n > self.nbits:
-            raise _JpegError("bad huffman prefix / truncated stream")
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        if self.nbits < n:
-            self._fill()
-            if self.nbits < n:
-                raise _JpegError("truncated entropy stream")
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-
-def _extend(v: int, s: int) -> int:
-    """T.81 F.12: map an s-bit magnitude to its signed value."""
-    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-
 def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Unstuff (FF 00 → FF) the entropy-coded bytes from `start`,
     splitting at RSTn markers → (segments, offset past the scan)."""
@@ -386,45 +333,82 @@ def _decode_scan(np, w, h, comps, segs, restart) -> dict | None:
 
     zz = ZIGZAG
     seg_i = 0
-    br = _BitReader(segs[0])
+    # the entropy loop is THE per-core decode bottleneck: the bit
+    # reader is inlined as local ints (acc/nbits/pos) — method-call
+    # dispatch per symbol measured ~1.7× slower at 512×512
+    data = segs[0]
+    nseg = len(data)
+    pos = acc = nbits = 0
     for m in range(nmcu):
         if restart and m and m % restart == 0:
             seg_i += 1
             if seg_i >= len(segs):
                 raise _JpegError("missing restart segment")
-            br = _BitReader(segs[seg_i])
+            data = segs[seg_i]
+            nseg = len(data)
+            pos = acc = nbits = 0
             for c in comps:
                 c["pred"] = 0
         my, mx = divmod(m, mcux)
         for c in comps:
             dc_lut, ac_lut = c["dc"], c["ac"]
-            for v in range(c["v"]):
-                for hh in range(c["h"]):
-                    sym, ln = dc_lut[br.peek16()]
-                    if sym is None:
+            cv, chh, cbx = c["v"], c["h"], c["bx"]
+            coef = c["coef"]
+            for v in range(cv):
+                for hh in range(chh):
+                    while nbits <= 48 and pos < nseg:
+                        acc = (acc << 8) | data[pos]
+                        pos += 1
+                        nbits += 8
+                    peek = ((acc >> (nbits - 16)) & 0xFFFF
+                            if nbits >= 16
+                            else (acc << (16 - nbits)) & 0xFFFF)
+                    sym, ln = dc_lut[peek]
+                    if sym is None or ln > nbits:
                         raise _JpegError("bad DC prefix")
-                    br.skip(ln)
-                    diff = _extend(br.read(sym), sym) if sym else 0
-                    c["pred"] += diff
-                    bi = (my * c["v"] + v) * c["bx"] + (mx * c["h"] + hh)
-                    row = c["coef"][bi]
+                    nbits -= ln
+                    if sym:
+                        if nbits < sym:
+                            raise _JpegError("truncated entropy stream")
+                        nbits -= sym
+                        v0 = (acc >> nbits) & ((1 << sym) - 1)
+                        diff = (v0 if v0 >= (1 << (sym - 1))
+                                else v0 - (1 << sym) + 1)
+                        c["pred"] += diff
+                    acc &= (1 << nbits) - 1
+                    bi = (my * cv + v) * cbx + (mx * chh + hh)
+                    row = coef[bi]
                     row[0] = c["pred"]
                     k = 1
                     while k < 64:
-                        sym, ln = ac_lut[br.peek16()]
-                        if sym is None:
+                        while nbits <= 48 and pos < nseg:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nbits += 8
+                        peek = ((acc >> (nbits - 16)) & 0xFFFF
+                                if nbits >= 16
+                                else (acc << (16 - nbits)) & 0xFFFF)
+                        sym, ln = ac_lut[peek]
+                        if sym is None or ln > nbits:
                             raise _JpegError("bad AC prefix")
-                        br.skip(ln)
-                        r, s = sym >> 4, sym & 15
+                        nbits -= ln
+                        acc &= (1 << nbits) - 1
+                        s = sym & 15
                         if s == 0:
-                            if r == 15:
+                            if sym == 0xF0:  # ZRL
                                 k += 16
                                 continue
                             break  # EOB
-                        k += r
+                        k += sym >> 4
                         if k > 63:
                             raise _JpegError("AC overrun")
-                        row[zz[k]] = _extend(br.read(s), s)
+                        if nbits < s:
+                            raise _JpegError("truncated entropy stream")
+                        nbits -= s
+                        v0 = (acc >> nbits) & ((1 << s) - 1)
+                        acc &= (1 << nbits) - 1
+                        row[zz[k]] = (v0 if v0 >= (1 << (s - 1))
+                                      else v0 - (1 << s) + 1)
                         k += 1
 
     dctm = _dct_matrix()
