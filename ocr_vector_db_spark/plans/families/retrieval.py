@@ -2987,6 +2987,7 @@ def q155(spark, sf):
     SELECT * FROM (VALUES
         ('afp', 'clip_raw', 'a5a26c76a334d938'),
         ('afp', 'clip_wav', 'a5a26c76a334d938'),
+        ('afp', 'clip_wav24', 'a5a26c76a334d938'),
         ('afp', 'clip_wav_loud', 'a5a26c76a334d938'),
         ('afp', 'stereo_wav', 'a5a26c76a334d938'),
         ('dhash', 'img_plte', '32ac6a22b2b55bda'),
@@ -2994,15 +2995,20 @@ def q155(spark, sf):
         ('dhash', 'img_png_up', '32ac6a22b2b55bda'),
         ('dhash', 'img_raw', '32ac6a22b2b55bda'),
         ('meta', 'clip_wav', 'pcm_s16le:16000:1:wav'),
+        ('meta', 'clip_wav24', 'pcm_s16le:16000:1:wav'),
         ('meta', 'clip_wav_loud', 'pcm_s16le:16000:1:wav'),
         ('meta', 'img_plte', 'raw:72x40:1:png'),
         ('meta', 'img_png', 'raw:72x40:1:png'),
         ('meta', 'img_png_up', 'raw:144x80:1:png'),
         ('meta', 'stereo_wav', 'pcm_s16le:16000:2:wav'),
         ('pair_audio', 'clip_raw~clip_wav', '0'),
+        ('pair_audio', 'clip_raw~clip_wav24', '0'),
         ('pair_audio', 'clip_raw~clip_wav_loud', '0'),
         ('pair_audio', 'clip_raw~stereo_wav', '0'),
+        ('pair_audio', 'clip_wav24~clip_wav_loud', '0'),
+        ('pair_audio', 'clip_wav24~stereo_wav', '0'),
         ('pair_audio', 'clip_wav_loud~stereo_wav', '0'),
+        ('pair_audio', 'clip_wav~clip_wav24', '0'),
         ('pair_audio', 'clip_wav~clip_wav_loud', '0'),
         ('pair_audio', 'clip_wav~stereo_wav', '0'),
         ('pair_image', 'img_plte~img_png', '0'),
@@ -3037,11 +3043,15 @@ def q156(spark, sf):
     take) decodes AND — r14 — downmixes to mono through
     `asset_pcm_frames(downmix=True)`'s exact integer average, landing
     at Hamming 0 against the raw clip; a corrupt PNG and an mp3 pass
-    through byte-identical (the exact-hash fallback still owns them).
-    Codec round-trips across all five PNG filter types x all five
-    color types and WAV chunk-walk edge cases (LIST chunks, word
-    alignment, WAVE_FORMAT_EXTENSIBLE, crafted duplicate chunks,
-    decompression bombs) are pinned by tests/test_containers.py. Reference parity: none — the reference
+    through byte-identical (the exact-hash fallback still owns them);
+    a 24-BIT WAV re-encode (r14) reduces to the identical s16 samples
+    through the standard high-bits reduction and fingerprints at
+    Hamming 0 too. Codec round-trips across all five PNG filter types
+    x all five color types x every legal bit depth x Adam7, WAV bit
+    depths (8/24/32-int/float32) and chunk-walk edge cases (LIST
+    chunks, word alignment, WAVE_FORMAT_EXTENSIBLE, crafted duplicate
+    chunks, decompression bombs) are pinned by
+    tests/test_containers.py. Reference parity: none — the reference
     ingests PDF/text/markdown only; this is the training-pipeline
     multimodal brief's decode step."""
     import hashlib
@@ -3093,12 +3103,24 @@ def q156(spark, sf):
     stereo = b"".join(
         base[i:i + 2] * 2 for i in range(0, len(base), 2)
     )
+    # a 24-bit re-encode of the same take (low byte zero): the standard
+    # high-bits reduction recovers the 16-bit samples EXACTLY (r14)
+    pcm24 = b"".join(b"\x00" + base[i:i + 2]
+                     for i in range(0, len(base), 2))
+    import struct as _st
+
+    fmt24 = _st.pack("<HHIIHH", 1, 1, 16000, 16000 * 3, 3, 24)
+    w24 = (b"WAVE" + b"fmt " + _st.pack("<I", len(fmt24)) + fmt24
+           + b"data" + _st.pack("<I", len(pcm24)) + pcm24
+           + (b"\x00" if len(pcm24) & 1 else b""))
+    wav24 = b"RIFF" + _st.pack("<I", len(w24)) + w24
     rows = [
         ("clip_raw", "audio", base,
          {"format": "pcm_s16le", "channels": "1", "sample_rate": "16000"}),
         # kind deliberately unknown on the container rows: detection is
         # by magic bytes, crawl metadata is untrusted
         ("clip_wav", "unknown", encode_wav(base, 16000, 1), {}),
+        ("clip_wav24", "unknown", wav24, {}),
         ("clip_wav_loud", "unknown", encode_wav(loud, 16000, 1), {}),
         ("img_raw", "image", img,
          {"format": "raw", "channels": "1", "width": "72",

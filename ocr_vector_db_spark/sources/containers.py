@@ -9,7 +9,9 @@ path:
 
 - **WAV/RIFF**: a chunk walk (RIFF → fmt → data). PCM16 little-endian
   payloads are exactly the `pcm_s16le` bytes `asset_pcm_frames` wants —
-  the "decode" is locating them.
+  the "decode" is locating them; 8/24/32-bit integer and 32-bit float
+  payloads reduce to s16 by the standard high-bits / scale-and-clip
+  reductions (numpy, still zero codec math).
 - **PNG**: chunk walk (IHDR → PLTE? → IDAT* → IEND), one BOUNDED zlib
   inflate of the concatenated IDAT stream, then the five standard
   per-scanline filters reconstructed (None/Sub/Up/Average/Paeth,
@@ -62,10 +64,14 @@ MAX_PIXELS = 64 * 1024 * 1024  # reject > 64 MP before any inflate
 
 
 def decode_wav(data: bytes) -> dict | None:
-    """RIFF/WAVE → {'pcm': bytes, 'sample_rate': int, 'channels': int}
-    for 16-bit integer PCM payloads; None for anything this module does
-    not own (other codecs/depths, malformed files). Walks chunks with
-    the word-alignment rule; LIST/INFO and unknown chunks skip."""
+    """RIFF/WAVE → {'pcm': bytes (s16le), 'sample_rate': int,
+    'channels': int} for every integer/float PCM shape: 16-bit passes
+    through; 8-bit unsigned, 24-bit and 32-bit integer reduce to the
+    high 16 bits (the standard bit-depth reduction — pure structure, no
+    codec math); 32-bit IEEE float (format 3) scales to ±32767 with
+    clipping. None for actual codecs (mu-law, ADPCM, MP3-in-WAV) and
+    malformed files. Walks chunks with the word-alignment rule;
+    LIST/INFO and unknown chunks skip."""
     if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
     fmt = None
@@ -99,12 +105,38 @@ def decode_wav(data: bytes) -> dict | None:
     if fmt is None or pcm is None:
         return None
     audio_format, channels, sample_rate, bits = fmt
-    if audio_format != 1 or bits != 16 or channels < 1:
+    if channels < 1:
         return None
-    frame = 2 * channels
-    usable = len(pcm) - (len(pcm) % frame)  # drop a ragged tail byte
+    if audio_format == 1 and bits in (8, 16, 24, 32):
+        bw = bits // 8
+        frame = bw * channels
+        usable = len(pcm) - (len(pcm) % frame)  # drop ragged tail bytes
+        pcm = pcm[:usable]
+        if bits != 16:
+            import numpy as np
+
+            if bits == 8:  # unsigned → signed, widen to the high byte
+                s = np.frombuffer(pcm, np.uint8).astype(np.int16)
+                out = (s - 128) << 8
+            elif bits == 24:  # little-endian: top 16 bits are bytes 1-2
+                a = np.frombuffer(pcm, np.uint8).reshape(-1, 3)
+                out = np.ascontiguousarray(
+                    a[:, 1:3]).view("<i2").reshape(-1)
+            else:  # 32-bit int: top 16 bits
+                out = (np.frombuffer(pcm, "<i4") >> 16).astype("<i2")
+            pcm = out.astype("<i2").tobytes()
+    elif audio_format == 3 and bits == 32:  # IEEE float
+        import numpy as np
+
+        frame = 4 * channels
+        usable = len(pcm) - (len(pcm) % frame)
+        f = np.frombuffer(pcm[:usable], "<f4").astype(np.float64)
+        out = np.clip(np.round(f * 32767.0), -32768, 32767)
+        pcm = out.astype("<i2").tobytes()
+    else:
+        return None  # actual codecs (mu-law/ADPCM/...) stay out of scope
     return {
-        "pcm": pcm[:usable],
+        "pcm": pcm,
         "sample_rate": sample_rate,
         "channels": channels,
     }

@@ -362,15 +362,65 @@ def test_wav_chunk_walk_edge_cases():
     got = decode_wav(b"RIFF" + struct.pack("<I", len(chunks)) + chunks)
     assert got["pcm"] == b"\x01\x02\x03\x04"
 
-    # rejections: wrong form type, truncation, non-PCM, 8-bit
+    # rejections: wrong form type, truncation, actual codecs
     assert decode_wav(b"RIFF" + struct.pack("<I", 4) + b"AVI ") is None
     assert decode_wav(wav[:20]) is None
     mu = bytearray(wav)
     mu[20] = 7  # audio_format = mu-law
     assert decode_wav(bytes(mu)) is None
-    eight = bytearray(wav)
-    eight[34] = 8
-    assert decode_wav(bytes(eight)) is None
+    odd = bytearray(wav)
+    odd[34] = 12  # nonstandard bit depth
+    assert decode_wav(bytes(odd)) is None
+
+
+def test_wav_bit_depth_reductions():
+    """8/24/32-bit integer and 32-bit float PCM reduce to s16le with
+    exact high-bits / scale-and-clip semantics — the standard
+    reductions, pure structure like the rest of the chunk walk."""
+
+    def wav_of(fmt_code, bits, payload, rate=16000, ch=1):
+        bw = bits // 8
+        fmt = struct.pack("<HHIIHH", fmt_code, ch, rate,
+                          rate * bw * ch, bw * ch, bits)
+        chunks = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(payload)) + payload
+                  + (b"\x00" if len(payload) & 1 else b""))
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    # 24-bit: high 16 bits survive, low byte drops
+    samples = [0x123456, -0x123456, 0x7FFFFF, -0x800000, 0x000080]
+    p24 = b"".join(v.to_bytes(3, "little", signed=True) for v in samples)
+    got = decode_wav(wav_of(1, 24, p24))
+    want = [v >> 8 for v in samples]
+    assert got["pcm"] == b"".join(
+        v.to_bytes(2, "little", signed=True) for v in want)
+
+    # 32-bit int: same reduction
+    p32 = b"".join((v << 8).to_bytes(4, "little", signed=True)
+                   for v in samples)
+    assert decode_wav(wav_of(1, 32, p32))["pcm"] == got["pcm"]
+
+    # 8-bit unsigned: (v - 128) << 8
+    p8 = bytes([0, 128, 255, 200])
+    assert decode_wav(wav_of(1, 8, p8))["pcm"] == b"".join(
+        ((v - 128) << 8).to_bytes(2, "little", signed=True) for v in p8)
+
+    # float32: scale to ±32767, out-of-range clips
+    vals = [0.0, 0.5, -0.5, 1.0, -1.0, 1.7, -1.7]
+    pf = struct.pack("<7f", *vals)
+    wantf = [0, 16384, -16384, 32767, -32767, 32767, -32768]
+    assert decode_wav(wav_of(3, 32, pf))["pcm"] == b"".join(
+        v.to_bytes(2, "little", signed=True) for v in wantf)
+
+    # ragged 24-bit tail drops a partial frame
+    assert decode_wav(wav_of(1, 24, p24 + b"\x01\x02"))["pcm"] == \
+        got["pcm"]
+
+    # a 24-bit WAV re-encode of a 16-bit clip reduces back EXACTLY
+    pcm16 = bytes(range(256)) * 2
+    up24 = b"".join(b"\x00" + pcm16[i:i + 2]
+                    for i in range(0, len(pcm16), 2))
+    assert decode_wav(wav_of(1, 24, up24))["pcm"] == pcm16
 
 
 def test_normalize_assets_decodes_and_passes_through(spark):
