@@ -295,6 +295,48 @@ def test_png_palette_rejections():
         encode_png(idx, 10, 6, color_type=7)
 
 
+def test_decoders_never_raise_on_mutated_containers():
+    """normalize_assets calls the decoders inside an executor UDF — an
+    uncaught exception on a crafted crawl row would kill the job, so
+    every mutation of a valid container must return a decode or None,
+    NEVER raise. (A 20k-mutation sweep ran at review time; this pins a
+    seeded 2.5k subset.)"""
+    from ocr_vector_db_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    rnd = random.Random(14)
+    img = bytes(rnd.randrange(256) for _ in range(40 * 24))
+    seeds = {
+        "png": encode_png(img, 40, 24, 1, filter_type=4),
+        "png_i": encode_png(img, 40, 24, 1, filter_type=2,
+                            interlace=True),
+        "png_p": encode_png(bytes(v % 16 for v in img), 40, 24,
+                            color_type=3, palette=bytes(range(48)),
+                            depth=4),
+        "wav": encode_wav(img, 16000, 1),
+        "jpg": encode_jpeg(img, 40, 24, 1, quality=80),
+    }
+    for name, base in seeds.items():
+        dec = decode_jpeg if name == "jpg" else (
+            decode_wav if name == "wav" else decode_png)
+        for _ in range(500):
+            b = bytearray(base)
+            mode = rnd.randrange(4)
+            if mode == 0:
+                for _ in range(rnd.randrange(1, 6)):
+                    b[rnd.randrange(len(b))] ^= rnd.randrange(1, 256)
+            elif mode == 1:
+                b = b[:rnd.randrange(len(b))]
+            elif mode == 2:
+                i = rnd.randrange(len(b))
+                b = (b[:i] + bytes(rnd.randrange(256) for _ in
+                                   range(rnd.randrange(1, 40))) + b[i:])
+            else:
+                i = rnd.randrange(len(b))
+                j = min(len(b), i + rnd.randrange(1, 60))
+                b = b[:i] + b[i:j] + b[i:]
+            dec(bytes(b))  # decode-or-None; a raise fails the test
+
+
 def test_containers_first_chunk_wins():
     """ADVICE r13: a crafted duplicate fmt/data (or IHDR) chunk must not
     silently replace the first one — last-wins would let the perceptual
