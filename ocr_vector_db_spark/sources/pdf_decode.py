@@ -1340,9 +1340,12 @@ def decode_image_xobject(objects, ref: int) -> dict | None:
 def jpeg_image_xobject(objects, ref: int) -> dict | None:
     """DCTDecode passthrough: per the PDF spec (ISO 32000-1 §7.4.8) the
     stream bytes of a /DCTDecode image XObject ARE a complete JPEG/JFIF
-    file — an OCR/vision provider accepts them as-is, so no JPEG decoder
-    is needed to feed the multimodal seam (the reference hands PyMuPDF
-    rasters to the same provider, pymupdf_parser.py:773-823). Returns
+    file — an OCR/vision provider accepts them as-is (the reference
+    hands PyMuPDF rasters to the same provider,
+    pymupdf_parser.py:773-823), and since round 14 the emitted asset
+    rows also decode to raw PIXELS downstream through
+    `containers.normalize_assets` (baseline SOF0, `sources/jpeg.py`) —
+    pinned by q157's PDF-embedded-JPEG near-dup golden. Returns
     {width, height, jpeg: bytes} (dimensions from the image dict — the
     spec requires them to match the JPEG's) or None when the object is
     not a DCTDecode image or the payload lacks the JPEG SOI marker."""
