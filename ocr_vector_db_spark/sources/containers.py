@@ -11,7 +11,8 @@ path:
   payloads are exactly the `pcm_s16le` bytes `asset_pcm_frames` wants —
   the "decode" is locating them; 8/24/32-bit integer and 32-bit float
   payloads reduce to s16 by the standard high-bits / scale-and-clip
-  reductions (numpy, still zero codec math).
+  reductions, and G.711 µ-law/A-law telephony payloads expand through
+  their 256-entry companding tables (numpy, still zero codec math).
 - **PNG**: chunk walk (IHDR → PLTE? → IDAT* → IEND), one BOUNDED zlib
   inflate of the concatenated IDAT stream, then the five standard
   per-scanline filters reconstructed (None/Sub/Up/Average/Paeth,
@@ -63,15 +64,47 @@ MAX_PIXELS = 64 * 1024 * 1024  # reject > 64 MP before any inflate
 # ------------------------------------------------------------------ WAV
 
 
+def _mulaw_table():
+    """G.711 µ-law byte → s16 expansion (the CCITT decode: complement,
+    then ((mant<<3)+BIAS)<<exp − BIAS with BIAS=0x84; range ±32124).
+    A 256-entry table — telephony 'compression' is a companding curve,
+    not an entropy codec, so it belongs with the structure-only
+    containers."""
+    out = []
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+        out.append(0x84 - t if u & 0x80 else t - 0x84)
+    return out
+
+
+def _alaw_table():
+    """G.711 A-law byte → s16 expansion (xor 0x55; exp 0 is linear,
+    else ((mant<<4)+0x108)<<(exp−1); range ±32256; bit 7 clear =
+    negative)."""
+    out = []
+    for b in range(256):
+        a = b ^ 0x55
+        mant, exp = a & 0x0F, (a >> 4) & 7
+        t = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (
+            exp - 1)
+        out.append(t if a & 0x80 else -t)
+    return out
+
+
+_G711 = {6: _alaw_table, 7: _mulaw_table}  # WAVE format tags
+
+
 def decode_wav(data: bytes) -> dict | None:
     """RIFF/WAVE → {'pcm': bytes (s16le), 'sample_rate': int,
     'channels': int} for every integer/float PCM shape: 16-bit passes
     through; 8-bit unsigned, 24-bit and 32-bit integer reduce to the
     high 16 bits (the standard bit-depth reduction — pure structure, no
     codec math); 32-bit IEEE float (format 3) scales to ±32767 with
-    clipping. None for actual codecs (mu-law, ADPCM, MP3-in-WAV) and
-    malformed files. Walks chunks with the word-alignment rule;
-    LIST/INFO and unknown chunks skip."""
+    clipping; G.711 µ-law (7) / A-law (6) expand through their 256-entry
+    companding tables. None for actual entropy codecs (ADPCM,
+    MP3-in-WAV) and malformed files. Walks chunks with the
+    word-alignment rule; LIST/INFO and unknown chunks skip."""
     if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
     fmt = None
@@ -133,8 +166,14 @@ def decode_wav(data: bytes) -> dict | None:
         f = np.frombuffer(pcm[:usable], "<f4").astype(np.float64)
         out = np.clip(np.round(f * 32767.0), -32768, 32767)
         pcm = out.astype("<i2").tobytes()
+    elif audio_format in _G711 and bits == 8:  # µ-law / A-law companding
+        import numpy as np
+
+        usable = len(pcm) - (len(pcm) % channels)
+        table = np.array(_G711[audio_format](), "<i2")
+        pcm = table[np.frombuffer(pcm[:usable], np.uint8)].tobytes()
     else:
-        return None  # actual codecs (mu-law/ADPCM/...) stay out of scope
+        return None  # actual codecs (ADPCM/MP3-in-WAV/...) stay out
     return {
         "pcm": pcm,
         "sample_rate": sample_rate,

@@ -464,6 +464,31 @@ def test_wav_bit_depth_reductions():
                     for i in range(0, len(pcm16), 2))
     assert decode_wav(wav_of(1, 24, up24))["pcm"] == pcm16
 
+    # G.711 µ-law (format 7) / A-law (format 6): table expansions with
+    # the published anchor values, sign symmetry and per-sign
+    # monotonicity — companding is a curve, not an entropy codec
+    import struct as _st
+
+    def g711(fmt_code, payload):
+        got = decode_wav(wav_of(fmt_code, 8, payload))
+        return [v[0] for v in _st.iter_unpack("<h", got["pcm"])]
+
+    assert g711(7, bytes([0xFF, 0x7F, 0x00, 0x80])) == \
+        [0, 0, -32124, 32124]
+    assert g711(6, bytes([0x55, 0xD5, 0x2A, 0xAA])) == \
+        [-8, 8, -32256, 32256]
+    for fmt_code in (6, 7):
+        vals = g711(fmt_code, bytes(range(256)))
+        for b in range(256):  # flipping the coded sign bit negates
+            assert vals[b] == -vals[b ^ 0x80]
+        # within one sign, the coded magnitude ramp is monotone
+        neg = sorted(v for v in vals if v < 0)
+        pos = sorted(v for v in vals if v > 0)
+        assert len(set(neg)) == len(neg) and len(set(pos)) == len(pos)
+
+    # µ-law with 16-bit depth claimed is malformed → None
+    assert decode_wav(wav_of(7, 16, bytes(8))) is None
+
 
 def test_normalize_assets_decodes_and_passes_through(spark):
     """Container rows decode to raw twins with identical perceptual
