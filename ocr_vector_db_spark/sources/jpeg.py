@@ -30,7 +30,7 @@ Implementation notes:
   scaled by the libjpeg quality curve, the standard DC/AC huffman
   tables written into DHT segments (the decoder always reads tables
   from the file, so encoder/decoder stay consistent by construction),
-  gray / 4:4:4 / 4:2:0 subsampling.
+  gray and every standard chroma subsampling.
 - Same decompression-posture as decode_png: declared geometry is
   capped (MAX_PIXELS) before any plane is allocated, and every
   entropy-stream lie (bad prefix, coefficient overrun, truncation)
@@ -565,16 +565,17 @@ def encode_jpeg(raw: bytes, width: int, height: int, channels: int = 1,
     (fixture/export writer, like encode_wav/encode_png): Annex-K quant
     tables on the libjpeg quality curve, the standard huffman tables
     (emitted in DHT, so any decoder reads them), gray or YCbCr with
-    4:4:4 / 4:2:0 chroma subsampling, optional DRI/RSTn restart
-    markers every `restart_interval` MCUs."""
+    4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 chroma subsampling, optional
+    DRI/RSTn restart markers every `restart_interval` MCUs."""
     import numpy as np
 
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
     if len(raw) != width * height * channels:
         raise ValueError("raw length != width*height*channels")
-    if subsample not in ("4:4:4", "4:2:0"):
-        raise ValueError("subsample must be '4:4:4' or '4:2:0'")
+    if subsample not in ("4:4:4", "4:2:0", "4:2:2", "4:4:0"):
+        raise ValueError(
+            "subsample must be '4:4:4', '4:2:0', '4:2:2' or '4:4:0'")
 
     dctm = _dct_matrix()
     ql = _scaled_quant(QUANT_LUMA, quality)
@@ -596,17 +597,18 @@ def encode_jpeg(raw: bytes, width: int, height: int, channels: int = 1,
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
         cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsample == "4:2:0":
-            # box-average 2×2 on an edge-padded grid
-            cbp = _pad_edge(np, cb, 2, 2)
-            crp = _pad_edge(np, cr, 2, 2)
-            cb = cbp.reshape(cbp.shape[0] // 2, 2,
-                             cbp.shape[1] // 2, 2).mean(axis=(1, 3))
-            cr = crp.reshape(crp.shape[0] // 2, 2,
-                             crp.shape[1] // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
+        # chroma box-average on an edge-padded grid; the luma sampling
+        # factors carry the ratio (chroma stays 1×1)
+        fy, fx = {"4:4:4": (1, 1), "4:2:0": (2, 2),
+                  "4:2:2": (1, 2), "4:4:0": (2, 1)}[subsample]
+        if (fy, fx) != (1, 1):
+            def box(p):
+                p = _pad_edge(np, p, fy, fx)
+                return p.reshape(p.shape[0] // fy, fy,
+                                 p.shape[1] // fx, fx).mean(axis=(1, 3))
+
+            cb, cr = box(cb), box(cr)
+        samp = [(fx, fy), (1, 1), (1, 1)]
         planes = [y, cb, cr]
 
     hmax = max(s[0] for s in samp)

@@ -60,7 +60,8 @@ def test_gray_round_trip_error_bound(w, h):
     assert err.max() <= 12 and err.mean() <= 3.0
 
 
-@pytest.mark.parametrize("subsample", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("subsample", ["4:4:4", "4:2:0", "4:2:2",
+                                       "4:4:0"])
 def test_rgb_round_trip_error_bound(subsample):
     w, h = 72, 40
     g = _gradient(w, h, "rgb")
@@ -72,7 +73,7 @@ def test_rgb_round_trip_error_bound(subsample):
     assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
     got = np.frombuffer(dec["raw"], np.uint8).reshape(h, w, 3)
     err = np.abs(got.astype(int) - rgb.astype(int))
-    # 4:2:0 loses chroma resolution; luma stays tight either way
+    # subsampling loses chroma resolution; luma stays tight either way
     assert err.mean() <= (1.6 if subsample == "4:4:4" else 4.5)
     y_err = np.abs(
         got.astype(float) @ [0.299, 0.587, 0.114]
