@@ -542,7 +542,12 @@ def test_stream_ingest_auto_compaction_bounds_files(spark, tmp_path):
         ledger=ledger, checkpoint=str(tmp_path / "ck"),
         compact_every=2,
     )
-    q.awaitTermination(120)
+    # 6 single-file micro-batches, each an index add + every-2nd-epoch
+    # compaction: generous bound — awaitTermination returns the moment
+    # the available-now query finishes, so the slack is free when
+    # healthy, and 120s measurably flaked at the contended tail of a
+    # full-suite run (5/6 batches folded before the timeout)
+    q.awaitTermination(360)
 
     assert idx.signatures().count() == len(texts)  # all distinct → accepted
     # one file per epoch would be ≥ 6 signature files; compaction at every
