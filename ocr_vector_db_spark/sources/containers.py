@@ -25,7 +25,7 @@ path:
   progressive (Adam7) or not — the shapes `asset_gray_frames` /
   `asset_raw_frames` consume. Full-spec PNG coverage.
 
-Anything else (MP3/MP4 entropy coding, 24-bit PCM) stays behind
+Anything else (MP3/MP4 entropy coding) stays behind
 `multimodal.extract_features`'s pluggable decode seam, honestly out
 of scope. Baseline JPEG lives in its own
 module (`sources/jpeg.py`) and is wired through the same
@@ -164,6 +164,10 @@ def decode_wav(data: bytes) -> dict | None:
         frame = 4 * channels
         usable = len(pcm) - (len(pcm) % frame)
         f = np.frombuffer(pcm[:usable], "<f4").astype(np.float64)
+        # NaN survives np.clip (clip(NaN)=NaN) and the int16 cast of NaN
+        # is platform-dependent — map it to 0 so a degenerate float WAV
+        # fingerprints identically everywhere
+        f = np.nan_to_num(f, nan=0.0)
         out = np.clip(np.round(f * 32767.0), -32768, 32767)
         pcm = out.astype("<i2").tobytes()
     elif audio_format in _G711 and bits == 8:  # µ-law / A-law companding

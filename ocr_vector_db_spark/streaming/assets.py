@@ -212,18 +212,35 @@ class ExactFrameStore:
             # only stage dirs survive a crash that folded every epoch:
             # the bare root read cannot infer a schema, start empty
             merged = self.spark.createDataFrame([], "__xkey string")
+        # a stale stage can hold the target's only copy (crash between
+        # its delete and rename); an unreadable one (crash MID-WRITE —
+        # empty/schema-less) is redundant with the still-present
+        # sources. Only those two mid-write shapes may be skipped: a
+        # GENUINE read error (transient IO, corrupt footer) must abort
+        # the compact BEFORE anything is deleted, because the deletion
+        # loop below drops every stale stage unconditionally — silently
+        # excluding a stage that held the only copy of folded keys
+        # would be permanent key loss, after which byte-identical
+        # assets re-admit forever. Aborting is always safe here: every
+        # key is still on disk and the next cycle retries the fold.
+        from pyspark.errors import AnalysisException
+
+        from ocr_vector_db_spark.operators.minhash_index import (
+            _error_condition,
+        )
+
         for name in stale:
-            # a stale stage can hold the target's only copy (crash
-            # between its delete and rename); an unreadable one (crash
-            # mid-write) is redundant with the still-present sources
             try:
                 merged = merged.unionByName(
                     self.spark.read.parquet(
                         os.path.join(self.path, name)
                     ).select("__xkey")
                 )
-            except Exception:
-                pass
+            except AnalysisException as exc:
+                if _error_condition(exc) not in (
+                    "PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"
+                ):
+                    raise
         merged = merged.distinct()
         stage_name = f"_compact_{below_epoch}"
         while fs.exists(jvm.org.apache.hadoop.fs.Path(

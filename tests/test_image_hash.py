@@ -717,6 +717,68 @@ def test_exact_frame_store_unreadable_stage_raises(spark, tmp_path):
         store.keys(before_epoch=5).collect()
 
 
+def test_exact_frame_store_unreadable_stage_aborts_compact(spark, tmp_path):
+    """Verdict r14: `compact()` must get the same treatment `keys()` got
+    in r14 — a stale stage can hold the ONLY copy of folded keys (crash
+    between the target's delete and the stage rename), and compact's
+    deletion loop drops every stale stage unconditionally after the
+    swap. If that stage's read fails transiently and is silently
+    skipped, the merge excludes those keys and the deletion makes the
+    loss PERMANENT (byte-identical assets re-admit forever — strictly
+    worse than keys()' one-batch window). An unreadable-but-present
+    stage must abort the compact with nothing deleted; every key is
+    still on disk and the next cycle retries. Mid-write-crash shapes
+    (empty / schema-less stages, redundant with their still-present
+    sources) stay skippable."""
+    import pytest as _pytest
+
+    from ocr_vector_db_spark.streaming.assets import ExactFrameStore
+
+    root = tmp_path / "exact_cerr"
+    store = ExactFrameStore(spark, str(root))
+    store.add(spark.createDataFrame([("k0",), ("k1",)], "__xkey string"), 0)
+    store.add(spark.createDataFrame([("k2",)], "__xkey string"), 1)
+
+    # an EMPTY stage dir (crash before any file landed) is skipped and
+    # cleaned; the fold itself proceeds
+    (root / "_compact_7").mkdir()
+    store.compact(below_epoch=2)
+    assert not (root / "_compact_7").exists()
+    seen = {r["__xkey"] for r in store.keys(before_epoch=5).collect()}
+    assert seen == {"k0", "k1", "k2"}
+
+    # a stage with a corrupt parquet file aborts the compact — and
+    # NOTHING is deleted: the corrupt stage (possible only-copy) and
+    # every source epoch dir survive for the retry
+    store.add(spark.createDataFrame([("k3",)], "__xkey string"), 2)
+    bad = root / "_compact_8"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(
+        b"PAR1 this is not a parquet footer"
+    )
+    before = sorted(d.name for d in root.iterdir())
+    with _pytest.raises(Exception):
+        store.compact(below_epoch=3)
+    after = sorted(
+        d.name for d in root.iterdir()
+        if not d.name.startswith("_compact_3")  # a pre-abort stage
+    )                                           # write may remain
+    assert bad.is_dir() and (bad / "part-00000.parquet").exists()
+    assert [n for n in before if n not in after] == []
+    # once the corrupt stage is repaired (here: removed — its keys were
+    # redundant with the intact sources), the retry folds cleanly and
+    # every committed key survived the aborted attempt
+    import shutil as _shutil
+
+    _shutil.rmtree(bad)
+    for d in root.iterdir():  # drop any pre-abort partial stage writes
+        if d.name.startswith("_compact_"):
+            _shutil.rmtree(d)
+    store.compact(below_epoch=3)
+    seen = {r["__xkey"] for r in store.keys(before_epoch=5).collect()}
+    assert seen == {"k0", "k1", "k2", "k3"}
+
+
 def _py_resize(data, w, h, out_w, out_h):
     """Independent reference: exact box-average to out_w x out_h,
     round-half-up to a byte (matches Spark's ROUND, not banker's)."""
