@@ -64,12 +64,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # COVERAGE.md for the per-round sweep log.
 
 _REVERIFY_FRONT: dict[str, int] = {
-    # Round 14 widened q156's golden AFTER its r13 green (palette-PNG
-    # twin + stereo-downmix fingerprint rows; same-round convention →
-    # recorded as 14): the driver must re-verify the new golden.
-    "q156_container_decode_roundtrip": 14,
-    # (round 10's q23 entry cleared itself when CORRECTNESS_r10 recorded
-    # q23 green; removed in round 11)
+    # Round 15 widened q157's golden AFTER its r14 green (progressive
+    # SOF2 re-encodes img_prog/rgb_prog now DECODE and dedup — 18 → 28
+    # rows; the passthrough witness moved to an arithmetic SOF9 flip):
+    # the driver must re-verify the new golden.
+    "q157_jpeg_decode_neardup": 15,
+    # (round 14's q156 entry cleared itself when CORRECTNESS_r14
+    # recorded q156 green at the widened golden; removed in round 15.
+    # Same for round 10's q23 entry, removed in round 11.)
     #
     # Round 11's SimHashIndex _sig_expr hook (the PhashIndex seam) landed
     # after q127's r10 green but is a pure method indirection — the base

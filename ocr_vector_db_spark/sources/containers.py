@@ -27,8 +27,8 @@ path:
 
 Anything else (MP3/MP4 entropy coding) stays behind
 `multimodal.extract_features`'s pluggable decode seam, honestly out
-of scope. Baseline JPEG lives in its own
-module (`sources/jpeg.py`) and is wired through the same
+of scope. JPEG — baseline SOF0 and progressive SOF2 — lives in its
+own module (`sources/jpeg.py`) and is wired through the same
 `normalize_assets` pass.
 
 Scale shape: decode is per-ASSET work with zero cross-row state, so
@@ -621,9 +621,10 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
       mono projection (`asset_pcm_frames`) owns that policy.
     - PNG → kind=image, data=raw pixels, metadata format=raw +
       width/height/channels (+container=png).
-    - JPEG (baseline SOF0, `sources/jpeg.py`) → kind=image, data=raw
-      pixels, same metadata shape (+container=jpeg); progressive/
-      arithmetic/unsupported JPEGs pass through byte-identical.
+    - JPEG (baseline SOF0 + progressive SOF2, `sources/jpeg.py`) →
+      kind=image, data=raw pixels, same metadata shape
+      (+container=jpeg); arithmetic/unsupported JPEGs pass through
+      byte-identical.
 
     Per-asset decode, zero cross-row state → one Arrow-batched
     mapInPandas pass; partitioning, pushdown and every downstream
@@ -720,7 +721,8 @@ def normalize_clip_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
 def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
     """`normalize_assets` for the SLIM raster row shape the streaming
     gate consumes (id, data, width, height[, channels]): PNG and
-    baseline-JPEG payloads are replaced by their raw pixels with
+    JPEG (baseline + progressive) payloads are replaced by their raw
+    pixels with
     width/height (and channels, when the column rides along)
     overwritten from the container header — a container row's declared
     dims are untrusted. RGB decodes are kept only when a `channels`

@@ -851,6 +851,16 @@ def decode_halftone_region(
     if w * h > 64 << 20:
         raise JBIG2Error("halftone region too large")
     bpp = max(1, (len(pats) - 1).bit_length())
+    # bound TOTAL work, not just the output geometry: a crafted segment
+    # can declare a 16M-cell grid × 8 gray planes (pure-Python MQ
+    # decode) or 255×255 patterns (per-cell render loop) and cost 1e10+
+    # operations while every individual cap above still passes. In a
+    # legitimate tiling cells×pattern-area ≈ region area, so budget
+    # both phases proportional to the 64 MP region cap.
+    if hgw * hgh * bpp > 64 << 20:
+        raise JBIG2Error("halftone gray-plane work over budget")
+    if hgw * hgh * hdpw * hdph > 4 * (64 << 20):
+        raise JBIG2Error("halftone render work over budget")
     # Annex C.5 grayscale decode: planes MSB→0 share ONE MQ decoder and
     # ONE GB context set; each lower plane XORs with the plane above
     dec = MQDecoder(payload[38:])
@@ -895,8 +905,15 @@ def encode_halftone_region(
     patterns: list[bytes], hdpw: int, hdph: int, template: int = 0,
 ) -> bytes:
     """Exact mirror of `decode_halftone_region`: axis-aligned grid
-    (HRX = HDPW<<8, HRY = 0 — square-cell fixtures use HDPW == HDPH),
-    arithmetic Gray-coded planes sharing one MQ codestream."""
+    (HRX = HDPW<<8, HRY = 0 — both grid steps equal HDPW, so only
+    square cells tile without overlap or gaps), arithmetic Gray-coded
+    planes sharing one MQ codestream."""
+    if hdpw != hdph:
+        # the axis-aligned HRY=0 grid this writer emits cannot express
+        # rectangular cells — cells would overlap (hdph > hdpw) or gap
+        # (hdph < hdpw); reject instead of silently mis-tiling
+        raise JBIG2Error("halftone writer requires square cells "
+                         "(hdpw == hdph)")
     if len(grays) != hgw * hgh:
         raise JBIG2Error("grays must be HGW*HGH values")
     nmax = len(patterns) - 1

@@ -1,21 +1,33 @@
-"""Baseline JPEG codec (sources/jpeg.py) + container wiring (q157).
+"""Baseline + progressive JPEG codec (sources/jpeg.py) + container
+wiring (q157).
 
 Pins: encode→decode round trips stay within tight error bounds across
 gray / RGB 4:4:4 / RGB 4:2:0, every geometry class (MCU-aligned, odd,
-tiny), quality levels, and restart intervals; strict rejection (None,
-never an exception) of everything the module does not own —
-progressive SOF2, arithmetic SOF9, 12-bit precision, truncation,
+tiny), quality levels, and restart intervals; progressive (SOF2)
+encode→decode agrees BIT-EXACTLY with the baseline decode of the same
+pixels (same quantized coefficients, two entropy codings); strict
+rejection (None, never an exception) of everything the module does
+not own — arithmetic SOF9, 12-bit precision, truncation,
 entropy-stream lies, absurd geometry; 16-bit DQT precision accepted;
 and the Spark pass — a JPEG re-encode of a raw raster decodes through
 `normalize_assets` to pixels that dHash within a small Hamming radius
 of the raw twin (near-dup, NOT identity: JPEG is lossy, unlike q156's
-exact WAV/PNG round trips). External parity runs when PyMuPDF is
-importable (skipped in this sandbox, like the PDF parity gates).
+exact WAV/PNG round trips).
+
+INDEPENDENT parity (verdict r14 #4): the JDK's javax.imageio JPEG
+decoder — a real-world, widely-deployed implementation reachable
+through the running SparkSession's py4j gateway, no extra imports —
+must agree with ours within IDCT rounding (±3) on our encoder's
+baseline AND progressive output, and on two tiny committed fixtures
+produced by an EXTERNAL encoder (tests/fixtures/ext_*.jpg, from the
+CPython/IPython test suites). PyMuPDF parity still runs when fitz is
+importable (not in this sandbox).
 """
 
 from __future__ import annotations
 
 import hashlib
+import pathlib
 import struct
 
 import numpy as np
@@ -26,7 +38,10 @@ from ocr_vector_db_spark.sources.jpeg import (
     ZIGZAG,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 
 
 def _gradient(w, h, seed="g"):
@@ -146,7 +161,10 @@ def test_rejections_return_none_never_raise():
     assert decode_jpeg(good[:20]) is None            # truncated header
     assert decode_jpeg(good[:-30]) is None           # truncated scan
 
-    # progressive (SOF2) and arithmetic (SOF9): honest passthrough
+    # arithmetic (SOF9): honest passthrough; a baseline stream with
+    # its marker flipped to SOF2 is a CORRUPT progressive file (the
+    # baseline SOS header declares band 0-63, illegal for a SOF2 DC
+    # scan) and must also reject cleanly
     for sof in (0xC2, 0xC9):
         prog = bytearray(good)
         j = good.index(b"\xff\xc0")
@@ -177,9 +195,9 @@ def test_rejections_return_none_never_raise():
 
 
 def test_normalize_assets_decodes_jpeg(spark):
-    """Container wiring: a JPEG row decodes through normalize_assets to
-    raw pixels + container=jpeg metadata; a progressive JPEG passes
-    through byte-identical."""
+    """Container wiring: baseline AND progressive JPEG rows decode
+    through normalize_assets to raw pixels + container=jpeg metadata;
+    an arithmetic-coded (SOF9) JPEG passes through byte-identical."""
     from pyspark.sql import functions as F
 
     from ocr_vector_db_spark.sources.containers import normalize_assets
@@ -187,12 +205,14 @@ def test_normalize_assets_decodes_jpeg(spark):
     w, h = 40, 24
     img = _gradient(w, h, "spark")
     jpg = encode_jpeg(img.tobytes(), w, h, 1, quality=92)
-    prog = bytearray(jpg)
+    pjpg = encode_jpeg_progressive(img.tobytes(), w, h, 1, quality=92)
+    arith = bytearray(jpg)
     j = jpg.index(b"\xff\xc0")
-    prog[j + 1] = 0xC2
+    arith[j + 1] = 0xC9
     rows = [
         ("jpg", "unknown", jpg, {}),
-        ("prog", "unknown", bytes(prog), {}),
+        ("pjpg", "unknown", pjpg, {}),
+        ("arith", "unknown", bytes(arith), {}),
     ]
     adf = spark.createDataFrame(
         rows,
@@ -200,15 +220,200 @@ def test_normalize_assets_decodes_jpeg(spark):
         "metadata map<string,string>",
     )
     got = {r.asset_id: r for r in normalize_assets(adf).collect()}
-    md = dict(got["jpg"].metadata)
-    assert (got["jpg"].kind, md["container"], md["format"]) == (
-        "image", "jpeg", "raw")
-    assert (md["width"], md["height"], md["channels"]) == (
-        str(w), str(h), "1")
-    dec = np.frombuffer(bytes(got["jpg"].data), np.uint8).reshape(h, w)
-    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12
-    assert bytes(got["prog"].data) == bytes(prog)  # passthrough
+    for key in ("jpg", "pjpg"):
+        md = dict(got[key].metadata)
+        assert (got[key].kind, md["container"], md["format"]) == (
+            "image", "jpeg", "raw"), key
+        assert (md["width"], md["height"], md["channels"]) == (
+            str(w), str(h), "1"), key
+        dec = np.frombuffer(bytes(got[key].data), np.uint8).reshape(h, w)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12
+    # same pixel pipeline → the two entropy codings decode identically
+    assert bytes(got["jpg"].data) == bytes(got["pjpg"].data)
+    assert bytes(got["arith"].data) == bytes(arith)  # passthrough
     _ = F  # imported for parity with sibling tests
+
+
+# ------------------------------------------------------- progressive
+
+
+@pytest.mark.parametrize("w,h", [(64, 48), (17, 9), (8, 8), (1, 1),
+                                 (100, 3), (72, 40)])
+def test_progressive_gray_matches_baseline_exactly(w, h):
+    """SOF2 is just another entropy coding of the SAME quantized
+    coefficients: all six scan kinds of the gray script (DC first at
+    Al=1 + refine, AC 1-5/6-63 first at Al=2, refine to 1 then 0 with
+    EOB runs and correction bits) must reconstruct coefficients
+    bit-exactly, so decoded pixels equal the baseline decode."""
+    img = _gradient(w, h, f"p{w}x{h}")
+    base = decode_jpeg(encode_jpeg(img.tobytes(), w, h, 1, quality=90))
+    data = encode_jpeg_progressive(img.tobytes(), w, h, 1, quality=90)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data[2:]
+    prog = decode_jpeg(data)
+    assert (prog["width"], prog["height"], prog["channels"]) == (w, h, 1)
+    assert prog["raw"] == base["raw"]
+
+
+@pytest.mark.parametrize("subsample", ["4:4:4", "4:2:0", "4:2:2",
+                                       "4:4:0"])
+def test_progressive_rgb_matches_baseline_exactly(subsample):
+    """Color script adds interleaved DC scans over subsampled MCUs and
+    per-component non-interleaved AC scans on the TRUE block grid
+    (which differs from the padded grid when width%16 ≤ 8)."""
+    w, h = 72, 40
+    g = _gradient(w, h, "prgb")
+    rgb = np.stack([g, np.roll(g, 3, axis=1), 255 - g], axis=-1)
+    base = decode_jpeg(encode_jpeg(rgb.tobytes(), w, h, 3, quality=85,
+                                   subsample=subsample))
+    prog = decode_jpeg(encode_jpeg_progressive(
+        rgb.tobytes(), w, h, 3, quality=85, subsample=subsample))
+    assert prog["raw"] == base["raw"]
+
+
+def test_progressive_restart_intervals():
+    """RSTn inside progressive scans: DC predictors, EOB runs and the
+    correction-bit buffer all reset per restart segment."""
+    w, h = 80, 56
+    img = _gradient(w, h, "prst")
+    base = decode_jpeg(encode_jpeg(img.tobytes(), w, h, 1, quality=85))
+    for ri in (1, 3, 7):
+        data = encode_jpeg_progressive(img.tobytes(), w, h, 1,
+                                       quality=85, restart_interval=ri)
+        assert b"\xff\xdd" in data
+        assert decode_jpeg(data)["raw"] == base["raw"], ri
+    rgb = np.stack([img] * 3, axis=-1)
+    b3 = decode_jpeg(encode_jpeg(rgb.tobytes(), w, h, 3, quality=85,
+                                 subsample="4:2:0"))
+    d3 = decode_jpeg(encode_jpeg_progressive(
+        rgb.tobytes(), w, h, 3, quality=85, subsample="4:2:0",
+        restart_interval=2))
+    assert d3["raw"] == b3["raw"]
+
+
+def test_progressive_noisy_high_detail():
+    """Noise maximizes nonzero AC coefficients → exercises ZRL-in-
+    refinement, correction-bit buffering and EOB-run edge cases that
+    smooth gradients never reach."""
+    rng = np.random.default_rng(42)
+    for ch, sub in [(1, "4:4:4"), (3, "4:4:4"), (3, "4:2:0")]:
+        px = rng.integers(0, 256, (56, 88, ch)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(px.tobytes(), 88, 56, ch,
+                                       quality=92, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(
+            px.tobytes(), 88, 56, ch, quality=92, subsample=sub))
+        assert prog["raw"] == base["raw"], (ch, sub)
+
+
+def test_progressive_rejections():
+    img = _gradient(32, 24, "prej")
+    good = encode_jpeg_progressive(img.tobytes(), 32, 24, 1, quality=85)
+    # truncated mid-scan → None (never an exception)
+    assert decode_jpeg(good[:-15]) is None
+    # every mid-stream byte flip decodes or rejects, never raises
+    for off in range(len(good) - 40, len(good) - 5):
+        bad = bytearray(good)
+        bad[off] ^= 0x55
+        out = decode_jpeg(bytes(bad))
+        assert out is None or len(out["raw"]) == 32 * 24
+    # an AC scan claiming two components violates T.81 G.1 → None
+    i = good.index(b"\xff\xda")  # first SOS (DC, ns=1 gray)
+    hacked = bytearray(good)
+    hacked[i + 4] = 2  # ns=2 with only one component declared
+    assert decode_jpeg(bytes(hacked)) is None
+
+
+# ------------------------------------ independent decoder parity (JDK)
+
+
+def _imageio_decode(spark, data: bytes):
+    """Decode JPEG bytes with the JVM's javax.imageio (an independent,
+    known-good decoder that ships with the Java 17 Spark already
+    requires), via the running session's py4j gateway. Reads the RAW
+    raster (getPixels), NOT getRGB — getRGB routes a grayscale image
+    through a linear-gray→sRGB ColorSpace conversion (128→188)."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    stream = jvm.java.io.ByteArrayInputStream(data)
+    img = jvm.javax.imageio.ImageIO.read(stream)
+    if img is None:
+        return None
+    w, h = img.getWidth(), img.getHeight()
+    raster = img.getRaster()
+    nb = raster.getNumBands()
+    arr = gw.new_array(gw.jvm.int, w * h * nb)
+    raster.getPixels(0, 0, w, h, arr)
+    return np.array(list(arr), np.int32).reshape(h, w, nb)
+
+
+def _ours(data):
+    dec = decode_jpeg(data)
+    return np.frombuffer(dec["raw"], np.uint8).reshape(
+        dec["height"], dec["width"], dec["channels"]).astype(np.int32)
+
+
+def test_jdk_parity_external_fixtures(spark):
+    """Committed fixtures from EXTERNAL encoders (CPython / IPython
+    test suites — real libjpeg-family output with its own huffman
+    tables and JFIF layout): ours vs javax.imageio. The gray 2×2 must
+    match exactly; the 4:2:0 16×16 logo differs only by chroma
+    upsampling style (JDK interpolates, we replicate — T.81 leaves
+    this to the implementation), so it gets a mean bound and an
+    exact-luma check instead of a pixel pin."""
+    data = (FIXTURES / "ext_gray_2x2.jpg").read_bytes()
+    theirs = _imageio_decode(spark, data)
+    ours = _ours(data)
+    assert theirs.shape == (2, 2, 1) and ours.shape == (2, 2, 1)
+    assert np.array_equal(theirs, ours)
+
+    data = (FIXTURES / "ext_rgb420_16x16.jpg").read_bytes()
+    theirs = _imageio_decode(spark, data)
+    ours = _ours(data)
+    assert theirs.shape == (16, 16, 3) and ours.shape == (16, 16, 3)
+    diff = np.abs(theirs - ours)
+    assert diff.mean() <= 8.0
+    luma = lambda a: a.astype(float) @ [0.299, 0.587, 0.114]  # noqa
+    y_diff = np.abs(luma(theirs) - luma(ours))
+    # luma is NOT subsampled in this file: only IDCT rounding + the
+    # chroma bleed through color conversion may differ
+    assert np.median(y_diff) <= 2.0
+
+
+def test_jdk_parity_our_encoder_baseline(spark):
+    """Our baseline output decoded by the JDK vs by us: at 4:4:4 the
+    only legal divergence is IDCT rounding — pin it at ±3."""
+    rng = np.random.default_rng(7)
+    g = (_gradient(64, 48, "jdkg").astype(float)
+         + rng.normal(0, 25, (48, 64))).clip(0, 255).astype(np.uint8)
+    data = encode_jpeg(g.tobytes(), 64, 48, 1, quality=85)
+    assert np.abs(_imageio_decode(spark, data) - _ours(data)).max() <= 3
+
+    rgb = rng.integers(0, 256, (40, 72, 3)).astype(np.uint8)
+    data = encode_jpeg(rgb.tobytes(), 72, 40, 3, quality=90,
+                       subsample="4:4:4", restart_interval=3)
+    assert np.abs(_imageio_decode(spark, data) - _ours(data)).max() <= 3
+
+
+def test_jdk_parity_our_encoder_progressive(spark):
+    """The NEW progressive writer/reader against the independent
+    decoder: if our EOB-run or correction-bit framing were wrong in
+    any direction, the JDK's decode would diverge wildly, not by ±3."""
+    rng = np.random.default_rng(11)
+    g = (_gradient(64, 48, "jdkp").astype(float)
+         + rng.normal(0, 25, (48, 64))).clip(0, 255).astype(np.uint8)
+    data = encode_jpeg_progressive(g.tobytes(), 64, 48, 1, quality=85)
+    assert np.abs(_imageio_decode(spark, data) - _ours(data)).max() <= 3
+
+    rgb = rng.integers(0, 256, (40, 72, 3)).astype(np.uint8)
+    data = encode_jpeg_progressive(rgb.tobytes(), 72, 40, 3, quality=90,
+                                   subsample="4:4:4")
+    assert np.abs(_imageio_decode(spark, data) - _ours(data)).max() <= 3
+    # 4:2:0 with restarts: JDK decodes it (stream well-formed), bounded
+    # loosely (upsampling styles differ on noise)
+    data = encode_jpeg_progressive(rgb.tobytes(), 72, 40, 3, quality=80,
+                                   subsample="4:2:0", restart_interval=3)
+    theirs = _imageio_decode(spark, data)
+    assert theirs is not None
+    assert np.abs(theirs - _ours(data)).mean() <= 16.0
 
 
 def test_external_decoder_parity():

@@ -1835,6 +1835,53 @@ class TestJBIG2Halftone:
         with _pytest.raises(JBIG2Error):  # no pattern dictionary yet
             decode_halftone_region(payload, (0, 0, []))
 
+    def test_halftone_work_budget(self):
+        """ADVICE r14: every individual geometry cap can pass while
+        TOTAL work (grid cells × gray planes for the pure-Python MQ
+        decode, grid cells × pattern area for the render loop) reaches
+        1e10+ operations — both phases must be budgeted up front,
+        before any plane decodes."""
+        import struct as _st
+
+        import pytest as _pytest
+
+        from ocr_vector_db_spark.sources.jbig2 import (
+            JBIG2Error,
+            decode_halftone_region,
+            encode_halftone_region,
+        )
+
+        pats = self._ramp_patterns(4, 4)
+        payload = encode_halftone_region(8, 8, [0, 1, 2, 3], 2, 2,
+                                         pats, 4, 4)
+        # 16M grid cells (passes the grid cap) × 8 planes of a 129-
+        # pattern dictionary → 134M MQ-decoded pixels: over budget
+        mut = bytearray(payload)
+        mut[18:26] = _st.pack(">II", 4096, 4096)
+        with _pytest.raises(JBIG2Error, match="work over budget"):
+            decode_halftone_region(bytes(mut), (4, 4, [pats[0]] * 129))
+        # 8M cells × 64-pixel patterns → 536M rendered pixels against
+        # an in-cap 64 MP region: over budget before the render loop
+        mut[18:26] = _st.pack(">II", 4096, 2048)
+        mut[0:8] = _st.pack(">II", 8192, 8192)
+        with _pytest.raises(JBIG2Error, match="work over budget"):
+            decode_halftone_region(bytes(mut), (8, 8, pats))
+
+    def test_halftone_writer_rejects_rectangular_cells(self):
+        """ADVICE r14: the writer's axis-aligned HRX=HDPW<<8, HRY=0
+        grid can only tile square cells; hdpw != hdph must raise, not
+        silently overlap/gap."""
+        import pytest as _pytest
+
+        from ocr_vector_db_spark.sources.jbig2 import (
+            JBIG2Error,
+            encode_halftone_region,
+        )
+
+        pats = [bytes(4 * 2)] * 2
+        with _pytest.raises(JBIG2Error, match="square cells"):
+            encode_halftone_region(8, 8, [0, 1, 0, 1], 2, 2, pats, 4, 2)
+
 
 class TestJBIG2TemplatesMMR:
     """Generic-region templates 1-3 + MMR regions (round 11)."""
