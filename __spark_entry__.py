@@ -69,6 +69,10 @@ _REVERIFY_FRONT: dict[str, int] = {
     # rows; the passthrough witness moved to an arithmetic SOF9 flip):
     # the driver must re-verify the new golden.
     "q157_jpeg_decode_neardup": 15,
+    # Round 15 also widened q156's golden AFTER its r14 green (IMA +
+    # MS ADPCM re-encodes now decode and fingerprint at Hamming 0 —
+    # 34 → 49 rows).
+    "q156_container_decode_roundtrip": 15,
     # (round 14's q156 entry cleared itself when CORRECTNESS_r14
     # recorded q156 green at the widened golden; removed in round 15.
     # Same for round 10's q23 entry, removed in round 11.)

@@ -2985,6 +2985,8 @@ def q155(spark, sf):
     "q156_container_decode_roundtrip",
     """
     SELECT * FROM (VALUES
+        ('afp', 'clip_ima', 'a5a26c76a334d938'),
+        ('afp', 'clip_ms', 'a5a26c76a334d938'),
         ('afp', 'clip_raw', 'a5a26c76a334d938'),
         ('afp', 'clip_wav', 'a5a26c76a334d938'),
         ('afp', 'clip_wav24', 'a5a26c76a334d938'),
@@ -2994,6 +2996,8 @@ def q155(spark, sf):
         ('dhash', 'img_png', '32ac6a22b2b55bda'),
         ('dhash', 'img_png_up', '32ac6a22b2b55bda'),
         ('dhash', 'img_raw', '32ac6a22b2b55bda'),
+        ('meta', 'clip_ima', 'pcm_s16le:16000:1:wav'),
+        ('meta', 'clip_ms', 'pcm_s16le:16000:1:wav'),
         ('meta', 'clip_wav', 'pcm_s16le:16000:1:wav'),
         ('meta', 'clip_wav24', 'pcm_s16le:16000:1:wav'),
         ('meta', 'clip_wav_loud', 'pcm_s16le:16000:1:wav'),
@@ -3001,6 +3005,17 @@ def q155(spark, sf):
         ('meta', 'img_png', 'raw:72x40:1:png'),
         ('meta', 'img_png_up', 'raw:144x80:1:png'),
         ('meta', 'stereo_wav', 'pcm_s16le:16000:2:wav'),
+        ('pair_audio', 'clip_ima~clip_ms', '0'),
+        ('pair_audio', 'clip_ima~clip_raw', '0'),
+        ('pair_audio', 'clip_ima~clip_wav', '0'),
+        ('pair_audio', 'clip_ima~clip_wav24', '0'),
+        ('pair_audio', 'clip_ima~clip_wav_loud', '0'),
+        ('pair_audio', 'clip_ima~stereo_wav', '0'),
+        ('pair_audio', 'clip_ms~clip_raw', '0'),
+        ('pair_audio', 'clip_ms~clip_wav', '0'),
+        ('pair_audio', 'clip_ms~clip_wav24', '0'),
+        ('pair_audio', 'clip_ms~clip_wav_loud', '0'),
+        ('pair_audio', 'clip_ms~stereo_wav', '0'),
         ('pair_audio', 'clip_raw~clip_wav', '0'),
         ('pair_audio', 'clip_raw~clip_wav24', '0'),
         ('pair_audio', 'clip_raw~clip_wav_loud', '0'),
@@ -3046,7 +3061,12 @@ def q156(spark, sf):
     through byte-identical (the exact-hash fallback still owns them);
     a 24-BIT WAV re-encode (r14) reduces to the identical s16 samples
     through the standard high-bits reduction and fingerprints at
-    Hamming 0 too. Codec round-trips across all five PNG filter types
+    Hamming 0 too; and — r15 — an IMA ADPCM and an MS ADPCM re-encode
+    of the same take (4:1 lossy telephony coding, `sources/adpcm.py`'s
+    block-wavefront decode) both land at Hamming 0: the energy
+    fingerprint absorbs the ~30 dB quantization noise, so a telephony
+    WAV re-encode dedups perceptually. Codec round-trips across all
+    five PNG filter types
     x all five color types x every legal bit depth x Adam7, WAV bit
     depths (8/24/32-int/float32) and chunk-walk edge cases (LIST
     chunks, word alignment, WAVE_FORMAT_EXTENSIBLE, crafted duplicate
@@ -3114,6 +3134,8 @@ def q156(spark, sf):
            + b"data" + _st.pack("<I", len(pcm24)) + pcm24
            + (b"\x00" if len(pcm24) & 1 else b""))
     wav24 = b"RIFF" + _st.pack("<I", len(w24)) + w24
+    from ocr_vector_db_spark.sources.adpcm import encode_wav_adpcm
+
     rows = [
         ("clip_raw", "audio", base,
          {"format": "pcm_s16le", "channels": "1", "sample_rate": "16000"}),
@@ -3121,6 +3143,10 @@ def q156(spark, sf):
         # by magic bytes, crawl metadata is untrusted
         ("clip_wav", "unknown", encode_wav(base, 16000, 1), {}),
         ("clip_wav24", "unknown", wav24, {}),
+        ("clip_ima", "unknown", encode_wav_adpcm(base, 16000, 1, "ima"),
+         {}),
+        ("clip_ms", "unknown", encode_wav_adpcm(base, 16000, 1, "ms"),
+         {}),
         ("clip_wav_loud", "unknown", encode_wav(loud, 16000, 1), {}),
         ("img_raw", "image", img,
          {"format": "raw", "channels": "1", "width": "72",

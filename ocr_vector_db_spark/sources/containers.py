@@ -28,7 +28,8 @@ path:
 Anything else (MP3/MP4 entropy coding) stays behind
 `multimodal.extract_features`'s pluggable decode seam, honestly out
 of scope. JPEG — baseline SOF0 and progressive SOF2 — lives in its
-own module (`sources/jpeg.py`) and is wired through the same
+own module (`sources/jpeg.py`) and IMA/MS ADPCM telephony WAV
+payloads in `sources/adpcm.py`; both are wired through the same
 `normalize_assets` pass.
 
 Scale shape: decode is per-ASSET work with zero cross-row state, so
@@ -102,9 +103,10 @@ def decode_wav(data: bytes) -> dict | None:
     high 16 bits (the standard bit-depth reduction — pure structure, no
     codec math); 32-bit IEEE float (format 3) scales to ±32767 with
     clipping; G.711 µ-law (7) / A-law (6) expand through their 256-entry
-    companding tables. None for actual entropy codecs (ADPCM,
-    MP3-in-WAV) and malformed files. Walks chunks with the
-    word-alignment rule; LIST/INFO and unknown chunks skip."""
+    companding tables; IMA (0x11) and MS (0x02) ADPCM decode through
+    `sources/adpcm.py`'s block-wavefront tables. None for actual
+    entropy codecs (MP3-in-WAV) and malformed files. Walks chunks with
+    the word-alignment rule; LIST/INFO and unknown chunks skip."""
     if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
     fmt = None
@@ -125,19 +127,21 @@ def decode_wav(data: bytes) -> dict | None:
             audio_format, channels, sample_rate = struct.unpack_from(
                 "<HHI", body, 0
             )
+            (block_align,) = struct.unpack_from("<H", body, 12)
             (bits,) = struct.unpack_from("<H", body, 14)
             # 0xFFFE = WAVE_FORMAT_EXTENSIBLE: PCM iff the 16-byte
             # sub-format GUID starts with the PCM tag
             if audio_format == 0xFFFE and size >= 40:
                 (sub,) = struct.unpack_from("<H", body, 24)
                 audio_format = sub
-            fmt = (audio_format, channels, sample_rate, bits)
+            fmt = (audio_format, channels, sample_rate, bits,
+                   block_align)
         elif cid == b"data" and pcm is None:
             pcm = body
         o += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or pcm is None:
         return None
-    audio_format, channels, sample_rate, bits = fmt
+    audio_format, channels, sample_rate, bits, block_align = fmt
     if channels < 1:
         return None
     if audio_format == 1 and bits in (8, 16, 24, 32):
@@ -176,8 +180,20 @@ def decode_wav(data: bytes) -> dict | None:
         usable = len(pcm) - (len(pcm) % channels)
         table = np.array(_G711[audio_format](), "<i2")
         pcm = table[np.frombuffer(pcm[:usable], np.uint8)].tobytes()
+    elif audio_format == 0x11 and bits == 4:  # IMA/DVI ADPCM
+        from ocr_vector_db_spark.sources.adpcm import decode_ima
+
+        pcm = decode_ima(pcm, channels, block_align)
+        if pcm is None:
+            return None
+    elif audio_format == 0x02 and bits == 4:  # Microsoft ADPCM
+        from ocr_vector_db_spark.sources.adpcm import decode_ms
+
+        pcm = decode_ms(pcm, channels, block_align)
+        if pcm is None:
+            return None
     else:
-        return None  # actual codecs (ADPCM/MP3-in-WAV/...) stay out
+        return None  # actual entropy codecs (MP3-in-WAV/...) stay out
     return {
         "pcm": pcm,
         "sample_rate": sample_rate,

@@ -490,6 +490,158 @@ def test_wav_bit_depth_reductions():
     assert decode_wav(wav_of(7, 16, bytes(8))) is None
 
 
+def _ref_ima_decode(data, channels, block_align):
+    """Independent per-sample scalar IMA decoder (straight from the
+    published reference algorithm) — pins the numpy block-wavefront."""
+    from ocr_vector_db_spark.sources.adpcm import IMA_INDEX, IMA_STEPS
+
+    out = []
+    bpc = (block_align - 4 * channels) // channels
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        blk = data[b0:b0 + block_align]
+        preds, idxs, nibs = [], [], []
+        for c in range(channels):
+            preds.append(struct.unpack_from("<h", blk, 4 * c)[0])
+            idxs.append(min(88, blk[4 * c + 2]))
+        payload = blk[4 * channels:]
+        for c in range(channels):
+            if channels == 1:
+                chb = payload
+            else:
+                chb = b"".join(
+                    payload[g + 4 * c:g + 4 * c + 4]
+                    for g in range(0, len(payload), 4 * channels))
+            ns = []
+            for byte in chb:
+                ns += [byte & 0x0F, byte >> 4]
+            nibs.append(ns)
+        samples = [[preds[c]] for c in range(channels)]
+        for c in range(channels):
+            pred, idx = preds[c], idxs[c]
+            for n in nibs[c]:
+                step = IMA_STEPS[idx]
+                diff = step >> 3
+                if n & 4:
+                    diff += step
+                if n & 2:
+                    diff += step >> 1
+                if n & 1:
+                    diff += step >> 2
+                pred = max(-32768, min(32767,
+                                       pred - diff if n & 8
+                                       else pred + diff))
+                idx = max(0, min(88, idx + IMA_INDEX[n & 7]))
+                samples[c].append(pred)
+        for s in range(bpc * 2 + 1):
+            for c in range(channels):
+                out.append(samples[c][s])
+    return b"".join(v.to_bytes(2, "little", signed=True) for v in out)
+
+
+def test_adpcm_ima_matches_scalar_reference():
+    """The numpy wavefront decode must equal a scalar per-sample
+    reference on arbitrary payload bytes (not just our encoder's
+    output), mono and stereo."""
+    import numpy as np
+
+    from ocr_vector_db_spark.sources.adpcm import decode_ima
+
+    rng = np.random.default_rng(5)
+    for channels, block_align in [(1, 256), (2, 136), (1, 12)]:
+        data = bytes(rng.integers(0, 256,
+                                  block_align * 3).astype(np.uint8))
+        # clamp header index bytes into range like real encoders do
+        data = bytearray(data)
+        for b0 in range(0, len(data), block_align):
+            for c in range(channels):
+                data[b0 + 4 * c + 2] %= 89
+        data = bytes(data)
+        assert decode_ima(data, channels, block_align) == \
+            _ref_ima_decode(data, channels, block_align), \
+            (channels, block_align)
+
+
+def test_adpcm_round_trips_through_decode_wav():
+    """encode_wav_adpcm → decode_wav recovers the take within codec
+    SNR for both codecs, mono and stereo, including the short final
+    block; geometry lies return None instead of mis-decoding."""
+    import numpy as np
+
+    from ocr_vector_db_spark.sources.adpcm import encode_wav_adpcm
+
+    t = np.arange(13337)  # NOT a block multiple: ragged final block
+    base = np.clip(6000 * np.sin(t / 23) + 3000 * np.sin(t / 7.3),
+                   -32768, 32767).astype("<i2")
+    for channels in (1, 2):
+        pcm = (np.repeat(base, channels).astype("<i2").tobytes()
+               if channels == 2 else base.tobytes())
+        ref = np.frombuffer(pcm, "<i2").astype(float)
+        for codec in ("ima", "ms"):
+            wav = encode_wav_adpcm(pcm, 16000, channels, codec)
+            got = decode_wav(wav)
+            assert got["channels"] == channels
+            assert got["sample_rate"] == 16000
+            out = np.frombuffer(got["pcm"], "<i2").astype(float)
+            m = min(len(out), len(ref))
+            # length matches to within the final byte/group padding
+            assert abs(len(out) - len(ref)) <= 16 * channels
+            err = out[:m] - ref[:m]
+            snr = 10 * np.log10(np.mean(ref[:m] ** 2)
+                                / max(1e-9, np.mean(err ** 2)))
+            assert snr > 25.0, (codec, channels, snr)
+            assert len(wav) < len(pcm) // 3  # ~4:1 coding
+
+    # geometry rejections: block_align not covering the header, a
+    # crafted giant block_align, stereo payload off the 4-byte grid
+    from ocr_vector_db_spark.sources.adpcm import decode_ima, decode_ms
+
+    assert decode_ima(bytes(64), 1, 4) is None
+    assert decode_ima(bytes(64), 1, 2 << 20) is None
+    assert decode_ima(bytes(64), 2, 14) is None  # (14-8)%8 != 0
+    assert decode_ms(bytes(64), 1, 7) is None
+    assert decode_ms(bytes(64), 1, 2 << 20) is None
+
+    # an ADPCM fmt with the wrong bit depth is malformed → None
+    wav = encode_wav_adpcm(base.tobytes(), 16000, 1, "ima")
+    i = wav.index(b"fmt ")
+    bad = bytearray(wav)
+    struct.pack_into("<H", bad, i + 8 + 14, 16)  # wBitsPerSample
+    assert decode_wav(bytes(bad)) is None
+
+
+def test_adpcm_ms_truncating_predictor():
+    """MS ADPCM's predictor is spec'd as /256 with C truncation toward
+    zero; floor division would round negative predictors down one —
+    pin a block whose running predictor goes negative."""
+    import numpy as np
+
+    from ocr_vector_db_spark.sources.adpcm import (
+        MS_ADAPT,
+        MS_COEFS,
+        decode_ms,
+    )
+
+    # hand-build one mono block: predictor idx 1 (coef 512,-256) so the
+    # prediction mixes both history samples; seeds straddle zero
+    block = bytes([1]) + struct.pack("<hhh", 64, -300, 500)
+    payload = bytes([0x7F, 0x18, 0xE3])
+    data = block + payload
+    got = np.frombuffer(decode_ms(data, 1, len(data)), "<i2").tolist()
+    # scalar reference with explicit trunc-toward-zero
+    c1, c2 = MS_COEFS[1]
+    delta, s1, s2 = 64, -300, 500
+    want = [500, -300]
+    for n in [7, 0xF, 1, 8, 0xE, 3]:
+        sn = n - 16 if n >= 8 else n
+        p = s1 * c1 + s2 * c2
+        p = -((-p) // 256) if p < 0 else p // 256
+        cur = max(-32768, min(32767, p + sn * delta))
+        s2, s1 = s1, cur
+        delta = max(16, (MS_ADAPT[n] * delta) >> 8)
+        want.append(cur)
+    assert got == want
+
+
 def test_normalize_assets_decodes_and_passes_through(spark):
     """Container rows decode to raw twins with identical perceptual
     signatures (the q156 contract); undecodable rows pass through
