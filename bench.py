@@ -209,8 +209,14 @@ HEADLINE = [
     # round 14 addition: baseline JPEG decode (SOF0 huffman + numpy IDCT)
     # through normalize_assets + the PDF /DCTDecode composition, with the
     # near-dup pair join (constant-size fixtures; tracked for the
-    # entropy-decode Python path)
+    # entropy-decode Python path); r15 widens its golden with progressive
+    # (SOF2) re-encodes decoding through the same projection
     "q157_jpeg_decode_neardup",
+    # round 15 addition: TIFF container decode (CCITT G4/G3 + LZW +
+    # PackBits + JPEG-in-TIFF strips, multi-page) through
+    # normalize_assets — the scanner-archive decode path (constant-size
+    # fixtures; tracked for strip-walk and codec-reuse regressions)
+    "q158_tiff_decode_neardup",
 ]
 
 

@@ -3386,3 +3386,164 @@ def q157(spark, sf):
         .unionByName(passthru)
         .orderBy("item", "key")
     )
+
+
+@query(
+    "q158_tiff_decode_neardup",
+    """
+    SELECT * FROM (VALUES
+        ('dhash', 'bil_raw', '42004285a0228810'),
+        ('dhash', 'img_raw', 'ad6a8d4e9a5a8935'),
+        ('dhash', 'tif_g3', '42004285a0228810'),
+        ('dhash', 'tif_g4', '42004285a0228810'),
+        ('dhash', 'tif_jpg', 'ad6a8d4e9a5a8935'),
+        ('dhash', 'tif_lzw', 'ad6a8d4e9a5a8935'),
+        ('dhash', 'tif_multi', 'ad6a8d4e9a5a8935'),
+        ('dhash', 'tif_pb', 'ad6a8d4e9a5a8935'),
+        ('dhash', 'tif_raw', 'ad6a8d4e9a5a8935'),
+        ('meta', 'tif_g3', 'raw:72x40:1:tiff:1'),
+        ('meta', 'tif_g4', 'raw:72x40:1:tiff:1'),
+        ('meta', 'tif_jpg', 'raw:72x40:1:tiff:1'),
+        ('meta', 'tif_lzw', 'raw:72x40:1:tiff:1'),
+        ('meta', 'tif_multi', 'raw:72x40:1:tiff:2'),
+        ('meta', 'tif_pb', 'raw:72x40:1:tiff:1'),
+        ('meta', 'tif_raw', 'raw:72x40:1:tiff:1'),
+        ('pair', 'bil_raw~tif_g3', '0'),
+        ('pair', 'bil_raw~tif_g4', '0'),
+        ('pair', 'img_raw~tif_jpg', '0'),
+        ('pair', 'img_raw~tif_lzw', '0'),
+        ('pair', 'img_raw~tif_multi', '0'),
+        ('pair', 'img_raw~tif_pb', '0'),
+        ('pair', 'img_raw~tif_raw', '0'),
+        ('pair', 'tif_g3~tif_g4', '0'),
+        ('pair', 'tif_jpg~tif_lzw', '0'),
+        ('pair', 'tif_jpg~tif_multi', '0'),
+        ('pair', 'tif_jpg~tif_pb', '0'),
+        ('pair', 'tif_jpg~tif_raw', '0'),
+        ('pair', 'tif_lzw~tif_multi', '0'),
+        ('pair', 'tif_lzw~tif_pb', '0'),
+        ('pair', 'tif_lzw~tif_raw', '0'),
+        ('pair', 'tif_multi~tif_pb', '0'),
+        ('pair', 'tif_multi~tif_raw', '0'),
+        ('pair', 'tif_pb~tif_raw', '0'),
+        ('passthrough', 'bad_tif', 'true')
+    ) AS t(item, key, detail)
+    ORDER BY item, key
+    """,
+)
+def q158(spark, sf):
+    """TIFF container decode + near-dup (golden VALUES oracle) — the
+    SCANNER archive format (`sources/tiff.py`), wired through
+    `normalize_assets` like PNG/JPEG (q156/q157). TIFF strips reuse
+    codecs this repo already certified: CCITT G4/G3 (`sources/
+    ccitt.py`, the fax compressions 4/3), MSB-first early-change LZW
+    (`sources/pdf_decode.py` — PDF §7.4.4.2 with EarlyChange=1 is
+    bit-identical to TIFF 6.0 §13), baseline JPEG-in-TIFF
+    (compression 7, `sources/jpeg.py`), plus PackBits RLE. Pinned: a
+    gray page re-encoded as raw / PackBits / multi-strip LZW TIFF
+    decodes to IDENTICAL pixels (lossless → same dHash), a
+    JPEG-in-TIFF re-encode lands at Hamming 0 on these cell-rendered
+    fixtures (lossy, q157's contract), a BILEVEL rendition of a second
+    page round-trips through G4 AND G3 fax coding to the same dHash
+    as its thresholded raw twin, the first page of a MULTI-PAGE scan
+    (pages=2 in metadata) dedups against the single-page family, and
+    a corrupt TIFF passes through byte-identical to the exact-hash
+    path. Strip math, FillOrder 2, 16-bit reduction, big-endian, and
+    every rejection class are pinned by tests/test_tiff.py. Reference
+    parity: none — the reference hands scans to an external OCR
+    service; this is the multimodal brief's decode step for the
+    scanner archive format."""
+    import hashlib
+
+    from ocr_vector_db_spark.operators.image_hash import (
+        asset_raw_frames,
+        dhash_signatures_mixed,
+        phash_near_dup_pairs,
+    )
+    from ocr_vector_db_spark.sources.containers import normalize_assets
+    from ocr_vector_db_spark.sources.tiff import (
+        TIFF_MAGIC_LE,
+        encode_tiff,
+        encode_tiff_pages,
+    )
+
+    def mat(seed):
+        return [
+            [hashlib.md5(f"{seed}:{x}:{y}".encode()).digest()[0] % 200
+             + 10 for x in range(9)]
+            for y in range(8)
+        ]
+
+    def render(m, w, h):
+        return bytes(
+            m[y * 8 // h][x * 9 // w] for y in range(h) for x in range(w)
+        )
+
+    gray = render(mat("page-T"), 72, 40)
+    bil = bytes(0 if b < 110 else 255 for b in render(mat("page-U"),
+                                                     72, 40))
+    pages = [
+        {"raw": gray, "width": 72, "height": 40, "channels": 1},
+        {"raw": bil, "width": 72, "height": 40, "channels": 1},
+    ]
+    rows = [
+        ("img_raw", "image", gray,
+         {"format": "raw", "channels": "1", "width": "72",
+          "height": "40"}),
+        ("bil_raw", "image", bil,
+         {"format": "raw", "channels": "1", "width": "72",
+          "height": "40"}),
+        # kind unknown on container rows: magic-byte detection only
+        ("tif_raw", "unknown", encode_tiff(gray, 72, 40, 1, "none"),
+         {}),
+        ("tif_pb", "unknown", encode_tiff(gray, 72, 40, 1, "packbits"),
+         {}),
+        ("tif_lzw", "unknown",
+         encode_tiff(gray, 72, 40, 1, "lzw", rows_per_strip=16), {}),
+        ("tif_jpg", "unknown",
+         encode_tiff(gray, 72, 40, 1, "jpeg", quality=90), {}),
+        ("tif_g4", "unknown", encode_tiff(bil, 72, 40, 1, "g4"), {}),
+        ("tif_g3", "unknown", encode_tiff(bil, 72, 40, 1, "g3"), {}),
+        ("tif_multi", "unknown", encode_tiff_pages(pages, "lzw"), {}),
+        ("bad_tif", "unknown", TIFF_MAGIC_LE + b"not a real tiff", {}),
+    ]
+    adf = spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    norm = normalize_assets(adf).cache()
+    sigs = dhash_signatures_mixed(asset_raw_frames(norm))
+    pairs = phash_near_dup_pairs(sigs, r=6)
+    md = F.col("metadata")
+    meta = norm.filter(md["container"] == "tiff").select(
+        F.lit("meta").alias("item"), F.col("asset_id").alias("key"),
+        F.concat_ws(
+            ":", md["format"],
+            F.concat_ws("x", md["width"], md["height"]),
+            md["channels"], md["container"], md["pages"],
+        ).alias("detail"),
+    )
+    passthru = (
+        norm.select("asset_id", F.col("data").alias("d_norm"))
+        .join(adf.select("asset_id", F.col("data").alias("d_in")),
+              "asset_id")
+        .filter(F.col("asset_id") == "bad_tif")
+        .select(
+            F.lit("passthrough").alias("item"),
+            F.col("asset_id").alias("key"),
+            (F.col("d_norm") == F.col("d_in")).cast("string")
+            .alias("detail"),
+        )
+    )
+    return (
+        sigs.select(F.lit("dhash").alias("item"), F.col("id").alias("key"),
+                    F.col("dhash").alias("detail"))
+        .unionByName(pairs.select(
+            F.lit("pair").alias("item"),
+            F.concat_ws("~", "id_a", "id_b").alias("key"),
+            F.col("hamming").cast("string").alias("detail")))
+        .unionByName(meta)
+        .unionByName(passthru)
+        .orderBy("item", "key")
+    )

@@ -28,9 +28,10 @@ path:
 Anything else (MP3/MP4 entropy coding) stays behind
 `multimodal.extract_features`'s pluggable decode seam, honestly out
 of scope. JPEG — baseline SOF0 and progressive SOF2 — lives in its
-own module (`sources/jpeg.py`) and IMA/MS ADPCM telephony WAV
-payloads in `sources/adpcm.py`; both are wired through the same
-`normalize_assets` pass.
+own module (`sources/jpeg.py`), TIFF (the scanner archive format,
+reusing the CCITT/LZW/JPEG codecs) in `sources/tiff.py`, and IMA/MS
+ADPCM telephony WAV payloads in `sources/adpcm.py`; all are wired
+through the same `normalize_assets` pass.
 
 Scale shape: decode is per-ASSET work with zero cross-row state, so
 `normalize_assets` runs it as one Arrow-batched `mapInPandas` pass —
@@ -641,6 +642,10 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
       kind=image, data=raw pixels, same metadata shape
       (+container=jpeg); arithmetic/unsupported JPEGs pass through
       byte-identical.
+    - TIFF (`sources/tiff.py` — the scanner archive format; CCITT/
+      LZW/PackBits/JPEG strips) → kind=image, data=page-0 raw pixels,
+      same metadata shape (+container=tiff, +pages=N so multi-page
+      scans are discoverable; `extract_tiff_pages` owns page fan-out).
 
     Per-asset decode, zero cross-row state → one Arrow-batched
     mapInPandas pass; partitioning, pushdown and every downstream
@@ -649,6 +654,12 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
 
     from ocr_vector_db_spark.sources.jpeg import JPEG_MAGIC, decode_jpeg
     from ocr_vector_db_spark.sources.multimodal import ASSET_SCHEMA
+    from ocr_vector_db_spark.sources.tiff import (
+        TIFF_MAGIC_BE,
+        TIFF_MAGIC_LE,
+        decode_tiff,
+        n_tiff_pages,
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -671,10 +682,21 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
                         )
                 elif raw.startswith(PNG_MAGIC) or raw.startswith(
                     JPEG_MAGIC
+                ) or raw.startswith(TIFF_MAGIC_LE) or raw.startswith(
+                    TIFF_MAGIC_BE
                 ):
-                    is_png = raw.startswith(PNG_MAGIC)
-                    dec = decode_png(raw) if is_png else decode_jpeg(raw)
+                    if raw.startswith(PNG_MAGIC):
+                        container = "png"
+                        dec = decode_png(raw)
+                    elif raw.startswith(JPEG_MAGIC):
+                        container = "jpeg"
+                        dec = decode_jpeg(raw)
+                    else:
+                        container = "tiff"
+                        dec = decode_tiff(raw)
                     if dec is not None:
+                        if container == "tiff":
+                            meta["pages"] = str(n_tiff_pages(raw))
                         kind = "image"
                         raw = dec["raw"]
                         meta.update(
@@ -682,7 +704,7 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
                             width=str(dec["width"]),
                             height=str(dec["height"]),
                             channels=str(dec["channels"]),
-                            container="png" if is_png else "jpeg",
+                            container=container,
                         )
                 kinds.append(kind)
                 datas.append(raw)
@@ -736,9 +758,9 @@ def normalize_clip_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
 
 def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
     """`normalize_assets` for the SLIM raster row shape the streaming
-    gate consumes (id, data, width, height[, channels]): PNG and
-    JPEG (baseline + progressive) payloads are replaced by their raw
-    pixels with
+    gate consumes (id, data, width, height[, channels]): PNG, JPEG
+    (baseline + progressive) and TIFF payloads are replaced by their
+    raw pixels with
     width/height (and channels, when the column rides along)
     overwritten from the container header — a container row's declared
     dims are untrusted. RGB decodes are kept only when a `channels`
@@ -748,6 +770,11 @@ def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
     import pandas as pd
 
     from ocr_vector_db_spark.sources.jpeg import JPEG_MAGIC, decode_jpeg
+    from ocr_vector_db_spark.sources.tiff import (
+        TIFF_MAGIC_BE,
+        TIFF_MAGIC_LE,
+        decode_tiff,
+    )
 
     has_ch = "channels" in df.columns
 
@@ -766,6 +793,9 @@ def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
                     dec = decode_png(raw)
                 elif raw.startswith(JPEG_MAGIC):
                     dec = decode_jpeg(raw)
+                elif raw.startswith(TIFF_MAGIC_LE) or raw.startswith(
+                        TIFF_MAGIC_BE):
+                    dec = decode_tiff(raw)
                 else:
                     continue
                 if dec is None or (dec["channels"] == 3 and not has_ch):

@@ -738,7 +738,15 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes | None:
                 return None
             out += entry
             prev = entry
-            if (len(table) + early_change >= (1 << width) - 1
+            # width bump: the ENCODER widens after adding entry value
+            # 511 (spec: "increase ... when it adds entry 511", early
+            # change); the decoder lags one entry behind, so it widens
+            # after ITS table adds value 510 — len(table) == 511.
+            # (r15: was >= (1<<width)-1, one entry EARLY on both sides
+            # of our pair — self-consistent, so round trips never saw
+            # it, but real-world streams crossing a width boundary
+            # misaligned; caught by javax.imageio TIFF parity.)
+            if (len(table) + early_change >= (1 << width)
                     and width < 12):
                 width += 1
     return bytes(out)    # tolerated: EOD marker missing at end of data
@@ -1678,7 +1686,10 @@ def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
         bits.append((table[w], width))
         table[wc] = next_code
         next_code += 1
-        if next_code >= (1 << width) - early_change and width < 12:
+        # mirror of _lzw_decode's bump: widen after ADDING entry value
+        # (1<<width) - early_change, i.e. next_code passes 512-1+1 for
+        # the early-change default (see the decoder comment; r15 fix)
+        if next_code + early_change >= (1 << width) + 1 and width < 12:
             width += 1
         if next_code >= 4096 - early_change:  # table full → reset
             bits.append((256, width))

@@ -230,11 +230,18 @@ AUDITS = [
      "extra exchange, no cartesian; undecodable rows pass through the "
      "same projection untouched"),
     ("q157_jpeg_decode_neardup",
-     "baseline-JPEG decode rides the SAME per-asset mapInPandas "
-     "projection as q156 (zero cross-row state — huffman/IDCT cost is "
-     "per row, numpy-batched per component); signatures and the banded "
-     "near-dup join are q150's certified shapes; progressive rows pass "
-     "through the same projection untouched"),
+     "JPEG decode — baseline SOF0 and (r15) progressive SOF2 — rides "
+     "the SAME per-asset mapInPandas projection as q156 (zero "
+     "cross-row state — huffman/IDCT cost is per row, numpy-batched "
+     "per component); signatures and the banded near-dup join are "
+     "q150's certified shapes; arithmetic rows pass through the same "
+     "projection untouched"),
+    ("q158_tiff_decode_neardup",
+     "TIFF strip decode (CCITT G3/G4, LZW, PackBits, JPEG-in-TIFF) is "
+     "per-asset work on the SAME Arrow-batched mapInPandas projection "
+     "as q156/q157 — the strip loop lives inside one asset's decode, "
+     "never as rows; signatures and the banded near-dup join are "
+     "q150's certified shapes; corrupt TIFFs pass through untouched"),
 ]
 
 KEY_LINE = re.compile(
