@@ -217,6 +217,10 @@ HEADLINE = [
     # normalize_assets — the scanner-archive decode path (constant-size
     # fixtures; tracked for strip-walk and codec-reuse regressions)
     "q158_tiff_decode_neardup",
+    # round 15 addition: GIF decode (LSB-first LZW, interlace,
+    # animation→video) through normalize_assets into BOTH the image and
+    # the q155 video near-dup stacks (constant-size fixtures)
+    "q159_gif_decode_neardup",
 ]
 
 

@@ -3547,3 +3547,143 @@ def q158(spark, sf):
         .unionByName(passthru)
         .orderBy("item", "key")
     )
+
+
+@query(
+    "q159_gif_decode_neardup",
+    """
+    SELECT * FROM (VALUES
+        ('dhash', 'gif_img', '4acb57d418a8cdce'),
+        ('dhash', 'gif_inter', '4acb57d418a8cdce'),
+        ('dhash', 'img_raw', '4acb57d418a8cdce'),
+        ('meta', 'gif_img', 'image:raw:72x40:1:1'),
+        ('meta', 'gif_inter', 'image:raw:72x40:1:1'),
+        ('meta', 'vid_gif', 'video:raw:36x24:1:8'),
+        ('pair_image', 'gif_img~gif_inter', '0'),
+        ('pair_image', 'gif_img~img_raw', '0'),
+        ('pair_image', 'gif_inter~img_raw', '0'),
+        ('pair_video', 'vid_gif~vid_raw', '4/4@1.0'),
+        ('passthrough', 'bad_gif', 'true'),
+        ('video', 'vid_gif', '4'),
+        ('video', 'vid_raw', '4')
+    ) AS t(item, key, detail)
+    ORDER BY item, key
+    """,
+)
+def q159(spark, sf):
+    """GIF container decode + near-dup (golden VALUES oracle) —
+    closing the crawl-image container matrix (PNG q156, JPEG q157,
+    TIFF q158; `sources/gif.py`): the LSB-first GIF LZW variant
+    (variable min code size, no early change, deferred clear),
+    palette frames, interlacing, and ANIMATION. Pinned: a gray page
+    re-encoded as a static GIF and as an INTERLACED GIF decodes to
+    identical pixels (all-gray palette collapses to one channel, the
+    PNG precedent) and dedups at Hamming 0 with the raw twin; an
+    animated gray GIF of an indexed clip's frames becomes a raw VIDEO
+    row through `normalize_assets` (concatenated frame buffers +
+    n_frames metadata) and lands as a full-match aligned pair against
+    the raw video through q155's certified frame-sample + banded join;
+    a corrupt GIF passes through byte-identical. LZW bit-level parity,
+    disposal/transparency composition and every rejection class are
+    pinned by tests/test_gif.py (incl. byte-exact bidirectional
+    javax.imageio parity). Reference parity: none — the reference has
+    no image surface; this is the multimodal brief's decode step for
+    the last common crawl image container."""
+    import hashlib
+
+    from ocr_vector_db_spark.operators.image_hash import (
+        asset_raw_frames,
+        dhash_signatures_mixed,
+        phash_near_dup_pairs,
+    )
+    from ocr_vector_db_spark.operators.video_hash import (
+        asset_video_frames,
+        video_frame_signatures,
+        video_near_dup_pairs,
+    )
+    from ocr_vector_db_spark.sources.containers import normalize_assets
+    from ocr_vector_db_spark.sources.gif import encode_gif
+
+    def mat(seed):
+        return [
+            [hashlib.md5(f"{seed}:{x}:{y}".encode()).digest()[0] % 200
+             + 10 for x in range(9)]
+            for y in range(8)
+        ]
+
+    def render(m, w, h):
+        return bytes(
+            m[y * 8 // h][x * 9 // w] for y in range(h) for x in range(w)
+        )
+
+    img = render(mat("page-G"), 72, 40)
+    nf = 8
+    vid_frames = [render(mat(f"clip-G:{i}"), 36, 24) for i in range(nf)]
+    rows = [
+        ("img_raw", "image", img,
+         {"format": "raw", "channels": "1", "width": "72",
+          "height": "40"}),
+        ("gif_img", "unknown", encode_gif(img, 72, 40, 1), {}),
+        ("gif_inter", "unknown",
+         encode_gif(img, 72, 40, 1, interlace=True), {}),
+        ("vid_raw", "video", b"".join(vid_frames),
+         {"format": "raw", "channels": "1", "width": "36",
+          "height": "24", "n_frames": str(nf), "fps": "1"}),
+        ("vid_gif", "unknown", encode_gif(vid_frames, 36, 24, 1), {}),
+        ("bad_gif", "unknown", b"GIF89a not a real gif", {}),
+    ]
+    adf = spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    norm = normalize_assets(adf).cache()
+    sigs = dhash_signatures_mixed(asset_raw_frames(norm))
+    ipairs = phash_near_dup_pairs(sigs, r=6)
+    vsigs = video_frame_signatures(asset_video_frames(norm, every=2))
+    vpairs = video_near_dup_pairs(vsigs, r=4, min_frac=0.6)
+    md = F.col("metadata")
+    meta = norm.filter(md["container"] == "gif").select(
+        F.lit("meta").alias("item"), F.col("asset_id").alias("key"),
+        F.concat_ws(
+            ":", F.col("kind"), md["format"],
+            F.concat_ws("x", md["width"], md["height"]),
+            md["channels"], md["n_frames"],
+        ).alias("detail"),
+    )
+    passthru = (
+        norm.select("asset_id", F.col("data").alias("d_norm"))
+        .join(adf.select("asset_id", F.col("data").alias("d_in")),
+              "asset_id")
+        .filter(F.col("asset_id") == "bad_gif")
+        .select(
+            F.lit("passthrough").alias("item"),
+            F.col("asset_id").alias("key"),
+            (F.col("d_norm") == F.col("d_in")).cast("string")
+            .alias("detail"),
+        )
+    )
+    return (
+        sigs.select(F.lit("dhash").alias("item"), F.col("id").alias("key"),
+                    F.col("dhash").alias("detail"))
+        .unionByName(ipairs.select(
+            F.lit("pair_image").alias("item"),
+            F.concat_ws("~", "id_a", "id_b").alias("key"),
+            F.col("hamming").cast("string").alias("detail")))
+        .unionByName(vsigs.groupBy("asset_id").agg(
+            F.count("*").alias("n")).select(
+            F.lit("video").alias("item"),
+            F.col("asset_id").alias("key"),
+            F.col("n").cast("string").alias("detail")))
+        .unionByName(vpairs.select(
+            F.lit("pair_video").alias("item"),
+            F.concat_ws("~", "id_a", "id_b").alias("key"),
+            F.concat_ws(
+                "", F.col("matched").cast("string"), F.lit("/"),
+                F.least("n_a", "n_b").cast("string"), F.lit("@"),
+                F.round("frac", 6).cast("string"),
+            ).alias("detail")))
+        .unionByName(meta)
+        .unionByName(passthru)
+        .orderBy("item", "key")
+    )

@@ -29,9 +29,11 @@ Anything else (MP3/MP4 entropy coding) stays behind
 `multimodal.extract_features`'s pluggable decode seam, honestly out
 of scope. JPEG — baseline SOF0 and progressive SOF2 — lives in its
 own module (`sources/jpeg.py`), TIFF (the scanner archive format,
-reusing the CCITT/LZW/JPEG codecs) in `sources/tiff.py`, and IMA/MS
-ADPCM telephony WAV payloads in `sources/adpcm.py`; all are wired
-through the same `normalize_assets` pass.
+reusing the CCITT/LZW/JPEG codecs) in `sources/tiff.py`, GIF (static
++ animated; animated gray GIFs become raw VIDEO rows) in
+`sources/gif.py`, and IMA/MS ADPCM telephony WAV payloads in
+`sources/adpcm.py`; all are wired through the same
+`normalize_assets` pass.
 
 Scale shape: decode is per-ASSET work with zero cross-row state, so
 `normalize_assets` runs it as one Arrow-batched `mapInPandas` pass —
@@ -646,12 +648,21 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
       LZW/PackBits/JPEG strips) → kind=image, data=page-0 raw pixels,
       same metadata shape (+container=tiff, +pages=N so multi-page
       scans are discoverable; `extract_tiff_pages` owns page fan-out).
+    - GIF (`sources/gif.py`) → a single frame decodes like the other
+      image containers (all-gray palettes collapse to one channel);
+      an ANIMATED gray GIF becomes kind=video with the concatenated
+      frame buffers + n_frames — the exact raw-video shape the q155
+      aligned near-dup stack samples (+container=gif).
 
     Per-asset decode, zero cross-row state → one Arrow-batched
     mapInPandas pass; partitioning, pushdown and every downstream
     operator shape are untouched."""
     import pandas as pd
 
+    from ocr_vector_db_spark.sources.gif import (
+        GIF_MAGICS,
+        decode_gif_asset,
+    )
     from ocr_vector_db_spark.sources.jpeg import JPEG_MAGIC, decode_jpeg
     from ocr_vector_db_spark.sources.multimodal import ASSET_SCHEMA
     from ocr_vector_db_spark.sources.tiff import (
@@ -706,6 +717,21 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
                             channels=str(dec["channels"]),
                             container=container,
                         )
+                elif raw[:6] in GIF_MAGICS:
+                    dec = decode_gif_asset(raw)
+                    if dec is not None:
+                        kind = dec["kind"]  # image, or video if an
+                        raw = dec["raw"]    # animated gray GIF
+                        meta.update(
+                            format="raw",
+                            width=str(dec["width"]),
+                            height=str(dec["height"]),
+                            channels=str(dec["channels"]),
+                            n_frames=str(dec["n_frames"]),
+                            container="gif",
+                        )
+                        if kind == "video":
+                            meta.setdefault("fps", "1")
                 kinds.append(kind)
                 datas.append(raw)
                 metas.append(meta)
@@ -759,8 +785,8 @@ def normalize_clip_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
 def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
     """`normalize_assets` for the SLIM raster row shape the streaming
     gate consumes (id, data, width, height[, channels]): PNG, JPEG
-    (baseline + progressive) and TIFF payloads are replaced by their
-    raw pixels with
+    (baseline + progressive), TIFF and GIF (first frame) payloads are
+    replaced by their raw pixels with
     width/height (and channels, when the column rides along)
     overwritten from the container header — a container row's declared
     dims are untrusted. RGB decodes are kept only when a `channels`
@@ -769,6 +795,7 @@ def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
     through unchanged."""
     import pandas as pd
 
+    from ocr_vector_db_spark.sources.gif import GIF_MAGICS, decode_gif
     from ocr_vector_db_spark.sources.jpeg import JPEG_MAGIC, decode_jpeg
     from ocr_vector_db_spark.sources.tiff import (
         TIFF_MAGIC_BE,
@@ -796,7 +823,9 @@ def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
                 elif raw.startswith(TIFF_MAGIC_LE) or raw.startswith(
                         TIFF_MAGIC_BE):
                     dec = decode_tiff(raw)
-                else:
+                elif raw[:6] in GIF_MAGICS:
+                    dec = decode_gif(raw)  # first frame (slim raster
+                else:                      # rows are single-image)
                     continue
                 if dec is None or (dec["channels"] == 3 and not has_ch):
                     continue

@@ -242,6 +242,13 @@ AUDITS = [
      "as q156/q157 — the strip loop lives inside one asset's decode, "
      "never as rows; signatures and the banded near-dup join are "
      "q150's certified shapes; corrupt TIFFs pass through untouched"),
+    ("q159_gif_decode_neardup",
+     "GIF decode (LSB-first LZW, palettes, interlace, animation) is "
+     "per-asset work on the q156-q158 mapInPandas projection; an "
+     "animated gray GIF becomes a raw VIDEO row there, so the video "
+     "path is q155's certified shapes end to end — frame-sample by "
+     "byte-offset BINARY slice, per-frame dHash, temporally-ALIGNED "
+     "(frame_idx, band, value) equi-join, never all-pairs"),
 ]
 
 KEY_LINE = re.compile(
