@@ -1126,13 +1126,23 @@ def cmd_stream_ingest_video(args) -> int:
             n_buckets=args.buckets, every=args.every,
             min_frac=args.min_frac,
         )
+    from ocr_vector_db_spark.sources.containers import (
+        normalize_video_rows,
+    )
+
     stats: list = []
     q = stream_ingest_asset_dedup(
-        spark.readStream
-        .schema("asset_id string, data binary, width int, height int, "
-                "n_frames int")
-        .option("maxFilesPerTrigger", args.files_per_batch)
-        .parquet(args.source),
+        # animated gray GIFs (magic-byte detected) decode to raw frame
+        # buffers with width/height/n_frames overwritten from the
+        # container before the gate — a GIF re-encode of an indexed
+        # clip dedups perceptually instead of falling to the exact path
+        normalize_video_rows(
+            spark.readStream
+            .schema("asset_id string, data binary, width int, "
+                    "height int, n_frames int")
+            .option("maxFilesPerTrigger", args.files_per_batch)
+            .parquet(args.source)
+        ),
         idx,
         ParquetAcceptedSink(paths["accepted"]),
         stats=stats,

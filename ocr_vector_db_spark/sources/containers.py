@@ -842,3 +842,49 @@ def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, df.schema)
+
+
+def normalize_video_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """`normalize_assets` for the SLIM video row shape the streaming
+    gate consumes (id, data, width, height, n_frames): ANIMATED gray
+    GIF payloads (magic-byte detected) are replaced by their
+    concatenated raw frame buffers with width/height/n_frames
+    OVERWRITTEN from the container — declared dims are untrusted — so
+    a GIF re-encode of an indexed clip arriving on the video stream
+    dedups perceptually through the aligned frame gate instead of
+    falling to the exact-byte path. Single-frame or color GIFs (no
+    gray-video shape to offer) and everything undecodable pass through
+    unchanged. Same Arrow-batched per-asset grain,
+    streaming-compatible."""
+    import pandas as pd
+
+    from ocr_vector_db_spark.sources.gif import (
+        GIF_MAGICS,
+        decode_gif_asset,
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            datas = list(pdf[data_col])
+            ws = list(pdf["width"])
+            hs = list(pdf["height"])
+            nfs = list(pdf["n_frames"])
+            for i, data in enumerate(datas):
+                raw = bytes(data) if data is not None else None
+                if raw is None or raw[:6] not in GIF_MAGICS:
+                    continue
+                dec = decode_gif_asset(raw)
+                if dec is None or dec["kind"] != "video":
+                    continue
+                datas[i] = dec["raw"]
+                ws[i] = dec["width"]
+                hs[i] = dec["height"]
+                nfs[i] = dec["n_frames"]
+            pdf[data_col] = datas
+            pdf["width"] = ws
+            pdf["height"] = hs
+            pdf["n_frames"] = nfs
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)

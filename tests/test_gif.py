@@ -174,6 +174,103 @@ def test_normalize_assets_decodes_gif(spark):
     assert bytes(got["bad"].data) == b"GIF89a junk"
 
 
+def test_normalize_video_rows_slim_shape(spark):
+    """The video streaming gate's slim row shape (id, data, width,
+    height, n_frames): an animated gray GIF payload swaps to raw frame
+    buffers with the header dims OVERWRITING the row's (untrusted)
+    declared ones; a single-frame GIF and a non-GIF row pass through
+    unchanged."""
+    from ocr_vector_db_spark.sources.containers import (
+        normalize_video_rows,
+    )
+
+    img = _gradient(36, 24)
+    frames = [np.roll(img, i * 2, axis=1).tobytes() for i in range(5)]
+    anim = encode_gif(frames, 36, 24, 1)
+    still = encode_gif(frames[0], 36, 24, 1)
+    rawvid = b"".join(frames)
+    rows = [
+        # declared dims LIE (1x1x1) — the container header must win
+        ("anim", anim, 1, 1, 1),
+        ("still", still, 9, 9, 9),
+        ("raw", rawvid, 36, 24, 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id string, data binary, width int, height int, "
+        "n_frames int",
+    )
+    got = {r.asset_id: r for r in normalize_video_rows(df).collect()}
+    assert bytes(got["anim"].data) == rawvid
+    assert (got["anim"].width, got["anim"].height,
+            got["anim"].n_frames) == (36, 24, 5)
+    assert bytes(got["still"].data) == still  # no gray-video shape
+    assert (got["still"].width, got["still"].height) == (9, 9)
+    assert bytes(got["raw"].data) == rawvid  # passthrough
+
+
+def test_stream_gate_dedups_animated_gif(spark, tmp_path):
+    """End-to-end through the streaming VIDEO gate with the CLI's
+    normalize_video_rows wiring: an animated-GIF re-encode of an
+    INDEXED raw clip is dropped perceptually through the aligned
+    frame-hash screen — before this seam it fell to the exact-hash
+    path and was wrongly accepted. The GIF row's declared dims lie
+    (the container header wins)."""
+    import shutil
+
+    from ocr_vector_db_spark.operators.video_hash import VideoFpIndex
+    from ocr_vector_db_spark.sources.containers import (
+        normalize_video_rows,
+    )
+    from ocr_vector_db_spark.streaming.assets import (
+        exact_video_key,
+        hashable_videos_pred,
+        stream_ingest_asset_dedup,
+    )
+    from ocr_vector_db_spark.streaming.pipeline import ParquetAcceptedSink
+
+    base = _gradient(36, 24)
+    frames = [np.roll(base, i * 3, axis=1).tobytes() for i in range(8)]
+    rawvid = b"".join(frames)
+    other = [np.roll(255 - base, i * 5, axis=0).tobytes()
+             for i in range(8)]
+    clips = spark.createDataFrame(
+        [("orig", rawvid, 36, 24, 8)],
+        "asset_id string, data binary, width int, height int, "
+        "n_frames int",
+    )
+    idx = VideoFpIndex.build(spark, clips, str(tmp_path / "vfp_gif"),
+                             r=4, n_buckets=8, every=2, min_frac=0.6)
+
+    stage = tmp_path / "gif_stage"
+    spark.createDataFrame(
+        [("re_encode_gif", encode_gif(frames, 36, 24, 1), 1, 1, 1),
+         ("novel", b"".join(other), 36, 24, 8)],
+        "asset_id string, data binary, width int, height int, "
+        "n_frames int",
+    ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+    src = tmp_path / "gif_src"
+    src.mkdir()
+    shutil.copy(next(stage.glob("part-*.parquet")), src / "b0.parquet")
+
+    stats: list = []
+    sink = ParquetAcceptedSink(str(tmp_path / "gif_acc"))
+    q = stream_ingest_asset_dedup(
+        normalize_video_rows(
+            spark.readStream
+            .schema("asset_id string, data binary, width int, "
+                    "height int, n_frames int")
+            .parquet(str(src))
+        ),
+        idx, sink, stats=stats, checkpoint=str(tmp_path / "gif_ckpt"),
+        hashable_pred=hashable_videos_pred, exact_key=exact_video_key,
+    )
+    q.awaitTermination(60)
+    assert stats[-1]["accepted"] == 1
+    assert stats[-1]["dropped_as_dup"] == 1  # the GIF re-encode
+    assert [r.asset_id for r in sink.read(spark).collect()] == ["novel"]
+
+
 def test_jdk_gif_parity_both_directions(spark):
     """javax.imageio's GIF codec (independent, in every JRE since 1.4):
     our encoder's output decodes byte-exactly there (static, interlaced,
