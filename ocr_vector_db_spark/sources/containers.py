@@ -888,3 +888,64 @@ def normalize_video_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, df.schema)
+
+
+def explode_tiff_pages(assets: DataFrame,
+                       max_pages: int = 64) -> DataFrame:
+    """ASSET_SCHEMA rows carrying multi-page TIFFs → one ASSET_SCHEMA
+    row PER DECODABLE PAGE (`asset_id#p{i}`, kind=image, raw pixels,
+    page/pages metadata); every non-TIFF row passes through unchanged.
+
+    Complements `normalize_assets`, which rewrites a TIFF row to its
+    page-0 pixels: a scanned 40-page fax archive becomes 40 separately
+    dedupable page assets here, each feeding the q150 perceptual stack
+    on its own — the scanner-archive sibling of the PDF image
+    extraction. mapInPandas legitimately changes cardinality, so the
+    fan-out stays one Arrow-batched per-asset pass with zero cross-row
+    state; undecodable pages are skipped (partial archives still index
+    their good pages)."""
+    import pandas as pd
+
+    from ocr_vector_db_spark.sources.multimodal import ASSET_SCHEMA
+    from ocr_vector_db_spark.sources.tiff import (
+        TIFF_MAGIC_BE,
+        TIFF_MAGIC_LE,
+        extract_tiff_pages,
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, kinds, datas, metas = [], [], [], []
+            for aid, kind, data, meta in zip(
+                pdf["asset_id"], pdf["kind"], pdf["data"],
+                pdf["metadata"]
+            ):
+                raw = bytes(data) if data is not None else b""
+                meta = dict(meta) if meta is not None else {}
+                if not (raw.startswith(TIFF_MAGIC_LE)
+                        or raw.startswith(TIFF_MAGIC_BE)):
+                    ids.append(aid)
+                    kinds.append(kind)
+                    datas.append(raw)
+                    metas.append(meta)
+                    continue
+                pages = extract_tiff_pages(raw, max_pages=max_pages)
+                if not pages:  # corrupt TIFF: exact-hash path owns it
+                    ids.append(aid)
+                    kinds.append(kind)
+                    datas.append(raw)
+                    metas.append(meta)
+                    continue
+                for pg in pages:
+                    ids.append(f"{aid}#p{pg['page']}")
+                    kinds.append("image")
+                    datas.append(pg["data"])
+                    metas.append({**meta, **pg["metadata"]})
+            yield pd.DataFrame({
+                "asset_id": ids,
+                "kind": kinds,
+                "data": datas,
+                "metadata": metas,
+            })
+
+    return assets.mapInPandas(run, ASSET_SCHEMA)

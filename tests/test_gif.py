@@ -147,6 +147,58 @@ def test_rejections_return_none_never_raise():
     assert decode_gif(bytes(big)) is None
 
 
+def test_gif_mutation_fuzz_never_raises():
+    """Seeded 2k-mutation no-raise fuzz over static, interlaced and
+    animated streams (LZW table state, sub-block walk, composition
+    bounds all see hostile bytes)."""
+    img = _gradient(28, 18)
+    frames = [np.roll(img, i * 2, axis=1).tobytes() for i in range(4)]
+    corpus = [
+        encode_gif(img.tobytes(), 28, 18, 1),
+        encode_gif(img.tobytes(), 28, 18, 1, interlace=True),
+        encode_gif(frames, 28, 18, 1),
+    ]
+    rng = np.random.default_rng(29)
+    for _ in range(2000):
+        base = corpus[int(rng.integers(len(corpus)))]
+        bad = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            bad[int(rng.integers(len(bad)))] = int(rng.integers(256))
+        try:
+            out = decode_gif(bytes(bad))
+            extract_gif_frames(bytes(bad), max_frames=8)
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(f"raised: {exc!r}")
+        assert out is None or isinstance(out["raw"], bytes)
+
+
+def test_adpcm_wav_mutation_fuzz_never_raises():
+    """Same discipline for the ADPCM WAV dispatch (fmt lies, block
+    geometry, payload corruption)."""
+    from ocr_vector_db_spark.sources.adpcm import encode_wav_adpcm
+    from ocr_vector_db_spark.sources.containers import decode_wav
+
+    t = np.arange(4000)
+    pcm = np.clip(6000 * np.sin(t / 23), -32768, 32767).astype(
+        "<i2").tobytes()
+    corpus = [
+        encode_wav_adpcm(pcm, 16000, 1, "ima"),
+        encode_wav_adpcm(pcm, 16000, 1, "ms"),
+        encode_wav_adpcm(pcm + pcm, 16000, 2, "ima"),
+    ]
+    rng = np.random.default_rng(31)
+    for _ in range(2000):
+        base = corpus[int(rng.integers(len(corpus)))]
+        bad = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            bad[int(rng.integers(len(bad)))] = int(rng.integers(256))
+        try:
+            out = decode_wav(bytes(bad))
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(f"raised: {exc!r}")
+        assert out is None or isinstance(out["pcm"], bytes)
+
+
 def test_normalize_assets_decodes_gif(spark):
     from ocr_vector_db_spark.sources.containers import normalize_assets
 

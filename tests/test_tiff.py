@@ -313,6 +313,34 @@ def test_rejections_return_none_never_raise():
     assert decode_tiff(bytes(big)) is None
 
 
+def test_tiff_mutation_fuzz_never_raises():
+    """Seeded 2k-mutation no-raise fuzz across every compression —
+    the r14 JPEG fuzz discipline applied to the TIFF walk (IFD bounds,
+    strip offsets, codec dispatch all see hostile bytes)."""
+    img = _gradient(28, 18)
+    bil = ((img > 127) * 255).astype(np.uint8)
+    corpus = [
+        encode_tiff(img.tobytes(), 28, 18, 1, "none"),
+        encode_tiff(img.tobytes(), 28, 18, 1, "packbits"),
+        encode_tiff(img.tobytes(), 28, 18, 1, "lzw", rows_per_strip=5),
+        encode_tiff(img.tobytes(), 28, 18, 1, "jpeg"),
+        encode_tiff(bil.tobytes(), 28, 18, 1, "g4"),
+        encode_tiff(bil.tobytes(), 28, 18, 1, "g3"),
+    ]
+    rng = np.random.default_rng(23)
+    for _ in range(2000):
+        base = corpus[int(rng.integers(len(corpus)))]
+        bad = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            bad[int(rng.integers(len(bad)))] = int(rng.integers(256))
+        try:
+            out = decode_tiff(bytes(bad))
+            n_tiff_pages(bytes(bad))
+        except Exception as exc:  # pragma: no cover
+            raise AssertionError(f"raised: {exc!r}")
+        assert out is None or isinstance(out["raw"], bytes)
+
+
 def test_normalize_assets_decodes_tiff(spark):
     from ocr_vector_db_spark.sources.containers import (
         normalize_assets,
@@ -355,6 +383,64 @@ def test_normalize_assets_decodes_tiff(spark):
     out = normalize_frame_rows(fdf).collect()[0]
     assert (out.width, out.height) == (40, 24)  # header wins over row
     assert bytes(out.data) == img.tobytes()
+
+
+def test_explode_tiff_pages_fan_out(spark):
+    """Multi-page fan-out: a 3-page TIFF becomes three image rows
+    (asset_id#pN, per-page dims/metadata) that dedup INDIVIDUALLY
+    against their raw twins through the perceptual stack; non-TIFF and
+    corrupt-TIFF rows pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    from ocr_vector_db_spark.operators.image_hash import (
+        asset_raw_frames,
+        dhash_signatures_mixed,
+    )
+    from ocr_vector_db_spark.sources.containers import (
+        explode_tiff_pages,
+    )
+
+    img = _gradient(40, 24)
+    pages = [
+        {"raw": img.tobytes(), "width": 40, "height": 24,
+         "channels": 1},
+        {"raw": (255 - img).tobytes(), "width": 40, "height": 24,
+         "channels": 1},
+        {"raw": np.roll(img, 7, 1).tobytes(), "width": 40,
+         "height": 24, "channels": 1},
+    ]
+    rows = [
+        ("fax", "unknown", encode_tiff_pages(pages, "lzw"),
+         {"src": "s"}),
+        ("plain", "text", b"not a tiff", {"k": "v"}),
+        ("broken", "unknown", TIFF_MAGIC_LE + b"junk", {}),
+        # raw twin of page 1 — must pair with fax#p1's signature
+        ("p1_raw", "image", (255 - img).tobytes(),
+         {"format": "raw", "channels": "1", "width": "40",
+          "height": "24"}),
+    ]
+    adf = spark.createDataFrame(
+        rows,
+        "asset_id string, kind string, data binary, "
+        "metadata map<string,string>",
+    )
+    got = {r.asset_id: r for r in explode_tiff_pages(adf).collect()}
+    assert set(got) == {"fax#p0", "fax#p1", "fax#p2", "plain",
+                       "broken", "p1_raw"}
+    for i in range(3):
+        r = got[f"fax#p{i}"]
+        md = dict(r.metadata)
+        assert (r.kind, md["page"], md["pages"], md["src"]) == (
+            "image", str(i), "3", "s")
+        assert bytes(r.data) == pages[i]["raw"]
+    assert bytes(got["plain"].data) == b"not a tiff"
+    assert dict(got["plain"].metadata) == {"k": "v"}
+    assert bytes(got["broken"].data) == TIFF_MAGIC_LE + b"junk"
+
+    sigs = {r.id: r.dhash for r in dhash_signatures_mixed(
+        asset_raw_frames(explode_tiff_pages(adf))).collect()}
+    assert sigs["fax#p1"] == sigs["p1_raw"]  # per-page dedup works
+    _ = F
 
 
 def test_jdk_imageio_tiff_parity(spark):
