@@ -653,12 +653,16 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
       an ANIMATED gray GIF becomes kind=video with the concatenated
       frame buffers + n_frames — the exact raw-video shape the q155
       aligned near-dup stack samples (+container=gif).
+    - BMP (`sources/bmp.py` — legacy Windows rasters; 1/4/8-bit
+      palette, 24/32-bit BGR, RLE8) → kind=image, same metadata shape
+      (+container=bmp).
 
     Per-asset decode, zero cross-row state → one Arrow-batched
     mapInPandas pass; partitioning, pushdown and every downstream
     operator shape are untouched."""
     import pandas as pd
 
+    from ocr_vector_db_spark.sources.bmp import BMP_MAGIC, decode_bmp
     from ocr_vector_db_spark.sources.gif import (
         GIF_MAGICS,
         decode_gif_asset,
@@ -695,13 +699,16 @@ def normalize_assets(assets: DataFrame) -> DataFrame:
                     JPEG_MAGIC
                 ) or raw.startswith(TIFF_MAGIC_LE) or raw.startswith(
                     TIFF_MAGIC_BE
-                ):
+                ) or raw.startswith(BMP_MAGIC):
                     if raw.startswith(PNG_MAGIC):
                         container = "png"
                         dec = decode_png(raw)
                     elif raw.startswith(JPEG_MAGIC):
                         container = "jpeg"
                         dec = decode_jpeg(raw)
+                    elif raw.startswith(BMP_MAGIC):
+                        container = "bmp"
+                        dec = decode_bmp(raw)
                     else:
                         container = "tiff"
                         dec = decode_tiff(raw)
@@ -785,8 +792,8 @@ def normalize_clip_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
 def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
     """`normalize_assets` for the SLIM raster row shape the streaming
     gate consumes (id, data, width, height[, channels]): PNG, JPEG
-    (baseline + progressive), TIFF and GIF (first frame) payloads are
-    replaced by their raw pixels with
+    (baseline + progressive), TIFF, GIF (first frame) and BMP payloads
+    are replaced by their raw pixels with
     width/height (and channels, when the column rides along)
     overwritten from the container header — a container row's declared
     dims are untrusted. RGB decodes are kept only when a `channels`
@@ -795,6 +802,7 @@ def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
     through unchanged."""
     import pandas as pd
 
+    from ocr_vector_db_spark.sources.bmp import BMP_MAGIC, decode_bmp
     from ocr_vector_db_spark.sources.gif import GIF_MAGICS, decode_gif
     from ocr_vector_db_spark.sources.jpeg import JPEG_MAGIC, decode_jpeg
     from ocr_vector_db_spark.sources.tiff import (
@@ -825,7 +833,9 @@ def normalize_frame_rows(df: DataFrame, data_col: str = "data") -> DataFrame:
                     dec = decode_tiff(raw)
                 elif raw[:6] in GIF_MAGICS:
                     dec = decode_gif(raw)  # first frame (slim raster
-                else:                      # rows are single-image)
+                elif raw.startswith(BMP_MAGIC):  # rows: single-image)
+                    dec = decode_bmp(raw)
+                else:
                     continue
                 if dec is None or (dec["channels"] == 3 and not has_ch):
                     continue
