@@ -157,7 +157,15 @@ def standardize_embeddings(
     L2 and rounded to 6 dp — ready for cosine ANN/dedup. Pass `stats`
     to reuse a precomputed (or training-corpus) profile; by default the
     profile is fit on `df` itself (one agg, dim rows)."""
+    from ocr_vector_db_spark.session import spread_for_compute
+
     stats = stats if stats is not None else dim_stats(df, emb_col)
+    # The apply pass is interpreted higher-order-function math (~4·dim
+    # element ops per row, no codegen) — by far the most expensive
+    # map-only stage in this module. Floor its parallelism: a
+    # single-row-group input otherwise runs the whole corpus transform
+    # on ONE core (no-op on any already-parallel input; guide §2).
+    src = spread_for_compute(df.select(id_col, emb_col))
     return with_standardized(
-        df.select(id_col, emb_col), emb_col, "unit_std", stats
+        src, emb_col, "unit_std", stats
     ).select(id_col, "unit_std")

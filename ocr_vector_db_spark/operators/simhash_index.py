@@ -49,7 +49,12 @@ from ocr_vector_db_spark.operators.minhash_index import _error_condition
 
 def _sigs_of(docs: DataFrame, bits: int, id_col: str,
              text_col: str) -> DataFrame:
-    return docs.select(
+    from ocr_vector_db_spark.session import spread_for_compute
+
+    # tokenize+md5 per token is the expensive map stage of every
+    # build/add/screen — floor its parallelism (no-op when the batch
+    # already arrives in >= defaultParallelism splits; guide §2)
+    return spread_for_compute(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         simhash_col(F.col(text_col), bits).alias("simhash"),
     )

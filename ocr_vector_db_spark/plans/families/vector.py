@@ -229,8 +229,12 @@ def _simhash_sql(bits: int = 16) -> str:
 @query("q21_simhash_signatures", _simhash_sql(16))
 def q21(spark, sf):
     """16-bit SimHash signature per document (hex-digit-parity bits)."""
+    from ocr_vector_db_spark.session import spread_for_compute
+
     d = load_table(spark, sf, "documents")
-    return d.select("doc_id", dedup.simhash_col(F.col("text"), 16).alias("simhash"))
+    return spread_for_compute(d.select("doc_id", "text")).select(
+        "doc_id", dedup.simhash_col(F.col("text"), 16).alias("simhash")
+    )
 
 
 @query(

@@ -128,3 +128,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         df = spark.read.parquet(path)
     _TABLE_CACHE[key] = df
     return df
+
+
+def spread_for_compute(df, target: int | None = None):
+    """Floor the partition count ahead of an EXPENSIVE per-row compute
+    stage (guide §2: make partitioning scale-adaptive, not a constant
+    tuned for one deployment).
+
+    A small table often arrives as ONE scan task (a single parquet
+    row-group — exactly the local testdata shape), which serializes the
+    whole downstream map stage on one core no matter how many the
+    cluster has. When the input already carries >= defaultParallelism
+    partitions (any real multi-file table at cluster scale) this is a
+    NO-OP — no exchange is added, so the 100 TB plan shape is unchanged;
+    only an under-partitioned input pays one slim round-robin shuffle
+    (deterministic under retries: sort-before-repartition, SPARK-23207).
+    The `_doc_shingles` spread-before-fanout rationale, made adaptive."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target)
