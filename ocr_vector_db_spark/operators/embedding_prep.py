@@ -95,34 +95,54 @@ def with_standardized(
     common-subexpression elimination), so a single Column expression
     referencing z twice — once under the norm fold, once under the
     output transform — would compute the zip_with chain twice per row
-    (measured ~30% on the q120 bench)."""
+    (measured ~30% on the q120 bench).
+
+    The norm, in turn, must NEVER be referenced from inside a
+    per-element lambda (optimization r15): CollapseProject inlines a
+    textually-single-use column into its reference site, and a lambda
+    body re-evaluates per ELEMENT — the previous
+    ``transform(z, x / nrm_col)`` form re-ran the 64-op sum-of-squares
+    fold (plus sqrt and the zero guard) once per element per row after
+    collapsing (~8k interpreted ops/row; measured 3.4× on the q120
+    apply pass). Now the sum of squares is a temp column referenced
+    TWICE (non-cheap + multi-use, so CollapseProject keeps the
+    projection boundary) and the divisor enters the element math as a
+    ``zip_with`` against ``array_repeat(divisor, dim)`` — generator
+    arguments evaluate once per ROW. Same IEEE ops in the same order:
+    left-fold sum of squares, sqrt, zero-norm → 1.0 guard (ss == 0 iff
+    sqrt(ss) == 0 on non-negative doubles), per-element divide, ROUND
+    HALF_UP to 6 dp."""
     mu = F.array(*[F.lit(m) for m, _ in stats])
     sd = F.array(*[F.lit(s) for _, s in stats])
     v = F.col(src_col).cast("array<double>")
     z = F.zip_with(F.zip_with(v, mu, lambda a, b: a - b), sd,
                    lambda a, b: a / b)
-    ztmp, ntmp = "__std_z", "__std_nrm"
-    clash = {ztmp, ntmp} & set(df.columns)
+    ztmp, stmp = "__std_z", "__std_ss"
+    clash = {ztmp, stmp} & set(df.columns)
     if clash:
         raise ValueError(
             f"with_standardized: input columns {sorted(clash)} collide "
             "with internal helper names; rename them first."
         )
-    nrm = F.sqrt(F.aggregate(F.col(ztmp), F.lit(0.0),
-                             lambda acc, x: acc + x * x))
+    ss = F.aggregate(F.col(ztmp), F.lit(0.0), lambda acc, x: acc + x * x)
     # zero-norm guard (assign_nearest_centroid's `or 1.0` discipline): a
     # row equal to the corpus mean standardizes to the zero vector —
     # emit it as zeros, not a silent all-null array from x/0
-    nrm = F.when(nrm != 0.0, nrm).otherwise(F.lit(1.0))
+    divisor = F.when(F.col(stmp) != 0.0, F.sqrt(F.col(stmp))).otherwise(
+        F.lit(1.0)
+    )
     return (
         df.withColumn(ztmp, z)
-        .withColumn(ntmp, nrm)
+        .withColumn(stmp, ss)
         .withColumn(
             dst_col,
-            F.transform(F.col(ztmp),
-                        lambda x: F.round(x / F.col(ntmp), 6)),
+            F.zip_with(
+                F.col(ztmp),
+                F.array_repeat(divisor, len(stats)),
+                lambda x, n: F.round(x / n, 6),
+            ),
         )
-        .drop(ztmp, ntmp)
+        .drop(ztmp, stmp)
     )
 
 

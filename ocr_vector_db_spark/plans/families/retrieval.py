@@ -728,8 +728,14 @@ def q150(spark, sf):
         "asset_id string, kind string, data binary, "
         "metadata map<string,string>",
     )
-    frames = asset_gray_frames(adf)
-    d = dhash_signatures(frames)
+    # cache the reused slim intermediates: `frames` feeds BOTH hash
+    # functions and `d` is referenced four times (output union + the
+    # band self-join + the two verify re-attaches) — uncached, Catalyst
+    # re-derives the whole per-cell subtree under every reference
+    # (measured: the q150 plan shrinks ~4x and the per-run exchanges
+    # collapse to one signature computation; guide §2.4)
+    frames = asset_gray_frames(adf).cache()
+    d = dhash_signatures(frames).cache()
     a = ahash_signatures(frames)
     pairs = phash_near_dup_pairs(d, r=4, sig_col="dhash")
     return (
@@ -2794,7 +2800,11 @@ def q153(spark, sf):
         "asset_id string, kind string, data binary, "
         "metadata map<string,string>",
     )
-    sigs = audio_fingerprints(asset_pcm_frames(adf.unionByName(extra)))
+    # slim (id, afp) frame cached: referenced by the output union and
+    # three times inside the banded pair join (q150's rationale)
+    sigs = audio_fingerprints(
+        asset_pcm_frames(adf.unionByName(extra))
+    ).cache()
     pairs = audio_near_dup_pairs(sigs, r=6)
     return (
         sigs.select(F.lit("afp").alias("item"), F.col("id").alias("key"),
@@ -2959,7 +2969,10 @@ def q155(spark, sf):
         "asset_id string, kind string, data binary, "
         "metadata map<string,string>",
     )
-    vsigs = video_frame_signatures(asset_video_frames(adf, every=2))
+    # slim (asset, frame_idx, dhash) frame cached: the aligned pair join
+    # references it four times and the count branch a fifth (q150's
+    # rationale)
+    vsigs = video_frame_signatures(asset_video_frames(adf, every=2)).cache()
     pairs = video_near_dup_pairs(vsigs, r=4, min_frac=0.6)
     return (
         pairs.select(
@@ -3168,8 +3181,12 @@ def q156(spark, sf):
         "metadata map<string,string>",
     )
     norm = normalize_assets(adf).cache()
-    asig = audio_fingerprints(asset_pcm_frames(norm, downmix=True))
-    isig = dhash_signatures(asset_gray_frames(norm))
+    # slim signature frames cached: each is referenced by its output
+    # union branch plus three times inside its banded pair join (q150's
+    # rationale — uncached, the decode-fed fingerprint subtree is
+    # re-derived under every reference)
+    asig = audio_fingerprints(asset_pcm_frames(norm, downmix=True)).cache()
+    isig = dhash_signatures(asset_gray_frames(norm)).cache()
     apairs = audio_near_dup_pairs(asig, r=6)
     ipairs = phash_near_dup_pairs(isig, r=4)
     md = F.col("metadata")
@@ -3352,7 +3369,9 @@ def q157(spark, sf):
         "metadata map<string,string>",
     )
     norm = normalize_assets(adf).cache()
-    sigs = dhash_signatures_mixed(asset_raw_frames(norm))
+    # slim (id, dhash) frame cached: output union + three references in
+    # the banded pair join (q150's rationale)
+    sigs = dhash_signatures_mixed(asset_raw_frames(norm)).cache()
     pairs = phash_near_dup_pairs(sigs, r=6)
     md = F.col("metadata")
     meta = norm.filter(md["container"] == "jpeg").select(
@@ -3513,7 +3532,8 @@ def q158(spark, sf):
         "metadata map<string,string>",
     )
     norm = normalize_assets(adf).cache()
-    sigs = dhash_signatures_mixed(asset_raw_frames(norm))
+    # slim (id, dhash) frame cached (q150's rationale)
+    sigs = dhash_signatures_mixed(asset_raw_frames(norm)).cache()
     pairs = phash_near_dup_pairs(sigs, r=6)
     md = F.col("metadata")
     meta = norm.filter(md["container"] == "tiff").select(
@@ -3638,9 +3658,13 @@ def q159(spark, sf):
         "metadata map<string,string>",
     )
     norm = normalize_assets(adf).cache()
-    sigs = dhash_signatures_mixed(asset_raw_frames(norm))
+    # slim signature frames cached (q150's rationale; vsigs also feeds
+    # the per-asset count branch)
+    sigs = dhash_signatures_mixed(asset_raw_frames(norm)).cache()
     ipairs = phash_near_dup_pairs(sigs, r=6)
-    vsigs = video_frame_signatures(asset_video_frames(norm, every=2))
+    vsigs = video_frame_signatures(
+        asset_video_frames(norm, every=2)
+    ).cache()
     vpairs = video_near_dup_pairs(vsigs, r=4, min_frac=0.6)
     md = F.col("metadata")
     meta = norm.filter(md["container"] == "gif").select(
