@@ -499,16 +499,25 @@ class IVFPQIndex:
             )
         )
 
-        def _tbl(mi: int, start: int, width: int):
-            sub = F.slice(F.col("__resid"), start, width)
-            return F.transform(
-                self.pq._codebook_lit(mi), lambda c: PQIndex._dist2(sub, c)
+        def _tbl(mi: int, start: int, width: int) -> str:
+            # one generated-SQL parse for the m per-subspace ADC tables
+            # (q66's finding, same as encode_col): the per-Column form
+            # cost ~0.6 s of Py4J lambda machinery per plan construction;
+            # the parsed tree (slice → zip_with squared-diff fold →
+            # transform over the literal codebook) is PQIndex._dist2's
+            # identical expression shape and float-op order.
+            sub = f"slice(`__resid`, {start}, {width})"
+            return (
+                f"transform({self.pq._codebook_sql(mi)}, "
+                f"c -> aggregate(zip_with({sub}, c, "
+                f"(a, b) -> (a - b) * (a - b)), 0.0D, "
+                f"(acc, x) -> acc + x))"
             )
 
-        tables = F.array(*[
+        tables = F.expr("array(" + ",".join(
             _tbl(mi, start, width)
             for mi, (start, width) in enumerate(_sub_slices(self.pq.dim, self.pq.m))
-        ])
+        ) + ")")
         probe_tables = pairs.select(
             F.col(query_id), F.col("cluster_id"), tables.alias("__tables")
         )

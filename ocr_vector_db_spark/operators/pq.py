@@ -127,11 +127,24 @@ class PQIndex:
 
     # -------------------------------------------------------------- encode
 
-    def _codebook_lit(self, mi: int) -> Column:
-        """Subspace codebook as a literal array<array<double>> (K × dim/M)."""
-        return F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in self.codebooks[mi]]
+    def _codebook_sql(self, mi: int) -> str:
+        """Subspace codebook as a SQL literal array<array<double>>
+        (K × dim/M). `repr(float)` is the shortest round-tripping
+        decimal, so the parsed doubles are bit-identical to the former
+        Python-side ``F.lit`` literals."""
+        rows = ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in self.codebooks[mi]
         )
+        return f"array({rows})"
+
+    def _codebook_lit(self, mi: int) -> Column:
+        """Subspace codebook as a literal Column — generated SQL, one
+        parse (q66's finding): the former
+        ``F.array(*[F.array(*[F.lit(x) ...])])`` form cost ~145 Py4J
+        round trips per subspace (~90 ms — ~0.7 s per encode_col at
+        M=8), re-paid on every plan construction."""
+        return F.expr(self._codebook_sql(mi))
 
     @staticmethod
     def _dist2(sub: Column, centroid: Column) -> Column:
@@ -142,20 +155,46 @@ class PQIndex:
             lambda acc, x: acc + x,
         )
 
-    def encode_col(self, emb: Column) -> Column:
+    def encode_col(self, emb: Column | str) -> Column:
         """array<int> of M codes (argmin centroid per subspace).
 
         Distances are computed with higher-order functions over a literal
         codebook array rather than M·K·width unrolled scalar terms — the
-        expression (and the task binary / codegen unit) stays O(M) sized."""
-        v = emb.cast("array<double>")
+        expression (and the task binary / codegen unit) stays O(M) sized.
+
+        The whole expression is ONE generated-SQL parse (q66's finding;
+        optimization r15): the per-Column form cost ~0.7 s of Py4J round
+        trips per construction (literal codebooks + the Py4J lambda
+        machinery of 2·M higher-order functions), re-paid on every
+        build/add/serving plan. The parsed tree — slice, zip_with
+        squared-diff fold, transform over the codebook, 1-based
+        array_position of array_min — is the identical expression shape
+        and float-op order. Accepts a Column (must be a simple named
+        column reference) or a column name."""
+        name = (
+            emb if isinstance(emb, str)
+            else emb._jc.toString()  # e.g. "embedding" / "__residual"
+        )
+        if not name.replace("_", "").isalnum():
+            raise ValueError(
+                f"encode_col needs a plain column reference, got {name!r}"
+            )
+        v = f"cast(`{name}` as array<double>)"
         codes = []
         for mi, (start, width) in enumerate(_sub_slices(self.dim, self.m)):
-            sub = F.slice(v, start, width)
-            dists = F.transform(self._codebook_lit(mi), lambda c: self._dist2(sub, c))
+            sub = f"slice({v}, {start}, {width})"
+            dists = (
+                f"transform({self._codebook_sql(mi)}, "
+                f"c -> aggregate(zip_with({sub}, c, "
+                f"(a, b) -> (a - b) * (a - b)), 0.0D, "
+                f"(acc, x) -> acc + x))"
+            )
             # array_position of the min is 1-based; code = position - 1
-            codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
-        return F.array(*codes)
+            codes.append(
+                f"cast((array_position({dists}, array_min({dists})) - 1) "
+                f"as int)"
+            )
+        return F.expr("array(" + ",".join(codes) + ")")
 
     def encode(self, df: DataFrame, emb_col: str = "embedding",
                out_col: str = "pq_codes") -> DataFrame:
