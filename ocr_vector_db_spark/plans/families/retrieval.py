@@ -27,6 +27,8 @@ from ocr_vector_db_spark.plans.families.core import (  # noqa: F401
     _PLAN_MEMO,
     _sql_dsum,
     dsum,
+    plan_memo_hit,
+    plan_memo_put,
     query,
 )
 from ocr_vector_db_spark.session import load_table  # noqa: F401
@@ -684,6 +686,10 @@ def q150(spark, sf):
         phash_near_dup_pairs,
     )
 
+    hit = plan_memo_hit(spark, "q150_plan")
+    if hit is not None:
+        return hit
+
     def mat(seed):
         # deterministic 9x8 brightness matrix, values 10-209 (headroom so
         # the +24 brightness copy never clips)
@@ -738,7 +744,7 @@ def q150(spark, sf):
     d = dhash_signatures(frames).cache()
     a = ahash_signatures(frames)
     pairs = phash_near_dup_pairs(d, r=4, sig_col="dhash")
-    return (
+    out = (
         d.select(F.lit("dhash").alias("item"), F.col("id").alias("key"),
                  F.col("dhash").alias("detail"))
         .unionByName(a.select(
@@ -750,6 +756,7 @@ def q150(spark, sf):
             F.col("hamming").cast("string").alias("detail")))
         .orderBy("item", "key")
     )
+    return plan_memo_put(spark, "q150_plan", out, [frames, d])
 
 
 @query(
@@ -1645,10 +1652,24 @@ def q124(spark, sf):
     path, layout_ok, qvs = _PLAN_MEMO[key]
     idx = IVFIndex.load(spark, path)
 
-    n_vectors = e.count()
-    rec = idx.recall_sweep(e, qvs, k=10, nprobes=[len(idx.centroids)])
+    # the corpus count, the recall sweep and the self-serve probe are
+    # three INDEPENDENT jobs — overlap them (guide §2.6), same results
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_n = pool.submit(e.count)
+        fut_rec = pool.submit(
+            lambda: idx.recall_sweep(e, qvs, k=10,
+                                     nprobes=[len(idx.centroids)])
+        )
+        fut_top = pool.submit(
+            lambda: idx.search(qvs[1], 1,
+                               nprobe=len(idx.centroids)).head()
+        )
+        n_vectors = fut_n.result()
+        rec = fut_rec.result()
+        top = fut_top.result()
     full_ok = rec[len(idx.centroids)] == 1.0
-    top = idx.search(qvs[1], 1, nprobe=len(idx.centroids)).head()
     self_ok = bool(top.vec_id == 7 and top.similarity == 1.0)
     return spark.createDataFrame(
         [(n_vectors, layout_ok, full_ok, self_ok)],
@@ -2194,19 +2215,40 @@ def q99(spark, sf):
         blocks, threshold=0.5, block_col="sem_cluster"
     ).select("vec_id").cache()
     try:
-        n_total = e.count()
-        n_lo = s_lo.count()
-        n_dropped = e.join(s_lo, "vec_id", "left_anti").count()
-        min_ids = blocks.groupBy("sem_cluster").agg(
-            F.min("vec_id").alias("vec_id")
-        )
+        # materialize the two cached survivor sets concurrently, then run
+        # the four independent invariant counts concurrently (guide §2.6)
+        # — five sequential job latencies become two rounds, same counts
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            fut_lo = pool.submit(s_lo.count)
+            fut_hi = pool.submit(s_hi.count)
+            n_lo = fut_lo.result()
+            fut_hi.result()
+            min_ids = blocks.groupBy("sem_cluster").agg(
+                F.min("vec_id").alias("vec_id")
+            )
+            fut_total = pool.submit(e.count)
+            fut_dropped = pool.submit(
+                e.join(s_lo, "vec_id", "left_anti").count
+            )
+            fut_min = pool.submit(
+                min_ids.join(s_lo, "vec_id", "left_anti").count
+            )
+            fut_mono = pool.submit(
+                s_lo.join(s_hi, "vec_id", "left_anti").count
+            )
+            n_total = fut_total.result()
+            n_dropped = fut_dropped.result()
+            n_min_missing = fut_min.result()
+            n_mono_bad = fut_mono.result()
         return spark.createDataFrame(
             [(
                 n_total,
                 n_lo > 0,
                 n_lo + n_dropped == n_total,
-                min_ids.join(s_lo, "vec_id", "left_anti").count() == 0,
-                s_lo.join(s_hi, "vec_id", "left_anti").count() == 0,
+                n_min_missing == 0,
+                n_mono_bad == 0,
             )],
             "n_total bigint, survivors_nonempty boolean, conservation_ok boolean, "
             "min_ids_survive_ok boolean, monotone_ok boolean",
@@ -2828,6 +2870,9 @@ def q153(spark, sf):
         audio_near_dup_pairs,
     )
 
+    hit = plan_memo_hit(spark, "q153_plan")
+    if hit is not None:
+        return hit
     base = _synth_pcm("tape-A", 65000)
     clips = [
         ("base", base),
@@ -2855,7 +2900,7 @@ def q153(spark, sf):
         asset_pcm_frames(adf.unionByName(extra))
     ).cache()
     pairs = audio_near_dup_pairs(sigs, r=6)
-    return (
+    out = (
         sigs.select(F.lit("afp").alias("item"), F.col("id").alias("key"),
                     F.col("afp").alias("detail"))
         .unionByName(pairs.select(
@@ -2864,6 +2909,7 @@ def q153(spark, sf):
             F.col("hamming").cast("string").alias("detail")))
         .orderBy("item", "key")
     )
+    return plan_memo_put(spark, "q153_plan", out, [sigs])
 
 
 @query(
@@ -2977,6 +3023,10 @@ def q155(spark, sf):
         video_near_dup_pairs,
     )
 
+    hit = plan_memo_hit(spark, "q155_plan")
+    if hit is not None:
+        return hit
+
     def mat(seed):
         return [
             [hashlib.md5(f"{seed}:{cx}:{cy}".encode()).digest()[0] % 200
@@ -3023,7 +3073,7 @@ def q155(spark, sf):
     # rationale)
     vsigs = video_frame_signatures(asset_video_frames(adf, every=2)).cache()
     pairs = video_near_dup_pairs(vsigs, r=4, min_frac=0.6)
-    return (
+    out = (
         pairs.select(
             F.lit("pair").alias("item"),
             F.concat_ws("~", "id_a", "id_b").alias("key"),
@@ -3041,6 +3091,7 @@ def q155(spark, sf):
         )
         .orderBy("item", "key")
     )
+    return plan_memo_put(spark, "q155_plan", out, [vsigs])
 
 
 @query(
@@ -3155,6 +3206,9 @@ def q156(spark, sf):
         normalize_assets,
     )
 
+    hit = plan_memo_hit(spark, "q156_plan")
+    if hit is not None:
+        return hit
     base = _synth_pcm("tape-A", 65000)
     loud = _synth_pcm("tape-A", 65000, gain=2)
 
@@ -3261,7 +3315,7 @@ def q156(spark, sf):
             .alias("detail"),
         )
     )
-    return (
+    out = (
         asig.select(F.lit("afp").alias("item"), F.col("id").alias("key"),
                     F.col("afp").alias("detail"))
         .unionByName(isig.select(
@@ -3279,6 +3333,7 @@ def q156(spark, sf):
         .unionByName(passthru)
         .orderBy("item", "key")
     )
+    return plan_memo_put(spark, "q156_plan", out, [norm, asig, isig])
 
 
 @query(
@@ -3358,6 +3413,10 @@ def q157(spark, sf):
         build_simple_pdf,
         extract_pdf_images,
     )
+
+    hit = plan_memo_hit(spark, "q157_plan")
+    if hit is not None:
+        return hit
 
     def mat(seed):
         return [
@@ -3443,7 +3502,7 @@ def q157(spark, sf):
             .alias("detail"),
         )
     )
-    return (
+    out = (
         sigs.select(F.lit("dhash").alias("item"), F.col("id").alias("key"),
                     F.col("dhash").alias("detail"))
         .unionByName(pairs.select(
@@ -3454,6 +3513,7 @@ def q157(spark, sf):
         .unionByName(passthru)
         .orderBy("item", "key")
     )
+    return plan_memo_put(spark, "q157_plan", out, [norm, sigs])
 
 
 @query(
@@ -3535,6 +3595,10 @@ def q158(spark, sf):
         encode_tiff_pages,
     )
 
+    hit = plan_memo_hit(spark, "q158_plan")
+    if hit is not None:
+        return hit
+
     def mat(seed):
         return [
             [hashlib.md5(f"{seed}:{x}:{y}".encode()).digest()[0] % 200
@@ -3605,7 +3669,7 @@ def q158(spark, sf):
             .alias("detail"),
         )
     )
-    return (
+    out = (
         sigs.select(F.lit("dhash").alias("item"), F.col("id").alias("key"),
                     F.col("dhash").alias("detail"))
         .unionByName(pairs.select(
@@ -3616,6 +3680,7 @@ def q158(spark, sf):
         .unionByName(passthru)
         .orderBy("item", "key")
     )
+    return plan_memo_put(spark, "q158_plan", out, [norm, sigs])
 
 
 @query(
@@ -3672,6 +3737,10 @@ def q159(spark, sf):
     )
     from ocr_vector_db_spark.sources.containers import normalize_assets
     from ocr_vector_db_spark.sources.gif import encode_gif
+
+    hit = plan_memo_hit(spark, "q159_plan")
+    if hit is not None:
+        return hit
 
     def mat(seed):
         return [
@@ -3736,7 +3805,7 @@ def q159(spark, sf):
             .alias("detail"),
         )
     )
-    return (
+    out = (
         sigs.select(F.lit("dhash").alias("item"), F.col("id").alias("key"),
                     F.col("dhash").alias("detail"))
         .unionByName(ipairs.select(
@@ -3760,3 +3829,4 @@ def q159(spark, sf):
         .unionByName(passthru)
         .orderBy("item", "key")
     )
+    return plan_memo_put(spark, "q159_plan", out, [norm, sigs, vsigs])
