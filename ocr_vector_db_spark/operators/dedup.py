@@ -328,12 +328,16 @@ def simhash_near_dup_pairs(
     small r so band values stay selective (2^(64/(r+1)) buckets)."""
     from ocr_vector_db_spark.session import spread_for_compute
 
-    # hash on a parallelism-floored, two-column projection: the signature
-    # pass is the expensive map stage, and it is re-evaluated under each
-    # of its three plan references (bands / sig_a / sig_b)
+    # hash on a parallelism-floored, two-column projection, then
+    # materialize the slim (id, 8-byte simhash) frame ONCE behind a lazy
+    # checkpoint: the plan references it three times (bands / sig_a /
+    # sig_b), and uncheckpointed each reference re-runs the whole
+    # tokenize+md5 pass (optimization r15 — measured 3× the hash cost
+    # on the q88 noop; the materialized frame is signature-sized, orders
+    # of magnitude below the token stream it replaces)
     sigs = spread_for_compute(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), simhash_col(F.col(text_col), bits).alias("simhash")
-    )
+    ).localCheckpoint(eager=False)
     band_structs = [
         F.struct(
             F.lit(j).alias("band"),
