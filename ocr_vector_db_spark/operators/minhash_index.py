@@ -268,19 +268,20 @@ class MinHashIndex:
         the persisted layout (bands: slim equi-join keyed exactly like
         the stored partitioning; signatures: joined on candidate ids
         only). `threshold` filters est_jaccard >= t."""
-        # The plan references new_sig twice (bands + signature join);
-        # when this call hashes the batch itself, a LAZY localCheckpoint
-        # materializes the slim signature frame once at first use instead
-        # of re-running the shingle+hash pass per reference (optimization
-        # r15). Unlike the cache this replaces a "no cache" note about —
-        # which would leak one entry per screen() call in a long-lived
-        # ingestion loop — checkpointed RDDs are released by the
-        # ContextCleaner when the plan is garbage collected. Callers
-        # passing precomputed `sigs` manage their own reuse (the
-        # signatures-once streaming seam).
+        # no cache: the returned plan is lazy, so nothing would materialize
+        # it here, and a cache with no unpersist would leak one entry per
+        # screen() call in a long-lived ingestion loop. The plan references
+        # new_sig twice (bands + signature join) — recomputing the batch's
+        # shingle pass twice inside one job is O(batch), acceptable (zero
+        # with checkpointed `sigs`). A lazy localCheckpoint here was tried
+        # in optimization r15 and REVERTED: hiding the batch side behind an
+        # RDD scan disables the dynamic partition pruning that restricts
+        # the stored bands scan to the batch's own buckets (test_plan_shapes
+        # gates it on q105) — at 100 TB the pruned index scan is worth far
+        # more than one batch re-hash.
         new_sig = sigs if sigs is not None else minhash_signatures(
             new_docs, self.num_hashes, self.n, text_col, id_col
-        ).localCheckpoint(eager=False)
+        )
         new_banded = banded_of(new_sig, self.num_hashes, self.bands).withColumn(
             "bucket", F.pmod(F.xxhash64("band_hash"), F.lit(self.n_buckets))
         )

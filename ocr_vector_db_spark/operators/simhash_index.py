@@ -356,15 +356,17 @@ class SimHashIndex:
         hashed (or not at all, when precomputed `sigs` are passed); the
         corpus side is the slim band equi-join (keyed like the stored
         partitioning) + a signature join on candidates only."""
-        # the batch signature frame is referenced twice (band rows +
-        # the sig_a verify re-attach) — when this call hashes the batch
-        # itself, materialize the slim frame once behind a lazy
-        # checkpoint instead of re-hashing per reference (optimization
-        # r15; callers passing precomputed `sigs` manage their own reuse
-        # — the signatures-once streaming seam)
+        # the batch signature frame is referenced twice (band rows + the
+        # sig_a verify re-attach); re-hashing the batch once per reference
+        # is O(batch), accepted. A lazy localCheckpoint was tried in
+        # optimization r15 and REVERTED: hiding the batch side behind an
+        # RDD scan disables the dynamic partition pruning that restricts
+        # the stored bands scan to the batch's own buckets (the q105
+        # finding, same layout here). Callers passing precomputed `sigs`
+        # (the signatures-once streaming seam) manage their own reuse.
         new_sig = sigs if sigs is not None else self._sig_expr(
             new_docs, id_col, text_col
-        ).localCheckpoint(eager=False)
+        )
         new_banded = _bands_of(new_sig, self.bits, self.r, self.n_buckets)
         cand = (
             new_banded.alias("x")
