@@ -71,20 +71,27 @@ def plan_memo_hit(spark, tail: str):
 
     The fixture-golden plans cost seconds of EAGER driver analysis per
     construction (deep per-asset decode → signature → banded-join trees,
-    re-analyzed under every operator), while every EXECUTION still
-    decodes/hashes from the fixture rows — results are never memoized.
-    On re-entry after a spark.catalog.clearCache() (bench.py clears
-    between timed queries, which also drops the persist MARK), the
-    sub-frame cache marks are re-asserted so the next action
-    re-materializes each shared subtree once instead of once per plan
-    reference."""
+    re-analyzed under every operator), so the PLAN is memoized — results
+    never are. The sub-frame caches exist only to deduplicate the 3–5
+    references each plan makes to its signature subtree WITHIN one
+    action (guide §2.4: q159's uncached plan re-ran the decode under
+    every reference — 379 operators / 120 Exchanges).
+
+    COLD LANE (optimization r16, VERDICT r15 item 1): every call DROPS
+    the cached data before re-asserting the marks, so each action on the
+    returned plan re-executes the container-decode + perceptual-hash
+    pass exactly ONCE from the fixture rows. r15's mark-only
+    re-assertion let bench.py's untimed re-warm materialize the caches,
+    leaving ZERO decode work in the timed reps — decode-path regressions
+    were bench-invisible. Unpersist creates a fresh InMemoryRelation per
+    call; nothing survives from any earlier execution."""
     key = (spark.sparkContext.applicationId, tail)
     if key not in _PLAN_MEMO:
         return None
     out, cached = _PLAN_MEMO[key]
     for df in cached:
-        if not df.storageLevel.useMemory:
-            df.cache()
+        df.unpersist()
+        df.cache()
     return out
 
 
@@ -93,3 +100,34 @@ def plan_memo_put(spark, tail: str, out, cached):
     `plan_memo_hit`) and return `out`."""
     _PLAN_MEMO[(spark.sparkContext.applicationId, tail)] = (out, cached)
     return out
+
+
+def neardup_pair_index(spark, sf):
+    """The session's persisted NearDupPairIndex over the documents table
+    (num_hashes=16, bands=4, n=2 — the q20/q56/q109 family parameters).
+    Built ONCE per (session, sf) in the untimed warmup — the q101–q105
+    persisted-index convention — exercising the full build/add/compact
+    lifecycle (even ids built, odd ids added incrementally, then
+    compacted: build(A)+add(B) must serve identically to build(A∪B),
+    the property the index suite pins). The closure family (q109, q110,
+    q113, q145) serves from it: candidate-pair GENERATION (shingle+md5+
+    band self-join over the corpus) is the persisted artifact; the
+    closures / PageRank still execute per call."""
+    import tempfile
+
+    from ocr_vector_db_spark.operators.neardup_pair_index import (
+        NearDupPairIndex,
+    )
+
+    key = (spark.sparkContext.applicationId, sf, "neardup_pair_index_path")
+    if key not in _PLAN_MEMO:
+        d = load_table(spark, sf, "documents")
+        path = tempfile.mkdtemp(prefix="ndpairidx_")
+        idx = NearDupPairIndex.build(
+            spark, d.filter(F.col("doc_id") % 2 == 0), path,
+            num_hashes=16, bands=4, n=2, n_buckets=16,
+        )
+        idx.add(d.filter(F.col("doc_id") % 2 == 1))
+        idx.compact()
+        _PLAN_MEMO[key] = path
+    return NearDupPairIndex.load(spark, _PLAN_MEMO[key])
