@@ -248,9 +248,17 @@ def simhash_col(text_col, bits: int = 16):
     ±1 votes, their accumulation order and the majority comparison are
     bit-for-bit the ones the oracle reproduces — only the number of
     md5/tokenize evaluations changed (measured ~5× on the q88 signature
-    pass)."""
+    pass).
+
+    Null text coalesces to an empty token set (ADVICE r15): the r15
+    rewrite let a null `hashes` array propagate NULL through
+    aggregate/zip_with, silently dropping null-text docs out of the
+    band equi-joins in `simhash_near_dup_pairs`/screen; the pre-r15
+    per-bit form bucketed them at signature 0 — restored here."""
     assert bits <= 32
-    toks = tokens_col(F.lower(text_col))
+    toks = F.coalesce(
+        tokens_col(F.lower(text_col)), F.array().cast("array<string>")
+    )
     hashes = F.transform(toks, lambda t: F.md5(t))  # md5 ONCE per token
     per_tok = lambda h: F.transform(  # noqa: E731 - ±1 vote vector of h
         F.sequence(F.lit(1), F.lit(bits)),
@@ -632,10 +640,26 @@ def minhash_neardup_components(
     ).drop("__sk").cache()
 
     pairs = candidates_from_signatures(rep_sig, num_hashes, bands)
+    return components_from_collapsed(member, pairs, threshold, cc)
+
+
+def components_from_collapsed(
+    member: DataFrame,
+    rep_pairs: DataFrame,
+    threshold: float,
+    cc: str = "star",
+) -> DataFrame:
+    """(doc_id, component_id, is_canonical) from a COLLAPSED pair graph —
+    the closure tail of `minhash_neardup_components`, split out so the
+    persisted NearDupPairIndex serves the byte-identical clustering:
+    `member` is the doc → representative map (doc, rep, n_members) and
+    `rep_pairs` the group-level candidate pairs (doc_a, doc_b,
+    est_jaccard) over representatives."""
+    close = {"label": connected_components, "star": connected_components_star}[cc]
     comp = close(
-        pairs.filter(F.col("est_jaccard") >= threshold)
+        rep_pairs.filter(F.col("est_jaccard") >= threshold)
     ).withColumnRenamed("id", "rep")
-    out = (
+    return (
         member.join(comp, "rep", "left")
         .filter(F.col("comp").isNotNull() | (F.col("n_members") >= 2))
         .select(
@@ -644,7 +668,6 @@ def minhash_neardup_components(
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("component_id"))
     )
-    return out
 
 
 def minhash_dropped_ids(

