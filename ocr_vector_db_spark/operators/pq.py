@@ -127,13 +127,27 @@ class PQIndex:
 
     # -------------------------------------------------------------- encode
 
+    @staticmethod
+    def _sql_double(x: float) -> str:
+        """One double as a SQL literal. `repr(float)` is the shortest
+        round-tripping decimal, so parsed doubles are bit-identical to
+        the former Python-side ``F.lit`` literals; non-finite values
+        (a degenerate k-means cluster can emit NaN/inf) render as the
+        CAST forms — repr's 'nanD'/'infD' does not parse (ADVICE r15)."""
+        import math
+
+        x = float(x)
+        if math.isnan(x):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(x):
+            return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+        return f"{x!r}D"
+
     def _codebook_sql(self, mi: int) -> str:
         """Subspace codebook as a SQL literal array<array<double>>
-        (K × dim/M). `repr(float)` is the shortest round-tripping
-        decimal, so the parsed doubles are bit-identical to the former
-        Python-side ``F.lit`` literals."""
+        (K × dim/M)."""
         rows = ",".join(
-            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            "array(" + ",".join(self._sql_double(x) for x in c) + ")"
             for c in self.codebooks[mi]
         )
         return f"array({rows})"
@@ -169,15 +183,17 @@ class PQIndex:
         build/add/serving plan. The parsed tree — slice, zip_with
         squared-diff fold, transform over the codebook, 1-based
         array_position of array_min — is the identical expression shape
-        and float-op order. Accepts a Column (must be a simple named
-        column reference) or a column name."""
+        and float-op order. Accepts a Column or a column name; a Column
+        that is not a plain named reference (dotted/derived expressions —
+        previously valid inputs, ADVICE r15) falls back to the
+        identically-shaped Column construction instead of raising."""
         name = (
             emb if isinstance(emb, str)
             else emb._jc.toString()  # e.g. "embedding" / "__residual"
         )
         if not name.replace("_", "").isalnum():
-            raise ValueError(
-                f"encode_col needs a plain column reference, got {name!r}"
+            return self._encode_col_column(
+                F.col(emb) if isinstance(emb, str) else emb
             )
         v = f"cast(`{name}` as array<double>)"
         codes = []
@@ -195,6 +211,23 @@ class PQIndex:
                 f"as int)"
             )
         return F.expr("array(" + ",".join(codes) + ")")
+
+    def _encode_col_column(self, emb: Column) -> Column:
+        """encode_col for arbitrary Column expressions: the pre-r15
+        Column-based construction — the identical expression tree the
+        generated SQL parses to, built through Py4J (slower to CONSTRUCT,
+        so the named-reference fast path stays the default)."""
+        v = emb.cast("array<double>")
+        codes = []
+        for mi, (start, width) in enumerate(_sub_slices(self.dim, self.m)):
+            sub = F.slice(v, start, width)
+            dists = F.transform(
+                self._codebook_lit(mi), lambda c: self._dist2(sub, c)
+            )
+            codes.append(
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            )
+        return F.array(*codes)
 
     def encode(self, df: DataFrame, emb_col: str = "embedding",
                out_col: str = "pq_codes") -> DataFrame:

@@ -147,9 +147,53 @@ def spread_for_compute(df, target: int | None = None):
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     try:
-        cur = df.rdd.getNumPartitions()
+        cur = _est_scan_partitions(df)
     except Exception:
+        import logging
+
+        # a failed probe only skips an optional repartition — but log it,
+        # a silent fall-through here disables the floor everywhere
+        logging.getLogger(__name__).warning(
+            "spread_for_compute: partition probe failed; leaving input "
+            "partitioning as-is", exc_info=True,
+        )
         return df
     if cur >= target:
         return df
     return df.repartition(target)
+
+
+def _est_scan_partitions(df) -> int:
+    """Input partition count WITHOUT forcing physical planning
+    (optimization r16, VERDICT r15 #6: `df.rdd.getNumPartitions()` re-ran
+    analysis + optimization + RDD conversion on the driver for every
+    spread_for_compute call — measurable t_build on the simhash /
+    standardize paths, doubled planning work at scale).
+
+    File-source plans reproduce FilePartition's split math from the
+    relation's cached file listing plus the logical size statistic:
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    total/minPartitionNum)) with every file charged openCostInBytes —
+    the same decision boundary the RDD probe read, to the rounding of
+    file-boundary packing. Non-file plans (local fixture relations,
+    checkpointed batches) keep the RDD probe: exactly there the plan is
+    shallow and the conversion cheap."""
+    spark = df.sparkSession
+    files = df.inputFiles()
+    if not files:
+        return df.rdd.getNumPartitions()
+    jutils = spark._jvm.org.apache.spark.network.util.JavaUtils
+
+    def _bytes_conf(key: str, default: str) -> int:
+        return int(jutils.byteStringAsBytes(spark.conf.get(key, default)))
+
+    max_pb = _bytes_conf("spark.sql.files.maxPartitionBytes", "128MB")
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", "4MB")
+    min_pn = spark.conf.get("spark.sql.files.minPartitionNum", None)
+    min_pn = int(min_pn) if min_pn else spark.sparkContext.defaultParallelism
+    size = int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    effective = size + len(files) * open_cost
+    split = min(max_pb, max(open_cost, effective // max(min_pn, 1)))
+    return max(1, -(-effective // split))

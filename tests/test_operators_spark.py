@@ -300,6 +300,23 @@ def test_simhash_duplicates(spark):
     assert len(groups) == 1 and groups[0].n_docs == 2
 
 
+def test_simhash_null_text_buckets_at_zero(spark):
+    """Null text keeps the pre-r15 0 signature (ADVICE r15): a NULL
+    signature would silently drop the doc out of every band equi-join in
+    simhash_near_dup_pairs / the index screens instead of bucketing."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "alpha beta")], "doc_id bigint, text string"
+    )
+    sigs = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", dedup.simhash_col(F.col("text"), 16).alias("s")
+        ).collect()
+    }
+    assert sigs[1] == 0
+    assert sigs[2] is not None
+
+
 def test_grouping_and_metrics(tables):
     emb = tables["embeddings"]
     qv = [r for r in emb.filter(F.col("vec_id") == 0).head().embedding]
@@ -957,3 +974,20 @@ def test_embedding_near_dup_quadratic_needs_explicit_opt_in(spark):
             df, threshold=0.95, block_col="label").collect()
     )
     assert quad == blocked == [(1, 2)]
+
+
+def test_spread_probe_decision_matches_rdd_probe(spark, tables):
+    """The file-stats partition estimate (optimization r16 — replaces the
+    per-call df.rdd physical-planning probe) must land on the same side of
+    the defaultParallelism floor as the real scan partitioning, for every
+    driver table shape; non-file plans keep the RDD probe verbatim."""
+    from ocr_vector_db_spark.session import _est_scan_partitions
+
+    target = spark.sparkContext.defaultParallelism
+    for name in ("documents", "embeddings", "lineitem", "orders"):
+        df = tables[name].select(tables[name].columns[:2])
+        est = _est_scan_partitions(df)
+        actual = df.rdd.getNumPartitions()
+        assert (est >= target) == (actual >= target), (name, est, actual)
+    local = spark.createDataFrame([(1,)], "a int")
+    assert _est_scan_partitions(local) == local.rdd.getNumPartitions()

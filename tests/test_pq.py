@@ -50,3 +50,36 @@ def test_adc_search_and_recall(pq, spark, tables):
 def test_quantization_error_positive_finite(pq, tables):
     mse = quantization_error(pq, tables["embeddings"].limit(100))
     assert 0.0 < mse < 2.0  # unit vectors: worst-case sub-distance bounded
+
+
+def test_encode_col_accepts_derived_expressions(pq, tables):
+    """ADVICE r15: a derived / non-plain Column reference was valid before
+    the generated-SQL rewrite and must stay valid — the Column fallback
+    builds the identical expression tree, so codes match the named path."""
+    emb = tables["embeddings"]
+    named = {r.vec_id: r.c for r in emb.select(
+        "vec_id", pq.encode_col("embedding").alias("c")).collect()}
+    derived = {r.vec_id: r.c for r in emb.select(
+        "vec_id",
+        pq.encode_col(F.transform(F.col("embedding"),
+                                  lambda x: x * F.lit(1.0))).alias("c"),
+    ).collect()}
+    assert named == derived
+
+
+def test_codebook_sql_nonfinite_parses(pq, spark):
+    """ADVICE r15: NaN/inf centroids (degenerate k-means cluster) must
+    render as parseable SQL, like the former F.lit path did."""
+    import math
+
+    from ocr_vector_db_spark.operators.pq import PQIndex
+
+    bad = PQIndex(dim=4, m=2, codebooks=[
+        [[float("nan"), 1.0], [float("inf"), float("-inf")]],
+        [[0.5, 2.0], [1.5, -1.0]],
+    ])
+    row = spark.sql(
+        f"SELECT {bad._codebook_sql(0)} AS cb"
+    ).head().cb
+    assert math.isnan(row[0][0]) and row[1][0] == float("inf")
+    assert row[1][1] == float("-inf")
