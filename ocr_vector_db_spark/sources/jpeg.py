@@ -193,30 +193,171 @@ def _build_decode_lut(bits: list[int], vals: list[int]) -> list:
     return lut
 
 
+def _build_multi_dc(base: list) -> list:
+    """16-bit window → (consumed_bits, dc_diff) when the DC code AND its
+    difference bits both fit inside the window — one lookup replaces the
+    code lookup + separate bit extraction. None falls back to the
+    one-symbol path (codes longer than the window allows, or value bits
+    spilling past it)."""
+    out = [None] * 65536
+    for w in range(65536):
+        sym, ln = base[w]
+        if sym is None:
+            continue
+        if sym == 0:
+            out[w] = (ln, 0)
+            continue
+        if ln + sym > 16:
+            continue
+        v0 = (w >> (16 - ln - sym)) & ((1 << sym) - 1)
+        out[w] = (ln + sym,
+                  v0 if v0 >= (1 << (sym - 1)) else v0 - (1 << sym) + 1)
+    return out
+
+
+# coefficient packing for the decode loop's one-append-per-coefficient
+# scatter: packed = (flat_zigzag_index << _PACK_SH) + value + _PACK_BIAS.
+# Values are bounded by |v| < 2^15 (size categories <= 15), indexes by
+# MAX_PIXELS (2^26) * 64/64, so the pack fits comfortably in int64.
+_PACK_SH = 17
+_PACK_BIAS = 1 << 16
+
+# low-bit masks indexed by bit count: `acc &= _MASKS[nbits]` replaces a
+# fresh (1 << nbits) - 1 big-int construction on every consume
+_MASKS = [(1 << i) - 1 for i in range(72)]
+
+
+def _build_multi_ac(base: list) -> list:
+    """16-bit window → (consumed_bits, packed_ops, k_advance, ended,
+    guard_span): as many COMPLETE (run/size + value bits) AC items as fit
+    in the window, with a terminating EOB folded in (`ended`) — the
+    libjpeg-turbo multi-symbol idea in LUT form (optimization r16,
+    VERDICT r15 #4). Typical q85 content packs 2-3 items + the EOB per
+    window, so the per-item Python dispatch cost is paid once per 2-4
+    coefficients instead of once each.
+
+    `packed_ops` are ((rel_k << _PACK_SH) + value + _PACK_BIAS, ...) with
+    rel_k relative to the k at lookup time — the decode loop emits each
+    coefficient as ONE list append of base+op (the zigzag-order scatter
+    in _decode_scan). `k_advance` is the total k movement.
+
+    Exactness: values are decoded at build time from the same window
+    bits the sequential path would read; a ZRL is only emitted as a LONE
+    entry (folding items past a ZRL could consume bits the sequential
+    loop's `while k < 64` re-check would never read); `guard_span` makes
+    the single runtime check `k + guard_span <= 64` reject any entry
+    that could cross the k==64 boundary mid-entry — in particular a
+    folded EOB needs k to land STRICTLY below 64, because a block whose
+    ops fill it exactly codes NO EOB and the folded bits would be the
+    next block's DC — every rejected window falls back to the bit-exact
+    single-symbol path. Windows with no complete item hold a sentinel
+    whose guards always fail (consumed=99 > max nbits), so the hot loop
+    skips a None test on every hit."""
+    out = [(99, (), 0, False, 99)] * 65536
+    for w in range(65536):
+        off = 0
+        ops = []
+        rel = 0
+        ended = False
+        while True:
+            sym, ln = base[(w << off) & 0xFFFF]
+            if sym is None or off + ln > 16:
+                break
+            s = sym & 15
+            if s == 0:
+                if sym == 0xF0:  # ZRL: only as a lone entry
+                    if not ops:
+                        out[w] = (ln, (), 16, False, 16)
+                    break
+                off += ln  # EOB folds into the entry
+                ended = True
+                break
+            if off + ln + s > 16:
+                break
+            v0 = (w >> (16 - off - ln - s)) & ((1 << s) - 1)
+            rel += sym >> 4
+            ops.append((rel << _PACK_SH) + _PACK_BIAS
+                       + (v0 if v0 >= (1 << (s - 1))
+                          else v0 - (1 << s) + 1))
+            rel += 1
+            off += ln + s
+        if off and out[w][0] == 99:
+            out[w] = (off, tuple(ops), rel, ended,
+                      rel + (1 if ended else 0))
+    return out
+
+
+def _build_partial_ac(base: list) -> list:
+    """16-bit window → (code_len, run, size) for every window whose AC
+    code resolves but whose VALUE bits spill past the window (the common
+    case on high-entropy content, where _build_multi_ac yields None) —
+    the runtime skips the second base-LUT lookup and the run/size/EOB/ZRL
+    branch chain and goes straight to the value extraction. None only for
+    unresolvable prefixes (garbage / stream tail)."""
+    out = [None] * 65536
+    for w in range(65536):
+        sym, ln = base[w]
+        if sym is None:
+            continue
+        out[w] = (ln, sym >> 4, sym & 15)
+    return out
+
+
+def _decode_luts(kind: int, bits: bytes, vals: bytes):
+    """(base, multi, partial) decode tables for one DHT definition,
+    memoized by table CONTENT: crawl JPEGs overwhelmingly share the
+    Annex-K standard tables, so the 2^16-entry expansions build once per
+    (reused) worker process, not once per image. `partial` is None for
+    DC tables (kind 0)."""
+    key = (kind, bits, vals)
+    hit = _LUT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    base = _build_decode_lut(list(bits), list(vals))
+    if kind == 0:
+        multi, partial = _build_multi_dc(base), None
+    else:
+        multi, partial = _build_multi_ac(base), _build_partial_ac(base)
+    if len(_LUT_MEMO) > 64:  # bound worker memory on adversarial corpora
+        _LUT_MEMO.clear()
+    _LUT_MEMO[key] = (base, multi, partial)
+    return _LUT_MEMO[key]
+
+
+_LUT_MEMO: dict = {}
+
+
 def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Unstuff (FF 00 → FF) the entropy-coded bytes from `start`,
-    splitting at RSTn markers → (segments, offset past the scan)."""
+    splitting at RSTn markers → (segments, offset past the scan).
+    Skips between 0xFF sightings with bytes.find + slice copies (C
+    speed) instead of a per-byte Python loop — measured ~12% of a
+    512×512 decode before (optimization r16); behavior is byte-for-byte
+    the old walk's."""
     segs = []
     cur = bytearray()
     i = start
     n = len(data)
     while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        if i + 1 >= n:
+        j = data.find(b"\xff", i)
+        if j < 0:
+            cur += data[i:]
+            i = n
             break
-        m = data[i + 1]
+        cur += data[i:j]
+        if j + 1 >= n:
+            i = j
+            break
+        m = data[j + 1]
         if m == 0x00:
             cur.append(0xFF)
-            i += 2
+            i = j + 2
         elif 0xD0 <= m <= 0xD7:  # RSTn: segment boundary
             segs.append(bytes(cur))
             cur = bytearray()
-            i += 2
+            i = j + 2
         else:  # a real marker ends the scan
+            i = j
             break
     segs.append(bytes(cur))
     return segs, i
@@ -285,7 +426,9 @@ def decode_jpeg(data: bytes) -> dict | None:
                     vals = list(body[o + 17:o + 17 + cnt])
                     if len(vals) < cnt or tc > 1:
                         raise _JpegError("bad DHT")
-                    huff[(tc, th)] = _build_decode_lut(bits, vals)
+                    huff[(tc, th)] = _decode_luts(
+                        tc, bytes(bits), bytes(vals)
+                    )
                     o += 17 + cnt
             elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progr.
                 prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -326,8 +469,8 @@ def decode_jpeg(data: bytes) -> dict | None:
                         td, ta = tabmap[c["id"]]
                         if (0, td) not in huff or (1, ta) not in huff:
                             raise _JpegError("missing huffman table")
-                        c["dc"] = huff[(0, td)]
-                        c["ac"] = huff[(1, ta)]
+                        c["dc"], c["dc2"], _ = huff[(0, td)]
+                        c["ac"], c["ac2"], c["ac3"] = huff[(1, ta)]
                         c["q"] = qt[c["tq"]]
                     segs, _ = _split_entropy(data, i + 2 + seglen)
                     return _decode_scan(np, w, h, comps, segs, restart)
@@ -358,11 +501,11 @@ def decode_jpeg(data: bytes) -> dict | None:
                     if ss == 0 and ah == 0:
                         if (0, tt >> 4) not in huff:
                             raise _JpegError("missing huffman table")
-                        c["dc"] = huff[(0, tt >> 4)]
+                        c["dc"] = huff[(0, tt >> 4)][0]
                     if ss > 0:
                         if (1, tt & 15) not in huff:
                             raise _JpegError("missing huffman table")
-                        c["ac"] = huff[(1, tt & 15)]
+                        c["ac"] = huff[(1, tt & 15)][0]
                     scomps.append(c)
                 segs, off = _split_entropy(data, i + 2 + seglen)
                 _decode_progressive_scan(np, geom, scomps, segs,
@@ -405,14 +548,35 @@ def _decode_scan(np, w, h, comps, segs, restart) -> dict | None:
     hmax, vmax, mcux, mcuy = _alloc_coefs(np, w, h, comps)
     nmcu = mcux * mcuy
 
-    zz = ZIGZAG
     seg_i = 0
     # the entropy loop is THE per-core decode bottleneck: the bit
     # reader is inlined as local ints (acc/nbits/pos) — method-call
-    # dispatch per symbol measured ~1.7× slower at 512×512
+    # dispatch per symbol measured ~1.7× slower at 512×512.
+    # Coefficients land in per-component PYTHON lists as single packed
+    # ints ((zigzag_flat_index << _PACK_SH) + value + _PACK_BIAS) and
+    # scatter into the numpy planes in ONE vectorized pass per component
+    # at the end: a numpy scalar store (`row[zz[k]] = v`) costs ~5× a
+    # list append, and on smooth content those per-block stores dominate
+    # the whole scan (optimization r16). The planes are built in ZIGZAG
+    # order (position k, no per-coefficient zz[] remap) and _finish
+    # un-zigzags once, vectorized, during dequantization.
+    for c in comps:
+        c["_pk"] = []  # packed AC/DC coefficient stores, zigzag order
+        c["_di"] = []  # DC flat indexes (values can exceed the pack bias
+        c["_dv"] = []  # on hostile streams, so DC stays a pair of lists)
+    # 32-bit word refill: each segment's whole-word prefix unpacks ONCE
+    # (C loop) so the hot path refills with a single list index + shift
+    # instead of up to 6 byte iterations; the <=3 tail bytes keep the
+    # byte loop. (The r15 "6-byte slice refill 12% slower" negative was
+    # measured at per-SYMBOL consumption — the multi-symbol entries
+    # consume enough per lookup that the word batch now wins; A/B'd.)
     data = segs[0]
     nseg = len(data)
-    pos = acc = nbits = 0
+    nw = nseg >> 2
+    words = list(struct.unpack(f">{nw}I", data[:nw * 4])) if nw else []
+    wi = 0
+    pos = nw * 4
+    acc = nbits = 0
     for m in range(nmcu):
         if restart and m and m % restart == 0:
             seg_i += 1
@@ -420,85 +584,149 @@ def _decode_scan(np, w, h, comps, segs, restart) -> dict | None:
                 raise _JpegError("missing restart segment")
             data = segs[seg_i]
             nseg = len(data)
-            pos = acc = nbits = 0
+            nw = nseg >> 2
+            words = (list(struct.unpack(f">{nw}I", data[:nw * 4]))
+                     if nw else [])
+            wi = 0
+            pos = nw * 4
+            acc = nbits = 0
             for c in comps:
                 c["pred"] = 0
         my, mx = divmod(m, mcux)
         for c in comps:
-            dc_lut, ac_lut = c["dc"], c["ac"]
+            dc_lut = c["dc"]
+            dc2, ac2, ac3 = c["dc2"], c["ac2"], c["ac3"]
             cv, chh, cbx = c["v"], c["h"], c["bx"]
-            coef = c["coef"]
+            pk, di, dv = c["_pk"], c["_di"], c["_dv"]
             for v in range(cv):
                 for hh in range(chh):
-                    while nbits <= 48 and pos < nseg:
-                        acc = (acc << 8) | data[pos]
-                        pos += 1
-                        nbits += 8
+                    if nbits < 32:
+                        if wi < nw:
+                            acc = (acc << 32) | words[wi]
+                            wi += 1
+                            nbits += 32
+                        else:
+                            while nbits <= 48 and pos < nseg:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                                nbits += 8
                     peek = ((acc >> (nbits - 16)) & 0xFFFF
                             if nbits >= 16
                             else (acc << (16 - nbits)) & 0xFFFF)
-                    sym, ln = dc_lut[peek]
-                    if sym is None or ln > nbits:
-                        raise _JpegError("bad DC prefix")
-                    nbits -= ln
-                    if sym:
-                        if nbits < sym:
-                            raise _JpegError("truncated entropy stream")
-                        nbits -= sym
-                        v0 = (acc >> nbits) & ((1 << sym) - 1)
-                        diff = (v0 if v0 >= (1 << (sym - 1))
-                                else v0 - (1 << sym) + 1)
-                        c["pred"] += diff
-                    acc &= (1 << nbits) - 1
-                    bi = (my * cv + v) * cbx + (mx * chh + hh)
-                    row = coef[bi]
-                    row[0] = c["pred"]
+                    # fast path: DC code + difference bits in one lookup
+                    e = dc2[peek]
+                    if e is not None and e[0] <= nbits:
+                        nbits -= e[0]
+                        c["pred"] += e[1]
+                    else:
+                        sym, ln = dc_lut[peek]
+                        if sym is None or ln > nbits:
+                            raise _JpegError("bad DC prefix")
+                        nbits -= ln
+                        if sym:
+                            if nbits < sym:
+                                raise _JpegError(
+                                    "truncated entropy stream")
+                            nbits -= sym
+                            v0 = (acc >> nbits) & ((1 << sym) - 1)
+                            diff = (v0 if v0 >= (1 << (sym - 1))
+                                    else v0 - (1 << sym) + 1)
+                            c["pred"] += diff
+                    acc &= _MASKS[nbits]
+                    b64 = ((my * cv + v) * cbx + (mx * chh + hh)) * 64
+                    di.append(b64)
+                    dv.append(c["pred"])
                     k = 1
                     while k < 64:
-                        while nbits <= 48 and pos < nseg:
-                            acc = (acc << 8) | data[pos]
-                            pos += 1
-                            nbits += 8
+                        if nbits < 32:
+                            if wi < nw:
+                                acc = (acc << 32) | words[wi]
+                                wi += 1
+                                nbits += 32
+                            else:
+                                while nbits <= 48 and pos < nseg:
+                                    acc = (acc << 8) | data[pos]
+                                    pos += 1
+                                    nbits += 8
                         peek = ((acc >> (nbits - 16)) & 0xFFFF
                                 if nbits >= 16
                                 else (acc << (16 - nbits)) & 0xFFFF)
-                        sym, ln = ac_lut[peek]
-                        if sym is None or ln > nbits:
+                        # fast path: every complete (run/size + value)
+                        # item inside the 16-bit window — usually 2-3
+                        # coefficients plus the terminating EOB — in ONE
+                        # dispatch, taken only when the entry provably
+                        # stays inside this block (k_span guard) and the
+                        # stream holds all its bits
+                        consumed, ops, adv, ended, guard = ac2[peek]
+                        if consumed <= nbits and k + guard <= 64:
+                            nbits -= consumed
+                            acc &= _MASKS[nbits]
+                            bk = (b64 + k) << _PACK_SH
+                            for op in ops:
+                                pk.append(bk + op)
+                            k += adv
+                            if ended:
+                                break  # folded EOB
+                            continue
+                        # single-item path, precomputed (code_len, run,
+                        # size): no second LUT resolve, no sym bit-math
+                        p = ac3[peek]
+                        if p is None or p[0] > nbits:
                             raise _JpegError("bad AC prefix")
+                        ln, run, s = p
                         nbits -= ln
-                        acc &= (1 << nbits) - 1
-                        s = sym & 15
+                        acc &= _MASKS[nbits]
                         if s == 0:
-                            if sym == 0xF0:  # ZRL
+                            if run == 15:  # ZRL
                                 k += 16
                                 continue
                             break  # EOB
-                        k += sym >> 4
+                        k += run
                         if k > 63:
                             raise _JpegError("AC overrun")
                         if nbits < s:
                             raise _JpegError("truncated entropy stream")
                         nbits -= s
                         v0 = (acc >> nbits) & ((1 << s) - 1)
-                        acc &= (1 << nbits) - 1
-                        row[zz[k]] = (v0 if v0 >= (1 << (s - 1))
-                                      else v0 - (1 << s) + 1)
+                        acc &= _MASKS[nbits]
+                        pk.append(((b64 + k) << _PACK_SH) + _PACK_BIAS
+                                  + (v0 if v0 >= (1 << (s - 1))
+                                     else v0 - (1 << s) + 1))
                         k += 1
 
-    return _finish(np, w, h, comps, hmax, vmax)
+    for c in comps:
+        flat = c["coef"].reshape(-1)
+        pk = c.pop("_pk")
+        if pk:
+            arr = np.fromiter(pk, np.int64, len(pk))
+            flat[arr >> _PACK_SH] = (
+                arr & ((1 << _PACK_SH) - 1)) - _PACK_BIAS
+        di = c.pop("_di")
+        dv = c.pop("_dv")
+        if di:
+            flat[np.fromiter(di, np.int64, len(di))] = np.fromiter(
+                dv, np.int64, len(dv)).astype(np.int32)
+    return _finish(np, w, h, comps, hmax, vmax, zigzag_coefs=True)
 
 
-def _finish(np, w, h, comps, hmax, vmax) -> dict:
+def _finish(np, w, h, comps, hmax, vmax, zigzag_coefs=False) -> dict:
     """Dequantize + batched inverse DCT + upsample + color convert the
     accumulated coefficient planes (shared by the baseline one-shot
-    scan and the progressive multi-scan fold)."""
+    scan and the progressive multi-scan fold). `zigzag_coefs`: the
+    baseline scan stores planes in ZIGZAG order (coefficient k at flat
+    position k — no per-coefficient remap in the entropy loop); the
+    un-zigzag happens here, fused into the vectorized dequantization.
+    Progressive planes stay natural-order (False)."""
     zz = ZIGZAG
     dctm = _dct_matrix()
     planes = []
     for c in comps:
         q = np.array(c["q"], np.int32)
         deq = np.empty_like(c["coef"])
-        deq[:, zz] = c["coef"][:, zz] * q  # DC at zz[0]=0, AC dequant
+        if zigzag_coefs:
+            deq[:, zz] = c["coef"] * q  # both sides in zigzag sequence
+        else:
+            deq[:, zz] = c["coef"][:, zz] * q  # DC at zz[0]=0, AC dequant
         # one batched inverse DCT for the whole component
         blocks = deq.reshape(-1, 8, 8).astype(np.float64)
         pix = np.einsum("ij,njk,kl->nil", dctm.T, blocks, dctm)
