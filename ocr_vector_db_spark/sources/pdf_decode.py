@@ -45,6 +45,7 @@ need deterministic PDF bytes without any PDF library).
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 # ---------------------------------------------------------------- COS layer
@@ -289,39 +290,49 @@ def _rk_words(rks) -> list[list[int]]:
     ]
 
 
-def _aes_encrypt_block_fast(block: bytes, rkw: list[list[int]]) -> bytes:
+def _aes_encrypt_words(d0, d1, d2, d3, rkw):
+    """One AES block encrypt over four 32-bit column words (row 0 in the
+    high byte) → four words. Unrolled locals instead of the former
+    per-round 4-list comprehension — the list allocation + indexing was
+    ~2× the arithmetic (optimization r16; q121's Algorithm-2.B KDF runs
+    ~18k CHAINED blocks per validation on one executor task, so only
+    constant-factor work here moves it). Word values stay 32-bit, so the
+    top-byte shifts need no mask."""
     t0, t1, t2, t3 = _AES_T
     sbox = _AES_SBOX
     nr = len(rkw) - 1
-    w = [
-        ((block[4 * c] << 24) | (block[4 * c + 1] << 16)
-         | (block[4 * c + 2] << 8) | block[4 * c + 3]) ^ rkw[0][c]
-        for c in range(4)
-    ]
+    rk = rkw[0]
+    w0 = d0 ^ rk[0]
+    w1 = d1 ^ rk[1]
+    w2 = d2 ^ rk[2]
+    w3 = d3 ^ rk[3]
     for rnd in range(1, nr):
         rk = rkw[rnd]
-        w = [
-            t0[(w[c] >> 24) & 0xFF]
-            ^ t1[(w[(c + 1) % 4] >> 16) & 0xFF]
-            ^ t2[(w[(c + 2) % 4] >> 8) & 0xFF]
-            ^ t3[w[(c + 3) % 4] & 0xFF]
-            ^ rk[c]
-            for c in range(4)
-        ]
+        x0 = (t0[w0 >> 24] ^ t1[(w1 >> 16) & 255]
+              ^ t2[(w2 >> 8) & 255] ^ t3[w3 & 255] ^ rk[0])
+        x1 = (t0[w1 >> 24] ^ t1[(w2 >> 16) & 255]
+              ^ t2[(w3 >> 8) & 255] ^ t3[w0 & 255] ^ rk[1])
+        x2 = (t0[w2 >> 24] ^ t1[(w3 >> 16) & 255]
+              ^ t2[(w0 >> 8) & 255] ^ t3[w1 & 255] ^ rk[2])
+        x3 = (t0[w3 >> 24] ^ t1[(w0 >> 16) & 255]
+              ^ t2[(w1 >> 8) & 255] ^ t3[w2 & 255] ^ rk[3])
+        w0, w1, w2, w3 = x0, x1, x2, x3
     rk = rkw[nr]
-    out = bytearray(16)
-    for c in range(4):
-        v = (
-            (sbox[(w[c] >> 24) & 0xFF] << 24)
-            | (sbox[(w[(c + 1) % 4] >> 16) & 0xFF] << 16)
-            | (sbox[(w[(c + 2) % 4] >> 8) & 0xFF] << 8)
-            | sbox[w[(c + 3) % 4] & 0xFF]
-        ) ^ rk[c]
-        out[4 * c] = (v >> 24) & 0xFF
-        out[4 * c + 1] = (v >> 16) & 0xFF
-        out[4 * c + 2] = (v >> 8) & 0xFF
-        out[4 * c + 3] = v & 0xFF
-    return bytes(out)
+    return (
+        ((sbox[w0 >> 24] << 24) | (sbox[(w1 >> 16) & 255] << 16)
+         | (sbox[(w2 >> 8) & 255] << 8) | sbox[w3 & 255]) ^ rk[0],
+        ((sbox[w1 >> 24] << 24) | (sbox[(w2 >> 16) & 255] << 16)
+         | (sbox[(w3 >> 8) & 255] << 8) | sbox[w0 & 255]) ^ rk[1],
+        ((sbox[w2 >> 24] << 24) | (sbox[(w3 >> 16) & 255] << 16)
+         | (sbox[(w0 >> 8) & 255] << 8) | sbox[w1 & 255]) ^ rk[2],
+        ((sbox[w3 >> 24] << 24) | (sbox[(w0 >> 16) & 255] << 16)
+         | (sbox[(w1 >> 8) & 255] << 8) | sbox[w2 & 255]) ^ rk[3],
+    )
+
+
+def _aes_encrypt_block_fast(block: bytes, rkw: list[list[int]]) -> bytes:
+    w = _aes_encrypt_words(*struct.unpack(">4I", block), rkw)
+    return struct.pack(">4I", *w)
 
 
 def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
@@ -331,11 +342,13 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     pad = 16 - (len(data) % 16)
     data = data + bytes([pad]) * pad
     out = bytearray(iv)
-    prev = iv
+    p0, p1, p2, p3 = struct.unpack(">4I", iv)
     for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
-        prev = _aes_encrypt_block_fast(blk, rkw)
-        out += prev
+        d0, d1, d2, d3 = struct.unpack_from(">4I", data, i)
+        p0, p1, p2, p3 = _aes_encrypt_words(
+            d0 ^ p0, d1 ^ p1, d2 ^ p2, d3 ^ p3, rkw
+        )
+        out += struct.pack(">4I", p0, p1, p2, p3)
     return bytes(out)
 
 
@@ -365,10 +378,13 @@ def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes,
     prev = iv
     if encrypt:
         rkw = _rk_words(rks)
+        p0, p1, p2, p3 = struct.unpack(">4I", iv)
         for i in range(0, len(data), 16):
-            blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
-            prev = _aes_encrypt_block_fast(blk, rkw)
-            out += prev
+            d0, d1, d2, d3 = struct.unpack_from(">4I", data, i)
+            p0, p1, p2, p3 = _aes_encrypt_words(
+                d0 ^ p0, d1 ^ p1, d2 ^ p2, d3 ^ p3, rkw
+            )
+            out += struct.pack(">4I", p0, p1, p2, p3)
     else:
         for i in range(0, len(data), 16):
             blk = data[i:i + 16]
