@@ -46,6 +46,25 @@ def cosine_similarity_col(a: Column, b: Column) -> Column:
     return F.when(denom != 0.0, dot_col(a, b) / denom)
 
 
+def cosine_similarity_sql(a: str, b: str) -> str:
+    """`cosine_similarity_col` as ONE generated-SQL expression over two
+    COLUMN NAMES — parses to the identical tree (same casts, same float-op
+    order, same null-safe CASE) in a single round trip, where the Column
+    form pays Py4J lambda machinery per higher-order function on every
+    plan construction (the q66/PQ finding; optimization r16 applies it to
+    the knn_batch scoring hot path). Names are backtick-quoted; pass
+    plain column names only."""
+    def _norm(c: str) -> str:
+        return (f"SQRT(AGGREGATE(`{c}`, 0.0D, (acc, x) -> "
+                f"acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+
+    dot = (f"AGGREGATE(ZIP_WITH(`{a}`, `{b}`, (x, y) -> "
+           f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+           f"(acc, x) -> acc + x)")
+    denom = f"({_norm(a)} * {_norm(b)})"
+    return f"CASE WHEN {denom} != 0.0D THEN {dot} / {denom} END"
+
+
 def l2_normalize_col(a: Column) -> Column:
     """Unit-normalize an array column. Pre-normalizing embeddings once at
     ingest turns every query-time cosine into a plain dot product — at 100 TB

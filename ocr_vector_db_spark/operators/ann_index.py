@@ -935,7 +935,14 @@ class IVFIndex:
             corpus.select(id_col, "embedding"), qdf, k, corpus_id=id_col,
             ids_only=True,
         ).select("query_id", id_col).localCheckpoint()
-        total = exact.count()
+        # the baseline row count only feeds the final division — overlap
+        # it with the pruned pass's construction + collect (guide §2.6;
+        # the checkpoint above has already materialized the data both
+        # jobs read)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut_total = pool.submit(exact.count)
 
         # qid' = setting * STRIDE + qi keeps one window partition per
         # (setting, query) through a single knn_batch call. Only SLIM
@@ -990,11 +997,15 @@ class IVFIndex:
             F.floor(F.col("query_id") / stride).cast("int").alias("__si"),
             F.col(id_col),
         )
-        hits = {
-            r["__si"]: r["hits"]
-            for r in exact.join(approx, ["query_id", id_col])
-            .groupBy("__si").agg(F.count("*").alias("hits")).collect()
-        }
+        try:
+            hits = {
+                r["__si"]: r["hits"]
+                for r in exact.join(approx, ["query_id", id_col])
+                .groupBy("__si").agg(F.count("*").alias("hits")).collect()
+            }
+            total = fut_total.result()
+        finally:
+            pool.shutdown(wait=False)
         return [
             hits.get(si, 0) / total if total else 1.0
             for si in range(len(settings))

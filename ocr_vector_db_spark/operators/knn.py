@@ -200,7 +200,15 @@ def knn_batch(
         joined = corpus.join(F.broadcast(q), F.col(block_col) == F.col("__q_block"))
     else:
         joined = corpus.crossJoin(F.broadcast(q))
-    sim = F.round(cosine_similarity_col(F.col(corpus_emb), F.col("__q_emb")), SIM_PRECISION)
+    # generated SQL, one parse: the Column form's five higher-order
+    # functions cost ~0.2 s of Py4J lambda machinery per construction,
+    # re-paid by every serving/recall-gate plan (optimization r16); the
+    # parsed tree and float-op order are identical
+    from ocr_vector_db_spark.functions.vector import cosine_similarity_sql
+
+    sim = F.round(
+        F.expr(cosine_similarity_sql(corpus_emb, "__q_emb")), SIM_PRECISION
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.col(corpus_id))
     if not pre_reduce and not ids_only:
         scored = joined.withColumn("similarity", sim).drop("__q_emb", "__q_block")
