@@ -146,9 +146,20 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc, mh_0..mh_{K-1}) MinHash signature from n-token shingles."""
+    """(doc, mh_0..mh_{K-1}) MinHash signature from n-token shingles.
+
+    Each slot agg is ONE generated-SQL parse (the q33/q66/PQ/simhash_col
+    precedent, guide §5): the per-slot `F.min(F.substring(F.md5(...)))`
+    chain cost ~6 Py4J round trips per slot to BUILD; the expression
+    tree and the slot definition (`_hash_slot`) are unchanged — pinned
+    by the q20/q105 oracles, which recompute the signatures in SQL."""
     sh = _doc_shingles(df, text_col, id_col, n)
-    aggs = [F.min(_hash_slot(F.col("shingle"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    aggs = [
+        F.expr(
+            f"min(substring(md5(concat('{i}', shingle)), 1, 15)) AS mh_{i}"
+        )
+        for i in range(num_hashes)
+    ]
     return sh.groupBy("doc").agg(*aggs)
 
 
@@ -157,16 +168,22 @@ def banded_of(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     the ONE definition of the band layout, shared by the in-memory
     candidate join and the persisted MinHashIndex."""
     rows_per_band = num_hashes // bands
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws(",", *[
-                F.col(f"mh_{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ])).alias("band_hash"),
-        )
-        for b in range(bands)
-    ])
+    # one generated-SQL parse for the whole band array (guide §5) —
+    # identical structure: band_hash = md5 over the comma-joined,
+    # string-cast slot values of the band's rows
+    band_structs = F.expr(
+        "array(" + ", ".join(
+            "named_struct('band_id', {b}, 'band_hash', "
+            "md5(concat_ws(',', {cols})))".format(
+                b=b,
+                cols=", ".join(
+                    f"cast(mh_{b * rows_per_band + r} as string)"
+                    for r in range(rows_per_band)
+                ),
+            )
+            for b in range(bands)
+        ) + ")"
+    )
     return sig.select("doc", F.explode(band_structs).alias("band")).select(
         "doc", "band.band_id", "band.band_hash"
     )
@@ -212,17 +229,28 @@ def candidates_from_signatures(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sig_a = sig.select(F.col("doc").alias("doc_a"),
-                       *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(num_hashes)])
-    sig_b = sig.select(F.col("doc").alias("doc_b"),
-                       *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(num_hashes)])
-    agree = sum(
-        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(num_hashes)
+    # selectExpr / generated-SQL: the 2x16-column alias selects and the
+    # 16-term agreement sum are single parses instead of ~100 Py4J
+    # round trips (guide §5); same columns, same CASE-WHEN sum, same
+    # double division and 6-dp round (the D suffix keeps the divisor a
+    # DOUBLE literal exactly like F.lit(float(num_hashes)))
+    sig_a = sig.selectExpr(
+        "doc AS doc_a", *[f"mh_{i} AS a_{i}" for i in range(num_hashes)]
+    )
+    sig_b = sig.selectExpr(
+        "doc AS doc_b", *[f"mh_{i} AS b_{i}" for i in range(num_hashes)]
+    )
+    agree_sql = " + ".join(
+        f"(CASE WHEN a_{i} = b_{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    est = F.expr(
+        f"round((0 + {agree_sql}) / {float(num_hashes)!r}D, 6)"
     )
     return (
         cand.join(sig_a, "doc_a")
         .join(sig_b, "doc_b")
-        .withColumn("est_jaccard", F.round(agree / F.lit(float(num_hashes)), 6))
+        .withColumn("est_jaccard", est)
         .select("doc_a", "doc_b", "est_jaccard")
     )
 
